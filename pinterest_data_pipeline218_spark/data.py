@@ -1,0 +1,54 @@
+"""Testdata loading.
+
+The driver provides deterministic TPC-H-ish parquet tables (see TESTDATA.md):
+region nation customer supplier part orders lineitem events documents
+embeddings. We read them as plain parquet scans — column pruning and filter
+pushdown then happen for free at the source (verify with
+``df.explain('formatted')``: look for ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # TIMESTAMP(NANOS) read as int64 via nanosAsLong: floor-divide to
+        # micros (integer math — exact, and matches DuckDB's ns→µs
+        # truncation) and rebuild the timestamp.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register each table as a temp view (the reference's query layer is SQL
+    over temp views — BatchProcessingFinal.ipynb:1746-1748)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,287 @@
+"""Deduplication operators over the `documents` table.
+
+The LLM-corpus dedup family (SURVEY.md build-plan extension): exact,
+MinHash+LSH near-dup, SimHash, and n-gram Jaccard — plus embedding-cosine
+near-dup (see similarity.py for the vector machinery).
+
+Scale design (100 TB of documents):
+- **Signatures are scan-local column expressions** (no explode, no Python):
+  a document's minhash signature / simhash / fingerprint is computed by
+  Catalyst higher-order functions pipelined into the parquet scan.
+- **The only shuffles are the LSH band-bucket join** (keyed on (band_idx,
+  band_key), i.e. candidate-generating, output ≪ |pairs|) and the final
+  verify join, which touches candidate pairs only — this is the standard
+  way MinHash-LSH avoids the O(n²) cross join.
+- n-gram Jaccard here scopes pairs to a grouping key (`source`) — the
+  blocked-pairs pattern; unblocked pairwise comparison is exactly what the
+  MinHash path exists to avoid.
+
+Determinism: token hashes are md5-derived 60-bit ints (functions/text.py),
+identical in Spark and DuckDB, so every operator here is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..data import load_table
+from ..functions import text as T
+from ..functions.vectors import as_double_array, cosine, cosine_sql_duckdb
+
+NUM_HASHES = 8
+BAND_SIZE = 2  # 4 bands of 2 rows
+JACCARD_THRESHOLD = 0.5
+EMBEDDING_COSINE_THRESHOLD = 0.25
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest; keeper = min doc_id.
+    One |distinct-digests|-sized shuffle with map-side partial agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keeper_doc_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY keeper_doc_id
+"""
+
+
+def _with_signature(docs: DataFrame) -> DataFrame:
+    """documents + distinct-token array + minhash signature columns h0..hJ."""
+    out = docs.select(
+        "doc_id", "source", T.distinct_tokens(F.col("text")).alias("dtoks")
+    )
+
+    def hasher(seed: int):
+        # NB: the lambda must take exactly one arg — F.transform treats a
+        # second parameter as the array index.
+        return lambda t: T.token_hash(t, seed=seed)
+
+    for j in range(NUM_HASHES):
+        out = out.withColumn(
+            f"h{j}", F.array_min(F.transform(F.col("dtoks"), hasher(j)))
+        )
+    return out
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    shingle→minhash→band→bucket-join→verify: signatures per doc (scan-local),
+    band keys hashed from signature slices, candidates = docs sharing a band
+    bucket, then exact Jaccard verification on candidates only.
+    """
+    sig = _with_signature(load_table(spark, sf_dir, "documents"))
+    n_bands = NUM_HASHES // BAND_SIZE
+    band_rows = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * BAND_SIZE + r}").cast("string") for r in range(BAND_SIZE)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("_", *cols)).alias("band_key"),
+            )
+        )
+    bands = band_rows[0]
+    for extra in band_rows[1:]:
+        bands = bands.unionByName(extra)
+    left = bands.alias("a")
+    right = bands.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("dtoks").alias("toks_a"))
+    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("dtoks").alias("toks_b"))
+    jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
+        F.array_union("toks_a", "toks_b")
+    )
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).cast("double").alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_sql() -> str:
+    hash_exprs = ",\n    ".join(
+        f"list_aggregate(list_transform(dtoks, __t -> {T.token_hash_sql('__t', seed=j)}), 'min') AS h{j}"
+        for j in range(NUM_HASHES)
+    )
+    n_bands = NUM_HASHES // BAND_SIZE
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({key}) AS band_key FROM sig".format(
+            b=b,
+            key=" || '_' || ".join(
+                f"h{b * BAND_SIZE + r}::VARCHAR" for r in range(BAND_SIZE)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS dtoks FROM documents
+), sig AS (
+  SELECT doc_id, dtoks,
+    {hash_exprs}
+  FROM base
+), bands AS (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(ROUND(len(list_intersect(x.dtoks, y.dtoks))
+            / CAST(len(list_distinct(list_concat(x.dtoks, y.dtoks))) AS DOUBLE), 6) AS DOUBLE) AS jaccard
+FROM cand
+JOIN sig x ON cand.doc_a = x.doc_id
+JOIN sig y ON cand.doc_b = y.doc_id
+WHERE ROUND(len(list_intersect(x.dtoks, y.dtoks))
+      / CAST(len(list_distinct(list_concat(x.dtoks, y.dtoks))) AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document from distinct-token hashes — a single
+    scan-local nested higher-order expression (no explode, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    simhash = F.expr(
+        """
+        aggregate(
+          sequence(0, 59),
+          cast(0 as bigint),
+          (acc, i) -> acc + IF(
+            aggregate(
+              array_distinct(split(text, ' ')),
+              cast(0 as bigint),
+              (w, t) -> w + IF(
+                (shiftright(cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint), i) % 2) = 1,
+                cast(1 as bigint), cast(-1 as bigint))
+            ) > 0,
+            shiftleft(cast(1 as bigint), i),
+            cast(0 as bigint))
+        )
+        """
+    )
+    return docs.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+
+
+DEDUP_SIMHASH_SQL = """
+WITH base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS dtoks FROM documents)
+SELECT doc_id,
+  list_reduce(list_transform(range(0, 60), __i ->
+    CASE WHEN list_reduce(list_transform(dtoks, __t ->
+           CASE WHEN ((('0x' || substr(md5(__t), 1, 15))::BIGINT >> __i) & 1) = 1
+                THEN 1 ELSE -1 END), (__x, __y) -> __x + __y) > 0
+         THEN (1::BIGINT << __i) ELSE 0::BIGINT END), (__x, __y) -> __x + __y) AS simhash
+FROM base ORDER BY doc_id
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram (word-shingle) Jaccard similarity for document pairs blocked by
+    `source`. Shuffle on the blocking key only; pairs form within blocks."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(T.word_shingles(T.tokens(F.col("text")), 3)).alias("sh"),
+    )
+    a = sh.select(
+        F.col("source"), F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("source").alias("source_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        a.join(b, (F.col("source") == F.col("source_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select(
+            "source", "doc_a", "doc_b", F.round(jac, 6).cast("double").alias("jaccard")
+        )
+        .filter(F.col("jaccard") > 0)
+        .orderBy("source", "doc_a", "doc_b")
+    )
+
+
+_SH = T.word_shingles_sql("string_split(text, ' ')", 3)
+DEDUP_NGRAM_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, source, list_distinct({_SH}) AS s FROM documents
+)
+SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(ROUND(len(list_intersect(a.s, b.s))
+            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS DOUBLE) AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) > 0
+ORDER BY source, doc_a, doc_b
+"""
+
+
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by `label` (the coarse
+    cluster standing in for an IVF cell at scale): pairwise cosine only
+    within blocks."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    a = emb.select("label", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(
+        F.col("label").alias("label_b"), F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+    )
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("label", "vec_a", "vec_b", F.round(cos, 6).cast("double").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= EMBEDDING_COSINE_THRESHOLD)
+        .orderBy("label", "vec_a", "vec_b")
+    )
+
+
+_COS = cosine_sql_duckdb("a.v", "b.v")
+DEDUP_EMBEDDING_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(ROUND({_COS}, 6) AS DOUBLE) AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND({_COS}, 6) >= {EMBEDDING_COSINE_THRESHOLD}
+ORDER BY label, vec_a, vec_b
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_neardup": dedup_embedding_neardup,
+}
+
+ORACLE = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "dedup_embedding_neardup": DEDUP_EMBEDDING_SQL,
+}

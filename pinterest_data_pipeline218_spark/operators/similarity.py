@@ -1,0 +1,123 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+Two paths, as a 100 TB engine needs both:
+
+- **Brute-force top-k** (`sim_topk_bruteforce`): exact cosine against a query
+  vector. The query side is a broadcast single row; scoring is scan-local
+  (zip_with/aggregate, codegen'd); `orderBy(...).limit(k)` fuses to
+  TakeOrderedAndProject so only k rows per partition reach the driver. This
+  is the correctness baseline and is oracle-checked.
+- **LSH-bucketed ANN** (`sim_ann_lsh`): random-hyperplane signatures put each
+  vector in a bucket; at query time only the query's bucket is scanned. The
+  hyperplanes are md5-derived (deterministic, no RNG state), so the plan is
+  reproducible across runs and engines. At scale the bucketed table would be
+  written out partitioned by `bucket`, making a query a partition-pruned scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..data import load_table
+from ..functions.vectors import as_double_array, cosine, cosine_sql_duckdb
+
+TOP_K = 10
+QUERY_VEC_ID = 0
+NUM_PLANES = 8
+DIM = 64
+
+
+def _plane_component(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random in [-1, 1): md5-derived, engine-neutral."""
+    h = int(hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()[:8], 16)
+    return (h / 2**32) * 2.0 - 1.0
+
+
+def hyperplanes(num_planes: int = NUM_PLANES, dim: int = DIM) -> list[list[float]]:
+    return [[_plane_component(p, d) for d in range(dim)] for p in range(num_planes)]
+
+
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors of QUERY_VEC_ID."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("q"))
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("q")), 6).cast("double").alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+_COS = cosine_sql_duckdb("e.v", "q.q")
+SIM_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+     q AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT e.vec_id AS vec_id, CAST(ROUND({_COS}, 6) AS DOUBLE) AS cos_sim
+FROM e CROSS JOIN q
+WHERE e.vec_id != {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+def with_lsh_bucket(emb: DataFrame) -> DataFrame:
+    """Add the random-hyperplane sign bucket to an embedding DataFrame
+    (expects a double-array column `v`). Pure column expressions."""
+    planes = hyperplanes()
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        proj = F.aggregate(
+            F.zip_with(F.col("v"), plane_col, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return emb.withColumn("bucket", bucket)
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: score only vectors in the query's LSH bucket.
+
+    Not SQL-oracle'd (the driver records a rows-only check); pytest verifies
+    recall against the brute-force baseline instead.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    bucketed = with_lsh_bucket(emb)
+    qrow = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("q"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        bucketed.crossJoin(F.broadcast(qrow))
+        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("q")), 6).cast("double").alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+QUERIES = {
+    "sim_topk_bruteforce": sim_topk_bruteforce,
+    "sim_ann_lsh": sim_ann_lsh,
+}
+
+ORACLE = {
+    "sim_topk_bruteforce": SIM_TOPK_SQL,
+    # sim_ann_lsh intentionally omitted: LSH bucketing is verified by the
+    # recall test in tests/test_similarity.py (driver records rows-only).
+}

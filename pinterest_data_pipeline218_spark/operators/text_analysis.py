@@ -1,0 +1,149 @@
+"""Text-analysis operators over the `documents` table.
+
+Each operator is a (spark, sf_dir) -> DataFrame callable plus a DuckDB oracle
+string. All per-document computation is scan-local column expression work
+(functions/text.py) — at 100 TB these pipeline into the parquet scan with no
+shuffle; only the final order/top-k aggregates exchange data.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..data import load_table
+from ..functions import text as T
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: total/distinct tokens, char length, type-token ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).cast("double").alias("ttr"),
+    ).orderBy("doc_id")
+
+
+TEXT_TOKEN_STATS_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       strlen(text) AS n_chars_computed,
+       CAST(ROUND(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS DOUBLE) AS ttr
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: stopword ratio, mean token length, and a
+    combined score — the pretraining-corpus filtering primitive."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    sw = T.stopword_ratio(toks)
+    atl = T.avg_token_len(toks)
+    # No rounding: the score is emitted as the raw double. Both engines
+    # evaluate the identical left-associated expression tree over identical
+    # inputs, so the result is bit-deterministic; rounding would *introduce*
+    # divergence at exact decimal ties (Spark rounds the decimal string
+    # HALF_UP, DuckDB rounds the scaled binary).
+    score = (
+        F.lit(0.5) * F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - sw)
+        + F.lit(0.2) * F.least(atl / F.lit(8.0), F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        F.round(sw, 6).cast("double").alias("stopword_ratio"),
+        F.round(atl, 6).cast("double").alias("avg_token_len"),
+        score.cast("double").alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+_SW = T.stopword_ratio_sql("string_split(text, ' ')")
+_ATL = T.avg_token_len_sql("string_split(text, ' ')")
+TEXT_QUALITY_SQL = f"""
+SELECT doc_id,
+       CAST(ROUND({_SW}, 6) AS DOUBLE) AS stopword_ratio,
+       CAST(ROUND({_ATL}, 6) AS DOUBLE) AS avg_token_len,
+       CAST(0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+          + 0.3 * (1.0 - {_SW})
+          + 0.2 * least({_ATL} / 8.0, 1.0) AS DOUBLE) AS quality_score
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-based language ID heuristic (n-gram-family heuristic over a
+    known-language stopword set; engine-neutral so it is oracle-checkable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    en_ratio = T.stopword_ratio(toks)
+    return docs.select(
+        "doc_id",
+        F.round(en_ratio, 6).cast("double").alias("en_ratio"),
+        F.when(en_ratio > 0.02, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_guess"),
+    ).orderBy("doc_id")
+
+
+TEXT_LANGID_SQL = f"""
+SELECT doc_id,
+       CAST(ROUND({_SW}, 6) AS DOUBLE) AS en_ratio,
+       CASE WHEN {_SW} > 0.02 THEN 'en' ELSE 'unknown' END AS lang_guess
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive md5 fingerprint of the token set per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint")).orderBy(
+        "doc_id"
+    )
+
+
+TEXT_FINGERPRINT_SQL = f"""
+SELECT doc_id, {T.FINGERPRINT_SQL} AS fingerprint FROM documents ORDER BY doc_id
+"""
+
+
+def text_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: explode tokens → counts (the one shuffle in this
+    family; partial aggregation makes the exchange |vocab|-sized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("occurrences"), F.asc("token"))
+    )
+
+
+TEXT_WORD_FREQ_SQL = """
+SELECT token, COUNT(*) AS occurrences, COUNT(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token ORDER BY occurrences DESC, token ASC
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality_score": text_quality_score,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "text_word_frequencies": text_word_frequencies,
+}
+
+ORACLE = {
+    "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_quality_score": TEXT_QUALITY_SQL,
+    "text_langid": TEXT_LANGID_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "text_word_frequencies": TEXT_WORD_FREQ_SQL,
+}

@@ -1,0 +1,164 @@
+"""Event-stream analytics over the `events` table.
+
+The reference's streaming surface is pure stateless ETL to an append sink
+(Kinesis_Processing.ipynb cells 8-32); SURVEY.md §2.9/ST4 declares windowed
+event-time aggregation as the engine's streaming-analytics extension. These
+are the *batch* formulations of those operators — the identical expressions
+run unchanged on a streaming DataFrame (see streaming/pipeline.py), which is
+the core Structured Streaming design point.
+
+Scale notes:
+- tumbling-window counts are a single shuffle on (window, type) with map-side
+  partial aggregation;
+- sessionization is a window function over (user_id, ts) — one shuffle-sort
+  per user partition, no driver-side state;
+- running totals keep the same sort order, so Catalyst reuses the exchange.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..data import load_table
+
+SESSION_GAP_SECONDS = 1800
+
+
+def ev_counts_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event counts per type (F.window ≡ date_trunc for
+    hour-aligned tumbling windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .orderBy("window_start", "event_type")
+    )
+
+
+EV_COUNTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def ev_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value stats; sums via DECIMAL for exact, order-independent
+    aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(v).cast("double").alias("total_value"),
+            F.round(F.sum(v) / F.count(F.lit(1)), 4).cast("double").alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_STATS_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) / COUNT(*), 4) AS DOUBLE) AS avg_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def ev_json_extract_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: extract a numeric field and aggregate.
+    (The reference's from_json blob-decode idiom, S4; regexp form keeps the
+    oracle engine-neutral.)"""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r"[0-9]+", 0).cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+EV_JSON_SQL = """
+SELECT event_type, SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def ev_sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: number of activity sessions per user with a 30-minute
+    inactivity gap. lag → gap flag → running sum (the streaming equivalent is
+    `F.session_window`)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    flagged = ev.withColumn(
+        "new_sess", F.when(gap > SESSION_GAP_SECONDS, F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg((F.lit(1) + F.sum("new_sess")).alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+EV_SESSIONS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {SESSION_GAP_SECONDS} SECONDS
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, 1 + SUM(new_sess) AS n_sessions
+FROM flagged GROUP BY user_id ORDER BY user_id
+"""
+
+
+def ev_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user value total — the reference's vestigial frame spec
+    `ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW`
+    (BatchProcessingFinal.ipynb:1533, W3). DECIMAL keeps the fold exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_value"),
+    ).orderBy("event_id")
+
+
+EV_RUNNING_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events ORDER BY event_id
+"""
+
+
+QUERIES = {
+    "ev_counts_hourly": ev_counts_hourly,
+    "ev_stats_by_type": ev_stats_by_type,
+    "ev_json_extract_sum": ev_json_extract_sum,
+    "ev_sessions_per_user": ev_sessions_per_user,
+    "ev_running_total": ev_running_total,
+}
+
+ORACLE = {
+    "ev_counts_hourly": EV_COUNTS_HOURLY_SQL,
+    "ev_stats_by_type": EV_STATS_SQL,
+    "ev_json_extract_sum": EV_JSON_SQL,
+    "ev_sessions_per_user": EV_SESSIONS_SQL,
+    "ev_running_total": EV_RUNNING_SQL,
+}
