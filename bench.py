@@ -1,0 +1,100 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Timing protocol (BASELINE.md §2): warm session, median of 3 runs per query.
+Execution is forced with the noop sink (full plan runs, nothing collects to
+the driver — measures the engine, not Py4J transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+RUNS = 3
+
+# Headline set: the reference's adapted T4-T11 + cleaning-path equivalents,
+# TPC-H heavies, streaming-analog event queries, and one per scale-operator
+# family (SURVEY.md §6 protocol).
+HEADLINE = [
+    "t4_top_priority_per_nation",
+    "t5_priority_counts_by_year",
+    "t6p1_top_customer_per_nation",
+    "t6p2_top_nation_by_top_customer",
+    "t7_top_priority_per_band",
+    "t8_median_balance_by_band",
+    "t9_active_customers_by_year",
+    "t10_median_order_total_by_year",
+    "t11_median_order_total_by_band_year",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_regional_volume",
+    "ev_counts_hourly",
+    "ev_sessions_per_user",
+    "ev_running_total",
+    "text_token_stats",
+    "text_word_frequencies",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk_bruteforce",
+    "mm_binary_meta",
+]
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    import __spark_entry__ as entrymod
+    from pinterest_data_pipeline218_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    # warm the session: JVM up, parquet footers read, codegen caches primed
+    from pinterest_data_pipeline218_spark.data import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.count()
+
+    results: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        times = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            times.append(time.perf_counter() - t0)
+        results[name] = round(statistics.median(times), 4)
+
+    total = round(sum(results.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "sum_median_sec_per_query",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+                "runs": RUNS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

