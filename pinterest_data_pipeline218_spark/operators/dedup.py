@@ -22,6 +22,9 @@ identical in Spark and DuckDB, so every operator here is oracle-checkable.
 
 from __future__ import annotations
 
+import functools
+import operator
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -92,50 +95,83 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate pairs.
 
     shingle→minhash→band→bucket-join→verify: signatures per doc (scan-local),
-    band keys hashed from signature slices, candidates = docs sharing a band
-    bucket, then exact Jaccard verification on candidates only.
+    band keys from signature slices, candidates = docs sharing a band bucket,
+    then exact Jaccard verification on candidates only.
+
+    Scale design (the candidate set is the quadratic danger zone):
+    - **Pair dedup without a pair-sized shuffle.** A pair sharing several band
+      buckets must be emitted once; `distinct()` on the candidate pairs
+      shuffles O(|candidate pairs|) rows. Instead each side carries its band
+      keys and a pair is emitted only from its *lowest* matching band — a
+      static codegen'd boolean over the carried keys, zero extra shuffle.
+      (An `exists(sequence(...))` higher-order form of the same filter is
+      interpreted per joined row: 20x slower at sf0.1.)
+    - **Skew-proof parallelism.** The probe side is round-robin
+      `repartition`ed: hot band buckets (huge near-dup clusters) would pin a
+      single task if candidates were co-partitioned by band key. Because the
+      build side is broadcast, the probe needs no co-partitioning, so the
+      candidate explosion spreads evenly over all cores. At cluster scale
+      with a build side too big to broadcast, flip to a shuffle join on
+      (band_idx, band_key) + AQE skew-join splitting.
+    - Verify joins (doc_id -> token set) are broadcast: candidates stream
+      through two map-side hash lookups; only distinct pairs pay the exact
+      Jaccard (computed as i/(|a|+|b|-i) — one array_intersect, no
+      array_union materialization). Output is unordered: pair listings are
+      set-semantics, a total sort of an O(pairs) result is wasted work.
     """
     docs = load_table(spark, sf_dir, "documents")
     sig = _with_signature(docs)
     n_bands = NUM_HASHES // BAND_SIZE
-    band_key_cols = [
-        F.md5(
-            F.concat_ws(
-                "_", *[F.col(f"h{b * BAND_SIZE + r}").cast("string") for r in range(BAND_SIZE)]
-            )
-        )
+    key_cols = [
+        F.struct(
+            *[F.col(f"h{b * BAND_SIZE + r}").alias(f"k{r}") for r in range(BAND_SIZE)]
+        ).alias(f"bk{b}")
         for b in range(n_bands)
     ]
     # one signature evaluation per side: posexplode the band-key array
     # instead of a union of n_bands re-projections of the md5-heavy sig
-    bands = sig.select(
-        "doc_id", F.posexplode(F.array(*band_key_cols)).alias("band_idx", "band_key")
+    bands = sig.select("doc_id", *key_cols).select(
+        "doc_id",
+        *[f"bk{b}" for b in range(n_bands)],
+        F.posexplode(F.array(*[F.col(f"bk{b}") for b in range(n_bands)])).alias(
+            "band_idx", "band_key"
+        ),
     )
-    left = bands.alias("a")
+    par = spark.sparkContext.defaultParallelism * 4
+    left = bands.repartition(par).alias("a")
     right = bands.alias("b")
+    first_match = functools.reduce(
+        operator.or_,
+        [
+            functools.reduce(
+                operator.and_,
+                [F.col("a.band_idx") == F.lit(i)]
+                + [F.col(f"a.bk{j}") != F.col(f"b.bk{j}") for j in range(i)],
+            )
+            for i in range(n_bands)
+        ],
+    )
     cand = (
         left.join(
-            right,
+            F.broadcast(right),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(first_match)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
     # the verify joins need only the (md5-free) token sets, not the signature
     dtoks = docs.select("doc_id", T.distinct_tokens(F.col("text")).alias("dtoks"))
     x = dtoks.select(F.col("doc_id").alias("doc_a"), F.col("dtoks").alias("toks_a"))
     y = dtoks.select(F.col("doc_id").alias("doc_b"), F.col("dtoks").alias("toks_b"))
-    jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
-        F.array_union("toks_a", "toks_b")
-    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = inter / (F.size("toks_a") + F.size("toks_b") - inter)
     return (
-        cand.join(x, "doc_a")
-        .join(y, "doc_b")
+        cand.join(F.broadcast(x), "doc_a")
+        .join(F.broadcast(y), "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 6).cast("double").alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -186,35 +222,48 @@ ORDER BY doc_a, doc_b
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash per document from distinct-token hashes — a single
-    scan-local nested higher-order expression (no explode, no shuffle)."""
+    """60-bit SimHash per document from distinct-token hashes.
+
+    Formulated for whole-stage codegen: explode the per-doc token-hash array
+    and hash-aggregate 60 per-bit set-counts per doc_id (simple
+    shiftright/AND sums — all codegen'd, map-side partial agg), then fold the
+    counts into the fingerprint with a static 60-term majority expression
+    (2*count_set > n_tokens  ⇔  sum over tokens of ±1 > 0).
+
+    A scan-local nested higher-order `aggregate(sequence(0,59), aggregate(hs,
+    ...))` avoids the explode+shuffle entirely but is *interpreted* per
+    (bit, token) element — ~10x slower at sf0.1 than this explode +
+    codegen'd-agg plan, whose shuffle is tiny (map-side combine reduces it to
+    one 61-int row per doc per mapper).
+    """
     docs = load_table(spark, sf_dir, "documents")
-    # hash each distinct token ONCE, then fold the 60 bit positions over the
-    # precomputed hash array — the naive nested form recomputes md5 per bit
-    # (60x the hash work; 16s -> <1s at sf0.1)
-    hashed = docs.select(
+    # hash each distinct token ONCE (md5-derived 60-bit int, shared with the
+    # DuckDB oracle), then count set bits per position
+    exploded = docs.select(
         "doc_id",
-        F.expr(
-            "transform(array_distinct(split(text, ' ')),"
-            " t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"
-        ).alias("hs"),
+        F.explode(
+            F.expr(
+                "transform(array_distinct(split(text, ' ')),"
+                " t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"
+            )
+        ).alias("h"),
     )
-    simhash = F.expr(
-        """
-        aggregate(
-          sequence(0, 59),
-          cast(0 as bigint),
-          (acc, i) -> acc + IF(
-            aggregate(hs, cast(0 as bigint),
-              (w, h) -> w + IF((shiftright(h, i) % 2) = 1,
-                               cast(1 as bigint), cast(-1 as bigint))
-            ) > 0,
-            shiftleft(cast(1 as bigint), i),
-            cast(0 as bigint))
-        )
-        """
+    counts = exploded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"c{i}")
+            for i in range(60)
+        ],
     )
-    return hashed.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+    simhash = functools.reduce(
+        operator.add,
+        [
+            F.when(F.col(f"c{i}") * 2 > F.col("n"), F.lit(1 << i).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for i in range(60)
+        ],
+    )
+    return counts.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
 
 
 DEDUP_SIMHASH_SQL = """
