@@ -34,6 +34,9 @@ HEADLINE = [
     "t9_active_customers_by_year",
     "t10_median_order_total_by_year",
     "t11_median_order_total_by_band_year",
+    "pin_clean_pipeline",
+    "geo_clean_pipeline",
+    "user_clean_pipeline",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_regional_volume",
