@@ -119,10 +119,20 @@ FROM documents ORDER BY doc_id
 
 
 def mm_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fake feature extraction over binary payloads (rows-only check; the
-    kernel is verified value-level in tests/test_multimodal.py)."""
+    """Fake feature extraction over binary payloads. Oracle-checked: the
+    corpus is ASCII, so the byte histogram equals a codepoint histogram the
+    DuckDB oracle can replay."""
     docs = with_payload(load_table(spark, sf_dir, "documents"))
     return extract_fake_features(docs.select("doc_id", "payload")).orderBy("doc_id")
+
+
+def _fake_features_sql() -> str:
+    bins = ", ".join(
+        "CAST(len(list_filter(range(1, strlen(text)+1), "
+        f"__i -> (unicode(substr(text, __i, 1)) % {N_FEATURE_BINS}) = {b})) AS INT)"
+        for b in range(N_FEATURE_BINS)
+    )
+    return f"SELECT doc_id, [{bins}] AS features FROM documents ORDER BY doc_id"
 
 
 QUERIES = {
@@ -132,5 +142,5 @@ QUERIES = {
 
 ORACLE = {
     "mm_binary_meta": MM_BINARY_META_SQL,
-    # mm_fake_features: mapInPandas kernel, value-checked in pytest instead.
+    "mm_fake_features": _fake_features_sql(),
 }

@@ -89,8 +89,10 @@ def with_lsh_bucket(emb: DataFrame) -> DataFrame:
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k: score only vectors in the query's LSH bucket.
 
-    Not SQL-oracle'd (the driver records a rows-only check); pytest verifies
-    recall against the brute-force baseline instead.
+    Fully oracle-checked: the hyperplanes are literal constants, so the
+    DuckDB oracle replays the identical sign-bucket computation (same
+    left-fold float addition order) and must produce the same candidate set
+    and scores. pytest additionally verifies recall vs brute force.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("v")
@@ -111,6 +113,40 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_sql() -> str:
+    """DuckDB replay of the hyperplane sign bucket: per plane, the projection
+    is the same left-associated sum of products Spark's `aggregate` fold
+    computes, with the plane components inlined as shortest-roundtrip float
+    literals (identical doubles in both engines)."""
+    planes = hyperplanes()
+
+    def proj(vexpr: str, plane: list[float]) -> str:
+        terms = " + ".join(f"{vexpr}[{i + 1}]*({c!r})" for i, c in enumerate(plane))
+        return f"(0.0 + {terms})"
+
+    def bucket(vexpr: str) -> str:
+        cases = " + ".join(
+            f"(CASE WHEN {proj(vexpr, plane)} > 0 THEN {1 << p} ELSE 0 END)"
+            for p, plane in enumerate(planes)
+        )
+        return f"({cases})"
+
+    cos = cosine_sql_duckdb("e.v", "q.q")
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {bucket("(embedding::DOUBLE[])")} AS bucket
+  FROM embeddings
+),
+q AS (SELECT v AS q, bucket AS qbucket FROM e WHERE vec_id = {QUERY_VEC_ID})
+SELECT e.vec_id AS vec_id, CAST(ROUND({cos}, 6) AS DOUBLE) AS cos_sim
+FROM e CROSS JOIN q
+WHERE e.bucket = q.qbucket AND e.vec_id != {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ann_lsh": sim_ann_lsh,
@@ -118,6 +154,5 @@ QUERIES = {
 
 ORACLE = {
     "sim_topk_bruteforce": SIM_TOPK_SQL,
-    # sim_ann_lsh intentionally omitted: LSH bucketing is verified by the
-    # recall test in tests/test_similarity.py (driver records rows-only).
+    "sim_ann_lsh": _ann_sql(),
 }
