@@ -15,9 +15,25 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from pinterest_data_pipeline218_spark.operators import dedup, multimodal, similarity, text_analysis
-from pinterest_data_pipeline218_spark.plans import analytics_tpch, events, pin_domain, tpch
+from pinterest_data_pipeline218_spark.plans import (
+    analytics_tpch,
+    events,
+    pin_domain,
+    tpch,
+    tpch_extra,
+)
 
-_MODULES = (analytics_tpch, tpch, events, pin_domain, text_analysis, dedup, similarity, multimodal)
+_MODULES = (
+    analytics_tpch,
+    tpch,
+    tpch_extra,
+    events,
+    pin_domain,
+    text_analysis,
+    dedup,
+    similarity,
+    multimodal,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -40,6 +40,12 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_regional_volume",
+    "tpch_q4_semi_join",
+    "tpch_q13_outer_join",
+    "tpch_q6_revenue",
+    "tpch_q17_small_qty",
+    "set_customer_overlap",
+    "window_showcase",
     "ev_counts_hourly",
     "ev_sessions_per_user",
     "ev_running_total",

@@ -1,0 +1,314 @@
+"""Join/subquery/set-op/window coverage beyond the reference's surface.
+
+The reference exercises only inner equi-joins, rank windows, and plain
+aggregation (SURVEY.md §2.3/2.5/2.7). A complete engine needs the rest of
+the relational algebra; these queries put semi joins, anti joins, outer
+joins, scalar subqueries, correlated-subquery decorrelation, set operations,
+and the full window-function family under the same DuckDB oracle gate.
+
+Scale/determinism notes:
+- semi/anti joins never materialize the probe side's matches (Spark's
+  LeftSemi/LeftAnti build a hash set of keys only);
+- the scalar-subquery comparison is kept in DECIMAL with a
+  multiply-not-divide rewrite (`bal * n > total`), so the predicate is exact
+  and engine-independent (no decimal-division scale drift);
+- the correlated q17-style subquery is expressed as its decorrelated form
+  (groupBy + join) — what Catalyst rewrites correlated scalar subqueries
+  into anyway;
+- window orderings always include a unique tiebreak column so ROW_NUMBER /
+  LAG are deterministic cross-engine.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..data import load_table
+
+_DEC = "decimal(18,2)"
+
+
+def tpch_q4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority counts for 1997Q1 orders that have at least one big
+    lineitem — EXISTS ≡ left-semi join (hash set of keys, no fan-out)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big = lineitem.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def tpch_q22_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich customers with no recent (1998+) orders, per nation — scalar subquery (global
+    mean balance) + NOT EXISTS ≡ left-anti join.
+
+    The mean comparison is decimal-exact via `bal * n_customers >
+    total_balance` (multiply, don't divide: decimal division scale rules
+    differ across engines; products and sums don't)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    bal = F.col("c_acctbal").cast(_DEC)
+    stats = customer.agg(
+        F.sum(bal).alias("total_bal"), F.count(F.lit(1)).alias("n_cust")
+    )
+    rich = (
+        customer.crossJoin(F.broadcast(stats))
+        .filter(bal * F.col("n_cust") > F.col("total_bal"))
+        .join(
+            orders.filter(F.year("o_orderdate") >= 1998),
+            customer.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+    )
+    return (
+        rich.join(F.broadcast(nation), rich.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rich_inactive"),
+            F.sum(bal).cast("double").alias("total_acctbal"),
+        )
+        .orderBy("nation")
+    )
+
+
+Q22_SQL = """
+WITH stats AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal, COUNT(*) AS n_cust
+  FROM customer
+)
+SELECT n_name AS nation, COUNT(*) AS n_rich_inactive,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer CROSS JOIN stats
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_cust > total_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND EXTRACT(YEAR FROM o_orderdate) >= 1998)
+GROUP BY n_name
+ORDER BY nation
+"""
+
+
+def tpch_q13_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution — LEFT OUTER join (zero-order
+    customers must appear with count 0), two-level aggregation."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    per_cust = (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def tpch_q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue delta: tight scan-level predicate + single DECIMAL
+    aggregate — the pushdown showcase (explain shows all three filters in
+    PushedFilters)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast(_DEC) * F.col("l_discount").cast(_DEC)).cast(
+                    "decimal(28,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from small-quantity lineitems of each part — the q17
+    correlated scalar subquery in its decorrelated form (per-part avg via
+    groupBy, broadcast back). Predicate kept exact: `qty * 5 * cnt <
+    sum_qty` instead of `qty < 0.2 * avg` (integer-ish DECIMAL math both
+    engines agree on bitwise)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(_DEC)
+    per_part = lineitem.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty).alias("sum_qty"), F.count(F.lit(1)).alias("cnt_qty")
+    )
+    return (
+        lineitem.join(F.broadcast(per_part), lineitem.l_partkey == F.col("pk"))
+        .filter(qty * F.lit(5) * F.col("cnt_qty") < F.col("sum_qty"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+Q17_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         COUNT(*) AS cnt_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+       COUNT(*) AS n_small
+FROM lineitem JOIN per_part ON l_partkey = pk
+WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt_qty < sum_qty
+"""
+
+
+def set_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL in one gated query: overlap between
+    high-balance customers and 1998-active customers."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    high = customer.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("k")
+    )
+    active = (
+        orders.filter(F.year("o_orderdate") == 1998)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    both = high.intersect(active).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("segment"), "n"
+    )
+    only_high = high.subtract(active).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("only_high").alias("segment"), "n"
+    )
+    only_active = active.subtract(high).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("only_active").alias("segment"), "n"
+    )
+    return both.unionAll(only_high).unionAll(only_active).orderBy("segment")
+
+
+SET_OVERLAP_SQL = """
+WITH high AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000),
+     active AS (SELECT DISTINCT o_custkey AS k FROM orders
+                WHERE EXTRACT(YEAR FROM o_orderdate) = 1998)
+SELECT 'both' AS segment, COUNT(*) AS n FROM (SELECT * FROM high INTERSECT SELECT * FROM active)
+UNION ALL
+SELECT 'only_high', COUNT(*) FROM (SELECT * FROM high EXCEPT SELECT * FROM active)
+UNION ALL
+SELECT 'only_active', COUNT(*) FROM (SELECT * FROM active EXCEPT SELECT * FROM high)
+ORDER BY segment
+"""
+
+
+def window_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_NUMBER / DENSE_RANK / LAG / NTILE over one partitioned ordering —
+    the window families beyond the reference's RANK (W1). Ordering includes
+    the unique c_custkey tiebreak so every function is deterministic."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cn.select(
+            F.col("n_name").alias("nation"),
+            "c_custkey",
+            F.round("c_acctbal", 2).cast("double").alias("acctbal"),
+            F.row_number().over(w).alias("rn"),
+            F.dense_rank().over(w).alias("dr"),
+            F.round(F.lag("c_acctbal", 1).over(w), 2).cast("double").alias("prev_bal"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("nation", "rn")
+    )
+
+
+WINDOW_SHOWCASE_SQL = """
+WITH cn AS (
+  SELECT n_name AS nation, c_custkey, c_acctbal
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+ranked AS (
+  SELECT nation, c_custkey,
+         CAST(ROUND(c_acctbal, 2) AS DOUBLE) AS acctbal,
+         ROW_NUMBER() OVER w AS rn,
+         DENSE_RANK() OVER w AS dr,
+         CAST(ROUND(LAG(c_acctbal, 1) OVER w, 2) AS DOUBLE) AS prev_bal,
+         NTILE(4) OVER w AS quartile
+  FROM cn
+  WINDOW w AS (PARTITION BY nation ORDER BY c_acctbal DESC, c_custkey ASC)
+)
+SELECT * FROM ranked WHERE rn <= 3 ORDER BY nation, rn
+"""
+
+
+QUERIES = {
+    "tpch_q4_semi_join": tpch_q4_semi_join,
+    "tpch_q22_anti_join": tpch_q22_anti_join,
+    "tpch_q13_outer_join": tpch_q13_outer_join,
+    "tpch_q6_revenue": tpch_q6_revenue,
+    "tpch_q17_small_qty": tpch_q17_small_qty,
+    "set_customer_overlap": set_customer_overlap,
+    "window_showcase": window_showcase,
+}
+
+ORACLE = {
+    "tpch_q4_semi_join": Q4_SQL,
+    "tpch_q22_anti_join": Q22_SQL,
+    "tpch_q13_outer_join": Q13_SQL,
+    "tpch_q6_revenue": Q6_SQL,
+    "tpch_q17_small_qty": Q17_SQL,
+    "set_customer_overlap": SET_OVERLAP_SQL,
+    "window_showcase": WINDOW_SHOWCASE_SQL,
+}
