@@ -1,0 +1,121 @@
+"""Plan-level tests over the sf0.001 driver testdata: schema contracts,
+relational invariants, and physical-plan properties (pushdown / broadcast)
+for the gated query modules."""
+
+import pyspark.sql.functions as F
+import pytest
+
+import __spark_entry__ as entry
+from pinterest_data_pipeline218_spark.plans import pin_domain, tpch_extra
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entry.queries()
+
+
+def test_every_query_has_oracle_or_is_declared(qs):
+    oracles = entry.oracle_sql()
+    missing = [name for name in qs if name not in oracles]
+    assert missing == [], f"queries without oracle SQL: {missing}"
+
+
+def test_entry_contract(spark):
+    df = entry.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert df.columns == ["nation", "order_priority", "order_count"]
+
+
+def test_pin_clean_contract_and_sentinels(spark):
+    out = pin_domain.pin_clean_pipeline(spark, SF)
+    assert out.columns == [
+        "ind", "unique_id", "title", "description", "follower_count",
+        "poster_name", "tag_list", "is_image_or_video", "image_src",
+        "save_location", "category",
+    ]
+    rows = out.collect()
+    # k/M/decimal-k suffixes expanded numerically, sentinels nulled
+    assert all(r.follower_count is None or isinstance(r.follower_count, int) for r in rows)
+    assert not any(
+        r.title is not None and r.title.startswith("No Title Data") for r in rows
+    )
+    assert not any(
+        (r.save_location or "").startswith("Local save in ") for r in rows
+    )
+    # derivation guarantees: every m%10==4 row had 'k' suffix -> multiple of 1000
+    k_rows = [r for r in rows if r.ind % 10 == 4]
+    assert k_rows and all(r.follower_count % 1000 == 0 for r in k_rows)
+    half_k = [r for r in rows if r.ind % 10 == 5]
+    assert half_k and all(r.follower_count % 500 == 0 for r in half_k)
+
+
+def test_geo_user_clean_types(spark):
+    geo = pin_domain.geo_clean_pipeline(spark, SF)
+    assert [f.dataType.simpleString() for f in geo.schema.fields] == [
+        "int", "string", "array<double>", "timestamp",
+    ]
+    user = pin_domain.user_clean_pipeline(spark, SF)
+    assert user.columns == ["ind", "user_name", "age", "date_joined"]
+    # empty-string ages became NULL via try_cast
+    n_null = user.filter(F.col("age").isNull()).count()
+    assert n_null == user.filter(F.col("ind") % 17 == 0).count()
+
+
+def test_outer_join_keeps_zero_order_customers(spark):
+    from pinterest_data_pipeline218_spark.data import load_table
+
+    dist = tpch_extra.tpch_q13_outer_join(spark, SF).collect()
+    total = sum(r.custdist for r in dist)
+    assert total == load_table(spark, SF, "customer").count()
+
+
+def test_semi_join_never_exceeds_probe_count(spark):
+    from pinterest_data_pipeline218_spark.data import load_table
+
+    out = tpch_extra.tpch_q4_semi_join(spark, SF)
+    n = out.agg(F.sum("order_count")).collect()[0][0]
+    probe = (
+        load_table(spark, SF, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .count()
+    )
+    assert n <= probe
+
+
+def test_set_overlap_partitions_are_disjoint_and_cover(spark):
+    from pinterest_data_pipeline218_spark.data import load_table
+
+    seg = {r.segment: r.n for r in tpch_extra.set_customer_overlap(spark, SF).collect()}
+    high = load_table(spark, SF, "customer").filter(F.col("c_acctbal") > 9000)
+    assert seg["both"] + seg["only_high"] == high.select("c_custkey").distinct().count()
+
+
+def test_window_showcase_rn_dense_consistency(spark):
+    rows = tpch_extra.window_showcase(spark, SF).collect()
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r.nation, []).append(r)
+    for nation, rs in by_nation.items():
+        rns = sorted(r.rn for r in rs)
+        assert rns == list(range(1, len(rs) + 1))
+        for r in rs:
+            assert r.dr <= r.rn
+            assert 1 <= r.quartile <= 4
+
+
+def test_pushdown_reaches_scan(spark):
+    plan = tpch_extra.tpch_q6_revenue(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_dimension_joins_broadcast(spark, qs):
+    plan = qs["tpch_q5_regional_volume"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # everything fits broadcast at test scale
