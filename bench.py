@@ -51,6 +51,8 @@ HEADLINE = [
     "ev_running_total",
     "text_token_stats",
     "text_word_frequencies",
+    "text_tfidf_top_terms",
+    "ev_salted_distinct_users",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

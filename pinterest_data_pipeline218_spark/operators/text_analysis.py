@@ -132,12 +132,78 @@ GROUP BY token ORDER BY occurrences DESC, token ASC
 """
 
 
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 salient terms by a TF-IDF-style score.
+
+    Score is the *rational* form tf * N / df (as a double: one exact integer
+    product, one IEEE division — bit-identical cross-engine), not tf *
+    log(N/df): java.lang.Math.log and libm log are each within 1 ulp but not
+    guaranteed the same ulp, which would poison the value-hash gate. The
+    ranking (the part that matters) is identical for any monotone transform
+    of N/df at fixed tf ordering... which log is.
+
+    Plan shape at scale: explode → (doc, term) counts → df per term (the
+    |vocab| aggregate, broadcast back) → rank window per doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar; at scale a 1-row agg joined via broadcast
+    pairs = (
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = pairs.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+TEXT_TFIDF_SQL = """
+WITH pairs AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM pairs GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, tf.term AS term, tf, df,
+         CAST(tf * n_docs AS DOUBLE) / df AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score, rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+  FROM scored
+)
+WHERE rk <= 3
+ORDER BY doc_id, rk
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_word_frequencies": text_word_frequencies,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
 }
 
 ORACLE = {
@@ -146,4 +212,5 @@ ORACLE = {
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_word_frequencies": TEXT_WORD_FREQ_SQL,
+    "text_tfidf_top_terms": TEXT_TFIDF_SQL,
 }

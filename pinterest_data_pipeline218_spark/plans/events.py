@@ -147,12 +147,62 @@ FROM events ORDER BY event_id
 """
 
 
+def ev_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type sums/counts via salted two-phase aggregation
+    (functions/skew.py): `event_type` has single-digit cardinality, the
+    textbook skewed grouping — a plain groupBy puts each type's whole weight
+    on one reducer; salting makes phase 1 uniform. DECIMAL sums mean the
+    result is bit-identical to the unsalted aggregate (the oracle)."""
+    from ..functions.skew import salted_sum_count
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_sum_count(
+        ev, ["event_type"], F.col("value").cast("decimal(18,2)"), salt_from="event_id"
+    )
+    return out.select(
+        "event_type",
+        F.col("sum_value").cast("double").alias("total_value"),
+        F.col("n_rows").alias("n_events"),
+    ).orderBy("event_type")
+
+
+EV_SALTED_STATS_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def ev_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type via salted two-phase distinct:
+    the (type, user) pairs dedup under (type, salt-of-user) partitions, then
+    the per-salt distinct counts sum exactly — no single reducer ever sees a
+    hot type's full user set."""
+    from ..functions.skew import salted_count_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        salted_count_distinct(ev, ["event_type"], "user_id")
+        .select("event_type", F.col("n_distinct").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+EV_SALTED_DISTINCT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "ev_counts_hourly": ev_counts_hourly,
     "ev_stats_by_type": ev_stats_by_type,
     "ev_json_extract_sum": ev_json_extract_sum,
     "ev_sessions_per_user": ev_sessions_per_user,
     "ev_running_total": ev_running_total,
+    "ev_salted_stats": ev_salted_stats,
+    "ev_salted_distinct_users": ev_salted_distinct_users,
 }
 
 ORACLE = {
@@ -161,4 +211,6 @@ ORACLE = {
     "ev_json_extract_sum": EV_JSON_SQL,
     "ev_sessions_per_user": EV_SESSIONS_SQL,
     "ev_running_total": EV_RUNNING_SQL,
+    "ev_salted_stats": EV_SALTED_STATS_SQL,
+    "ev_salted_distinct_users": EV_SALTED_DISTINCT_SQL,
 }

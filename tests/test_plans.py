@@ -119,3 +119,44 @@ def test_dimension_joins_broadcast(spark, qs):
     plan = qs["tpch_q5_regional_volume"](spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan  # everything fits broadcast at test scale
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Co-located join: both sides bucketed+sorted on the key -> sort-merge
+    join straight off the scans, zero Exchange — the layout that removes the
+    fact-to-fact shuffle at 100 TB."""
+    from pinterest_data_pipeline218_spark.data import load_table
+
+    orders = load_table(spark, SF, "orders")
+    customer = load_table(spark, SF, "customer")
+    (
+        orders.write.mode("overwrite")
+        .option("path", str(tmp_path / "b_orders"))
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable("b_orders")
+    )
+    (
+        customer.write.mode("overwrite")
+        .option("path", str(tmp_path / "b_customer"))
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable("b_customer")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        import pyspark.sql.functions as SF_
+
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            SF_.col("o_custkey") == SF_.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == orders.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
