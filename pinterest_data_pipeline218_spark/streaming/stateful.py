@@ -1,0 +1,121 @@
+"""Custom stateful streaming operator: gap sessionization via
+applyInPandasWithState.
+
+The batch formulation (plans/events.ev_sessions_per_user) is a lag-window;
+on an unbounded stream the same semantics need per-key state that survives
+micro-batches. This is the engine's template for custom stateful operators
+(SURVEY.md ST4 extension): grouped Arrow batches in, Arrow batches out,
+explicit state schema, explicit timeout handling — no driver-side state, no
+row-at-a-time Python.
+
+Ordering contract: per-key event-time order across micro-batches (the
+per-shard/per-partition ordering Kinesis and Kafka provide, which is the
+reference's transport; within a batch we sort). Out-of-order streams would
+instead buffer in state until the watermark passes — same plumbing, bigger
+state.
+
+Scale notes: state is 3 longs per open session per active user (flat
+struct, not a row buffer); the shuffle is the groupBy(user_id) exchange
+that any per-user operator needs; emission is append-mode (closed sessions
+are immutable facts). Timeout closes idle sessions so state size tracks
+*active* users, not all users ever seen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StructField, StructType
+
+SESSION_GAP_SECONDS = 1800
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", LongType()),  # epoch seconds
+        StructField("session_end", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+# open session carried between micro-batches: (start, last_seen, n_events)
+STATE_SCHEMA = StructType(
+    [
+        StructField("start", LongType()),
+        StructField("last", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _sessionize_fn(gap_seconds: int, idle_timeout: bool = False):
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple[int, int, int]] = []
+
+        if state.hasTimedOut:
+            # idle user: close and emit the open session, drop the state
+            start, last, n = state.get
+            closed.append((start, last, n))
+            state.remove()
+        else:
+            open_sess = state.get if state.exists else None
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            ts = (rows["ts"].astype("int64") // 1_000_000_000).sort_values().to_numpy()
+            for t in ts:
+                t = int(t)
+                if open_sess is None:
+                    open_sess = (t, t, 1)
+                elif t - open_sess[1] > gap_seconds:
+                    closed.append(open_sess)
+                    open_sess = (t, t, 1)
+                else:
+                    open_sess = (open_sess[0], t, open_sess[2] + 1)
+            if open_sess is not None:
+                state.update(open_sess)
+                if idle_timeout:
+                    state.setTimeoutDuration(gap_seconds * 1000)
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [c[0] for c in closed],
+                    "session_end": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return fn
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = SESSION_GAP_SECONDS,
+    idle_timeout: bool = False,
+) -> DataFrame:
+    """events (user_id, ts, ...) → closed sessions (append-mode).
+
+    `idle_timeout=True` arms a processing-time timeout that force-closes a
+    user's open session after `gap_seconds` of wall-clock silence — the
+    production mode, where state size tracks active users. It is off by
+    default because with timeouts armed every empty micro-batch can fire
+    more timeouts, so `processAllAvailable()` (tests, batch-drain usage)
+    need not quiesce.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn(gap_seconds, idle_timeout),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
