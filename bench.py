@@ -57,6 +57,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_topk_bruteforce",
+    "sim_ivf_topk",
     "mm_binary_meta",
 ]
 

@@ -113,6 +113,89 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUANT = 1 << 20  # centroid quantization: trunc(val * 2^20) per component
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse cells = `label`; probe only the query's nearest
+    cell, exact cosine within it.
+
+    The coarse quantizer is engine-exact by construction: each component is
+    truncated to a 2^-20 grid and *summed* per (cell, dim) as integers —
+    cosine is scale-invariant, so the un-normalized centroid SUM vector
+    ranks cells identically to the mean, with no float accumulation order
+    or decimal-division drift. At scale: the centroid table is tiny
+    (|cells| x dim, broadcast), the probe is a partition-pruned scan when
+    the table is written partitioned by cell.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    comps = emb.select(
+        "label", F.posexplode("v").alias("pos", "val")
+    ).select("label", "pos", (F.col("val") * QUANT).cast("long").alias("q"))
+    centroids = (
+        comps.groupBy("label", "pos")
+        .agg(F.sum("q").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda x: x.s.cast("double")
+            ).alias("c")
+        )
+    )
+    qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("q"))
+    best_cell = (
+        centroids.crossJoin(F.broadcast(qrow))
+        .select("label", cosine(F.col("c"), F.col("q")).alias("cell_cos"))
+        .orderBy(F.desc("cell_cos"), F.asc("label"))
+        .limit(1)
+        .select("label")
+    )
+    return (
+        emb.join(F.broadcast(best_cell), "label")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("v"), F.col("q")), 6).cast("double").alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _ivf_sql() -> str:
+    cell_cos = cosine_sql_duckdb("c.c", "q.q")
+    cos = cosine_sql_duckdb("e.v", "q.q")
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+comps AS (
+  SELECT label, u.pos AS pos, u.qv AS qv FROM (
+    SELECT label, unnest(list_transform(range(1, len(v)+1),
+           __i -> {{'pos': __i, 'qv': CAST(TRUNC(v[__i] * {QUANT}) AS BIGINT)}})) AS u
+    FROM e
+  )
+),
+centroids AS (
+  SELECT label, list(CAST(s AS DOUBLE) ORDER BY pos) AS c
+  FROM (SELECT label, pos, SUM(qv) AS s FROM comps GROUP BY label, pos)
+  GROUP BY label
+),
+q AS (SELECT v AS q FROM e WHERE vec_id = {QUERY_VEC_ID}),
+best AS (
+  SELECT c.label FROM centroids c CROSS JOIN q
+  ORDER BY {cell_cos} DESC, c.label ASC LIMIT 1
+)
+SELECT e.vec_id AS vec_id, e.label AS label, CAST(ROUND({cos}, 6) AS DOUBLE) AS cos_sim
+FROM e JOIN best ON e.label = best.label CROSS JOIN q
+WHERE e.vec_id != {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 def _ann_sql() -> str:
     """DuckDB replay of the hyperplane sign bucket: per plane, the projection
     is the same left-associated sum of products Spark's `aggregate` fold
@@ -150,9 +233,11 @@ LIMIT {TOP_K}
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ann_lsh": sim_ann_lsh,
+    "sim_ivf_topk": sim_ivf_topk,
 }
 
 ORACLE = {
     "sim_topk_bruteforce": SIM_TOPK_SQL,
     "sim_ann_lsh": _ann_sql(),
+    "sim_ivf_topk": _ivf_sql(),
 }
