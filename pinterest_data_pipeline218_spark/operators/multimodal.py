@@ -100,6 +100,67 @@ def extract_fake_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(feats, schema=_FEAT_SCHEMA)
 
 
+def resize_image(payload_bytes: bytes, width: int, height: int) -> bytes:
+    """STUB: real resize requires a codec library (PIL/opencv) not present
+    in this environment. Plumbing contract: bytes in, bytes out, applied via
+    a mapInPandas kernel shaped exactly like `extract_binary_meta`."""
+    raise NotImplementedError("image resize requires a codec library (e.g. PIL)")
+
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, stride: int = 4, frame_size: int = 32) -> DataFrame:
+    """Frame sampling over an opaque video payload — deterministic fake
+    decoder: the payload is treated as a concatenation of fixed-size
+    "frames"; every `stride`-th frame is emitted as (doc_id, frame_idx,
+    frame_bytes). One input row fans out to many output rows — the
+    mapInPandas shape for any 1->N media kernel (a real decoder swaps the
+    byte-slicing for codec calls; partitioning, batching, and schema stay)."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, idxs, sizes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(payload) + frame_size - 1) // frame_size
+                for fi in range(0, n_frames, stride):
+                    chunk = payload[fi * frame_size : (fi + 1) * frame_size]
+                    doc_ids.append(doc_id)
+                    idxs.append(fi)
+                    sizes.append(len(chunk))
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "frame_idx": idxs, "frame_bytes": sizes}
+            )
+
+    return df.mapInPandas(frames, schema=_FRAME_SCHEMA)
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided frame sampling over the fake video payloads; oracle replays
+    the arithmetic (frame boundaries/strides) on the text length."""
+    docs = with_payload(load_table(spark, sf_dir, "documents"))
+    return sample_frames(docs.select("doc_id", "payload")).orderBy("doc_id", "frame_idx")
+
+
+MM_FRAME_SAMPLE_SQL = """
+WITH f AS (
+  SELECT doc_id, strlen(text) AS n,
+         unnest(range(0, CAST(ceil(strlen(text) / 32.0) AS BIGINT), 4)) AS frame_idx
+  FROM documents
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(LEAST(32, n - frame_idx * 32) AS BIGINT) AS frame_bytes
+FROM f
+ORDER BY doc_id, frame_idx
+"""
+
+
 def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload metadata via the Pandas path, joined with the JVM-side
     digest — proves the multimodal plumbing end-to-end and is oracle-checked
@@ -138,9 +199,11 @@ def _fake_features_sql() -> str:
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_fake_features": mm_fake_features,
+    "mm_frame_sample": mm_frame_sample,
 }
 
 ORACLE = {
     "mm_binary_meta": MM_BINARY_META_SQL,
     "mm_fake_features": _fake_features_sql(),
+    "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
 }
