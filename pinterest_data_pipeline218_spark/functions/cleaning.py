@@ -92,8 +92,11 @@ def expand_count_suffixes(df: DataFrame, column: str, compat: bool = False) -> D
         .when(suffix == "M", F.lit(1_000_000.0))
         .otherwise(F.lit(1.0))
     )
+    # try_cast: int overflow ("2148M") and any residual malformation become
+    # NULL instead of an ANSI runtime error — one bad record must not kill a
+    # 100 TB job (hypothesis-found edge case, tests/test_properties.py)
     value = F.when(num == "", F.lit(None)).otherwise(
-        (num.cast("double") * multiplier).cast("int")
+        (num.cast("double") * multiplier).try_cast("int")
     )
     return df.withColumn(column, value)
 

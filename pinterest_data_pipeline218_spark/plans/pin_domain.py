@@ -139,7 +139,7 @@ fc AS (
 )
 SELECT ind_raw AS ind, unique_id, title, description,
        CASE WHEN fc_num = '' OR fc_num IS NULL THEN NULL
-            ELSE CAST(TRUNC(CAST(fc_num AS DOUBLE) *
+            ELSE TRY_CAST(TRUNC(CAST(fc_num AS DOUBLE) *
                  CASE WHEN fc_suf = 'K' THEN 1000.0
                       WHEN fc_suf = 'M' THEN 1000000.0
                       ELSE 1.0 END) AS INT) END AS follower_count,
