@@ -115,8 +115,10 @@ def cast_column(df: DataFrame, column: str, dtype: str) -> DataFrame:
 
 
 def to_timestamp_column(df: DataFrame, column: str) -> DataFrame:
-    """String "yyyy-MM-dd HH:mm:ss" → TimestampType (P10)."""
-    return df.withColumn(column, F.to_timestamp(F.col(column)))
+    """String "yyyy-MM-dd HH:mm:ss" → TimestampType (P10). try_to_timestamp:
+    an unparseable timestamp becomes NULL instead of throwing — on the
+    streaming path a single malformed record must not terminate the query."""
+    return df.withColumn(column, F.try_to_timestamp(F.col(column)))
 
 
 def drop_all_null_rows(df: DataFrame, subset: Sequence[str]) -> DataFrame:

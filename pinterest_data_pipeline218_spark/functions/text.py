@@ -32,10 +32,14 @@ def distinct_tokens(text: Column | str) -> Column:
     return F.array_distinct(tokens(text))
 
 
-def token_hash(tok: Column, seed: int | None = None) -> Column:
-    """Deterministic 60-bit hash of a token (optionally seeded)."""
+def token_hash(tok: Column, seed: int | None = None, hex_chars: int = 15) -> Column:
+    """Deterministic md5-derived token hash: 15 hex chars = 60 bits (the
+    default, for verify/simhash), 7 = 28 bits (minhash base hash, small
+    enough that the affine universal-hash transforms stay in bigint range).
+    NB when used inside F.transform, wrap in a single-arg lambda — transform
+    passes the element index as a second argument."""
     salted = tok if seed is None else F.concat(F.lit(f"{seed}:"), tok)
-    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("bigint")
+    return F.conv(F.substring(F.md5(salted), 1, hex_chars), 16, 10).cast("bigint")
 
 
 def token_hash_sql(tok_expr: str, seed: int | None = None) -> str:

@@ -30,7 +30,9 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL (not an ANSI divide-by-zero error) for zero-norm vectors; the
+    oracle twin mirrors with an explicit CASE guard."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_sql_duckdb(a: str, b: str) -> str:
@@ -42,4 +44,5 @@ def cosine_sql_duckdb(a: str, b: str) -> str:
             f"__i -> {x}[__i]*{y}[__i]), (__x,__y) -> __x+__y)"
         )
 
-    return f"({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})))"
+    denom = f"(sqrt({_dot(a, a)}) * sqrt({_dot(b, b)}))"
+    return f"(CASE WHEN {denom} = 0 THEN NULL ELSE {_dot(a, b)} / {denom} END)"

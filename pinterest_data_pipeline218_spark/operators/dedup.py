@@ -73,11 +73,8 @@ def _with_signature(docs: DataFrame) -> DataFrame:
         "doc_id", "source", T.distinct_tokens(F.col("text")).alias("dtoks")
     ).withColumn(
         "hs",
-        F.transform(
-            F.col("dtoks"),
-            # single-arg lambda — F.transform treats a 2nd param as the index
-            lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("bigint"),
-        ),
+        # single-arg lambda — F.transform treats a 2nd param as the index
+        F.transform(F.col("dtoks"), lambda t: T.token_hash(t, hex_chars=7)),
     )
 
     def affine(a: int, b: int):
@@ -169,10 +166,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hset = docs.select(
         "doc_id",
         F.array_distinct(
-            F.expr(
-                "transform(array_distinct(split(text, ' ')),"
-                " t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"
-            )
+            F.transform(T.distinct_tokens(F.col("text")), lambda t: T.token_hash(t))
         ).alias("hs"),
     )
     x = hset.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("toks_a"))
@@ -257,10 +251,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = docs.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "transform(array_distinct(split(text, ' ')),"
-                " t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"
-            )
+            F.transform(T.distinct_tokens(F.col("text")), lambda t: T.token_hash(t))
         ).alias("h"),
     )
     counts = exploded.groupBy("doc_id").agg(
@@ -310,7 +301,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"),
         F.col("sh").alias("sh_b"),
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    # try_divide: two sub-3-token docs have empty shingle sets (union size 0);
+    # NULL jaccard fails the >0 filter, matching the oracle's dropped pair —
+    # a plain ANSI division would kill the job instead
+    jac = F.try_divide(
+        F.size(F.array_intersect("sh_a", "sh_b")), F.size(F.array_union("sh_a", "sh_b"))
+    )
     return (
         a.join(b, (F.col("source") == F.col("source_b")) & (F.col("doc_a") < F.col("doc_b")))
         .select(

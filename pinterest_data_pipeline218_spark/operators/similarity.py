@@ -22,7 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..data import load_table
-from ..functions.vectors import as_double_array, cosine, cosine_sql_duckdb
+from ..functions.vectors import as_double_array, cosine, cosine_sql_duckdb, dot
 
 TOP_K = 10
 QUERY_VEC_ID = 0
@@ -77,11 +77,7 @@ def with_lsh_bucket(emb: DataFrame) -> DataFrame:
     bucket = F.lit(0)
     for p, plane in enumerate(planes):
         plane_col = F.array(*[F.lit(x) for x in plane])
-        proj = F.aggregate(
-            F.zip_with(F.col("v"), plane_col, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        proj = dot(F.col("v"), plane_col)
         bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return emb.withColumn("bucket", bucket)
 

@@ -32,7 +32,7 @@ TEXT_TOKEN_STATS_SQL = """
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,
        len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
-       strlen(text) AS n_chars_computed,
+       length(text) AS n_chars_computed,
        CAST(ROUND(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS DOUBLE) AS ttr
 FROM documents ORDER BY doc_id
 """

@@ -75,7 +75,8 @@ def ev_json_extract_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     (The reference's from_json blob-decode idiom, S4; regexp form keeps the
     oracle engine-neutral.)"""
     ev = load_table(spark, sf_dir, "events")
-    k = F.regexp_extract("props", r"[0-9]+", 0).cast("bigint")
+    # try_cast: props with no digits extract '' — NULL, not an ANSI cast error
+    k = F.regexp_extract("props", r"[0-9]+", 0).try_cast("bigint")
     return (
         ev.withColumn("k", k)
         .groupBy("event_type")
@@ -85,7 +86,7 @@ def ev_json_extract_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EV_JSON_SQL = """
-SELECT event_type, SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k,
+SELECT event_type, SUM(TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k,
        COUNT(*) AS n_events
 FROM events GROUP BY event_type ORDER BY event_type
 """

@@ -63,6 +63,9 @@ def cmd_stream(args: argparse.Namespace) -> None:
 
 
 def cmd_queries(args: argparse.Namespace) -> None:
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entrymod
 
     spark = get_spark("queries")
@@ -80,7 +83,12 @@ def main() -> None:
     s = sub.add_parser("stream")
     s.add_argument("--src", required=True)
     s.add_argument("--out", required=True)
-    s.add_argument("--once", action="store_true", default=True)
+    s.add_argument(
+        "--once",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="drain available data and exit (--no-once runs continuously)",
+    )
     s.set_defaults(fn=cmd_stream)
     q = sub.add_parser("queries")
     q.add_argument("--sf-dir", default=DEFAULT_SF_DIR)

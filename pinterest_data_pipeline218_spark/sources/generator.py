@@ -79,6 +79,8 @@ def generate_records(
 ) -> tuple[list[dict[str, Any]], list[dict[str, Any]], list[dict[str, Any]]]:
     """Three correlated record lists (pin, geo, user), 1:1 on ind/index,
     plus the edge rows. Lengths may exceed n by the injected edge rows."""
+    if n <= 0:
+        return [], [], []
     rng = random.Random(seed)
     pins: list[dict[str, Any]] = []
     geos: list[dict[str, Any]] = []
