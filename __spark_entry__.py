@@ -21,12 +21,14 @@ from pinterest_data_pipeline218_spark.plans import (
     pin_domain,
     tpch,
     tpch_extra,
+    tpch_more,
 )
 
 _MODULES = (
     analytics_tpch,
     tpch,
     tpch_extra,
+    tpch_more,
     events,
     pin_domain,
     text_analysis,

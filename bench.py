@@ -45,6 +45,10 @@ HEADLINE = [
     "tpch_q6_revenue",
     "tpch_q17_small_qty",
     "set_customer_overlap",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
     "window_showcase",
     "ev_counts_hourly",
     "ev_sessions_per_user",

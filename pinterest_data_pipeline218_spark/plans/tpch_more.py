@@ -1,0 +1,224 @@
+"""More TPC-H-style heavies over the slimmed testdata schema (q7/q10/q14/q18
+analogues) — bench-scale multi-join + aggregation workloads.
+
+Same engineering rules as plans/tpch.py: money math in DECIMAL (exact,
+order-independent), filters written to push into the parquet scan, dimension
+sides broadcast, group-by keys chosen so the single data shuffle carries
+|groups| rows after partial aggregation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..data import load_table
+
+_DEC = "decimal(18,2)"
+
+
+def _revenue(price: str = "l_extendedprice", disc: str = "l_discount") -> F.Column:
+    return (
+        (F.col(price).cast(_DEC) * (F.lit(1).cast(_DEC) - F.col(disc).cast(_DEC)))
+        .cast("decimal(28,4)")
+    )
+
+
+_REV_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))"
+)
+
+
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q7 analogue: revenue flow between supplier-nation and customer-nation
+    pairs for 1997-1998. Two broadcast dimension chains onto one lineitem ⋈
+    orders data shuffle."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1999-01-01'
+  AND n1.n_name != n2.n_name
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q10 analogue: top-20 customers by revenue lost to returns in 1998H1."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
+    )
+    j = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(customer, o.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            "revenue",
+        )
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name AS nation,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1998-01-01'
+  AND o_orderdate < TIMESTAMP '1998-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q14 analogue: share of one month's revenue from PROMO-type parts.
+    Ratio of two exact DECIMAL sums; division happens once, in double."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1998-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.sum(
+        F.when(F.col("p_type").startswith("PROMO"), _revenue()).otherwise(
+            F.lit(0).cast("decimal(28,4)")
+        )
+    )
+    total = F.sum(_revenue())
+    return j.agg(
+        (promo.cast("double") * F.lit(100.0) / total.cast("double")).alias("promo_pct"),
+        promo.cast("double").alias("promo_revenue"),
+        total.cast("double").alias("total_revenue"),
+    )
+
+
+Q14_SQL = f"""
+SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV_SQL}
+                     ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) * 100.0
+         / CAST(SUM({_REV_SQL}) AS DOUBLE) AS promo_pct,
+       CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV_SQL}
+                     ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) AS promo_revenue,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1998-03-01'
+  AND l_shipdate < TIMESTAMP '1998-04-01'
+"""
+
+
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q18 analogue: orders whose total quantity exceeds a threshold (IN
+    <aggregated subquery> ≡ semi join against the HAVING-filtered aggregate)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    j = (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+    )
+    return (
+        j.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").alias("orderdate"),
+            F.round("o_totalprice", 2).cast("double").alias("totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate AS orderdate,
+       CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS totalprice,
+       CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice DESC, o_orderkey ASC
+LIMIT 50
+"""
+
+
+QUERIES = {
+    "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
+    "tpch_q10_returned_items": tpch_q10_returned_items,
+    "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
+    "tpch_q18_large_orders": tpch_q18_large_orders,
+}
+
+ORACLE = {
+    "tpch_q7_volume_shipping": Q7_SQL,
+    "tpch_q10_returned_items": Q10_SQL,
+    "tpch_q14_promo_revenue": Q14_SQL,
+    "tpch_q18_large_orders": Q18_SQL,
+}
