@@ -362,12 +362,41 @@ ORDER BY label, vec_a, vec_b
 """
 
 
+def dedup_compact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the dedup: keep one document per exact-content group (the
+    keeper = min doc_id) — the corpus-compaction step a training pipeline
+    runs after identification. Implemented as groupBy-keeper + self semi
+    join; the join is on doc_id (unique), so at scale it stays a hash
+    lookup against the |keepers| set, and writing the output partitioned
+    by source keeps downstream scans pruned."""
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        docs.join(keepers, "doc_id", "left_semi")
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_COMPACT_SQL = """
+SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_neardup": dedup_embedding_neardup,
+    "dedup_compact_corpus": dedup_compact_corpus,
 }
 
 ORACLE = {
@@ -376,4 +405,5 @@ ORACLE = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_embedding_neardup": DEDUP_EMBEDDING_SQL,
+    "dedup_compact_corpus": DEDUP_COMPACT_SQL,
 }

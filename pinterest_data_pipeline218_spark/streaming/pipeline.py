@@ -101,6 +101,21 @@ def run_table_etl(
     )
 
 
+def dedup_stream(
+    df: DataFrame,
+    subset: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop records whose `subset` key was already
+    seen within the watermark horizon — the unbounded form of
+    dedup_exact/dedup_compact_corpus. `dropDuplicatesWithinWatermark` keeps
+    per-key state only until the watermark passes, so state size is bounded
+    by the horizon's key cardinality, not the stream's lifetime (a plain
+    dropDuplicates on a stream grows state forever)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(subset)
+
+
 def windowed_counts(
     df: DataFrame,
     ts_col: str,

@@ -51,6 +51,50 @@ def test_checkpoints_are_per_query(stream_out):
     assert cps == ["geo_etl", "pin_etl", "user_etl"]
 
 
+def test_dedup_stream_drops_repeats_within_watermark(spark, tmp_path):
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    src = tmp_path / "dup_blobs"
+    src.mkdir()
+    # 3 micro-batches; content c1 repeats in every batch, c2 in two
+    batches = [
+        [(1, "c1", "2024-01-01 10:00:00"), (2, "c2", "2024-01-01 10:01:00")],
+        [(3, "c1", "2024-01-01 10:05:00"), (4, "c3", "2024-01-01 10:06:00")],
+        [(5, "c1", "2024-01-01 10:10:00"), (6, "c2", "2024-01-01 10:11:00")],
+    ]
+    for i, rows in enumerate(batches):
+        with open(src / f"{i:03d}.jsonl", "w") as f:
+            for rid, content, ts in rows:
+                f.write(json.dumps({"rec_id": rid, "content": content, "ts": ts}) + "\n")
+    schema = StructType(
+        [
+            StructField("rec_id", LongType()),
+            StructField("content", StringType()),
+            StructField("ts", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    q = (
+        SP.dedup_stream(stream, ["content"])
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT content FROM dedup_out").collect()
+    assert sorted(r.content for r in got) == ["c1", "c2", "c3"]
+
+
 def test_windowed_counts_on_stream(spark, tmp_path):
     src = tmp_path / "blob"
     paths = write_blob_stream_files(str(src), n=60, seed=5)
