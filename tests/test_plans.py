@@ -121,6 +121,26 @@ def test_dimension_joins_broadcast(spark, qs):
     assert "SortMergeJoin" not in plan  # everything fits broadcast at test scale
 
 
+def test_partition_pruning(spark, tmp_path):
+    """Hive-style partitioned layout: a filter on the partition column must
+    prune at the scan (PartitionFilters, only matching files read)."""
+    import pyspark.sql.functions as SF_
+
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.sources.sinks import write_partitioned
+
+    ev = load_table(spark, SF, "events")
+    out = str(tmp_path / "ev_part")
+    write_partitioned(ev, out, ["event_type"])
+    back = spark.read.parquet(out).filter(SF_.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    n_types = ev.select("event_type").distinct().count()
+    assert back.select("event_type").distinct().count() == 1
+    assert n_types > 1
+    assert back.count() == ev.filter(SF_.col("event_type") == "click").count()
+
+
 def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     """Co-located join: both sides bucketed+sorted on the key -> sort-merge
     join straight off the scans, zero Exchange — the layout that removes the
