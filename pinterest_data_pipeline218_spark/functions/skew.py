@@ -36,17 +36,21 @@ def salted_sum_count(
 ) -> DataFrame:
     """Two-phase exact SUM/COUNT per key group under skew.
 
-    Phase 1 groups by (keys…, salt) — salt derived from `salt_from` (or the
-    value expression) via xxhash64 so the phase-1 shuffle is uniform even if
-    one key holds 99% of rows. Phase 2 re-aggregates the n_salts partials.
-    Returns columns: *keys, sum_value, n_rows. DECIMAL-exact iff `value` is
-    DECIMAL (then the result is identical to the unsalted aggregate under
-    any partitioning).
+    Phase 1 groups by (keys…, salt); phase 2 re-aggregates the n_salts
+    partials. Returns columns: *keys, sum_value, n_rows. DECIMAL-exact iff
+    `value` is DECIMAL (then the result is identical to the unsalted
+    aggregate under any partitioning).
+
+    Salt choice: sum/count state merges commutatively, so the salt needs no
+    value affinity — the default hashes a per-row id, which is uniform even
+    when a hot key carries one constant (or NULL) value; hashing the value
+    itself would collapse such a key back onto a single reducer. Pass
+    `salt_from` to salt on a column (e.g. a unique record id) instead.
     """
     salt_col = (
         F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
         if salt_from
-        else F.pmod(F.xxhash64(value), F.lit(n_salts))
+        else F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
     )
     partial = (
         df.withColumn("__salt", salt_col)

@@ -53,7 +53,7 @@ def ev_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(v).cast("double").alias("total_value"),
-            F.round(F.sum(v) / F.count(F.lit(1)), 4).cast("double").alias("avg_value"),
+            (F.sum(v).cast("double") / F.count(F.lit(1))).alias("avg_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         )
@@ -64,7 +64,7 @@ def ev_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 EV_STATS_SQL = """
 SELECT event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) / COUNT(*), 4) AS DOUBLE) AS avg_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
        MIN(value) AS min_value, MAX(value) AS max_value
 FROM events GROUP BY event_type ORDER BY event_type
 """

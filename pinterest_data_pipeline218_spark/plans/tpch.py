@@ -22,6 +22,21 @@ from ..data import load_table
 _DEC = "decimal(18,2)"
 
 
+def _revenue() -> F.Column:
+    """extendedprice * (1 - discount), DECIMAL-exact — the one revenue
+    expression every revenue query shares (bit-parity with _REV_SQL)."""
+    return (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+    ).cast("decimal(28,4)")
+
+
+_REV_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))"
+)
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 analogue: lineitem pricing summary by returnflag/linestatus.
 
@@ -48,9 +63,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("double")
             .alias("sum_charge"),
-            F.round(F.sum(qty) / F.count(F.lit(1)), 6).cast("double").alias("avg_qty"),
-            F.round(F.sum(price) / F.count(F.lit(1)), 6).cast("double").alias("avg_price"),
-            F.round(F.sum(disc) / F.count(F.lit(1)), 6).cast("double").alias("avg_disc"),
+            # raw double quotients of exact DECIMAL sums: identical bits in
+            # both engines; ROUND here would *introduce* tie divergence
+            # (Spark rounds the shortest decimal repr HALF_UP, DuckDB the
+            # scaled binary)
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -63,9 +82,9 @@ SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(32,6))) AS DOUBLE) AS sum_charge,
-       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))) / COUNT(*), 6) AS DOUBLE) AS avg_qty,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / COUNT(*), 6) AS DOUBLE) AS avg_price,
-       CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,2))) / COUNT(*), 6) AS DOUBLE) AS avg_disc,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
@@ -84,10 +103,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
-    revenue = (
-        F.col("l_extendedprice").cast(_DEC)
-        * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
-    ).cast("decimal(28,4)")
+    revenue = _revenue()
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -127,10 +143,7 @@ def q5_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
-    revenue = (
-        F.col("l_extendedprice").cast(_DEC)
-        * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
-    ).cast("decimal(28,4)")
+    revenue = _revenue()
     return (
         l.join(orders, l.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)

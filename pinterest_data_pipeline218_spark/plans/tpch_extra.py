@@ -191,7 +191,10 @@ def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(qty).alias("sum_qty"), F.count(F.lit(1)).alias("cnt_qty")
     )
     return (
-        lineitem.join(F.broadcast(per_part), lineitem.l_partkey == F.col("pk"))
+        # no broadcast hint: per_part is |parts|-sized and grows with the
+        # data — AQE picks broadcast at bench scale and shuffle at cluster
+        # scale; a forced broadcast would OOM the driver at 100 TB
+        lineitem.join(per_part, lineitem.l_partkey == F.col("pk"))
         .filter(qty * F.lit(5) * F.col("cnt_qty") < F.col("sum_qty"))
         .agg(
             F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("small_qty_revenue"),

@@ -13,21 +13,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..data import load_table
+from .tpch import _REV_SQL, _revenue
 
 _DEC = "decimal(18,2)"
-
-
-def _revenue(price: str = "l_extendedprice", disc: str = "l_discount") -> F.Column:
-    return (
-        (F.col(price).cast(_DEC) * (F.lit(1).cast(_DEC) - F.col(disc).cast(_DEC)))
-        .cast("decimal(28,4)")
-    )
-
-
-_REV_SQL = (
-    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
-    "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))"
-)
 
 
 def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:

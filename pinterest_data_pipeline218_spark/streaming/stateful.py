@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import LongType, StructField, StructType
 
-SESSION_GAP_SECONDS = 1800
+from ..plans.events import SESSION_GAP_SECONDS  # one gap for batch & stream
 
 SESSION_SCHEMA = StructType(
     [
@@ -64,7 +64,11 @@ def _sessionize_fn(gap_seconds: int, idle_timeout: bool = False):
         else:
             open_sess = state.get if state.exists else None
             rows = pd.concat(list(pdfs), ignore_index=True)
-            ts = (rows["ts"].astype("int64") // 1_000_000_000).sort_values().to_numpy()
+            # datetime64[s] first: resolution-safe (raw int64 of a
+            # datetime64 column is unit-dependent — us vs ns would silently
+            # scale every gap by 1000)
+            ts = rows["ts"].to_numpy().astype("datetime64[s]").astype("int64")
+            ts.sort()
             for t in ts:
                 t = int(t)
                 if open_sess is None:
@@ -101,10 +105,15 @@ def sessionize_stream(
 
     `idle_timeout=True` arms a processing-time timeout that force-closes a
     user's open session after `gap_seconds` of wall-clock silence — the
-    production mode, where state size tracks active users. It is off by
-    default because with timeouts armed every empty micro-batch can fire
-    more timeouts, so `processAllAvailable()` (tests, batch-drain usage)
-    need not quiesce.
+    production liveness mode, where state size tracks active users. Two
+    caveats: (a) wall-clock closure is a liveness mechanism, not event-time
+    semantics — under consumer lag or backfill a session whose *event-time*
+    gap is small can be split because the *arrival* gap exceeded the
+    timeout (an EventTimeTimeout keyed to the watermark preserves event-time
+    exactly, at the cost of state lingering until the watermark advances);
+    (b) it is off by default because with timeouts armed every empty
+    micro-batch can fire more timeouts, so `processAllAvailable()` (tests,
+    batch-drain usage) need not quiesce.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
