@@ -109,6 +109,37 @@ def test_window_showcase_rn_dense_consistency(spark):
             assert 1 <= r.quartile <= 4
 
 
+def test_salted_sum_matches_unsalted_on_constant_hot_key(spark):
+    """The regression the value-hash salt had: a hot key carrying one
+    constant (or NULL) value must still spread across salt buckets, and the
+    DECIMAL result must equal the plain aggregate exactly."""
+    import pyspark.sql.functions as SF_
+
+    from pinterest_data_pipeline218_spark.functions.skew import (
+        salted_count_distinct,
+        salted_sum_count,
+    )
+
+    rows = [("hot", 1.0)] * 5000 + [("hot", None)] * 100 + [("cold", 2.5)] * 10
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        r.k: (r.sum_value, r.n_rows)
+        for r in salted_sum_count(df, ["k"], SF_.col("v").cast("decimal(18,2)")).collect()
+    }
+    want = {
+        r.k: (r.s, r.n)
+        for r in df.groupBy("k")
+        .agg(
+            SF_.sum(SF_.col("v").cast("decimal(18,2)")).alias("s"),
+            SF_.count(SF_.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == want
+    nd = {r.k: r.n_distinct for r in salted_count_distinct(df, ["k"], "v").collect()}
+    assert nd == {"hot": 1, "cold": 1}  # NULL doesn't count as distinct
+
+
 def test_pushdown_reaches_scan(spark):
     plan = tpch_extra.tpch_q6_revenue(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan
