@@ -193,6 +193,41 @@ SQL_COMPAT: dict[str, str] = {
         )
         SELECT DISTINCT country, poster_name, follower_count FROM ranked WHERE rk = 1
     """,
+    # cell 46: GROUP BY dedup + ORDER BY DESC LIMIT 1 (deterministic
+    # country-asc tiebreak replacing the reference's bare LIMIT 1)
+    "t6p2": """
+        WITH top AS (
+          SELECT country, poster_name, follower_count,
+                 RANK() OVER (PARTITION BY country ORDER BY follower_count DESC) AS rk
+          FROM geo_table
+          JOIN user_table ON user_table.ind = geo_table.ind
+          JOIN pin_table ON pin_table.ind = user_table.ind
+        )
+        SELECT country, follower_count
+        FROM (SELECT DISTINCT country, follower_count FROM top WHERE rk = 1)
+        GROUP BY follower_count, country
+        ORDER BY follower_count DESC, country ASC
+        LIMIT 1
+    """,
+    # cell 50: age bucketing + group-count + rank window
+    "t7": """
+        WITH with_groups AS (
+          SELECT CASE WHEN age BETWEEN 18 AND 24 THEN '18-24'
+                      WHEN age BETWEEN 25 AND 35 THEN '25-35'
+                      WHEN age BETWEEN 36 AND 50 THEN '36-50'
+                      WHEN age > 50 THEN '+50' END AS age_group,
+                 category
+          FROM pin_table JOIN user_table ON user_table.ind = pin_table.ind
+        ), counts AS (
+          SELECT age_group, category, COUNT(category) AS category_count
+          FROM with_groups GROUP BY age_group, category
+        ), ranked AS (
+          SELECT *, RANK() OVER (PARTITION BY age_group ORDER BY category_count DESC) AS rk
+          FROM counts
+        )
+        SELECT DISTINCT age_group, category, category_count
+        FROM ranked WHERE rk = 1 ORDER BY age_group
+    """,
     # cell 54: the window-median + DISTINCT idiom, verbatim shape
     "t8": """
         WITH with_groups AS (
@@ -208,6 +243,45 @@ SQL_COMPAT: dict[str, str] = {
                  AS median_follower_count
         FROM with_groups
         ORDER BY age_group
+    """,
+    # cell 58: year extraction + count, 2015-2020
+    "t9": """
+        SELECT EXTRACT(YEAR FROM date_joined) AS post_year,
+               COUNT(user_name) AS number_users_joined
+        FROM user_table
+        WHERE EXTRACT(YEAR FROM date_joined) BETWEEN 2015 AND 2020
+        GROUP BY post_year
+        ORDER BY post_year
+    """,
+    # cell 62: window-median by join year
+    "t10": """
+        WITH joined AS (
+          SELECT EXTRACT(YEAR FROM date_joined) AS post_year, follower_count
+          FROM pin_table JOIN user_table ON user_table.ind = pin_table.ind
+          WHERE EXTRACT(YEAR FROM date_joined) BETWEEN 2015 AND 2020
+        )
+        SELECT DISTINCT post_year,
+               CAST(percentile(follower_count, 0.5) OVER (PARTITION BY post_year) AS DOUBLE)
+                 AS median_follower_count
+        FROM joined
+        ORDER BY post_year
+    """,
+    # cell 65: window-median by join year x age group
+    "t11": """
+        WITH joined AS (
+          SELECT CASE WHEN age BETWEEN 18 AND 24 THEN '18-24'
+                      WHEN age BETWEEN 25 AND 35 THEN '25-35'
+                      WHEN age BETWEEN 36 AND 50 THEN '36-50'
+                      WHEN age > 50 THEN '+50' END AS age_group,
+                 EXTRACT(YEAR FROM date_joined) AS post_year, follower_count
+          FROM pin_table JOIN user_table ON user_table.ind = pin_table.ind
+          WHERE EXTRACT(YEAR FROM date_joined) BETWEEN 2015 AND 2020
+        )
+        SELECT DISTINCT age_group, post_year,
+               CAST(percentile(follower_count, 0.5) OVER (PARTITION BY age_group, post_year)
+                 AS DOUBLE) AS median_follower_count
+        FROM joined
+        ORDER BY age_group, post_year
     """,
 }
 

@@ -164,7 +164,12 @@ def test_dataframe_vs_sql_compat(spark, clean_tables):
         (A.t4_top_category_per_country(pin, geo), "t4"),
         (A.t5_category_counts_by_year(pin, geo), "t5"),
         (A.t6p1_top_follower_per_country(pin, geo, user), "t6p1"),
+        (A.t6p2_top_country(A.t6p1_top_follower_per_country(pin, geo, user)), "t6p2"),
+        (A.t7_top_category_per_age_group(pin, user), "t7"),
         (A.t8_median_follower_by_age_group(pin, user), "t8"),
+        (A.t9_users_joined_by_year(user), "t9"),
+        (A.t10_median_follower_by_join_year(pin, user), "t10"),
+        (A.t11_median_follower_by_join_year_age(pin, user), "t11"),
     ]
     for df, key in pairs:
         compat = A.run_sql_compat(spark, key)
