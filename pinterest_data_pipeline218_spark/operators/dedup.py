@@ -248,9 +248,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # hash each distinct token ONCE (md5-derived 60-bit int, shared with the
     # DuckDB oracle), then count set bits per position
+    # explode_outer: a NULL-text doc keeps its row (h NULL -> all bit counts
+    # NULL -> simhash 0), matching the oracle; a plain explode would silently
+    # drop the doc_id from the output
     exploded = docs.select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.transform(T.distinct_tokens(F.col("text")), lambda t: T.token_hash(t))
         ).alias("h"),
     )
@@ -302,17 +305,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sh").alias("sh_b"),
     )
     # try_divide: two sub-3-token docs have empty shingle sets (union size 0);
-    # NULL jaccard fails the >0 filter, matching the oracle's dropped pair —
-    # a plain ANSI division would kill the job instead
-    jac = F.try_divide(
-        F.size(F.array_intersect("sh_a", "sh_b")), F.size(F.array_union("sh_a", "sh_b"))
-    )
+    # a plain ANSI division would kill the job. The keep-filter is on the raw
+    # intersect size (exactly the oracle's predicate) — filtering on the
+    # *rounded* jaccard instead would drop pairs that round to 0.000000 while
+    # the oracle keeps them
+    inter_sh = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = F.try_divide(inter_sh, F.size(F.array_union("sh_a", "sh_b")))
     return (
         a.join(b, (F.col("source") == F.col("source_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .filter(inter_sh > 0)
         .select(
             "source", "doc_a", "doc_b", F.round(jac, 6).cast("double").alias("jaccard")
         )
-        .filter(F.col("jaccard") > 0)
         .orderBy("source", "doc_a", "doc_b")
     )
 

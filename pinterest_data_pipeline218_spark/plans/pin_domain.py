@@ -73,6 +73,13 @@ def _raw_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NB the oracle replay is coupled to this fixture's construction: only
+# title/category can be '' (so the swept CTE replays empty_to_null for just
+# those two), no derived row is all-null (drop_all_null_rows is a no-op and
+# is not replayed), and `downloaded` (Spark-side only, for the PIN_RAW shape)
+# is projected away by clean_pin's contract before comparison. Extending
+# _raw_pin with new empty-able/nullable columns requires extending the SQL
+# replay to match.
 _RAW_PIN_SQL = """
   SELECT CAST(c_custkey AS INT) AS ind_raw,
          md5('u' || CAST(c_custkey AS VARCHAR)) AS unique_id,

@@ -31,7 +31,9 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
+        if math.isinf(v):
+            return "Inf" if v > 0 else "-Inf"
+        if abs(v) < 1e15 and v == int(v):
             return str(int(v))
         return repr(v)  # full precision: require bitwise cross-engine equality
     if isinstance(v, dt.datetime):
@@ -51,8 +53,10 @@ def canon(v):
 
 
 def rows_to_set(cols, rows):
+    # tuples, not joined strings: a separator char inside a value must not
+    # let different rows canonicalize identically
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
 def main():
@@ -66,6 +70,10 @@ def main():
         )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query names: {sorted(unknown)}; known: {sorted(qs)}")
+        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -103,8 +111,9 @@ def main():
         sset = rows_to_set(scols_l, srows)
         dset = rows_to_set(dcols, drows)
         if sset != dset:
-            diff_s = [r for r in sset if r not in set(dset)][:3]
-            diff_d = [r for r in dset if r not in set(sset)][:3]
+            ds, ss = set(dset), set(sset)
+            diff_s = [r for r in sset if r not in ds][:3]
+            diff_d = [r for r in dset if r not in ss][:3]
             print(f"FAIL {name}: values differ; spark-only={diff_s} duckdb-only={diff_d}")
             failures.append(name)
             continue
