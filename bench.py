@@ -90,6 +90,11 @@ def main() -> None:
     results: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        # one untimed warm-up per query: the first execution of a large fused
+        # stage pays whole-stage-codegen compilation + JIT tiering (measured
+        # 5-6x on the minhash pipeline), which is one-time cost, not
+        # steady-state throughput
+        force(fn(spark, sf_dir))
         times = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
