@@ -196,6 +196,68 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def ev_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(event_type, day): per-(type, day) counts plus per-type and
+    grand-total subtotal rows in one aggregation pass — Catalyst expands the
+    grouping sets so partial aggregation still applies. NULL grouping
+    columns on subtotal rows are labeled explicitly (COALESCE) so the
+    subtotal rows are distinguishable from genuine NULL keys."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("event_type", F.to_date("ts").cast("string").alias("day"), "value")
+    return (
+        base.rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("day", F.lit("<all>")).alias("day"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+EV_ROLLUP_SQL = """
+SELECT COALESCE(event_type, '<all>') AS event_type,
+       COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), '<all>') AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY ROLLUP (event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
+ORDER BY event_type, day
+"""
+
+PIVOT_TYPES = ["click", "purchase", "scroll", "share", "view"]
+
+
+def ev_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into columns per user. The pivot value list is
+    explicit: at scale an implicit pivot runs a distinct-values job first
+    and bakes an unbounded column count into the schema."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, PIVOT_TYPES)
+        .orderBy("user_id")
+    )
+
+
+EV_PIVOT_SQL = """
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       SUM(CASE WHEN event_type = 'scroll' THEN 1 ELSE 0 END) AS scroll,
+       SUM(CASE WHEN event_type = 'share' THEN 1 ELSE 0 END) AS share,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "ev_counts_hourly": ev_counts_hourly,
     "ev_stats_by_type": ev_stats_by_type,
@@ -204,6 +266,8 @@ QUERIES = {
     "ev_running_total": ev_running_total,
     "ev_salted_stats": ev_salted_stats,
     "ev_salted_distinct_users": ev_salted_distinct_users,
+    "ev_rollup_daily": ev_rollup_daily,
+    "ev_pivot_type_counts": ev_pivot_type_counts,
 }
 
 ORACLE = {
@@ -214,4 +278,6 @@ ORACLE = {
     "ev_running_total": EV_RUNNING_SQL,
     "ev_salted_stats": EV_SALTED_STATS_SQL,
     "ev_salted_distinct_users": EV_SALTED_DISTINCT_SQL,
+    "ev_rollup_daily": EV_ROLLUP_SQL,
+    "ev_pivot_type_counts": EV_PIVOT_SQL,
 }
