@@ -57,6 +57,8 @@ HEADLINE = [
     "text_word_frequencies",
     "text_tfidf_top_terms",
     "ev_salted_distinct_users",
+    "ev_rollup_daily",
+    "ev_pivot_type_counts",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
