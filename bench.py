@@ -49,6 +49,9 @@ HEADLINE = [
     "tpch_q10_returned_items",
     "tpch_q14_promo_revenue",
     "tpch_q18_large_orders",
+    "tpch_q12_priority_classes",
+    "tpch_q16_supplier_count",
+    "tpch_q19_disjunctive_revenue",
     "window_showcase",
     "ev_counts_hourly",
     "ev_sessions_per_user",

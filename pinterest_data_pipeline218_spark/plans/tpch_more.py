@@ -197,11 +197,146 @@ LIMIT 50
 """
 
 
+def tpch_q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q12 analogue (shipmode column absent in the slimmed schema, so the
+    classification axis is l_linestatus): count urgent vs non-urgent order
+    lines shipped in 1997. Shape under test: CASE-inside-SUM conditional
+    aggregation over a fact ⋈ fact join; integer sums, no decimal concerns.
+    Scale: shipdate filter pushes to the lineitem scan; the join shuffles on
+    orderkey and the final agg carries 2 groups after partial aggregation."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, F.lit(1)).otherwise(F.lit(0))).alias("high_line_count"),
+            F.sum(F.when(~urgent, F.lit(1)).otherwise(F.lit(0))).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q16 analogue (no partsupp table in the slimmed schema; lineitem is the
+    part↔supplier association): distinct suppliers per part descriptor,
+    excluding negative-balance suppliers via NOT IN. Shape under test:
+    NOT IN <subquery> (→ broadcast left-anti join; s_suppkey is non-null so
+    anti-join ≡ NOT IN) + grouped count(DISTINCT). Scale: the anti-join side
+    is a 100-row broadcast; countDistinct expands to a two-phase agg keyed on
+    (descriptor, suppkey) so the shuffle is bounded by distinct pairs."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    bad_suppliers = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = part.filter(
+        (F.col("p_brand") != "Brand#45")
+        & ~F.col("p_type").startswith("MEDIUM")
+        & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        lineitem.join(
+            F.broadcast(bad_suppliers),
+            lineitem.l_suppkey == bad_suppliers.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q19 analogue: revenue from three disjunctive brand/quantity/size
+    clauses. Shape under test: multi-column OR predicate spanning both join
+    sides. Scale: the OR cannot push down as-is, so the implied envelope
+    predicates (brand ∈ {12,23,34}, p_size ≤ 15, l_quantity ≤ 30) are stated
+    redundantly on each side — they prune both scans and shrink the broadcast
+    — while the exact disjunction filters after the join."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    p = part.filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & F.col("p_size").between(1, 15)
+    )
+    li = lineitem.filter(F.col("l_quantity").between(1, 30))
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(clause)
+        .agg(
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+Q19_SQL = f"""
+SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+       COUNT(*) AS line_count
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+"""
+
+
 QUERIES = {
     "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
     "tpch_q10_returned_items": tpch_q10_returned_items,
     "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
     "tpch_q18_large_orders": tpch_q18_large_orders,
+    "tpch_q12_priority_classes": tpch_q12_priority_classes,
+    "tpch_q16_supplier_count": tpch_q16_supplier_count,
+    "tpch_q19_disjunctive_revenue": tpch_q19_disjunctive_revenue,
 }
 
 ORACLE = {
@@ -209,4 +344,7 @@ ORACLE = {
     "tpch_q10_returned_items": Q10_SQL,
     "tpch_q14_promo_revenue": Q14_SQL,
     "tpch_q18_large_orders": Q18_SQL,
+    "tpch_q12_priority_classes": Q12_SQL,
+    "tpch_q16_supplier_count": Q16_SQL,
+    "tpch_q19_disjunctive_revenue": Q19_SQL,
 }
