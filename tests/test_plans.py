@@ -211,3 +211,39 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def _formatted_plan(df):
+    """df.explain('formatted') as a string — the plain toString truncates long
+    DataFilters lists before PushedFilters even renders."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q16_not_in_runs_as_broadcast_anti_join(spark, qs):
+    """NOT IN <non-null subquery> must compile to a broadcast left-anti join,
+    and every part-side filter must reach the parquet scan."""
+    plan = _formatted_plan(qs["tpch_q16_supplier_count"](spark, SF))
+    assert "BroadcastHashJoin LeftAnti" in plan, "NOT IN did not plan as broadcast anti-join"
+    pushed = plan.split("PushedFilters")[1:]
+    part_scan = [s for s in pushed if "Not(EqualTo(p_brand,Brand#45))" in s[:400]]
+    assert part_scan, "part filters not pushed to scan"
+    assert "In(p_size" in part_scan[0][:400]
+
+
+def test_q19_envelope_predicates_push_to_both_scans(spark, qs):
+    """The OR disjunction can't push down, but the stated envelope predicates
+    (brand IN set on part, quantity range on lineitem) must prune both scans."""
+    plan = _formatted_plan(qs["tpch_q19_disjunctive_revenue"](spark, SF))
+    pushed = plan.split("PushedFilters")[1:]
+    assert any("In(p_brand" in s[:400] for s in pushed)
+    assert any(
+        "GreaterThanOrEqual(l_quantity" in s[:400]
+        and "LessThanOrEqual(l_quantity" in s[:400]
+        for s in pushed
+    )
