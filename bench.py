@@ -52,6 +52,7 @@ HEADLINE = [
     "tpch_q12_priority_classes",
     "tpch_q16_supplier_count",
     "tpch_q19_disjunctive_revenue",
+    "tpch_q15_top_supplier",
     "window_showcase",
     "ev_counts_hourly",
     "ev_sessions_per_user",

@@ -329,6 +329,54 @@ WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1
 """
 
 
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q15 analogue: supplier(s) with the maximum revenue in 1998Q1. Shape
+    under test: derived aggregate filtered against its own MAX scalar subquery
+    (the reference view idiom). The equality filter runs on the exact DECIMAL
+    sum — ties surface as multiple rows, deterministically. Scale: a naive
+    self-join against SELECT MAX(...) recomputes the whole lineitem aggregate
+    twice; instead the global max is taken as max() OVER () on the aggregate
+    output, which is only |suppliers| rows — one pass over the fact table."""
+    from pyspark.sql import Window
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_revenue()).alias("total_rev"))
+    )
+    return (
+        rev.withColumn("max_rev", F.max("total_rev").over(Window.partitionBy()))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey, SUM({_REV_SQL}) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate < TIMESTAMP '1998-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
     "tpch_q10_returned_items": tpch_q10_returned_items,
@@ -337,6 +385,7 @@ QUERIES = {
     "tpch_q12_priority_classes": tpch_q12_priority_classes,
     "tpch_q16_supplier_count": tpch_q16_supplier_count,
     "tpch_q19_disjunctive_revenue": tpch_q19_disjunctive_revenue,
+    "tpch_q15_top_supplier": tpch_q15_top_supplier,
 }
 
 ORACLE = {
@@ -347,4 +396,5 @@ ORACLE = {
     "tpch_q12_priority_classes": Q12_SQL,
     "tpch_q16_supplier_count": Q16_SQL,
     "tpch_q19_disjunctive_revenue": Q19_SQL,
+    "tpch_q15_top_supplier": Q15_SQL,
 }
