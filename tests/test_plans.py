@@ -247,3 +247,11 @@ def test_q19_envelope_predicates_push_to_both_scans(spark, qs):
         and "LessThanOrEqual(l_quantity" in s[:400]
         for s in pushed
     )
+
+
+def test_q15_reads_lineitem_once(spark, qs):
+    """The MAX-scalar-subquery idiom must not rescan the fact table: the
+    global max is a window over the per-supplier aggregate, so exactly one
+    lineitem scan appears in the physical plan."""
+    plan = _formatted_plan(qs["tpch_q15_top_supplier"](spark, SF))
+    assert plan.count("lineitem.parquet") == 1
