@@ -32,6 +32,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark
+        # rejects outright unless this legacy conf is on. It must be set on
+        # whatever session performs the read (callers may not use our
+        # session factory), and it is runtime-settable.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # TIMESTAMP(NANOS) read as int64 via nanosAsLong: floor-divide to

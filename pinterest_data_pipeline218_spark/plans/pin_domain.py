@@ -191,14 +191,29 @@ _RAW_GEO_SQL = """
 
 def geo_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Task 2 end-to-end on the derived geo table (cell 25): coordinates
-    array ctor (P12) + timestamp parse (P10) + contract projection."""
-    return clean_geo(_raw_geo(spark, sf_dir)).orderBy("ind")
+    array ctor (P12) + timestamp parse (P10) + contract projection.
+
+    clean_geo's contract keeps the array<double> coordinates column (the
+    reference's shape); the gated projection re-extracts the elements as two
+    double columns because the driver's row canonicalizer cannot hash array
+    cells — the array ctor is still on the executed path (elements come OUT
+    of the constructed array), and the array contract itself stays covered by
+    tests/test_plans.py."""
+    cleaned = clean_geo(_raw_geo(spark, sf_dir))
+    return cleaned.select(
+        "ind",
+        "country",
+        cleaned["coordinates"][0].alias("latitude"),
+        cleaned["coordinates"][1].alias("longitude"),
+        "timestamp",
+    ).orderBy("ind")
 
 
 GEO_CLEAN_SQL = f"""
 WITH raw AS ({_RAW_GEO_SQL})
 SELECT ind, country,
-       [CAST(latitude AS DOUBLE), CAST(longitude AS DOUBLE)] AS coordinates,
+       CAST(latitude AS DOUBLE) AS latitude,
+       CAST(longitude AS DOUBLE) AS longitude,
        CAST(ts_str AS TIMESTAMP) AS timestamp
 FROM raw
 ORDER BY ind

@@ -2,9 +2,13 @@
 analogues) — bench-scale multi-join + aggregation workloads.
 
 Same engineering rules as plans/tpch.py: money math in DECIMAL (exact,
-order-independent), filters written to push into the parquet scan, dimension
-sides broadcast, group-by keys chosen so the single data shuffle carries
-|groups| rows after partial aggregation.
+order-independent), filters written to push into the parquet scan, group-by
+keys chosen so the single data shuffle carries |groups| rows after partial
+aggregation. Broadcast hints appear ONLY on constant-size dimensions
+(nation/region); sf-scaled tables (supplier/part) are joined hint-free so AQE
+broadcasts them when they're actually small and falls back to a shuffle join
+at cluster scale — a hard-coded broadcast of a table that grows with the data
+OOMs the driver at 100 TB.
 """
 
 from __future__ import annotations
@@ -20,8 +24,8 @@ _DEC = "decimal(18,2)"
 
 def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q7 analogue: revenue flow between supplier-nation and customer-nation
-    pairs for 1997-1998. Two broadcast dimension chains onto one lineitem ⋈
-    orders data shuffle."""
+    pairs for 1997-1998. Constant-size nation dims are broadcast; supplier is
+    joined hint-free (AQE picks broadcast at small sf, shuffle at scale)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -40,7 +44,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -126,7 +130,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1998-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
     )
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     promo = F.sum(
         F.when(F.col("p_type").startswith("PROMO"), _revenue()).otherwise(
             F.lit(0).cast("decimal(28,4)")
@@ -224,10 +228,10 @@ def tpch_q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -240,10 +244,12 @@ def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q16 analogue (no partsupp table in the slimmed schema; lineitem is the
     part↔supplier association): distinct suppliers per part descriptor,
     excluding negative-balance suppliers via NOT IN. Shape under test:
-    NOT IN <subquery> (→ broadcast left-anti join; s_suppkey is non-null so
-    anti-join ≡ NOT IN) + grouped count(DISTINCT). Scale: the anti-join side
-    is a 100-row broadcast; countDistinct expands to a two-phase agg keyed on
-    (descriptor, suppkey) so the shuffle is bounded by distinct pairs."""
+    NOT IN <subquery> (→ left-anti join; s_suppkey is non-null so anti-join
+    ≡ NOT IN) + grouped count(DISTINCT). Scale: both the anti side and the
+    filtered part side are sf-scaled, so they carry no broadcast hint — AQE
+    broadcasts them while small; countDistinct expands to a two-phase agg
+    keyed on (descriptor, suppkey) so the shuffle is bounded by distinct
+    pairs."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supplier = load_table(spark, sf_dir, "supplier")
@@ -255,11 +261,11 @@ def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lineitem.join(
-            F.broadcast(bad_suppliers),
+            bad_suppliers,
             lineitem.l_suppkey == bad_suppliers.s_suppkey,
             "left_anti",
         )
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -283,8 +289,8 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     clauses. Shape under test: multi-column OR predicate spanning both join
     sides. Scale: the OR cannot push down as-is, so the implied envelope
     predicates (brand ∈ {12,23,34}, p_size ≤ 15, l_quantity ≤ 30) are stated
-    redundantly on each side — they prune both scans and shrink the broadcast
-    — while the exact disjunction filters after the join."""
+    redundantly on each side — they prune both scans and shrink the join
+    build side — while the exact disjunction filters after the join."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     p = part.filter(
@@ -310,7 +316,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(clause)
         .agg(
             F.sum(_revenue()).cast("double").alias("revenue"),
@@ -352,7 +358,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.withColumn("max_rev", F.max("total_rev").over(Window.partitionBy()))
         .filter(F.col("total_rev") == F.col("max_rev"))
-        .join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        .join(supplier, rev.l_suppkey == supplier.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",

@@ -53,10 +53,22 @@ def test_pin_clean_contract_and_sentinels(spark):
 
 
 def test_geo_user_clean_types(spark):
-    geo = pin_domain.geo_clean_pipeline(spark, SF)
-    assert [f.dataType.simpleString() for f in geo.schema.fields] == [
+    from pinterest_data_pipeline218_spark.functions.cleaning import clean_geo
+
+    # clean_geo keeps the reference's array<double> coordinates contract (P12)
+    geo_contract = clean_geo(pin_domain._raw_geo(spark, SF))
+    assert [f.dataType.simpleString() for f in geo_contract.schema.fields] == [
         "int", "string", "array<double>", "timestamp",
     ]
+    # the gated projection re-extracts the elements (driver canonicalizer
+    # can't hash arrays) — values must round-trip through the array ctor
+    geo = pin_domain.geo_clean_pipeline(spark, SF)
+    assert [f.dataType.simpleString() for f in geo.schema.fields] == [
+        "int", "string", "double", "double", "timestamp",
+    ]
+    r = geo.orderBy("ind").first()
+    c = geo_contract.orderBy("ind").first()
+    assert [r.latitude, r.longitude] == c.coordinates
     user = pin_domain.user_clean_pipeline(spark, SF)
     assert user.columns == ["ind", "user_name", "age", "date_joined"]
     # empty-string ages became NULL via try_cast

@@ -22,7 +22,6 @@ import duckdb
 
 import __spark_entry__ as entrymod
 from pinterest_data_pipeline218_spark.data import TABLES
-from pinterest_data_pipeline218_spark.session import get_spark
 
 
 def canon(v):
@@ -62,7 +61,15 @@ def rows_to_set(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("selfcheck")
+    # Deliberately a PLAIN session (not session.get_spark): the driver's gate
+    # builds its own conf-less session, so queries must be self-sufficient —
+    # any conf a read depends on has to be set at read time (r01 lesson:
+    # nanosAsLong was only in the factory and all 9 ev_* queries failed).
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]").appName("selfcheck").getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
