@@ -103,18 +103,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       static codegen'd boolean over the carried keys, zero extra shuffle.
       (An `exists(sequence(...))` higher-order form of the same filter is
       interpreted per joined row: 20x slower at sf0.1.)
-    - **Skew-proof parallelism.** The probe side is round-robin
-      `repartition`ed: hot band buckets (huge near-dup clusters) would pin a
-      single task if candidates were co-partitioned by band key. Because the
-      build side is broadcast, the probe needs no co-partitioning, so the
-      candidate explosion spreads evenly over all cores. At cluster scale
-      with a build side too big to broadcast, flip to a shuffle join on
-      (band_idx, band_key) + AQE skew-join splitting.
-    - Verify joins (doc_id -> token set) are broadcast: candidates stream
-      through two map-side hash lookups; only distinct pairs pay the exact
-      Jaccard (computed as i/(|a|+|b|-i) — one array_intersect, no
-      array_union materialization). Output is unordered: pair listings are
-      set-semantics, a total sort of an O(pairs) result is wasted work.
+    - **No O(corpus) broadcasts.** Every join here is hint-free: the bands
+      table and the token-hash sets grow linearly with the corpus, so a
+      forced `F.broadcast` would OOM the driver at 100 TB. AQE picks a
+      broadcast join at runtime while a side actually fits under the
+      threshold (it does at test sf) and falls back to a shuffle join keyed
+      on (band_idx, band_key) / doc_id at scale, with AQE skew-join
+      splitting absorbing hot band buckets (huge near-dup clusters).
+    - Verify joins rekey candidates by doc_id against the token-hash sets;
+      only distinct pairs pay the exact Jaccard (computed as i/(|a|+|b|-i) —
+      one array_intersect, no array_union materialization). Output is
+      unordered: pair listings are set-semantics, a total sort of an
+      O(pairs) result is wasted work.
     """
     docs = load_table(spark, sf_dir, "documents")
     sig = _with_signature(docs)
@@ -134,6 +134,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band_idx", "band_key"
         ),
     )
+    # Round-robin spread of the probe side: the parquet scan may be a
+    # single small file (1 partition), but the bucket join *output* is the
+    # quadratic candidate explosion — without this the whole explosion runs
+    # in as many tasks as the scan has splits. Hot band buckets are also
+    # spread instead of pinned to one task.
     par = spark.sparkContext.defaultParallelism * 4
     left = bands.repartition(par).alias("a")
     right = bands.alias("b")
@@ -150,7 +155,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         left.join(
-            F.broadcast(right),
+            right,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -174,8 +179,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = inter / (F.size("toks_a") + F.size("toks_b") - inter)
     return (
-        cand.join(F.broadcast(x), "doc_a")
-        .join(F.broadcast(y), "doc_b")
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 6).cast("double").alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )

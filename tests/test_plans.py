@@ -267,3 +267,63 @@ def test_q15_reads_lineitem_once(spark, qs):
     lineitem scan appears in the physical plan."""
     plan = _formatted_plan(qs["tpch_q15_top_supplier"](spark, SF))
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_minhash_lsh_has_no_forced_corpus_broadcast(spark, qs):
+    """Every join in dedup_minhash_lsh must be hint-free: the bands table and
+    token-hash sets are O(corpus), so a forced broadcast OOMs the driver at
+    scale. With auto-broadcast disabled, zero BroadcastExchange may appear —
+    AQE alone decides when a side is actually small enough."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _formatted_plan(qs["dedup_minhash_lsh"](spark, SF))
+        assert "BroadcastExchange" not in plan, "forced broadcast of O(corpus) side"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _broadcast_subtrees(plan_str):
+    """Yield the subtree text under each BroadcastExchange in an indented
+    physical-plan string (executedPlan().toString()). A child line is one
+    whose operator name starts in a deeper column than its parent's."""
+    lines = plan_str.splitlines()
+
+    def op_col(line):
+        i = 0
+        while i < len(line) and line[i] in " :+-*(":
+            i += 1
+        return i
+
+    for idx, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        col = op_col(line)
+        sub = []
+        for nxt in lines[idx + 1:]:
+            if not nxt.strip():
+                break
+            if op_col(nxt) <= col:
+                break
+            sub.append(nxt)
+        yield "\n".join(sub)
+
+
+def test_sf_scaled_dims_not_force_broadcast(spark, qs):
+    """supplier/part grow with scale factor — q7/q14/q15/q16/q19 must leave
+    their joins hint-free (nation/region hints are fine: constant 25/5 rows).
+    With auto-broadcast off, any BroadcastExchange fed by a supplier/part
+    scan would mean a hard-coded hint survived."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for q in ("tpch_q7_volume_shipping", "tpch_q14_promo_revenue",
+                  "tpch_q15_top_supplier", "tpch_q16_supplier_count",
+                  "tpch_q19_disjunctive_revenue"):
+            plan = qs[q](spark, SF)._jdf.queryExecution().executedPlan().toString()
+            for sub in _broadcast_subtrees(plan):
+                assert "supplier.parquet" not in sub and "part.parquet" not in sub, (
+                    f"{q}: forced broadcast of an sf-scaled table:\n{sub}"
+                )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
