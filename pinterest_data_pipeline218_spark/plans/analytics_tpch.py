@@ -108,9 +108,15 @@ def t5_priority_counts_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5: posts per category per year in a range → orders per priority per
     year(o_orderdate) BETWEEN 1996 AND 2000. date-extract + P16 + A2 + O1."""
     orders = load_table(spark, sf_dir, "orders")
+    # the year-range filter is expressed directly on o_orderdate so it lands
+    # in PushedFilters at the parquet scan — year(o_orderdate) BETWEEN is an
+    # opaque derived expression the source can't prune on
     return (
-        orders.withColumn("order_year", F.year("o_orderdate"))
-        .filter(F.col("order_year").between(1996, 2000))
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("2001-01-01").cast("date"))
+        )
+        .withColumn("order_year", F.year("o_orderdate"))
         .groupBy("order_year", F.col("o_orderpriority").alias("order_priority"))
         .agg(F.count("o_orderkey").alias("order_count"))
         .orderBy("order_year", "order_priority")
@@ -122,7 +128,7 @@ SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
        o_orderpriority AS order_priority,
        COUNT(o_orderkey) AS order_count
 FROM orders
-WHERE EXTRACT(YEAR FROM o_orderdate) BETWEEN 1996 AND 2000
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '2001-01-01'
 GROUP BY 1, 2
 ORDER BY 1, 2
 """

@@ -77,7 +77,9 @@ def tpch_q22_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.crossJoin(F.broadcast(stats))
         .filter(bal * F.col("n_cust") > F.col("total_bal"))
         .join(
-            orders.filter(F.year("o_orderdate") >= 1998),
+            # direct date bound (not year(...) >= 1998) so the predicate
+            # prunes the orders scan via PushedFilters
+            orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("date")),
             customer.c_custkey == orders.o_custkey,
             "left_anti",
         )
@@ -104,7 +106,7 @@ FROM customer CROSS JOIN stats
 JOIN nation ON c_nationkey = n_nationkey
 WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_cust > total_bal
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-                  AND EXTRACT(YEAR FROM o_orderdate) >= 1998)
+                  AND o_orderdate >= DATE '1998-01-01')
 GROUP BY n_name
 ORDER BY nation
 """
@@ -225,7 +227,10 @@ def set_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("k")
     )
     active = (
-        orders.filter(F.year("o_orderdate") == 1998)
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1998-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("date"))
+        )
         .select(F.col("o_custkey").alias("k"))
         .distinct()
     )
@@ -244,7 +249,7 @@ def set_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 SET_OVERLAP_SQL = """
 WITH high AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000),
      active AS (SELECT DISTINCT o_custkey AS k FROM orders
-                WHERE EXTRACT(YEAR FROM o_orderdate) = 1998)
+                WHERE o_orderdate >= DATE '1998-01-01' AND o_orderdate < DATE '1999-01-01')
 SELECT 'both' AS segment, COUNT(*) AS n FROM (SELECT * FROM high INTERSECT SELECT * FROM active)
 UNION ALL
 SELECT 'only_high', COUNT(*) FROM (SELECT * FROM high EXCEPT SELECT * FROM active)

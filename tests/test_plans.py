@@ -158,6 +158,22 @@ def test_pushdown_reaches_scan(spark):
     assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
 
 
+def test_year_range_filters_push_as_date_bounds(spark, qs):
+    """Year filters must be written as o_orderdate range predicates (not
+    year(o_orderdate) = N, which no source can prune on): t5, q22, and
+    set_customer_overlap each need the bound in PushedFilters."""
+    from pinterest_data_pipeline218_spark.plans import analytics_tpch
+
+    for fn, bound in (
+        (analytics_tpch.t5_priority_counts_by_year, "GreaterThanOrEqual(o_orderdate,1996-01-01"),
+        (tpch_extra.tpch_q22_anti_join, "GreaterThanOrEqual(o_orderdate,1998-01-01"),
+        (tpch_extra.set_customer_overlap, "GreaterThanOrEqual(o_orderdate,1998-01-01"),
+    ):
+        plan = _formatted_plan(fn(spark, SF))
+        pushed = plan.split("PushedFilters")[1:]
+        assert any(bound in s[:400] for s in pushed), f"{fn.__name__}: {bound} not pushed"
+
+
 def test_dimension_joins_broadcast(spark, qs):
     plan = qs["tpch_q5_regional_volume"](spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
