@@ -143,22 +143,26 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     of N/df at fixed tf ordering... which log is.
 
     Plan shape at scale: explode → (doc, term) counts → df per term (the
-    |vocab| aggregate, broadcast back) → rank window per doc.
+    |vocab| aggregate) → rank window per doc. N is a 1-row aggregate
+    crossJoined in (always broadcast — one row), NOT a driver-side
+    ``docs.count()``, which would be a second full scan as a separate job.
+    The tf⋈df join is hint-free: |vocab| grows with the corpus, so a forced
+    broadcast would OOM at scale; AQE broadcasts it while it actually fits.
     """
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar; at scale a 1-row agg joined via broadcast
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     pairs = (
         docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_ = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = pairs.join(F.broadcast(df_), "term").select(
+    scored = pairs.join(df_, "term").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "term",
         "tf",
         "df",
-        ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")).alias("score"),
+        ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias("score"),
     )
     from pyspark.sql import Window
 
