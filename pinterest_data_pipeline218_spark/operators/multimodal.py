@@ -65,10 +65,15 @@ def extract_binary_meta(df: DataFrame) -> DataFrame:
 
     def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL-safe: encode(NULL)->NULL payload must yield NULL n_bytes
+            # (the oracle's strlen(NULL)), not a TypeError
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "n_bytes": pd.array(
+                        [None if p is None else len(p) for p in pdf["payload"]],
+                        dtype="Int64",
+                    ),
                 }
             )
 
@@ -91,6 +96,11 @@ def extract_fake_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for payload in pdf["payload"]:
+                if payload is None:
+                    # NULL payload -> NULL feature vector (oracle: any list
+                    # expression over strlen(NULL) is NULL)
+                    out.append(None)
+                    continue
                 hist = [0] * N_FEATURE_BINS
                 for byte in payload:
                     hist[byte % N_FEATURE_BINS] += 1
@@ -128,6 +138,10 @@ def sample_frames(df: DataFrame, stride: int = 4, frame_size: int = 32) -> DataF
         for pdf in batches:
             doc_ids, idxs, sizes = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    # NULL payload -> no frames (oracle: unnest over a NULL
+                    # range emits zero rows), not a TypeError
+                    continue
                 n_frames = (len(payload) + frame_size - 1) // frame_size
                 for fi in range(0, n_frames, stride):
                     chunk = payload[fi * frame_size : (fi + 1) * frame_size]

@@ -75,6 +75,33 @@ def test_fake_features_match_python(spark):
         assert got[r.doc_id] == hist
 
 
+def test_multimodal_kernels_null_safe(spark):
+    """A NULL payload (encode(NULL text) -> NULL) must not crash the Pandas
+    kernels: meta yields NULL n_bytes, features yields a NULL vector, and
+    frame sampling emits zero rows — the same semantics the oracle SQL
+    produces via strlen(NULL) / unnest(NULL range)."""
+    import pyspark.sql.functions as SF_
+
+    from pinterest_data_pipeline218_spark.operators.multimodal import (
+        extract_binary_meta,
+        extract_fake_features,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "x" * 100)], "doc_id long, text string"
+    ).select("doc_id", SF_.encode(SF_.col("text"), "utf-8").alias("payload"))
+
+    meta = {r.doc_id: r.n_bytes for r in extract_binary_meta(df).collect()}
+    assert meta == {1: 11, 2: None, 3: 100}
+
+    feats = {r.doc_id: r.features for r in extract_fake_features(df).collect()}
+    assert feats[2] is None and feats[1] is not None
+
+    frames = sample_frames(df).collect()
+    assert {r.doc_id for r in frames} == {1, 3}
+
+
 def test_decode_image_is_stubbed():
     import pytest
 
