@@ -292,23 +292,57 @@ FROM base ORDER BY doc_id
 """
 
 
+# Spread factor for blocked self-joins: a hot block's quadratic pair
+# generation is split over this many join keys instead of pinning one task.
+# Purely a parallelism knob — the emitted pair set is salt-invariant.
+BLOCK_SALT = 16
+
+
+def _salted_block_pairs(sh: DataFrame, block_col: str, id_col: str) -> DataFrame:
+    """Self-join within blocks, salted for hot blocks.
+
+    The blocked all-pairs join shuffles on the block key alone, so one huge
+    block (quadratic pairs) pins a single task — and AQE's byte-based skew
+    split never fires, because the *input* partition is small; only the join
+    output is quadratic. Fix: key the b-side by (block, crc32(id) % SALT) and
+    replicate the a-side SALT times, so the hot block's pair generation runs
+    on SALT tasks. The replication is a scan-local explode (SALT x |docs|
+    rows), trivially cheap next to the O(block²) pair stream it spreads.
+
+    Returns columns: <block_col>, a.* as *_a, b.* as *_b (ids + payload).
+    """
+    payload = [c for c in sh.columns if c not in (block_col, id_col)]
+    b = sh.select(
+        F.col(block_col).alias("__blk_b"),
+        F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(BLOCK_SALT)).alias("__chunk_b"),
+        F.col(id_col).alias(f"{id_col}_b"),
+        *[F.col(c).alias(f"{c}_b") for c in payload],
+    )
+    a = sh.select(
+        F.col(block_col),
+        F.col(id_col).alias(f"{id_col}_a"),
+        *[F.col(c).alias(f"{c}_a") for c in payload],
+    ).withColumn("__chunk", F.explode(F.sequence(F.lit(0), F.lit(BLOCK_SALT - 1))))
+    return a.join(
+        b,
+        (F.col(block_col) == F.col("__blk_b"))
+        & (F.col("__chunk") == F.col("__chunk_b"))
+        & (F.col(f"{id_col}_a") < F.col(f"{id_col}_b")),
+    ).drop("__blk_b", "__chunk", "__chunk_b")
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram (word-shingle) Jaccard similarity for document pairs blocked by
-    `source`. Shuffle on the blocking key only; pairs form within blocks."""
+    `source`. Shuffle on (blocking key, salt chunk): pairs form within
+    blocks, hot blocks spread over BLOCK_SALT tasks (see
+    _salted_block_pairs)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id",
         "source",
         F.array_distinct(T.word_shingles(T.tokens(F.col("text")), 3)).alias("sh"),
     )
-    a = sh.select(
-        F.col("source"), F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
-    )
-    b = sh.select(
-        F.col("source").alias("source_b"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("sh").alias("sh_b"),
-    )
+    pairs = _salted_block_pairs(sh, "source", "doc_id")
     # try_divide: two sub-3-token docs have empty shingle sets (union size 0);
     # a plain ANSI division would kill the job. The keep-filter is on the raw
     # intersect size (exactly the oracle's predicate) — filtering on the
@@ -317,10 +351,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter_sh = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = F.try_divide(inter_sh, F.size(F.array_union("sh_a", "sh_b")))
     return (
-        a.join(b, (F.col("source") == F.col("source_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .filter(inter_sh > 0)
+        pairs.filter(inter_sh > 0)
         .select(
-            "source", "doc_a", "doc_b", F.round(jac, 6).cast("double").alias("jaccard")
+            "source",
+            F.col("doc_id_a").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
+            F.round(jac, 6).cast("double").alias("jaccard"),
         )
         .orderBy("source", "doc_a", "doc_b")
     )
@@ -343,18 +379,19 @@ ORDER BY source, doc_a, doc_b
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by `label` (the coarse
     cluster standing in for an IVF cell at scale): pairwise cosine only
-    within blocks."""
+    within blocks, hot cells spread via the salted self-join."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double_array("embedding").alias("v")
     )
-    a = emb.select("label", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = emb.select(
-        F.col("label").alias("label_b"), F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
-    )
-    cos = cosine(F.col("va"), F.col("vb"))
+    pairs = _salted_block_pairs(emb, "label", "vec_id")
+    cos = cosine(F.col("v_a"), F.col("v_b"))
     return (
-        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .select("label", "vec_a", "vec_b", F.round(cos, 6).cast("double").alias("cos_sim"))
+        pairs.select(
+            "label",
+            F.col("vec_id_a").alias("vec_a"),
+            F.col("vec_id_b").alias("vec_b"),
+            F.round(cos, 6).cast("double").alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= EMBEDDING_COSINE_THRESHOLD)
         .orderBy("label", "vec_a", "vec_b")
     )
