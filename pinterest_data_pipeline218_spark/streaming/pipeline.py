@@ -50,6 +50,47 @@ def blob_file_stream(
     return reader.load(path)
 
 
+# The Kafka source's fixed wire schema (Spark docs, Structured Streaming +
+# Kafka integration): every record arrives with these seven columns
+# regardless of topic. Downstream code consumes only `value`.
+KAFKA_WIRE_COLUMNS = (
+    ("key", "binary"),
+    ("value", "binary"),
+    ("topic", "string"),
+    ("partition", "int"),
+    ("offset", "bigint"),
+    ("timestamp", "timestamp"),
+    ("timestampType", "int"),
+)
+
+
+def kafka_records_to_blob(records: DataFrame) -> DataFrame:
+    """Kafka wire records → the `data: string` blob contract shared with the
+    file stand-in (S7): cast the value bytes to string. Works identically on
+    batch and streaming DataFrames, so the contract is testable without a
+    broker."""
+    return records.select(F.col("value").cast("string").alias("data"))
+
+
+def kafka_blob_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """The two-line Kafka swap for `blob_file_stream` (S7): same downstream
+    contract (`data: string`), earliest-offset unbounded read (ST1).
+    Requires the spark-sql-kafka connector package on the classpath."""
+    records = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return kafka_records_to_blob(records)
+
+
 def decode_blob(stream: DataFrame, schema: StructType) -> DataFrame:
     """cast → from_json(explicit schema) → flatten (S4,
     Kinesis_Processing.ipynb:702-713)."""

@@ -118,3 +118,99 @@ def test_windowed_counts_on_stream(spark, tmp_path):
     # pollution row contributes no window)
     batch_total = got.agg(F.sum("n_events")).collect()[0][0]
     assert batch_total == 63
+
+
+def test_kafka_wire_contract_decodes_like_file_standin(spark):
+    """The Kafka swap's downstream contract: records with the connector's
+    fixed wire schema (value: binary, plus metadata) must decode through
+    kafka_records_to_blob → decode_blob into the same rows as the file
+    stand-in. Batch DataFrames share the transformation code path, so this
+    proves the wiring without a broker."""
+    import json
+
+    recs = [
+        {"ind": 1, "country": "Albania", "timestamp": "2022-01-01 10:00:00",
+         "latitude": 1.5, "longitude": 2.5},
+        {"ind": 2, "country": "Benin", "timestamp": "2022-01-02 11:00:00",
+         "latitude": -3.5, "longitude": 4.25},
+    ]
+    wire_schema = ", ".join(f"{n} {t}" for n, t in SP.KAFKA_WIRE_COLUMNS)
+    import datetime
+
+    rows = [
+        (None, json.dumps(r).encode(), "pin.geo", 0, i,
+         datetime.datetime(2024, 1, 1), 0)
+        for i, r in enumerate(recs)
+    ]
+    records = spark.createDataFrame(rows, wire_schema)
+    decoded = SP.decode_blob(SP.kafka_records_to_blob(records), SP.RAW_BY_TABLE["geo"])
+    got = {r.ind: (r.country, r.latitude) for r in decoded.collect()}
+    assert got == {1: ("Albania", 1.5), 2: ("Benin", -3.5)}
+
+
+def test_kafka_source_wiring_reaches_classpath_boundary(spark):
+    """kafka_blob_stream must compose a valid reader: without the
+    spark-sql-kafka connector jar the ONLY acceptable failure is the
+    missing-data-source error at load() — any other exception means our
+    option wiring is wrong. With the jar present, the plan must build."""
+    import pytest
+
+    try:
+        df = SP.kafka_blob_stream(spark, "localhost:9092", "pin-topic")
+    except Exception as e:  # noqa: BLE001 — asserting on the failure class
+        msg = str(e)
+        assert "kafka" in msg.lower() and (
+            "Failed to find" in msg or "DATA_SOURCE_NOT_FOUND" in msg
+        ), f"unexpected failure before the classpath boundary: {msg}"
+        pytest.skip("spark-sql-kafka connector not on classpath")
+    assert df.schema.fieldNames() == ["data"]
+
+
+def test_restart_resume_exactly_once(spark, tmp_path):
+    """Kill a stream mid-run, restart from the same checkpoint: the append
+    sink must contain every input row exactly once (S5's idempotent-restart
+    semantics on the parquet sink)."""
+    import time as _time
+
+    from pinterest_data_pipeline218_spark.functions.cleaning import clean_pin as _clean
+
+    src = tmp_path / "blob"
+    out = str(tmp_path / "pin_table")
+    cp = str(tmp_path / "cp")
+    paths = write_blob_stream_files(str(src), n=64, seed=11, files_per_table=8)
+
+    def start():
+        stream = SP.decode_blob(
+            SP.blob_file_stream(spark, paths["pin"], max_files_per_trigger=1),
+            SP.RAW_BY_TABLE["pin"],
+        )
+        return (
+            _clean(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .start()
+        )
+
+    q = start()
+    # wait for ≥2 committed micro-batches (of 8), then kill mid-stream
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        if len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2:
+            break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(30)
+
+    partial = spark.read.schema(CLEAN_SCHEMAS["pin"]).parquet(out).count()
+
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    expected = _clean(to_dataframes(spark, n=64, seed=11)[0])
+    got = spark.read.schema(CLEAN_SCHEMAS["pin"]).parquet(out)
+    assert partial < expected.count(), "stream finished before the kill — raise file count"
+    assert got.count() == expected.count()  # no duplicates, no loss
+    assert rows_set(got) == rows_set(expected)
