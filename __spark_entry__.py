@@ -44,6 +44,7 @@ _MODULES = (
 # window. Every tailed query remains fully exercised by pytest and
 # tools/selfcheck.py, which cover the complete registry.
 _TAIL = (
+    "user_oldest_nulls_last",  # O4 showcase; ordering proved by selfcheck + pytest
     "t8_compat_window_median",  # value-identical to t8 (proved in r01)
     "ev_salted_stats",  # oracle-identical to ev_stats_by_type by design
     "ev_salted_distinct_users",  # salting pytest-proved equal to plain distinct

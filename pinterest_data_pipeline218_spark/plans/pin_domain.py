@@ -309,11 +309,36 @@ ORDER BY band
 """
 
 
+def user_oldest_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 (`ORDER BY ... DESC NULLS LAST`, the reference's commented-out
+    vestige at Cleaning notebook :1557-1558) exercised for real: top-20
+    oldest users where unparseable ages became NULL (P9's try_cast). Spark's
+    default desc ordering puts NULLs LAST while DuckDB's puts them FIRST, so
+    the explicit modifier is semantics-bearing for the top-k cut — without
+    it the two engines would disagree on which rows survive the LIMIT."""
+    users = clean_user(_raw_user(spark, sf_dir))
+    return (
+        users.orderBy(F.desc_nulls_last("age"), F.asc("ind"))
+        .limit(20)
+        .select("ind", "user_name", "age")
+    )
+
+
+USER_OLDEST_SQL = f"""
+WITH raw AS ({_RAW_USER_SQL})
+SELECT ind, first_name || ' ' || last_name AS user_name, TRY_CAST(age AS INT) AS age
+FROM raw
+ORDER BY age DESC NULLS LAST, ind ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "pin_clean_pipeline": pin_clean_pipeline,
     "geo_clean_pipeline": geo_clean_pipeline,
     "user_clean_pipeline": user_clean_pipeline,
     "t8_compat_window_median": t8_compat_window_median,
+    "user_oldest_nulls_last": user_oldest_nulls_last,
 }
 
 ORACLE = {
@@ -321,4 +346,5 @@ ORACLE = {
     "geo_clean_pipeline": GEO_CLEAN_SQL,
     "user_clean_pipeline": USER_CLEAN_SQL,
     "t8_compat_window_median": T8_COMPAT_SQL,
+    "user_oldest_nulls_last": USER_OLDEST_SQL,
 }

@@ -343,3 +343,13 @@ def test_sf_scaled_dims_not_force_broadcast(spark, qs):
                 )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_desc_nulls_last_excludes_null_ages_from_topk(spark, qs):
+    """O4: with NULLS LAST, the unparseable-age (NULL) users never enter the
+    top-k — under a NULLS FIRST default they would occupy the entire cut."""
+    rows = qs["user_oldest_nulls_last"](spark, SF).collect()
+    assert len(rows) == 20
+    assert all(r.age is not None for r in rows)
+    ages = [r.age for r in rows]
+    assert ages == sorted(ages, reverse=True)
