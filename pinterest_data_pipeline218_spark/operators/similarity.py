@@ -109,6 +109,35 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def write_ann_index(emb: DataFrame, path: str) -> None:
+    """Materialize the LSH index: the bucketed table written as a
+    bucket-partitioned parquet layout. This is the scale path the ANN query
+    relies on — at 100 TB the index write is one pass, and every probe
+    afterwards is a partition-pruned scan of a single bucket directory
+    (1/2^NUM_PLANES of the data) instead of a full-corpus scan."""
+    with_lsh_bucket(emb).write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def ann_index_topk(spark: SparkSession, index_path: str, query_vec_id: int = QUERY_VEC_ID, k: int = TOP_K) -> DataFrame:
+    """Probe the materialized index: resolve the query vector's bucket
+    through the same fold (no drift vs the index write), then scan ONLY that
+    bucket's partition — the filter is a literal at plan time, so it lands
+    in PartitionFilters and Spark lists a single bucket directory. The
+    1-row collect is query planning (the query vector), not a data action."""
+    idx = spark.read.parquet(index_path)
+    q = idx.filter(F.col("vec_id") == query_vec_id).select("v", "bucket").head()
+    return (
+        idx.filter((F.col("bucket") == F.lit(q.bucket)) & (F.col("vec_id") != query_vec_id))
+        .crossJoin(F.broadcast(spark.createDataFrame([(q.v,)], "q array<double>")))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("q")), 6).cast("double").alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 QUANT = 1 << 20  # centroid quantization: trunc(val * 2^20) per component
 
 

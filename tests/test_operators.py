@@ -118,3 +118,31 @@ def test_simhash_hamming_close_for_similar_docs(spark):
     rows = {r.doc_id: r.simhash for r in dedup_simhash(spark, SF).collect()}
     assert len(rows) == 500
     assert all(isinstance(v, int) and v >= 0 for v in rows.values())
+
+
+def test_ann_index_probe_is_partition_pruned_and_matches_inline(spark, tmp_path):
+    """The materialized LSH index must (a) prune to the query's bucket
+    partition at the scan — PartitionFilters, not a post-scan filter over
+    the full corpus — and (b) return exactly the inline sim_ann_lsh result."""
+    import pyspark.sql.functions as SF_
+
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.functions.vectors import as_double_array
+    from pinterest_data_pipeline218_spark.operators.similarity import (
+        ann_index_topk,
+        sim_ann_lsh,
+        write_ann_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    idx_path = str(tmp_path / "ann_index")
+    write_ann_index(emb, idx_path)
+
+    probe = ann_index_topk(spark, idx_path)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+    got = [(r.vec_id, r.cos_sim) for r in probe.collect()]
+    want = [(r.vec_id, r.cos_sim) for r in sim_ann_lsh(spark, SF).collect()]
+    assert got == want
