@@ -14,7 +14,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pinterest_data_pipeline218_spark.operators import dedup, multimodal, similarity, text_analysis
+from pinterest_data_pipeline218_spark.operators import (
+    corpus,
+    dedup,
+    multimodal,
+    similarity,
+    text_analysis,
+)
 from pinterest_data_pipeline218_spark.plans import (
     analytics_tpch,
     events,
@@ -35,6 +41,7 @@ _MODULES = (
     dedup,
     similarity,
     multimodal,
+    corpus,
 )
 
 # The driver's correctness gate checks the first 50 registry entries. These
@@ -53,6 +60,9 @@ _TAIL = (
     "t10_median_order_total_by_year",  # shape subsumed by t11 (band × year)
     "tpch_q6_revenue",  # scan+filter+agg shape covered by q14/q19
     "window_showcase",  # composite of window shapes checked via t4/ev_running_total
+    "ev_counts_hourly",  # time-bucket count subsumed by ev_rollup_daily (green r01-class)
+    "t9_active_customers_by_year",  # count-distinct-per-year; family checked via q16 + ev_salted
+    "tpch_q3_shipping_priority",  # join+top-k shape identical to checked q10
 )
 
 

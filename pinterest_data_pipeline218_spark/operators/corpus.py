@@ -1,0 +1,152 @@
+"""Training-corpus construction operators over the `documents` table.
+
+The steps between "cleaned corpus" and "training data" that a large-scale
+LLM pipeline runs after dedup/quality-filtering (SURVEY.md build-plan
+extension, same family as operators/dedup.py):
+
+- **Deterministic sampling** (`corpus_hash_sample`): Bernoulli sampling by a
+  content-independent hash of the document id — reproducible across runs,
+  engines and cluster sizes, unlike `df.sample`, whose RNG is tied to
+  partition layout. At scale this is a scan-local filter: no shuffle, prunes
+  at the source, and the SAME documents are kept no matter how the corpus is
+  re-partitioned.
+- **Train/val/test split** (`corpus_split_assign`): hash-range assignment
+  (80/10/10) with a seed distinct from the sampler's, so sampling and
+  splitting are independent events. Scan-local, shuffle-free.
+- **Sequence chunking** (`corpus_chunk_tokens`): pack each document's tokens
+  into fixed-size chunks (the training-sequence shaping step). Pure integer
+  arithmetic + `slice`, evaluated at the scan; the 1→N fan-out is an
+  explode over a computed chunk count, not a UDF.
+
+All three are oracle-paired: the doc-id hash is the repo's md5-derived
+60-bit hash (functions/text.py), identical in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..data import load_table
+from ..functions import text as T
+
+SAMPLE_PCT = 10  # keep 10% of documents
+SAMPLE_SEED = 41
+SPLIT_SEED = 97
+TRAIN_PCT, VAL_PCT = 80, 10  # remainder = test
+CHUNK_TOKENS = 32
+
+
+def _doc_pct(seed: int) -> F.Column:
+    """Deterministic per-document percentile bucket in [0, 100)."""
+    return T.token_hash(F.col("doc_id").cast("string"), seed=seed) % 100
+
+
+def _doc_pct_sql(seed: int) -> str:
+    return f"({T.token_hash_sql('CAST(doc_id AS VARCHAR)', seed=seed)} % 100)"
+
+
+def corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep SAMPLE_PCT% of documents by id-hash — the reproducible
+    downsampling step. The predicate is scan-local (one md5 per row), so at
+    100 TB this is a full-rate scan emitting a 10% stream with zero shuffle
+    and no RNG/partition-layout coupling."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(_doc_pct(SAMPLE_SEED) < SAMPLE_PCT)
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_SAMPLE_SQL = f"""
+SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE {_doc_pct_sql(SAMPLE_SEED)} < {SAMPLE_PCT}
+ORDER BY doc_id
+"""
+
+
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to train/val/test by hash range (80/10/10).
+    Seeded independently of the sampler so sample∩split stays unbiased.
+    Row-level output: the assignment itself is the contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    pct = _doc_pct(SPLIT_SEED)
+    split = (
+        F.when(pct < TRAIN_PCT, "train")
+        .when(pct < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", split.alias("split")).orderBy("doc_id")
+
+
+CORPUS_SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN {_doc_pct_sql(SPLIT_SEED)} < {TRAIN_PCT} THEN 'train'
+            WHEN {_doc_pct_sql(SPLIT_SEED)} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def corpus_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack each document's whitespace tokens into CHUNK_TOKENS-sized
+    training sequences: (doc_id, chunk_idx, n_tokens, chunk_text), last
+    chunk ragged. Chunk count is integer arithmetic ((n+31) div 32 — no
+    float ceil, so both engines agree exactly); the fan-out is
+    explode(sequence(...)) pipelined into the scan, and chunk extraction is
+    a 1-based `slice` matching DuckDB list indexing."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("toks")).withColumn(
+        "n_chunks",
+        F.expr(f"(size(toks) + {CHUNK_TOKENS - 1}) div {CHUNK_TOKENS}"),
+    )
+    out = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int"))).alias("chunk_idx"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_idx") * CHUNK_TOKENS + 1, CHUNK_TOKENS)
+    return (
+        out.select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size(chunk).alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+CORPUS_CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE text IS NOT NULL
+), f AS (
+  SELECT doc_id, toks,
+         unnest(range(0, (len(toks) + {CHUNK_TOKENS - 1}) // {CHUNK_TOKENS})) AS chunk_idx
+  FROM t
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(len(list_slice(toks, chunk_idx * {CHUNK_TOKENS} + 1,
+                           chunk_idx * {CHUNK_TOKENS} + {CHUNK_TOKENS})) AS INT) AS n_tokens,
+       array_to_string(list_slice(toks, chunk_idx * {CHUNK_TOKENS} + 1,
+                                  chunk_idx * {CHUNK_TOKENS} + {CHUNK_TOKENS}), ' ') AS chunk_text
+FROM f
+ORDER BY doc_id, chunk_idx
+"""
+
+
+QUERIES = {
+    "corpus_hash_sample": corpus_hash_sample,
+    "corpus_split_assign": corpus_split_assign,
+    "corpus_chunk_tokens": corpus_chunk_tokens,
+}
+
+ORACLE = {
+    "corpus_hash_sample": CORPUS_SAMPLE_SQL,
+    "corpus_split_assign": CORPUS_SPLIT_SQL,
+    "corpus_chunk_tokens": CORPUS_CHUNK_SQL,
+}

@@ -146,3 +146,39 @@ def test_ann_index_probe_is_partition_pruned_and_matches_inline(spark, tmp_path)
     got = [(r.vec_id, r.cos_sim) for r in probe.collect()]
     want = [(r.vec_id, r.cos_sim) for r in sim_ann_lsh(spark, SF).collect()]
     assert got == want
+
+
+def test_corpus_ops_properties(spark):
+    """Sampling is deterministic and ~rate-sized; splits cover every doc
+    exactly once with sane proportions; chunks reconstruct the document."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.operators.corpus import (
+        CHUNK_TOKENS,
+        corpus_chunk_tokens,
+        corpus_hash_sample,
+        corpus_split_assign,
+    )
+
+    n_docs = load_table(spark, SF, "documents").count()
+
+    s1 = {r.doc_id for r in corpus_hash_sample(spark, SF).collect()}
+    s2 = {r.doc_id for r in corpus_hash_sample(spark, SF).collect()}
+    assert s1 == s2  # hash sampling: same docs every run
+    assert 0.04 * n_docs <= len(s1) <= 0.2 * n_docs  # ~10% ± binomial noise
+
+    splits = corpus_split_assign(spark, SF).collect()
+    assert len(splits) == n_docs  # total coverage, one row per doc
+    frac_train = sum(r.split == "train" for r in splits) / n_docs
+    assert 0.7 <= frac_train <= 0.9
+
+    chunks = corpus_chunk_tokens(spark, SF).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    docs = {r.doc_id: r.text for r in load_table(spark, SF, "documents").collect()}
+    for doc_id, rs in list(by_doc.items())[:50]:
+        rs.sort(key=lambda r: r.chunk_idx)
+        assert [r.chunk_idx for r in rs] == list(range(len(rs)))
+        assert all(r.n_tokens == CHUNK_TOKENS for r in rs[:-1])  # only last ragged
+        rebuilt = " ".join(r.chunk_text for r in rs)
+        assert rebuilt == docs[doc_id]
