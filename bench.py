@@ -67,8 +67,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_topk_bruteforce",
+    "sim_ann_lsh",
     "sim_ivf_topk",
     "mm_binary_meta",
+    "corpus_hash_sample",
+    "corpus_chunk_tokens",
 ]
 
 
