@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from pinterest_data_pipeline218_spark.operators import (
+    asof,
     corpus,
     dedup,
     multimodal,
@@ -42,6 +43,7 @@ _MODULES = (
     similarity,
     multimodal,
     corpus,
+    asof,
 )
 
 # The driver's correctness gate checks the first 50 registry entries. These
@@ -63,6 +65,7 @@ _TAIL = (
     "ev_counts_hourly",  # time-bucket count subsumed by ev_rollup_daily (green r01-class)
     "t9_active_customers_by_year",  # count-distinct-per-year; family checked via q16 + ev_salted
     "tpch_q3_shipping_priority",  # join+top-k shape identical to checked q10
+    "dedup_compact_corpus",  # groupBy-keeper + semi-join; families checked via dedup_exact + q4
 )
 
 

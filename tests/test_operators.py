@@ -182,3 +182,32 @@ def test_corpus_ops_properties(spark):
         assert all(r.n_tokens == CHUNK_TOKENS for r in rs[:-1])  # only last ragged
         rebuilt = " ".join(r.chunk_text for r in rs)
         assert rebuilt == docs[doc_id]
+
+
+def test_asof_join_semantics_and_plan(spark):
+    """Hand-built edge cases: equal-ts right row IS visible (>= tie rule),
+    later right rows are not, no-prior-match yields NULL. And the plan must
+    contain NO join operator — the union+window formulation's only wide op
+    is the window's partitionBy exchange (linear, no range explosion)."""
+    from pinterest_data_pipeline218_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "2024-01-01 10:00:00"), (2, 100, "2024-01-01 12:00:00"),
+         (3, 200, "2024-01-01 09:00:00")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(100, "2024-01-01 10:00:00"),   # == left 1's ts -> visible to it
+         (100, "2024-01-01 11:30:00"),   # between 1 and 2 -> latest for 2
+         (200, "2024-01-01 09:30:00")],  # after left 3 -> invisible
+        "user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    out = {r.event_id: r.asof_ts for r in asof_join(left, right, "user_id", "ts").collect()}
+    assert str(out[1]) == "2024-01-01 10:00:00"
+    assert str(out[2]) == "2024-01-01 11:30:00"
+    assert out[3] is None
+
+    plan = asof_join(left, right, "user_id", "ts")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Window" in plan
