@@ -66,6 +66,7 @@ _TAIL = (
     "t9_active_customers_by_year",  # count-distinct-per-year; family checked via q16 + ev_salted
     "tpch_q3_shipping_priority",  # join+top-k shape identical to checked q10
     "dedup_compact_corpus",  # groupBy-keeper + semi-join; families checked via dedup_exact + q4
+    "tpch_q5_regional_volume",  # broadcast-chain join agg; families checked via q7/q10/t4
 )
 
 

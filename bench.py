@@ -72,6 +72,8 @@ HEADLINE = [
     "mm_binary_meta",
     "corpus_hash_sample",
     "corpus_chunk_tokens",
+    "ev_asof_click_before_purchase",
+    "ev_errors_near_purchase",
 ]
 
 

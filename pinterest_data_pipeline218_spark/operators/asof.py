@@ -88,5 +88,81 @@ ORDER BY event_id
 """
 
 
-QUERIES = {"ev_asof_click_before_purchase": ev_asof_click_before_purchase}
-ORACLE = {"ev_asof_click_before_purchase": EV_ASOF_SQL}
+US_PER_HOUR = 3_600_000_000
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    radius_us: int,
+    count_as: str = "n_in_range",
+) -> DataFrame:
+    """Count right rows within ±radius of each left row's timestamp (same
+    key) — the interval/range join, bucketized so it scales.
+
+    A naive `l.key = r.key AND r.ts BETWEEN l.ts-R AND l.ts+R` join gives
+    Spark only the equi-key to hash on; a hot key degenerates to its full
+    cross product before the range filter. Here both sides are bucketed to
+    R-sized epochs and the left side explodes to its 3 adjacent buckets, so
+    the join is a 2-column equi-join (key, bucket): candidate pairs are
+    bounded by bucket co-occupancy, and every true match lands in exactly
+    one of the 3 buckets (a right row matches only via its OWN bucket — no
+    double counting). LEFT semantics: zero-match left rows count 0.
+    """
+    # integer div, not float-divide-then-cast: µs epochs are near 2^50, where
+    # a double quotient's rounding could (in principle) flip a bucket edge
+    lb = F.expr(f"unix_micros({left_ts}) div {radius_us}")
+    rb = F.expr(f"unix_micros({right_ts}) div {radius_us}")
+    lx = left.withColumn("__b", F.explode(F.array(lb - 1, lb, lb + 1)))
+    rx = right.select(
+        F.col(key).alias("__rk"), F.col(right_ts).alias("__rts"), rb.alias("__rb")
+    )
+    in_range = F.unix_micros(F.col("__rts")).between(
+        F.unix_micros(F.col(left_ts)) - radius_us,
+        F.unix_micros(F.col(left_ts)) + radius_us,
+    )
+    return (
+        lx.join(rx, (F.col(key) == F.col("__rk")) & (F.col("__b") == F.col("__rb")) & in_range, "left")
+        .groupBy(*[F.col(c) for c in left.columns])
+        .agg(F.count("__rts").alias(count_as))
+    )
+
+
+def ev_errors_near_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase: how many error events the same user had within
+    ±1 hour — the blast-radius/interval-join workload."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    out = range_join_count(
+        purchases, errors, key="user_id", left_ts="ts", right_ts="ts",
+        radius_us=US_PER_HOUR, count_as="n_errors_1h",
+    )
+    return out.select("event_id", "user_id", "n_errors_1h").orderBy("event_id")
+
+
+EV_RANGE_SQL = f"""
+SELECT p.event_id AS event_id, p.user_id AS user_id,
+       CAST(COUNT(e.ts) AS BIGINT) AS n_errors_1h
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id
+ AND epoch_us(e.ts) BETWEEN epoch_us(p.ts) - {US_PER_HOUR} AND epoch_us(p.ts) + {US_PER_HOUR}
+GROUP BY p.event_id, p.user_id
+ORDER BY event_id
+"""
+
+
+QUERIES = {
+    "ev_asof_click_before_purchase": ev_asof_click_before_purchase,
+    "ev_errors_near_purchase": ev_errors_near_purchase,
+}
+ORACLE = {
+    "ev_asof_click_before_purchase": EV_ASOF_SQL,
+    "ev_errors_near_purchase": EV_RANGE_SQL,
+}

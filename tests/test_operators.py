@@ -211,3 +211,27 @@ def test_asof_join_semantics_and_plan(spark):
     plan = asof_join(left, right, "user_id", "ts")._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_range_join_count_edges(spark):
+    """Boundary rows (exactly ±radius) count; just-outside rows don't; a
+    match in an adjacent bucket is found; zero-match left rows emit 0; a
+    right row is never double-counted across the 3 exploded buckets."""
+    from pinterest_data_pipeline218_spark.operators.asof import range_join_count
+
+    R = 3_600_000_000  # 1h in µs
+    left = spark.createDataFrame(
+        [(1, 7, "2024-01-01 10:30:00"), (2, 8, "2024-01-01 10:30:00")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(7, "2024-01-01 09:30:00"),   # exactly -1h -> counts
+         (7, "2024-01-01 11:30:00"),   # exactly +1h -> counts
+         (7, "2024-01-01 11:30:00.000001"),  # 1µs outside -> no
+         (7, "2024-01-01 10:45:00"),   # same bucket -> counts
+         (7, "2024-01-01 09:59:00")],  # adjacent bucket, in range -> counts
+        "user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.event_id: r.n for r in range_join_count(
+        left, right, "user_id", "ts", "ts", R, count_as="n").collect()}
+    assert out == {1: 4, 2: 0}

@@ -214,3 +214,63 @@ def test_restart_resume_exactly_once(spark, tmp_path):
     assert partial < expected.count(), "stream finished before the kill — raise file count"
     assert got.count() == expected.count()  # no duplicates, no loss
     assert rows_set(got) == rows_set(expected)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (the streaming form of the
+    range/as-of family): purchases joined to clicks within the preceding
+    hour must produce exactly the batch join's pairs once both streams
+    drain. Exercises the symmetric-hash-join state Spark keeps bounded via
+    the watermarks + time-range condition."""
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    rows = [
+        # (side, id, user, ts)
+        ("click", 1, 7, "2024-01-01 10:00:00"),
+        ("click", 2, 7, "2024-01-01 11:30:00"),
+        ("click", 3, 8, "2024-01-01 09:00:00"),
+        ("purchase", 10, 7, "2024-01-01 10:30:00"),  # joins click 1
+        ("purchase", 11, 7, "2024-01-01 12:00:00"),  # joins click 2
+        ("purchase", 12, 8, "2024-01-01 12:00:00"),  # click 3 too old -> none
+    ]
+    for side in ("click", "purchase"):
+        d = tmp_path / side
+        d.mkdir()
+        with open(d / "part-0.jsonl", "w") as f:
+            for s, i, u, ts in rows:
+                if s == side:
+                    f.write(json.dumps({"id": i, "user": u, "ts": ts}) + "\n")
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("user", LongType()),
+         StructField("ts", StringType())]
+    )
+
+    def src(side, uc, tc):
+        return (
+            spark.readStream.format("json").schema(schema)
+            .load(str(tmp_path / side))
+            .select(
+                F.col("id").alias(f"{side}_id"),
+                F.col("user").alias(uc),
+                F.to_timestamp("ts").alias(tc),
+            )
+        )
+
+    clicks = src("click", "c_user", "c_ts").withWatermark("c_ts", "2 hours")
+    purchases = src("purchase", "p_user", "p_ts").withWatermark("p_ts", "2 hours")
+    joined = purchases.join(
+        clicks,
+        F.expr("p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"),
+        "inner",
+    ).select("purchase_id", "click_id")
+    q = (
+        joined.writeStream.format("memory").queryName("ssj_out")
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.purchase_id, r.click_id) for r in spark.sql("SELECT * FROM ssj_out").collect()}
+    assert got == {(10, 1), (11, 2)}
