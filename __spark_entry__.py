@@ -67,6 +67,8 @@ _TAIL = (
     "tpch_q3_shipping_priority",  # join+top-k shape identical to checked q10
     "dedup_compact_corpus",  # groupBy-keeper + semi-join; families checked via dedup_exact + q4
     "tpch_q5_regional_volume",  # broadcast-chain join agg; families checked via q7/q10/t4
+    "ev_cube_type_dow",  # grouping-sets family checked via ev_rollup_daily; selfcheck covers
+    "ev_approx_distinct_users",  # no oracle by design (sketches are engine-specific)
 )
 
 

@@ -230,6 +230,57 @@ GROUP BY ROLLUP (event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
 ORDER BY event_type, day
 """
 
+def ev_cube_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(event_type, day-of-week): all four grouping sets — (type, dow),
+    (type), (dow), () — in one aggregation pass, completing the
+    grouping-sets family next to ev_rollup_daily's ROLLUP. dow is
+    `dayofweek(ts) - 1` so it equals DuckDB's date_part('dow') (Sunday=0)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", (F.dayofweek("ts") - 1).cast("long").alias("dow"), "value"
+    )
+    return (
+        base.cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("dow").cast("string"), F.lit("<all>")).alias("dow"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+EV_CUBE_SQL = """
+SELECT COALESCE(event_type, '<all>') AS event_type,
+       COALESCE(CAST(date_part('dow', ts) AS VARCHAR), '<all>') AS dow,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY CUBE (event_type, CAST(date_part('dow', ts) AS VARCHAR))
+ORDER BY event_type, dow
+"""
+
+
+def ev_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type — the scale path for
+    count-distinct: one pass, fixed sketch memory per group, mergeable
+    across partitions, where the exact form shuffles every distinct key.
+    No oracle entry on purpose: DuckDB's approx sketch differs, so the
+    driver records the weaker rows-only check; pytest bounds the estimate
+    against the exact count (rsd 2% → observed error well under 5%)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
 PIVOT_TYPES = ["click", "purchase", "scroll", "share", "view"]
 
 
@@ -268,6 +319,8 @@ QUERIES = {
     "ev_salted_distinct_users": ev_salted_distinct_users,
     "ev_rollup_daily": ev_rollup_daily,
     "ev_pivot_type_counts": ev_pivot_type_counts,
+    "ev_cube_type_dow": ev_cube_type_dow,
+    "ev_approx_distinct_users": ev_approx_distinct_users,
 }
 
 ORACLE = {
@@ -280,4 +333,8 @@ ORACLE = {
     "ev_salted_distinct_users": EV_SALTED_DISTINCT_SQL,
     "ev_rollup_daily": EV_ROLLUP_SQL,
     "ev_pivot_type_counts": EV_PIVOT_SQL,
+    "ev_cube_type_dow": EV_CUBE_SQL,
+    # ev_approx_distinct_users: deliberately no oracle — sketch estimates are
+    # engine-specific; the driver runs its rows-only check, pytest bounds the
+    # error vs the exact count
 }
