@@ -69,6 +69,7 @@ _TAIL = (
     "tpch_q5_regional_volume",  # broadcast-chain join agg; families checked via q7/q10/t4
     "ev_cube_type_dow",  # grouping-sets family checked via ev_rollup_daily; selfcheck covers
     "ev_approx_distinct_users",  # no oracle by design (sketches are engine-specific)
+    "tpch_q4_semi_join",  # EXISTS/semi-join family subsumed by checked q21-analog
 )
 
 

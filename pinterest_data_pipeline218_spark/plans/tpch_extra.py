@@ -301,8 +301,60 @@ SELECT * FROM ranked WHERE rn <= 3 ORDER BY nation, rn
 """
 
 
+def tpch_q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21's join shape (EXISTS + NOT EXISTS on the same fact table with
+    different correlated predicates) adapted to the synthetic lineitem (no
+    receipt/commit dates): suppliers who were the SOLE returning supplier
+    (l_returnflag = 'R') in orders that involved more than one supplier;
+    count such lineitems per supplier, top 10.
+
+    The scale-correct plan decorrelates BOTH subqueries into one per-order
+    aggregate computed in a single lineitem pass:
+      EXISTS(other supplier in order)            ⇔ n_supp > 1
+      NOT EXISTS(other RETURNING supplier)       ⇔ n_return_supp = 1
+    then joins the R-flagged lineitems against the |orders|-sized aggregate.
+    The naive correlated form (the oracle) rescans lineitem per row — the
+    oracle cross-checks that the rewrite is semantics-preserving."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_return_supp"),
+    )
+    l1 = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    return (
+        l1.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_return_supp") == 1))
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("suppkey"))
+        .limit(10)
+    )
+
+
+Q21_SQL = """
+SELECT l1.l_suppkey AS suppkey, COUNT(*) AS numwait
+FROM lineitem l1
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY l1.l_suppkey
+ORDER BY numwait DESC, suppkey ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
     "tpch_q4_semi_join": tpch_q4_semi_join,
+    "tpch_q21_sole_returner": tpch_q21_sole_returner,
     "tpch_q22_anti_join": tpch_q22_anti_join,
     "tpch_q13_outer_join": tpch_q13_outer_join,
     "tpch_q6_revenue": tpch_q6_revenue,
@@ -313,6 +365,7 @@ QUERIES = {
 
 ORACLE = {
     "tpch_q4_semi_join": Q4_SQL,
+    "tpch_q21_sole_returner": Q21_SQL,
     "tpch_q22_anti_join": Q22_SQL,
     "tpch_q13_outer_join": Q13_SQL,
     "tpch_q6_revenue": Q6_SQL,
