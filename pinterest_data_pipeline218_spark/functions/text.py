@@ -94,6 +94,20 @@ def avg_token_len_sql(toks_expr: str) -> str:
     )
 
 
+def quality_score(toks: Column) -> Column:
+    """Heuristic corpus-quality score in [0,1]: length, stopword, and
+    token-shape terms. Kept as one shared expression so the gated
+    text_quality_score query and the corpus pipeline filter on the SAME
+    bits (left-assoc order matters for the oracle)."""
+    sw = stopword_ratio(toks)
+    atl = avg_token_len(toks)
+    return (
+        F.lit(0.5) * F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - sw)
+        + F.lit(0.2) * F.least(atl / F.lit(8.0), F.lit(1.0))
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     token set (reference-class doc fingerprinting, per SURVEY extension)."""

@@ -139,6 +139,70 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+QUALITY_THRESHOLD = 0.5
+
+
+def build_training_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    quality_threshold: float = QUALITY_THRESHOLD,
+    sample_pct: int = 100,
+) -> DataFrame:
+    """The end-to-end corpus build a training pipeline runs, composed from
+    the same operator expressions the gated queries use:
+
+      quality filter → exact-dedup compact (keeper = min doc_id) →
+      deterministic hash sample → split assign → token chunking
+
+    Everything up to the dedup semi-join is scan-local; the dedup adds one
+    |distinct-digests| shuffle + a keeper semi-join; chunking fans out at
+    the scan. Returns training rows (doc_id, split, chunk_idx, n_tokens,
+    chunk_text) — write with `write_training_corpus` to get a
+    split-partitioned layout downstream readers can prune."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = T.tokens(F.col("text"))
+    good = docs.filter(T.quality_score(toks) >= quality_threshold)
+    keepers = (
+        good.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = good.join(keepers, "doc_id", "left_semi")
+    if sample_pct < 100:
+        kept = kept.filter(_doc_pct(SAMPLE_SEED) < sample_pct)
+    pct = _doc_pct(SPLIT_SEED)
+    split = (
+        F.when(pct < TRAIN_PCT, "train")
+        .when(pct < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    with_chunks = kept.select(
+        "doc_id", split.alias("split"), T.tokens(F.col("text")).alias("toks")
+    ).withColumn(
+        "n_chunks", F.expr(f"(size(toks) + {CHUNK_TOKENS - 1}) div {CHUNK_TOKENS}")
+    )
+    out = with_chunks.select(
+        "doc_id",
+        "split",
+        "toks",
+        F.explode(F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int"))).alias("chunk_idx"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_idx") * CHUNK_TOKENS + 1, CHUNK_TOKENS)
+    return out.select(
+        "doc_id",
+        "split",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def write_training_corpus(df: DataFrame, out_dir: str) -> None:
+    """Persist the training rows partitioned by split: downstream training
+    readers scan only their split's directory (PartitionFilters prune)."""
+    df.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+
+
 QUERIES = {
     "corpus_hash_sample": corpus_hash_sample,
     "corpus_split_assign": corpus_split_assign,

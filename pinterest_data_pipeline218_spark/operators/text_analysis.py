@@ -50,11 +50,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inputs, so the result is bit-deterministic; rounding would *introduce*
     # divergence at exact decimal ties (Spark rounds the decimal string
     # HALF_UP, DuckDB rounds the scaled binary).
-    score = (
-        F.lit(0.5) * F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.3) * (F.lit(1.0) - sw)
-        + F.lit(0.2) * F.least(atl / F.lit(8.0), F.lit(1.0))
-    )
+    score = T.quality_score(toks)
     return docs.select(
         "doc_id",
         F.round(sw, 6).cast("double").alias("stopword_ratio"),

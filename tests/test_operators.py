@@ -235,3 +235,50 @@ def test_range_join_count_edges(spark):
     out = {r.event_id: r.n for r in range_join_count(
         left, right, "user_id", "ts", "ts", R, count_as="n").collect()}
     assert out == {1: 4, 2: 0}
+
+
+def test_training_corpus_pipeline_end_to_end(spark, tmp_path):
+    """The composed corpus build: every surviving doc passes the quality
+    bar, duplicate-text docs are collapsed to one keeper, every chunk
+    reconstructs its doc, the split-partitioned layout prunes at the scan."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.functions import text as T_
+    from pinterest_data_pipeline218_spark.operators.corpus import (
+        QUALITY_THRESHOLD,
+        build_training_corpus,
+        write_training_corpus,
+    )
+
+    rows = build_training_corpus(spark, SF)
+    out = str(tmp_path / "corpus")
+    write_training_corpus(rows, out)
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {"doc_id", "split", "chunk_idx", "n_tokens", "chunk_text"}
+
+    docs = load_table(spark, SF, "documents")
+    kept_ids = {r.doc_id for r in back.select("doc_id").distinct().collect()}
+    scored = {
+        r.doc_id: (r.q, r.text)
+        for r in docs.select(
+            "doc_id", "text", T_.quality_score(T_.tokens(F.col("text"))).alias("q")
+        ).collect()
+    }
+    # every kept doc passes the bar; every excluded doc fails it OR is a
+    # non-keeper duplicate of a kept doc's text
+    kept_texts = {scored[d][1] for d in kept_ids}
+    for doc_id, (q, text) in scored.items():
+        if doc_id in kept_ids:
+            assert q >= QUALITY_THRESHOLD
+        else:
+            assert q < QUALITY_THRESHOLD or text in kept_texts
+    # no two kept docs share text (dedup collapsed them)
+    assert len(kept_texts) == len(kept_ids)
+    # splits partition the kept docs
+    per_split = back.groupBy("split").agg(F.countDistinct("doc_id").alias("n")).collect()
+    assert sum(r.n for r in per_split) == len(kept_ids)
+    # the partitioned layout prunes: a split filter shows PartitionFilters
+    plan = (
+        back.filter(F.col("split") == "train")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(split" in plan
