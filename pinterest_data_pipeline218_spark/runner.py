@@ -4,6 +4,7 @@ Usage:
   python -m pinterest_data_pipeline218_spark.runner batch  --out /tmp/out [--n 500]
   python -m pinterest_data_pipeline218_spark.runner stream --src /tmp/blobs --out /tmp/out
   python -m pinterest_data_pipeline218_spark.runner queries --sf-dir /root/testdata/sf0.01
+  python -m pinterest_data_pipeline218_spark.runner corpus --sf-dir ... --out /tmp/corpus
 
 `batch` runs the full Entry-point-A pipeline: generate (or read) raw
 pin/geo/user, clean, write parquet tables, run T4..T11, print row counts.
@@ -73,6 +74,21 @@ def cmd_queries(args: argparse.Namespace) -> None:
         print(f"{name}: {fn(spark, args.sf_dir).count()} rows")
 
 
+def cmd_corpus(args: argparse.Namespace) -> None:
+    """Training-corpus build: quality filter → dedup → sample → split →
+    chunk → split-partitioned parquet."""
+    from .operators.corpus import build_training_corpus, write_training_corpus
+
+    spark = get_spark("corpus")
+    rows = build_training_corpus(
+        spark, args.sf_dir, quality_threshold=args.quality, sample_pct=args.sample_pct
+    )
+    write_training_corpus(rows, args.out)
+    back = spark.read.parquet(args.out)
+    for r in back.groupBy("split").count().orderBy("split").collect():
+        print(f"{r['split']}: {r['count']} chunks")
+
+
 def main() -> None:
     p = argparse.ArgumentParser(prog="pinterest_data_pipeline218_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -93,6 +109,12 @@ def main() -> None:
     q = sub.add_parser("queries")
     q.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     q.set_defaults(fn=cmd_queries)
+    c = sub.add_parser("corpus")
+    c.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    c.add_argument("--out", required=True)
+    c.add_argument("--quality", type=float, default=0.5)
+    c.add_argument("--sample-pct", type=int, default=100)
+    c.set_defaults(fn=cmd_corpus)
     args = p.parse_args()
     args.fn(args)
 
