@@ -196,18 +196,27 @@ FROM documents ORDER BY doc_id
 def mm_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake feature extraction over binary payloads. Oracle-checked: the
     corpus is ASCII, so the byte histogram equals a codepoint histogram the
-    DuckDB oracle can replay."""
+    DuckDB oracle can replay. The GATED projection serializes the feature
+    vector to JSON text — the gate's row canonicalizer cannot sort array
+    cells (the same harness limit that hit geo's coordinates in r1); the
+    array contract itself stays on extract_fake_features and its pytest."""
     docs = with_payload(load_table(spark, sf_dir, "documents"))
-    return extract_fake_features(docs.select("doc_id", "payload")).orderBy("doc_id")
+    feats = extract_fake_features(docs.select("doc_id", "payload"))
+    return feats.select(
+        "doc_id", F.to_json(F.col("features")).alias("features_json")
+    ).orderBy("doc_id")
 
 
 def _fake_features_sql() -> str:
-    bins = ", ".join(
+    bins = " || ',' || ".join(
         "CAST(len(list_filter(range(1, strlen(text)+1), "
-        f"__i -> (unicode(substr(text, __i, 1)) % {N_FEATURE_BINS}) = {b})) AS INT)"
+        f"__i -> (unicode(substr(text, __i, 1)) % {N_FEATURE_BINS}) = {b})) AS VARCHAR)"
         for b in range(N_FEATURE_BINS)
     )
-    return f"SELECT doc_id, [{bins}] AS features FROM documents ORDER BY doc_id"
+    return (
+        f"SELECT doc_id, '[' || {bins} || ']' AS features_json "
+        "FROM documents ORDER BY doc_id"
+    )
 
 
 QUERIES = {
