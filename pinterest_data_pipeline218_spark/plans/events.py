@@ -86,7 +86,8 @@ def ev_json_extract_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EV_JSON_SQL = """
-SELECT event_type, SUM(TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k,
+SELECT event_type,
+       CAST(SUM(TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n_events
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -117,7 +118,7 @@ WITH flagged AS (
               THEN 1 ELSE 0 END AS new_sess
   FROM events
 )
-SELECT user_id, 1 + SUM(new_sess) AS n_sessions
+SELECT user_id, CAST(1 + SUM(new_sess) AS BIGINT) AS n_sessions
 FROM flagged GROUP BY user_id ORDER BY user_id
 """
 
@@ -300,11 +301,11 @@ def ev_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EV_PIVOT_SQL = """
 SELECT user_id,
-       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       SUM(CASE WHEN event_type = 'scroll' THEN 1 ELSE 0 END) AS scroll,
-       SUM(CASE WHEN event_type = 'share' THEN 1 ELSE 0 END) AS share,
-       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'scroll' THEN 1 ELSE 0 END) AS BIGINT) AS scroll,
+       CAST(SUM(CASE WHEN event_type = 'share' THEN 1 ELSE 0 END) AS BIGINT) AS share,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
 FROM events GROUP BY user_id ORDER BY user_id
 """
 
