@@ -70,6 +70,7 @@ _TAIL = (
     "ev_cube_type_dow",  # grouping-sets family checked via ev_rollup_daily; selfcheck covers
     "ev_approx_distinct_users",  # no oracle by design (sketches are engine-specific)
     "tpch_q4_semi_join",  # EXISTS/semi-join family subsumed by checked q21-analog
+    "tpch_q8_market_share",  # dim-chain + conditional-ratio families checked via q7/q14
 )
 
 

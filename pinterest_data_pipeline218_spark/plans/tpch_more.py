@@ -383,6 +383,83 @@ ORDER BY s_suppkey
 """
 
 
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q8 analogue (national market share): of all revenue from orders
+    placed by ASIA-region customers in 1996-1997, the share supplied by
+    NATION_2, per order year. The distinctive q8 shape: nation plays TWO
+    independent roles — customer-side (region membership filters the fact
+    stream) and supplier-side (share numerator) — so the dim is joined
+    twice under different keys. Constant dims (nation x2, region) are
+    broadcast; supplier joins hint-free. Ratio = one double division of two
+    exact DECIMAL sums (q14's idiom)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_nk"), F.col("n_regionkey").alias("cn_rk")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_nk"), F.col("n_name").alias("supp_nation")
+    )
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    j = (
+        lineitem.join(o, lineitem.l_orderkey == o.o_orderkey)
+        .join(customer, o.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_nk"))
+        .join(F.broadcast(region), F.col("cn_rk") == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_nk"))
+    )
+    target = F.sum(
+        F.when(F.col("supp_nation") == "NATION_2", _revenue()).otherwise(
+            F.lit(0).cast("decimal(28,4)")
+        )
+    )
+    total = F.sum(_revenue())
+    return (
+        j.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            (target.cast("double") / total.cast("double")).alias("mkt_share"),
+            target.cast("double").alias("nation_revenue"),
+            total.cast("double").alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = f"""
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CASE WHEN ns.n_name = 'NATION_2' THEN {_REV_SQL}
+                     ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+         / CAST(SUM({_REV_SQL}) AS DOUBLE) AS mkt_share,
+       CAST(SUM(CASE WHEN ns.n_name = 'NATION_2' THEN {_REV_SQL}
+                     ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) AS nation_revenue,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region ON nc.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
     "tpch_q10_returned_items": tpch_q10_returned_items,
@@ -392,6 +469,7 @@ QUERIES = {
     "tpch_q16_supplier_count": tpch_q16_supplier_count,
     "tpch_q19_disjunctive_revenue": tpch_q19_disjunctive_revenue,
     "tpch_q15_top_supplier": tpch_q15_top_supplier,
+    "tpch_q8_market_share": tpch_q8_market_share,
 }
 
 ORACLE = {
@@ -403,4 +481,5 @@ ORACLE = {
     "tpch_q16_supplier_count": Q16_SQL,
     "tpch_q19_disjunctive_revenue": Q19_SQL,
     "tpch_q15_top_supplier": Q15_SQL,
+    "tpch_q8_market_share": Q8_SQL,
 }
