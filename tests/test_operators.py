@@ -282,3 +282,43 @@ def test_training_corpus_pipeline_end_to_end(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [isnotnull(split" in plan
+
+
+def test_range_join_buckets_are_hash_keys(spark):
+    """The bucketization only helps if (key, bucket) are the JOIN's hash
+    keys and the time range stays a residual condition — if Catalyst
+    demoted the bucket equality to a post-join filter, the join would
+    degenerate to the per-key cross product the design exists to avoid."""
+    from pinterest_data_pipeline218_spark.operators.asof import ev_errors_near_purchase
+
+    plan = (
+        ev_errors_near_purchase(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    join_lines = [l for l in plan.splitlines() if "HashJoin" in l or "SortMergeJoin" in l]
+    assert join_lines, "no hash join in range-join plan"
+    assert any("__b" in l and "__rb" in l for l in join_lines), join_lines
+
+
+def test_native_session_window_agrees_with_lag_sessionization(spark):
+    """F.session_window (the engine's streaming-native session operator)
+    must count the same sessions as the batch lag->flag->sum formulation in
+    ev_sessions_per_user — same 30-minute gap semantics."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.plans.events import (
+        SESSION_GAP_SECONDS,
+        ev_sessions_per_user,
+    )
+
+    ev = load_table(spark, SF, "events")
+    native = (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_SECONDS} seconds"), F.col("user_id")
+        )
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    got = {r.user_id: r.n_sessions for r in native.collect()}
+    want = {r.user_id: r.n_sessions for r in ev_sessions_per_user(spark, SF).collect()}
+    assert got == want
