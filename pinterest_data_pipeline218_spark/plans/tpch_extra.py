@@ -260,9 +260,11 @@ ORDER BY segment
 
 
 def window_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROW_NUMBER / DENSE_RANK / LAG / NTILE over one partitioned ordering —
-    the window families beyond the reference's RANK (W1). Ordering includes
-    the unique c_custkey tiebreak so every function is deterministic."""
+    """ROW_NUMBER / DENSE_RANK / LAG / NTILE / PERCENT_RANK / CUME_DIST /
+    NTH_VALUE over one partitioned ordering — the window families beyond the
+    reference's RANK (W1). Ordering includes the unique c_custkey tiebreak
+    so every function is deterministic (and RANGE == ROWS for the running
+    nth_value frame, since sort keys are total)."""
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     cn = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
@@ -276,6 +278,9 @@ def window_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.dense_rank().over(w).alias("dr"),
             F.round(F.lag("c_acctbal", 1).over(w), 2).cast("double").alias("prev_bal"),
             F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.round(F.nth_value("c_acctbal", 2).over(w), 2).cast("double").alias("second_bal"),
         )
         .filter(F.col("rn") <= 3)
         .orderBy("nation", "rn")
@@ -293,7 +298,10 @@ ranked AS (
          ROW_NUMBER() OVER w AS rn,
          DENSE_RANK() OVER w AS dr,
          CAST(ROUND(LAG(c_acctbal, 1) OVER w, 2) AS DOUBLE) AS prev_bal,
-         NTILE(4) OVER w AS quartile
+         NTILE(4) OVER w AS quartile,
+         PERCENT_RANK() OVER w AS pct_rank,
+         CUME_DIST() OVER w AS cume,
+         CAST(ROUND(NTH_VALUE(c_acctbal, 2) OVER w, 2) AS DOUBLE) AS second_bal
   FROM cn
   WINDOW w AS (PARTITION BY nation ORDER BY c_acctbal DESC, c_custkey ASC)
 )

@@ -274,3 +274,55 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     q.stop()
     got = {(r.purchase_id, r.click_id) for r in spark.sql("SELECT * FROM ssj_out").collect()}
     assert got == {(10, 1), (11, 2)}
+
+
+def test_foreachbatch_sink_idempotent_partition_overwrite(spark, tmp_path):
+    """foreachBatch — the production sink pattern for logic the built-in
+    sinks can't express (merge/upsert/dedup-per-batch). Here each
+    micro-batch overwrites its own batch_id partition, so REPLAYING a batch
+    (the at-least-once case foreachBatch must handle) cannot duplicate
+    rows — idempotence by partition overwrite."""
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        with open(src / f"{i}.jsonl", "w") as f:
+            for j in range(4):
+                f.write(json.dumps({"rec_id": i * 10 + j, "v": f"x{i}"}) + "\n")
+    out = str(tmp_path / "sink")
+    schema = StructType([StructField("rec_id", LongType()), StructField("v", StringType())])
+    stream = (
+        spark.readStream.format("json").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(str(src))
+    )
+
+    def upsert(batch_df, batch_id):
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
+        # replay the same batch: the partition overwrite absorbs it
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    back = spark.read.parquet(out)
+    assert back.count() == 12  # every record exactly once despite the replay
+    assert back.select("rec_id").distinct().count() == 12
