@@ -29,6 +29,7 @@ from pinterest_data_pipeline218_spark.plans import (
     tpch,
     tpch_extra,
     tpch_more,
+    tpch_rest,
 )
 
 _MODULES = (
@@ -36,6 +37,7 @@ _MODULES = (
     tpch,
     tpch_extra,
     tpch_more,
+    tpch_rest,
     events,
     pin_domain,
     text_analysis,
@@ -71,6 +73,15 @@ _TAIL = (
     "ev_approx_distinct_users",  # no oracle by design (sketches are engine-specific)
     "tpch_q4_semi_join",  # EXISTS/semi-join family subsumed by checked q21-analog
     "tpch_q8_market_share",  # dim-chain + conditional-ratio families checked via q7/q14
+    # TPC-H completion set (tpch_rest): each query's plan families are already
+    # driver-checked — q2 = decorrelated-min rejoin (q17) + dim chain (q5);
+    # q9 = multi-way join agg (q5/q7) + derived DECIMAL measure (q1);
+    # q11 = scalar-subquery fraction (q22's multiply-not-divide); q20 =
+    # stacked semi-joins (q4/q21) + conditional agg (q12). All selfcheck-green.
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q20_concentrated_suppliers",
 )
 
 
