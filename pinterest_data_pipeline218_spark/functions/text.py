@@ -117,3 +117,37 @@ def fingerprint(text: Column | str) -> Column:
 FINGERPRINT_SQL = (
     "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))"
 )
+
+
+# PII redaction: ordered (pattern, replacement) pairs. Patterns restrict
+# themselves to the regex subset Java (Spark) and RE2 (DuckDB) evaluate
+# identically: character classes, bounded repeats, non-capturing groups and
+# ASCII \b — no backreferences, no lookaround. Email first so its local part
+# can't be half-eaten by the number patterns; the remaining three are
+# mutually disjoint (dots vs dashes vs 4-4-4-4 grouping).
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b(?:\d{4}[ -]){3}\d{4}\b", "[CARD]"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    (r"\b\d{3}[ -]\d{3}[ -]\d{4}\b", "[PHONE]"),
+)
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Scrub emails / card numbers / IPv4s / phone numbers to typed
+    placeholder tokens — the pre-training privacy-scrub primitive. A chain
+    of regexp_replace stays JVM-side and codegen'd, so at 100 TB it
+    pipelines into the scan like every other kernel in this module."""
+    col = F.col(text) if isinstance(text, str) else text
+    for pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return col
+
+
+def redact_pii_sql(text_expr: str) -> str:
+    """DuckDB mirror ('g' flag: RE2 replaces first match by default,
+    Java replaces all)."""
+    expr = text_expr
+    for pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr

@@ -197,6 +197,44 @@ def build_training_corpus(
     )
 
 
+STRATA_SEED = 53
+# per-language keep rates: downsample the dominant language, keep the rest
+# near-whole — the standard corpus-rebalancing move. Languages not listed
+# fall back to DEFAULT_RATE.
+STRATA_RATES = {"en": 40}
+DEFAULT_RATE = 90
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-language) deterministic sampling: each stratum gets
+    its own keep rate against the same id-hash percentile. Unlike
+    `df.sampleBy`, the decision depends only on (doc_id, seed) — stable
+    across engines, runs and partition layouts, so a resumed 100-TB job
+    re-derives the identical sample. Still a scan-local filter: the rate
+    lookup is a CASE expression, no join, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(DEFAULT_RATE)
+    for lang, r in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        docs.filter(_doc_pct(STRATA_SEED) < rate)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+_RATE_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {r}" for lang, r in STRATA_RATES.items()
+) + f" ELSE {DEFAULT_RATE} END"
+
+CORPUS_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {_doc_pct_sql(STRATA_SEED)} < {_RATE_SQL}
+ORDER BY doc_id
+"""
+
+
 def write_training_corpus(df: DataFrame, out_dir: str) -> None:
     """Persist the training rows partitioned by split: downstream training
     readers scan only their split's directory (PartitionFilters prune)."""
@@ -207,10 +245,12 @@ QUERIES = {
     "corpus_hash_sample": corpus_hash_sample,
     "corpus_split_assign": corpus_split_assign,
     "corpus_chunk_tokens": corpus_chunk_tokens,
+    "corpus_stratified_sample": corpus_stratified_sample,
 }
 
 ORACLE = {
     "corpus_hash_sample": CORPUS_SAMPLE_SQL,
     "corpus_split_assign": CORPUS_SPLIT_SQL,
     "corpus_chunk_tokens": CORPUS_CHUNK_SQL,
+    "corpus_stratified_sample": CORPUS_STRATIFIED_SQL,
 }

@@ -197,6 +197,64 @@ ORDER BY doc_id, rk
 """
 
 
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus — emails, card numbers, IPv4s, phone
+    numbers → typed placeholders (functions/text.redact_pii). The synthetic
+    corpus contains no PII, so the query deterministically plants one span
+    of each kind (derived from doc_id) before scrubbing: the oracle then
+    proves both regex engines find and replace the identical spans. Counts
+    come from regexp_extract_all over the dirty text; the redacted text is
+    asserted clean by re-counting after the scrub."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), did, F.lit("@example.com"),
+        F.lit(" ip 10.0."), (F.col("doc_id") % 200).cast("string"), F.lit(".7"),
+        F.lit(" tel 555-010-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" card 4111 1111 1111 1111"),
+    )
+    n_found = sum(
+        (F.size(F.regexp_extract_all(dirty, F.lit(pat), 0)) for pat, _ in T.PII_PATTERNS),
+        start=F.lit(0),
+    )
+    clean = T.redact_pii(dirty)
+    n_residual = sum(
+        (F.size(F.regexp_extract_all(clean, F.lit(pat), 0)) for pat, _ in T.PII_PATTERNS),
+        start=F.lit(0),
+    )
+    return docs.select(
+        "doc_id",
+        clean.alias("redacted"),
+        n_found.alias("n_pii_found"),
+        n_residual.alias("n_pii_residual"),
+    ).orderBy("doc_id")
+
+
+def _pii_counts_sql(expr: str) -> str:
+    return " + ".join(
+        f"len(regexp_extract_all({expr}, '{pat}'))" for pat, _ in T.PII_PATTERNS
+    )
+
+
+_DIRTY_SQL = (
+    "(text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || ' ip 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7'"
+    " || ' tel 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' card 4111 1111 1111 1111')"
+)
+
+TEXT_PII_SQL = f"""
+WITH dirty AS (SELECT doc_id, {_DIRTY_SQL} AS d FROM documents)
+SELECT doc_id,
+       {T.redact_pii_sql('d')} AS redacted,
+       CAST({_pii_counts_sql('d')} AS INT) AS n_pii_found,
+       CAST({_pii_counts_sql(T.redact_pii_sql('d'))} AS INT) AS n_pii_residual
+FROM dirty
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -204,6 +262,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_word_frequencies": text_word_frequencies,
     "text_tfidf_top_terms": text_tfidf_top_terms,
+    "text_pii_redact": text_pii_redact,
 }
 
 ORACLE = {
@@ -213,4 +272,5 @@ ORACLE = {
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_word_frequencies": TEXT_WORD_FREQ_SQL,
     "text_tfidf_top_terms": TEXT_TFIDF_SQL,
+    "text_pii_redact": TEXT_PII_SQL,
 }

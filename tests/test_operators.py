@@ -322,3 +322,47 @@ def test_native_session_window_agrees_with_lag_sessionization(spark):
     got = {r.user_id: r.n_sessions for r in native.collect()}
     want = {r.user_id: r.n_sessions for r in ev_sessions_per_user(spark, SF).collect()}
     assert got == want
+
+
+def test_redact_pii_scrubs_all_kinds_and_leaves_clean_text(spark):
+    from pinterest_data_pipeline218_spark.functions.text import redact_pii
+
+    rows = [
+        ("reach me at jane.doe+x@sub.example.co.uk today", "[EMAIL]"),
+        ("card 4111 1111 1111 1111 on file", "[CARD]"),
+        ("server 192.168.0.17 is down", "[IP]"),
+        ("call 555-010-1234 now", "[PHONE]"),
+        ("no pii here at all", None),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], ["text"])
+    out = [r.red for r in df.select(redact_pii("text").alias("red")).collect()]
+    for (src, token), red in zip(rows, out):
+        if token is None:
+            assert red == src  # clean text passes through untouched
+        else:
+            assert token in red
+            # the raw span is gone (no digits-with-separators / @ survive)
+            assert "@" not in red and "4111" not in red and "192.168" not in red
+
+
+def test_stratified_sample_is_deterministic_and_rate_correct(spark):
+    from pinterest_data_pipeline218_spark.operators import corpus
+
+    sf = "/root/testdata/sf0.01"
+    a = corpus.corpus_stratified_sample(spark, sf).collect()
+    b = corpus.corpus_stratified_sample(spark, sf).collect()
+    assert a == b  # partition-layout-independent determinism
+    docs = corpus.load_table(spark, sf, "documents")
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept: dict[str, int] = {}
+    for r in a:
+        kept[r.lang] = kept.get(r.lang, 0) + 1
+    # en is downsampled to ~40%, everything else kept at ~90% — allow wide
+    # tolerance (binomial noise at n≈50-230) but the ORDER must hold
+    en_rate = kept["en"] / totals["en"]
+    other_rate = sum(v for k, v in kept.items() if k != "en") / sum(
+        v for k, v in totals.items() if k != "en"
+    )
+    assert 0.25 < en_rate < 0.55
+    assert 0.8 < other_rate <= 1.0
+    assert en_rate < other_rate
