@@ -174,9 +174,13 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
 
+    # left_semi (not inner+project): an inner join would let the broadcast
+    # hint float up to the outer lineitem join and force a supplier-sized
+    # broadcast — the semi join consumes the hint at the nation build side
     nat_supp = supplier.join(
         F.broadcast(nation.filter(F.col("n_name") == "NATION_7")),
         supplier.s_nationkey == nation.n_nationkey,
+        "left_semi",
     ).select("s_suppkey")
     val = F.col("l_extendedprice").cast(_DEC)
     per_part = (

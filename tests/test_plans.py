@@ -386,3 +386,31 @@ def test_approx_distinct_within_bound(spark, qs):
     assert approx.keys() == exact.keys()
     for t in exact:
         assert abs(approx[t] - exact[t]) <= max(1, 0.05 * exact[t]), (t, approx[t], exact[t])
+
+
+def test_tpch_rest_follows_broadcast_policy_and_pushdown(spark, qs):
+    """The completion set (q2/q9/q11/q20) joins the |part×supplier|-sized
+    derived bridge plus sf-scaled part/supplier dims — all must stay
+    hint-free (only constant nation/region may broadcast). And q2's
+    p_size=15 / q9's p_name LIKE predicates must reach the part scan."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for q in ("tpch_q2_min_cost_supplier", "tpch_q9_product_profit",
+                  "tpch_q11_important_parts", "tpch_q20_concentrated_suppliers"):
+            plan = qs[q](spark, SF)._jdf.queryExecution().executedPlan().toString()
+            for sub in _broadcast_subtrees(plan):
+                # a 1-row global aggregate (keys=[]) may broadcast even though
+                # its subtree textually contains sf-scaled scans — it IS the
+                # scalar-subquery stats broadcast (q11), constant-size output
+                if "HashAggregate(keys=[]" in "".join(sub.splitlines()[:2]):
+                    continue
+                assert "supplier.parquet" not in sub and "part.parquet" not in sub, (
+                    f"{q}: forced broadcast of an sf-scaled table:\n{sub}"
+                )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    p2 = _formatted_plan(qs["tpch_q2_min_cost_supplier"](spark, SF))
+    assert "EqualTo(p_size,15)" in p2
+    p9 = _formatted_plan(qs["tpch_q9_product_profit"](spark, SF))
+    assert "StringContains(p_name,gear)" in p9
