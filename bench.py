@@ -53,6 +53,10 @@ HEADLINE = [
     "tpch_q16_supplier_count",
     "tpch_q19_disjunctive_revenue",
     "tpch_q15_top_supplier",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q20_concentrated_suppliers",
     "window_showcase",
     "ev_counts_hourly",
     "ev_sessions_per_user",
@@ -60,6 +64,7 @@ HEADLINE = [
     "text_token_stats",
     "text_word_frequencies",
     "text_tfidf_top_terms",
+    "text_pii_redact",
     "ev_salted_distinct_users",
     "ev_rollup_daily",
     "ev_pivot_type_counts",
@@ -71,6 +76,7 @@ HEADLINE = [
     "sim_ivf_topk",
     "mm_binary_meta",
     "corpus_hash_sample",
+    "corpus_stratified_sample",
     "corpus_chunk_tokens",
     "ev_asof_click_before_purchase",
     "ev_errors_near_purchase",
