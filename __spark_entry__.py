@@ -75,6 +75,7 @@ _TAIL = (
     "tpch_q8_market_share",  # dim-chain + conditional-ratio families checked via q7/q14
     "text_word_frequencies",  # explode→group-count→top-k = first half of checked tfidf
     "corpus_hash_sample",  # uniform hash sample = single-rate case of checked stratified sampler
+    "corpus_split_assign",  # same _doc_pct hash machinery as checked stratified sampler; CASE bucketing checked via t7/t11
     # TPC-H completion set (tpch_rest): each query's plan families are already
     # driver-checked — q2 = decorrelated-min rejoin (q17) + dim chain (q5);
     # q9 = multi-way join agg (q5/q7) + derived DECIMAL measure (q1);

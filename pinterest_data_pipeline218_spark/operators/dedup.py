@@ -26,7 +26,7 @@ import functools
 import operator
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..data import load_table
 from ..functions import text as T
@@ -94,8 +94,52 @@ def _with_signature(docs: DataFrame) -> DataFrame:
     return out.drop("hs")
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-duplicate pairs.
+def _band_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, bk0..bkB, band_idx, band_key): one exploded row per LSH band.
+
+    One signature evaluation per doc — the band-key array is posexploded
+    instead of unioning n_bands re-projections of the md5-heavy signature.
+    The bk* columns ride along so a joined pair can be deduped to its lowest
+    matching band without a pair-sized distinct (see _first_band_match)."""
+    sig = _with_signature(docs)
+    n_bands = NUM_HASHES // BAND_SIZE
+    key_cols = [
+        F.struct(
+            *[F.col(f"h{b * BAND_SIZE + r}").alias(f"k{r}") for r in range(BAND_SIZE)]
+        ).alias(f"bk{b}")
+        for b in range(n_bands)
+    ]
+    return sig.select("doc_id", *key_cols).select(
+        "doc_id",
+        *[f"bk{b}" for b in range(n_bands)],
+        F.posexplode(F.array(*[F.col(f"bk{b}") for b in range(n_bands)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+
+
+def _first_band_match() -> F.Column:
+    """True iff the a-side row's band is the LOWEST band index the joined
+    pair shares — a static codegen'd boolean over the carried bk* columns
+    that emits each candidate pair exactly once, with zero extra shuffle."""
+    n_bands = NUM_HASHES // BAND_SIZE
+    return functools.reduce(
+        operator.or_,
+        [
+            functools.reduce(
+                operator.and_,
+                [F.col("a.band_idx") == F.lit(i)]
+                + [F.col(f"a.bk{j}") != F.col(f"b.bk{j}") for j in range(i)],
+            )
+            for i in range(n_bands)
+        ],
+    )
+
+
+def _lsh_verified_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs at the given Jaccard threshold.
 
     shingle→minhash→band→bucket-join→verify: signatures per doc (scan-local),
     band keys from signature slices, candidates = docs sharing a band bucket,
@@ -123,42 +167,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       O(pairs) result is wasted work.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sig = _with_signature(docs)
-    n_bands = NUM_HASHES // BAND_SIZE
-    key_cols = [
-        F.struct(
-            *[F.col(f"h{b * BAND_SIZE + r}").alias(f"k{r}") for r in range(BAND_SIZE)]
-        ).alias(f"bk{b}")
-        for b in range(n_bands)
-    ]
-    # one signature evaluation per side: posexplode the band-key array
-    # instead of a union of n_bands re-projections of the md5-heavy sig
-    bands = sig.select("doc_id", *key_cols).select(
-        "doc_id",
-        *[f"bk{b}" for b in range(n_bands)],
-        F.posexplode(F.array(*[F.col(f"bk{b}") for b in range(n_bands)])).alias(
-            "band_idx", "band_key"
-        ),
-    )
     # Round-robin spread of the probe side: the parquet scan may be a
     # single small file (1 partition), but the bucket join *output* is the
     # quadratic candidate explosion — without this the whole explosion runs
     # in as many tasks as the scan has splits. Hot band buckets are also
     # spread instead of pinned to one task.
     par = spark.sparkContext.defaultParallelism * 4
-    left = bands.repartition(par).alias("a")
-    right = bands.alias("b")
-    first_match = functools.reduce(
-        operator.or_,
-        [
-            functools.reduce(
-                operator.and_,
-                [F.col("a.band_idx") == F.lit(i)]
-                + [F.col(f"a.bk{j}") != F.col(f"b.bk{j}") for j in range(i)],
-            )
-            for i in range(n_bands)
-        ],
-    )
+    left = _band_table(docs).repartition(par).alias("a")
+    right = _band_table(docs).alias("b")
+    first_match = _first_band_match()
     cand = (
         left.join(
             right,
@@ -188,11 +205,111 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(x, "doc_a")
         .join(y, "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 6).cast("double").alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
-def _minhash_sql() -> str:
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs at the standard 0.5 Jaccard threshold (see
+    _lsh_verified_pairs for the full scale design)."""
+    return _lsh_verified_pairs(spark, sf_dir, JACCARD_THRESHOLD)
+
+
+# Stand-in for "today's ingest": every doc whose id hashes into this residue
+# class (~10% of the corpus) plays the new batch; the rest is the corpus.
+INCR_BATCH_MOD, INCR_BATCH_RESIDUE = 10, 7
+
+
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: screen a NEW batch against the EXISTING corpus.
+
+    The production shape for continuous ingest — each new document is
+    admitted or rejected by near-dup membership against the corpus WITHOUT
+    re-pairing the corpus against itself. Candidates come from an
+    *asymmetric* LSH band join (new-side bands ⋈ corpus-side bands), so the
+    join output is O(|new| x avg-bucket-overlap), never O(corpus²); at
+    100 TB the new side (a day's data) is orders of magnitude smaller than
+    the corpus, and AQE broadcasts it at runtime — the corpus side streams
+    through unshuffled. No broadcast hint: the batch size is an operational
+    variable, not a compile-time constant.
+
+    Output: one row per new doc — how many corpus near-dups it has at the
+    0.5 Jaccard threshold and the best match score (NULL ⇔ novel document,
+    kept via the left join so downstream can route admit/reject).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % INCR_BATCH_MOD == INCR_BATCH_RESIDUE
+    par = spark.sparkContext.defaultParallelism * 4
+    left = _band_table(docs.filter(is_new)).repartition(par).alias("a")
+    right = _band_table(docs.filter(~is_new)).alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .filter(_first_band_match())
+        .select(F.col("a.doc_id").alias("doc_new"), F.col("b.doc_id").alias("doc_corpus"))
+    )
+    hset = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(T.distinct_tokens(F.col("text")), lambda t: T.token_hash(t))
+        ).alias("hs"),
+    )
+    x = hset.select(F.col("doc_id").alias("doc_new"), F.col("hs").alias("toks_a"))
+    y = hset.select(F.col("doc_id").alias("doc_corpus"), F.col("hs").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = F.round(
+        inter / (F.size("toks_a") + F.size("toks_b") - inter), 6
+    ).cast("double")
+    verified = (
+        cand.join(x, "doc_new")
+        .join(y, "doc_corpus")
+        .select("doc_new", "doc_corpus", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    newdocs = docs.filter(is_new).select(F.col("doc_id").alias("doc_new"))
+    return (
+        newdocs.join(verified, "doc_new", "left")
+        .groupBy("doc_new")
+        .agg(
+            F.count("doc_corpus").alias("n_corpus_matches"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+        .select(
+            F.col("doc_new").alias("doc_id"), "n_corpus_matches", "best_jaccard"
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _incremental_sql() -> str:
+    return f"""
+WITH {_minhash_cte_body()}, candi AS (
+  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_corpus
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_RESIDUE}
+    AND b.doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_RESIDUE}
+), verified AS (
+  SELECT doc_new, doc_corpus, CAST({_VERIFIED_JACCARD} AS DOUBLE) AS jaccard
+  FROM candi
+  JOIN sig x ON candi.doc_new = x.doc_id
+  JOIN sig y ON candi.doc_corpus = y.doc_id
+  WHERE {_VERIFIED_JACCARD} >= {JACCARD_THRESHOLD}
+)
+SELECT d.doc_id, COUNT(v.doc_corpus) AS n_corpus_matches, MAX(v.jaccard) AS best_jaccard
+FROM (SELECT doc_id FROM documents
+      WHERE doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_RESIDUE}) d
+LEFT JOIN verified v ON d.doc_id = v.doc_new
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+
+def _minhash_cte_body() -> str:
+    """The shared DuckDB CTE chain base→hashed→sig→bands→cand (LSH candidate
+    generation), composed into both the pair listing and the CC oracle."""
     hash_exprs = ",\n    ".join(
         f"list_aggregate(list_transform(hs, __x -> ({MINHASH_A[j]} * __x + {MINHASH_B[j]}) % {MINHASH_PRIME}), 'min') AS h{j}"
         for j in range(NUM_HASHES)
@@ -207,8 +324,7 @@ def _minhash_sql() -> str:
         )
         for b in range(n_bands)
     )
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS dtoks FROM documents
 ), hashed AS (
   SELECT doc_id,
@@ -227,17 +343,151 @@ WITH base AS (
   FROM bands a
   JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
               AND a.doc_id < b.doc_id
-)
+)"""
+
+
+_VERIFIED_JACCARD = """ROUND(len(list_intersect(x.hs60, y.hs60))
+      / CAST(len(x.hs60) + len(y.hs60) - len(list_intersect(x.hs60, y.hs60))
+             AS DOUBLE), 6)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {_minhash_cte_body()}
 SELECT doc_a, doc_b,
-       CAST(ROUND(len(list_intersect(x.hs60, y.hs60))
-            / CAST(len(x.hs60) + len(y.hs60) - len(list_intersect(x.hs60, y.hs60))
-                   AS DOUBLE), 6) AS DOUBLE) AS jaccard
+       CAST({_VERIFIED_JACCARD} AS DOUBLE) AS jaccard
 FROM cand
 JOIN sig x ON cand.doc_a = x.doc_id
 JOIN sig y ON cand.doc_b = y.doc_id
-WHERE ROUND(len(list_intersect(x.hs60, y.hs60))
-      / CAST(len(x.hs60) + len(y.hs60) - len(list_intersect(x.hs60, y.hs60))
-             AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+WHERE {_VERIFIED_JACCARD} >= {JACCARD_THRESHOLD}
+"""
+
+
+# CC runs on a *tight* near-dup threshold: transitive closure over a loose
+# threshold chains everything into one blob (at 0.5 the sf0.01 graph is one
+# ~450-doc component); 0.97 yields the realistic mix of singletons, pairs,
+# and a few multi-hop clusters a dedup pipeline actually groups.
+CC_JACCARD_THRESHOLD = 0.97
+CC_MAX_ROUNDS = 20
+
+
+def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected pair list.
+
+    nodes: one column `node` (any orderable id); pairs: two columns naming
+    the two endpoints (column names don't matter — positions do). Returns
+    (node, label) where label = min node id in the connected component.
+    See dedup_cluster_cc's docstring for the scale rationale.
+    """
+    a, b = pairs.columns
+    sym = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = sym.union(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # materialize once: every round re-reads the edge list, and without this
+    # each round would re-run the upstream plan (here: the whole LSH join)
+    edges = edges.localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+
+    def checksum(df: DataFrame):
+        # decimal(38,0) so the convergence checksum can't overflow a long
+        # even at 10^10 nodes with 2^40-sized ids
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).first()["s"]
+
+    prev_sum = checksum(labels)
+    for _ in range(CC_MAX_ROUNDS):
+        nmin = edges.join(labels, edges.src == labels.node).groupBy("dst").agg(
+            F.min("label").alias("nlabel")
+        )
+        labels = (
+            labels.join(nmin, labels.node == nmin.dst, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = checksum(labels)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the MinHash-LSH
+    near-dup pair graph; cluster_id = min doc_id reachable (the canonical
+    keeper), plus the cluster size.
+
+    This is the step after pair identification that a corpus dedup actually
+    needs — "A≈B and B≈C" must collapse A,B,C into ONE group even when A,C
+    never co-occur in a band bucket.
+
+    Scale design (iterative algorithms on Spark):
+    - **Edges come from LSH candidates only** (no all-pairs scan): O(|pairs|)
+      not O(n²), reusing the exact candidate machinery of dedup_minhash_lsh.
+    - **Min-label propagation**: each round every node takes the min label
+      among itself and its neighbors — one shuffle keyed on doc_id per round,
+      all codegen'd join+agg; rounds = eccentricity of each component's min
+      node (near-dup clusters are dense, so 2-3 rounds in practice; a long
+      chain needs O(diameter) — for adversarial graphs switch to
+      large-star/small-star, which bounds rounds at O(log n) with the same
+      per-round join shape).
+    - **localCheckpoint() per round** breaks the lineage chain — without it
+      round k replans rounds 1..k-1 and the job graph grows quadratically.
+      (On a cluster: `persist(DISK_ONLY)` + `checkpoint()` to survive
+      executor loss; localCheckpoint is the single-JVM equivalent.)
+    - The driver-side loop collects ONE row per round (a label checksum —
+      sum(label) is monotone non-increasing, so equal sums ⇔ converged);
+      the label table itself never leaves the executors.
+    - Result is the exact min-reachable-id labeling — independent of
+      iteration order, hence deterministic and oracle-checkable (DuckDB
+      recursive CTE computes the same closure).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _lsh_verified_pairs(spark, sf_dir, CC_JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    labels = connected_components(nodes, pairs)
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("label"))
+            .alias("cluster_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _cluster_cc_sql() -> str:
+    # min-reachable-id via transitive closure; the r.label < e.dst prune is
+    # sound for a MIN (the component min m satisfies m < every other member,
+    # so m still reaches all of them) and keeps the closure near-linear
+    # instead of quadratic per component
+    return f"""
+WITH RECURSIVE {_minhash_cte_body()}, pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN sig x ON cand.doc_a = x.doc_id
+  JOIN sig y ON cand.doc_b = y.doc_id
+  WHERE {_VERIFIED_JACCARD} >= {CC_JACCARD_THRESHOLD}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node WHERE r.label < e.dst
+), cc AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM cc ORDER BY doc_id
 """
 
 
@@ -457,6 +707,8 @@ ORDER BY doc_id
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_cluster_cc": dedup_cluster_cc,
+    "dedup_incremental_lsh": dedup_incremental_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_neardup": dedup_embedding_neardup,
@@ -466,6 +718,8 @@ QUERIES = {
 ORACLE = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_cluster_cc": _cluster_cc_sql(),
+    "dedup_incremental_lsh": _incremental_sql(),
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_embedding_neardup": DEDUP_EMBEDDING_SQL,

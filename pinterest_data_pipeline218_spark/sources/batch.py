@@ -47,6 +47,36 @@ def read_csv(spark: SparkSession, path: str, header: bool = True, sep: str = ","
     )
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """ORC scan — Spark-native columnar alternative to parquet, with the
+    same pushdown/pruning machinery (PushedFilters reach the ORC reader).
+    Kept schema-optional: ORC files carry their schema in the footer."""
+    reader = spark.read.format("orc")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned layout (`col=value/` directories).
+
+    The on-disk contract that makes 100-TB scans cheap: an equality or IN
+    filter on a partition column becomes directory pruning (PartitionFilters
+    in the scan node) — files outside the matching directories are never
+    opened. Choose low-cardinality, filter-frequent columns (dt, lang,
+    source); high-cardinality partitioning produces the small-files problem
+    instead."""
+    df.write.format(fmt).mode(mode).partitionBy(*partition_by).save(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -366,3 +366,85 @@ def test_stratified_sample_is_deterministic_and_rate_correct(spark):
     assert 0.25 < en_rate < 0.55
     assert 0.8 < other_rate <= 1.0
     assert en_rate < other_rate
+
+
+def test_connected_components_path_graph_needs_multiple_rounds(spark):
+    """A 6-node path 10-11-12-13-14-15 has diameter 5 — min-label
+    propagation must iterate (one round only moves labels one hop), so this
+    exercises the convergence loop, not just the first join. Plus an
+    isolated node and a 2-clique with an id gap."""
+    from pinterest_data_pipeline218_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame(
+        [(n,) for n in [10, 11, 12, 13, 14, 15, 99, 200, 300]], ["node"]
+    )
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15), (300, 200)],
+        ["a", "b"],
+    )
+    got = {r.node: r.label for r in connected_components(nodes, pairs).collect()}
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+        99: 99, 200: 200, 300: 200,
+    }
+
+
+def test_cluster_cc_covers_all_docs_and_respects_pairs(spark):
+    """Cluster assignment must be a total function over documents, keepers
+    must be cluster minima, and every near-dup pair must land in one
+    cluster (transitivity is the whole point of the operator)."""
+    from pinterest_data_pipeline218_spark.operators.dedup import (
+        CC_JACCARD_THRESHOLD,
+        _lsh_verified_pairs,
+        dedup_cluster_cc,
+    )
+
+    cc = dedup_cluster_cc(spark, SF).collect()
+    docs_n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(cc) == docs_n
+    label = {r.doc_id: r.cluster_id for r in cc}
+    # cluster_id is the min member (the canonical keeper)
+    by_cluster: dict[int, list[int]] = {}
+    for r in cc:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+    # sizes are consistent with membership
+    for r in cc:
+        assert r.cluster_size == len(by_cluster[r.cluster_id])
+    # every verified near-dup pair is co-clustered
+    pairs = _lsh_verified_pairs(spark, SF, CC_JACCARD_THRESHOLD).collect()
+    for p in pairs:
+        assert label[p.doc_a] == label[p.doc_b]
+
+
+def test_incremental_lsh_flags_known_dup_and_novel_docs(spark):
+    """The new-batch screen agrees with the full symmetric pair listing:
+    a new doc's corpus matches = exactly its cross-partition pairs at the
+    same threshold; docs without matches survive with 0/NULL."""
+    from pinterest_data_pipeline218_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_RESIDUE,
+        JACCARD_THRESHOLD,
+        _lsh_verified_pairs,
+        dedup_incremental_lsh,
+    )
+
+    out = dedup_incremental_lsh(spark, SF).collect()
+    is_new = lambda d: d % INCR_BATCH_MOD == INCR_BATCH_RESIDUE  # noqa: E731
+    assert all(is_new(r.doc_id) for r in out)
+    pairs = _lsh_verified_pairs(spark, SF, JACCARD_THRESHOLD).collect()
+    expect: dict[int, list[float]] = {}
+    for p in pairs:
+        for new, old in ((p.doc_a, p.doc_b), (p.doc_b, p.doc_a)):
+            if is_new(new) and not is_new(old):
+                expect.setdefault(new, []).append(p.jaccard)
+    for r in out:
+        exp = expect.get(r.doc_id, [])
+        assert r.n_corpus_matches == len(exp)
+        if exp:
+            assert abs(r.best_jaccard - max(exp)) < 1e-9
+        else:
+            assert r.best_jaccard is None
+    assert any(r.n_corpus_matches == 0 for r in out)  # novel docs exist
+    assert any(r.n_corpus_matches > 0 for r in out)  # dups exist

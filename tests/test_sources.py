@@ -47,3 +47,42 @@ def test_parquet_schema_evolution_merges(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r.id: r.score for r in merged.collect()}
     assert rows == {1: None, 2: 9.5}  # old files surface NULL for the new column
+
+
+def test_orc_roundtrip_preserves_rows_and_pushes_filters(spark, tmp_path):
+    from pinterest_data_pipeline218_spark.sources.batch import read_orc
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "docs_orc")
+    docs.write.format("orc").save(out)
+    back = read_orc(spark, out)
+    assert sorted(r.doc_id for r in back.collect()) == sorted(
+        r.doc_id for r in docs.collect()
+    )
+    plan = back.filter(F.col("n_chars") > 100).select("doc_id")._jdf.queryExecution().executedPlan().toString()
+    # the predicate must reach the ORC reader, not run as a post-scan filter only
+    assert "PushedFilters: [" in plan and "n_chars" in plan.split("PushedFilters")[1][:200]
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    from pinterest_data_pipeline218_spark.sources.batch import (
+        read_orc,
+        write_partitioned,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, out, ["lang"])
+    # hive layout on disk
+    subdirs = sorted(p.name for p in (tmp_path / "docs_by_lang").iterdir() if p.is_dir())
+    assert any(s.startswith("lang=") for s in subdirs)
+    back = spark.read.parquet(out)
+    q = back.filter(F.col("lang") == "en")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # equality on the partition column becomes directory pruning: it must be
+    # a PartitionFilter, and no data-filter on lang should remain
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "lang" in pf
+    expected = docs.filter(F.col("lang") == "en").count()
+    assert q.count() == expected
