@@ -13,7 +13,7 @@ import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -33,17 +33,31 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark
-        # rejects outright unless this legacy conf is on. It must be set on
-        # whatever session performs the read (callers may not use our
-        # session factory), and it is runtime-settable.
+        # events.parquet's ts encoding has drifted across data generations
+        # (INT64 TIMESTAMP(NANOS), then timestamp[us] without a timezone).
+        # Spark rejects NANOS outright unless this legacy conf is on. It must
+        # be set on whatever session performs the read (callers may not use
+        # our session factory), and it is runtime-settable.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # TIMESTAMP(NANOS) read as int64 via nanosAsLong: floor-divide to
-        # micros (integer math — exact, and matches DuckDB's ns→µs
-        # truncation) and rebuild the timestamp.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        # Normalize ts to one dtype (TIMESTAMP, i.e. LTZ) whatever the file
+        # encoding, so every downstream operator sees a single type:
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
+            # TIMESTAMP(NANOS) read as int64 via nanosAsLong: floor-divide to
+            # micros (integer math — exact, and matches DuckDB's ns→µs
+            # truncation) and rebuild the timestamp.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            # timestamp[us] with no timezone reads as TIMESTAMP_NTZ in
+            # Spark 4, which rejects epoch casts (unix_micros, cast-to-
+            # double). Treat the wall time as UTC — pin the session tz so the
+            # lazy NTZ→LTZ cast is evaluated under UTC regardless of the
+            # caller's session defaults (same instant DuckDB's naive read
+            # yields).
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -23,9 +23,26 @@ result is deterministic under any partitioning.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql.types import TimestampNTZType
 
 from ..data import load_table
+
+
+def _epoch_us(df: DataFrame, col: str) -> Column:
+    """Epoch microseconds for a timestamp column of EITHER dtype.
+
+    `unix_micros` rejects TIMESTAMP_NTZ; for NTZ we difference against the
+    NTZ epoch literal instead — pure wall-clock arithmetic, no session-tz
+    dependence, exact integer µs. Bucketing and range predicates only need
+    the same monotone mapping applied to both sides, which this guarantees
+    even when the two sides have different dtypes (each maps its own wall
+    time/instant to µs)."""
+    if isinstance(df.schema[col].dataType, TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`)"
+        )
+    return F.unix_micros(F.col(col))
 
 
 def asof_join(
@@ -38,8 +55,12 @@ def asof_join(
     """Attach to each `left` row the greatest right-`ts` ≤ its `ts` (same
     `key`), as column `right_ts_as`. Left columns pass through unchanged."""
     lcols = [c for c in left.columns]
+    # The null literal's dtype must match the right side's ts dtype (NTZ vs
+    # LTZ) or the union coerces with an illegal/implicit cast — derive it
+    # from the schema instead of hardcoding "timestamp".
+    ts_type = right.schema[ts].dataType
     tagged = left.select(
-        *lcols, F.lit(1).alias("__side"), F.lit(None).cast("timestamp").alias("__rts")
+        *lcols, F.lit(1).alias("__side"), F.lit(None).cast(ts_type).alias("__rts")
     ).unionByName(
         right.select(
             F.col(key), F.col(ts), F.col(ts).alias("__rts"), F.lit(0).alias("__side")
@@ -68,12 +89,14 @@ def ev_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
     joined = asof_join(purchases, clicks, key="user_id", ts="ts", right_ts_as="click_ts")
+    # timestampdiff works for TIMESTAMP and TIMESTAMP_NTZ alike (unix_micros
+    # rejects NTZ); NULL click_ts propagates to a NULL gap either way.
     return joined.select(
         "event_id",
         "user_id",
         "ts",
         "click_ts",
-        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+        F.expr("timestampdiff(MICROSECOND, click_ts, ts)").alias("gap_us"),
     ).orderBy("event_id")
 
 
@@ -113,21 +136,21 @@ def range_join_count(
     double counting). LEFT semantics: zero-match left rows count 0.
     """
     # integer div, not float-divide-then-cast: µs epochs are near 2^50, where
-    # a double quotient's rounding could (in principle) flip a bucket edge
-    lb = F.expr(f"unix_micros({left_ts}) div {radius_us}")
-    rb = F.expr(f"unix_micros({right_ts}) div {radius_us}")
-    lx = left.withColumn("__b", F.explode(F.array(lb - 1, lb, lb + 1)))
+    # a double quotient's rounding could (in principle) flip a bucket edge.
+    # Epochs via _epoch_us: dtype-agnostic (TIMESTAMP_NTZ rejects unix_micros).
+    lx = left.withColumn("__lus", _epoch_us(left, left_ts))
+    lb = F.expr(f"__lus div {radius_us}")
+    lx = lx.withColumn("__b", F.explode(F.array(lb - 1, lb, lb + 1)))
     rx = right.select(
-        F.col(key).alias("__rk"), F.col(right_ts).alias("__rts"), rb.alias("__rb")
-    )
-    in_range = F.unix_micros(F.col("__rts")).between(
-        F.unix_micros(F.col(left_ts)) - radius_us,
-        F.unix_micros(F.col(left_ts)) + radius_us,
+        F.col(key).alias("__rk"), _epoch_us(right, right_ts).alias("__rus")
+    ).withColumn("__rb", F.expr(f"__rus div {radius_us}"))
+    in_range = F.col("__rus").between(
+        F.col("__lus") - radius_us, F.col("__lus") + radius_us
     )
     return (
         lx.join(rx, (F.col(key) == F.col("__rk")) & (F.col("__b") == F.col("__rb")) & in_range, "left")
         .groupBy(*[F.col(c) for c in left.columns])
-        .agg(F.count("__rts").alias(count_as))
+        .agg(F.count("__rus").alias(count_as))
     )
 
 

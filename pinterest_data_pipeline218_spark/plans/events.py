@@ -99,9 +99,15 @@ def ev_sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     `F.session_window`)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    # Timestamp difference vs an interval literal, NOT cast-to-double: valid
+    # for both TIMESTAMP and TIMESTAMP_NTZ (NTZ rejects numeric casts), and
+    # stays exact integer µs arithmetic instead of double seconds.
+    gap = F.col("ts") - F.lag("ts").over(w)
     flagged = ev.withColumn(
-        "new_sess", F.when(gap > SESSION_GAP_SECONDS, F.lit(1)).otherwise(F.lit(0))
+        "new_sess",
+        F.when(
+            gap > F.expr(f"INTERVAL {SESSION_GAP_SECONDS} SECONDS"), F.lit(1)
+        ).otherwise(F.lit(0)),
     )
     return (
         flagged.groupBy("user_id")

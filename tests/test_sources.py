@@ -86,3 +86,66 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     assert "lang" in pf
     expected = docs.filter(F.col("lang") == "en").count()
     assert q.count() == expected
+
+
+def test_events_ts_encoding_robustness(spark, tmp_path):
+    """The driver's events.parquet ts encoding has drifted across rounds
+    (INT64 TIMESTAMP(NANOS) in r01, timestamp[us] NTZ in r02). load_table
+    must normalize EVERY plausible encoding — nanos, NTZ micros, LTZ
+    micros — to one dtype (TIMESTAMP), and the timestamp operators must run
+    on all of them."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampType
+
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.plans.events import ev_sessions_per_user
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = {
+        "event_id": list(range(6)),
+        "ts": [
+            base,
+            base + dt.timedelta(minutes=5),
+            base + dt.timedelta(hours=2),       # gap > 30 min → new session
+            base,
+            base + dt.timedelta(minutes=40),    # new session
+            base + dt.timedelta(minutes=41),
+        ],
+        "user_id": [1, 1, 1, 2, 2, 2],
+        "event_type": ["click"] * 6,
+        "value": [1.0] * 6,
+        "props": ["{}"] * 6,
+    }
+    encodings = {
+        "nanos": pa.timestamp("ns"),
+        "ntz_us": pa.timestamp("us"),
+        "ltz_us": pa.timestamp("us", tz="UTC"),
+    }
+    expected = {1: 2, 2: 2}
+    for name, ts_type in encodings.items():
+        d = tmp_path / name
+        d.mkdir()
+        table = pa.table(
+            {
+                "event_id": pa.array(rows["event_id"], pa.int64()),
+                "ts": pa.array(rows["ts"], ts_type),
+                "user_id": pa.array(rows["user_id"], pa.int64()),
+                "event_type": pa.array(rows["event_type"], pa.string()),
+                "value": pa.array(rows["value"], pa.float64()),
+                "props": pa.array(rows["props"], pa.string()),
+            }
+        )
+        pq.write_table(table, d / "events.parquet")
+        df = load_table(spark, str(d), "events")
+        assert isinstance(df.schema["ts"].dataType, TimestampType), (
+            f"{name}: expected TIMESTAMP after normalization, got "
+            f"{df.schema['ts'].dataType}"
+        )
+        # same wall-clock instant back out regardless of file encoding
+        got_ts = {r.event_id: r.ts for r in df.collect()}
+        assert got_ts[2].replace(tzinfo=None) == base + dt.timedelta(hours=2), name
+        got = {r.user_id: r.n_sessions for r in ev_sessions_per_user(spark, str(d)).collect()}
+        assert got == expected, f"{name}: {got}"
