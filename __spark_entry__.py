@@ -76,6 +76,7 @@ _TAIL = (
     "text_word_frequencies",  # explode→group-count→top-k = first half of checked tfidf
     "corpus_hash_sample",  # uniform hash sample = single-rate case of checked stratified sampler
     "corpus_split_assign",  # same _doc_pct hash machinery as checked stratified sampler; CASE bucketing checked via t7/t11
+    "dedup_ngram_jaccard",  # same _salted_block_pairs machinery as checked dedup_embedding_neardup; exact-Jaccard scoring checked via minhash-LSH's verify stage. Tailed (green r02) to pull ev_errors_near_purchase inside the window — it had zero driver rows ever.
     # TPC-H completion set (tpch_rest): each query's plan families are already
     # driver-checked — q2 = decorrelated-min rejoin (q17) + dim chain (q5);
     # q9 = multi-way join agg (q5/q7) + derived DECIMAL measure (q1);

@@ -99,40 +99,67 @@ def main() -> None:
     qs = entrymod.queries()
 
     # warm the session: JVM up, parquet footers read, codegen caches primed
-    from pinterest_data_pipeline218_spark.data import load_tables
+    # (per-table isolation: an unreadable table fails its queries, not the run)
+    from pinterest_data_pipeline218_spark.data import TABLES, load_table
 
-    for df in load_tables(spark, sf_dir).values():
-        df.count()
+    for t in TABLES:
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception as exc:  # noqa: BLE001
+            print(f"BENCH WARMUP ERROR {t}: {exc}", file=sys.stderr)
 
-    results: dict[str, float] = {}
+    # Per-query isolation: one broken query must degrade to an {"err": ...}
+    # entry, never kill the harness — a missing bench artifact is worse than
+    # a partial one (the round-2 lesson: one AnalysisException voided the
+    # entire round's performance signal).
+    results: dict[str, object] = {}
+    errors = 0
     for name in HEADLINE:
-        fn = qs[name]
-        # one untimed warm-up per query: the first execution of a large fused
-        # stage pays whole-stage-codegen compilation + JIT tiering (measured
-        # 5-6x on the minhash pipeline), which is one-time cost, not
-        # steady-state throughput
-        force(fn(spark, sf_dir))
-        times = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
+        try:
+            fn = qs[name]
+            # one untimed warm-up per query: the first execution of a large
+            # fused stage pays whole-stage-codegen compilation + JIT tiering
+            # (measured 5-6x on the minhash pipeline), which is one-time
+            # cost, not steady-state throughput
             force(fn(spark, sf_dir))
-            times.append(time.perf_counter() - t0)
-        results[name] = round(statistics.median(times), 4)
+            times = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                force(fn(spark, sf_dir))
+                times.append(time.perf_counter() - t0)
+            results[name] = round(statistics.median(times), 4)
+        except Exception as exc:  # noqa: BLE001 — degrade, don't die
+            errors += 1
+            results[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+            print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
 
-    total = round(sum(results.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "sum_median_sec_per_query",
-                "value": total,
-                "unit": "sec",
-                "queries": results,
-                "sf": sf,
-                "runs": RUNS,
-            }
-        )
-    )
+    total = round(sum(v for v in results.values() if isinstance(v, float)), 4)
+    out = {
+        "metric": "sum_median_sec_per_query",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        "runs": RUNS,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 — ALWAYS emit the JSON line
+        print(f"BENCH FATAL: {exc}", file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": "sum_median_sec_per_query",
+                    "value": None,
+                    "unit": "sec",
+                    "queries": {},
+                    "err": f"{type(exc).__name__}: {exc}"[:500],
+                }
+            )
+        )
