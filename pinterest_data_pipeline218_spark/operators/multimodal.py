@@ -6,11 +6,12 @@ feature-extract / resize / frame-sample run as Arrow-batched Pandas
 functions over `mapInPandas`, so Python touches columnar batches, never
 rows. Heavy media work is partition-parallel and never collects.
 
-The image/audio codec libraries are not in this container, so the decode
-step is a clearly marked stub (`decode_image`) plus a deterministic fake
-feature extractor that keeps the Spark-side plumbing — schema, batch shape,
-partitioning — real and testable. Here the payload is the utf-8 encoding of
-`documents.text`, standing in for image bytes.
+The codec step (`decode_image` / `resize_image`) is import-guarded: it uses
+PIL when the environment provides it and raises a clearly marked
+NotImplementedError otherwise (this container has no codec libraries). A
+deterministic fake feature extractor keeps the Spark-side plumbing — schema,
+batch shape, partitioning — real and testable either way. Here the payload
+is the utf-8 encoding of `documents.text`, standing in for image bytes.
 """
 
 from __future__ import annotations
@@ -30,6 +31,11 @@ from pyspark.sql.types import (
 
 from ..data import load_table
 
+try:  # codec boundary: PIL is optional — kernels degrade to explicit stubs
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # pragma: no cover - env-dependent
+    _PILImage = None
+
 N_FEATURE_BINS = 8
 
 
@@ -44,10 +50,15 @@ def with_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload_bytes: bytes) -> object:
-    """STUB: real image decode requires a codec library not present in this
-    environment. The Spark-side plumbing (schema/batching) is real; swap this
-    body for PIL/opencv in a full deployment."""
-    raise NotImplementedError("image decode requires a codec library (e.g. PIL)")
+    """Decode an image payload. Uses PIL when the environment provides it;
+    otherwise raises the documented codec-boundary stub error. The Spark-side
+    plumbing (schema/batching) is real either way — only this body is
+    environment-dependent."""
+    if _PILImage is None:
+        raise NotImplementedError("image decode requires a codec library (e.g. PIL)")
+    import io
+
+    return _PILImage.open(io.BytesIO(payload_bytes))
 
 
 _META_SCHEMA = StructType(
@@ -111,10 +122,17 @@ def extract_fake_features(df: DataFrame) -> DataFrame:
 
 
 def resize_image(payload_bytes: bytes, width: int, height: int) -> bytes:
-    """STUB: real resize requires a codec library (PIL/opencv) not present
-    in this environment. Plumbing contract: bytes in, bytes out, applied via
-    a mapInPandas kernel shaped exactly like `extract_binary_meta`."""
-    raise NotImplementedError("image resize requires a codec library (e.g. PIL)")
+    """Resize an image payload (bytes in, bytes out — the contract a
+    mapInPandas kernel shaped like `extract_binary_meta` applies per batch).
+    Uses PIL when available; otherwise raises the documented stub error."""
+    if _PILImage is None:
+        raise NotImplementedError("image resize requires a codec library (e.g. PIL)")
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload_bytes))
+    out = io.BytesIO()
+    img.resize((width, height)).save(out, format=img.format or "PNG")
+    return out.getvalue()
 
 
 _FRAME_SCHEMA = StructType(

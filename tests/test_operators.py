@@ -102,13 +102,28 @@ def test_multimodal_kernels_null_safe(spark):
     assert {r.doc_id for r in frames} == {1, 3}
 
 
-def test_decode_image_is_stubbed():
+def test_decode_resize_guarded_by_codec_availability():
+    """decode_image/resize_image use PIL when present and raise the
+    documented stub error when absent — either way the boundary is explicit,
+    never a silent wrong answer."""
     import pytest
 
-    from pinterest_data_pipeline218_spark.operators.multimodal import decode_image
+    from pinterest_data_pipeline218_spark.operators import multimodal as mm
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+    if mm._PILImage is None:
+        with pytest.raises(NotImplementedError):
+            mm.decode_image(b"\x89PNG")
+        with pytest.raises(NotImplementedError):
+            mm.resize_image(b"\x89PNG", 8, 8)
+    else:  # pragma: no cover - env-dependent (PIL absent in this container)
+        import io
+
+        buf = io.BytesIO()
+        mm._PILImage.new("RGB", (4, 4), (255, 0, 0)).save(buf, format="PNG")
+        img = mm.decode_image(buf.getvalue())
+        assert img.size == (4, 4)
+        resized = mm.resize_image(buf.getvalue(), 2, 2)
+        assert mm.decode_image(resized).size == (2, 2)
 
 
 def test_simhash_hamming_close_for_similar_docs(spark):
@@ -387,6 +402,70 @@ def test_connected_components_path_graph_needs_multiple_rounds(spark):
         10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
         99: 99, 200: 200, 300: 200,
     }
+
+
+def test_cc_star_on_long_path_graph(spark):
+    """A 100-node path has diameter 99 — min-label propagation cannot
+    converge within its 20-round cap, and `connected_components` must hand
+    off to the alternating-star algorithm (O(log² n) rounds) rather than
+    silently return partial labels. Checks both the star variant directly
+    and the fallback path."""
+    import pyspark.sql.functions as F
+
+    from pinterest_data_pipeline218_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 100
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    expected = {i: 0 for i in range(n)}
+    got_star = {r.node: r.label for r in connected_components_star(nodes, pairs).collect()}
+    assert got_star == expected
+    got_fallback = {r.node: r.label for r in connected_components(nodes, pairs).collect()}
+    assert got_fallback == expected
+
+
+def test_cc_star_matches_union_find_on_random_graphs(spark):
+    """Property: star CC labels equal a driver-side union-find ground truth
+    on seeded random graphs (mix of singletons, small clusters, chains)."""
+    import random
+
+    from pinterest_data_pipeline218_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n = 60
+        node_ids = rng.sample(range(1000), n)
+        edges = [
+            (rng.choice(node_ids), rng.choice(node_ids)) for _ in range(40)
+        ]
+        parent = {v: v for v in node_ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {v: find(v) for v in node_ids}
+
+        nodes = spark.createDataFrame([(v,) for v in node_ids], ["node"])
+        pairs = spark.createDataFrame(edges, ["a", "b"])
+        got = {
+            r.node: r.label
+            for r in connected_components_star(nodes, pairs).collect()
+        }
+        assert got == expected, f"trial {trial}"
 
 
 def test_cluster_cc_covers_all_docs_and_respects_pairs(spark):
