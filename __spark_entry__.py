@@ -55,6 +55,11 @@ _MODULES = (
 # window. Every tailed query remains fully exercised by pytest and
 # tools/selfcheck.py, which cover the complete registry.
 _TAIL = (
+    "mm_fake_features",  # third kernel of the mapInPandas plumbing family; the 1→1 (mm_binary_meta) and 1→N (mm_frame_sample) shapes stay driver-checked. Green r01+r02; tailed to admit text_repetition_score.
+    "text_langid",  # thresholded rendering of the same scan-local stopword-ratio expression checked via text_quality_score. Green r01+r02; tailed to admit text_decontaminate.
+    "ev_sliding_1h_value",  # RANGE-interval frame; window-frame family driver-checked via ev_running_total (ROWS) — selfcheck covers this one
+    "sim_ivf_multiprobe",  # nprobe=2 rendering of the driver-checked sim_ivf_topk machinery (same quantizer/centroids; only the best-cells LIMIT differs)
+    "corpus_mixture_sample",  # same _doc_pct filter machinery as the checked stratified sampler; the data-derived rate join is selfcheck/oracle-verified
     "user_oldest_nulls_last",  # O4 showcase; ordering proved by selfcheck + pytest
     "t8_compat_window_median",  # value-identical to t8 (proved in r01)
     "ev_salted_stats",  # oracle-identical to ev_stats_by_type by design

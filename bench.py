@@ -80,6 +80,9 @@ HEADLINE = [
     "corpus_chunk_tokens",
     "ev_asof_click_before_purchase",
     "ev_errors_near_purchase",
+    "text_repetition_score",
+    "text_decontaminate",
+    "ev_sliding_1h_value",
 ]
 
 

@@ -235,6 +235,61 @@ ORDER BY doc_id
 """
 
 
+MIX_SEED = 71
+# temperature T=2 (alpha = 1/T = 0.5): the mixture flattens toward the small
+# sources — keep-rate_s = 100 * sqrt(n_min / n_s), i.e. kept_s ∝ sqrt(n_s),
+# the standard temperature-sampling rebalance a multi-source corpus applies.
+
+
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted language mixing with DATA-DERIVED rates (unlike
+    corpus_stratified_sample's static table): per-language keep-rates are
+    computed from the live per-language counts so kept_l ∝ n_l^(1/T), then
+    applied as the same deterministic id-hash filter. (The mixture key is
+    `lang` because it is the skewed axis of this corpus — `source` is
+    uniform here, and a mixture over balanced strata is a no-op by design.)
+
+    Scale shape: one |sources| aggregate (map-side combined), a 1-row min
+    crossJoin (always broadcast), a rates⋈docs join that AQE broadcasts
+    (|sources| rows), and the scan-local hash filter. No driver collect —
+    the rates live in the plan.
+
+    Cross-engine exactness: the rate is floor(100·sqrt(n_min/n_s)) — IEEE
+    division, sqrt, and multiplication are all correctly-rounded (unlike
+    pow/log, which are libm-dependent), so both engines derive identical
+    integer rates."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    nmin = counts.agg(F.min("n_l").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        "lang",
+        F.floor(F.lit(100.0) * F.sqrt(F.col("n_min") / F.col("n_l")))
+        .cast("int")
+        .alias("rate"),
+    )
+    return (
+        docs.join(rates, "lang")
+        .filter(_doc_pct(MIX_SEED) < F.col("rate"))
+        .select("doc_id", "lang", "rate")
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_MIXTURE_SQL = f"""
+WITH counts AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+nmin AS (SELECT MIN(n_l) AS n_min FROM counts),
+rates AS (
+  SELECT lang,
+         CAST(FLOOR(100.0 * SQRT(CAST(n_min AS DOUBLE) / n_l)) AS INT) AS rate
+  FROM counts CROSS JOIN nmin
+)
+SELECT doc_id, d.lang AS lang, rate
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE {_doc_pct_sql(MIX_SEED)} < rate
+ORDER BY doc_id
+"""
+
+
 def write_training_corpus(df: DataFrame, out_dir: str) -> None:
     """Persist the training rows partitioned by split: downstream training
     readers scan only their split's directory (PartitionFilters prune)."""
@@ -246,6 +301,7 @@ QUERIES = {
     "corpus_split_assign": corpus_split_assign,
     "corpus_chunk_tokens": corpus_chunk_tokens,
     "corpus_stratified_sample": corpus_stratified_sample,
+    "corpus_mixture_sample": corpus_mixture_sample,
 }
 
 ORACLE = {
@@ -253,4 +309,5 @@ ORACLE = {
     "corpus_split_assign": CORPUS_SPLIT_SQL,
     "corpus_chunk_tokens": CORPUS_CHUNK_SQL,
     "corpus_stratified_sample": CORPUS_STRATIFIED_SQL,
+    "corpus_mixture_sample": CORPUS_MIXTURE_SQL,
 }

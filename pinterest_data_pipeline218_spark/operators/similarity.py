@@ -141,9 +141,9 @@ def ann_index_topk(spark: SparkSession, index_path: str, query_vec_id: int = QUE
 QUANT = 1 << 20  # centroid quantization: trunc(val * 2^20) per component
 
 
-def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse cells = `label`; probe only the query's nearest
-    cell, exact cosine within it.
+def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """IVF-style ANN: coarse cells = `label`; probe the query's `nprobe`
+    nearest cells, exact cosine within them.
 
     The coarse quantizer is engine-exact by construction: each component is
     truncated to a 2^-20 grid and *summed* per (cell, dim) as integers —
@@ -151,7 +151,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks cells identically to the mean, with no float accumulation order
     or decimal-division drift. At scale: the centroid table is tiny
     (|cells| x dim, broadcast), the probe is a partition-pruned scan when
-    the table is written partitioned by cell.
+    the table is written partitioned by cell. `nprobe` is the standard
+    IVF recall lever: cost grows linearly (nprobe/|cells| of the corpus
+    scanned), recall approaches exact as nprobe → |cells|.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double_array("embedding").alias("v")
@@ -174,7 +176,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids.crossJoin(F.broadcast(qrow))
         .select("label", cosine(F.col("c"), F.col("q")).alias("cell_cos"))
         .orderBy(F.desc("cell_cos"), F.asc("label"))
-        .limit(1)
+        .limit(nprobe)
         .select("label")
     )
     return (
@@ -191,7 +193,22 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_sql() -> str:
+NPROBE = 2
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-cell IVF probe (nprobe=1): the cheapest ANN configuration."""
+    return _ivf_topk(spark, sf_dir, nprobe=1)
+
+
+def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF (nprobe=2): scans the 2 nearest cells — the recall
+    configuration a production ANN service actually runs (single-probe
+    misses neighbors that sit just across a cell boundary)."""
+    return _ivf_topk(spark, sf_dir, nprobe=NPROBE)
+
+
+def _ivf_sql(nprobe: int = 1) -> str:
     cell_cos = cosine_sql_duckdb("c.c", "q.q")
     cos = cosine_sql_duckdb("e.v", "q.q")
     return f"""
@@ -211,7 +228,7 @@ centroids AS (
 q AS (SELECT v AS q FROM e WHERE vec_id = {QUERY_VEC_ID}),
 best AS (
   SELECT c.label FROM centroids c CROSS JOIN q
-  ORDER BY {cell_cos} DESC, c.label ASC LIMIT 1
+  ORDER BY {cell_cos} DESC, c.label ASC LIMIT {nprobe}
 )
 SELECT e.vec_id AS vec_id, e.label AS label, CAST(ROUND({cos}, 6) AS DOUBLE) AS cos_sim
 FROM e JOIN best ON e.label = best.label CROSS JOIN q
@@ -259,10 +276,12 @@ QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_ivf_multiprobe": sim_ivf_multiprobe,
 }
 
 ORACLE = {
     "sim_topk_bruteforce": SIM_TOPK_SQL,
     "sim_ann_lsh": _ann_sql(),
     "sim_ivf_topk": _ivf_sql(),
+    "sim_ivf_multiprobe": _ivf_sql(NPROBE),
 }

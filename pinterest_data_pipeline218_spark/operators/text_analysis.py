@@ -255,6 +255,151 @@ ORDER BY doc_id
 """
 
 
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filtering (the Gopher/C4-family rules): per
+    document, the duplicate-bigram fraction and the mass of the single most
+    frequent bigram, plus the keep/drop gate a pretraining pipeline applies.
+
+    Scale shape: explode bigrams → (doc, gram) counts → per-doc aggregate.
+    One shuffle keyed on (doc_id, gram) with map-side partial aggregation;
+    the per-doc rollup reuses the same doc_id-prefixed partitioning. The
+    scan-local HOF alternative (array_max over per-element counts) is O(d²)
+    per doc and interpreted — fine at 100-token docs, pathological on long
+    ones, so the exploded form is the one that survives 100 TB.
+
+    Fractions are double quotients of exact integer counts — bit-identical
+    cross-engine. Docs with <2 tokens have no bigrams: NULL fractions,
+    keep=true (nothing repeated).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = T.word_shingles(T.tokens(F.col("text")), 2)
+    per = (
+        docs.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("max_c"),
+    )
+    dup_frac = (F.col("n_grams") - F.col("n_distinct")) / F.col("n_grams")
+    top_frac = F.col("max_c") / F.col("n_grams")
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            dup_frac.alias("dup_gram_frac"),
+            top_frac.alias("top_gram_frac"),
+            F.when(F.col("n_grams").isNull(), F.lit(True))
+            .otherwise((dup_frac <= 0.3) & (top_frac <= 0.2))
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_GRAMS2 = T.word_shingles_sql("string_split(text, ' ')", 2)
+TEXT_REPETITION_SQL = f"""
+WITH g AS (
+  SELECT doc_id, unnest({_GRAMS2}) AS g FROM documents
+), per AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g
+), agg AS (
+  -- CAST: DuckDB SUM yields HUGEINT; BIGINT matches Spark's long
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+         COUNT(*) AS n_distinct, MAX(c) AS max_c
+  FROM per GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id,
+       COALESCE(a.n_grams, 0) AS n_grams,
+       (a.n_grams - a.n_distinct) / a.n_grams AS dup_gram_frac,
+       a.max_c / a.n_grams AS top_gram_frac,
+       CASE WHEN a.n_grams IS NULL THEN true
+            ELSE (a.n_grams - a.n_distinct) / a.n_grams <= 0.3
+                 AND a.max_c / a.n_grams <= 0.2 END AS keep
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY doc_id
+"""
+
+
+# Decontamination: which training docs share an n-gram with the held-out
+# eval set. The benchmark stand-in is a deterministic corpus slice.
+DECON_NGRAM, DECON_BENCH_MOD, DECON_BENCH_RESIDUE = 5, 17, 3
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: flag training documents sharing any
+    5-word n-gram with the "benchmark" slice (doc_id % 17 == 3 stands in for
+    an eval set) — the decontamination pass every serious pretraining corpus
+    runs before training.
+
+    Scale shape: both sides' n-grams are md5-hashed to 60-bit longs at the
+    scan (functions/text.token_hash equivalent — fixed-width join keys
+    shuffle ~4x smaller than the gram strings), per-doc distinct applied
+    scan-local BEFORE the explode so the join stream carries each (doc,
+    gram) once. The benchmark side is distinct-deduped and joined hint-free:
+    real eval sets are broadcast-sized, and AQE broadcasts them when they
+    fit, but nothing breaks when someone decontaminates against a huge
+    corpus instead. Output: contaminated docs only, with hit counts for
+    audit."""
+    docs = load_table(spark, sf_dir, "documents")
+    gram_hashes = F.array_distinct(
+        F.transform(
+            T.word_shingles(T.tokens(F.col("text")), DECON_NGRAM),
+            lambda g: T.token_hash(g),
+        )
+    )
+    is_bench = (F.col("doc_id") % DECON_BENCH_MOD) == DECON_BENCH_RESIDUE
+    hashed = docs.select("doc_id", gram_hashes.alias("ghs"))
+    bench = (
+        hashed.filter(is_bench)
+        .select(F.explode("ghs").alias("gh"))
+        .distinct()
+    )
+    train = hashed.filter(~is_bench).select(
+        "doc_id", F.size("ghs").alias("n_doc_ngrams"), F.explode("ghs").alias("gh")
+    )
+    return (
+        train.join(bench, "gh")
+        .groupBy("doc_id", "n_doc_ngrams")
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+        .select(
+            "doc_id",
+            "n_hit_ngrams",
+            "n_doc_ngrams",
+            (F.col("n_hit_ngrams") / F.col("n_doc_ngrams")).alias("contamination_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_GRAMSN = T.word_shingles_sql("string_split(text, ' ')", DECON_NGRAM)
+_GH = T.token_hash_sql("g")
+TEXT_DECONTAMINATE_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id,
+         list_distinct(list_transform({_GRAMSN}, g -> {_GH})) AS ghs
+  FROM documents
+), bench AS (
+  SELECT DISTINCT unnest(ghs) AS gh FROM hashed
+  WHERE doc_id % {DECON_BENCH_MOD} = {DECON_BENCH_RESIDUE}
+), train AS (
+  SELECT doc_id, len(ghs) AS n_doc_ngrams, unnest(ghs) AS gh FROM hashed
+  WHERE doc_id % {DECON_BENCH_MOD} != {DECON_BENCH_RESIDUE}
+)
+SELECT t.doc_id AS doc_id,
+       COUNT(*) AS n_hit_ngrams,
+       n_doc_ngrams,
+       COUNT(*) / n_doc_ngrams AS contamination_frac
+FROM train t JOIN bench b ON t.gh = b.gh
+GROUP BY t.doc_id, n_doc_ngrams
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -263,6 +408,8 @@ QUERIES = {
     "text_word_frequencies": text_word_frequencies,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "text_pii_redact": text_pii_redact,
+    "text_repetition_score": text_repetition_score,
+    "text_decontaminate": text_decontaminate,
 }
 
 ORACLE = {
@@ -273,4 +420,6 @@ ORACLE = {
     "text_word_frequencies": TEXT_WORD_FREQ_SQL,
     "text_tfidf_top_terms": TEXT_TFIDF_SQL,
     "text_pii_redact": TEXT_PII_SQL,
+    "text_repetition_score": TEXT_REPETITION_SQL,
+    "text_decontaminate": TEXT_DECONTAMINATE_SQL,
 }

@@ -316,6 +316,44 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def ev_sliding_1h_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: the same user's event count and value sum over the
+    PRECEDING hour — a time-RANGE window frame (`RANGE BETWEEN INTERVAL 1
+    HOUR PRECEDING AND CURRENT ROW`), the W-family member ROWS frames can't
+    express (the frame is defined by the ORDER-BY value, not row position,
+    so ties and gaps behave correctly by construction).
+
+    Scale: one shuffle on user_id + one sort — identical cost profile to
+    ev_running_total; Spark's range-frame machinery keeps a sliding
+    aggregate state, not the whole frame. RANGE aggregates are
+    order-insensitive within ts ties, so the result is deterministic
+    without an event_id tiebreak. DECIMAL keeps the sum exact."""
+    ev = load_table(spark, sf_dir, "events")
+    over = (
+        "OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.expr(f"count(*) {over}").alias("n_1h"),
+        F.expr(f"cast(sum(cast(value as decimal(18,2))) {over} as double)").alias(
+            "value_1h"
+        ),
+    ).orderBy("event_id")
+
+
+EV_SLIDING_SQL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "ev_counts_hourly": ev_counts_hourly,
     "ev_stats_by_type": ev_stats_by_type,
@@ -328,6 +366,7 @@ QUERIES = {
     "ev_pivot_type_counts": ev_pivot_type_counts,
     "ev_cube_type_dow": ev_cube_type_dow,
     "ev_approx_distinct_users": ev_approx_distinct_users,
+    "ev_sliding_1h_value": ev_sliding_1h_value,
 }
 
 ORACLE = {
@@ -344,4 +383,5 @@ ORACLE = {
     # ev_approx_distinct_users: deliberately no oracle — sketch estimates are
     # engine-specific; the driver runs its rows-only check, pytest bounds the
     # error vs the exact count
+    "ev_sliding_1h_value": EV_SLIDING_SQL,
 }

@@ -77,6 +77,44 @@ def write_partitioned(
     df.write.format(fmt).mode(mode).partitionBy(*partition_by).save(path)
 
 
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Spark's `binaryFile` source: each matching file becomes one row of
+    (path, modificationTime, length, content BINARY) — the ingestion path
+    for a multimodal corpus (images/audio/video land as opaque binary
+    columns with typed metadata, exactly the contract operators/multimodal
+    consumes). `pathGlobFilter` prunes by extension at listing time, so
+    non-matching files are never opened."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    num_buckets: int = 16,
+    sort_by: str | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Bucketed table write (`bucketBy` + `saveAsTable`): rows are
+    hash-distributed into a fixed bucket count on the join/agg key at WRITE
+    time. Two tables bucketed the same way join with ZERO exchange — the
+    shuffle is paid once at layout time instead of per query, which is the
+    single biggest lever for a fact⋈fact join an analytics engine re-runs
+    daily at 100 TB. (Bucketing requires the table catalog: `saveAsTable`,
+    not `save(path)`.)"""
+    w = df.write.format(fmt).mode("overwrite").bucketBy(num_buckets, bucket_by)
+    if sort_by is not None:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -22,6 +22,32 @@ def test_ann_results_subset_of_bruteforce_scores(spark):
             assert abs(brute[r.vec_id] - r.cos_sim) < 1e-9
 
 
+def test_ivf_multiprobe_dominates_single_probe(spark):
+    """nprobe=2 must recall at least as many true top-k neighbors as
+    nprobe=1 (strictly more whenever a neighbor sits across the first cell
+    boundary), and both probe sets must score candidates identically to
+    brute force where they overlap."""
+    from pinterest_data_pipeline218_spark.operators.similarity import (
+        sim_ivf_multiprobe,
+        sim_ivf_topk,
+        sim_topk_bruteforce,
+    )
+
+    truth = [r.vec_id for r in sim_topk_bruteforce(spark, SF).collect()]
+    brute = dict(
+        (r.vec_id, r.cos_sim) for r in sim_topk_bruteforce(spark, SF).collect()
+    )
+    one = {r.vec_id: r.cos_sim for r in sim_ivf_topk(spark, SF).collect()}
+    two = {r.vec_id: r.cos_sim for r in sim_ivf_multiprobe(spark, SF).collect()}
+    hit1 = len(set(truth) & set(one))
+    hit2 = len(set(truth) & set(two))
+    assert hit2 >= hit1
+    for got in (one, two):
+        for vid, s in got.items():
+            if vid in brute:
+                assert abs(brute[vid] - s) < 1e-9
+
+
 def test_minhash_candidates_cover_high_jaccard_pairs(spark):
     """LSH with 4 bands × 2 rows: a pair at Jaccard j is caught with
     probability 1-(1-j²)⁴ (≈0.68 at j=0.5, →1 as j→1). Most truth pairs on

@@ -414,3 +414,52 @@ def test_tpch_rest_follows_broadcast_policy_and_pushdown(spark, qs):
     assert "EqualTo(p_size,15)" in p2
     p9 = _formatted_plan(qs["tpch_q9_product_profit"](spark, SF))
     assert "StringContains(p_name,gear)" in p9
+
+
+def test_decontaminate_is_hint_free_and_pruned(spark, qs):
+    """text_decontaminate's gram join must carry no forced broadcast (the
+    'benchmark' side grows with whatever corpus it's built from), and both
+    branches must read only the columns they need from the scan."""
+    plan = _formatted_plan(qs["text_decontaminate"](spark, SF))
+    # no hint: logical plan must not contain ResolvedHint (hint-free contract)
+    logical = (
+        qs["text_decontaminate"](spark, SF)
+        ._jdf.queryExecution()
+        .logical()
+        .toString()
+    )
+    assert "ResolvedHint" not in logical
+    # column pruning: the scan reads doc_id + text only
+    read = plan.split("ReadSchema")[1][:200]
+    assert "text" in read and "doc_id" in read
+    assert "source" not in read and "lang" not in read
+
+
+def test_repetition_has_partial_aggregation(spark, qs):
+    """The bigram counting must map-side combine: two HashAggregate pairs
+    (partial+final) around each exchange, or the (doc,gram) stream shuffles
+    at full width."""
+    plan = qs["text_repetition_score"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 4 or plan.count("ObjectHashAggregate") >= 4, plan
+
+
+def test_sliding_range_window_single_user_exchange(spark, qs):
+    """ev_sliding_1h_value must shuffle once on user_id for the window (plus
+    the output range sort) — a second hash exchange would mean the frame
+    machinery re-partitioned needlessly."""
+    plan = qs["ev_sliding_1h_value"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_mixture_rates_join_is_hint_free(spark, qs):
+    """corpus_mixture_sample: the rates⋈docs join must be hint-free (AQE
+    broadcasts the |langs|-row side at runtime); only the 1-row n_min
+    aggregate may carry an explicit broadcast."""
+    logical = (
+        qs["corpus_mixture_sample"](spark, SF)
+        ._jdf.queryExecution()
+        .logical()
+        .toString()
+    )
+    # exactly the one deliberate broadcast hint (the 1-row min aggregate)
+    assert logical.count("broadcast") <= 1, logical

@@ -149,3 +149,50 @@ def test_events_ts_encoding_robustness(spark, tmp_path):
         assert got_ts[2].replace(tzinfo=None) == base + dt.timedelta(hours=2), name
         got = {r.user_id: r.n_sessions for r in ev_sessions_per_user(spark, str(d)).collect()}
         assert got == expected, f"{name}: {got}"
+
+
+def test_binary_dir_source_rows_and_glob(spark, tmp_path):
+    """binaryFile source: one row per file with content bytes; the glob
+    filter prunes at listing time (non-matching files never read)."""
+    from pinterest_data_pipeline218_spark.sources.batch import read_binary_dir
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.img").write_bytes(b"\x89fakepng-a")
+    (d / "b.img").write_bytes(b"\x89fakepng-bb")
+    (d / "notes.txt").write_bytes(b"not media")
+    df = read_binary_dir(spark, str(d), glob="*.img")
+    rows = {r.path.rsplit("/", 1)[-1]: (r.length, bytes(r.content)) for r in df.collect()}
+    assert rows == {
+        "a.img": (10, b"\x89fakepng-a"),
+        "b.img": (11, b"\x89fakepng-bb"),
+    }
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with no
+    Exchange in the plan — the write-time shuffle replaces the query-time
+    one. This is the layout contract write_bucketed exists to provide."""
+    import pyspark.sql.functions as F
+
+    from pinterest_data_pipeline218_spark.sources.batch import write_bucketed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    other = docs.select("doc_id", F.col("n_chars").alias("m"))
+    write_bucketed(docs, "bk_docs", "doc_id", num_buckets=4, sort_by="doc_id")
+    write_bucketed(other, "bk_other", "doc_id", num_buckets=4, sort_by="doc_id")
+    try:
+        # hint("merge"): at test scale the planner would broadcast instead
+        # (its own exchange); production fact⋈fact sizes get SMJ naturally.
+        joined = spark.table("bk_docs").hint("merge").join(
+            spark.table("bk_other"), "doc_id"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == docs.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_docs")
+        spark.sql("DROP TABLE IF EXISTS bk_other")
