@@ -147,14 +147,19 @@ def build_training_corpus(
     sf_dir: str,
     quality_threshold: float = QUALITY_THRESHOLD,
     sample_pct: int = 100,
+    repetition_gate: bool = False,
+    decontaminate: bool = False,
 ) -> DataFrame:
     """The end-to-end corpus build a training pipeline runs, composed from
     the same operator expressions the gated queries use:
 
-      quality filter → exact-dedup compact (keeper = min doc_id) →
+      quality filter → [repetition gate] → [decontamination] →
+      exact-dedup compact (keeper = min doc_id) →
       deterministic hash sample → split assign → token chunking
 
-    Everything up to the dedup semi-join is scan-local; the dedup adds one
+    Everything up to the dedup semi-join is scan-local; the optional gates
+    add one (doc,bigram) aggregate semi-join (repetition) and one hashed
+    n-gram anti-join vs the eval slice (decontamination); the dedup adds one
     |distinct-digests| shuffle + a keeper semi-join; chunking fans out at
     the scan. Returns training rows (doc_id, split, chunk_idx, n_tokens,
     chunk_text) — write with `write_training_corpus` to get a
@@ -162,6 +167,16 @@ def build_training_corpus(
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = T.tokens(F.col("text"))
     good = docs.filter(T.quality_score(toks) >= quality_threshold)
+    if repetition_gate:
+        from .text_analysis import repetition_flags
+
+        keep_ids = repetition_flags(docs).filter(F.col("keep")).select("doc_id")
+        good = good.join(keep_ids, "doc_id", "left_semi")
+    if decontaminate:
+        from .text_analysis import contamination_report
+
+        dirty_ids = contamination_report(docs).select("doc_id")
+        good = good.join(dirty_ids, "doc_id", "left_anti")
     keepers = (
         good.groupBy(F.md5("text").alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))

@@ -255,23 +255,10 @@ ORDER BY doc_id
 """
 
 
-def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Repetition-based quality filtering (the Gopher/C4-family rules): per
-    document, the duplicate-bigram fraction and the mass of the single most
-    frequent bigram, plus the keep/drop gate a pretraining pipeline applies.
-
-    Scale shape: explode bigrams → (doc, gram) counts → per-doc aggregate.
-    One shuffle keyed on (doc_id, gram) with map-side partial aggregation;
-    the per-doc rollup reuses the same doc_id-prefixed partitioning. The
-    scan-local HOF alternative (array_max over per-element counts) is O(d²)
-    per doc and interpreted — fine at 100-token docs, pathological on long
-    ones, so the exploded form is the one that survives 100 TB.
-
-    Fractions are double quotients of exact integer counts — bit-identical
-    cross-engine. Docs with <2 tokens have no bigrams: NULL fractions,
-    keep=true (nothing repeated).
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def repetition_flags(docs: DataFrame) -> DataFrame:
+    """DataFrame→DataFrame combinator behind text_repetition_score (also
+    composed into corpus.build_training_corpus): per doc_id the bigram
+    stats + keep gate. Expects columns (doc_id, text)."""
     grams = T.word_shingles(T.tokens(F.col("text")), 2)
     per = (
         docs.select("doc_id", F.explode(grams).alias("g"))
@@ -299,6 +286,24 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filtering (the Gopher/C4-family rules): per
+    document, the duplicate-bigram fraction and the mass of the single most
+    frequent bigram, plus the keep/drop gate a pretraining pipeline applies.
+
+    Scale shape: explode bigrams → (doc, gram) counts → per-doc aggregate.
+    One shuffle keyed on (doc_id, gram) with map-side partial aggregation;
+    the per-doc rollup reuses the same doc_id-prefixed partitioning. The
+    scan-local HOF alternative (array_max over per-element counts) is O(d²)
+    per doc and interpreted — fine at 100-token docs, pathological on long
+    ones, so the exploded form is the one that survives 100 TB.
+
+    Fractions are double quotients of exact integer counts — bit-identical
+    cross-engine. Docs with <2 tokens have no bigrams: NULL fractions,
+    keep=true (nothing repeated)."""
+    return repetition_flags(load_table(spark, sf_dir, "documents"))
 
 
 _GRAMS2 = T.word_shingles_sql("string_split(text, ' ')", 2)
@@ -345,7 +350,12 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit, but nothing breaks when someone decontaminates against a huge
     corpus instead. Output: contaminated docs only, with hit counts for
     audit."""
-    docs = load_table(spark, sf_dir, "documents")
+    return contamination_report(load_table(spark, sf_dir, "documents"))
+
+
+def contamination_report(docs: DataFrame) -> DataFrame:
+    """DataFrame→DataFrame combinator behind text_decontaminate (also
+    composed into corpus.build_training_corpus). Expects (doc_id, text)."""
     gram_hashes = F.array_distinct(
         F.transform(
             T.word_shingles(T.tokens(F.col("text")), DECON_NGRAM),

@@ -75,13 +75,19 @@ def cmd_queries(args: argparse.Namespace) -> None:
 
 
 def cmd_corpus(args: argparse.Namespace) -> None:
-    """Training-corpus build: quality filter → dedup → sample → split →
-    chunk → split-partitioned parquet."""
+    """Training-corpus build: quality filter → [repetition gate] →
+    [decontamination] → dedup → sample → split → chunk →
+    split-partitioned parquet."""
     from .operators.corpus import build_training_corpus, write_training_corpus
 
     spark = get_spark("corpus")
     rows = build_training_corpus(
-        spark, args.sf_dir, quality_threshold=args.quality, sample_pct=args.sample_pct
+        spark,
+        args.sf_dir,
+        quality_threshold=args.quality,
+        sample_pct=args.sample_pct,
+        repetition_gate=args.repetition_gate,
+        decontaminate=args.decontaminate,
     )
     write_training_corpus(rows, args.out)
     back = spark.read.parquet(args.out)
@@ -114,6 +120,8 @@ def main() -> None:
     c.add_argument("--out", required=True)
     c.add_argument("--quality", type=float, default=0.5)
     c.add_argument("--sample-pct", type=int, default=100)
+    c.add_argument("--repetition-gate", action=argparse.BooleanOptionalAction, default=False)
+    c.add_argument("--decontaminate", action=argparse.BooleanOptionalAction, default=False)
     c.set_defaults(fn=cmd_corpus)
     args = p.parse_args()
     args.fn(args)

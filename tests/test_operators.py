@@ -278,6 +278,38 @@ def test_range_join_count_edges(spark):
     assert out == {1: 4, 2: 0}
 
 
+def test_training_corpus_gates_exclude_flagged_docs(spark):
+    """With repetition_gate and decontaminate on, the built corpus must
+    contain no doc the repetition gate drops and no contaminated doc —
+    and be a subset of the ungated build."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.operators.corpus import (
+        build_training_corpus,
+    )
+    from pinterest_data_pipeline218_spark.operators.text_analysis import (
+        contamination_report,
+        repetition_flags,
+    )
+
+    base_ids = {
+        r.doc_id for r in build_training_corpus(spark, SF).select("doc_id").distinct().collect()
+    }
+    gated_ids = {
+        r.doc_id
+        for r in build_training_corpus(
+            spark, SF, repetition_gate=True, decontaminate=True
+        ).select("doc_id").distinct().collect()
+    }
+    assert gated_ids <= base_ids
+    docs = load_table(spark, SF, "documents")
+    dropped_rep = {
+        r.doc_id for r in repetition_flags(docs).filter(~F.col("keep")).collect()
+    }
+    dirty = {r.doc_id for r in contamination_report(docs).collect()}
+    assert gated_ids.isdisjoint(dropped_rep)
+    assert gated_ids.isdisjoint(dirty)
+
+
 def test_training_corpus_pipeline_end_to_end(spark, tmp_path):
     """The composed corpus build: every surviving doc passes the quality
     bar, duplicate-text docs are collapsed to one keeper, every chunk
