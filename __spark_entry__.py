@@ -60,6 +60,7 @@ _TAIL = (
     "ev_sliding_1h_value",  # RANGE-interval frame; window-frame family driver-checked via ev_running_total (ROWS) — selfcheck covers this one
     "sim_ivf_multiprobe",  # nprobe=2 rendering of the driver-checked sim_ivf_topk machinery (same quantizer/centroids; only the best-cells LIMIT differs)
     "corpus_mixture_sample",  # same _doc_pct filter machinery as the checked stratified sampler; the data-derived rate join is selfcheck/oracle-verified
+    "dedup_cluster_cc_star",  # alternating-star rendering of the checked dedup_cluster_cc (identical oracle); algorithm additionally property-tested vs union-find
     "user_oldest_nulls_last",  # O4 showcase; ordering proved by selfcheck + pytest
     "t8_compat_window_median",  # value-identical to t8 (proved in r01)
     "ev_salted_stats",  # oracle-identical to ev_stats_by_type by design

@@ -535,12 +535,26 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
       iteration order, hence deterministic and oracle-checkable (DuckDB
       recursive CTE computes the same closure).
     """
+    return _cluster_cc(spark, sf_dir, connected_components)
+
+
+def dedup_cluster_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_cluster_cc computed by the alternating large-star/small-star
+    algorithm instead of min-label propagation — same contract, same
+    oracle (both produce the exact min-reachable-id labeling), O(log² n)
+    rounds regardless of component diameter. Gated separately so the star
+    implementation carries its own full value-hash correctness check, not
+    just the property tests."""
+    return _cluster_cc(spark, sf_dir, connected_components_star)
+
+
+def _cluster_cc(spark: SparkSession, sf_dir: str, cc_fn) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = _lsh_verified_pairs(spark, sf_dir, CC_JACCARD_THRESHOLD).select(
         "doc_a", "doc_b"
     )
     nodes = docs.select(F.col("doc_id").alias("node"))
-    labels = connected_components(nodes, pairs)
+    labels = cc_fn(nodes, pairs)
     return (
         labels.select(
             F.col("node").alias("doc_id"),
@@ -603,12 +617,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode_outer: a NULL-text doc keeps its row (h NULL -> all bit counts
     # NULL -> simhash 0), matching the oracle; a plain explode would silently
     # drop the doc_id from the output
+    # explode the NATIVE distinct-token array and hash per exploded row:
+    # the md5 then runs as a codegen'd scalar, not inside an interpreted
+    # transform lambda (token_hash(NULL) is NULL, preserving the
+    # explode_outer NULL-doc contract)
     exploded = docs.select(
-        "doc_id",
-        F.explode_outer(
-            F.transform(T.distinct_tokens(F.col("text")), lambda t: T.token_hash(t))
-        ).alias("h"),
-    )
+        "doc_id", F.explode_outer(T.distinct_tokens(F.col("text"))).alias("tok")
+    ).select("doc_id", T.token_hash(F.col("tok")).alias("h"))
     counts = exploded.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
         *[
@@ -799,6 +814,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_cluster_cc": dedup_cluster_cc,
+    "dedup_cluster_cc_star": dedup_cluster_cc_star,
     "dedup_incremental_lsh": dedup_incremental_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -810,6 +826,7 @@ ORACLE = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_cluster_cc": _cluster_cc_sql(),
+    "dedup_cluster_cc_star": _cluster_cc_sql(),
     "dedup_incremental_lsh": _incremental_sql(),
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,

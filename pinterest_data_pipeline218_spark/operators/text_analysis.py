@@ -255,14 +255,32 @@ ORDER BY doc_id
 """
 
 
+def _gram_rows(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gram) — one row per n-word shingle, built the codegen'd way:
+    explode a position sequence, then assemble the gram from element_at +
+    concat as PLAIN scalar expressions. Exploding a lambda-built shingle
+    ARRAY instead (word_shingles + explode) measured 10-20x slower at
+    sf0.1 — higher-order-function arrays are interpreted per element and
+    their Generate doesn't get whole-stage codegen; this form pipelines
+    into the scan. Docs shorter than n emit no rows (greatest(...,0) makes
+    the sequence empty)."""
+    toked = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    seq = F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(0)))
+    ex = toked.select("doc_id", "toks", F.explode(seq).alias("i"))
+    pieces = [F.element_at(F.col("toks"), F.col("i") + j) for j in range(n)]
+    g = pieces[0]
+    for p in pieces[1:]:
+        g = F.concat(g, F.lit(" "), p)
+    return ex.select("doc_id", g.alias("gram"))
+
+
 def repetition_flags(docs: DataFrame) -> DataFrame:
     """DataFrame→DataFrame combinator behind text_repetition_score (also
     composed into corpus.build_training_corpus): per doc_id the bigram
     stats + keep gate. Expects columns (doc_id, text)."""
-    grams = T.word_shingles(T.tokens(F.col("text")), 2)
     per = (
-        docs.select("doc_id", F.explode(grams).alias("g"))
-        .groupBy("doc_id", "g")
+        _gram_rows(docs, 2)
+        .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     agg = per.groupBy("doc_id").agg(
@@ -355,27 +373,27 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def contamination_report(docs: DataFrame) -> DataFrame:
     """DataFrame→DataFrame combinator behind text_decontaminate (also
-    composed into corpus.build_training_corpus). Expects (doc_id, text)."""
-    gram_hashes = F.array_distinct(
-        F.transform(
-            T.word_shingles(T.tokens(F.col("text")), DECON_NGRAM),
-            lambda g: T.token_hash(g),
-        )
-    )
-    is_bench = (F.col("doc_id") % DECON_BENCH_MOD) == DECON_BENCH_RESIDUE
-    hashed = docs.select("doc_id", gram_hashes.alias("ghs"))
-    bench = (
-        hashed.filter(is_bench)
-        .select(F.explode("ghs").alias("gh"))
+    composed into corpus.build_training_corpus). Expects (doc_id, text).
+
+    Per-doc gram dedup is a (doc_id, gh) `distinct()` on the exploded
+    stream rather than a scan-side `array_distinct` over a lambda-built
+    hash array: the array form avoids that one shuffle but pays the
+    interpreted-HOF tax on every gram (11x slower end-to-end at sf0.1),
+    and the exploded stream was headed into a shuffling join anyway."""
+    gh = (
+        _gram_rows(docs, DECON_NGRAM)
+        .select("doc_id", T.token_hash(F.col("gram")).alias("gh"))
         .distinct()
     )
-    train = hashed.filter(~is_bench).select(
-        "doc_id", F.size("ghs").alias("n_doc_ngrams"), F.explode("ghs").alias("gh")
+    is_bench = (F.col("doc_id") % DECON_BENCH_MOD) == DECON_BENCH_RESIDUE
+    bench = gh.filter(is_bench).select("gh").distinct()
+    train = gh.filter(~is_bench)
+    per_doc = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_doc_ngrams"))
+    hits = train.join(bench, "gh").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hit_ngrams")
     )
     return (
-        train.join(bench, "gh")
-        .groupBy("doc_id", "n_doc_ngrams")
-        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+        hits.join(per_doc, "doc_id")
         .select(
             "doc_id",
             "n_hit_ngrams",
