@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pinterest_data_pipeline218_spark.operators import (
     asof,
+    clustering,
     corpus,
     dedup,
     multimodal,
@@ -46,6 +47,7 @@ _MODULES = (
     multimodal,
     corpus,
     asof,
+    clustering,
 )
 
 # The driver's correctness gate checks the first 50 registry entries. These
@@ -61,6 +63,7 @@ _TAIL = (
     "sim_ivf_multiprobe",  # nprobe=2 rendering of the driver-checked sim_ivf_topk machinery (same quantizer/centroids; only the best-cells LIMIT differs)
     "corpus_mixture_sample",  # same _doc_pct filter machinery as the checked stratified sampler; the data-derived rate join is selfcheck/oracle-verified
     "dedup_cluster_cc_star",  # alternating-star rendering of the checked dedup_cluster_cc (identical oracle); algorithm additionally property-tested vs union-find
+    "ml_kmeans_refine",  # iterative integer-exact Lloyd refinement; selfcheck-gated against an unrolled-CTE oracle (window is full; the IVF/centroid machinery family is driver-checked via sim_ivf_topk)
     "user_oldest_nulls_last",  # O4 showcase; ordering proved by selfcheck + pytest
     "t8_compat_window_median",  # value-identical to t8 (proved in r01)
     "ev_salted_stats",  # oracle-identical to ev_stats_by_type by design

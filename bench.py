@@ -83,6 +83,7 @@ HEADLINE = [
     "text_repetition_score",
     "text_decontaminate",
     "ev_sliding_1h_value",
+    "ml_kmeans_refine",
 ]
 
 

@@ -1,0 +1,147 @@
+"""K-means refinement over the embeddings table — engine-exact Lloyd
+iterations for semantic data curation (cluster-then-sample/dedup is the
+standard curation move on a 100 TB embedding corpus).
+
+Determinism design (the hard part of making an ITERATIVE float algorithm
+oracle-checkable): all arithmetic is integer.
+
+- Components are truncated to a 2^-20 grid (the sim_ivf quantizer):
+  qv = CAST(TRUNC(v * 2^20) AS BIGINT), identical in Spark and DuckDB.
+- Distances are exact integer sums of squares: |qv| ≤ ~2^20, so a squared
+  diff ≤ ~2^42 and a 64-dim sum ≤ ~2^48 — no overflow, no float order
+  sensitivity.
+- Centroid update is the FLOOR mean, computed as (S - posmod(S, n)) / n
+  with posmod = ((S % n) + n) % n: both engines' `%` follows the dividend
+  sign, so this yields the true floor for negative sums too, and the final
+  division is exact (numerator divisible by n).
+- Assignment ties break on cluster id via ROW_NUMBER ordered by (d2,
+  cluster) — total order, deterministic under any partitioning.
+- Rounds are UNROLLED (2 refinements + final assignment) so the DuckDB
+  oracle replays the identical computation as chained CTEs.
+
+Scale shape: comps is the posexploded (vec, dim, qv) stream — n·64 rows,
+built once and reused every round. Each assignment joins comps against the
+K·64-row centroid table (explicitly broadcast — K is a constant) and
+map-side-combines the per-(vec, cluster) distance sums; each update is one
+groupBy(cluster, dim) over comps semi-joined with the assignment. No
+driver-side loops, no collect — the rounds are plan composition.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..data import load_table
+from ..functions.vectors import as_double_array
+
+K_CLUSTERS = 8
+KM_QUANT = 1 << 20
+KM_ROUNDS = 2  # unrolled refinements (mirrored exactly in the oracle SQL)
+
+
+def _qcomps(emb: DataFrame) -> DataFrame:
+    """(vec_id, pos, qv): the quantized component stream."""
+    return emb.select(
+        "vec_id", F.posexplode(as_double_array("embedding")).alias("pos", "val")
+    ).select("vec_id", "pos", (F.col("val") * KM_QUANT).cast("long").alias("qv"))
+
+
+def _assign(comps: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest centroid per vector (exact integer L2², ties → lowest id)."""
+    diff = F.col("qv") - F.col("c")
+    dists = (
+        comps.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "cluster")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+    return (
+        dists.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cluster", "d2")
+    )
+
+
+def _update(comps: DataFrame, assign: DataFrame) -> DataFrame:
+    """Floor-mean integer centroids from the current assignment. Clusters
+    that lost every member simply vanish (standard empty-cluster drop)."""
+    agg = (
+        comps.join(assign.select("vec_id", "cluster"), "vec_id")
+        .groupBy("cluster", "pos")
+        .agg(F.sum("qv").alias("S"), F.count(F.lit(1)).alias("n"))
+    )
+    return agg.select(
+        "cluster", "pos", F.expr("(S - ((S % n + n) % n)) div n").alias("c")
+    )
+
+
+def ml_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd refinements from a deterministic seed (the K lowest
+    vec_ids), then the final assignment: (vec_id, cluster, d2)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = _qcomps(emb)
+    cent = comps.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cluster"), "pos", F.col("qv").alias("c")
+    )
+    for _ in range(KM_ROUNDS):
+        cent = _update(comps, _assign(comps, cent))
+    return _assign(comps, cent).orderBy("vec_id")
+
+
+def _kmeans_sql() -> str:
+    def assign_cte(name: str, cent: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT vec_id, cluster, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+    FROM (
+      SELECT comps.vec_id AS vec_id, {cent}.cluster AS cluster,
+             CAST(SUM((qv - c) * (qv - c)) AS BIGINT) AS d2
+      FROM comps JOIN {cent} ON comps.pos = {cent}.pos
+      GROUP BY comps.vec_id, {cent}.cluster
+    )
+  ) WHERE rk = 1
+)"""
+
+    def update_cte(name: str, assign: str) -> str:
+        return f"""{name} AS (
+  SELECT cluster, pos, (S - ((S % n + n) % n)) // n AS c FROM (
+    SELECT cluster, pos, CAST(SUM(qv) AS BIGINT) AS S, COUNT(*) AS n
+    FROM comps JOIN {assign} USING (vec_id)
+    GROUP BY cluster, pos
+  )
+)"""
+
+    ctes = [
+        f"""comps AS (
+  SELECT vec_id, u.pos AS pos, u.qv AS qv FROM (
+    SELECT vec_id, unnest(list_transform(range(1, len(embedding::DOUBLE[]) + 1),
+           __i -> {{'pos': __i,
+                    'qv': CAST(TRUNC(embedding[__i] * {KM_QUANT}) AS BIGINT)}})) AS u
+    FROM embeddings
+  )
+)""",
+        f"""cent0 AS (
+  SELECT vec_id AS cluster, pos, qv AS c FROM comps WHERE vec_id < {K_CLUSTERS}
+)""",
+    ]
+    cent = "cent0"
+    for r in range(1, KM_ROUNDS + 1):
+        ctes.append(assign_cte(f"a{r}", cent))
+        ctes.append(update_cte(f"c{r}", f"a{r}"))
+        cent = f"c{r}"
+    ctes.append(assign_cte("afinal", cent))
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined}
+SELECT vec_id, cluster, d2 FROM afinal ORDER BY vec_id
+"""
+
+
+QUERIES = {
+    "ml_kmeans_refine": ml_kmeans_refine,
+}
+
+ORACLE = {
+    "ml_kmeans_refine": _kmeans_sql(),
+}

@@ -585,3 +585,34 @@ def test_incremental_lsh_flags_known_dup_and_novel_docs(spark):
             assert r.best_jaccard is None
     assert any(r.n_corpus_matches == 0 for r in out)  # novel docs exist
     assert any(r.n_corpus_matches > 0 for r in out)  # dups exist
+
+
+def test_kmeans_refine_improves_over_seed_assignment(spark):
+    """Lloyd invariants: every vector assigned exactly once, multiple
+    clusters in use, and two refinements don't worsen the total distance
+    of the seed assignment (floor-mean quantization allows microscopic
+    slack, hence the 0.1% tolerance)."""
+    import pyspark.sql.functions as F
+
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.operators.clustering import (
+        K_CLUSTERS,
+        _assign,
+        _qcomps,
+        ml_kmeans_refine,
+    )
+
+    final = ml_kmeans_refine(spark, SF).collect()
+    emb = load_table(spark, SF, "embeddings")
+    n_vecs = emb.count()
+    assert len(final) == n_vecs
+    assert len({r.vec_id for r in final}) == n_vecs
+    assert 1 < len({r.cluster for r in final}) <= K_CLUSTERS
+
+    comps = _qcomps(emb)
+    seed = comps.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cluster"), "pos", F.col("qv").alias("c")
+    )
+    seed_total = _assign(comps, seed).agg(F.sum("d2")).first()[0]
+    final_total = sum(r.d2 for r in final)
+    assert final_total <= seed_total * 1.001
