@@ -72,3 +72,42 @@ def test_age_group_matches_model(spark, ages):
     df = spark.createDataFrame([(a,) for a in ages], "age int")
     got = [r.g for r in df.select(age_group(F.col("age")).alias("g")).collect()]
     assert got == [_model_age_group(a) for a in ages]
+
+
+def _model_asof(purchases, clicks):
+    """Naive as-of LEFT semantics: greatest click ts <= purchase ts per user."""
+    out = {}
+    for pid, (u, t) in enumerate(purchases):
+        cand = [ct for (cu, ct) in clicks if cu == u and ct <= t]
+        out[pid] = max(cand) if cand else None
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=25
+    ),
+)
+def test_asof_join_matches_model(spark, purchases, clicks):
+    """Model-check asof_join (union + window carry-forward) against the
+    obvious quadratic per-row max over generated user/ts sets — including
+    ts ties (>= semantics), users with no clicks, and empty right sides."""
+    from pinterest_data_pipeline218_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(pid, u, t) for pid, (u, t) in enumerate(purchases)],
+        "event_id long, user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(u, t) for (u, t) in clicks] or [(99, -1)],  # dummy keeps schema; user 99 unused by left
+        "user_id long, ts long",
+    )
+    got = {
+        r.event_id: r.asof_ts
+        for r in asof_join(left, right, key="user_id", ts="ts").collect()
+    }
+    assert got == _model_asof(purchases, clicks)
