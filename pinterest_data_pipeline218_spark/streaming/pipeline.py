@@ -173,3 +173,28 @@ def windowed_counts(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), key_col, "n_events")
     )
+
+
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Overlapping (sliding) windowed counts: each event lands in
+    window/slide windows (4 here), the moving-average shape tumbling
+    windows can't express. State per key is bounded by watermark/slide
+    open windows; at scale the slide ratio is the state-size knob."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_events",
+        )
+    )

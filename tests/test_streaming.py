@@ -120,6 +120,35 @@ def test_windowed_counts_on_stream(spark, tmp_path):
     assert batch_total == 63
 
 
+def test_sliding_counts_overlap_on_stream(spark, tmp_path):
+    """Sliding windows: every event must appear in exactly window/slide
+    overlapping windows (4 at 1h/15m), so the sliding total is 4x the
+    event count; tumbling windows can't produce this shape."""
+    src = tmp_path / "blob"
+    paths = write_blob_stream_files(str(src), n=40, seed=9)
+    stream = SP.decode_blob(
+        SP.blob_file_stream(spark, paths["geo"]), SP.RAW_BY_TABLE["geo"]
+    ).withColumn("ts", F.to_timestamp("timestamp"))
+    counts = SP.sliding_counts(
+        stream, "ts", "country", window="3650 days", slide="365 days", watermark="1 hour"
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("slide_counts")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM slide_counts")
+    assert got.columns == ["window_start", "window_end", "country", "n_events"]
+    n_with_ts = 43  # 40 base + 3 injected edge rows with timestamps
+    assert got.agg(F.sum("n_events")).collect()[0][0] == n_with_ts * 10
+    # every (country, event) pair is covered by 10 overlapping windows
+    per_event_windows = got.groupBy("country").agg(F.sum("n_events").alias("s"))
+    assert per_event_windows.filter(F.col("s") % 10 != 0).count() == 0
+
+
 def test_kafka_wire_contract_decodes_like_file_standin(spark):
     """The Kafka swap's downstream contract: records with the connector's
     fixed wire schema (value: binary, plus metadata) must decode through
