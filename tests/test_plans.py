@@ -463,3 +463,40 @@ def test_mixture_rates_join_is_hint_free(spark, qs):
     )
     # exactly the one deliberate broadcast hint (the 1-row min aggregate)
     assert logical.count("broadcast") <= 1, logical
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The engine's skew posture beyond hand-salting: AQE must detect a
+    pathologically skewed join key at runtime and split the hot partition
+    (OptimizeSkewedJoin), without any query-level hint. Thresholds are
+    lowered so the local fixture qualifies as skewed; they are runtime-
+    settable SQL confs, restored after."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a sort-merge join
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # key 0 carries 200k rows; keys 1..400 carry ~50 each
+        left = spark.range(220_000).selectExpr(
+            "CASE WHEN id < 200000 THEN 0 ELSE id % 400 + 1 END AS k",
+            "id AS payload",
+        )
+        right = spark.range(401).selectExpr("id AS k", "id * 2 AS v")
+        joined = left.join(right, "k")
+        # collect() (not count()) so THIS DataFrame's QueryExecution runs —
+        # count() builds a separate one and the inspected plan stays unfinal
+        assert len(joined.collect()) == 220_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
