@@ -149,12 +149,14 @@ def build_training_corpus(
     sample_pct: int = 100,
     repetition_gate: bool = False,
     decontaminate: bool = False,
+    near_dedup: bool = False,
 ) -> DataFrame:
     """The end-to-end corpus build a training pipeline runs, composed from
     the same operator expressions the gated queries use:
 
       quality filter → [repetition gate] → [decontamination] →
       exact-dedup compact (keeper = min doc_id) →
+      [near-dup compact: LSH pairs → connected components → cluster min] →
       deterministic hash sample → split assign → token chunking
 
     Everything up to the dedup semi-join is scan-local; the optional gates
@@ -183,6 +185,22 @@ def build_training_corpus(
         .select("doc_id")
     )
     kept = good.join(keepers, "doc_id", "left_semi")
+    if near_dedup:
+        from .dedup import (
+            CC_JACCARD_THRESHOLD,
+            _lsh_verified_pairs,
+            connected_components,
+        )
+
+        pairs = _lsh_verified_pairs(spark, sf_dir, CC_JACCARD_THRESHOLD).select(
+            "doc_a", "doc_b"
+        )
+        nodes = docs.select(F.col("doc_id").alias("node"))
+        labels = connected_components(nodes, pairs)
+        cc_keepers = labels.filter(F.col("node") == F.col("label")).select(
+            F.col("node").alias("doc_id")
+        )
+        kept = kept.join(cc_keepers, "doc_id", "left_semi")
     if sample_pct < 100:
         kept = kept.filter(_doc_pct(SAMPLE_SEED) < sample_pct)
     pct = _doc_pct(SPLIT_SEED)

@@ -88,6 +88,7 @@ def cmd_corpus(args: argparse.Namespace) -> None:
         sample_pct=args.sample_pct,
         repetition_gate=args.repetition_gate,
         decontaminate=args.decontaminate,
+        near_dedup=args.near_dedup,
     )
     write_training_corpus(rows, args.out)
     back = spark.read.parquet(args.out)
@@ -122,6 +123,7 @@ def main() -> None:
     c.add_argument("--sample-pct", type=int, default=100)
     c.add_argument("--repetition-gate", action=argparse.BooleanOptionalAction, default=False)
     c.add_argument("--decontaminate", action=argparse.BooleanOptionalAction, default=False)
+    c.add_argument("--near-dedup", action=argparse.BooleanOptionalAction, default=False)
     c.set_defaults(fn=cmd_corpus)
     args = p.parse_args()
     args.fn(args)

@@ -310,6 +310,28 @@ def test_training_corpus_gates_exclude_flagged_docs(spark):
     assert gated_ids.isdisjoint(dirty)
 
 
+def test_training_corpus_near_dedup_keeps_cluster_minima(spark):
+    """With near_dedup on, every kept doc must be its LSH-cluster keeper
+    (cluster_id == doc_id in dedup_cluster_cc terms)."""
+    from pinterest_data_pipeline218_spark.operators.corpus import (
+        build_training_corpus,
+    )
+    from pinterest_data_pipeline218_spark.operators.dedup import dedup_cluster_cc
+
+    kept = {
+        r.doc_id
+        for r in build_training_corpus(spark, SF, near_dedup=True)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    non_keepers = {
+        r.doc_id for r in dedup_cluster_cc(spark, SF).collect() if r.doc_id != r.cluster_id
+    }
+    assert kept
+    assert kept.isdisjoint(non_keepers)
+
+
 def test_training_corpus_pipeline_end_to_end(spark, tmp_path):
     """The composed corpus build: every surviving doc passes the quality
     bar, duplicate-text docs are collapsed to one keeper, every chunk
