@@ -38,13 +38,22 @@ def streamed_sessions(spark, tmp_path_factory):
         .orderBy("ts", "event_id")
         .collect()
     )
-    # three time-sliced files, lexically ordered => in-order micro-batches
+    # three time-sliced files => in-order micro-batches. The file source
+    # orders by MODIFICATION TIME, not name — files written within the same
+    # clock tick can reorder batches (observed as a rare flake: late events
+    # dropped at the watermark). Pin strictly increasing mtimes.
+    import os
+    import time
+
     third = (len(rows) + 2) // 3
+    base = time.time() - 100
     for i in range(3):
-        with open(src / f"{i:03d}.jsonl", "w") as f:
+        path = src / f"{i:03d}.jsonl"
+        with open(path, "w") as f:
             for r in rows[i * third : (i + 1) * third]:
                 f.write(json.dumps({"user_id": r.user_id, "ts": r.ts, "event_id": r.event_id}))
                 f.write("\n")
+        os.utime(path, (base + 10 * i, base + 10 * i))
     stream = (
         spark.readStream.format("json")
         .schema(EV_BLOB_SCHEMA)
