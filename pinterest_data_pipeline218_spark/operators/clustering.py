@@ -89,7 +89,40 @@ def ml_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _assign(comps, cent).orderBy("vec_id")
 
 
-def _kmeans_sql() -> str:
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: block the embedding near-dup search by
+    the LEARNED k-means cluster (ml_kmeans_refine) instead of a given label
+    — clustering feeding dedup, the composition a semantic-curation
+    pipeline actually runs. Pair scoring reuses the salted blocked
+    self-join and the norm-precomputed cosine from dedup_embedding_neardup;
+    the assignment join is a unique-key hash join."""
+    from .dedup import EMBEDDING_COSINE_THRESHOLD, _salted_block_pairs
+    from ..functions.vectors import cosine_from_norms, dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    assign = ml_kmeans_refine(spark, sf_dir).select("vec_id", "cluster")
+    e = emb.join(assign, "vec_id").withColumn("nrm", l2_norm(F.col("v")))
+    pairs = _salted_block_pairs(
+        e.select("vec_id", "cluster", "v", "nrm"), "cluster", "vec_id"
+    )
+    cos = cosine_from_norms(
+        dot(F.col("v_a"), F.col("v_b")), F.col("nrm_a"), F.col("nrm_b")
+    )
+    return (
+        pairs.select(
+            "cluster",
+            F.col("vec_id_a").alias("vec_a"),
+            F.col("vec_id_b").alias("vec_b"),
+            F.round(cos, 6).cast("double").alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= EMBEDDING_COSINE_THRESHOLD)
+        .orderBy("cluster", "vec_a", "vec_b")
+    )
+
+
+def _kmeans_ctes() -> str:
     def assign_cte(name: str, cent: str) -> str:
         return f"""{name} AS (
   SELECT vec_id, cluster, d2 FROM (
@@ -132,16 +165,40 @@ def _kmeans_sql() -> str:
         ctes.append(update_cte(f"c{r}", f"a{r}"))
         cent = f"c{r}"
     ctes.append(assign_cte("afinal", cent))
-    joined = ",\n".join(ctes)
-    return f"""WITH {joined}
+    return ",\n".join(ctes)
+
+
+def _kmeans_sql() -> str:
+    return f"""WITH {_kmeans_ctes()}
 SELECT vec_id, cluster, d2 FROM afinal ORDER BY vec_id
+"""
+
+
+def _semantic_dedup_sql() -> str:
+    from .dedup import EMBEDDING_COSINE_THRESHOLD
+    from ..functions.vectors import cosine_sql_duckdb
+
+    cos = cosine_sql_duckdb("a.v", "b.v")
+    return f"""WITH {_kmeans_ctes()},
+e AS (
+  SELECT e0.vec_id AS vec_id, afinal.cluster AS cluster,
+         embedding::DOUBLE[] AS v
+  FROM embeddings e0 JOIN afinal ON e0.vec_id = afinal.vec_id
+)
+SELECT a.cluster AS cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(ROUND({cos}, 6) AS DOUBLE) AS cos_sim
+FROM e a JOIN e b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE ROUND({cos}, 6) >= {EMBEDDING_COSINE_THRESHOLD}
+ORDER BY cluster, vec_a, vec_b
 """
 
 
 QUERIES = {
     "ml_kmeans_refine": ml_kmeans_refine,
+    "dedup_semantic_kmeans": dedup_semantic_kmeans,
 }
 
 ORACLE = {
     "ml_kmeans_refine": _kmeans_sql(),
+    "dedup_semantic_kmeans": _semantic_dedup_sql(),
 }
