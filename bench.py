@@ -84,6 +84,7 @@ HEADLINE = [
     "text_decontaminate",
     "ev_sliding_1h_value",
     "ml_kmeans_refine",
+    "dedup_semantic_kmeans",
 ]
 
 
