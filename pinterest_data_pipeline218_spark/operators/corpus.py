@@ -268,6 +268,83 @@ ORDER BY doc_id
 """
 
 
+PACK_TOKENS = 256  # target training-sequence length (tokens)
+PACK_BUCKETS = 16  # parallel packing streams; the scale knob
+PACK_SEED = 113
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign token chunks to fixed-budget training
+    sequences ACROSS document boundaries — the packing step that turns a
+    chunked corpus into dense training batches (unpacked short documents
+    waste pad tokens).
+
+    Packing is inherently sequential, so it is bucketized: chunks are
+    hash-assigned to PACK_BUCKETS independent streams, and within each
+    stream a running token total (window sum) places every chunk at its
+    offset; seq_id = floor(preceding_total / PACK_TOKENS). One shuffle
+    (hash by bucket) + one per-bucket sort; buckets are the parallelism
+    knob at 100 TB. Greedy cumsum packing lets a chunk straddle a
+    boundary (real packers splice; the assignment contract is the same)
+    and is fully deterministic: bucket and order depend only on ids.
+    """
+    chunks = corpus_chunk_tokens(spark, sf_dir)
+    from pyspark.sql import Window
+
+    # md5-derived bucket (not crc32): bucket is an OUTPUT column here, so it
+    # must be the cross-engine hash the oracle can replay
+    bucket = T.token_hash(F.col("doc_id").cast("string"), seed=PACK_SEED) % PACK_BUCKETS
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        chunks.withColumn("bucket", bucket.cast("int"))
+        .withColumn("__cum", cum_before)
+        .select(
+            "bucket",
+            F.expr(f"__cum div {PACK_TOKENS}").cast("int").alias("seq_id"),
+            "doc_id",
+            "chunk_idx",
+            "n_tokens",
+            (F.col("__cum") % PACK_TOKENS).cast("int").alias("seq_offset"),
+        )
+        .orderBy("bucket", "doc_id", "chunk_idx")
+    )
+
+
+_BUCKET_SQL = f"({T.token_hash_sql('CAST(doc_id AS VARCHAR)', seed=PACK_SEED)} % {PACK_BUCKETS})"
+CORPUS_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE text IS NOT NULL
+), f AS (
+  SELECT doc_id, toks,
+         unnest(range(0, (len(toks) + {CHUNK_TOKENS - 1}) // {CHUNK_TOKENS})) AS chunk_idx
+  FROM t
+), chunks AS (
+  SELECT doc_id,
+         CAST(chunk_idx AS INT) AS chunk_idx,
+         CAST(len(list_slice(toks, chunk_idx * {CHUNK_TOKENS} + 1,
+                             chunk_idx * {CHUNK_TOKENS} + {CHUNK_TOKENS})) AS INT) AS n_tokens,
+         CAST({_BUCKET_SQL} AS INT) AS bucket
+  FROM f
+), packed AS (
+  SELECT bucket, doc_id, chunk_idx, n_tokens,
+         COALESCE(CAST(SUM(n_tokens) OVER (
+             PARTITION BY bucket ORDER BY doc_id, chunk_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
+  FROM chunks
+)
+SELECT bucket, CAST(cum // {PACK_TOKENS} AS INT) AS seq_id,
+       doc_id, chunk_idx, n_tokens,
+       CAST(cum % {PACK_TOKENS} AS INT) AS seq_offset
+FROM packed
+ORDER BY bucket, doc_id, chunk_idx
+"""
+
+
 MIX_SEED = 71
 # temperature T=2 (alpha = 1/T = 0.5): the mixture flattens toward the small
 # sources — keep-rate_s = 100 * sqrt(n_min / n_s), i.e. kept_s ∝ sqrt(n_s),
@@ -335,6 +412,7 @@ QUERIES = {
     "corpus_chunk_tokens": corpus_chunk_tokens,
     "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_mixture_sample": corpus_mixture_sample,
+    "corpus_pack_sequences": corpus_pack_sequences,
 }
 
 ORACLE = {
@@ -343,4 +421,5 @@ ORACLE = {
     "corpus_chunk_tokens": CORPUS_CHUNK_SQL,
     "corpus_stratified_sample": CORPUS_STRATIFIED_SQL,
     "corpus_mixture_sample": CORPUS_MIXTURE_SQL,
+    "corpus_pack_sequences": CORPUS_PACK_SQL,
 }
