@@ -66,6 +66,7 @@ _TAIL = (
     "ml_kmeans_refine",  # iterative integer-exact Lloyd refinement; selfcheck-gated against an unrolled-CTE oracle (window is full; the IVF/centroid machinery family is driver-checked via sim_ivf_topk)
     "dedup_semantic_kmeans",  # kmeans ∘ dedup_embedding_neardup composition; both constituents' machineries driver-checked (sim_ivf_topk, dedup_embedding_neardup), full oracle in selfcheck
     "corpus_pack_sequences",  # running-sum window over driver-checked corpus_chunk_tokens output + the checked _doc_pct hash family; full oracle in selfcheck
+    "ev_approx_value_quantiles",  # sketch family (like ev_approx_distinct_users): no oracle by design, pytest-bounded vs exact percentiles
     "user_oldest_nulls_last",  # O4 showcase; ordering proved by selfcheck + pytest
     "t8_compat_window_median",  # value-identical to t8 (proved in r01)
     "ev_salted_stats",  # oracle-identical to ev_stats_by_type by design

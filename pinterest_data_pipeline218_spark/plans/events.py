@@ -354,6 +354,24 @@ ORDER BY event_id
 """
 
 
+def ev_approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type p50/p95 of `value` via percentile_approx (the
+    KLL/GK-family mergeable quantile sketch) — the sketch a 100 TB engine
+    uses where an exact percentile would need a full sort per group.
+    Like ev_approx_distinct_users, deliberately oracle-less: sketch
+    internals are engine-specific; pytest bounds the error vs the exact
+    percentile instead, and the driver runs its rows-only check."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10_000).alias("p50_approx"),
+            F.percentile_approx("value", 0.95, 10_000).alias("p95_approx"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "ev_counts_hourly": ev_counts_hourly,
     "ev_stats_by_type": ev_stats_by_type,
@@ -367,6 +385,7 @@ QUERIES = {
     "ev_cube_type_dow": ev_cube_type_dow,
     "ev_approx_distinct_users": ev_approx_distinct_users,
     "ev_sliding_1h_value": ev_sliding_1h_value,
+    "ev_approx_value_quantiles": ev_approx_value_quantiles,
 }
 
 ORACLE = {

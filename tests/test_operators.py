@@ -638,3 +638,33 @@ def test_kmeans_refine_improves_over_seed_assignment(spark):
     seed_total = _assign(comps, seed).agg(F.sum("d2")).first()[0]
     final_total = sum(r.d2 for r in final)
     assert final_total <= seed_total * 1.001
+
+
+def test_approx_quantiles_land_on_correct_order_statistics(spark):
+    """percentile_approx returns an actual data value (an order statistic),
+    not an interpolation — at accuracy 10k on these group sizes the rank
+    error is < 1, so the result must be one of the values within ±1 rank of
+    the target percentile rank in each group."""
+    import math
+
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.plans.events import (
+        ev_approx_value_quantiles,
+    )
+
+    approx = {
+        r.event_type: (r.p50_approx, r.p95_approx)
+        for r in ev_approx_value_quantiles(spark, SF).collect()
+    }
+    by_type = {}
+    for r in load_table(spark, SF, "events").select("event_type", "value").collect():
+        by_type.setdefault(r.event_type, []).append(r.value)
+    assert approx.keys() == by_type.keys()
+    for k, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        for a, p in zip(approx[k], (0.5, 0.95)):
+            target = p * (n - 1)
+            lo = max(0, math.floor(target) - 1)
+            hi = min(n - 1, math.ceil(target) + 1)
+            assert vals[lo] <= a <= vals[hi], (k, p, a, vals[lo], vals[hi])
