@@ -123,6 +123,8 @@ def test_events_ts_encoding_robustness(spark, tmp_path):
         "nanos": pa.timestamp("ns"),
         "ntz_us": pa.timestamp("us"),
         "ltz_us": pa.timestamp("us", tz="UTC"),
+        "ltz_ns": pa.timestamp("ns", tz="UTC"),  # NANOS adjustedToUTC
+        "ntz_ms": pa.timestamp("ms"),            # MILLIS, no tz
     }
     expected = {1: 2, 2: 2}
     for name, ts_type in encodings.items():
