@@ -148,7 +148,10 @@ def main() -> None:
         "runs": RUNS,
     }
     if errors:
+        # a sum over FEWER queries is not comparable across rounds — flag it
+        # loudly so consumers can't read a failure-shrunk total as a speedup
         out["errors"] = errors
+        out["partial"] = True
     print(json.dumps(out))
 
 

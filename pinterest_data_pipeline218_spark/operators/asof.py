@@ -34,15 +34,33 @@ def _epoch_us(df: DataFrame, col: str) -> Column:
 
     `unix_micros` rejects TIMESTAMP_NTZ; for NTZ we difference against the
     NTZ epoch literal instead — pure wall-clock arithmetic, no session-tz
-    dependence, exact integer µs. Bucketing and range predicates only need
-    the same monotone mapping applied to both sides, which this guarantees
-    even when the two sides have different dtypes (each maps its own wall
-    time/instant to µs)."""
+    dependence, exact integer µs.
+
+    DTYPE CONTRACT: callers comparing the two sides' epochs ABSOLUTELY
+    (range_join_count's `BETWEEN ± radius`, asof's carry-forward ordering)
+    must feed both sides the SAME timestamp dtype. Mixing NTZ (wall-as-UTC)
+    with LTZ under a non-UTC session timezone shifts one side by the tz
+    offset. A per-side monotone mapping is only sufficient for same-side
+    bucketing, not for the cross-side predicate — asserted at the asof/range
+    entry points via `_assert_same_ts_dtype`."""
     if isinstance(df.schema[col].dataType, TimestampNTZType):
         return F.expr(
             f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`)"
         )
     return F.unix_micros(F.col(col))
+
+
+def _assert_same_ts_dtype(left: DataFrame, lcol: str, right: DataFrame, rcol: str):
+    """Both sides of an absolute-epoch comparison must share a timestamp
+    dtype (see _epoch_us's DTYPE CONTRACT)."""
+    lt, rt = left.schema[lcol].dataType, right.schema[rcol].dataType
+    if lt != rt:
+        raise TypeError(
+            f"asof/range join requires matching timestamp dtypes on both "
+            f"sides; got {lt.simpleString()} vs {rt.simpleString()} — "
+            f"cast one side (NTZ↔LTZ mixing shifts results by the session "
+            f"tz offset)"
+        )
 
 
 def asof_join(
@@ -54,6 +72,7 @@ def asof_join(
 ) -> DataFrame:
     """Attach to each `left` row the greatest right-`ts` ≤ its `ts` (same
     `key`), as column `right_ts_as`. Left columns pass through unchanged."""
+    _assert_same_ts_dtype(left, ts, right, ts)
     lcols = [c for c in left.columns]
     # The null literal's dtype must match the right side's ts dtype (NTZ vs
     # LTZ) or the union coerces with an illegal/implicit cast — derive it
@@ -138,6 +157,7 @@ def range_join_count(
     # integer div, not float-divide-then-cast: µs epochs are near 2^50, where
     # a double quotient's rounding could (in principle) flip a bucket edge.
     # Epochs via _epoch_us: dtype-agnostic (TIMESTAMP_NTZ rejects unix_micros).
+    _assert_same_ts_dtype(left, left_ts, right, right_ts)
     lx = left.withColumn("__lus", _epoch_us(left, left_ts))
     lb = F.expr(f"__lus div {radius_us}")
     lx = lx.withColumn("__b", F.explode(F.array(lb - 1, lb, lb + 1)))

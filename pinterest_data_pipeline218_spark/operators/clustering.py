@@ -81,7 +81,12 @@ def ml_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_ids), then the final assignment: (vec_id, cluster, d2)."""
     emb = load_table(spark, sf_dir, "embeddings")
     comps = _qcomps(emb)
-    cent = comps.filter(F.col("vec_id") < K_CLUSTERS).select(
+    # Seed from the K lowest vec_ids BY RANK (TakeOrdered + broadcast),
+    # not `vec_id < K` — on corpora whose ids aren't 0-based contiguous the
+    # predicate form yields fewer (possibly zero) seeds and a degenerate
+    # result the oracle can't catch (it replays the same predicate).
+    seeds = emb.select("vec_id").orderBy("vec_id").limit(K_CLUSTERS)
+    cent = comps.join(F.broadcast(seeds), "vec_id").select(
         F.col("vec_id").alias("cluster"), "pos", F.col("qv").alias("c")
     )
     for _ in range(KM_ROUNDS):
@@ -156,7 +161,8 @@ def _kmeans_ctes() -> str:
   )
 )""",
         f"""cent0 AS (
-  SELECT vec_id AS cluster, pos, qv AS c FROM comps WHERE vec_id < {K_CLUSTERS}
+  SELECT vec_id AS cluster, pos, qv AS c FROM comps
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {K_CLUSTERS})
 )""",
     ]
     cent = "cent0"

@@ -197,9 +197,17 @@ def build_training_corpus(
         )
         nodes = docs.select(F.col("doc_id").alias("node"))
         labels = connected_components(nodes, pairs)
-        cc_keepers = labels.filter(F.col("node") == F.col("label")).select(
-            F.col("node").alias("doc_id")
+        # Keeper must be chosen among SURVIVING docs: if the cluster's
+        # global min-id was already removed by the quality/repetition/
+        # decontamination/exact-dedup gates, label==node would retain no
+        # member and the whole near-dup cluster silently vanished. Restrict
+        # the label table to survivors first, then take min per cluster.
+        surviving_labels = labels.join(
+            kept.select(F.col("doc_id").alias("node")), "node", "left_semi"
         )
+        cc_keepers = surviving_labels.groupBy("label").agg(
+            F.min("node").alias("doc_id")
+        ).select("doc_id")
         kept = kept.join(cc_keepers, "doc_id", "left_semi")
     if sample_pct < 100:
         kept = kept.filter(_doc_pct(SAMPLE_SEED) < sample_pct)

@@ -262,10 +262,14 @@ def _gram_rows(docs: DataFrame, n: int) -> DataFrame:
     ARRAY instead (word_shingles + explode) measured 10-20x slower at
     sf0.1 — higher-order-function arrays are interpreted per element and
     their Generate doesn't get whole-stage codegen; this form pipelines
-    into the scan. Docs shorter than n emit no rows (greatest(...,0) makes
-    the sequence empty)."""
-    toked = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
-    seq = F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(0)))
+    into the scan. Docs shorter than n emit no rows: the explode is gated
+    on size(toks) >= n because sequence(1, 0) is NOT empty — Spark yields
+    the DESCENDING array [1, 0], and element_at(toks, 0) then throws under
+    ANSI mode, so an ungated form crashes the whole query on any short doc."""
+    toked = docs.select("doc_id", T.tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= n
+    )
+    seq = F.sequence(F.lit(1), F.size("toks") - (n - 1))
     ex = toked.select("doc_id", "toks", F.explode(seq).alias("i"))
     pieces = [F.element_at(F.col("toks"), F.col("i") + j) for j in range(n)]
     g = pieces[0]

@@ -310,9 +310,41 @@ def test_training_corpus_gates_exclude_flagged_docs(spark):
     assert gated_ids.isdisjoint(dirty)
 
 
+def test_gram_pipelines_survive_short_docs(spark):
+    """Docs with fewer tokens than the gram width must emit no gram rows —
+    NOT crash. Spark's sequence(1, 0) yields the DESCENDING array [1, 0],
+    and element_at(toks, 0) throws under ANSI, so an ungated explode makes
+    any 1-token doc a whole-query crash (regression: ADVICE r3 high)."""
+    from pinterest_data_pipeline218_spark.operators.text_analysis import (
+        _gram_rows,
+        contamination_report,
+        repetition_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x"),  # 1 token: crashes ungated bigram AND 5-gram paths
+            (3, "a b c"),  # 3 tokens: bigrams ok, 5-grams must be empty
+            (20, "the quick brown fox jumps over the lazy dog again"),
+            (21, "w " * 6),  # trailing-space split artifacts
+        ],
+        "doc_id int, text string",
+    )
+    assert _gram_rows(docs, 5).filter(F.col("doc_id") == 1).count() == 0
+    assert _gram_rows(docs, 2).filter(F.col("doc_id") == 1).count() == 0
+    flags = {r.doc_id: r for r in repetition_flags(docs).collect()}
+    assert set(flags) == {1, 3, 20, 21}
+    assert flags[1].n_grams == 0 and flags[1].keep is True
+    assert flags[3].n_grams == 2
+    # contamination uses 5-grams; must run to completion over short docs
+    contamination_report(docs).collect()
+
+
 def test_training_corpus_near_dedup_keeps_cluster_minima(spark):
-    """With near_dedup on, every kept doc must be its LSH-cluster keeper
-    (cluster_id == doc_id in dedup_cluster_cc terms)."""
+    """With near_dedup on, exactly ONE representative per LSH cluster
+    survives — the min doc_id among the cluster's SURVIVING members (not
+    the global cluster min, which earlier gates may have removed; choosing
+    the global min would silently drop whole clusters)."""
     from pinterest_data_pipeline218_spark.operators.corpus import (
         build_training_corpus,
     )
@@ -325,11 +357,18 @@ def test_training_corpus_near_dedup_keeps_cluster_minima(spark):
         .distinct()
         .collect()
     }
-    non_keepers = {
-        r.doc_id for r in dedup_cluster_cc(spark, SF).collect() if r.doc_id != r.cluster_id
+    base = {
+        r.doc_id
+        for r in build_training_corpus(spark, SF).select("doc_id").distinct().collect()
     }
-    assert kept
-    assert kept.isdisjoint(non_keepers)
+    cluster_of = {r.doc_id: r.cluster_id for r in dedup_cluster_cc(spark, SF).collect()}
+    assert kept <= base
+    # one representative per cluster, and it is the min surviving member
+    by_cluster: dict = {}
+    for d in base:
+        by_cluster.setdefault(cluster_of[d], []).append(d)
+    expected = {min(members) for members in by_cluster.values()}
+    assert kept == expected
 
 
 def test_training_corpus_pipeline_end_to_end(spark, tmp_path):
