@@ -60,13 +60,19 @@ _TAIL = (
     "mm_fake_features",  # third kernel of the mapInPandas plumbing family; the 1→1 (mm_binary_meta) and 1→N (mm_frame_sample) shapes stay driver-checked. Green r01+r02; tailed to admit text_repetition_score.
     "text_langid",  # thresholded rendering of the same scan-local stopword-ratio expression checked via text_quality_score. Green r01+r02; tailed to admit text_decontaminate.
     "ev_sliding_1h_value",  # RANGE-interval frame; window-frame family driver-checked via ev_running_total (ROWS) — selfcheck covers this one
-    "sim_ivf_multiprobe",  # nprobe=2 rendering of the driver-checked sim_ivf_topk machinery (same quantizer/centroids; only the best-cells LIMIT differs)
-    "corpus_mixture_sample",  # same _doc_pct filter machinery as the checked stratified sampler; the data-derived rate join is selfcheck/oracle-verified
-    "dedup_cluster_cc_star",  # alternating-star rendering of the checked dedup_cluster_cc (identical oracle); algorithm additionally property-tested vs union-find
-    "ml_kmeans_refine",  # iterative integer-exact Lloyd refinement; selfcheck-gated against an unrolled-CTE oracle (window is full; the IVF/centroid machinery family is driver-checked via sim_ivf_topk)
-    "dedup_semantic_kmeans",  # kmeans ∘ dedup_embedding_neardup composition; both constituents' machineries driver-checked (sim_ivf_topk, dedup_embedding_neardup), full oracle in selfcheck
-    "corpus_pack_sequences",  # running-sum window over driver-checked corpus_chunk_tokens output + the checked _doc_pct hash family; full oracle in selfcheck
+    "sim_ivf_multiprobe",  # nprobe=2 rendering of the same quantizer machinery; shares its oracle VERBATIM with the in-window sim_ivf_index_probe, so a driver row for the probe is a driver row for this
     "ev_approx_value_quantiles",  # sketch family (like ev_approx_distinct_users): no oracle by design, pytest-bounded vs exact percentiles
+    # r4 rotation: ml_kmeans_refine / dedup_semantic_kmeans / corpus_pack_sequences /
+    # corpus_mixture_sample / dedup_cluster_cc_star moved INTO the window (they had
+    # never produced a driver CORRECTNESS row — VERDICT r3 #2); the six entries below
+    # are driver-checked green in CORRECTNESS_r03 and value-redundant, so they rotate
+    # out in exchange.
+    "sim_ivf_topk",  # nprobe=1 rendering of the quantizer machinery now driver-checked via sim_ivf_index_probe (r03-green on this exact plan)
+    "t5_priority_counts_by_year",  # r03-green; join + year-extract + group-count families stay checked via t4/t11
+    "set_customer_overlap",  # r03-green since r01; INTERSECT/EXCEPT rendering over the same customer scans
+    "tpch_q14_promo_revenue",  # r03-green; conditional-sum-ratio family stays checked via q12 (CASE agg) + q19 (disjunctive filter agg)
+    "tpch_q18_large_orders",  # r03-green; group-HAVING semi-join family stays checked via q17 (per-group scalar threshold) + q21
+    "tpch_q15_top_supplier",  # r03-green; agg + global-max equality join family stays checked via t6p2-style top-1 + q17
     "user_oldest_nulls_last",  # O4 showcase; ordering proved by selfcheck + pytest
     "t8_compat_window_median",  # value-identical to t8 (proved in r01)
     "ev_salted_stats",  # oracle-identical to ev_stats_by_type by design

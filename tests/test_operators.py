@@ -189,6 +189,79 @@ def test_ann_index_probe_is_partition_pruned_and_matches_inline(spark, tmp_path)
     assert got == want
 
 
+def test_ivf_index_probe_is_partition_pruned_and_matches_inline(spark, tmp_path):
+    """The materialized IVF index probe must (a) prune to the probed cells'
+    partitions at the scan, (b) contain NO corpus-wide quantizer rebuild
+    (no posexplode, no aggregate — the r3 scale-killer: the inline form
+    pays two full-corpus passes per probe), and (c) return exactly the
+    inline sim_ivf_* results for both nprobe configs."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.functions.vectors import as_double_array
+    from pinterest_data_pipeline218_spark.operators.similarity import (
+        NPROBE,
+        QUERY_VEC_ID,
+        ivf_index_topk,
+        sim_ivf_multiprobe,
+        sim_ivf_topk,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    idx_path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, idx_path)
+
+    for nprobe, inline in ((1, sim_ivf_topk), (NPROBE, sim_ivf_multiprobe)):
+        probe = ivf_index_topk(spark, idx_path, nprobe=nprobe)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        assert re.search(r"PartitionFilters: \[[^\]]*cell", plan)
+        assert "posexplode" not in plan.lower()
+        assert "HashAggregate" not in plan
+        got = [(r.vec_id, r.label, r.cos_sim) for r in probe.collect()]
+        want = [(r.vec_id, r.label, r.cos_sim) for r in inline(spark, SF).collect()]
+        assert got == want
+
+
+def test_ivf_index_probe_external_query_vector(spark, tmp_path):
+    """A request-supplied vector (no corpus id) probes without any id
+    lookup and may return the query's own nearest twin (no exclusion)."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.functions.vectors import as_double_array
+    from pinterest_data_pipeline218_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        ivf_index_topk,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    idx_path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, idx_path)
+    qvec = list(
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").head().v
+    )
+    rows = ivf_index_topk(spark, idx_path, query_vec=qvec, nprobe=2).collect()
+    assert rows
+    # scores must be descending and match a python-side cosine exactly;
+    # no id exclusion is applied for an external vector (the query's own
+    # row is a legal hit when its cell is probed)
+    import math
+
+    vecs = {r.vec_id: list(r.v) for r in emb.collect()}
+    qn = math.sqrt(sum(x * x for x in qvec))
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    for r in rows:
+        v = vecs[r.vec_id]
+        d = sum(a * b for a, b in zip(v, qvec))
+        want = d / (math.sqrt(sum(x * x for x in v)) * qn)
+        assert abs(r.cos_sim - want) < 1e-6
+
+
 def test_corpus_ops_properties(spark):
     """Sampling is deterministic and ~rate-sized; splits cover every doc
     exactly once with sane proportions; chunks reconstruct the document."""
