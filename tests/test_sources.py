@@ -120,14 +120,22 @@ def test_events_ts_encoding_robustness(spark, tmp_path):
         "props": ["{}"] * 6,
     }
     encodings = {
-        "nanos": pa.timestamp("ns"),
-        "ntz_us": pa.timestamp("us"),
-        "ltz_us": pa.timestamp("us", tz="UTC"),
-        "ltz_ns": pa.timestamp("ns", tz="UTC"),  # NANOS adjustedToUTC
-        "ntz_ms": pa.timestamp("ms"),            # MILLIS, no tz
+        "nanos": (pa.timestamp("ns"), {}),
+        "ntz_us": (pa.timestamp("us"), {}),
+        "ltz_us": (pa.timestamp("us", tz="UTC"), {}),
+        "ltz_ns": (pa.timestamp("ns", tz="UTC"), {}),  # NANOS adjustedToUTC
+        "ntz_ms": (pa.timestamp("ms"), {}),            # MILLIS, no tz
+        # the two pre-emptive r4 additions: legacy Spark/Impala INT96, and
+        # a non-UTC zone in the arrow metadata (parquet stores
+        # isAdjustedToUTC either way; the zone must not shift the instant)
+        "int96": (
+            pa.timestamp("ns"),
+            {"use_deprecated_int96_timestamps": True},
+        ),
+        "ltz_us_ny": (pa.timestamp("us", tz="America/New_York"), {}),
     }
     expected = {1: 2, 2: 2}
-    for name, ts_type in encodings.items():
+    for name, (ts_type, write_kwargs) in encodings.items():
         d = tmp_path / name
         d.mkdir()
         table = pa.table(
@@ -140,7 +148,7 @@ def test_events_ts_encoding_robustness(spark, tmp_path):
                 "props": pa.array(rows["props"], pa.string()),
             }
         )
-        pq.write_table(table, d / "events.parquet")
+        pq.write_table(table, d / "events.parquet", **write_kwargs)
         df = load_table(spark, str(d), "events")
         assert isinstance(df.schema["ts"].dataType, TimestampType), (
             f"{name}: expected TIMESTAMP after normalization, got "

@@ -305,6 +305,67 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert got == {(10, 1), (11, 2)}
 
 
+def test_stream_repetition_gate_equals_batch(spark, tmp_path):
+    """The r3 quality operators extend ST2's shared-library principle to
+    streams: repetition_flags is a plain DataFrame combinator whose stats
+    are DOC-LOCAL, so applying it per micro-batch (foreachBatch) must
+    produce exactly the batch result over the union of batches — gating a
+    document stream needs no global state."""
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pinterest_data_pipeline218_spark.operators.text_analysis import (
+        repetition_flags,
+    )
+
+    docs = [
+        (1, "the cat sat on the mat and then the cat sat again"),
+        (2, "spam spam spam spam spam spam spam spam"),  # top-bigram heavy → drop
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "x"),  # short doc: no bigrams, keep
+        (5, "a b a b a b a b a b a b"),  # dup-bigram heavy → drop
+        (6, "fresh unique tokens everywhere in this document body"),
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    # 3 micro-batches of 2 docs
+    for i in range(3):
+        with open(src / f"{i:03d}.jsonl", "w") as f:
+            for doc_id, text in docs[i * 2 : i * 2 + 2]:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = (
+        spark.readStream.format("json").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(str(src))
+    )
+    out = str(tmp_path / "flags")
+
+    def gate(batch_df, batch_id):
+        repetition_flags(batch_df).write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    batch = repetition_flags(spark.createDataFrame(docs, schema))
+    got = {
+        r.doc_id: (r.n_grams, r.keep)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {r.doc_id: (r.n_grams, r.keep) for r in batch.collect()}
+    assert got == want
+    assert got[2][1] is False and got[5][1] is False  # repetition-dropped
+    assert got[4] == (0, True)  # short doc survives with zero grams
+
+
 def test_foreachbatch_sink_idempotent_partition_overwrite(spark, tmp_path):
     """foreachBatch — the production sink pattern for logic the built-in
     sinks can't express (merge/upsert/dedup-per-batch). Here each
