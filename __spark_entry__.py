@@ -62,6 +62,7 @@ _TAIL = (
     "ev_sliding_1h_value",  # RANGE-interval frame; window-frame family driver-checked via ev_running_total (ROWS) — selfcheck covers this one
     "sim_ivf_multiprobe",  # nprobe=2 rendering of the same quantizer machinery; shares its oracle VERBATIM with the in-window sim_ivf_index_probe, so a driver row for the probe is a driver row for this
     "ev_approx_value_quantiles",  # sketch family (like ev_approx_distinct_users): no oracle by design, pytest-bounded vs exact percentiles
+    "corpus_build_full",  # composition of in-window pieces (quality/repetition/decontaminate/dedup-CC/chunking all driver-checked individually); full composed oracle verified in selfcheck + benched
     # r4 rotation: ml_kmeans_refine / dedup_semantic_kmeans / corpus_pack_sequences /
     # corpus_mixture_sample / dedup_cluster_cc_star moved INTO the window (they had
     # never produced a driver CORRECTNESS row — VERDICT r3 #2); the six entries below

@@ -85,6 +85,8 @@ HEADLINE = [
     "ev_sliding_1h_value",
     "ml_kmeans_refine",
     "dedup_semantic_kmeans",
+    "sim_ivf_index_probe",
+    "corpus_build_full",
 ]
 
 

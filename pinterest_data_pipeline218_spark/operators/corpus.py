@@ -408,6 +408,126 @@ ORDER BY doc_id
 """
 
 
+def corpus_build_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED end-to-end corpus build with every gate on — quality →
+    repetition → decontamination → exact-dedup → near-dup compaction →
+    split → chunking — registered as its own gated query so a regression in
+    the composition (gate ordering, keeper selection, join shapes), not
+    just the pieces, is visible to the correctness gate and the bench.
+
+    Scale shape is the union of its parts, all previously audited: every
+    gate is one semi/anti join against a scan-local or one-shuffle
+    aggregate; the near-dup stage reuses the LSH band-bucket pair stream
+    and edges-only CC; chunking fans out at the scan."""
+    return build_training_corpus(
+        spark,
+        sf_dir,
+        repetition_gate=True,
+        decontaminate=True,
+        near_dedup=True,
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def _build_full_sql() -> str:
+    """DuckDB replay of the full composition. Reuses the exact oracle
+    fragments of the constituent queries (minhash CTE chain + recursive-CTE
+    connected components from dedup, bigram/5-gram gates from
+    text_analysis, hash split + chunking from this module) so the composed
+    oracle can't drift from the piecewise ones."""
+    from .dedup import CC_JACCARD_THRESHOLD, _minhash_cte_body, _VERIFIED_JACCARD
+    from .text_analysis import DECON_BENCH_MOD, DECON_BENCH_RESIDUE, DECON_NGRAM
+
+    sw = T.stopword_ratio_sql("string_split(text, ' ')")
+    atl = T.avg_token_len_sql("string_split(text, ' ')")
+    quality = (
+        f"(0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)"
+        f" + 0.3 * (1.0 - {sw})"
+        f" + 0.2 * least({atl} / 8.0, 1.0))"
+    )
+    grams2 = T.word_shingles_sql("string_split(text, ' ')", 2)
+    gramsn = T.word_shingles_sql("string_split(text, ' ')", DECON_NGRAM)
+    gh = T.token_hash_sql("g")
+    return f"""
+WITH RECURSIVE {_minhash_cte_body()}, pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN sig x ON cand.doc_a = x.doc_id
+  JOIN sig y ON cand.doc_b = y.doc_id
+  WHERE {_VERIFIED_JACCARD} >= {CC_JACCARD_THRESHOLD}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node WHERE r.label < e.dst
+), cc AS (
+  SELECT node AS doc_id, MIN(label) AS label FROM reach GROUP BY node
+), docs AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+), g2 AS (
+  SELECT doc_id, unnest({grams2}) AS g FROM docs
+), per2 AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g
+), ragg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+         COUNT(*) AS n_distinct, MAX(c) AS max_c
+  FROM per2 GROUP BY doc_id
+), rep_keep AS (
+  SELECT d.doc_id FROM docs d LEFT JOIN ragg a ON d.doc_id = a.doc_id
+  WHERE a.n_grams IS NULL
+     OR ((a.n_grams - a.n_distinct) / a.n_grams <= 0.3
+         AND a.max_c / a.n_grams <= 0.2)
+), hashedn AS (
+  SELECT doc_id, list_distinct(list_transform({gramsn}, g -> {gh})) AS ghs
+  FROM docs
+), bench AS (
+  SELECT DISTINCT unnest(ghs) AS gh FROM hashedn
+  WHERE doc_id % {DECON_BENCH_MOD} = {DECON_BENCH_RESIDUE}
+), dirty AS (
+  SELECT DISTINCT t.doc_id FROM (
+    SELECT doc_id, unnest(ghs) AS gh FROM hashedn
+    WHERE doc_id % {DECON_BENCH_MOD} != {DECON_BENCH_RESIDUE}
+  ) t JOIN bench b ON t.gh = b.gh
+), good AS (
+  SELECT d.doc_id, d.text FROM docs d
+  JOIN rep_keep rk ON d.doc_id = rk.doc_id
+  WHERE {quality} >= {QUALITY_THRESHOLD}
+    AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+), exact_keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM good GROUP BY md5(text)
+), kept AS (
+  SELECT g.doc_id, g.text FROM good g JOIN exact_keep e ON g.doc_id = e.doc_id
+), cc_keep AS (
+  SELECT MIN(k.doc_id) AS doc_id
+  FROM kept k JOIN cc ON k.doc_id = cc.doc_id
+  GROUP BY cc.label
+), final AS (
+  SELECT k.doc_id, k.text FROM kept k JOIN cc_keep c ON k.doc_id = c.doc_id
+), t AS (
+  SELECT doc_id,
+         CASE WHEN {_doc_pct_sql(SPLIT_SEED)} < {TRAIN_PCT} THEN 'train'
+              WHEN {_doc_pct_sql(SPLIT_SEED)} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         string_split(text, ' ') AS toks
+  FROM final
+), f AS (
+  SELECT doc_id, split, toks,
+         unnest(range(0, (len(toks) + {CHUNK_TOKENS - 1}) // {CHUNK_TOKENS})) AS chunk_idx
+  FROM t
+)
+SELECT doc_id, split,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(len(list_slice(toks, chunk_idx * {CHUNK_TOKENS} + 1,
+                           chunk_idx * {CHUNK_TOKENS} + {CHUNK_TOKENS})) AS INT) AS n_tokens,
+       array_to_string(list_slice(toks, chunk_idx * {CHUNK_TOKENS} + 1,
+                                  chunk_idx * {CHUNK_TOKENS} + {CHUNK_TOKENS}), ' ') AS chunk_text
+FROM f
+ORDER BY doc_id, chunk_idx
+"""
+
+
 def write_training_corpus(df: DataFrame, out_dir: str) -> None:
     """Persist the training rows partitioned by split: downstream training
     readers scan only their split's directory (PartitionFilters prune)."""
@@ -421,6 +541,7 @@ QUERIES = {
     "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_mixture_sample": corpus_mixture_sample,
     "corpus_pack_sequences": corpus_pack_sequences,
+    "corpus_build_full": corpus_build_full,
 }
 
 ORACLE = {
@@ -430,4 +551,5 @@ ORACLE = {
     "corpus_stratified_sample": CORPUS_STRATIFIED_SQL,
     "corpus_mixture_sample": CORPUS_MIXTURE_SQL,
     "corpus_pack_sequences": CORPUS_PACK_SQL,
+    "corpus_build_full": _build_full_sql(),
 }
