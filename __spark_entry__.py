@@ -105,6 +105,13 @@ _TAIL = (
     "tpch_q9_product_profit",
     "tpch_q11_important_parts",
     "tpch_q20_concentrated_suppliers",
+    # r4 second rotation: text_dupspan_remove / corpus_dsir_sample /
+    # corpus_token_budget / corpus_cdc_chunk are NEW this round and move into
+    # the window; the four below are r03-green and value-redundant.
+    "t6p1_top_customer_per_nation",  # r03-green; rank-window + join family stays checked via t4 (same shape, finer keys)
+    "tpch_q12_priority_classes",  # r03-green; CASE-conditional agg stays checked via t11 (CASE bands) + q19 (disjunctive filter agg)
+    "dedup_incremental_lsh",  # r03-green; same signature/band machinery as in-window dedup_minhash_lsh; the asymmetric new-vs-corpus join is pytest-proved (test_incremental_lsh_flags_known_dup_and_novel_docs)
+    "text_token_stats",  # r03-green; scan-local size/array_distinct exprs subsumed by in-window text_quality_score (token filters) + corpus_chunk_tokens (size/slice); ttr is the same exact-quotient idiom
 )
 
 

@@ -528,6 +528,259 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+DSIR_SEED = 77
+DSIR_BUCKETS = 64  # hashed-unigram feature space (DSIR uses hashed n-grams)
+DSIR_SCALE = 1_000_000  # fixed-point scale for the probability ratio
+DSIR_SW_PCT = 10  # target slice: docs with >= 10% stopword mass
+
+
+def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    score every raw document by how much its hashed-unigram feature
+    distribution looks like a target slice's distribution, then keep the
+    docs whose importance beats the corpus mean.
+
+    Mechanics faithful to the paper, arithmetic made integer-exact:
+    - features = token hash mod DSIR_BUCKETS (the paper's hashed n-grams);
+    - target = stopword-rich documents (>= DSIR_SW_PCT% stopword tokens —
+      a natural-prose proxy, standing in for the paper's Wikipedia/books
+      target; the integer form n_sw*100 >= n_toks*10 avoids float ratios);
+    - per-bucket importance ratio = (ct+1)/(cr+1) with add-one smoothing,
+      held in fixed-point ((ct+1)*SCALE div (cr+1)) — the paper works in
+      log space, but log is libm-dependent across engines, and for a
+      SELECTION rule the monotone fixed-point ratio-mean serves the same
+      ordering role with zero cross-engine drift;
+    - doc score = mean per-token ratio (length-normalized so the rule
+      selects on distributional match, not doc length);
+    - selected = score*n >= sum(score) — multiply-not-divide mean
+      threshold, the q11/q22 idiom.
+
+    Scale shape: one token-explode scan → 64-row rates aggregate (map-side
+    combined) → rates rejoined (AQE broadcast, 64 rows) → per-doc sum (one
+    doc_id-keyed shuffle) → 1-row mean crossJoin (broadcast). No collect,
+    no global sort; the verdict flag lives in the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    n_sw = F.size(F.filter(toks, lambda t: t.isin(*T.STOPWORDS)))
+    is_target = (n_sw * 100) >= (F.size(toks) * DSIR_SW_PCT)
+    tokd = docs.select(
+        "doc_id", is_target.alias("is_target"), F.explode(toks).alias("tok")
+    )
+    b = tokd.select(
+        "doc_id",
+        "is_target",
+        (T.token_hash(F.col("tok"), seed=DSIR_SEED) % DSIR_BUCKETS).alias("bucket"),
+    )
+    rates = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count_if(F.col("is_target")).alias("ct"),
+    )
+    scored = (
+        b.join(rates, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                f"sum(((ct + 1) * {DSIR_SCALE}) div (cr + 1)) div count(*)"
+            ).alias("dsir_score")
+        )
+    )
+    tot = scored.agg(F.sum("dsir_score").alias("s"), F.count(F.lit(1)).alias("n"))
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "dsir_score",
+            (F.col("dsir_score") * F.col("n") >= F.col("s")).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_DSIR_SQL = f"""
+WITH tgt AS (
+  SELECT doc_id,
+         (len(list_filter(string_split(text, ' '), t -> t IN ('a', 'the'))) * 100
+            >= len(string_split(text, ' ')) * {DSIR_SW_PCT}) AS is_target
+  FROM documents
+), tokd AS (
+  SELECT d.doc_id, t.is_target, unnest(string_split(d.text, ' ')) AS tok
+  FROM documents d JOIN tgt t ON d.doc_id = t.doc_id
+), b AS (
+  SELECT doc_id, is_target,
+         {T.token_hash_sql('tok', seed=DSIR_SEED)} % {DSIR_BUCKETS} AS bucket
+  FROM tokd
+), rates AS (
+  SELECT bucket, count(*) AS cr, count(*) FILTER (is_target) AS ct
+  FROM b GROUP BY bucket
+), scored AS (
+  SELECT doc_id,
+         CAST(SUM(((ct + 1) * {DSIR_SCALE}) // (cr + 1)) // COUNT(*) AS BIGINT)
+           AS dsir_score
+  FROM b JOIN rates USING (bucket) GROUP BY doc_id
+), tot AS (SELECT CAST(SUM(dsir_score) AS BIGINT) AS s, COUNT(*) AS n FROM scored)
+SELECT doc_id, dsir_score, (dsir_score * n >= s) AS selected
+FROM scored CROSS JOIN tot
+ORDER BY doc_id
+"""
+
+
+TOKEN_BUDGET = 1_000_000  # training-run token budget for the epoch planner
+
+
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting + epoch planning per source — the bookkeeping step
+    that decides how many passes over each source a fixed training budget
+    buys. Per source: doc/token counts, corpus share in basis points, and
+    milli-epochs = (uniform per-source quota * 1000) div n_tokens (>1000
+    means the source repeats within the budget — the multi-epoch signal).
+
+    All-integer outputs (share_bp = n_tokens*10000 div total) so both
+    engines agree exactly. Scale shape: one groupBy(source) aggregate with
+    map-side combine over a scan-local size(), then a 1-row totals
+    crossJoin — broadcast by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(T.tokens(F.col("text"))).cast("bigint")).alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("n_tokens * 10000 div total_tokens").alias("share_bp"),
+            F.expr(
+                f"(({TOKEN_BUDGET} div n_sources) * 1000) div n_tokens"
+            ).alias("epochs_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_BUDGET_SQL = f"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, COUNT(*) AS n_sources
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       n_tokens * 10000 // total_tokens AS share_bp,
+       (({TOKEN_BUDGET} // n_sources) * 1000) // n_tokens AS epochs_milli
+FROM per_src CROSS JOIN tot
+ORDER BY source
+"""
+
+
+CDC_SEED = 131
+CDC_MOD = 16  # expected chunk length in tokens (geometric, mean = CDC_MOD)
+
+
+def corpus_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: a chunk boundary opens before a token when
+    the hash of its 2-token window (previous token + itself) ≡ 0 (mod
+    CDC_MOD) — the rolling-hash boundary rule of LBFS-family CDC, applied
+    to token streams. Unlike corpus_chunk_tokens' fixed-size packing,
+    boundaries depend only on local content: inserting or deleting tokens
+    perturbs at most the adjacent chunks instead of shifting every
+    downstream boundary — which is what makes chunk-level exact dedup
+    (dedup_exact over chunk hashes) stable under edits. The window is 2
+    tokens (not 1) so the boundary space is the corpus's BIGRAM vocabulary
+    — a single-token rule degenerates on small-vocab corpora, where the
+    boundary set collapses to a handful of fixed words (on this corpus's
+    31-word vocabulary, to zero).
+
+    Scale shape: posexplode pipelined into the scan; the lag and the
+    chunk-id running count share ONE window spec partitioned by doc_id —
+    per-doc state, embarrassingly parallel across docs, no global window;
+    reassembly groups on (doc_id, chunk_id) with the
+    array_sort(struct(pos, tok)) rebuild making collect_list order
+    irrelevant."""
+    return cdc_chunks(load_table(spark, sf_dir, "documents"))
+
+
+def cdc_chunks(docs: DataFrame) -> DataFrame:
+    """DataFrame→DataFrame combinator behind corpus_cdc_chunk. Expects
+    (doc_id, text); emits (doc_id, chunk_id, n_tokens, chunk_text)."""
+    from pyspark.sql import Window
+
+    tokpos = docs.select(
+        "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    ord_w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("tok").over(ord_w)
+    bflag = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(
+            (
+                T.token_hash(F.concat(prev, F.lit(" "), F.col("tok")), seed=CDC_SEED)
+                % CDC_MOD
+            )
+            == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    w = ord_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunked = tokpos.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.sum(bflag).over(w).alias("chunk_id"),
+    )
+    return (
+        chunked.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x.tok,
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+_CDC_B = (
+    "CASE WHEN prev IS NULL THEN 0 WHEN "
+    + T.token_hash_sql("(prev || ' ' || tok)", seed=CDC_SEED)
+    + f" % {CDC_MOD} = 0 THEN 1 ELSE 0 END"
+)
+CORPUS_CDC_SQL = f"""
+WITH tokpos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+  FROM documents
+), lagd AS (
+  SELECT doc_id, pos, tok,
+         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM tokpos
+), chunked AS (
+  SELECT doc_id, pos, tok,
+         CAST(SUM({_CDC_B}) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS chunk_id
+  FROM lagd
+)
+SELECT doc_id, chunk_id, count(*) AS n_tokens,
+       string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+FROM chunked
+GROUP BY doc_id, chunk_id
+ORDER BY doc_id, chunk_id
+"""
+
+
 def write_training_corpus(df: DataFrame, out_dir: str) -> None:
     """Persist the training rows partitioned by split: downstream training
     readers scan only their split's directory (PartitionFilters prune)."""
@@ -542,6 +795,9 @@ QUERIES = {
     "corpus_mixture_sample": corpus_mixture_sample,
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_build_full": corpus_build_full,
+    "corpus_dsir_sample": corpus_dsir_sample,
+    "corpus_token_budget": corpus_token_budget,
+    "corpus_cdc_chunk": corpus_cdc_chunk,
 }
 
 ORACLE = {
@@ -552,4 +808,7 @@ ORACLE = {
     "corpus_mixture_sample": CORPUS_MIXTURE_SQL,
     "corpus_pack_sequences": CORPUS_PACK_SQL,
     "corpus_build_full": _build_full_sql(),
+    "corpus_dsir_sample": CORPUS_DSIR_SQL,
+    "corpus_token_budget": CORPUS_BUDGET_SQL,
+    "corpus_cdc_chunk": CORPUS_CDC_SQL,
 }

@@ -255,17 +255,18 @@ ORDER BY doc_id
 """
 
 
-def _gram_rows(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, gram) — one row per n-word shingle, built the codegen'd way:
-    explode a position sequence, then assemble the gram from element_at +
-    concat as PLAIN scalar expressions. Exploding a lambda-built shingle
-    ARRAY instead (word_shingles + explode) measured 10-20x slower at
-    sf0.1 — higher-order-function arrays are interpreted per element and
-    their Generate doesn't get whole-stage codegen; this form pipelines
-    into the scan. Docs shorter than n emit no rows: the explode is gated
-    on size(toks) >= n because sequence(1, 0) is NOT empty — Spark yields
-    the DESCENDING array [1, 0], and element_at(toks, 0) then throws under
-    ANSI mode, so an ungated form crashes the whole query on any short doc."""
+def _gram_rows_pos(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, i, gram) — one row per n-word shingle with its 1-based start
+    position, built the codegen'd way: explode a position sequence, then
+    assemble the gram from element_at + concat as PLAIN scalar expressions.
+    Exploding a lambda-built shingle ARRAY instead (word_shingles + explode)
+    measured 10-20x slower at sf0.1 — higher-order-function arrays are
+    interpreted per element and their Generate doesn't get whole-stage
+    codegen; this form pipelines into the scan. Docs shorter than n emit no
+    rows: the explode is gated on size(toks) >= n because sequence(1, 0) is
+    NOT empty — Spark yields the DESCENDING array [1, 0], and
+    element_at(toks, 0) then throws under ANSI mode, so an ungated form
+    crashes the whole query on any short doc."""
     toked = docs.select("doc_id", T.tokens(F.col("text")).alias("toks")).filter(
         F.size("toks") >= n
     )
@@ -275,7 +276,13 @@ def _gram_rows(docs: DataFrame, n: int) -> DataFrame:
     g = pieces[0]
     for p in pieces[1:]:
         g = F.concat(g, F.lit(" "), p)
-    return ex.select("doc_id", g.alias("gram"))
+    return ex.select("doc_id", "i", g.alias("gram"))
+
+
+def _gram_rows(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gram) — position-free view of _gram_rows_pos (the column is
+    pruned before the explode's consumers, so keeping it there is free)."""
+    return _gram_rows_pos(docs, n).select("doc_id", "gram")
 
 
 def repetition_flags(docs: DataFrame) -> DataFrame:
@@ -432,6 +439,122 @@ ORDER BY doc_id
 """
 
 
+# Exact duplicated-span removal (the "exact substring dedup" of Lee et al.
+# 2021, "Deduplicating Training Data Makes Language Models Better"), at
+# token-window granularity: any DUPSPAN_N-token span occurring >= 2 times
+# corpus-wide is removed from every document it covers.
+DUPSPAN_N = 10
+
+
+def dupspan_remove(docs: DataFrame) -> DataFrame:
+    """DataFrame→DataFrame combinator behind text_dupspan_remove. Expects
+    (doc_id, text); emits (doc_id, n_tokens, n_removed, cleaned_text).
+
+    Scale shape (all linear, never all-pairs):
+    1. span hashes: scan-pipelined explode (codegen'd _gram_rows_pos), one
+       60-bit key per window — fixed-width keys keep the count shuffle ~4x
+       smaller than shuffling the gram strings;
+    2. duplicated-hash set: groupBy(gh) count with map-side partial agg —
+       the only corpus-wide exchange, keyed on a uniform hash so no skew;
+    3. covered positions: duplicated starts fan out into DUPSPAN_N
+       positions each, distinct'd per (doc, pos) — bounded by total token
+       count, reuses the doc_id-keyed exchange that the reassembly needs
+       anyway;
+    4. reassembly: kept tokens regrouped per doc, ordered by position via
+       array_sort over (pos, tok) structs — collect_list order is
+       partition-dependent, the sort is what makes the rebuild
+       deterministic at any parallelism.
+
+    Docs shorter than DUPSPAN_N contribute no spans (gated explode) and
+    are never edited; a doc whose every token is covered comes back as ''
+    (kept, length 0) — dropping it is the caller's policy decision."""
+    toked = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    g = _gram_rows_pos(docs, DUPSPAN_N).select(
+        "doc_id", "i", T.token_hash(F.col("gram")).alias("gh")
+    )
+    dup = (
+        g.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gh")
+    )
+    starts = g.join(dup, "gh").select("doc_id", "i")
+    covered = starts.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("i"), F.col("i") + (DUPSPAN_N - 1))).alias("pos"),
+    ).distinct()
+    tokpos = toked.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = tokpos.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda x: x.tok
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    base = docs.select(
+        "doc_id", F.size(T.tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    return (
+        base.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_dupspan_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-duplicated exact-span removal (Lee et al. 2021 exact-substring
+    dedup, token-window granularity): every 10-token span occurring twice or
+    more anywhere in the corpus is cut from every document, and the
+    remaining tokens are reassembled in order. This is the within-document
+    complement to document-level near-dedup — boilerplate, licenses and
+    templated passages repeat across otherwise-distinct documents, and
+    removing the spans (not the documents) is what the paper shows improves
+    LMs. See the combinator's docstring for the 100 TB plan shape."""
+    return dupspan_remove(load_table(spark, sf_dir, "documents"))
+
+
+_DUPGRAM = " || ' ' || ".join(f"toks[i + {j}]" for j in range(DUPSPAN_N))
+TEXT_DUPSPAN_SQL = f"""
+WITH toked AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+spans AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks) - {DUPSPAN_N - 1})) AS i, toks
+  FROM toked WHERE len(toks) >= {DUPSPAN_N}
+), g AS (
+  SELECT doc_id, i, {T.token_hash_sql(f"({_DUPGRAM})")} AS gh FROM spans
+), dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+starts AS (SELECT doc_id, i FROM g JOIN dup USING (gh)),
+covered AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(i, i + {DUPSPAN_N - 1})) AS pos
+  FROM starts
+), tokpos AS (
+  SELECT doc_id, unnest(toks) AS tok, unnest(generate_series(1, len(toks))) AS pos
+  FROM toked
+), kept AS (
+  SELECT t.doc_id, t.tok, t.pos FROM tokpos t
+  ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+), rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept, string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id,
+       len(string_split(d.text, ' ')) AS n_tokens,
+       len(string_split(d.text, ' ')) - COALESCE(r.n_kept, 0) AS n_removed,
+       COALESCE(r.cleaned_text, '') AS cleaned_text
+FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -442,6 +565,7 @@ QUERIES = {
     "text_pii_redact": text_pii_redact,
     "text_repetition_score": text_repetition_score,
     "text_decontaminate": text_decontaminate,
+    "text_dupspan_remove": text_dupspan_remove,
 }
 
 ORACLE = {
@@ -454,4 +578,5 @@ ORACLE = {
     "text_pii_redact": TEXT_PII_SQL,
     "text_repetition_score": TEXT_REPETITION_SQL,
     "text_decontaminate": TEXT_DECONTAMINATE_SQL,
+    "text_dupspan_remove": TEXT_DUPSPAN_SQL,
 }

@@ -780,3 +780,139 @@ def test_approx_quantiles_land_on_correct_order_statistics(spark):
             lo = max(0, math.floor(target) - 1)
             hi = min(n - 1, math.ceil(target) + 1)
             assert vals[lo] <= a <= vals[hi], (k, p, a, vals[lo], vals[hi])
+
+
+def test_dupspan_removes_planted_duplicate_spans(spark):
+    """Exact-substring dedup semantics (Lee et al. 2021): a 10-token span
+    planted in two documents is cut from BOTH; tokens outside any
+    duplicated span survive in order; docs shorter than the span width and
+    docs with no duplicated content come back verbatim."""
+    from pinterest_data_pipeline218_spark.operators.text_analysis import (
+        dupspan_remove,
+    )
+
+    span = [f"d{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["pre1", "pre2", *span, "post1"])),
+            (2, " ".join([*span, "tail1", "tail2"])),
+            (3, "unique content entirely its own here now ok yes sure fine"),
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dupspan_remove(docs).collect()}
+    assert out[1].cleaned_text == "pre1 pre2 post1" and out[1].n_removed == 10
+    assert out[2].cleaned_text == "tail1 tail2" and out[2].n_removed == 10
+    assert out[3].cleaned_text == docs.collect()[2].text and out[3].n_removed == 0
+    assert out[4].cleaned_text == "tiny doc" and out[4].n_removed == 0
+
+
+def test_dupspan_overlapping_spans_cover_union(spark):
+    """Two duplicated spans overlapping in one doc remove the UNION of
+    their positions (the covered-position distinct), not double-count."""
+    from pinterest_data_pipeline218_spark.operators.text_analysis import (
+        dupspan_remove,
+    )
+
+    # doc 1 holds tokens 0..11; spans [0..9] and [2..11] both duplicated
+    # (planted separately in docs 2 and 3) -> every token of doc 1 covered.
+    toks = [f"x{i}" for i in range(12)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(toks)),
+            (2, " ".join(toks[0:10])),
+            (3, " ".join(toks[2:12])),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dupspan_remove(docs).collect()}
+    assert out[1].cleaned_text == "" and out[1].n_removed == 12
+
+
+def test_cdc_chunks_stable_under_prefix_edit(spark):
+    """The CDC property: prepending tokens to a document changes only the
+    chunks up to the first boundary after the edit — every later chunk is
+    byte-identical, because boundaries depend only on the local 2-token
+    window. (Fixed-size chunking shifts EVERY downstream boundary.)"""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.operators.corpus import cdc_chunks
+
+    import pyspark.sql.functions as F
+
+    base = (
+        load_table(spark, SF, "documents")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .limit(1)
+        .collect()[0]
+        .text
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, "zz1 zz2 zz3 " + base)],
+        "doc_id long, text string",
+    )
+    chunks = cdc_chunks(docs).collect()
+    a = [r.chunk_text for r in sorted((r for r in chunks if r.doc_id == 1), key=lambda r: r.chunk_id)]
+    b = [r.chunk_text for r in sorted((r for r in chunks if r.doc_id == 2), key=lambda r: r.chunk_id)]
+    assert len(a) >= 3, "base doc must split into several chunks for the test to bite"
+    # all but the first chunk of the original must reappear verbatim
+    assert a[1:] == b[-(len(a) - 1):]
+
+
+def test_dsir_prefers_target_distribution(spark):
+    """DSIR selection must enrich for target-like (stopword-rich) docs: the
+    selection rate among target docs strictly exceeds the rate among the
+    rest, and both scores and the verdict are deterministic re-run to
+    re-run."""
+    import pyspark.sql.functions as F
+
+    from pinterest_data_pipeline218_spark.operators.corpus import (
+        DSIR_SW_PCT,
+        corpus_dsir_sample,
+    )
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.functions import text as T
+
+    sel = corpus_dsir_sample(spark, SF)
+    toks = T.tokens(F.col("text"))
+    tgt = load_table(spark, SF, "documents").select(
+        "doc_id",
+        (
+            (F.size(F.filter(toks, lambda t: t.isin(*T.STOPWORDS))) * 100)
+            >= (F.size(toks) * DSIR_SW_PCT)
+        ).alias("is_target"),
+    )
+    joined = sel.join(tgt, "doc_id").collect()
+    t_rate = [r.selected for r in joined if r.is_target]
+    o_rate = [r.selected for r in joined if not r.is_target]
+    assert t_rate and o_rate
+    assert sum(t_rate) / len(t_rate) > sum(o_rate) / len(o_rate)
+    again = {r.doc_id: (r.dsir_score, r.selected) for r in corpus_dsir_sample(spark, SF).collect()}
+    assert {r.doc_id: (r.dsir_score, r.selected) for r in joined} == again
+
+
+def test_token_budget_accounting_is_consistent(spark):
+    """share_bp must sum to ~10000 (floor rounding loses < n_sources bp)
+    and per-source token counts must match a direct recount."""
+    import pyspark.sql.functions as F
+
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.operators.corpus import (
+        corpus_token_budget,
+    )
+    from pinterest_data_pipeline218_spark.functions import text as T
+
+    rows = corpus_token_budget(spark, SF).collect()
+    n_src = len(rows)
+    total_bp = sum(r.share_bp for r in rows)
+    assert 10000 - n_src <= total_bp <= 10000
+    direct = {
+        r.source: r.n
+        for r in load_table(spark, SF, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(T.tokens(F.col("text")))).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert direct[r.source] == r.n_tokens
+        assert r.epochs_milli > 0
