@@ -87,6 +87,12 @@ HEADLINE = [
     "dedup_semantic_kmeans",
     "sim_ivf_index_probe",
     "corpus_build_full",
+    "text_dupspan_remove",
+    "corpus_dsir_sample",
+    "corpus_token_budget",
+    "corpus_cdc_chunk",
+    "sim_pq_topk",
+    "ml_hard_negatives",
 ]
 
 

@@ -127,6 +127,107 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEG_K = 3  # hard negatives mined per anchor
+
+
+def ml_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for every vector, the NEG_K most
+    cosine-similar vectors with a DIFFERENT class label, searched only
+    within the vector's learned k-means cluster — "hard" negatives are by
+    definition the near-misses, and the near-misses live in the same coarse
+    cell, so the cluster block bounds the quadratic search exactly where
+    the candidates are (the same blocking argument as SemDeDup, here with
+    the class-label inequality instead of a similarity threshold).
+
+    Output: (anchor, anchor_label, negative, negative_label, cos_sim, rk)
+    with rk 1..NEG_K per anchor — the training-pair table a contrastive
+    fine-tune consumes.
+
+    Scale shape: reuses dedup_semantic_kmeans' machinery end to end —
+    integer-exact Lloyd assignment, salted blocked self-join
+    (_salted_block_pairs), norm-precomputed cosine — then mirrors each
+    undirected pair into both directions and ranks per anchor with a
+    window PARTITIONED BY anchor (per-vector state, no global window)."""
+    from .dedup import _salted_block_pairs
+    from ..functions.vectors import cosine_from_norms, dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    assign = ml_kmeans_refine(spark, sf_dir).select("vec_id", "cluster")
+    e = emb.join(assign, "vec_id").withColumn("nrm", l2_norm(F.col("v")))
+    pairs = _salted_block_pairs(
+        e.select("vec_id", "label", "cluster", "v", "nrm"), "cluster", "vec_id"
+    ).filter(F.col("label_a") != F.col("label_b"))
+    cos = cosine_from_norms(
+        dot(F.col("v_a"), F.col("v_b")), F.col("nrm_a"), F.col("nrm_b")
+    )
+    scored = pairs.select(
+        F.col("vec_id_a").alias("a"),
+        F.col("label_a").alias("la"),
+        F.col("vec_id_b").alias("b"),
+        F.col("label_b").alias("lb"),
+        F.round(cos, 6).cast("double").alias("cos_sim"),
+    )
+    directed = scored.select(
+        F.col("a").alias("anchor"),
+        F.col("la").alias("anchor_label"),
+        F.col("b").alias("negative"),
+        F.col("lb").alias("negative_label"),
+        "cos_sim",
+    ).unionByName(
+        scored.select(
+            F.col("b").alias("anchor"),
+            F.col("lb").alias("anchor_label"),
+            F.col("a").alias("negative"),
+            F.col("la").alias("negative_label"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("cos_sim"), F.asc("negative"))
+    return (
+        directed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= NEG_K)
+        .select(
+            "anchor",
+            "anchor_label",
+            "negative",
+            "negative_label",
+            "cos_sim",
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("anchor", "rk")
+    )
+
+
+def _hard_negatives_sql() -> str:
+    from ..functions.vectors import cosine_sql_duckdb
+
+    cos = cosine_sql_duckdb("a.v", "b.v")
+    return f"""WITH {_kmeans_ctes()},
+e AS (
+  SELECT e0.vec_id AS vec_id, e0.label AS label, afinal.cluster AS cluster,
+         embedding::DOUBLE[] AS v
+  FROM embeddings e0 JOIN afinal ON e0.vec_id = afinal.vec_id
+),
+p AS (
+  SELECT a.vec_id AS anchor, a.label AS anchor_label,
+         b.vec_id AS negative, b.label AS negative_label,
+         CAST(ROUND({cos}, 6) AS DOUBLE) AS cos_sim
+  FROM e a JOIN e b
+    ON a.cluster = b.cluster AND a.vec_id != b.vec_id AND a.label != b.label
+)
+SELECT anchor, anchor_label, negative, negative_label, cos_sim, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY anchor ORDER BY cos_sim DESC, negative ASC) AS rk
+  FROM p
+)
+WHERE rk <= {NEG_K}
+ORDER BY anchor, rk
+"""
+
+
 def _kmeans_ctes() -> str:
     def assign_cte(name: str, cent: str) -> str:
         return f"""{name} AS (
@@ -202,9 +303,11 @@ ORDER BY cluster, vec_a, vec_b
 QUERIES = {
     "ml_kmeans_refine": ml_kmeans_refine,
     "dedup_semantic_kmeans": dedup_semantic_kmeans,
+    "ml_hard_negatives": ml_hard_negatives,
 }
 
 ORACLE = {
     "ml_kmeans_refine": _kmeans_sql(),
     "dedup_semantic_kmeans": _semantic_dedup_sql(),
+    "ml_hard_negatives": _hard_negatives_sql(),
 }

@@ -184,6 +184,48 @@ def write_ivf_index(emb: DataFrame, path: str) -> None:
     build_ivf_centroids(emb).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+_CENTROID_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
+
+
+def _load_centroids(spark: SparkSession, index_path: str) -> list[tuple[int, list[float]]]:
+    """The coarse quantizer, resident driver-side — exactly how IVF systems
+    hold it (|cells| x dim floats, kilobytes at any corpus size). Collected
+    once per index path and cached, so a steady-state probe runs ONE Spark
+    job (the pruned cell scan) instead of paying a centroid-ranking job per
+    query. Cache keys are index paths; the gated query's paths already embed
+    the source file's mtime+size (_ivf_cache_dir), so data regeneration
+    rotates the key instead of serving stale centroids."""
+    if index_path not in _CENTROID_CACHE:
+        rows = spark.read.parquet(f"{index_path}/centroids").collect()
+        _CENTROID_CACHE[index_path] = [(r.label, list(r.c)) for r in rows]
+    return _CENTROID_CACHE[index_path]
+
+
+def _rank_cells(
+    centroids: list[tuple[int, list[float]]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    """Driver-side centroid ranking over query-planning state: plain Python
+    doubles in the SAME left-fold order as the engines' cosine fold, so the
+    chosen cells are bit-identical to what the Spark/DuckDB expression
+    ranks. Zero-norm centroids sort last (the engines' DESC NULLS LAST)."""
+
+    def fold_dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    import math
+
+    scored = []
+    for label, c in centroids:
+        denom = math.sqrt(fold_dot(c, c)) * math.sqrt(fold_dot(query_vec, query_vec))
+        cos = (fold_dot(c, query_vec) / denom) if denom != 0 else float("-inf")
+        scored.append((-cos, label))
+    scored.sort()
+    return [label for _, label in scored[:nprobe]]
+
+
 def ivf_index_topk(
     spark: SparkSession,
     index_path: str,
@@ -193,11 +235,12 @@ def ivf_index_topk(
     k: int = TOP_K,
     nprobe: int = 1,
 ) -> DataFrame:
-    """Probe the materialized IVF index: rank the persisted centroids
-    against the query (|cells| rows — the collect is query planning, like
-    ann_index_topk's head), then scan ONLY the nprobe best cells' partitions.
-    The probe plan touches no corpus-wide posexplode/groupBy — index build
-    cost was paid once in write_ivf_index.
+    """Probe the materialized IVF index: rank the RAM-resident centroids
+    against the query (driver arithmetic over |cells| rows — query
+    planning, like ann_index_topk's head), then scan ONLY the nprobe best
+    cells' partitions. The probe plan touches no corpus-wide
+    posexplode/groupBy — index build cost was paid once in write_ivf_index
+    — and in steady state runs a single Spark job.
 
     ``query_vec`` normally arrives with the request (a production ANN
     service gets the vector, not a corpus id); passing only
@@ -209,15 +252,7 @@ def ivf_index_topk(
         if exclude_vec_id is None:
             exclude_vec_id = query_vec_id
     qdf = spark.createDataFrame([(query_vec,)], "q array<double>")
-    cent = spark.read.parquet(f"{index_path}/centroids")
-    best = (
-        cent.crossJoin(F.broadcast(qdf))
-        .select("label", cosine(F.col("c"), F.col("q")).alias("cell_cos"))
-        .orderBy(F.desc("cell_cos"), F.asc("label"))
-        .limit(nprobe)
-        .collect()
-    )
-    cells = [r.label for r in best]
+    cells = _rank_cells(_load_centroids(spark, index_path), query_vec, nprobe)
     out = data.filter(F.col("cell").isin(cells))
     if exclude_vec_id is not None:
         out = out.filter(F.col("vec_id") != exclude_vec_id)
@@ -392,12 +427,142 @@ LIMIT {TOP_K}
 """
 
 
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"): split the vector into PQ_M subspaces, quantize
+# each to one of PQ_K codebook entries, and answer queries by table lookup —
+# an 8-byte code replaces a 256-byte vector, the memory lever that lets a
+# 100 TB embedding corpus fit an in-RAM index tier.
+PQ_M = 8  # subspaces
+PQ_SUBDIM = DIM // PQ_M  # 8 components per subspace
+PQ_K = 16  # codebook entries per subspace (4-bit codes)
+
+
+def _pq_comps(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, r, q): integer-quantized components keyed by subspace m
+    and intra-subspace position r — the 2^-20 trunc grid that makes every
+    downstream distance an exact integer in both engines."""
+    return emb.select("vec_id", F.posexplode("v").alias("pos", "val")).select(
+        "vec_id",
+        F.expr(f"pos div {PQ_SUBDIM}").cast("int").alias("m"),
+        (F.col("pos") % PQ_SUBDIM).cast("int").alias("r"),
+        (F.col("val") * QUANT).cast("long").alias("q"),
+    )
+
+
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + asymmetric-style distance computation, end to end: build the
+    codebooks, encode the corpus to 4-bit-per-subspace codes, rank by
+    LUT-summed distance.
+
+    - **Codebooks**: entry j of subspace m is the m-th subvector of the
+      j-th lowest vec_id (one-shot seeding, the ml_kmeans_refine
+      convention; Lloyd refinement per subspace would compose exactly like
+      operators/clustering.py and is deliberately not fused in here).
+    - **Encoding**: each vector's subspace code = argmin_j Σ_r (q-qc)² in
+      quantized-integer space, ties to the lowest j via the min-struct
+      idiom — engine-exact, no float distance anywhere.
+    - **Query (ADC)**: the query's quantized subvectors produce a PQ_M×PQ_K
+      integer distance table; a candidate's approximate distance is the sum
+      of PQ_M table lookups — the constant-time-per-candidate scoring that
+      makes PQ scanning fast.
+
+    Scale shape: the codebook (PQ_M·PQ_K·PQ_SUBDIM = 1024 rows) and the LUT
+    (128 rows) are explicit broadcasts; the encode pass is
+    scan → broadcast-join → two partial-agg groupBys keyed on vec_id
+    prefixes (n·M·K rows pre-combine — the one-time index-build cost PQ
+    systems pay); the query-side scoring join is a 128-row broadcast with a
+    final per-vec_id sum. No shuffle carries more than n·M·K pre-combined
+    rows; nothing is ever all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    comps = _pq_comps(emb)
+    from pyspark.sql import Window
+
+    seeds = emb.select("vec_id").orderBy("vec_id").limit(PQ_K)
+    seed_j = seeds.select(
+        "vec_id",
+        (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("j"),
+    )  # PQ_K rows: the global window is over query-planning state, not data
+    cb = comps.join(F.broadcast(seed_j), "vec_id").select(
+        "m", "r", "j", F.col("q").alias("qc")
+    )
+    d2 = (F.col("q") - F.col("qc")) * (F.col("q") - F.col("qc"))
+    codes = (
+        comps.join(F.broadcast(cb), ["m", "r"])
+        .groupBy("vec_id", "m", "j")
+        .agg(F.sum(d2).alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "j")).alias("mn"))
+        .select("vec_id", "m", F.col("mn.j").alias("code"))
+    )
+    lut = (
+        comps.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .join(F.broadcast(cb), ["m", "r"])
+        .groupBy("m", "j")
+        .agg(F.sum(d2).alias("lut_d2"))
+    )
+    return (
+        codes.join(
+            F.broadcast(lut),
+            (codes.m == lut.m) & (codes.code == lut.j),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("lut_d2").alias("pq_dist"))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .orderBy(F.asc("pq_dist"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+SIM_PQ_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+comps AS (
+  SELECT vec_id, (u.pos - 1) // {PQ_SUBDIM} AS m, (u.pos - 1) % {PQ_SUBDIM} AS r,
+         u.q AS q
+  FROM (
+    SELECT vec_id, unnest(list_transform(range(1, len(v)+1),
+           __i -> {{'pos': __i, 'q': CAST(TRUNC(v[__i] * {QUANT}) AS BIGINT)}})) AS u
+    FROM e
+  )
+),
+seed_j AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT {PQ_K})
+),
+cb AS (
+  SELECT m, r, j, q AS qc FROM comps JOIN seed_j USING (vec_id)
+),
+codes AS (
+  SELECT vec_id, m, min(struct_pack(d2 := d2, j := j)).j AS code
+  FROM (
+    SELECT c.vec_id, c.m, cb.j, SUM((c.q - cb.qc) * (c.q - cb.qc)) AS d2
+    FROM comps c JOIN cb ON c.m = cb.m AND c.r = cb.r
+    GROUP BY c.vec_id, c.m, cb.j
+  ) GROUP BY vec_id, m
+),
+lut AS (
+  SELECT c.m, cb.j, SUM((c.q - cb.qc) * (c.q - cb.qc)) AS lut_d2
+  FROM comps c JOIN cb ON c.m = cb.m AND c.r = cb.r
+  WHERE c.vec_id = {QUERY_VEC_ID}
+  GROUP BY c.m, cb.j
+)
+SELECT codes.vec_id AS vec_id, CAST(SUM(lut.lut_d2) AS BIGINT) AS pq_dist
+FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.j
+WHERE codes.vec_id != {QUERY_VEC_ID}
+GROUP BY codes.vec_id
+ORDER BY pq_dist ASC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_multiprobe": sim_ivf_multiprobe,
     "sim_ivf_index_probe": sim_ivf_index_probe,
+    "sim_pq_topk": sim_pq_topk,
 }
 
 ORACLE = {
@@ -407,4 +572,5 @@ ORACLE = {
     "sim_ivf_multiprobe": _ivf_sql(NPROBE),
     # the indexed probe is value-identical to multiprobe by construction
     "sim_ivf_index_probe": _ivf_sql(NPROBE),
+    "sim_pq_topk": SIM_PQ_SQL,
 }

@@ -916,3 +916,115 @@ def test_token_budget_accounting_is_consistent(spark):
     for r in rows:
         assert direct[r.source] == r.n_tokens
         assert r.epochs_milli > 0
+
+
+def test_pq_codes_minimize_subspace_distance(spark):
+    """PQ encoding invariant: every assigned code must be a true argmin —
+    no codebook entry may sit strictly closer (in the quantized integer
+    metric) to the vector's subvector than its assigned entry, and ties
+    must resolve to the lowest code id."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        QUANT,
+    )
+    from pinterest_data_pipeline218_spark.operators.similarity import (
+        _pq_comps,
+        as_double_array,
+    )
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    rows = emb.orderBy("vec_id").limit(40).collect()
+
+    def quant(x):
+        return int(x * QUANT)  # trunc toward zero, matches cast("long")
+
+    seeds = rows[:PQ_K]
+    cb = {
+        (m, j): [quant(seeds[j].v[m * PQ_SUBDIM + r]) for r in range(PQ_SUBDIM)]
+        for m in range(PQ_M)
+        for j in range(PQ_K)
+    }
+
+    def code_of(vec, m):
+        sub = [quant(vec[m * PQ_SUBDIM + r]) for r in range(PQ_SUBDIM)]
+        best = min(
+            (sum((a - b) ** 2 for a, b in zip(sub, cb[(m, j)])), j)
+            for j in range(PQ_K)
+        )
+        return best[1]
+
+    # recompute the Spark-side codes for the sampled vectors
+    from pinterest_data_pipeline218_spark.operators.similarity import sim_pq_topk  # noqa: F401  (import proves registration)
+
+    comps = _pq_comps(emb)
+    got = {}
+    cb_rows = []
+    for (m, j), qs in cb.items():
+        for r, qc in enumerate(qs):
+            cb_rows.append((m, r, j, qc))
+    cbdf = spark.createDataFrame(cb_rows, "m int, r int, j int, qc long")
+    d2 = (F.col("q") - F.col("qc")) * (F.col("q") - F.col("qc"))
+    codes = (
+        comps.join(F.broadcast(cbdf), ["m", "r"])
+        .groupBy("vec_id", "m", "j")
+        .agg(F.sum(d2).alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "j")).alias("mn"))
+        .select("vec_id", "m", F.col("mn.j").alias("code"))
+    )
+    for r in codes.filter(F.col("vec_id").isin([x.vec_id for x in rows])).collect():
+        got[(r.vec_id, r.m)] = r.code
+    for row in rows:
+        for m in range(PQ_M):
+            assert got[(row.vec_id, m)] == code_of(row.v, m), (row.vec_id, m)
+
+
+def test_pq_topk_recalls_true_neighbors(spark):
+    """PQ is lossy, but on this corpus the 4-bit-per-subspace code must
+    still put a meaningful fraction of the true top-10 into the PQ top-10
+    (sanity that the distance table is wired to the right codes, not a
+    precision claim)."""
+    from pinterest_data_pipeline218_spark.operators.similarity import (
+        sim_pq_topk,
+        sim_topk_bruteforce,
+    )
+
+    truth = {r.vec_id for r in sim_topk_bruteforce(spark, SF).collect()}
+    pq = {r.vec_id for r in sim_pq_topk(spark, SF).collect()}
+    assert len(pq) == 10
+    assert len(truth & pq) >= 3, (truth, pq)
+
+
+def test_hard_negatives_contract(spark):
+    """Every mined negative must (a) carry a label different from its
+    anchor, (b) share the anchor's learned cluster, (c) be ranked by
+    descending cosine with rk dense from 1, and (d) never pair a vector
+    with itself."""
+    from pinterest_data_pipeline218_spark.operators.clustering import (
+        NEG_K,
+        ml_hard_negatives,
+        ml_kmeans_refine,
+    )
+
+    cluster_of = {
+        r.vec_id: r.cluster for r in ml_kmeans_refine(spark, SF).collect()
+    }
+    by_anchor = {}
+    for r in ml_hard_negatives(spark, SF).collect():
+        assert r.anchor != r.negative
+        assert r.anchor_label != r.negative_label
+        assert cluster_of[r.anchor] == cluster_of[r.negative]
+        by_anchor.setdefault(r.anchor, []).append(r)
+    assert by_anchor, "corpus must yield at least one anchor with negatives"
+    for anchor, rows in by_anchor.items():
+        rows.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= NEG_K
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
