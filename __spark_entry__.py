@@ -111,10 +111,14 @@ _TAIL = (
     "t6p1_top_customer_per_nation",  # r03-green; rank-window + join family stays checked via t4 (same shape, finer keys)
     "tpch_q12_priority_classes",  # r03-green; CASE-conditional agg stays checked via t11 (CASE bands) + q19 (disjunctive filter agg)
     "dedup_incremental_lsh",  # r03-green; same signature/band machinery as in-window dedup_minhash_lsh; the asymmetric new-vs-corpus join is pytest-proved (test_incremental_lsh_flags_known_dup_and_novel_docs)
-    "text_token_stats",  # r03-green; scan-local size/array_distinct exprs subsumed by in-window text_quality_score (token filters) + corpus_chunk_tokens (size/slice); ttr is the same exact-quotient idiom
+    "text_token_stats",  # r03-green; scan-local size/array_distinct exprs subsumed by in-window text_quality_score (token filters) + corpus_pack_sequences (size/slice); ttr is the same exact-quotient idiom
     # r4 third rotation: sim_pq_topk / ml_hard_negatives are NEW and move in.
     "dedup_cluster_cc",  # r03-green; label contract value-identical to in-window dedup_cluster_cc_star (same min-label CC over the same LSH pairs, different round structure — the difference is pytest-proved, test_cc_star_matches_union_find_on_random_graphs)
     "dedup_embedding_neardup",  # r03-green; same salted-block self-join + norm-precomputed cosine machinery now in-window via dedup_semantic_kmeans and ml_hard_negatives; static-label blocking is the degenerate case of the learned-cluster block
+    # r4 fourth rotation: text_subword_tokens / corpus_merge_increment are NEW
+    # and move in.
+    "text_fingerprint",  # r03-green; order-insensitive md5 digest = the dedup_exact digest machinery (in-window) over sorted distinct tokens
+    "corpus_chunk_tokens",  # r03-green; slice/explode chunk fan-out stays in-window via corpus_pack_sequences (same machinery + packing) and reassembly via corpus_cdc_chunk
 )
 
 

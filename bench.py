@@ -93,6 +93,8 @@ HEADLINE = [
     "corpus_cdc_chunk",
     "sim_pq_topk",
     "ml_hard_negatives",
+    "text_subword_tokens",
+    "corpus_merge_increment",
 ]
 
 

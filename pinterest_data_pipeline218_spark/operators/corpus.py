@@ -781,6 +781,117 @@ ORDER BY doc_id, chunk_id
 """
 
 
+def corpus_merge_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest triage: classify every NEW-batch document against
+    the existing corpus before admitting it — the merge step a production
+    corpus runs per ingest cycle, composed from the incremental primitives
+    so no stage ever re-pairs the corpus against itself:
+
+      low_quality  — fails the quality gate (scan-local score);
+      dup_exact    — byte-identical to a corpus document (digest
+                     anti-join probe: |new| rows against the corpus digest
+                     set, hint-free — AQE broadcasts the NEW side, the
+                     small one, and the corpus streams through);
+      near_dup     — ≥1 corpus near-duplicate at the 0.5 Jaccard threshold
+                     (asymmetric LSH band join from dedup_incremental_lsh:
+                     O(|new| x bucket-overlap), never O(corpus²));
+      accepted     — admit.
+
+    Verdict precedence is quality → exact → near-dup (cheapest evidence
+    first, matching the order the gates would actually short-circuit in).
+    Output: one row per new doc with the verdict + near-dup audit stats."""
+    from .dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_RESIDUE,
+        dedup_incremental_lsh,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    is_new = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_RESIDUE
+    qual_ok = T.quality_score(T.tokens(F.col("text"))) >= QUALITY_THRESHOLD
+    corp_digests = (
+        docs.filter(~is_new).select(F.md5("text").alias("h")).distinct()
+    )
+    flagged = docs.filter(is_new).select(
+        "doc_id", F.md5("text").alias("h"), qual_ok.alias("qual_ok")
+    ).join(corp_digests.withColumn("is_exact", F.lit(True)), "h", "left")
+    inc = dedup_incremental_lsh(spark, sf_dir)
+    verdict = (
+        F.when(~F.col("qual_ok"), F.lit("low_quality"))
+        .when(F.col("is_exact"), F.lit("dup_exact"))
+        .when(F.col("n_corpus_matches") > 0, F.lit("near_dup"))
+        .otherwise(F.lit("accepted"))
+    )
+    return (
+        flagged.join(inc, "doc_id")
+        .select(
+            "doc_id",
+            verdict.alias("verdict"),
+            "n_corpus_matches",
+            "best_jaccard",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _merge_increment_sql() -> str:
+    from .dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_RESIDUE,
+        JACCARD_THRESHOLD,
+        _minhash_cte_body,
+        _VERIFIED_JACCARD,
+    )
+
+    sw = T.stopword_ratio_sql("string_split(text, ' ')")
+    atl = T.avg_token_len_sql("string_split(text, ' ')")
+    quality = (
+        f"(0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)"
+        f" + 0.3 * (1.0 - {sw})"
+        f" + 0.2 * least({atl} / 8.0, 1.0))"
+    )
+    return f"""
+WITH {_minhash_cte_body()}, candi AS (
+  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_corpus
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_RESIDUE}
+    AND b.doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_RESIDUE}
+), verified AS (
+  SELECT doc_new, doc_corpus, CAST({_VERIFIED_JACCARD} AS DOUBLE) AS jaccard
+  FROM candi
+  JOIN sig x ON candi.doc_new = x.doc_id
+  JOIN sig y ON candi.doc_corpus = y.doc_id
+  WHERE {_VERIFIED_JACCARD} >= {JACCARD_THRESHOLD}
+), inc AS (
+  SELECT d.doc_id, COUNT(v.doc_corpus) AS n_corpus_matches,
+         MAX(v.jaccard) AS best_jaccard
+  FROM (SELECT doc_id FROM documents
+        WHERE doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_RESIDUE}) d
+  LEFT JOIN verified v ON d.doc_id = v.doc_new
+  GROUP BY d.doc_id
+), corp AS (
+  SELECT DISTINCT md5(text) AS h FROM documents
+  WHERE doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_RESIDUE} AND text IS NOT NULL
+), newd AS (
+  SELECT doc_id, md5(text) AS h, ({quality} >= {QUALITY_THRESHOLD}) AS qual_ok
+  FROM documents
+  WHERE doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_RESIDUE} AND text IS NOT NULL
+)
+SELECT n.doc_id AS doc_id,
+       CASE WHEN NOT qual_ok THEN 'low_quality'
+            WHEN c.h IS NOT NULL THEN 'dup_exact'
+            WHEN i.n_corpus_matches > 0 THEN 'near_dup'
+            ELSE 'accepted' END AS verdict,
+       i.n_corpus_matches AS n_corpus_matches,
+       i.best_jaccard AS best_jaccard
+FROM newd n
+LEFT JOIN corp c ON n.h = c.h
+JOIN inc i ON n.doc_id = i.doc_id
+ORDER BY n.doc_id
+"""
+
+
 def write_training_corpus(df: DataFrame, out_dir: str) -> None:
     """Persist the training rows partitioned by split: downstream training
     readers scan only their split's directory (PartitionFilters prune)."""
@@ -798,6 +909,7 @@ QUERIES = {
     "corpus_dsir_sample": corpus_dsir_sample,
     "corpus_token_budget": corpus_token_budget,
     "corpus_cdc_chunk": corpus_cdc_chunk,
+    "corpus_merge_increment": corpus_merge_increment,
 }
 
 ORACLE = {
@@ -811,4 +923,5 @@ ORACLE = {
     "corpus_dsir_sample": CORPUS_DSIR_SQL,
     "corpus_token_budget": CORPUS_BUDGET_SQL,
     "corpus_cdc_chunk": CORPUS_CDC_SQL,
+    "corpus_merge_increment": _merge_increment_sql(),
 }

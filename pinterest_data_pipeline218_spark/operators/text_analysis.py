@@ -439,6 +439,44 @@ ORDER BY doc_id
 """
 
 
+# Subword ("BPE-ish") tokenization: a deterministic regex segmentation
+# standing in for a learned BPE merge table. Vowel-run / consonant-run
+# alternation is unambiguous (every char matches exactly one branch), so
+# Java regex (Spark) and RE2 (DuckDB) cannot disagree on it.
+SUBWORD_RE = "[aeiou]+|[^aeiou ]+"
+
+
+def text_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting under a subword tokenizer: per document, the
+    whitespace word count, the subword-unit count from a BPE-ish regex
+    segmentation, and the fertility (subwords per word) — the number a
+    training-budget planner needs, since model tokens are subwords, not
+    words. A learned BPE's merge table would slot into the same plumbing
+    as a literal regex alternation (longest-merge-first); the regex here is
+    the deterministic stand-in, and the Spark-side shape — scan-local
+    regexp_extract_all, size() counts, exact-quotient ratio — is the real
+    part. Zero shuffles before the final order."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = T.tokens(F.col("text"))
+    subs = F.regexp_extract_all("text", F.lit(SUBWORD_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size(subs).cast("bigint").alias("n_subtokens"),
+        (F.size(subs) / F.size(words)).alias("fertility"),
+    ).orderBy("doc_id")
+
+
+TEXT_SUBWORD_SQL = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_words,
+       len(regexp_extract_all(text, '{SUBWORD_RE}')) AS n_subtokens,
+       len(regexp_extract_all(text, '{SUBWORD_RE}'))
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS fertility
+FROM documents ORDER BY doc_id
+"""
+
+
 # Exact duplicated-span removal (the "exact substring dedup" of Lee et al.
 # 2021, "Deduplicating Training Data Makes Language Models Better"), at
 # token-window granularity: any DUPSPAN_N-token span occurring >= 2 times
@@ -566,6 +604,7 @@ QUERIES = {
     "text_repetition_score": text_repetition_score,
     "text_decontaminate": text_decontaminate,
     "text_dupspan_remove": text_dupspan_remove,
+    "text_subword_tokens": text_subword_tokens,
 }
 
 ORACLE = {
@@ -579,4 +618,5 @@ ORACLE = {
     "text_repetition_score": TEXT_REPETITION_SQL,
     "text_decontaminate": TEXT_DECONTAMINATE_SQL,
     "text_dupspan_remove": TEXT_DUPSPAN_SQL,
+    "text_subword_tokens": TEXT_SUBWORD_SQL,
 }

@@ -1028,3 +1028,45 @@ def test_hard_negatives_contract(spark):
         assert len(rows) <= NEG_K
         sims = [r.cos_sim for r in rows]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_merge_increment_triage_verdicts(spark):
+    """Triage invariants: exactly one verdict per new-batch doc; dup_exact
+    implies a byte-identical corpus twin; near_dup implies corpus matches
+    with a threshold-passing best score; accepted implies neither."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.operators.corpus import (
+        corpus_merge_increment,
+    )
+    from pinterest_data_pipeline218_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_RESIDUE,
+        JACCARD_THRESHOLD,
+    )
+
+    rows = corpus_merge_increment(spark, SF).collect()
+    assert rows
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    corpus_texts = {
+        t for d, t in texts.items() if d % INCR_BATCH_MOD != INCR_BATCH_RESIDUE
+    }
+    seen = set()
+    for r in rows:
+        assert r.doc_id % INCR_BATCH_MOD == INCR_BATCH_RESIDUE
+        assert r.doc_id not in seen
+        seen.add(r.doc_id)
+        assert r.verdict in {"low_quality", "dup_exact", "near_dup", "accepted"}
+        if r.verdict == "dup_exact":
+            assert texts[r.doc_id] in corpus_texts
+        if r.verdict == "near_dup":
+            assert r.n_corpus_matches > 0
+            assert r.best_jaccard >= JACCARD_THRESHOLD
+        if r.verdict == "accepted":
+            assert texts[r.doc_id] not in corpus_texts
+            assert r.n_corpus_matches == 0
+    # at sf0.001 the 5-doc batch may legitimately admit no one (all dup or
+    # low quality); what matters is that at least two verdict classes fire
+    assert len({r.verdict for r in rows}) >= 2
