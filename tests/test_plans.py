@@ -500,3 +500,29 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dsir_target_flag_evaluated_below_explode(spark):
+    """Plan-shape regression guard: corpus_dsir_sample's per-doc is_target
+    expression (an O(|toks|) higher-order filter) must be evaluated in a
+    projection BELOW the token explode. If it drifts into the post-Generate
+    projection it re-runs per exploded token — O(|toks|²) per document,
+    measured 6.4x slower at sf0.1."""
+    from pinterest_data_pipeline218_spark.operators.corpus import (
+        corpus_dsir_sample,
+    )
+
+    plan = (
+        corpus_dsir_sample(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # Regression signature: in the bad plan the HOF lands in the SAME
+    # post-Generate projection as the per-token md5 bucket expression; in
+    # the good plan the HOF lives in its own document-level projection
+    # below the Generate. (Column pruning drops is_target entirely from
+    # the join-side branch — also only possible in the good shape.)
+    assert "lambdafunction" in plan  # the target flag is a HOF — sanity
+    for line in plan.splitlines():
+        assert not ("lambdafunction" in line and "md5" in line), line
