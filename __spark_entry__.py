@@ -119,6 +119,7 @@ _TAIL = (
     # and move in.
     "text_fingerprint",  # r03-green; order-insensitive md5 digest = the dedup_exact digest machinery (in-window) over sorted distinct tokens
     "corpus_chunk_tokens",  # r03-green; slice/explode chunk fan-out stays in-window via corpus_pack_sequences (same machinery + packing) and reassembly via corpus_cdc_chunk
+    "ev_theta_user_overlap",  # sketch family (like ev_approx_distinct_users): no oracle by design, pytest bounds all four estimates vs exact set arithmetic
 )
 
 

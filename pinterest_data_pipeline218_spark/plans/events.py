@@ -372,6 +372,44 @@ def ev_approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra over per-segment distinct-user sketches:
+    distinct users who clicked, who purchased, who did BOTH
+    (intersection) and EITHER (union) — the audience-overlap question a
+    100 TB engine answers with mergeable sketches, because plain HLL
+    cannot intersect and the exact form is a full distinct-join per
+    segment pair. One pass builds one bounded-size sketch per event type
+    (map-side mergeable, like all DataSketches aggs); the set algebra
+    then runs on two 1-row sketch blobs — a broadcast crossJoin of
+    query-planning state, not data.
+
+    Sketch family member #3 (HLL = distinct, KLL/percentile_approx =
+    quantiles, theta = distinct WITH set operations). Deliberately
+    oracle-less like its siblings — sketch internals are engine-specific;
+    the driver runs its rows-only check and pytest bounds all four
+    estimates against exact recounts (at test scale the sketch is in
+    exact mode: below k entries, theta estimates are exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.expr("theta_sketch_agg(user_id)").alias("sk")
+    )
+    a = sk.filter(F.col("event_type") == "click").select(F.col("sk").alias("a"))
+    b = sk.filter(F.col("event_type") == "purchase").select(F.col("sk").alias("b"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            F.expr("theta_sketch_estimate(a)").alias("click_users"),
+            F.expr("theta_sketch_estimate(b)").alias("purchase_users"),
+            F.expr("theta_sketch_estimate(theta_intersection(a, b))").alias(
+                "both_users"
+            ),
+            F.expr("theta_sketch_estimate(theta_union(a, b))").alias(
+                "either_users"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "ev_counts_hourly": ev_counts_hourly,
     "ev_stats_by_type": ev_stats_by_type,
@@ -386,6 +424,7 @@ QUERIES = {
     "ev_approx_distinct_users": ev_approx_distinct_users,
     "ev_sliding_1h_value": ev_sliding_1h_value,
     "ev_approx_value_quantiles": ev_approx_value_quantiles,
+    "ev_theta_user_overlap": ev_theta_user_overlap,
 }
 
 ORACLE = {

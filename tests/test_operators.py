@@ -1070,3 +1070,28 @@ def test_merge_increment_triage_verdicts(spark):
     # at sf0.001 the 5-doc batch may legitimately admit no one (all dup or
     # low quality); what matters is that at least two verdict classes fire
     assert len({r.verdict for r in rows}) >= 2
+
+
+def test_theta_sketch_overlap_matches_exact_sets(spark):
+    """Theta-sketch set algebra vs exact set arithmetic. At this scale the
+    per-type sketches hold fewer than k entries, so the sketch is in exact
+    mode and every estimate must land within a whisker of the true
+    cardinality — including intersection and union, the operations HLL
+    cannot do."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.plans.events import (
+        ev_theta_user_overlap,
+    )
+
+    row = ev_theta_user_overlap(spark, SF).collect()[0]
+    users = {}
+    for r in load_table(spark, SF, "events").select("event_type", "user_id").collect():
+        users.setdefault(r.event_type, set()).add(r.user_id)
+    c, p = users["click"], users["purchase"]
+    for got, want in [
+        (row.click_users, len(c)),
+        (row.purchase_users, len(p)),
+        (row.both_users, len(c & p)),
+        (row.either_users, len(c | p)),
+    ]:
+        assert abs(got - want) <= max(1.0, 0.02 * want), (got, want)

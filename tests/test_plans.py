@@ -20,7 +20,11 @@ def test_every_query_has_oracle_or_is_declared(qs):
     # ops whose outputs are engine-specific by nature (sketch estimates) are
     # declared oracle-less: the driver runs its weaker rows-only check and
     # pytest bounds their error instead
-    declared_no_oracle = {"ev_approx_distinct_users", "ev_approx_value_quantiles"}
+    declared_no_oracle = {
+        "ev_approx_distinct_users",
+        "ev_approx_value_quantiles",
+        "ev_theta_user_overlap",
+    }
     oracles = entry.oracle_sql()
     missing = [name for name in qs if name not in oracles and name not in declared_no_oracle]
     assert missing == [], f"queries without oracle SQL: {missing}"
