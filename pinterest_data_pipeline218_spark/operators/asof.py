@@ -69,9 +69,25 @@ def asof_join(
     key: str,
     ts: str,
     right_ts_as: str = "asof_ts",
+    direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
-    """Attach to each `left` row the greatest right-`ts` ≤ its `ts` (same
-    `key`), as column `right_ts_as`. Left columns pass through unchanged."""
+    """Attach to each `left` row the nearest right-`ts` (same `key`), as
+    column `right_ts_as`. Left columns pass through unchanged.
+
+    - ``direction='backward'`` (default): greatest right ts ≤ left ts —
+      DuckDB ASOF / pandas merge_asof default.
+    - ``direction='forward'``: smallest right ts ≥ left ts. Same
+      union + carry-forward plan with the traversal order reversed; the
+      side tiebreak keeps rights before lefts at equal ts, which is the
+      ``≥``-inclusive tie rule.
+    - ``tolerance_us``: maximum |gap| in microseconds (pandas merge_asof's
+      `tolerance`). Applied AFTER the carry-forward as a null-out: the
+      carry always surfaces the nearest candidate, so if the nearest is
+      out of tolerance, no match exists — one scan-local expression, no
+      extra join."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     _assert_same_ts_dtype(left, ts, right, ts)
     lcols = [c for c in left.columns]
     # The null literal's dtype must match the right side's ts dtype (NTZ vs
@@ -86,16 +102,24 @@ def asof_join(
         ),
         allowMissingColumns=True,
     )
+    ts_order = F.col(ts) if direction == "backward" else F.col(ts).desc()
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts), F.col("__side"), F.col("__rts"))
+        .orderBy(ts_order, F.col("__side"), F.col("__rts"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    out = (
         tagged.withColumn(right_ts_as, F.last("__rts", ignorenulls=True).over(w))
         .filter(F.col("__side") == 1)
         .drop("__side", "__rts")
     )
+    if tolerance_us is not None:
+        gap = F.abs(F.expr(f"timestampdiff(MICROSECOND, `{right_ts_as}`, `{ts}`)"))
+        out = out.withColumn(
+            right_ts_as,
+            F.when(gap <= tolerance_us, F.col(right_ts_as)),
+        )
+    return out
 
 
 def ev_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -803,22 +803,28 @@ def corpus_merge_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verdict precedence is quality → exact → near-dup (cheapest evidence
     first, matching the order the gates would actually short-circuit in).
     Output: one row per new doc with the verdict + near-dup audit stats."""
-    from .dedup import (
-        INCR_BATCH_MOD,
-        INCR_BATCH_RESIDUE,
-        dedup_incremental_lsh,
-    )
+    from .dedup import INCR_BATCH_MOD, INCR_BATCH_RESIDUE
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     is_new = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_RESIDUE
+    return merge_triage(docs.filter(is_new), docs.filter(~is_new))
+
+
+def merge_triage(new: DataFrame, corpus: DataFrame) -> DataFrame:
+    """DataFrame→DataFrame combinator behind corpus_merge_increment. Both
+    inputs expect (doc_id, text). Per-new-doc verdicts depend only on (the
+    doc's text, the corpus), so the triage is stateless given the corpus
+    side — which is what lets it run per micro-batch against a STATIC
+    corpus table on a document stream (stream-static joins;
+    tests/test_streaming.py proves batch/stream equality)."""
+    from .dedup import incremental_matches
+
     qual_ok = T.quality_score(T.tokens(F.col("text"))) >= QUALITY_THRESHOLD
-    corp_digests = (
-        docs.filter(~is_new).select(F.md5("text").alias("h")).distinct()
-    )
-    flagged = docs.filter(is_new).select(
+    corp_digests = corpus.select(F.md5("text").alias("h")).distinct()
+    flagged = new.select(
         "doc_id", F.md5("text").alias("h"), qual_ok.alias("qual_ok")
     ).join(corp_digests.withColumn("is_exact", F.lit(True)), "h", "left")
-    inc = dedup_incremental_lsh(spark, sf_dir)
+    inc = incremental_matches(new, corpus)
     verdict = (
         F.when(~F.col("qual_ok"), F.lit("low_quality"))
         .when(F.col("is_exact"), F.lit("dup_exact"))

@@ -74,9 +74,13 @@ def _with_signature(docs: DataFrame) -> DataFrame:
     """documents + distinct-token array + minhash signature columns h0..hJ.
 
     One md5 per token (28-bit base hash), then affine universal-hash
-    transforms per seed — all scan-local column expressions."""
+    transforms per seed — all scan-local column expressions. `source` rides
+    along when present (the ngram-jaccard block key); minimal inputs
+    (doc_id, text) — e.g. a micro-batch of streamed docs — work without
+    it."""
+    carry = ["doc_id"] + (["source"] if "source" in docs.columns else [])
     out = docs.select(
-        "doc_id", "source", T.distinct_tokens(F.col("text")).alias("dtoks")
+        *carry, T.distinct_tokens(F.col("text")).alias("dtoks")
     ).withColumn(
         "hs",
         # single-arg lambda — F.transform treats a 2nd param as the index
@@ -247,9 +251,19 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % INCR_BATCH_MOD == INCR_BATCH_RESIDUE
+    return incremental_matches(docs.filter(is_new), docs.filter(~is_new))
+
+
+def incremental_matches(new: DataFrame, corpus: DataFrame) -> DataFrame:
+    """DataFrame→DataFrame combinator behind dedup_incremental_lsh (also
+    composed into corpus.merge_triage and, per micro-batch, onto document
+    streams — the screen is stateless given the corpus side). Both inputs
+    expect (doc_id, text); output one row per `new` doc:
+    (doc_id, n_corpus_matches, best_jaccard)."""
+    spark = new.sparkSession
     par = spark.sparkContext.defaultParallelism * 4
-    left = _band_table(docs.filter(is_new)).repartition(par).alias("a")
-    right = _band_table(docs.filter(~is_new)).alias("b")
+    left = _band_table(new).repartition(par).alias("a")
+    right = _band_table(corpus).alias("b")
     cand = (
         left.join(
             right,
@@ -259,14 +273,19 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(_first_band_match())
         .select(F.col("a.doc_id").alias("doc_new"), F.col("b.doc_id").alias("doc_corpus"))
     )
-    hset = docs.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(T.distinct_tokens(F.col("text")), lambda t: T.token_hash(t))
-        ).alias("hs"),
+
+    def hset(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(T.distinct_tokens(F.col("text")), lambda t: T.token_hash(t))
+            ).alias("hs"),
+        )
+
+    x = hset(new).select(F.col("doc_id").alias("doc_new"), F.col("hs").alias("toks_a"))
+    y = hset(corpus).select(
+        F.col("doc_id").alias("doc_corpus"), F.col("hs").alias("toks_b")
     )
-    x = hset.select(F.col("doc_id").alias("doc_new"), F.col("hs").alias("toks_a"))
-    y = hset.select(F.col("doc_id").alias("doc_corpus"), F.col("hs").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = F.round(
         inter / (F.size("toks_a") + F.size("toks_b") - inter), 6
@@ -277,7 +296,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_new", "doc_corpus", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    newdocs = docs.filter(is_new).select(F.col("doc_id").alias("doc_new"))
+    newdocs = new.select(F.col("doc_id").alias("doc_new"))
     return (
         newdocs.join(verified, "doc_new", "left")
         .groupBy("doc_new")

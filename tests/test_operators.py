@@ -1095,3 +1095,49 @@ def test_theta_sketch_overlap_matches_exact_sets(spark):
         (row.either_users, len(c | p)),
     ]:
         assert abs(got - want) <= max(1.0, 0.02 * want), (got, want)
+
+
+def test_asof_forward_and_tolerance_match_naive_reference(spark):
+    """asof_join's direction/tolerance options vs a quadratic driver-side
+    reference over the real events slice: forward picks the smallest
+    right ts >= left ts; tolerance nulls matches whose |gap| exceeds the
+    bound — in both directions."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.operators.asof import asof_join
+
+    ev = load_table(spark, SF, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    click_rows = {}
+    for r in clicks.collect():
+        click_rows.setdefault(r.user_id, []).append(r.ts)
+    TOL_US = 3_600_000_000  # 1 hour
+
+    fwd = asof_join(
+        purchases, clicks, key="user_id", ts="ts",
+        right_ts_as="next_click", direction="forward",
+    ).collect()
+    assert fwd, "purchases expected"
+    n_matched = 0
+    for r in fwd:
+        cands = [t for t in click_rows.get(r.user_id, []) if t >= r.ts]
+        want = min(cands) if cands else None
+        assert r.next_click == want, (r.event_id, r.next_click, want)
+        n_matched += want is not None
+    assert n_matched > 0
+
+    tol = asof_join(
+        purchases, clicks, key="user_id", ts="ts",
+        right_ts_as="click_ts", tolerance_us=TOL_US,
+    ).collect()
+    n_nulled = 0
+    for r in tol:
+        cands = [t for t in click_rows.get(r.user_id, []) if t <= r.ts]
+        want = max(cands) if cands else None
+        if want is not None and (r.ts - want).total_seconds() * 1e6 > TOL_US:
+            want, n_nulled = None, n_nulled + 1
+        assert r.click_ts == want, (r.event_id, r.click_ts, want)
+    # the fixture must actually exercise the null-out path
+    assert n_nulled > 0, "tolerance bound never fired — widen the fixture"

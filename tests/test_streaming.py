@@ -416,3 +416,70 @@ def test_foreachbatch_sink_idempotent_partition_overwrite(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 12  # every record exactly once despite the replay
     assert back.select("rec_id").distinct().count() == 12
+
+
+def test_stream_static_merge_triage_equals_batch(spark, tmp_path):
+    """Continuous ingest, literally: merge_triage per micro-batch against a
+    STATIC corpus table must produce exactly the batch triage over the
+    union of batches — each new doc's verdict depends only on (its text,
+    the corpus), so no state crosses micro-batch boundaries. This is the
+    production shape: the corpus is a table on disk, the new docs arrive
+    as a stream, and the stream-side plan runs the same asymmetric LSH +
+    digest probes the batch combinator runs."""
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.operators.corpus import merge_triage
+
+    base = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = base.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    corpus_rows = corpus.collect()
+    new_rows = base.filter(F.col("doc_id") % 3 == 0).limit(6).select(
+        "doc_id", "text"
+    ).collect()
+    # make one new doc a byte-exact copy of a corpus doc -> dup_exact path
+    new_rows[0] = type(new_rows[0])(
+        doc_id=new_rows[0].doc_id, text=corpus_rows[0].text
+    )
+
+    src = tmp_path / "new_docs"
+    src.mkdir()
+    for i in range(3):
+        with open(src / f"{i:03d}.jsonl", "w") as f:
+            for r in new_rows[i * 2 : i * 2 + 2]:
+                f.write(json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n")
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = (
+        spark.readStream.format("json").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(str(src))
+    )
+    out = str(tmp_path / "triage")
+
+    def triage(batch_df, batch_id):
+        merge_triage(batch_df, corpus).write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(triage)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    new_df = spark.createDataFrame(new_rows, schema)
+    want = {
+        r.doc_id: (r.verdict, r.n_corpus_matches, r.best_jaccard)
+        for r in merge_triage(new_df, corpus).collect()
+    }
+    got = {
+        r.doc_id: (r.verdict, r.n_corpus_matches, r.best_jaccard)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
+    assert want[new_rows[0].doc_id][0] == "dup_exact"  # the planted copy
+    assert len({v[0] for v in want.values()}) >= 2  # triage discriminates
