@@ -120,6 +120,8 @@ _TAIL = (
     "text_fingerprint",  # r03-green; order-insensitive md5 digest = the dedup_exact digest machinery (in-window) over sorted distinct tokens
     "corpus_chunk_tokens",  # r03-green; slice/explode chunk fan-out stays in-window via corpus_pack_sequences (same machinery + packing) and reassembly via corpus_cdc_chunk
     "ev_theta_user_overlap",  # sketch family (like ev_approx_distinct_users): no oracle by design, pytest bounds all four estimates vs exact set arithmetic
+    # r4 fifth rotation: sim_ivfpq_topk is NEW and moves in.
+    "mm_frame_sample",  # r03-green; 1→N Generate shape of the same Arrow mapInPandas plumbing as in-window mm_binary_meta (1→1); kernel equality pytest-proved (test_multimodal_kernels_null_safe, test_fake_features_match_python)
 )
 
 

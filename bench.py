@@ -95,6 +95,7 @@ HEADLINE = [
     "ml_hard_negatives",
     "text_subword_tokens",
     "corpus_merge_increment",
+    "sim_ivfpq_topk",
 ]
 
 

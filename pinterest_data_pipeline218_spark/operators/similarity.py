@@ -449,6 +449,40 @@ def _pq_comps(emb: DataFrame) -> DataFrame:
     )
 
 
+def _pq_codes_lut(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(codes, lut): the PQ encoding of a corpus plus the query's distance
+    table — the shared machinery behind sim_pq_topk and sim_ivfpq_topk.
+    `emb` expects (vec_id, v double-array); codes = (vec_id, m, code),
+    lut = (m, j, lut_d2) for QUERY_VEC_ID."""
+    comps = _pq_comps(emb)
+    from pyspark.sql import Window
+
+    seeds = emb.select("vec_id").orderBy("vec_id").limit(PQ_K)
+    seed_j = seeds.select(
+        "vec_id",
+        (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("j"),
+    )  # PQ_K rows: the global window is over query-planning state, not data
+    cb = comps.join(F.broadcast(seed_j), "vec_id").select(
+        "m", "r", "j", F.col("q").alias("qc")
+    )
+    d2 = (F.col("q") - F.col("qc")) * (F.col("q") - F.col("qc"))
+    codes = (
+        comps.join(F.broadcast(cb), ["m", "r"])
+        .groupBy("vec_id", "m", "j")
+        .agg(F.sum(d2).alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "j")).alias("mn"))
+        .select("vec_id", "m", F.col("mn.j").alias("code"))
+    )
+    lut = (
+        comps.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .join(F.broadcast(cb), ["m", "r"])
+        .groupBy("m", "j")
+        .agg(F.sum(d2).alias("lut_d2"))
+    )
+    return codes, lut
+
+
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ + asymmetric-style distance computation, end to end: build the
     codebooks, encode the corpus to 4-bit-per-subspace codes, rank by
@@ -476,32 +510,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("v")
     )
-    comps = _pq_comps(emb)
-    from pyspark.sql import Window
-
-    seeds = emb.select("vec_id").orderBy("vec_id").limit(PQ_K)
-    seed_j = seeds.select(
-        "vec_id",
-        (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("j"),
-    )  # PQ_K rows: the global window is over query-planning state, not data
-    cb = comps.join(F.broadcast(seed_j), "vec_id").select(
-        "m", "r", "j", F.col("q").alias("qc")
-    )
-    d2 = (F.col("q") - F.col("qc")) * (F.col("q") - F.col("qc"))
-    codes = (
-        comps.join(F.broadcast(cb), ["m", "r"])
-        .groupBy("vec_id", "m", "j")
-        .agg(F.sum(d2).alias("d2"))
-        .groupBy("vec_id", "m")
-        .agg(F.min(F.struct("d2", "j")).alias("mn"))
-        .select("vec_id", "m", F.col("mn.j").alias("code"))
-    )
-    lut = (
-        comps.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .join(F.broadcast(cb), ["m", "r"])
-        .groupBy("m", "j")
-        .agg(F.sum(d2).alias("lut_d2"))
-    )
+    codes, lut = _pq_codes_lut(emb)
     return (
         codes.join(
             F.broadcast(lut),
@@ -510,6 +519,51 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum("lut_d2").alias("pq_dist"))
         .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .orderBy(F.asc("pq_dist"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composition production ANN systems (FAISS's default
+    index family) actually run: the coarse quantizer prunes the corpus to
+    the query's NPROBE nearest cells, and candidates inside those cells
+    are ranked by the PQ ADC table-lookup distance instead of a full
+    float dot product. Cost per query = nprobe/|cells| of the corpus
+    scanned × O(PQ_M) integer lookups per candidate — both levers
+    independent of the raw vector width.
+
+    Codebooks here are GLOBAL (trained on the whole corpus), not FAISS's
+    per-cell residual codebooks — residual encoding would subtract the
+    cell centroid before quantizing, a fidelity refinement orthogonal to
+    the plan shape; the global form keeps every distance an exact integer
+    in both engines. Scale shape: the cell ranking is the broadcast
+    |cells|-row centroid table; the candidate restriction is a broadcast
+    semi-join of the nprobe cell ids into the codes stream; scoring is
+    the 128-row LUT broadcast + per-vec_id sum."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    centroids = build_ivf_centroids(emb)
+    qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("q"))
+    best_cell = (
+        centroids.crossJoin(F.broadcast(qrow))
+        .select("label", cosine(F.col("c"), F.col("q")).alias("cell_cos"))
+        .orderBy(F.desc("cell_cos"), F.asc("label"))
+        .limit(NPROBE)
+        .select("label")
+    )
+    cand = (
+        emb.join(F.broadcast(best_cell), "label")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label")
+    )
+    codes, lut = _pq_codes_lut(emb.select("vec_id", "v"))
+    return (
+        codes.join(cand, "vec_id")
+        .join(F.broadcast(lut), (codes.m == lut.m) & (codes.code == lut.j))
+        .groupBy("vec_id", "label")
+        .agg(F.sum("lut_d2").alias("pq_dist"))
         .orderBy(F.asc("pq_dist"), F.asc("vec_id"))
         .limit(TOP_K)
     )
@@ -556,6 +610,72 @@ LIMIT {TOP_K}
 """
 
 
+def _ivfpq_sql() -> str:
+    cell_cos = cosine_sql_duckdb("c.c", "q.q")
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+comps AS (
+  SELECT vec_id, (u.pos - 1) // {PQ_SUBDIM} AS m, (u.pos - 1) % {PQ_SUBDIM} AS r,
+         u.q AS q
+  FROM (
+    SELECT vec_id, unnest(list_transform(range(1, len(v)+1),
+           __i -> {{'pos': __i, 'q': CAST(TRUNC(v[__i] * {QUANT}) AS BIGINT)}})) AS u
+    FROM e
+  )
+),
+seed_j AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT {PQ_K})
+),
+cb AS (
+  SELECT m, r, j, q AS qc FROM comps JOIN seed_j USING (vec_id)
+),
+codes AS (
+  SELECT vec_id, m, min(struct_pack(d2 := d2, j := j)).j AS code
+  FROM (
+    SELECT c.vec_id, c.m, cb.j, SUM((c.q - cb.qc) * (c.q - cb.qc)) AS d2
+    FROM comps c JOIN cb ON c.m = cb.m AND c.r = cb.r
+    GROUP BY c.vec_id, c.m, cb.j
+  ) GROUP BY vec_id, m
+),
+lut AS (
+  SELECT c.m, cb.j, SUM((c.q - cb.qc) * (c.q - cb.qc)) AS lut_d2
+  FROM comps c JOIN cb ON c.m = cb.m AND c.r = cb.r
+  WHERE c.vec_id = {QUERY_VEC_ID}
+  GROUP BY c.m, cb.j
+),
+ccomps AS (
+  SELECT label, u.pos AS pos, u.qv AS qv FROM (
+    SELECT label, unnest(list_transform(range(1, len(v)+1),
+           __i -> {{'pos': __i, 'qv': CAST(TRUNC(v[__i] * {QUANT}) AS BIGINT)}})) AS u
+    FROM e
+  )
+),
+centroids AS (
+  SELECT label, list(CAST(s AS DOUBLE) ORDER BY pos) AS c
+  FROM (SELECT label, pos, SUM(qv) AS s FROM ccomps GROUP BY label, pos)
+  GROUP BY label
+),
+q AS (SELECT v AS q FROM e WHERE vec_id = {QUERY_VEC_ID}),
+best AS (
+  SELECT c.label FROM centroids c CROSS JOIN q
+  ORDER BY {cell_cos} DESC, c.label ASC LIMIT {NPROBE}
+),
+cand AS (
+  SELECT e.vec_id, e.label FROM e JOIN best ON e.label = best.label
+  WHERE e.vec_id != {QUERY_VEC_ID}
+)
+SELECT cand.vec_id AS vec_id, cand.label AS label,
+       CAST(SUM(lut.lut_d2) AS BIGINT) AS pq_dist
+FROM codes
+JOIN cand ON codes.vec_id = cand.vec_id
+JOIN lut ON codes.m = lut.m AND codes.code = lut.j
+GROUP BY cand.vec_id, cand.label
+ORDER BY pq_dist ASC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ann_lsh": sim_ann_lsh,
@@ -563,6 +683,7 @@ QUERIES = {
     "sim_ivf_multiprobe": sim_ivf_multiprobe,
     "sim_ivf_index_probe": sim_ivf_index_probe,
     "sim_pq_topk": sim_pq_topk,
+    "sim_ivfpq_topk": sim_ivfpq_topk,
 }
 
 ORACLE = {
@@ -573,4 +694,5 @@ ORACLE = {
     # the indexed probe is value-identical to multiprobe by construction
     "sim_ivf_index_probe": _ivf_sql(NPROBE),
     "sim_pq_topk": SIM_PQ_SQL,
+    "sim_ivfpq_topk": _ivfpq_sql(),
 }

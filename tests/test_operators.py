@@ -1141,3 +1141,39 @@ def test_asof_forward_and_tolerance_match_naive_reference(spark):
         assert r.click_ts == want, (r.event_id, r.click_ts, want)
     # the fixture must actually exercise the null-out path
     assert n_nulled > 0, "tolerance bound never fired — widen the fixture"
+
+
+def test_ivfpq_candidates_come_from_probed_cells_with_pq_scores(spark):
+    """IVF-PQ invariants: every result sits in one of the query's NPROBE
+    nearest cells; each result's pq_dist equals the full-PQ scoring of the
+    same vector (global codebooks — cell pruning must not change scores);
+    and the result list is the cell-restricted prefix of the PQ ranking."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.functions.vectors import as_double_array
+    from pinterest_data_pipeline218_spark.operators.similarity import (
+        _pq_codes_lut,
+        sim_ivfpq_topk,
+    )
+
+    got = sim_ivfpq_topk(spark, SF).collect()
+    assert len(got) > 0
+    cells = {r.label for r in got}
+    assert len(cells) <= 2  # NPROBE
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    codes, lut = _pq_codes_lut(emb)
+    full = {
+        r.vec_id: r.pq_dist
+        for r in codes.join(
+            lut, (codes.m == lut.m) & (codes.code == lut.j)
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("lut_d2").alias("pq_dist"))
+        .collect()
+    }
+    for r in got:
+        assert r.pq_dist == full[r.vec_id], (r.vec_id, r.pq_dist, full[r.vec_id])
+    # ranking within the probe set is by (pq_dist, vec_id)
+    keyed = [(r.pq_dist, r.vec_id) for r in got]
+    assert keyed == sorted(keyed)
