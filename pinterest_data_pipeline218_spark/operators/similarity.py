@@ -16,7 +16,9 @@ Two paths, as a 100 TB engine needs both:
 
 from __future__ import annotations
 
+import functools
 import hashlib
+import operator
 import os
 import tempfile
 
@@ -608,6 +610,93 @@ GROUP BY codes.vec_id
 ORDER BY pq_dist ASC, vec_id ASC
 LIMIT {TOP_K}
 """
+
+
+def write_pq_index(emb: DataFrame, path: str) -> None:
+    """One-time PQ (IVF-PQ) index build, completing the materialized-index
+    trio (LSH buckets, IVF cells, PQ codes):
+
+    - ``{path}/codes``: one row per vector — (vec_id, code array<int>,
+      partition column ``cell``) — an 8-int code replaces the 64-float
+      vector (the ~30x memory lever), laid out cell-partitioned so an
+      IVF-PQ probe partition-prunes;
+    - ``{path}/codebook``: the PQ_M x PQ_K x PQ_SUBDIM quantized codebook
+      (1024 small rows, the RAM-resident part);
+    - ``{path}/centroids``: the IVF coarse quantizer (for cell ranking).
+
+    Expects (vec_id, label, v double-array)."""
+    flat = emb.select("vec_id", "v")
+    codes, _ = _pq_codes_lut(flat)
+    packed = codes.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "code"))),
+            lambda x: x.code.cast("int"),
+        ).alias("code")
+    )
+    data = packed.join(emb.select("vec_id", F.col("label").alias("cell")), "vec_id")
+    data.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/codes"
+    )
+    comps = _pq_comps(flat)
+    from pyspark.sql import Window
+
+    seeds = flat.select("vec_id").orderBy("vec_id").limit(PQ_K)
+    seed_j = seeds.select(
+        "vec_id", (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("j")
+    )
+    cb = comps.join(F.broadcast(seed_j), "vec_id").select(
+        "m", "r", "j", F.col("q").alias("qc")
+    )
+    cb.write.mode("overwrite").parquet(f"{path}/codebook")
+    build_ivf_centroids(emb).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def pq_index_topk(
+    spark: SparkSession,
+    index_path: str,
+    query_vec: list[float],
+    k: int = TOP_K,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Probe the materialized PQ index. The query's distance table is
+    computed DRIVER-side from the RAM-resident codebook (PQ_M·PQ_K = 128
+    integers — query planning, exactly like the IVF centroid ranking) and
+    compiled into the plan as LITERAL arrays, so the scan is a pure
+    codegen'd expression — per candidate: PQ_M element_at lookups + an
+    8-term sum. No joins, no shuffle before the TakeOrdered top-k; with
+    ``nprobe`` set, the cell filter partition-prunes the codes layout
+    first. This is the ADC scan shape PQ systems run, expressed in
+    Catalyst."""
+    cb_rows = spark.read.parquet(f"{index_path}/codebook").collect()
+    qq = [int(x * QUANT) for x in query_vec]  # trunc, matches cast("long")
+    lut = [[0] * PQ_K for _ in range(PQ_M)]
+    for r in cb_rows:
+        d = qq[r.m * PQ_SUBDIM + r.r] - r.qc
+        lut[r.m][r.j] += d * d
+    cells: list[int] | None = None
+    if nprobe is not None:
+        cells = _rank_cells(_load_centroids(spark, index_path), query_vec, nprobe)
+    lut_lit = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in lut]
+    )
+    dist = functools.reduce(
+        operator.add,
+        [
+            F.element_at(
+                F.element_at(lut_lit, m + 1),
+                F.element_at(F.col("code"), m + 1) + 1,
+            )
+            for m in range(PQ_M)
+        ],
+    )
+    codes = spark.read.parquet(f"{index_path}/codes")
+    if cells is not None:
+        codes = codes.filter(F.col("cell").isin(cells))
+    return (
+        codes.select("vec_id", F.col("cell").alias("label"), dist.alias("pq_dist"))
+        .orderBy(F.asc("pq_dist"), F.asc("vec_id"))
+        .limit(k)
+    )
 
 
 def _ivfpq_sql() -> str:

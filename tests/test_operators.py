@@ -1177,3 +1177,58 @@ def test_ivfpq_candidates_come_from_probed_cells_with_pq_scores(spark):
     # ranking within the probe set is by (pq_dist, vec_id)
     keyed = [(r.pq_dist, r.vec_id) for r in got]
     assert keyed == sorted(keyed)
+
+
+def test_pq_index_probe_matches_inline_and_prunes(spark, tmp_path):
+    """The materialized PQ index: (a) the full-corpus probe reproduces
+    sim_pq_topk exactly (same codes, same LUT arithmetic — driver-side LUT
+    vs in-plan join must agree bit-for-bit on integers); (b) with nprobe
+    set, the probe reproduces sim_ivfpq_topk and its scan is partition-
+    pruned to the probed cells; (c) the probe plan contains no joins at
+    all — scoring is a literal-LUT lookup expression."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.functions.vectors import as_double_array
+    from pinterest_data_pipeline218_spark.operators.similarity import (
+        NPROBE,
+        QUERY_VEC_ID,
+        pq_index_topk,
+        sim_ivfpq_topk,
+        sim_pq_topk,
+        write_pq_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    path = str(tmp_path / "pq_index")
+    write_pq_index(emb, path)
+    qvec = list(
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").head().v
+    )
+
+    # (a) full-corpus probe == inline PQ (excluding the query vector itself,
+    # which the index probe legitimately returns at distance 0)
+    probe_full = [
+        (r.vec_id, r.pq_dist)
+        for r in pq_index_topk(spark, path, qvec, k=11).collect()
+        if r.vec_id != QUERY_VEC_ID
+    ]
+    inline = [(r.vec_id, r.pq_dist) for r in sim_pq_topk(spark, SF).collect()]
+    assert probe_full[: len(inline)] == inline
+
+    # (b) cell-pruned probe == inline IVF-PQ
+    probe = pq_index_topk(spark, path, qvec, k=11, nprobe=NPROBE)
+    got = [
+        (r.vec_id, r.label, r.pq_dist)
+        for r in probe.collect()
+        if r.vec_id != QUERY_VEC_ID
+    ]
+    want = [
+        (r.vec_id, r.label, r.pq_dist) for r in sim_ivfpq_topk(spark, SF).collect()
+    ]
+    assert got[: len(want)] == want
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+    # (c) no join operators anywhere in the probe plan
+    assert "Join" not in plan, plan[:1500]
