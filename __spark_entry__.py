@@ -122,6 +122,8 @@ _TAIL = (
     "ev_theta_user_overlap",  # sketch family (like ev_approx_distinct_users): no oracle by design, pytest bounds all four estimates vs exact set arithmetic
     # r4 fifth rotation: sim_ivfpq_topk is NEW and moves in.
     "mm_frame_sample",  # r03-green; 1→N Generate shape of the same Arrow mapInPandas plumbing as in-window mm_binary_meta (1→1); kernel equality pytest-proved (test_multimodal_kernels_null_safe, test_fake_features_match_python)
+    # r4 sixth rotation: dedup_cluster_cc_bounded is NEW and moves in.
+    "ev_sessions_per_user",  # r03-green; lag-gap sessionization equality vs the native session_window is pytest-proved (test_native_session_window_agrees_with_lag_sessionization) and the window machinery stays checked via ev_running_total
 )
 
 

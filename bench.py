@@ -96,6 +96,7 @@ HEADLINE = [
     "text_subword_tokens",
     "corpus_merge_increment",
     "sim_ivfpq_topk",
+    "dedup_cluster_cc_bounded",
 ]
 
 

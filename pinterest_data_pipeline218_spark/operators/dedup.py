@@ -586,6 +586,95 @@ def _cluster_cc(spark: SparkSession, sf_dir: str, cc_fn) -> DataFrame:
     )
 
 
+def dedup_cluster_cc_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering with a LINEAR edge stream: each band-bucket
+    member links only to the bucket's minimum doc_id (its representative)
+    instead of to every co-bucketed doc — Σ|bucket| star edges in place of
+    Σ|bucket|² candidate pairs. This is the lever the scaling study
+    (BASELINE §2b) names for corpora with genuinely huge duplicate
+    clusters, where exact pair LISTING is output-bound quadratic: here the
+    per-cluster work is bounded by cluster size × n_bands no matter how
+    big the cluster gets.
+
+    Semantics: star edges are a SUBSET of the exact candidate pairs (rep
+    and member share a bucket by construction) and run through the same
+    Jaccard verification, so the resulting clustering is a REFINEMENT of
+    dedup_cluster_cc's — it can split a cluster whose members are all
+    near the representative-chain but never merges docs the exact version
+    separates (pytest-proved). The standard large-corpus trade: dedup
+    keeps one doc per cluster, and a split cluster merely keeps one doc
+    per fragment."""
+    docs = load_table(spark, sf_dir, "documents")
+    bands = _band_table(docs)
+    reps = bands.groupBy("band_idx", "band_key").agg(F.min("doc_id").alias("rep"))
+    star = (
+        bands.join(reps, ["band_idx", "band_key"])
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    hset = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(T.distinct_tokens(F.col("text")), lambda t: T.token_hash(t))
+        ).alias("hs"),
+    )
+    x = hset.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("toks_a"))
+    y = hset.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = inter / (F.size("toks_a") + F.size("toks_b") - inter)
+    pairs = (
+        star.join(x, "doc_a")
+        .join(y, "doc_b")
+        .filter(F.round(jac, 6) >= CC_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    labels = connected_components(nodes, pairs)
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("label"))
+            .alias("cluster_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _cluster_cc_bounded_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_cte_body()}, reps AS (
+  SELECT band_idx, band_key, MIN(doc_id) AS rep FROM bands
+  GROUP BY band_idx, band_key
+), star AS (
+  SELECT DISTINCT r.rep AS doc_a, b.doc_id AS doc_b
+  FROM bands b JOIN reps r USING (band_idx, band_key)
+  WHERE b.doc_id != r.rep
+), pairs AS (
+  SELECT doc_a, doc_b
+  FROM star
+  JOIN sig x ON star.doc_a = x.doc_id
+  JOIN sig y ON star.doc_b = y.doc_id
+  WHERE {_VERIFIED_JACCARD} >= {CC_JACCARD_THRESHOLD}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node WHERE r.label < e.dst
+), cc AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM cc ORDER BY doc_id
+"""
+
+
 def _cluster_cc_sql() -> str:
     # min-reachable-id via transitive closure; the r.label < e.dst prune is
     # sound for a MIN (the component min m satisfies m < every other member,
@@ -834,6 +923,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_cluster_cc": dedup_cluster_cc,
     "dedup_cluster_cc_star": dedup_cluster_cc_star,
+    "dedup_cluster_cc_bounded": dedup_cluster_cc_bounded,
     "dedup_incremental_lsh": dedup_incremental_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -846,6 +936,7 @@ ORACLE = {
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_cluster_cc": _cluster_cc_sql(),
     "dedup_cluster_cc_star": _cluster_cc_sql(),
+    "dedup_cluster_cc_bounded": _cluster_cc_bounded_sql(),
     "dedup_incremental_lsh": _incremental_sql(),
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,

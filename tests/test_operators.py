@@ -1232,3 +1232,45 @@ def test_pq_index_probe_matches_inline_and_prunes(spark, tmp_path):
     assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
     # (c) no join operators anywhere in the probe plan
     assert "Join" not in plan, plan[:1500]
+
+
+def test_bounded_cc_refines_exact_clustering(spark):
+    """dedup_cluster_cc_bounded's star edges are a subset of the exact
+    candidate pairs run through the same verification, so its clustering
+    must REFINE the exact one: two docs sharing a bounded cluster always
+    share an exact cluster (never a spurious merge). And the star edge
+    stream must be linear: at most n_bands edges per doc."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.operators.dedup import (
+        BAND_SIZE,
+        NUM_HASHES,
+        _band_table,
+        dedup_cluster_cc,
+        dedup_cluster_cc_bounded,
+    )
+
+    exact = {r.doc_id: r.cluster_id for r in dedup_cluster_cc(spark, SF).collect()}
+    bounded = {
+        r.doc_id: r.cluster_id for r in dedup_cluster_cc_bounded(spark, SF).collect()
+    }
+    assert bounded.keys() == exact.keys()
+    by_bounded = {}
+    for d, c in bounded.items():
+        by_bounded.setdefault(c, []).append(d)
+    for members in by_bounded.values():
+        assert len({exact[d] for d in members}) == 1, members
+    # it must still find real clusters, not degenerate to singletons
+    assert any(len(m) > 1 for m in by_bounded.values())
+
+    docs = load_table(spark, SF, "documents")
+    n_docs = docs.count()
+    bands = _band_table(docs)
+    reps = bands.groupBy("band_idx", "band_key").agg(F.min("doc_id").alias("rep"))
+    n_star = (
+        bands.join(reps, ["band_idx", "band_key"])
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select("rep", "doc_id")
+        .distinct()
+        .count()
+    )
+    assert n_star <= (NUM_HASHES // BAND_SIZE) * n_docs
