@@ -99,6 +99,53 @@ def decode_blob(stream: DataFrame, schema: StructType) -> DataFrame:
     ).select("our_data.*")
 
 
+def decode_blob_with_quarantine(
+    stream: DataFrame, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """decode_blob plus a corrupt-record quarantine — the production shape:
+    under PERMISSIVE parsing `from_json` turns an unparseable blob into a
+    struct of all-null fields, which a plain decode silently flattens into
+    a row indistinguishable from valid-but-null data. Here the parse runs
+    with `columnNameOfCorruptRecord` (the documented corrupt-record
+    channel: the raw text lands in that field iff parsing failed) and the
+    split is explicit:
+
+    - good: rows whose blob parsed, flattened to the schema;
+    - quarantine: rows with a NON-null blob that failed to parse, carrying
+      the raw payload + a reason — route to a dead-letter sink and replay
+      after a producer fix instead of polluting the table.
+
+    Works identically on batch and streaming DataFrames (stateless
+    filters), so the quarantine contract is testable batch-side and holds
+    per micro-batch."""
+    from pyspark.sql.types import StringType, StructField
+
+    corrupt_col = "__corrupt_record"
+    parse_schema = StructType(
+        list(schema.fields) + [StructField(corrupt_col, StringType())]
+    )
+    raw = F.col("data").cast("string")
+    parsed = stream.select(
+        raw.alias("__raw"),
+        F.from_json(
+            raw, parse_schema, {"columnNameOfCorruptRecord": corrupt_col}
+        ).alias("our_data"),
+    )
+    bad_marker = F.col(f"our_data.{corrupt_col}")
+    good = (
+        parsed.filter(F.col("__raw").isNotNull() & bad_marker.isNull())
+        .select("our_data.*")
+        .drop(corrupt_col)
+    )
+    quarantine = parsed.filter(
+        F.col("__raw").isNotNull() & bad_marker.isNotNull()
+    ).select(
+        F.col("__raw").alias("raw_payload"),
+        F.lit("malformed_json").alias("reason"),
+    )
+    return good, quarantine
+
+
 def cleaned_stream(spark: SparkSession, src_dir: str, table: str) -> DataFrame:
     """source → decode → the shared batch cleaning pipeline (ST2)."""
     raw = decode_blob(blob_file_stream(spark, src_dir), RAW_BY_TABLE[table])

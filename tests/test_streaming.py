@@ -483,3 +483,69 @@ def test_stream_static_merge_triage_equals_batch(spark, tmp_path):
     assert got == want
     assert want[new_rows[0].doc_id][0] == "dup_exact"  # the planted copy
     assert len({v[0] for v in want.values()}) >= 2  # triage discriminates
+
+
+def test_decode_quarantine_splits_corrupt_records(spark, tmp_path):
+    """Corrupt blobs must land in the quarantine with their raw payload,
+    not flatten into all-null rows: good ∪ quarantine covers every
+    non-null input, the two sides are disjoint, and the same contract
+    holds per micro-batch on a stream."""
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        decode_blob,
+        decode_blob_with_quarantine,
+    )
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    payloads = [
+        json.dumps({"id": 1, "name": "ok"}),
+        "{not json at all",
+        json.dumps({"id": 2, "name": None}),  # valid with a null field
+        "]]]",
+        None,  # null blob: neither good nor quarantined
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], "data string")
+    good, bad = decode_blob_with_quarantine(df, schema)
+    good_rows = good.collect()
+    bad_rows = bad.collect()
+    assert {r.id for r in good_rows} == {1, 2}
+    assert len(good_rows) == 2  # the valid-null-field row is GOOD, not lost
+    assert {r.raw_payload for r in bad_rows} == {"{not json at all", "]]]"}
+    assert all(r.reason == "malformed_json" for r in bad_rows)
+    # plain decode_blob silently yields null rows for the corrupt payloads —
+    # the quarantine exists because of exactly this
+    assert decode_blob(df, schema).filter("id IS NULL AND name IS NULL").count() == 3
+
+    # stream side: same split per micro-batch via foreachBatch
+    src = tmp_path / "blobs"
+    src.mkdir()
+    for i, p in enumerate(payloads[:4]):
+        with open(src / f"{i:03d}.jsonl", "w") as f:
+            f.write(json.dumps({"data": p}) + "\n")
+    stream = (
+        spark.readStream.format("json")
+        .schema("data string")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    outg, outb = str(tmp_path / "good"), str(tmp_path / "bad")
+
+    def split(batch_df, _):
+        g, b = decode_blob_with_quarantine(batch_df, schema)
+        g.write.mode("append").parquet(outg)
+        b.write.mode("append").parquet(outb)
+
+    q = (
+        stream.writeStream.foreachBatch(split)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert {r.id for r in spark.read.parquet(outg).collect()} == {1, 2}
+    assert spark.read.parquet(outb).count() == 2
