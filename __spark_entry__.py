@@ -124,6 +124,8 @@ _TAIL = (
     "mm_frame_sample",  # r03-green; 1→N Generate shape of the same Arrow mapInPandas plumbing as in-window mm_binary_meta (1→1); kernel equality pytest-proved (test_multimodal_kernels_null_safe, test_fake_features_match_python)
     # r4 sixth rotation: dedup_cluster_cc_bounded is NEW and moves in.
     "ev_sessions_per_user",  # r03-green; lag-gap sessionization equality vs the native session_window is pytest-proved (test_native_session_window_agrees_with_lag_sessionization) and the window machinery stays checked via ev_running_total
+    # r4 seventh rotation: corpus_quality_report is NEW and moves in.
+    "ev_errors_near_purchase",  # r03-green (first checked that round); shares the epoch/dtype machinery with in-window ev_asof_click_before_purchase, and the bucketized hash-key join shape is plan-asserted (test_range_join_buckets_are_hash_keys)
 )
 
 

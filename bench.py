@@ -97,6 +97,7 @@ HEADLINE = [
     "corpus_merge_increment",
     "sim_ivfpq_topk",
     "dedup_cluster_cc_bounded",
+    "corpus_quality_report",
 ]
 
 

@@ -901,6 +901,122 @@ ORDER BY n.doc_id
 """
 
 
+def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus health dashboard every curation run reports
+    before training is approved: volume (docs/tokens), quality-gate pass
+    rate, repetition-gate pass rate, benchmark-contamination rate, exact
+    duplication, and language spread — each the SAME expression the
+    corresponding gate applies, so the report can never drift from what
+    the pipeline actually enforces. Rates in basis points (integer — the
+    multiply-not-divide idiom keeps both engines bit-identical).
+
+    Scale shape: one scan-local pass for the per-doc flags + three
+    aggregate joins for the gate verdicts that need corpus-wide state
+    (distinct digests, bigram stats, contamination hits) — every one an
+    aggregate this module's gated queries already run; the final assembly
+    is 1-row crossJoins of query-planning state."""
+    from .text_analysis import contamination_report, repetition_flags
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = T.tokens(F.col("text"))
+    qual = T.quality_score(toks) >= QUALITY_THRESHOLD
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks).cast("bigint")).alias("n_tokens"),
+        F.count_if(qual).alias("n_quality_pass"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    n_unique = docs.select(F.md5("text").alias("h")).distinct().agg(
+        F.count(F.lit(1)).alias("n_unique_texts")
+    )
+    n_rep = repetition_flags(docs).agg(
+        F.count_if(F.col("keep")).alias("n_repetition_pass")
+    )
+    n_cont = contamination_report(docs).agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    return (
+        base.crossJoin(F.broadcast(n_unique))
+        .crossJoin(F.broadcast(n_rep))
+        .crossJoin(F.broadcast(n_cont))
+        .select(
+            "n_docs",
+            "n_tokens",
+            F.expr("n_quality_pass * 10000 div n_docs").alias("quality_pass_bp"),
+            F.expr("n_repetition_pass * 10000 div n_docs").alias(
+                "repetition_pass_bp"
+            ),
+            F.expr("n_contaminated * 10000 div n_docs").alias("contaminated_bp"),
+            (F.col("n_docs") - F.col("n_unique_texts")).alias("n_exact_dup_docs"),
+            "n_langs",
+            "n_sources",
+        )
+    )
+
+
+def _quality_report_sql() -> str:
+    from .text_analysis import DECON_BENCH_MOD, DECON_BENCH_RESIDUE, DECON_NGRAM
+
+    sw = T.stopword_ratio_sql("string_split(text, ' ')")
+    atl = T.avg_token_len_sql("string_split(text, ' ')")
+    quality = (
+        f"(0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)"
+        f" + 0.3 * (1.0 - {sw})"
+        f" + 0.2 * least({atl} / 8.0, 1.0))"
+    )
+    grams2 = T.word_shingles_sql("string_split(text, ' ')", 2)
+    gramsn = T.word_shingles_sql("string_split(text, ' ')", DECON_NGRAM)
+    gh = T.token_hash_sql("g")
+    return f"""
+WITH docs AS (SELECT * FROM documents WHERE text IS NOT NULL),
+base AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         COUNT(*) FILTER ({quality} >= {QUALITY_THRESHOLD}) AS n_quality_pass,
+         COUNT(DISTINCT lang) AS n_langs,
+         COUNT(DISTINCT source) AS n_sources
+  FROM docs
+), uniq AS (
+  SELECT COUNT(*) AS n_unique_texts FROM (SELECT DISTINCT md5(text) FROM docs)
+), per2 AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest({grams2}) AS g FROM docs)
+  GROUP BY doc_id, g
+), ragg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+         COUNT(*) AS n_distinct, MAX(c) AS max_c
+  FROM per2 GROUP BY doc_id
+), rep AS (
+  SELECT COUNT(*) AS n_repetition_pass FROM docs d
+  LEFT JOIN ragg a ON d.doc_id = a.doc_id
+  WHERE a.n_grams IS NULL
+     OR ((a.n_grams - a.n_distinct) / a.n_grams <= 0.3
+         AND a.max_c / a.n_grams <= 0.2)
+), hashedn AS (
+  SELECT doc_id, list_distinct(list_transform({gramsn}, g -> {gh})) AS ghs
+  FROM docs
+), bench AS (
+  SELECT DISTINCT unnest(ghs) AS gh FROM hashedn
+  WHERE doc_id % {DECON_BENCH_MOD} = {DECON_BENCH_RESIDUE}
+), cont AS (
+  SELECT COUNT(*) AS n_contaminated FROM (
+    SELECT DISTINCT t.doc_id FROM (
+      SELECT doc_id, unnest(ghs) AS gh FROM hashedn
+      WHERE doc_id % {DECON_BENCH_MOD} != {DECON_BENCH_RESIDUE}
+    ) t JOIN bench b ON t.gh = b.gh
+  )
+)
+SELECT n_docs, n_tokens,
+       n_quality_pass * 10000 // n_docs AS quality_pass_bp,
+       n_repetition_pass * 10000 // n_docs AS repetition_pass_bp,
+       n_contaminated * 10000 // n_docs AS contaminated_bp,
+       n_docs - n_unique_texts AS n_exact_dup_docs,
+       n_langs, n_sources
+FROM base CROSS JOIN uniq CROSS JOIN rep CROSS JOIN cont
+"""
+
+
 def write_training_corpus(df: DataFrame, out_dir: str) -> None:
     """Persist the training rows partitioned by split: downstream training
     readers scan only their split's directory (PartitionFilters prune)."""
@@ -919,6 +1035,7 @@ QUERIES = {
     "corpus_token_budget": corpus_token_budget,
     "corpus_cdc_chunk": corpus_cdc_chunk,
     "corpus_merge_increment": corpus_merge_increment,
+    "corpus_quality_report": corpus_quality_report,
 }
 
 ORACLE = {
@@ -933,4 +1050,5 @@ ORACLE = {
     "corpus_token_budget": CORPUS_BUDGET_SQL,
     "corpus_cdc_chunk": CORPUS_CDC_SQL,
     "corpus_merge_increment": _merge_increment_sql(),
+    "corpus_quality_report": _quality_report_sql(),
 }

@@ -1274,3 +1274,33 @@ def test_bounded_cc_refines_exact_clustering(spark):
         .count()
     )
     assert n_star <= (NUM_HASHES // BAND_SIZE) * n_docs
+
+
+def test_quality_report_agrees_with_gates(spark):
+    """The dashboard must report exactly what the gates enforce: its rates
+    recomputed from the individual gate queries match, and bounds hold."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.operators.corpus import (
+        QUALITY_THRESHOLD,
+        corpus_quality_report,
+    )
+    from pinterest_data_pipeline218_spark.operators.text_analysis import (
+        contamination_report,
+        repetition_flags,
+    )
+    from pinterest_data_pipeline218_spark.functions import text as T
+
+    r = corpus_quality_report(spark, SF).collect()[0]
+    docs = load_table(spark, SF, "documents").filter(F.col("text").isNotNull())
+    n = docs.count()
+    assert r.n_docs == n
+    qpass = docs.filter(
+        T.quality_score(T.tokens(F.col("text"))) >= QUALITY_THRESHOLD
+    ).count()
+    assert r.quality_pass_bp == qpass * 10000 // n
+    rpass = repetition_flags(docs).filter("keep").count()
+    assert r.repetition_pass_bp == rpass * 10000 // n
+    ncont = contamination_report(docs).count()
+    assert r.contaminated_bp == ncont * 10000 // n
+    assert 0 <= r.n_exact_dup_docs < n
+    assert r.n_langs >= 1 and r.n_sources >= 1 and r.n_tokens > 0
