@@ -481,6 +481,13 @@ def _pq_codes_lut(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
         .join(F.broadcast(cb), ["m", "r"])
         .groupBy("m", "j")
         .agg(F.sum(d2).alias("lut_d2"))
+        # rename the keys: codes and lut share lineage through `comps`, and
+        # a (codes.m == lut.m) condition on same-lineage attributes makes
+        # Spark warn about (and in edge cases mis-resolve) a trivially-true
+        # self-comparison — distinct names keep the join unambiguous
+        .select(
+            F.col("m").alias("lm"), F.col("j").alias("lj"), "lut_d2"
+        )
     )
     return codes, lut
 
@@ -516,7 +523,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         codes.join(
             F.broadcast(lut),
-            (codes.m == lut.m) & (codes.code == lut.j),
+            (F.col("m") == F.col("lm")) & (F.col("code") == F.col("lj")),
         )
         .groupBy("vec_id")
         .agg(F.sum("lut_d2").alias("pq_dist"))
@@ -563,7 +570,10 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes, lut = _pq_codes_lut(emb.select("vec_id", "v"))
     return (
         codes.join(cand, "vec_id")
-        .join(F.broadcast(lut), (codes.m == lut.m) & (codes.code == lut.j))
+        .join(
+            F.broadcast(lut),
+            (F.col("m") == F.col("lm")) & (F.col("code") == F.col("lj")),
+        )
         .groupBy("vec_id", "label")
         .agg(F.sum("lut_d2").alias("pq_dist"))
         .orderBy(F.asc("pq_dist"), F.asc("vec_id"))

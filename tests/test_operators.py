@@ -1166,7 +1166,7 @@ def test_ivfpq_candidates_come_from_probed_cells_with_pq_scores(spark):
     full = {
         r.vec_id: r.pq_dist
         for r in codes.join(
-            lut, (codes.m == lut.m) & (codes.code == lut.j)
+            lut, (F.col("m") == F.col("lm")) & (F.col("code") == F.col("lj"))
         )
         .groupBy("vec_id")
         .agg(F.sum("lut_d2").alias("pq_dist"))
