@@ -111,3 +111,52 @@ def test_asof_join_matches_model(spark, purchases, clicks):
         for r in asof_join(left, right, key="user_id", ts="ts").collect()
     }
     assert got == _model_asof(purchases, clicks)
+
+
+def _model_dupspan(docs: dict[int, list[str]], n: int = 10):
+    """Naive reference for dupspan_remove: count every n-token window
+    corpus-wide, mark positions covered by any window occurring >= 2
+    times, rebuild the surviving tokens in order."""
+    from collections import Counter
+
+    counts = Counter()
+    for toks in docs.values():
+        for i in range(len(toks) - n + 1):
+            counts[" ".join(toks[i : i + n])] += 1
+    out = {}
+    for doc_id, toks in docs.items():
+        covered = set()
+        for i in range(len(toks) - n + 1):
+            if counts[" ".join(toks[i : i + n])] >= 2:
+                covered.update(range(i, i + n))
+        kept = [t for p, t in enumerate(toks) if p not in covered]
+        out[doc_id] = (len(toks), len(toks) - len(kept), " ".join(kept))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b"]), min_size=1, max_size=26),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_dupspan_remove_matches_model(spark, doclists):
+    """Model-check dupspan_remove on a 2-letter alphabet, where duplicated
+    10-grams are common and overlap heavily — exercising intra-doc
+    repeats, cross-doc spans, full-coverage wipeouts, and sub-window
+    short docs against an exhaustive Python reference."""
+    from pinterest_data_pipeline218_spark.operators.text_analysis import (
+        dupspan_remove,
+    )
+
+    docs = {i: toks for i, toks in enumerate(doclists)}
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in dupspan_remove(df).collect()
+    }
+    assert got == _model_dupspan(docs)
