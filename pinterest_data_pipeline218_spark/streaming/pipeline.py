@@ -158,18 +158,28 @@ def write_append_stream(
     checkpoint_root: str,
     query_name: str,
     fmt: str = "parquet",
+    available_now: bool = False,
 ) -> StreamingQuery:
     """Append-mode sink with a per-query checkpoint dir (S5/ST3, fixing the
-    reference's shared-checkpoint bug)."""
+    reference's shared-checkpoint bug).
+
+    ``available_now=True`` uses Trigger.AvailableNow — process everything
+    available then STOP, resuming from the checkpoint next invocation.
+    This is how the reference's daily-Airflow cadence (dag/pipeline_dag.py)
+    should drive a streaming pipeline: each scheduled run drains the
+    backlog incrementally with streaming exactly-once semantics instead of
+    re-reading the source or running a 24/7 cluster."""
     checkpoint = os.path.join(checkpoint_root, query_name)
-    return (
+    writer = (
         df.writeStream.format(fmt)
         .outputMode("append")
         .option("path", out_path)
         .option("checkpointLocation", checkpoint)
         .queryName(query_name)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def run_table_etl(

@@ -549,3 +549,47 @@ def test_decode_quarantine_splits_corrupt_records(spark, tmp_path):
     q.stop()
     assert {r.id for r in spark.read.parquet(outg).collect()} == {1, 2}
     assert spark.read.parquet(outb).count() == 2
+
+
+def test_available_now_drains_and_resumes_incrementally(spark, tmp_path):
+    """Trigger.AvailableNow — the scheduled-batch drive mode for a
+    streaming pipeline: run 1 drains the current backlog and STOPS; new
+    files arrive; run 2 processes ONLY the new files (checkpoint resume,
+    no re-read, no duplicates). This is the cadence the reference's daily
+    Airflow DAG should use."""
+    import json
+
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        blob_file_stream,
+        decode_blob,
+        write_append_stream,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("id", LongType())])
+    src = tmp_path / "src"
+    src.mkdir()
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+
+    def add_file(name, ids):
+        with open(src / name, "w") as f:
+            for i in ids:
+                f.write(json.dumps({"data": json.dumps({"id": i})}) + "\n")
+
+    def run_once():
+        q = write_append_stream(
+            decode_blob(blob_file_stream(spark, str(src)), schema),
+            out, cp, "avnow", available_now=True,
+        )
+        q.awaitTermination(120)
+        assert not q.isActive  # AvailableNow must stop on its own
+
+    add_file("a.jsonl", [1, 2, 3])
+    run_once()
+    got1 = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got1 == [1, 2, 3]
+
+    add_file("b.jsonl", [4, 5])
+    run_once()
+    got2 = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got2 == [1, 2, 3, 4, 5]  # incremental: old rows not re-emitted
