@@ -530,3 +530,26 @@ def test_dsir_target_flag_evaluated_below_explode(spark):
     assert "lambdafunction" in plan  # the target flag is a HOF — sanity
     for line in plan.splitlines():
         assert not ("lambdafunction" in line and "md5" in line), line
+
+
+def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
+    """_TAIL hygiene: every tailed name must exist in the registry (a typo
+    silently leaves the intended query in the head and pushes something
+    else out of the driver's 50-slot window), and the operators that have
+    never produced a driver CORRECTNESS row must sit inside the window."""
+    names = list(qs)
+    tail = set(entry._TAIL)
+    missing = tail - set(names)
+    assert missing == set(), f"_TAIL names not in registry: {missing}"
+    head = set(names[:50])
+    novel = {
+        "text_dupspan_remove", "text_subword_tokens", "corpus_dsir_sample",
+        "corpus_token_budget", "corpus_cdc_chunk", "corpus_merge_increment",
+        "corpus_quality_report", "sim_pq_topk", "sim_ivfpq_topk",
+        "sim_ivf_index_probe", "ml_hard_negatives", "ml_kmeans_refine",
+        "dedup_semantic_kmeans", "dedup_cluster_cc_bounded",
+        "dedup_cluster_cc_star", "corpus_pack_sequences",
+        "corpus_mixture_sample",
+    }
+    out = novel - head
+    assert out == set(), f"novel operators outside the checked window: {out}"
