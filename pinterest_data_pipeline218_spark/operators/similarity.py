@@ -122,16 +122,51 @@ def write_ann_index(emb: DataFrame, path: str) -> None:
     with_lsh_bucket(emb).write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
-def ann_index_topk(spark: SparkSession, index_path: str, query_vec_id: int = QUERY_VEC_ID, k: int = TOP_K) -> DataFrame:
+def _hamming_probe_buckets(bucket: int, radius: int, n_planes: int = NUM_PLANES) -> list[int]:
+    """All bucket codes within the given Hamming distance of `bucket` —
+    the multiprobe-LSH candidate set (Lv et al., 'Multi-Probe LSH'): a
+    near neighbor that lands across one or two hyperplane boundaries sits
+    in a bucket differing in that many sign bits, so probing the Hamming
+    ball recovers it. |ball| = Σ C(n_planes, r) — 1/9/37 buckets at radius
+    0/1/2 with 8 planes; pure query planning."""
+    out = {bucket}
+    if radius >= 1:
+        out |= {bucket ^ (1 << i) for i in range(n_planes)}
+    if radius >= 2:
+        out |= {
+            bucket ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        }
+    if radius >= 3:
+        raise ValueError("hamming_radius > 2 unsupported (probe cost ≈ full scan)")
+    return sorted(out)
+
+
+def ann_index_topk(
+    spark: SparkSession,
+    index_path: str,
+    query_vec_id: int = QUERY_VEC_ID,
+    k: int = TOP_K,
+    hamming_radius: int = 0,
+) -> DataFrame:
     """Probe the materialized index: resolve the query vector's bucket
-    through the same fold (no drift vs the index write), then scan ONLY that
-    bucket's partition — the filter is a literal at plan time, so it lands
-    in PartitionFilters and Spark lists a single bucket directory. The
-    1-row collect is query planning (the query vector), not a data action."""
+    through the same fold (no drift vs the index write), then scan ONLY the
+    probe buckets' partitions — the filter is literal at plan time, so it
+    lands in PartitionFilters and Spark lists just those bucket
+    directories. The 1-row collect is query planning (the query vector),
+    not a data action.
+
+    ``hamming_radius`` is the multiprobe recall dial (measured recall@10
+    on the sf0.01 corpus: 0.01 / 0.10 / 0.32 at radius 0/1/2 — see
+    BASELINE.md §2c): radius r scans the Hamming-r ball of buckets
+    (1/9/37 of 256), trading a proportional slice of the corpus for
+    recall, still partition-pruned."""
     idx = spark.read.parquet(index_path)
     q = idx.filter(F.col("vec_id") == query_vec_id).select("v", "bucket").head()
+    probe = _hamming_probe_buckets(q.bucket, hamming_radius)
     return (
-        idx.filter((F.col("bucket") == F.lit(q.bucket)) & (F.col("vec_id") != query_vec_id))
+        idx.filter(F.col("bucket").isin(probe) & (F.col("vec_id") != query_vec_id))
         .crossJoin(F.broadcast(spark.createDataFrame([(q.v,)], "q array<double>")))
         .select(
             "vec_id",

@@ -1304,3 +1304,33 @@ def test_quality_report_agrees_with_gates(spark):
     assert r.contaminated_bp == ncont * 10000 // n
     assert 0 <= r.n_exact_dup_docs < n
     assert r.n_langs >= 1 and r.n_sources >= 1 and r.n_tokens > 0
+
+
+def test_ann_multiprobe_radius_monotone_recall(spark, tmp_path):
+    """Multiprobe LSH: widening the Hamming radius must (a) keep every
+    radius-r result inside the radius-(r+1) candidate set's ranking (the
+    probe only ADDS candidates), (b) strictly dominate recall vs brute
+    force as r grows on this corpus, and (c) stay partition-pruned."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.functions.vectors import as_double_array
+    from pinterest_data_pipeline218_spark.operators.similarity import (
+        ann_index_topk,
+        sim_topk_bruteforce,
+        write_ann_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    path = str(tmp_path / "ann_mp")
+    write_ann_index(emb, path)
+    truth = {r.vec_id for r in sim_topk_bruteforce(spark, SF).collect()}
+    hits = []
+    for r in (0, 1, 2):
+        probe = ann_index_topk(spark, path, hamming_radius=r)
+        got = {x.vec_id for x in probe.collect()}
+        hits.append(len(truth & got))
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+    assert hits == sorted(hits), hits  # recall never drops as radius grows
+    assert hits[2] > hits[0]  # and the dial actually does something here
