@@ -181,10 +181,12 @@ def test_ann_index_probe_is_partition_pruned_and_matches_inline(spark, tmp_path)
     idx_path = str(tmp_path / "ann_index")
     write_ann_index(emb, idx_path)
 
-    probe = ann_index_topk(spark, idx_path)
+    probe = ann_index_topk(spark, idx_path, hamming_radius=1)
     plan = probe._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [isnotnull(bucket" in plan
+    assert "PartitionFilters: [" in plan and "bucket" in plan.split("PartitionFilters")[1][:200]
     got = [(r.vec_id, r.cos_sim) for r in probe.collect()]
+    # the inline gated query is the radius-1 multiprobe — index probe at the
+    # same radius must reproduce it exactly
     want = [(r.vec_id, r.cos_sim) for r in sim_ann_lsh(spark, SF).collect()]
     assert got == want
 
