@@ -599,10 +599,11 @@ def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_SW_LITS = ", ".join(f"'{s}'" for s in T.STOPWORDS)
 CORPUS_DSIR_SQL = f"""
 WITH tgt AS (
   SELECT doc_id,
-         (len(list_filter(string_split(text, ' '), t -> t IN ('a', 'the'))) * 100
+         (len(list_filter(string_split(text, ' '), t -> t IN ({_DSIR_SW_LITS}))) * 100
             >= len(string_split(text, ' ')) * {DSIR_SW_PCT}) AS is_target
   FROM documents
 ), tokd AS (

@@ -236,6 +236,9 @@ def write_ivf_index(emb: DataFrame, path: str) -> None:
     data = emb.withColumn("cell", F.col("label"))
     data.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/data")
     build_ivf_centroids(emb).write.mode("overwrite").parquet(f"{path}/centroids")
+    # an in-place rebuild at the same path must invalidate the RAM-resident
+    # quantizer, or a re-probe in this process ranks against stale centroids
+    _CENTROID_CACHE.pop(path, None)
 
 
 _CENTROID_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
@@ -504,12 +507,13 @@ def _pq_comps(emb: DataFrame) -> DataFrame:
     )
 
 
-def _pq_codes_lut(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(codes, lut): the PQ encoding of a corpus plus the query's distance
-    table — the shared machinery behind sim_pq_topk and sim_ivfpq_topk.
-    `emb` expects (vec_id, v double-array); codes = (vec_id, m, code),
-    lut = (m, j, lut_d2) for QUERY_VEC_ID."""
-    comps = _pq_comps(emb)
+def _pq_codebook(emb: DataFrame, comps: DataFrame) -> DataFrame:
+    """(m, r, j, qc): the PQ codebook — entry j of subspace m is the m-th
+    quantized subvector of the j-th lowest vec_id (one-shot seeding, the
+    ml_kmeans_refine convention). The SINGLE source of truth for the
+    seeding/quantization convention: `_pq_codes_lut` (inline queries) and
+    `write_pq_index` (materialized index) both build from here, so the
+    persisted codebook cannot drift from the codes/LUT arithmetic."""
     from pyspark.sql import Window
 
     seeds = emb.select("vec_id").orderBy("vec_id").limit(PQ_K)
@@ -517,9 +521,18 @@ def _pq_codes_lut(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
         "vec_id",
         (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("j"),
     )  # PQ_K rows: the global window is over query-planning state, not data
-    cb = comps.join(F.broadcast(seed_j), "vec_id").select(
+    return comps.join(F.broadcast(seed_j), "vec_id").select(
         "m", "r", "j", F.col("q").alias("qc")
     )
+
+
+def _pq_codes_lut(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(codes, lut): the PQ encoding of a corpus plus the query's distance
+    table — the shared machinery behind sim_pq_topk and sim_ivfpq_topk.
+    `emb` expects (vec_id, v double-array); codes = (vec_id, m, code),
+    lut = (m, j, lut_d2) for QUERY_VEC_ID."""
+    comps = _pq_comps(emb)
+    cb = _pq_codebook(emb, comps)
     d2 = (F.col("q") - F.col("qc")) * (F.col("q") - F.col("qc"))
     codes = (
         comps.join(F.broadcast(cb), ["m", "r"])
@@ -700,18 +713,11 @@ def write_pq_index(emb: DataFrame, path: str) -> None:
     data.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/codes"
     )
-    comps = _pq_comps(flat)
-    from pyspark.sql import Window
-
-    seeds = flat.select("vec_id").orderBy("vec_id").limit(PQ_K)
-    seed_j = seeds.select(
-        "vec_id", (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("j")
+    _pq_codebook(flat, _pq_comps(flat)).write.mode("overwrite").parquet(
+        f"{path}/codebook"
     )
-    cb = comps.join(F.broadcast(seed_j), "vec_id").select(
-        "m", "r", "j", F.col("q").alias("qc")
-    )
-    cb.write.mode("overwrite").parquet(f"{path}/codebook")
     build_ivf_centroids(emb).write.mode("overwrite").parquet(f"{path}/centroids")
+    _CENTROID_CACHE.pop(path, None)  # see write_ivf_index
 
 
 def pq_index_topk(
@@ -720,6 +726,7 @@ def pq_index_topk(
     query_vec: list[float],
     k: int = TOP_K,
     nprobe: int | None = None,
+    exclude_vec_id: int | None = None,
 ) -> DataFrame:
     """Probe the materialized PQ index. The query's distance table is
     computed DRIVER-side from the RAM-resident codebook (PQ_M·PQ_K = 128
@@ -755,6 +762,8 @@ def pq_index_topk(
     codes = spark.read.parquet(f"{index_path}/codes")
     if cells is not None:
         codes = codes.filter(F.col("cell").isin(cells))
+    if exclude_vec_id is not None:  # same contract as ivf_index_topk
+        codes = codes.filter(F.col("vec_id") != exclude_vec_id)
     return (
         codes.select("vec_id", F.col("cell").alias("label"), dist.alias("pq_dist"))
         .orderBy(F.asc("pq_dist"), F.asc("vec_id"))

@@ -111,9 +111,11 @@ def decode_blob_with_quarantine(
     split is explicit:
 
     - good: rows whose blob parsed, flattened to the schema;
-    - quarantine: rows with a NON-null blob that failed to parse, carrying
-      the raw payload + a reason — route to a dead-letter sink and replay
-      after a producer fix instead of polluting the table.
+    - quarantine: rows whose blob failed to parse (reason
+      ``malformed_json``, raw payload preserved) AND rows whose blob is
+      NULL (reason ``null_payload``) — nothing is silently lost; route to
+      a dead-letter sink and replay after a producer fix instead of
+      polluting the table.
 
     Works identically on batch and streaming DataFrames (stateless
     filters), so the quarantine contract is testable batch-side and holds
@@ -138,10 +140,12 @@ def decode_blob_with_quarantine(
         .drop(corrupt_col)
     )
     quarantine = parsed.filter(
-        F.col("__raw").isNotNull() & bad_marker.isNotNull()
+        F.col("__raw").isNull() | bad_marker.isNotNull()
     ).select(
         F.col("__raw").alias("raw_payload"),
-        F.lit("malformed_json").alias("reason"),
+        F.when(F.col("__raw").isNull(), F.lit("null_payload"))
+        .otherwise(F.lit("malformed_json"))
+        .alias("reason"),
     )
     return good, quarantine
 

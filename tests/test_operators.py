@@ -1208,23 +1208,22 @@ def test_pq_index_probe_matches_inline_and_prunes(spark, tmp_path):
         emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").head().v
     )
 
-    # (a) full-corpus probe == inline PQ (excluding the query vector itself,
-    # which the index probe legitimately returns at distance 0)
+    # (a) full-corpus probe == inline PQ (exclude_vec_id drops the query
+    # vector in-plan — same contract as ivf_index_topk)
     probe_full = [
         (r.vec_id, r.pq_dist)
-        for r in pq_index_topk(spark, path, qvec, k=11).collect()
-        if r.vec_id != QUERY_VEC_ID
+        for r in pq_index_topk(
+            spark, path, qvec, k=10, exclude_vec_id=QUERY_VEC_ID
+        ).collect()
     ]
     inline = [(r.vec_id, r.pq_dist) for r in sim_pq_topk(spark, SF).collect()]
     assert probe_full[: len(inline)] == inline
 
     # (b) cell-pruned probe == inline IVF-PQ
-    probe = pq_index_topk(spark, path, qvec, k=11, nprobe=NPROBE)
-    got = [
-        (r.vec_id, r.label, r.pq_dist)
-        for r in probe.collect()
-        if r.vec_id != QUERY_VEC_ID
-    ]
+    probe = pq_index_topk(
+        spark, path, qvec, k=10, nprobe=NPROBE, exclude_vec_id=QUERY_VEC_ID
+    )
+    got = [(r.vec_id, r.label, r.pq_dist) for r in probe.collect()]
     want = [
         (r.vec_id, r.label, r.pq_dist) for r in sim_ivfpq_topk(spark, SF).collect()
     ]

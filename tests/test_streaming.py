@@ -487,9 +487,10 @@ def test_stream_static_merge_triage_equals_batch(spark, tmp_path):
 
 def test_decode_quarantine_splits_corrupt_records(spark, tmp_path):
     """Corrupt blobs must land in the quarantine with their raw payload,
-    not flatten into all-null rows: good ∪ quarantine covers every
-    non-null input, the two sides are disjoint, and the same contract
-    holds per micro-batch on a stream."""
+    not flatten into all-null rows, and null blobs must dead-letter with
+    their own reason: good ∪ quarantine covers EVERY input row, the two
+    sides are disjoint, and the same contract holds per micro-batch on a
+    stream."""
     import json
 
     from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -507,7 +508,7 @@ def test_decode_quarantine_splits_corrupt_records(spark, tmp_path):
         "{not json at all",
         json.dumps({"id": 2, "name": None}),  # valid with a null field
         "]]]",
-        None,  # null blob: neither good nor quarantined
+        None,  # null blob: dead-lettered with reason null_payload
     ]
     df = spark.createDataFrame([(p,) for p in payloads], "data string")
     good, bad = decode_blob_with_quarantine(df, schema)
@@ -515,8 +516,12 @@ def test_decode_quarantine_splits_corrupt_records(spark, tmp_path):
     bad_rows = bad.collect()
     assert {r.id for r in good_rows} == {1, 2}
     assert len(good_rows) == 2  # the valid-null-field row is GOOD, not lost
-    assert {r.raw_payload for r in bad_rows} == {"{not json at all", "]]]"}
-    assert all(r.reason == "malformed_json" for r in bad_rows)
+    assert {(r.raw_payload, r.reason) for r in bad_rows} == {
+        ("{not json at all", "malformed_json"),
+        ("]]]", "malformed_json"),
+        (None, "null_payload"),
+    }
+    assert len(good_rows) + len(bad_rows) == len(payloads)  # nothing lost
     # plain decode_blob silently yields null rows for the corrupt payloads —
     # the quarantine exists because of exactly this
     assert decode_blob(df, schema).filter("id IS NULL AND name IS NULL").count() == 3
