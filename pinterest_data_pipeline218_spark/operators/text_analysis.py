@@ -255,6 +255,15 @@ ORDER BY doc_id
 """
 
 
+def _tokenized(docs: DataFrame) -> DataFrame:
+    """(doc_id, toks): pass-through when the input already carries a
+    pre-tokenized ``toks`` column (the single-pass corpus build hands every
+    gate one shared tokenization), else one T.tokens scan over ``text``."""
+    if "toks" in docs.columns:
+        return docs.select("doc_id", "toks")
+    return docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+
+
 def _gram_rows_pos(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, i, gram) — one row per n-word shingle with its 1-based start
     position, built the codegen'd way: explode a position sequence, then
@@ -266,10 +275,9 @@ def _gram_rows_pos(docs: DataFrame, n: int) -> DataFrame:
     rows: the explode is gated on size(toks) >= n because sequence(1, 0) is
     NOT empty — Spark yields the DESCENDING array [1, 0], and
     element_at(toks, 0) then throws under ANSI mode, so an ungated form
-    crashes the whole query on any short doc."""
-    toked = docs.select("doc_id", T.tokens(F.col("text")).alias("toks")).filter(
-        F.size("toks") >= n
-    )
+    crashes the whole query on any short doc. Accepts (doc_id, text) or a
+    pre-tokenized (doc_id, toks) frame (see _tokenized)."""
+    toked = _tokenized(docs).filter(F.size("toks") >= n)
     seq = F.sequence(F.lit(1), F.size("toks") - (n - 1))
     ex = toked.select("doc_id", "toks", F.explode(seq).alias("i"))
     pieces = [F.element_at(F.col("toks"), F.col("i") + j) for j in range(n)]
@@ -288,7 +296,8 @@ def _gram_rows(docs: DataFrame, n: int) -> DataFrame:
 def repetition_flags(docs: DataFrame) -> DataFrame:
     """DataFrame→DataFrame combinator behind text_repetition_score (also
     composed into corpus.build_training_corpus): per doc_id the bigram
-    stats + keep gate. Expects columns (doc_id, text)."""
+    stats + keep gate. Expects (doc_id, text), or pre-tokenized
+    (doc_id, toks) to reuse a shared tokenization."""
     per = (
         _gram_rows(docs, 2)
         .groupBy("doc_id", "gram")
@@ -384,7 +393,8 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def contamination_report(docs: DataFrame) -> DataFrame:
     """DataFrame→DataFrame combinator behind text_decontaminate (also
-    composed into corpus.build_training_corpus). Expects (doc_id, text).
+    composed into corpus.build_training_corpus). Expects (doc_id, text),
+    or pre-tokenized (doc_id, toks) to reuse a shared tokenization.
 
     Per-doc gram dedup is a (doc_id, gh) `distinct()` on the exploded
     stream rather than a scan-side `array_distinct` over a lambda-built

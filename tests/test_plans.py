@@ -553,3 +553,62 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
     }
     out = novel - head
     assert out == set(), f"novel operators outside the checked window: {out}"
+
+
+def test_corpus_build_tokenizes_once_per_branch(spark):
+    """Single-pass tokenization guard: in the multi-gate corpus build every
+    gate (quality, repetition, decontamination) and the chunker must read
+    the ONE shared cached (doc_id, text, toks) projection. Regression
+    signature: a `split(text` occurrence in the executed plan that is NOT
+    the cached relation's own definition printout — i.e. a branch that
+    re-tokenizes from a fresh scan instead of the cache. In the good plan
+    every split(text printout is paired 1:1 with an InMemoryTableScan."""
+    from pinterest_data_pipeline218_spark.operators.corpus import (
+        build_training_corpus,
+    )
+
+    df = build_training_corpus(
+        spark,
+        "/root/testdata/sf0.001",
+        repetition_gate=True,
+        decontaminate=True,
+        near_dedup=False,
+    )
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_split = plan.count("split(text")
+        n_cached = plan.count("InMemoryTableScan")
+        assert n_cached > 0, "tokenized projection is not cached"
+        assert n_split == n_cached, (
+            f"{n_split} tokenizations vs {n_cached} cached scans — some "
+            "branch re-tokenizes from a fresh scan:\n" + plan[:2000]
+        )
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_cc_loop_restores_shuffle_partitions(spark):
+    """The CC loops pin spark.sql.shuffle.partitions to their state size
+    for the duration of the loop ONLY — no session-level mutation may
+    survive, even though the loop materializes per-round checkpoints."""
+    from pinterest_data_pipeline218_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    nodes = spark.range(8).select(F.col("id").alias("node"))
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "a long, b long"
+    )
+    got = {
+        r.node: r.label
+        for r in connected_components(nodes, pairs).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7}
+    got_star = {
+        r.node: r.label
+        for r in connected_components_star(nodes, pairs).collect()
+    }
+    assert got_star == got
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
