@@ -59,10 +59,8 @@ _MODULES = (
 _TAIL = (
     "mm_fake_features",  # third kernel of the mapInPandas plumbing family; the 1→1 (mm_binary_meta) and 1→N (mm_frame_sample) shapes stay driver-checked. Green r01+r02; tailed to admit text_repetition_score.
     "text_langid",  # thresholded rendering of the same scan-local stopword-ratio expression checked via text_quality_score. Green r01+r02; tailed to admit text_decontaminate.
-    "ev_sliding_1h_value",  # RANGE-interval frame; window-frame family driver-checked via ev_running_total (ROWS) — selfcheck covers this one
     "sim_ivf_multiprobe",  # nprobe=2 rendering of the same quantizer machinery; shares its oracle VERBATIM with the in-window sim_ivf_index_probe, so a driver row for the probe is a driver row for this
     "ev_approx_value_quantiles",  # sketch family (like ev_approx_distinct_users): no oracle by design, pytest-bounded vs exact percentiles
-    "corpus_build_full",  # composition of in-window pieces (quality/repetition/decontaminate/dedup-CC/chunking all driver-checked individually); full composed oracle verified in selfcheck + benched
     # r4 rotation: ml_kmeans_refine / dedup_semantic_kmeans / corpus_pack_sequences /
     # corpus_mixture_sample / dedup_cluster_cc_star moved INTO the window (they had
     # never produced a driver CORRECTNESS row — VERDICT r3 #2); the six entries below
@@ -74,9 +72,8 @@ _TAIL = (
     "tpch_q14_promo_revenue",  # r03-green; conditional-sum-ratio family stays checked via q12 (CASE agg) + q19 (disjunctive filter agg)
     "tpch_q18_large_orders",  # r03-green; group-HAVING semi-join family stays checked via q17 (per-group scalar threshold) + q21
     "tpch_q15_top_supplier",  # r03-green; agg + global-max equality join family stays checked via t6p2-style top-1 + q17
-    "user_oldest_nulls_last",  # O4 showcase; ordering proved by selfcheck + pytest
     "t8_compat_window_median",  # value-identical to t8 (proved in r01)
-    "ev_salted_stats",  # oracle-identical to ev_stats_by_type by design
+    "ev_salted_stats",  # oracle-identical to ev_stats_by_type by design (4 green driver rounds on the plain form, r01-r04)
     "ev_salted_distinct_users",  # salting pytest-proved equal to plain distinct
     "t6p2_top_nation_by_top_customer",  # top-1 of t6p1's checked output
     "t7_top_priority_per_band",  # same rank-window shape as t4, green in r01
@@ -85,26 +82,12 @@ _TAIL = (
     "window_showcase",  # composite of window shapes checked via t4/ev_running_total
     "ev_counts_hourly",  # time-bucket count subsumed by ev_rollup_daily (green r01-class)
     "t9_active_customers_by_year",  # count-distinct-per-year; family checked via q16 + ev_salted
-    "tpch_q3_shipping_priority",  # join+top-k shape identical to checked q10
-    "dedup_compact_corpus",  # groupBy-keeper + semi-join; families checked via dedup_exact + q4
-    "tpch_q5_regional_volume",  # broadcast-chain join agg; families checked via q7/q10/t4
-    "ev_cube_type_dow",  # grouping-sets family checked via ev_rollup_daily; selfcheck covers
+    "tpch_q3_shipping_priority",  # join+top-k shape identical to checked q10 (q10 itself r01-r04 green)
+    "tpch_q5_regional_volume",  # broadcast-chain join agg; families checked via q7 (r01-r04 green) + t4
     "ev_approx_distinct_users",  # no oracle by design (sketches are engine-specific)
     "tpch_q4_semi_join",  # EXISTS/semi-join family subsumed by checked q21-analog
-    "tpch_q8_market_share",  # dim-chain + conditional-ratio families checked via q7/q14
-    "text_word_frequencies",  # explode→group-count→top-k = first half of checked tfidf
-    "corpus_hash_sample",  # uniform hash sample = single-rate case of checked stratified sampler
-    "corpus_split_assign",  # same _doc_pct hash machinery as checked stratified sampler; CASE bucketing checked via t7/t11
-    "dedup_ngram_jaccard",  # same _salted_block_pairs machinery as checked dedup_embedding_neardup; exact-Jaccard scoring checked via minhash-LSH's verify stage. Tailed (green r02) to pull ev_errors_near_purchase inside the window — it had zero driver rows ever.
-    # TPC-H completion set (tpch_rest): each query's plan families are already
-    # driver-checked — q2 = decorrelated-min rejoin (q17) + dim chain (q5);
-    # q9 = multi-way join agg (q5/q7) + derived DECIMAL measure (q1);
-    # q11 = scalar-subquery fraction (q22's multiply-not-divide); q20 =
-    # stacked semi-joins (q4/q21) + conditional agg (q12). All selfcheck-green.
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_parts",
-    "tpch_q20_concentrated_suppliers",
+    "text_word_frequencies",  # explode→group-count→top-k = first half of tfidf (tfidf r01-r04 green)
+    "dedup_ngram_jaccard",  # same _salted_block_pairs machinery as checked dedup_embedding_neardup; exact-Jaccard scoring checked via minhash-LSH's verify stage (r01-r04 green). Tailed (green r02) to pull ev_errors_near_purchase inside the window — it had zero driver rows ever.
     # r4 second rotation: text_dupspan_remove / corpus_dsir_sample /
     # corpus_token_budget / corpus_cdc_chunk are NEW this round and move into
     # the window; the four below are r03-green and value-redundant.
@@ -126,6 +109,25 @@ _TAIL = (
     "ev_sessions_per_user",  # r03-green; lag-gap sessionization equality vs the native session_window is pytest-proved (test_native_session_window_agrees_with_lag_sessionization) and the window machinery stays checked via ev_running_total
     # r4 seventh rotation: corpus_quality_report is NEW and moves in.
     "ev_errors_near_purchase",  # r03-green (first checked that round); shares the epoch/dtype machinery with in-window ev_asof_click_before_purchase, and the bucketized hash-key join shape is plan-asserted (test_range_join_buckets_are_hash_keys)
+    # r5 rotation (VERDICT r4 #2): the 12 oracled entries that had NEVER had
+    # an independent driver row move INTO the window — the TPC-H completion
+    # set (q2/q8/q9/q11/q20), corpus_build_full, ev_cube_type_dow,
+    # ev_sliding_1h_value, user_oldest_nulls_last, corpus_hash_sample,
+    # corpus_split_assign, dedup_compact_corpus. The 12 below rotate out in
+    # exchange; every one is r04-green (most r01-r04 green) and
+    # value-redundant with machinery that keeps a driver row.
+    "t8_median_balance_by_band",  # r01-r04 green; the in-window t11 runs the SAME exact-median machinery over finer keys (band × year)
+    "tpch_q21_sole_returner",  # r01-r04 green; semi+anti-join families stay driver-checked via q22 (anti) and incoming q20 (stacked semi-joins)
+    "tpch_q7_volume_shipping",  # r01-r04 green; dim-chain join + conditional year agg stays checked via incoming q8 (same chain + ratio) and q9 (multi-way join agg)
+    "tpch_q10_returned_items",  # r01-r04 green; join + agg + top-k stays checked via incoming q2 (dim chain + order/limit) and t4 (rank top-k)
+    "ev_stats_by_type",  # r01-r04 green; scan groupBy min/max/avg stats subsumed by in-window ev_rollup_daily (same agg family over the same events scan); ev_salted_stats (tail) is oracle-identical
+    "text_tfidf_top_terms",  # r01-r04 green; explode→group-count→rejoin is corpus_dsir_sample's in-window shape; idf quotient = text_quality_score's exact-quotient idiom
+    "text_repetition_score",  # r02-r04 green; incoming corpus_build_full composes the SAME repetition_flags combinator (bigram gate) with a driver row
+    "text_decontaminate",  # r02-r04 green; incoming corpus_build_full composes the SAME contamination_report combinator with a driver row
+    "dedup_exact",  # r01-r04 green; md5-digest groupBy-keeper machinery gets driver rows via incoming dedup_compact_corpus AND corpus_build_full's exact-dedup stage
+    "dedup_minhash_lsh",  # r01-r04 green; the signature/band/verify machinery stays driver-checked via in-window dedup_cluster_cc_star and incoming corpus_build_full (both consume _lsh_verified_pairs); the exact-Jaccard expression is also dedup_ngram_jaccard's (green r02)
+    "ev_running_total",  # r01-r04 green; ROWS-frame running window; the window-frame family keeps a driver row via incoming ev_sliding_1h_value (RANGE frame, the harder variant)
+    "corpus_stratified_sample",  # r01-r04 green; incoming corpus_hash_sample + corpus_split_assign drive the same _doc_pct md5-percent machinery; the per-language rate lookup is t11's CASE bucketing (in-window)
 )
 
 

@@ -542,14 +542,14 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
     missing = tail - set(names)
     assert missing == set(), f"_TAIL names not in registry: {missing}"
     head = set(names[:50])
+    # r5: the entries that have never produced a driver CORRECTNESS row
+    # (rotated in per VERDICT r4 #2) must sit inside the checked window
     novel = {
-        "text_dupspan_remove", "text_subword_tokens", "corpus_dsir_sample",
-        "corpus_token_budget", "corpus_cdc_chunk", "corpus_merge_increment",
-        "corpus_quality_report", "sim_pq_topk", "sim_ivfpq_topk",
-        "sim_ivf_index_probe", "ml_hard_negatives", "ml_kmeans_refine",
-        "dedup_semantic_kmeans", "dedup_cluster_cc_bounded",
-        "dedup_cluster_cc_star", "corpus_pack_sequences",
-        "corpus_mixture_sample",
+        "tpch_q2_min_cost_supplier", "tpch_q8_market_share",
+        "tpch_q9_product_profit", "tpch_q11_important_parts",
+        "tpch_q20_concentrated_suppliers", "corpus_build_full",
+        "ev_cube_type_dow", "ev_sliding_1h_value", "user_oldest_nulls_last",
+        "corpus_hash_sample", "corpus_split_assign", "dedup_compact_corpus",
     }
     out = novel - head
     assert out == set(), f"novel operators outside the checked window: {out}"
