@@ -128,6 +128,9 @@ _TAIL = (
     "dedup_minhash_lsh",  # r01-r04 green; the signature/band/verify machinery stays driver-checked via in-window dedup_cluster_cc_star and incoming corpus_build_full (both consume _lsh_verified_pairs); the exact-Jaccard expression is also dedup_ngram_jaccard's (green r02)
     "ev_running_total",  # r01-r04 green; ROWS-frame running window; the window-frame family keeps a driver row via incoming ev_sliding_1h_value (RANGE frame, the harder variant)
     "corpus_stratified_sample",  # r01-r04 green; incoming corpus_hash_sample + corpus_split_assign drive the same _doc_pct md5-percent machinery; the per-language rate lookup is t11's CASE bucketing (in-window)
+    # r5 second rotation: mm_image_decode (real PPM/BMP pixel decode) is NEW
+    # and moves into the window.
+    "ev_pivot_type_counts",  # r01-r04 green; pivot's per-type CASE counts stay driver-checked via incoming ev_cube_type_dow (grouping sets over the same events scan) + in-window ev_rollup_daily
 )
 
 

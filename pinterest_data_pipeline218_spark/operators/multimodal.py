@@ -6,12 +6,16 @@ feature-extract / resize / frame-sample run as Arrow-batched Pandas
 functions over `mapInPandas`, so Python touches columnar batches, never
 rows. Heavy media work is partition-parallel and never collects.
 
-The codec step (`decode_image` / `resize_image`) is import-guarded: it uses
-PIL when the environment provides it and raises a clearly marked
+The codec step (`decode_image` / `resize_image`) decodes REAL pixels for
+uncompressed formats (PPM P6, 24-bit BMP) via the dependency-free codecs
+in functions/imaging.py; compressed formats (JPEG/PNG/...) use PIL when
+the environment provides it and raise a clearly marked
 NotImplementedError otherwise (this container has no codec libraries). A
 deterministic fake feature extractor keeps the Spark-side plumbing — schema,
 batch shape, partitioning — real and testable either way. Here the payload
-is the utf-8 encoding of `documents.text`, standing in for image bytes.
+is the utf-8 encoding of `documents.text`, standing in for image bytes;
+`mm_image_decode` generates genuine PPM/BMP payloads instead and decodes
+them pixel-for-pixel.
 """
 
 from __future__ import annotations
@@ -23,13 +27,16 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
 
 from ..data import load_table
+from ..functions import imaging
 
 try:  # codec boundary: PIL is optional — kernels degrade to explicit stubs
     from PIL import Image as _PILImage  # type: ignore
@@ -49,16 +56,30 @@ def with_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload_bytes: bytes) -> object:
-    """Decode an image payload. Uses PIL when the environment provides it;
-    otherwise raises the documented codec-boundary stub error. The Spark-side
-    plumbing (schema/batching) is real either way — only this body is
-    environment-dependent."""
+def decode_image(payload_bytes: bytes) -> tuple[str, int, int, bytes]:
+    """Decode an image payload to (format, width, height, row-major RGB).
+
+    Uncompressed formats (PPM P6, 24-bit BMP) decode natively — REAL
+    header parsing and pixel extraction, no dependency (functions/
+    imaging.py). Compressed formats use PIL when the environment provides
+    it; otherwise raise the documented codec-boundary stub error. The
+    Spark-side plumbing (schema/batching) is identical either way."""
+    if imaging.sniff_format(payload_bytes) is not None:
+        return imaging.decode_any(payload_bytes)
     if _PILImage is None:
-        raise NotImplementedError("image decode requires a codec library (e.g. PIL)")
+        raise NotImplementedError(
+            "compressed-image decode requires a codec library (e.g. PIL); "
+            "PPM/BMP decode natively"
+        )
     import io
 
-    return _PILImage.open(io.BytesIO(payload_bytes))
+    img = _PILImage.open(io.BytesIO(payload_bytes)).convert("RGB")
+    return (
+        (img.format or "unknown").lower(),
+        img.width,
+        img.height,
+        img.tobytes(),
+    )
 
 
 _META_SCHEMA = StructType(
@@ -124,9 +145,20 @@ def extract_fake_features(df: DataFrame) -> DataFrame:
 def resize_image(payload_bytes: bytes, width: int, height: int) -> bytes:
     """Resize an image payload (bytes in, bytes out — the contract a
     mapInPandas kernel shaped like `extract_binary_meta` applies per batch).
-    Uses PIL when available; otherwise raises the documented stub error."""
+    PPM/BMP payloads resize natively (nearest-neighbor over real decoded
+    pixels, re-encoded in the same container format); compressed formats
+    use PIL when available, else the documented stub error."""
+    fmt = imaging.sniff_format(payload_bytes)
+    if fmt is not None:
+        _, w, h, pixels = imaging.decode_any(payload_bytes)
+        return imaging.encode(
+            fmt, width, height, imaging.resize_nearest(w, h, pixels, width, height)
+        )
     if _PILImage is None:
-        raise NotImplementedError("image resize requires a codec library (e.g. PIL)")
+        raise NotImplementedError(
+            "compressed-image resize requires a codec library (e.g. PIL); "
+            "PPM/BMP resize natively"
+        )
     import io
 
     img = _PILImage.open(io.BytesIO(payload_bytes))
@@ -193,6 +225,109 @@ ORDER BY doc_id, frame_idx
 """
 
 
+# Deterministic image fixtures: an 8x6 RGB image per document whose flat
+# pixel byte i is (doc_id * 31 + i) % 256 — generated Spark-side into REAL
+# container bytes (PPM for most docs, 24-bit BMP for every third), so the
+# decode kernel exercises genuine header parsing + channel/row-order
+# unpacking, while the DuckDB oracle replays the generative formula
+# closed-form without needing a decoder.
+IMG_W, IMG_H = 8, 6
+
+
+def _fixture_pixels(doc_id: int) -> bytes:
+    return bytes((doc_id * 31 + i) % 256 for i in range(IMG_W * IMG_H * 3))
+
+
+_IMG_PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def with_image_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): real encoded image bytes per document."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                fmt = "bmp" if doc_id % 3 == 0 else "ppm"
+                payloads.append(
+                    imaging.encode(fmt, IMG_W, IMG_H, _fixture_pixels(doc_id))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=_IMG_PAYLOAD_SCHEMA)
+
+
+_IMG_FEAT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def extract_image_features(df: DataFrame) -> DataFrame:
+    """Real image decode as a mapInPandas kernel: per payload, parse the
+    container (PPM or BMP — format sniffed from magic bytes), then compute
+    per-channel pixel sums over the decoded RGB buffer. This is the decode
+    stage of a multimodal featurization pipeline with the embedding model
+    swapped for integer-exact channel statistics (oracle-checkable)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # NULL payload decodes to no row
+                fmt, w, h, pixels = decode_image(bytes(payload))
+                px = np.frombuffer(pixels, dtype=np.uint8).astype(np.int64)
+                sums = px.reshape(-1, 3).sum(axis=0)
+                rows.append((doc_id, fmt, w, h, *map(int, sums)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _IMG_FEAT_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(feats, schema=_IMG_FEAT_SCHEMA)
+
+
+def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generate real PPM/BMP bytes per document, then DECODE them — header
+    parse, BMP bottom-up row + BGR channel unpacking, PPM grammar — and
+    emit per-channel pixel sums. The oracle never decodes: it replays the
+    generative pixel formula arithmetically, so any decoder defect (row
+    order, channel order, padding, header arithmetic) breaks the match."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_image_features(with_image_payload(docs)).orderBy("doc_id")
+
+
+def _image_decode_sql() -> str:
+    def ch_sum(c: int) -> str:
+        return (
+            "CAST(list_sum(list_transform(list_filter("
+            f"range(0, {IMG_W * IMG_H * 3}), __i -> __i % 3 = {c}), "
+            "__i -> (doc_id * 31 + __i) % 256)) AS BIGINT)"
+        )
+
+    return f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+       CAST({IMG_W} AS INT) AS width, CAST({IMG_H} AS INT) AS height,
+       {ch_sum(0)} AS sum_r, {ch_sum(1)} AS sum_g, {ch_sum(2)} AS sum_b
+FROM documents ORDER BY doc_id
+"""
+
+
 def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload metadata via the Pandas path, joined with the JVM-side
     digest — proves the multimodal plumbing end-to-end and is oracle-checked
@@ -241,10 +376,12 @@ QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_fake_features": mm_fake_features,
     "mm_frame_sample": mm_frame_sample,
+    "mm_image_decode": mm_image_decode,
 }
 
 ORACLE = {
     "mm_binary_meta": MM_BINARY_META_SQL,
     "mm_fake_features": _fake_features_sql(),
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
+    "mm_image_decode": _image_decode_sql(),
 }

@@ -146,10 +146,10 @@ def test_decode_resize_guarded_by_codec_availability():
 
         buf = io.BytesIO()
         mm._PILImage.new("RGB", (4, 4), (255, 0, 0)).save(buf, format="PNG")
-        img = mm.decode_image(buf.getvalue())
-        assert img.size == (4, 4)
+        fmt, w, h, _ = mm.decode_image(buf.getvalue())
+        assert (fmt, w, h) == ("png", 4, 4)
         resized = mm.resize_image(buf.getvalue(), 2, 2)
-        assert mm.decode_image(resized).size == (2, 2)
+        assert mm.decode_image(resized)[1:3] == (2, 2)
 
 
 def test_simhash_hamming_close_for_similar_docs(spark):
@@ -1335,3 +1335,94 @@ def test_ann_multiprobe_radius_monotone_recall(spark, tmp_path):
         assert "PartitionFilters: [" in plan
     assert hits == sorted(hits), hits  # recall never drops as radius grows
     assert hits[2] > hits[0]  # and the dial actually does something here
+
+
+def test_imaging_codecs_roundtrip_and_dispatch():
+    """Pure-Python PPM/BMP codecs: encode→decode is the identity on the
+    row-major RGB buffer for both containers (BMP's bottom-up BGR padded
+    rows and PPM's header grammar both exercised), top-down BMPs and
+    commented PPM headers decode too, and non-image payloads raise."""
+    import pytest as _pytest
+
+    from pinterest_data_pipeline218_spark.functions import imaging
+
+    w, h = 5, 3  # odd width => BMP row padding is non-trivial (15 % 4 != 0)
+    pixels = bytes((i * 7) % 256 for i in range(w * h * 3))
+    for fmt in ("ppm", "bmp"):
+        data = imaging.encode(fmt, w, h, pixels)
+        assert imaging.sniff_format(data) == fmt
+        got_fmt, gw, gh, gpx = imaging.decode_any(data)
+        assert (got_fmt, gw, gh) == (fmt, w, h)
+        assert gpx == pixels
+
+    # PPM with comments + arbitrary whitespace in the header
+    ppm = b"P6 # comment\n# another\n 5\t3 # dims\n255\n" + pixels
+    assert imaging.decode_ppm(ppm) == (w, h, pixels)
+
+    # top-down BMP (negative height)
+    import struct as _struct
+
+    bmp = bytearray(imaging.encode_bmp(w, h, pixels))
+    stride = w * 3 + ((-(w * 3)) % 4)
+    offset = len(bmp) - stride * h
+    body = bytes(bmp[offset:])
+    flipped = b"".join(
+        body[(h - 1 - y) * stride : (h - y) * stride] for y in range(h)
+    )
+    bmp[offset:] = flipped
+    _struct.pack_into("<i", bmp, 14 + 8, -h)  # height field of the DIB
+    assert imaging.decode_bmp(bytes(bmp)) == (w, h, pixels)
+
+    with _pytest.raises(imaging.ImageFormatError):
+        imaging.decode_any(b"not an image at all")
+
+
+def test_resize_image_native_nearest_neighbor():
+    """resize_image on a PPM payload resamples REAL pixels: a 2x2 image
+    upscaled 2x must replicate each source pixel into a 2x2 block
+    (nearest-neighbor), re-encoded in the same container."""
+    from pinterest_data_pipeline218_spark.functions import imaging
+    from pinterest_data_pipeline218_spark.operators.multimodal import resize_image
+
+    px = {
+        (0, 0): (255, 0, 0),
+        (1, 0): (0, 255, 0),
+        (0, 1): (0, 0, 255),
+        (1, 1): (9, 9, 9),
+    }
+    src = bytes(
+        b for y in range(2) for x in range(2) for b in px[(x, y)]
+    )
+    out = resize_image(imaging.encode_ppm(2, 2, src), 4, 4)
+    fmt, w, h, big = imaging.decode_any(out)
+    assert (fmt, w, h) == ("ppm", 4, 4)
+    for y in range(4):
+        for x in range(4):
+            got = tuple(big[(y * 4 + x) * 3 : (y * 4 + x) * 3 + 3])
+            assert got == px[(x // 2, y // 2)], (x, y)
+
+
+def test_image_decode_kernel_matches_python(spark):
+    """The mapInPandas decode kernel's channel sums equal a plain-Python
+    decode of the same generated payloads — and the payloads really are
+    container bytes (magic headers), not raw buffers."""
+    from pinterest_data_pipeline218_spark.operators.multimodal import (
+        IMG_H,
+        IMG_W,
+        _fixture_pixels,
+        extract_image_features,
+        with_image_payload,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    payloads = {r.doc_id: bytes(r.payload) for r in with_image_payload(docs).collect()}
+    assert payloads[0][:2] == b"BM" and payloads[1][:2] == b"P6"
+    got = {
+        r.doc_id: (r.fmt, r.width, r.height, r.sum_r, r.sum_g, r.sum_b)
+        for r in extract_image_features(with_image_payload(docs)).collect()
+    }
+    for i in range(12):
+        pix = _fixture_pixels(i)
+        sums = [sum(pix[c::3]) for c in range(3)]
+        fmt = "bmp" if i % 3 == 0 else "ppm"
+        assert got[i] == (fmt, IMG_W, IMG_H, *sums)
