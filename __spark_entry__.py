@@ -131,6 +131,9 @@ _TAIL = (
     # r5 second rotation: mm_image_decode (real PPM/BMP pixel decode) is NEW
     # and moves into the window.
     "ev_pivot_type_counts",  # r01-r04 green; pivot's per-type CASE counts stay driver-checked via incoming ev_cube_type_dow (grouping sets over the same events scan) + in-window ev_rollup_daily
+    # r5 third rotation: text_bpe_tokens (trained-merges BPE) is NEW and
+    # moves into the window.
+    "text_subword_tokens",  # r04-green; the regex-segmentation stand-in whose counting shape (scan-local counts + exact-quotient fertility) is now driver-checked via text_bpe_tokens, which supersedes it with data-derived merges; segmentation-vs-merges fertility comparison pytest-proved
 )
 
 

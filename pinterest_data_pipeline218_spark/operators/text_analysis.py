@@ -487,6 +487,180 @@ FROM documents ORDER BY doc_id
 """
 
 
+# Trained-merges BPE (Sennrich et al. 2016, "Neural Machine Translation of
+# Rare Words with Subword Units"): learn the top-K most frequent adjacent
+# unit merges from the corpus itself, then tokenize by applying them in
+# order. K is small and the rounds are unrolled (the ml_kmeans_refine
+# convention), which keeps every round oracle-replayable.
+BPE_MERGES = 8
+BPE_SEP = "\x1f"  # unit separator — cannot occur in (printable) corpus text
+
+
+def _bpe_seg_init(word_col: str) -> F.Column:
+    """Character-level initial segmentation: every char followed by the
+    separator, trailing separator dropped (len 2n-1). Plain '(.)' regex —
+    identical semantics in Java regex and RE2."""
+    return F.substring(
+        F.regexp_replace(F.col(word_col), "(.)", "$1" + BPE_SEP),
+        1,
+        F.length(F.col(word_col)) * 2 - 1,
+    )
+
+
+def _bpe_pairs(seg_df: DataFrame) -> DataFrame:
+    """(pair, cnt): one row per adjacent unit pair occurrence, weighted by
+    word frequency. The pair is represented as 'a<SEP>b' so the merge
+    application is a plain substring replace and the tie-break is a single
+    binary string comparison in both engines."""
+    units = F.split("seg", BPE_SEP)
+    return seg_df.filter(F.size(units) >= 2).select(
+        "cnt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(units) - 1),
+                lambda i: F.concat(
+                    F.element_at(units, i), F.lit(BPE_SEP), F.element_at(units, i + 1)
+                ),
+            )
+        ).alias("pair"),
+    )
+
+
+def train_bpe_merges(vocab: DataFrame, n_merges: int = BPE_MERGES) -> list[str]:
+    """Greedy BPE training over a (w, cnt) vocabulary table: each round
+    counts adjacent-pair frequencies over the CURRENT segmentation, picks
+    the most frequent pair (ties to the binary-smallest — deterministic in
+    any engine), and merges it everywhere via left-to-right non-overlapping
+    substring replace (exactly BPE's merge semantics).
+
+    Scale shape: training state is the VOCAB (distinct words × counts),
+    not the corpus — the classic BPE trainer's move; pair counting per
+    round is one explode + map-side-combined groupBy over the cached
+    vocab, and the chosen pair (a one-row collect) is kilobyte
+    query-planning state like the IVF centroids. Application to the full
+    corpus happens scan-side later with the merges as literals."""
+    cur = vocab.select("w", "cnt", _bpe_seg_init("w").alias("seg")).persist()
+    try:
+        merges: list[str] = []
+        for _ in range(n_merges):
+            top = (
+                _bpe_pairs(cur)
+                .groupBy("pair")
+                .agg(F.sum("cnt").alias("c"))
+                .orderBy(F.desc("c"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            pair = top[0]["pair"]
+            merges.append(pair)
+            cur = cur.withColumn(
+                "seg",
+                F.replace(
+                    F.col("seg"), F.lit(pair), F.lit(pair.replace(BPE_SEP, ""))
+                ),
+            )
+        return merges
+    finally:
+        cur.unpersist()
+
+
+def apply_bpe_merges(seg: F.Column, merges: list[str]) -> F.Column:
+    """The trained merge table applied scan-side as a literal replace
+    chain — the production shape: training produced kilobytes of state,
+    tokenization is pure codegen'd string work, no joins."""
+    for pair in merges:
+        seg = F.replace(seg, F.lit(pair), F.lit(pair.replace(BPE_SEP, "")))
+    return seg
+
+
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword token accounting under a TRAINED BPE: learn BPE_MERGES
+    merges from the corpus's own pair frequencies, apply them to the
+    vocabulary, and emit per-document word/subtoken counts + fertility.
+
+    The merge table is data-derived (rerunning on a different corpus
+    yields different merges), which is what upgrades text_subword_tokens'
+    regex stand-in to a real subword tokenizer; the fixed unrolled round
+    count is what keeps it oracle-checkable — the DuckDB oracle re-derives
+    the same merges through K materialized CTE rounds and must land on
+    bit-identical counts. Per-word unit counts are joined back to the
+    exploded word stream hint-free (vocab is usually broadcast-sized; AQE
+    decides) and summed per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    merges = train_bpe_merges(vocab)
+    per_word = vocab.select(
+        "w",
+        F.size(F.split(apply_bpe_merges(_bpe_seg_init("w"), merges), BPE_SEP)).alias(
+            "n_units"
+        ),
+    )
+    return (
+        words.join(per_word, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_units").alias("n_subtokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_subtokens",
+            (F.col("n_subtokens") / F.col("n_words")).alias("fertility"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_sql() -> str:
+    """DuckDB replay: the same K greedy rounds as nested MATERIALIZED CTEs
+    (materialization keeps the replace-chain from inlining exponentially).
+    regexp_replace needs the explicit 'g' flag where Spark's is global by
+    default; everything else is shared semantics — left-to-right
+    non-overlapping replace(), binary string tie-break."""
+    parts = [
+        "words AS MATERIALIZED (SELECT doc_id, w FROM "
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) "
+        "WHERE w != '')",
+        "vocab AS MATERIALIZED (SELECT w, COUNT(*) AS cnt FROM words GROUP BY w)",
+        "seg0 AS MATERIALIZED (SELECT w, cnt, "
+        "substr(regexp_replace(w, '(.)', '\\1' || chr(31), 'g'), 1, 2*length(w)-1) "
+        "AS seg FROM vocab)",
+    ]
+    for r in range(BPE_MERGES):
+        parts.append(
+            f"p{r} AS MATERIALIZED (SELECT pair FROM ("
+            "SELECT unnest(list_transform(range(1, len(u)), "
+            "__i -> u[__i] || chr(31) || u[__i+1])) AS pair, cnt "
+            f"FROM (SELECT cnt, string_split(seg, chr(31)) AS u FROM seg{r}) "
+            "WHERE len(u) >= 2"
+            ") GROUP BY pair ORDER BY SUM(cnt) DESC, pair ASC LIMIT 1)"
+        )
+        parts.append(
+            f"seg{r + 1} AS MATERIALIZED (SELECT w, cnt, "
+            f"replace(seg, (SELECT pair FROM p{r}), "
+            f"(SELECT replace(pair, chr(31), '') FROM p{r})) AS seg FROM seg{r})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+per_word AS (SELECT w, len(string_split(seg, chr(31))) AS n_units FROM seg{BPE_MERGES})
+SELECT doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(n_units) AS BIGINT) AS n_subtokens,
+       CAST(SUM(n_units) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS fertility
+FROM words JOIN per_word USING (w)
+GROUP BY doc_id ORDER BY doc_id
+"""
+    )
+
+
 # Exact duplicated-span removal (the "exact substring dedup" of Lee et al.
 # 2021, "Deduplicating Training Data Makes Language Models Better"), at
 # token-window granularity: any DUPSPAN_N-token span occurring >= 2 times
@@ -615,6 +789,7 @@ QUERIES = {
     "text_decontaminate": text_decontaminate,
     "text_dupspan_remove": text_dupspan_remove,
     "text_subword_tokens": text_subword_tokens,
+    "text_bpe_tokens": text_bpe_tokens,
 }
 
 ORACLE = {
@@ -629,4 +804,5 @@ ORACLE = {
     "text_decontaminate": TEXT_DECONTAMINATE_SQL,
     "text_dupspan_remove": TEXT_DUPSPAN_SQL,
     "text_subword_tokens": TEXT_SUBWORD_SQL,
+    "text_bpe_tokens": _bpe_sql(),
 }

@@ -1426,3 +1426,78 @@ def test_image_decode_kernel_matches_python(spark):
         sums = [sum(pix[c::3]) for c in range(3)]
         fmt = "bmp" if i % 3 == 0 else "ppm"
         assert got[i] == (fmt, IMG_W, IMG_H, *sums)
+
+
+def test_bpe_merges_match_python_reference_and_reduce_fertility(spark):
+    """train_bpe_merges must reproduce a plain-Python greedy BPE trainer
+    (pair counts weighted by word frequency, ties to the binary-smallest
+    pair, left-to-right non-overlapping merge) on a toy vocabulary — and
+    the trained merges must strictly reduce fertility vs the char-level
+    (zero-merge) baseline on the real corpus sample."""
+    from pinterest_data_pipeline218_spark.operators.text_analysis import (
+        BPE_SEP,
+        apply_bpe_merges,
+        _bpe_seg_init,
+        train_bpe_merges,
+    )
+
+    corpus = {"lowest": 5, "lower": 4, "newest": 6, "widest": 3, "low": 2}
+
+    def py_bpe(vocab, k):
+        segs = {w: list(w) for w in vocab}
+        merges = []
+        for _ in range(k):
+            counts = {}
+            for w, units in segs.items():
+                for i in range(len(units) - 1):
+                    p = (units[i], units[i + 1])
+                    counts[p] = counts.get(p, 0) + vocab[w]
+            if not counts:
+                break
+            best = min(counts, key=lambda p: (-counts[p], BPE_SEP.join(p)))
+            merges.append(BPE_SEP.join(best))
+            for w, units in segs.items():
+                out, i = [], 0
+                while i < len(units):
+                    if (
+                        i + 1 < len(units)
+                        and (units[i], units[i + 1]) == best
+                    ):
+                        out.append(units[i] + units[i + 1])
+                        i += 2
+                    else:
+                        out.append(units[i])
+                        i += 1
+                segs[w] = out
+        return merges
+
+    vocab = spark.createDataFrame(list(corpus.items()), "w string, cnt long")
+    got = train_bpe_merges(vocab, n_merges=6)
+    assert got == py_bpe(corpus, 6)
+
+    # data-derived: a different corpus yields different merges
+    other = spark.createDataFrame(
+        [("zzzy", 9), ("zzyx", 4), ("xyxy", 7)], "w string, cnt long"
+    )
+    assert train_bpe_merges(other, n_merges=6) != got
+
+    # fertility: trained merges < char-level baseline on the real corpus
+    from pinterest_data_pipeline218_spark.data import load_table
+
+    docs = load_table(spark, SF, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    real_vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    merges = train_bpe_merges(real_vocab)
+    assert len(merges) > 0
+    n_units = F.size(F.split(apply_bpe_merges(_bpe_seg_init("w"), merges), BPE_SEP))
+    n_chars = F.length("w")
+    row = (
+        real_vocab.select(
+            F.sum(n_units * F.col("cnt")).alias("bpe"),
+            F.sum(n_chars * F.col("cnt")).alias("chars"),
+            F.sum("cnt").alias("n"),
+        )
+    ).first()
+    assert row.bpe < row.chars  # merges strictly compress the stream

@@ -550,7 +550,7 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
         "tpch_q20_concentrated_suppliers", "corpus_build_full",
         "ev_cube_type_dow", "ev_sliding_1h_value", "user_oldest_nulls_last",
         "corpus_hash_sample", "corpus_split_assign", "dedup_compact_corpus",
-        "mm_image_decode",
+        "mm_image_decode", "text_bpe_tokens",
     }
     out = novel - head
     assert out == set(), f"novel operators outside the checked window: {out}"
