@@ -391,26 +391,35 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(load_table(spark, sf_dir, "documents"))
 
 
-def contamination_report(docs: DataFrame) -> DataFrame:
-    """DataFrame→DataFrame combinator behind text_decontaminate (also
-    composed into corpus.build_training_corpus). Expects (doc_id, text),
-    or pre-tokenized (doc_id, toks) to reuse a shared tokenization.
+def contamination_report_vs(train: DataFrame, bench: DataFrame) -> DataFrame:
+    """Decontamination against an EXPLICIT eval set: flag every train doc
+    sharing a hashed 5-gram with `bench`. Both sides expect (doc_id, text)
+    or pre-tokenized (doc_id, toks).
+
+    Each train doc's verdict depends only on (its own text, the bench
+    set), so with a STATIC bench table this composes onto a document
+    stream per micro-batch with exact batch equality
+    (`test_stream_decontaminate_equals_batch`) — the production shape:
+    the benchmark is a fixed table, the training corpus arrives
+    continuously.
 
     Per-doc gram dedup is a (doc_id, gh) `distinct()` on the exploded
     stream rather than a scan-side `array_distinct` over a lambda-built
     hash array: the array form avoids that one shuffle but pays the
     interpreted-HOF tax on every gram (11x slower end-to-end at sf0.1),
     and the exploded stream was headed into a shuffling join anyway."""
-    gh = (
-        _gram_rows(docs, DECON_NGRAM)
+    tgh = (
+        _gram_rows(train, DECON_NGRAM)
         .select("doc_id", T.token_hash(F.col("gram")).alias("gh"))
         .distinct()
     )
-    is_bench = (F.col("doc_id") % DECON_BENCH_MOD) == DECON_BENCH_RESIDUE
-    bench = gh.filter(is_bench).select("gh").distinct()
-    train = gh.filter(~is_bench)
-    per_doc = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_doc_ngrams"))
-    hits = train.join(bench, "gh").groupBy("doc_id").agg(
+    bgh = (
+        _gram_rows(bench, DECON_NGRAM)
+        .select(T.token_hash(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    per_doc = tgh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_doc_ngrams"))
+    hits = tgh.join(bgh, "gh").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_hit_ngrams")
     )
     return (
@@ -423,6 +432,15 @@ def contamination_report(docs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def contamination_report(docs: DataFrame) -> DataFrame:
+    """DataFrame→DataFrame combinator behind text_decontaminate (also
+    composed into corpus.build_training_corpus): the bench slice is carved
+    from the corpus itself by the deterministic doc_id residue, then
+    handed to contamination_report_vs."""
+    is_bench = (F.col("doc_id") % DECON_BENCH_MOD) == DECON_BENCH_RESIDUE
+    return contamination_report_vs(docs.filter(~is_bench), docs.filter(is_bench))
 
 
 _GRAMSN = T.word_shingles_sql("string_split(text, ' ')", DECON_NGRAM)

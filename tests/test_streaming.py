@@ -598,3 +598,71 @@ def test_available_now_drains_and_resumes_incrementally(spark, tmp_path):
     run_once()
     got2 = sorted(r.id for r in spark.read.parquet(out).collect())
     assert got2 == [1, 2, 3, 4, 5]  # incremental: old rows not re-emitted
+
+
+def test_stream_decontaminate_equals_batch(spark, tmp_path):
+    """Streaming decontamination: contamination_report_vs per micro-batch
+    against a STATIC benchmark table must produce exactly the batch report
+    over the union of batches — each doc's verdict depends only on (its
+    text, the fixed eval set), so no state crosses micro-batch boundaries.
+    This completes the streaming ingest-triage story: quality gates,
+    repetition gates, merge triage, and now benchmark decontamination all
+    compose per micro-batch."""
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pinterest_data_pipeline218_spark.operators.text_analysis import (
+        contamination_report_vs,
+    )
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"
+    bench_rows = [(100, f"benchmark question {leak} and its answer")]
+    train = [
+        (1, f"clean document with plenty of fresh tokens all around here"),
+        (2, f"this one copied {leak} straight from the benchmark"),
+        (3, "another clean document nothing shared with any eval set"),
+        (4, f"{leak} leading contamination plus extra trailing words here"),
+        (5, "short"),
+        (6, "totally unrelated text body with many distinct words inside"),
+    ]
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    bench = spark.createDataFrame(bench_rows, schema)
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i in range(3):  # 3 micro-batches of 2 docs
+        with open(src / f"{i:03d}.jsonl", "w") as f:
+            for doc_id, text in train[i * 2 : i * 2 + 2]:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    stream = (
+        spark.readStream.format("json").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(str(src))
+    )
+    out = str(tmp_path / "contam")
+
+    def screen(batch_df, _):
+        contamination_report_vs(batch_df, bench).write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(screen)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.doc_id: (r.n_hit_ngrams, r.n_doc_ngrams)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.doc_id: (r.n_hit_ngrams, r.n_doc_ngrams)
+        for r in contamination_report_vs(
+            spark.createDataFrame(train, schema), bench
+        ).collect()
+    }
+    assert got == want
+    assert set(got) == {2, 4}  # exactly the leaked docs are flagged
