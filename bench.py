@@ -98,6 +98,8 @@ HEADLINE = [
     "sim_ivfpq_topk",
     "dedup_cluster_cc_bounded",
     "corpus_quality_report",
+    "mm_image_decode",
+    "text_bpe_tokens",
 ]
 
 

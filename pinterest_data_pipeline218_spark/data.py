@@ -52,12 +52,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif isinstance(dt, TimestampNTZType):
             # timestamp[us] with no timezone reads as TIMESTAMP_NTZ in
             # Spark 4, which rejects epoch casts (unix_micros, cast-to-
-            # double). Treat the wall time as UTC — pin the session tz so the
-            # lazy NTZ→LTZ cast is evaluated under UTC regardless of the
-            # caller's session defaults (same instant DuckDB's naive read
-            # yields).
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # double). Treat the wall time as UTC. Session-tz-independent
+            # conversion (no session mutation — VERDICT r4 #8):
+            # convert_timezone('UTC', current_timezone(), ts) re-renders the
+            # UTC wall time in the caller's session tz (still NTZ), and the
+            # NTZ→TIMESTAMP cast then interprets that wall time under the
+            # SAME session tz — both are resolved during the same analysis
+            # pass, so the composition yields the UTC instant under ANY
+            # session timezone (pytest: test_ntz_load_is_session_tz_neutral).
+            # Downstream wall-time extraction (dates, hours) follows the
+            # session tz as everywhere in Spark; the package session factory
+            # pins UTC (session.py), matching DuckDB's naive read.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "cast(convert_timezone('UTC', current_timezone(), ts)"
+                    " as timestamp)"
+                ),
+            )
     return df
 
 

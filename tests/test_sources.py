@@ -161,6 +161,39 @@ def test_events_ts_encoding_robustness(spark, tmp_path):
         assert got == expected, f"{name}: {got}"
 
 
+def test_ntz_load_is_session_tz_neutral(spark):
+    """VERDICT r4 #8: load_table must not mutate the caller's session
+    timezone, and the NTZ→instant normalization must yield the SAME UTC
+    instant under ANY session timezone (the convert_timezone composition in
+    data.py is resolved against the session tz at both ends, so it cancels).
+    """
+    import pyspark.sql.functions as F
+
+    from pinterest_data_pipeline218_spark.data import load_table
+
+    sf = "/root/testdata/sf0.001"
+
+    def instants(session):
+        df = load_table(session, sf, "events")
+        return [
+            r.m
+            for r in df.select(F.unix_micros("ts").alias("m"), "event_id")
+            .orderBy("event_id")
+            .limit(50)
+            .collect()
+        ]
+
+    utc = instants(spark)
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    tokyo = instants(s2)
+    # no session-level mutation observable after the load
+    assert s2.conf.get("spark.sql.session.timeZone") == "Asia/Tokyo"
+    # same epoch instants regardless of the caller's session timezone
+    assert tokyo == utc and len(utc) == 50
+
+
 def test_binary_dir_source_rows_and_glob(spark, tmp_path):
     """binaryFile source: one row per file with content bytes; the glob
     filter prunes at listing time (non-matching files never read)."""
