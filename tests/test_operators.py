@@ -1337,6 +1337,98 @@ def test_ann_multiprobe_radius_monotone_recall(spark, tmp_path):
     assert hits[2] > hits[0]  # and the dial actually does something here
 
 
+def test_lm_score_flags_hand_computed(spark):
+    """Bigram-LM scoring against hand arithmetic: the target corpus is 3
+    copies of 'the cat sat on the mat', so c12=3 for each of its 5 bigrams,
+    c1(the)=6, c1(cat)=c1(sat)=c1(on)=3, and V=|{cat,sat,on,the,mat}|=5.
+    Every ppm below follows from (10^6*(c12+1)) div (c1+V)."""
+    from pinterest_data_pipeline218_spark.operators.text_analysis import lm_score_flags
+
+    target = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat") for i in range(3)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "zebra quark blorp"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in lm_score_flags(docs, target=target).collect()}
+    # doc 1 is fully in-domain: 'the cat' -> 4e6 div (6+5) = 363636,
+    # 'cat sat' -> 4e6 div (3+5) = 500000; integer mean 431818.
+    assert out[1].n_oov_bigrams == 0
+    assert out[1].lm_avg_ppm == 431818
+    # doc 2 is fully out-of-domain: both bigrams unseen, both left contexts
+    # unseen -> 1e6 div 5 = 200000 each; OOV counted per bigram.
+    assert out[2].n_oov_bigrams == 2
+    assert out[2].lm_avg_ppm == 200000
+    assert out[1].lm_avg_ppm > out[2].lm_avg_ppm
+    # single-token doc: no bigrams -> NULL score, keep=true (the
+    # repetition_flags contract).
+    assert out[3].n_bigrams == 0 and out[3].lm_avg_ppm is None and out[3].keep
+
+
+def test_clustered_fixture_recall_levels(spark, tmp_path):
+    """BASELINE §2c's clustered-regime claim, pinned by test: on the
+    mixture-of-Gaussians fixture (the regime a real embedding corpus sits
+    in — deterministic, generated by tools/recall_study.py) the SAME index
+    parameterizations that look weak on the near-uniform driver fixture
+    reach high recall: single-bucket LSH well above 0.4 at ~1/256 of the
+    corpus scanned, IVF nprobe-1 above 0.9 at ~1/10 (cells align with true
+    cosine neighborhoods, exactly what a trained coarse quantizer gives),
+    with LSH multiprobe still monotone in the radius."""
+    import importlib.util
+    import pathlib
+
+    import numpy as np
+
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.functions.vectors import as_double_array
+    from pinterest_data_pipeline218_spark.operators.similarity import (
+        ann_index_topk,
+        ivf_index_topk,
+        write_ann_index,
+        write_ivf_index,
+    )
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "recall_study_mod", root / "tools" / "recall_study.py"
+    )
+    R = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(R)
+
+    fixture = R.make_clustered_fixture(str(tmp_path / "clustered"))
+    emb = load_table(spark, fixture, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    rows = emb.orderBy("vec_id").collect()
+    mat = np.array([list(r.v) for r in rows])
+    by_id = {r.vec_id: list(r.v) for r in rows}
+    qids = list(range(0, len(rows), 50))  # 10 deterministic probes
+    truths = {q: R._truth(mat, q) for q in qids}
+
+    ann_path, ivf_path = str(tmp_path / "ann"), str(tmp_path / "ivf")
+    write_ann_index(emb.select("vec_id", "v"), ann_path)
+    write_ivf_index(emb, ivf_path)
+
+    def recall(fn):
+        hit = sum(
+            len({r.vec_id for r in fn(q).collect()} & truths[q]) for q in qids
+        )
+        return hit / (10 * len(qids))
+
+    lsh0 = recall(lambda q: ann_index_topk(spark, ann_path, query_vec_id=q, hamming_radius=0))
+    lsh1 = recall(lambda q: ann_index_topk(spark, ann_path, query_vec_id=q, hamming_radius=1))
+    ivf1 = recall(
+        lambda q: ivf_index_topk(
+            spark, ivf_path, query_vec=by_id[q], exclude_vec_id=q, nprobe=1
+        )
+    )
+    assert lsh0 >= 0.4, lsh0  # measured 0.72 over the 30-query study
+    assert lsh1 >= lsh0, (lsh0, lsh1)  # multiprobe stays monotone here too
+    assert ivf1 >= 0.9, ivf1  # measured 1.00: cells == neighborhoods
+
+
 def test_imaging_codecs_roundtrip_and_dispatch():
     """Pure-Python PPM/BMP codecs: encode→decode is the identity on the
     row-major RGB buffer for both containers (BMP's bottom-up BGR padded
