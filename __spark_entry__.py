@@ -134,6 +134,9 @@ _TAIL = (
     # r5 third rotation: text_bpe_tokens (trained-merges BPE) is NEW and
     # moves into the window.
     "text_subword_tokens",  # r04-green; the regex-segmentation stand-in whose counting shape (scan-local counts + exact-quotient fertility) is now driver-checked via text_bpe_tokens, which supersedes it with data-derived merges; segmentation-vs-merges fertility comparison pytest-proved
+    # r5 fourth rotation: text_lm_score (bigram-LM perplexity filter) is NEW
+    # and moves into the window.
+    "ml_hard_negatives",  # r04-green; the learned-cluster-blocked pair machinery stays driver-checked via in-window dedup_semantic_kmeans (same Lloyd rounds + cluster-blocked cosine) and ml_kmeans_refine
 )
 
 

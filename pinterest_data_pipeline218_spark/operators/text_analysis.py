@@ -795,6 +795,164 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Bigram-LM quality scoring — the CCNet/KenLM-style perplexity filter. A
+# bigram language model is trained on the in-domain slice (documents passing
+# the corpus quality gate — the same composition CCNet uses: score the crawl
+# against a model of the wanted distribution), then EVERY document is scored
+# by its mean smoothed bigram likelihood. All arithmetic is integer
+# fixed-point (parts-per-million with add-one smoothing), so scores are
+# bit-exact across engines and the keep gate is oracle-checkable — the same
+# engine-neutrality trick as ml_kmeans_refine / corpus_dsir_sample.
+LM_PPM_SCALE = 1_000_000
+# Mean smoothed-bigram-likelihood floor (ppm). Calibrated on the dev-scale
+# corpus: the in-domain score mass sits at ~34000 ppm with a low-likelihood
+# tail; 33000 cuts the bottom ~decile at both sf0.001 and sf0.01 (the CCNet
+# recipe keeps the head/middle of the perplexity distribution). Like every
+# gate constant here it is data-dependent policy, not engine semantics.
+LM_KEEP_MIN_PPM = 33_000
+
+
+def lm_score_flags(docs: DataFrame, target: DataFrame | None = None) -> DataFrame:
+    """Per-document bigram-LM likelihood score + keep gate.
+
+    ``docs`` is (doc_id, text) or pre-tokenized (doc_id, toks); ``target``
+    (same shape) is the in-domain corpus the LM is trained on — defaults to
+    the quality-gate-passing slice of ``docs`` itself.
+
+    Model: add-one-smoothed bigram LM over the target slice's exact token
+    bigrams. For each scored bigram (w1, w2):
+        ppm = (10^6 * (c(w1,w2) + 1)) div (c(w1,·) + V)
+    where c(w1,·) sums the target counts with left context w1 and V is the
+    target's distinct-continuation vocabulary; a doc's score is the integer
+    mean of its bigram ppms. Everything is bigint arithmetic (div =
+    truncating integral division in both engines), so an LM probability is
+    a deterministic function of exact counts — no floats anywhere.
+
+    100 TB shape: the scored side is one bigram explode over the corpus
+    (scan-pipelined, codegen'd — see _gram_rows_pos). The model side is
+    count tables bounded by the REALIZED bigram vocabulary (Zipf-truncated,
+    ≪ corpus; KenLM's own models are exactly such count tables), so the two
+    lookup joins broadcast at any realistic scale — AQE picks that up
+    hint-free, the same policy every dedup join here uses; the w1 join key
+    is skewed (stopwords dominate left contexts), which is precisely why
+    broadcast-not-shuffle matters for it. One final groupBy(doc_id) rollup
+    with map-side partial aggregation. Docs with <2 tokens have no bigrams:
+    NULL score, keep=true (same contract as repetition_flags).
+
+    Reference parity: the reference has no LM filter (its cleaning is
+    notebook regex work); this extends the quality-gate family
+    (text_quality_score, repetition_flags) with the standard
+    perplexity-style filter a pretraining pipeline runs (CCNet, Wenzek et
+    al. 2020 — public method)."""
+    from .corpus import QUALITY_THRESHOLD  # deferred: avoids an import cycle
+
+    toked = _tokenized(docs)
+    if target is None:
+        target = toked.filter(T.quality_score(F.col("toks")) >= QUALITY_THRESHOLD)
+    pairs = _gram_rows(toked, 2)
+    c12 = _gram_rows(_tokenized(target), 2).groupBy("gram").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    c1 = (
+        c12.select(F.substring_index("gram", " ", 1).alias("w1"), "c12")
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    vocab = c12.select(
+        F.substring_index("gram", " ", -1).alias("w2")
+    ).agg(F.count_distinct("w2").alias("v"))
+    scored = (
+        pairs.join(c12, "gram", "left")
+        .withColumn("w1", F.substring_index("gram", " ", 1))
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))  # 1-row scalar-subquery idiom
+        .select(
+            "doc_id",
+            F.col("c12").isNull().cast("long").alias("oov"),
+            F.expr(
+                f"({LM_PPM_SCALE}L * (coalesce(c12, 0L) + 1L))"
+                " div (coalesce(c1, 0L) + greatest(v, 1L))"
+            ).alias("ppm"),
+        )
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("oov").alias("n_oov_bigrams"),
+        F.sum("ppm").alias("ppm_sum"),
+    )
+    avg = F.expr("ppm_sum div n_bigrams")
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_oov_bigrams", F.lit(0)).alias("n_oov_bigrams"),
+            avg.alias("lm_avg_ppm"),
+            F.when(F.col("ppm_sum").isNull(), F.lit(True))
+            .otherwise(avg >= LM_KEEP_MIN_PPM)
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated rendering of lm_score_flags over the documents table (LM
+    trained on the table's own quality-passing slice)."""
+    return lm_score_flags(load_table(spark, sf_dir, "documents"))
+
+
+def _lm_sql() -> str:
+    from .corpus import QUALITY_THRESHOLD  # deferred: avoids an import cycle
+
+    sw = T.stopword_ratio_sql("string_split(text, ' ')")
+    atl = T.avg_token_len_sql("string_split(text, ' ')")
+    quality = (
+        f"(0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)"
+        f" + 0.3 * (1.0 - {sw})"
+        f" + 0.2 * least({atl} / 8.0, 1.0))"
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id, unnest({_GRAMS2}) AS gram FROM documents
+), q AS (
+  SELECT doc_id FROM documents WHERE {quality} >= {QUALITY_THRESHOLD}
+), tg AS (
+  SELECT g.doc_id, g.gram FROM g JOIN q USING (doc_id)
+), c12 AS (
+  SELECT gram, COUNT(*) AS c12 FROM tg GROUP BY gram
+), c1 AS (
+  SELECT split_part(gram, ' ', 1) AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+  FROM c12 GROUP BY 1
+), v AS (
+  SELECT COUNT(DISTINCT split_part(gram, ' ', 2)) AS v FROM c12
+), s AS (
+  SELECT g.doc_id,
+         CASE WHEN c12.c12 IS NULL THEN 1 ELSE 0 END AS oov,
+         ({LM_PPM_SCALE} * (COALESCE(c12.c12, 0) + 1))
+           // (COALESCE(c1.c1, 0) + GREATEST(v.v, 1)) AS ppm
+  FROM g LEFT JOIN c12 USING (gram)
+         LEFT JOIN c1 ON split_part(g.gram, ' ', 1) = c1.w1
+         CROSS JOIN v
+), per AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(oov) AS BIGINT) AS n_oov_bigrams,
+         CAST(SUM(ppm) AS BIGINT) AS ppm_sum
+  FROM s GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       COALESCE(p.n_oov_bigrams, 0) AS n_oov_bigrams,
+       p.ppm_sum // p.n_bigrams AS lm_avg_ppm,
+       CASE WHEN p.ppm_sum IS NULL THEN true
+            ELSE (p.ppm_sum // p.n_bigrams) >= {LM_KEEP_MIN_PPM} END AS keep
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -808,6 +966,7 @@ QUERIES = {
     "text_dupspan_remove": text_dupspan_remove,
     "text_subword_tokens": text_subword_tokens,
     "text_bpe_tokens": text_bpe_tokens,
+    "text_lm_score": text_lm_score,
 }
 
 ORACLE = {
@@ -823,4 +982,5 @@ ORACLE = {
     "text_dupspan_remove": TEXT_DUPSPAN_SQL,
     "text_subword_tokens": TEXT_SUBWORD_SQL,
     "text_bpe_tokens": _bpe_sql(),
+    "text_lm_score": _lm_sql(),
 }
