@@ -137,6 +137,9 @@ _TAIL = (
     # r5 fourth rotation: text_lm_score (bigram-LM perplexity filter) is NEW
     # and moves into the window.
     "ml_hard_negatives",  # r04-green; the learned-cluster-blocked pair machinery stays driver-checked via in-window dedup_semantic_kmeans (same Lloyd rounds + cluster-blocked cosine) and ml_kmeans_refine
+    # r5 fifth rotation: corpus_shuffle_shards (deterministic training-order
+    # shuffle) is NEW and moves into the window.
+    "mm_binary_meta",  # r01-r04 green; the 1→1 Arrow mapInPandas plumbing keeps a driver row via in-window mm_image_decode (same boundary, strictly harder kernel: real pixel decode vs metadata sniffing)
 )
 
 

@@ -1036,6 +1036,65 @@ FROM base CROSS JOIN uniq CROSS JOIN rep CROSS JOIN cont
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic global training-order shuffle. A training run wants the
+# corpus in a pseudo-random order that is (a) reproducible across re-runs
+# and resumes, (b) independent of storage layout, and (c) addressable as
+# (shard file, offset) so data loaders can seek. Hash-keyed shuffling gives
+# all three without a global total sort.
+SHUFFLE_SEED = 193
+N_SHARDS = 8  # dev-corpus setting; production sets this to the output file
+#              count (thousands), which is also what bounds each window
+#              partition below to loader-file size.
+
+
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: every document gets a shard
+    and a contiguous 1-based position within that shard, both pure
+    functions of doc_id and the seed.
+
+    order key = md5-hash(seed:doc_id) — the same keyed-hash machinery as
+    corpus_hash_sample/_doc_pct, so shuffle order is uncorrelated with the
+    sample/split assignments (different seeds) yet fully reproducible.
+    shard = hash % N_SHARDS; position = rank of the hash within the shard
+    (doc_id tie-break, though 60-bit hash ties are ~never).
+
+    100 TB shape: the hash and shard are scan-local expressions; the only
+    exchange is the row_number window PARTITIONED BY shard — parallelism
+    equals N_SHARDS, so a production run sets N_SHARDS to the desired
+    output-file count (thousands), giving loader-sized (few-GB) window
+    partitions and full cluster width. No global total order is ever
+    materialized; epoch reshuffles are a seed change, not a data move."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = T.token_hash(F.col("doc_id").cast("string"), seed=SHUFFLE_SEED)
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            (h % N_SHARDS).cast("int").alias("shard"),
+            h.alias("h"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", F.col("pos").cast("bigint").alias("pos"))
+        .orderBy("shard", "pos")
+    )
+
+
+_SHUF_H = T.token_hash_sql("CAST(doc_id AS VARCHAR)", seed=SHUFFLE_SEED)
+CORPUS_SHUFFLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, CAST({_SHUF_H} % {N_SHARDS} AS INT) AS shard, {_SHUF_H} AS h
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM keyed
+ORDER BY shard, pos
+"""
+
+
 def write_training_corpus(df: DataFrame, out_dir: str) -> None:
     """Persist the training rows partitioned by split: downstream training
     readers scan only their split's directory (PartitionFilters prune)."""
@@ -1055,6 +1114,7 @@ QUERIES = {
     "corpus_cdc_chunk": corpus_cdc_chunk,
     "corpus_merge_increment": corpus_merge_increment,
     "corpus_quality_report": corpus_quality_report,
+    "corpus_shuffle_shards": corpus_shuffle_shards,
 }
 
 ORACLE = {
@@ -1070,4 +1130,5 @@ ORACLE = {
     "corpus_cdc_chunk": CORPUS_CDC_SQL,
     "corpus_merge_increment": _merge_increment_sql(),
     "corpus_quality_report": _quality_report_sql(),
+    "corpus_shuffle_shards": CORPUS_SHUFFLE_SQL,
 }

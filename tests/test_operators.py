@@ -1337,6 +1337,32 @@ def test_ann_multiprobe_radius_monotone_recall(spark, tmp_path):
     assert hits[2] > hits[0]  # and the dial actually does something here
 
 
+def test_corpus_shuffle_shards_deterministic_and_contiguous(spark):
+    """Training-order shuffle contract: reproducible across runs, positions
+    contiguous 1..n within every shard, and within-shard order is hash
+    order (uncorrelated with doc_id order — the point of a shuffle)."""
+    import collections
+
+    from pinterest_data_pipeline218_spark.operators.corpus import (
+        N_SHARDS,
+        corpus_shuffle_shards,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = corpus_shuffle_shards(spark, sf).collect()
+    b = corpus_shuffle_shards(spark, sf).collect()
+    assert a == b and len(a) > 0
+    per = collections.defaultdict(list)
+    for r in a:
+        per[r.shard].append(r.pos)
+    assert set(per) <= set(range(N_SHARDS))
+    for ps in per.values():
+        assert ps == list(range(1, len(ps) + 1))
+    first_shard = a[0].shard
+    docids = [r.doc_id for r in a if r.shard == first_shard]
+    assert docids != sorted(docids)
+
+
 def test_lm_score_flags_hand_computed(spark):
     """Bigram-LM scoring against hand arithmetic: the target corpus is 3
     copies of 'the cat sat on the mat', so c12=3 for each of its 5 bigrams,
