@@ -140,6 +140,9 @@ _TAIL = (
     # r5 fifth rotation: corpus_shuffle_shards (deterministic training-order
     # shuffle) is NEW and moves into the window.
     "mm_binary_meta",  # r01-r04 green; the 1→1 Arrow mapInPandas plumbing keeps a driver row via in-window mm_image_decode (same boundary, strictly harder kernel: real pixel decode vs metadata sniffing)
+    # r5 sixth rotation: sim_ivfpq_residual_topk (residual-encoded IVFADC)
+    # is NEW and moves into the window.
+    "sim_pq_topk",  # r04-green; the codebook/codes/ADC-LUT machinery (_pq_codes_lut) keeps a driver row verbatim via in-window sim_ivfpq_topk, and the residual variant now drives the harder per-cell form
 )
 
 

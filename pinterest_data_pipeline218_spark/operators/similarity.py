@@ -837,6 +837,228 @@ LIMIT {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ — IVFADC with residual encoding (Jégou et al. 2011, the
+# form FAISS's IVFPQ actually runs; public method). BASELINE §2c measures
+# the global-codebook PQ bottlenecking at 0.26 recall on the clustered
+# fixture: 4-bit quantization noise exceeds the within-cluster spread, so
+# ADC can't separate true neighbors inside the query's own cluster.
+# Encoding RESIDUALS against the cell centroid re-centers every cell at the
+# origin, so the same 16 codebook entries only have to span the
+# within-cluster distribution. Arithmetic stays engine-exact: the cell
+# centroid used for residuals is the TRUNCATED integer mean on the 2^-20
+# grid (sum div count — trunc-toward-zero division agrees between Spark's
+# `div` and DuckDB's `//`, verified on negative operands), so residuals,
+# codebooks, codes and ADC lookups are all integers.
+
+
+def _cell_means(emb: DataFrame) -> DataFrame:
+    """(label, pos, mc): truncated integer mean component per cell — the
+    residual-encoding centroid convention. |cells|·dim rows out."""
+    comps = emb.select("label", F.posexplode("v").alias("pos", "val")).select(
+        "label", "pos", (F.col("val") * QUANT).cast("long").alias("q")
+    )
+    return comps.groupBy("label", "pos").agg(
+        F.expr("sum(q) div count(1)").alias("mc")
+    )
+
+
+def _pq_res_comps(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(rcomps, cell_means): rcomps = (vec_id, label, pos, m, r, rq) — each
+    vector's quantized components minus its OWN cell's truncated mean. The
+    cell-means join is a broadcast (|cells|·dim rows), so residualization
+    stays scan-pipelined."""
+    cm = _cell_means(emb)
+    comps = emb.select(
+        "vec_id", "label", F.posexplode("v").alias("pos", "val")
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.expr(f"pos div {PQ_SUBDIM}").cast("int").alias("m"),
+        (F.col("pos") % PQ_SUBDIM).cast("int").alias("r"),
+        (F.col("val") * QUANT).cast("long").alias("q"),
+    )
+    rcomps = comps.join(F.broadcast(cm), ["label", "pos"]).select(
+        "vec_id", "label", "pos", "m", "r", (F.col("q") - F.col("mc")).alias("rq")
+    )
+    return rcomps, cm
+
+
+def _pq_res_codes_cb(emb: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(codes, cb, cell_means) for the residual encoding. Codebooks are
+    shared across cells and trained on residuals (classic IVFADC: one
+    residual codebook, not FAISS's optional per-cell variant) — entry j of
+    subspace m is the m-th residual subvector of the j-th lowest vec_id
+    (the one-shot seeding convention of _pq_codebook)."""
+    from pyspark.sql import Window
+
+    rcomps, cm = _pq_res_comps(emb)
+    seeds = emb.select("vec_id").orderBy("vec_id").limit(PQ_K)
+    seed_j = seeds.select(
+        "vec_id",
+        (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("j"),
+    )  # PQ_K rows: query-planning state, not data
+    cb = rcomps.join(F.broadcast(seed_j), "vec_id").select(
+        "m", "r", "j", F.col("rq").alias("qc")
+    )
+    d2 = (F.col("rq") - F.col("qc")) * (F.col("rq") - F.col("qc"))
+    codes = (
+        rcomps.join(F.broadcast(cb), ["m", "r"])
+        .groupBy("vec_id", "m", "j")
+        .agg(F.sum(d2).alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "j")).alias("mn"))
+        .select("vec_id", "m", F.col("mn.j").alias("code"))
+    )
+    return codes, cb, cm
+
+
+def _ivfpq_residual(
+    emb: DataFrame, query_vec_id: int, nprobe: int = NPROBE, k: int = TOP_K
+) -> DataFrame:
+    """Residual-IVFPQ ranked top-k for one query id. Unlike the global-PQ
+    form, the query's ADC distance table is PER PROBED CELL (the query
+    residual differs per cell centroid) — nprobe·PQ_M·PQ_K rows, still a
+    trivial broadcast. Plan shape is otherwise sim_ivfpq_topk's: broadcast
+    |cells|-row centroid ranking, broadcast nprobe-cell semi-join into the
+    codes stream, LUT broadcast + per-vec_id sum."""
+    centroids = build_ivf_centroids(emb)
+    qrow = emb.filter(F.col("vec_id") == query_vec_id).select(F.col("v").alias("q"))
+    best_cell = (
+        centroids.crossJoin(F.broadcast(qrow))
+        .select("label", cosine(F.col("c"), F.col("q")).alias("cell_cos"))
+        .orderBy(F.desc("cell_cos"), F.asc("label"))
+        .limit(nprobe)
+        .select("label")
+    )
+    codes, cb, cm = _pq_res_codes_cb(emb)
+    qcomps = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.posexplode("v").alias("pos", "val")
+    ).select(
+        "pos",
+        F.expr(f"pos div {PQ_SUBDIM}").cast("int").alias("m"),
+        (F.col("pos") % PQ_SUBDIM).cast("int").alias("r"),
+        (F.col("val") * QUANT).cast("long").alias("q"),
+    )
+    rqq = F.col("q") - F.col("mc")
+    lut_d2 = (rqq - F.col("qc")) * (rqq - F.col("qc"))
+    qlut = (
+        qcomps.crossJoin(F.broadcast(best_cell.select(F.col("label").alias("lcell"))))
+        .join(
+            F.broadcast(cm.select(F.col("label").alias("lcell"), "pos", "mc")),
+            ["lcell", "pos"],
+        )
+        .join(F.broadcast(cb), ["m", "r"])
+        .groupBy("lcell", "m", "j")
+        .agg(F.sum(lut_d2).alias("lut_d2"))
+        .select("lcell", F.col("m").alias("lm"), F.col("j").alias("lj"), "lut_d2")
+    )
+    cand = (
+        emb.join(F.broadcast(best_cell), "label")
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label")
+    )
+    return (
+        codes.join(cand, "vec_id")
+        .join(
+            F.broadcast(qlut),
+            (F.col("label") == F.col("lcell"))
+            & (F.col("m") == F.col("lm"))
+            & (F.col("code") == F.col("lj")),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("lut_d2").alias("pq_dist"))
+        .orderBy(F.asc("pq_dist"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated rendering of the residual IVF-PQ probe for QUERY_VEC_ID."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    return _ivfpq_residual(emb, QUERY_VEC_ID)
+
+
+def _ivfpq_residual_sql() -> str:
+    cell_cos = cosine_sql_duckdb("c.c", "q.q")
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+comps AS (
+  SELECT vec_id, label, u.pos - 1 AS pos, (u.pos - 1) // {PQ_SUBDIM} AS m,
+         (u.pos - 1) % {PQ_SUBDIM} AS r, u.q AS q
+  FROM (
+    SELECT vec_id, label, unnest(list_transform(range(1, len(v)+1),
+           __i -> {{'pos': __i, 'q': CAST(TRUNC(v[__i] * {QUANT}) AS BIGINT)}})) AS u
+    FROM e
+  )
+),
+cellmeans AS (
+  SELECT label, pos, CAST(SUM(q) // COUNT(*) AS BIGINT) AS mc
+  FROM comps GROUP BY label, pos
+),
+rcomps AS (
+  SELECT c.vec_id, c.label, c.pos, c.m, c.r, c.q - cm.mc AS rq
+  FROM comps c JOIN cellmeans cm ON c.label = cm.label AND c.pos = cm.pos
+),
+seed_j AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT {PQ_K})
+),
+cb AS (
+  SELECT m, r, j, rq AS qc FROM rcomps JOIN seed_j USING (vec_id)
+),
+codes AS (
+  SELECT vec_id, m, min(struct_pack(d2 := d2, j := j)).j AS code
+  FROM (
+    SELECT rc.vec_id, rc.m, cb.j, SUM((rc.rq - cb.qc) * (rc.rq - cb.qc)) AS d2
+    FROM rcomps rc JOIN cb ON rc.m = cb.m AND rc.r = cb.r
+    GROUP BY rc.vec_id, rc.m, cb.j
+  ) GROUP BY vec_id, m
+),
+ccomps AS (
+  SELECT label, u.pos AS pos, u.qv AS qv FROM (
+    SELECT label, unnest(list_transform(range(1, len(v)+1),
+           __i -> {{'pos': __i, 'qv': CAST(TRUNC(v[__i] * {QUANT}) AS BIGINT)}})) AS u
+    FROM e
+  )
+),
+centroids AS (
+  SELECT label, list(CAST(s AS DOUBLE) ORDER BY pos) AS c
+  FROM (SELECT label, pos, SUM(qv) AS s FROM ccomps GROUP BY label, pos)
+  GROUP BY label
+),
+q AS (SELECT v AS q FROM e WHERE vec_id = {QUERY_VEC_ID}),
+best AS (
+  SELECT c.label FROM centroids c CROSS JOIN q
+  ORDER BY {cell_cos} DESC, c.label ASC LIMIT {NPROBE}
+),
+qlut AS (
+  SELECT b.label AS lcell, cb.m AS lm, cb.j AS lj,
+         SUM(((c.q - cm.mc) - cb.qc) * ((c.q - cm.mc) - cb.qc)) AS lut_d2
+  FROM comps c CROSS JOIN best b
+  JOIN cellmeans cm ON cm.label = b.label AND cm.pos = c.pos
+  JOIN cb ON cb.m = c.m AND cb.r = c.r
+  WHERE c.vec_id = {QUERY_VEC_ID}
+  GROUP BY b.label, cb.m, cb.j
+),
+cand AS (
+  SELECT e.vec_id, e.label FROM e JOIN best USING (label)
+  WHERE e.vec_id != {QUERY_VEC_ID}
+)
+SELECT cand.vec_id AS vec_id, cand.label AS label,
+       CAST(SUM(qlut.lut_d2) AS BIGINT) AS pq_dist
+FROM codes
+JOIN cand ON codes.vec_id = cand.vec_id
+JOIN qlut ON qlut.lcell = cand.label AND codes.m = qlut.lm AND codes.code = qlut.lj
+GROUP BY cand.vec_id, cand.label
+ORDER BY pq_dist ASC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ann_lsh": sim_ann_lsh,
@@ -845,6 +1067,7 @@ QUERIES = {
     "sim_ivf_index_probe": sim_ivf_index_probe,
     "sim_pq_topk": sim_pq_topk,
     "sim_ivfpq_topk": sim_ivfpq_topk,
+    "sim_ivfpq_residual_topk": sim_ivfpq_residual_topk,
 }
 
 ORACLE = {
@@ -856,4 +1079,5 @@ ORACLE = {
     "sim_ivf_index_probe": _ivf_sql(NPROBE),
     "sim_pq_topk": SIM_PQ_SQL,
     "sim_ivfpq_topk": _ivfpq_sql(),
+    "sim_ivfpq_residual_topk": _ivfpq_residual_sql(),
 }

@@ -146,6 +146,14 @@ def study(spark, sf_dir: str, tag: str) -> list[tuple[str, str, float, str]]:
             f"~{S.NPROBE}/10 (codes only)",
         )
     )
+    out.append(
+        (
+            "IVF-PQ residual",
+            f"nprobe {S.NPROBE}",
+            recall(lambda q: S._ivfpq_residual(emb, q, nprobe=S.NPROBE)),
+            f"~{S.NPROBE}/10 (codes only)",
+        )
+    )
     return out
 
 
