@@ -143,6 +143,9 @@ _TAIL = (
     # r5 sixth rotation: sim_ivfpq_residual_topk (residual-encoded IVFADC)
     # is NEW and moves into the window.
     "sim_pq_topk",  # r04-green; the codebook/codes/ADC-LUT machinery (_pq_codes_lut) keeps a driver row verbatim via in-window sim_ivfpq_topk, and the residual variant now drives the harder per-cell form
+    # r5 seventh rotation: dedup_containment (asymmetric sub-document
+    # screen) is NEW and moves into the window.
+    "text_pii_redact",  # r01-r04 green; a pure regexp_replace chain + integer found/residual counts — the regex-expression machinery keeps driver rows via the in-window pin/geo/user cleaning pipelines (P7/P8 regex families, green r01-r04)
 )
 
 

@@ -960,6 +960,85 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Asymmetric n-gram CONTAINMENT — the sub-document duplication screen.
+# Jaccard misses subset relations by construction (a 20-shingle quote fully
+# inside a 500-shingle page scores j ≈ 0.04); containment |A∩B|/|A| is the
+# standard complement (Broder 1997's "containment", the measure behind
+# quote/boilerplate/subset detection in crawl dedup). Scores are basis-point
+# fixed-point integers, so the operator is oracle-exact.
+CONTAINMENT_N = 3
+CONTAINMENT_MIN_BP = 8000  # "sub-duplicate" flag: ≥80% of one side contained
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment for document pairs blocked by `source`:
+    cont_a_bp = 10^4·|A∩B| div |A| (how much of A sits inside B) and the
+    mirror, plus the sub-duplicate flag when either direction clears
+    CONTAINMENT_MIN_BP. Emits the same candidate universe as
+    dedup_ngram_jaccard (same blocking, same shingle sets, inter > 0), so
+    the two screens compose: Jaccard finds near-equals, containment finds
+    asymmetric engulfment Jaccard dilutes away.
+
+    Scale shape: identical to dedup_ngram_jaccard — shuffle on (block key,
+    salt chunk), hot blocks spread over BLOCK_SALT tasks
+    (_salted_block_pairs), shingle sets built once scan-side and carried
+    through the join; the per-pair work is two set-size expressions and
+    integer divisions (no floats). At corpus scale the blocking key is the
+    LSH band bucket instead of `source` — the same swap the minhash
+    pipeline documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            T.word_shingles(T.tokens(F.col("text")), CONTAINMENT_N)
+        ).alias("sh"),
+    )
+    pairs = _salted_block_pairs(sh, "source", "doc_id")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    sized = pairs.filter(inter > 0).select(
+        "source",
+        F.col("doc_id_a").alias("doc_a"),
+        F.col("doc_id_b").alias("doc_b"),
+        F.size("sh_a").alias("n_sh_a"),
+        F.size("sh_b").alias("n_sh_b"),
+        inter.alias("n_common"),
+    )
+    ca = F.expr("(10000L * n_common) div n_sh_a")
+    cb = F.expr("(10000L * n_common) div n_sh_b")
+    return sized.select(
+        "source",
+        "doc_a",
+        "doc_b",
+        "n_common",
+        ca.alias("cont_a_bp"),
+        cb.alias("cont_b_bp"),
+        (F.greatest(ca, cb) >= CONTAINMENT_MIN_BP).alias("subdup"),
+    ).orderBy("source", "doc_a", "doc_b")
+
+
+_CSH = T.word_shingles_sql("string_split(text, ' ')", CONTAINMENT_N)
+DEDUP_CONTAINMENT_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, source, list_distinct({_CSH}) AS s FROM documents
+), sized AS (
+  SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(a.s) AS n_sh_a, len(b.s) AS n_sh_b,
+         len(list_intersect(a.s, b.s)) AS n_common
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) > 0
+)
+SELECT source, doc_a, doc_b, n_common,
+       (10000 * n_common) // n_sh_a AS cont_a_bp,
+       (10000 * n_common) // n_sh_b AS cont_b_bp,
+       GREATEST((10000 * n_common) // n_sh_a,
+                (10000 * n_common) // n_sh_b) >= {CONTAINMENT_MIN_BP} AS subdup
+FROM sized
+ORDER BY source, doc_a, doc_b
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -971,6 +1050,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_neardup": dedup_embedding_neardup,
     "dedup_compact_corpus": dedup_compact_corpus,
+    "dedup_containment": dedup_containment,
 }
 
 ORACLE = {
@@ -984,4 +1064,5 @@ ORACLE = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_embedding_neardup": DEDUP_EMBEDDING_SQL,
     "dedup_compact_corpus": DEDUP_COMPACT_SQL,
+    "dedup_containment": DEDUP_CONTAINMENT_SQL,
 }

@@ -1337,6 +1337,30 @@ def test_ann_multiprobe_radius_monotone_recall(spark, tmp_path):
     assert hits[2] > hits[0]  # and the dial actually does something here
 
 
+def test_containment_catches_subsets_jaccard_misses(spark, tmp_path):
+    """A 12-token quote fully inside a 60-token page: containment flags it
+    (cont_a = 10000 bp) while its Jaccard is a diluted 10/58 — the measure
+    separation that motivates the operator. Hand arithmetic: A has 10
+    3-shingles, B has 58, all of A's inside B's."""
+    from pinterest_data_pipeline218_spark.operators.dedup import dedup_containment
+
+    toks = [f"w{i}" for i in range(60)]
+    df = spark.createDataFrame(
+        [(1, "s", " ".join(toks[:12])), (2, "s", " ".join(toks))],
+        "doc_id long, source string, text string",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = dedup_containment(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b, r.n_common) == (1, 2, 10)
+    assert r.cont_a_bp == 10000  # the quote is fully contained
+    assert r.cont_b_bp == 10000 * 10 // 58  # = 1724: engulfment is one-way
+    assert r.subdup
+    # Jaccard on the same pair: 10/(10+58-10) ≈ 0.17 — far below any
+    # near-dup threshold; containment is what catches it.
+
+
 def test_corpus_shuffle_shards_deterministic_and_contiguous(spark):
     """Training-order shuffle contract: reproducible across runs, positions
     contiguous 1..n within every shard, and within-shard order is hash
