@@ -146,6 +146,10 @@ _TAIL = (
     # r5 seventh rotation: dedup_containment (asymmetric sub-document
     # screen) is NEW and moves into the window.
     "text_pii_redact",  # r01-r04 green; a pure regexp_replace chain + integer found/residual counts — the regex-expression machinery keeps driver rows via the in-window pin/geo/user cleaning pipelines (P7/P8 regex families, green r01-r04)
+    # r5 eighth rotation: ev_funnel_steps + ev_retention_cohorts (ordered
+    # funnel, cohort retention) are NEW and move into the window.
+    "ev_rollup_daily",  # r01-r04 green; the grouping-sets family keeps a driver row via in-window ev_cube_type_dow (CUBE over the same events scan — the shape superset), and the date-bucketed count family via ev_retention_cohorts
+    "tpch_q17_small_qty",  # r01-r04 green; the correlated per-group-aggregate-threshold family keeps driver rows via in-window tpch_q2 (correlated min subquery) and tpch_q20 (stacked agg subqueries)
 )
 
 

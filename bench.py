@@ -100,6 +100,12 @@ HEADLINE = [
     "corpus_quality_report",
     "mm_image_decode",
     "text_bpe_tokens",
+    "text_lm_score",
+    "corpus_shuffle_shards",
+    "dedup_containment",
+    "sim_ivfpq_residual_topk",
+    "ev_funnel_steps",
+    "ev_retention_cohorts",
 ]
 
 

@@ -410,6 +410,132 @@ def ev_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user counts at
+    step k only with a step-k event STRICTLY AFTER their step-(k-1) entry
+    time (first-touch attribution — the standard product-analytics funnel,
+    which plain per-type distinct counts get wrong because they ignore
+    ordering). Output: one row per step with the user count and
+    basis-point conversion vs step 1 (integer fixed-point).
+
+    100 TB shape: three filtered aggregates chained by user_id equi-joins —
+    every shuffle is keyed on user_id (the natural bucketing key for an
+    events store, so with a bucketed layout the joins are exchange-free),
+    each join's right side is the shrinking survivor set, and the final
+    counts are 1-row aggregates broadcast-joined for the ratio. No windows
+    over unpartitioned data, no self-cartesian."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = v.agg(F.count(F.lit(1)).alias("n1"))
+
+    def step(df: DataFrame, i: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("step"), F.lit(name).alias("event_type"), "n_users"
+        )
+
+    steps = (
+        step(v, 1, "view")
+        .unionAll(step(c, 2, "click"))
+        .unionAll(step(p, 3, "purchase"))
+    )
+    return (
+        steps.crossJoin(F.broadcast(n1))  # 1-row scalar-subquery idiom
+        .select(
+            "step",
+            "event_type",
+            "n_users",
+            F.expr("(10000L * n_users) div n1").alias("conv_bp"),
+        )
+        .orderBy("step")
+    )
+
+
+EV_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+), n1 AS (SELECT COUNT(*) AS n1 FROM v),
+steps AS (
+  SELECT 1 AS step, 'view' AS event_type, COUNT(*) AS n_users FROM v
+  UNION ALL SELECT 2, 'click', COUNT(*) FROM c
+  UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p
+)
+SELECT step, event_type, n_users, (10000 * n_users) // n1.n1 AS conv_bp
+FROM steps CROSS JOIN n1
+ORDER BY step
+"""
+
+
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the ISO week of their
+    first event; each later active week counts them at offset
+    (active_week - cohort_week)/7 days. Output is the standard retention
+    triangle (cohort_week, week_offset, n_users).
+
+    100 TB shape: one scan → per-user first-week aggregate (map-side
+    combined) → distinct (user, week) activity set → user_id equi-join →
+    count by (cohort, offset). All shuffles keyed on user_id until the
+    final small rollup; cohort arithmetic is integer day-diff div 7, so
+    the result is engine-exact with no timezone or float drift (both
+    engines truncate weeks to ISO Monday)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    )
+    first = ev.groupBy("user_id").agg(F.min("w").alias("cohort_w"))
+    act = ev.distinct()
+    return (
+        act.join(first, "user_id")
+        .select(
+            F.col("cohort_w").cast("date").alias("cohort_week"),
+            F.expr("datediff(w, cohort_w) div 7").cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+EV_RETENTION_SQL = """
+WITH ev AS (
+  SELECT user_id, date_trunc('week', ts) AS w FROM events
+), first AS (
+  SELECT user_id, MIN(w) AS cohort_w FROM ev GROUP BY user_id
+), act AS (SELECT DISTINCT user_id, w FROM ev)
+SELECT CAST(f.cohort_w AS DATE) AS cohort_week,
+       CAST(date_diff('day', f.cohort_w, a.w) // 7 AS INT) AS week_offset,
+       COUNT(*) AS n_users
+FROM act a JOIN first f ON a.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "ev_counts_hourly": ev_counts_hourly,
     "ev_stats_by_type": ev_stats_by_type,
@@ -425,6 +551,8 @@ QUERIES = {
     "ev_sliding_1h_value": ev_sliding_1h_value,
     "ev_approx_value_quantiles": ev_approx_value_quantiles,
     "ev_theta_user_overlap": ev_theta_user_overlap,
+    "ev_funnel_steps": ev_funnel_steps,
+    "ev_retention_cohorts": ev_retention_cohorts,
 }
 
 ORACLE = {
@@ -442,4 +570,6 @@ ORACLE = {
     # engine-specific; the driver runs its rows-only check, pytest bounds the
     # error vs the exact count
     "ev_sliding_1h_value": EV_SLIDING_SQL,
+    "ev_funnel_steps": EV_FUNNEL_SQL,
+    "ev_retention_cohorts": EV_RETENTION_SQL,
 }
