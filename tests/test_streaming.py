@@ -666,3 +666,73 @@ def test_stream_decontaminate_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert set(got) == {2, 4}  # exactly the leaked docs are flagged
+
+
+def test_stream_lm_score_equals_batch(spark, tmp_path):
+    """Streaming LM-perplexity filtering: lm_score_flags per micro-batch
+    against a STATIC in-domain model corpus must equal the batch run over
+    the union of batches — with an explicit `target`, each doc's score
+    depends only on (its bigrams, the fixed count tables), so the filter
+    composes per micro-batch exactly like decontamination. (The
+    target=None self-trained form is deliberately NOT streamable: its
+    model depends on the whole corpus.)"""
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pinterest_data_pipeline218_spark.operators.text_analysis import (
+        lm_score_flags,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    target = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat") for i in range(3)], schema
+    )
+    docs = [
+        (1, "the cat sat"),
+        (2, "zebra quark blorp"),
+        (3, "solo"),
+        (4, "on the mat sat the cat"),
+        (5, "the mat on the cat"),
+        (6, "completely novel words everywhere"),
+    ]
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i in range(3):  # 3 micro-batches of 2 docs
+        with open(src / f"{i:03d}.jsonl", "w") as f:
+            for doc_id, text in docs[i * 2 : i * 2 + 2]:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    stream = (
+        spark.readStream.format("json").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(str(src))
+    )
+    out = str(tmp_path / "lm")
+
+    def score(batch_df, _):
+        lm_score_flags(batch_df, target=target).write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(score)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_oov_bigrams, r.lm_avg_ppm, r.keep)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.doc_id: (r.n_bigrams, r.n_oov_bigrams, r.lm_avg_ppm, r.keep)
+        for r in lm_score_flags(
+            spark.createDataFrame(docs, schema), target=target
+        ).collect()
+    }
+    assert got == want and len(got) == 6
+    # doc 4's rearrangement: on-the/the-mat/the-cat in-domain, mat-sat and
+    # sat-the out — OOV counting sees bigrams, not vocabulary
+    assert got[4][:2] == (5, 2)
