@@ -613,3 +613,38 @@ def test_cc_loop_restores_shuffle_partitions(spark):
     }
     assert got_star == got
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_lm_score_model_joins_hint_free_and_pruned(spark, qs):
+    """text_lm_score's model-count joins (c12 on gram, c1 on w1) must be
+    hint-free — the count tables are vocabulary-bounded but data-dependent,
+    so broadcast is AQE's runtime call, not a forced hint (the same
+    O(corpus)-broadcast-hazard policy every dedup join follows). The ONLY
+    ResolvedHint is the deliberate 1-row vocabulary scalar. The documents
+    scan must read (doc_id, text) alone."""
+    q = qs["text_lm_score"](spark, SF)
+    logical = q._jdf.queryExecution().logical().toString()
+    assert logical.count("ResolvedHint") == 1, logical
+    plan = _formatted_plan(q)
+    read = plan.split("ReadSchema")[1][:200]
+    assert "text" in read and "doc_id" in read
+    assert "source" not in read and "lang" not in read
+
+
+def test_funnel_and_retention_shuffle_on_user_id(spark, qs):
+    """ev_funnel_steps and ev_retention_cohorts must key every data
+    exchange on user_id (the natural events bucketing key) until the final
+    tiny rollups — any other hash key would mean an unnecessary reshuffle
+    of the events stream."""
+    import re
+
+    for name in ("ev_funnel_steps", "ev_retention_cohorts"):
+        plan = (
+            qs[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+        )
+        parts = re.findall(r"hashpartitioning\(([^,)]+)", plan)
+        data_keys = {
+            p.split("#")[0] for p in parts
+            if not p.startswith(("step", "cohort_week", "week_offset"))
+        }
+        assert data_keys <= {"user_id"}, (name, sorted(data_keys))
