@@ -325,6 +325,43 @@ def ivf_index_topk(
     )
 
 
+def ivf_index_upsert(spark: SparkSession, index_path: str, new_emb: DataFrame) -> None:
+    """Incremental IVF maintenance — the freshness path an ANN service
+    needs between rebuilds: assign each NEW vector to its nearest EXISTING
+    cell (quantizer frozen, the standard IVF freshness model) and APPEND
+    into the cell-partitioned layout. No existing partition is rewritten,
+    the RAM-resident quantizer stays valid (deliberately NOT invalidated —
+    the centroids did not change), and the next probe sees old ∪ new
+    through the same partition-pruned scan.
+
+    Shape: the |cells|-row centroid table broadcasts; assignment is one
+    cosine per (new vector, cell) and an argmax keyed on vec_id — the only
+    shuffle is of the NEW batch, never the index. Quantizer drift from
+    accumulated upserts is the documented trade: rebuild cadence
+    (write_ivf_index) vs freshness, exactly as IVF systems operate.
+    ``new_emb`` expects (vec_id, label, v double-array)."""
+    from pyspark.sql import Window
+
+    cents = _load_centroids(spark, index_path)
+    cent_df = spark.createDataFrame(
+        [(int(label), list(c)) for label, c in cents], "cell int, c array<double>"
+    )
+    scored = new_emb.crossJoin(F.broadcast(cent_df)).select(
+        "vec_id",
+        "label",
+        "v",
+        "cell",
+        cosine(F.col("v"), F.col("c")).alias("cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cell"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "v", "cell")
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{index_path}/data")
+
+
 def _ivf_cache_dir(sf_dir: str) -> str:
     """Deterministic per-dataset index location, keyed on the embeddings
     file's identity (path + mtime + size) so a driver data regeneration

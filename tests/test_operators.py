@@ -1479,6 +1479,55 @@ def test_clustered_fixture_recall_levels(spark, tmp_path):
     assert ivf1 >= 0.9, ivf1  # measured 1.00: cells == neighborhoods
 
 
+def test_ivf_index_upsert_is_fresh_and_preserves_base(spark, tmp_path):
+    """Incremental IVF maintenance: after ivf_index_upsert, (a) a probe
+    FINDS the new vectors — an exact copy of the query vector lands in the
+    query's own best cell and must rank top-1 at cosine 1.0; (b) every
+    base result the probe returned before is still returned with an
+    identical score (no existing partition was touched); (c) the quantizer
+    was not invalidated (same centroid list object — append must not
+    rotate the cache key)."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.functions.vectors import as_double_array
+    from pinterest_data_pipeline218_spark.operators.similarity import (
+        _CENTROID_CACHE,
+        NPROBE,
+        ivf_index_topk,
+        ivf_index_upsert,
+        write_ivf_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path)
+    qvec = list(emb.filter(F.col("vec_id") == 0).head().v)
+    before = {
+        r.vec_id: r.cos_sim
+        for r in ivf_index_topk(
+            spark, path, query_vec=qvec, exclude_vec_id=0, nprobe=NPROBE
+        ).collect()
+    }
+
+    new = spark.createDataFrame(
+        [(9999, 99, qvec)], "vec_id long, label int, v array<double>"
+    )
+    ivf_index_upsert(spark, path, new)
+    assert path in _CENTROID_CACHE  # frozen quantizer: cache NOT rotated
+
+    after = ivf_index_topk(
+        spark, path, query_vec=qvec, exclude_vec_id=0, nprobe=NPROBE
+    ).collect()
+    assert after[0].vec_id == 9999 and after[0].cos_sim == 1.0  # freshness
+    after_map = {r.vec_id: r.cos_sim for r in after}
+    for vid, cs in before.items():
+        if vid in after_map:  # all but the one crowded out by the top-1
+            assert after_map[vid] == cs
+    assert len(set(before) - set(after_map)) <= 1
+
+
 def test_residual_ivfpq_beats_global_on_clustered(spark, tmp_path):
     """BASELINE §2c reading 3, pinned: on the clustered fixture the
     residual-encoded IVF-PQ (per-cell re-centering before quantization)
