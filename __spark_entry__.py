@@ -150,6 +150,9 @@ _TAIL = (
     # funnel, cohort retention) are NEW and move into the window.
     "ev_rollup_daily",  # r01-r04 green; the grouping-sets family keeps a driver row via in-window ev_cube_type_dow (CUBE over the same events scan — the shape superset), and the date-bucketed count family via ev_retention_cohorts
     "tpch_q17_small_qty",  # r01-r04 green; the correlated per-group-aggregate-threshold family keeps driver rows via in-window tpch_q2 (correlated min subquery) and tpch_q20 (stacked agg subqueries)
+    # r5 ninth rotation: sim_ivfpq_lloyd_topk (Lloyd-refined residual
+    # codebooks) is NEW and moves into the window.
+    "tpch_q22_anti_join",  # r01-r04 green; the anti-join family keeps a driver row via in-window tpch_q16 (NOT-IN planned as broadcast anti join, plan-tested by test_q16_not_in_runs_as_broadcast_anti_join)
 )
 
 

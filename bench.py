@@ -106,6 +106,7 @@ HEADLINE = [
     "sim_ivfpq_residual_topk",
     "ev_funnel_steps",
     "ev_retention_cohorts",
+    "sim_ivfpq_lloyd_topk",
 ]
 
 

@@ -150,6 +150,7 @@ def build_training_corpus(
     repetition_gate: bool = False,
     decontaminate: bool = False,
     near_dedup: bool = False,
+    persist_shared: bool = True,
 ) -> DataFrame:
     """The end-to-end corpus build a training pipeline runs, composed from
     the same operator expressions the gated queries use:
@@ -179,7 +180,7 @@ def build_training_corpus(
     tokenization passes — measured ~6x the sum of its parts at sf0.1."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toked = docs.select("doc_id", "text", T.tokens(F.col("text")).alias("toks"))
-    if repetition_gate or decontaminate or near_dedup:
+    if persist_shared and (repetition_gate or decontaminate or near_dedup):
         from pyspark import StorageLevel
 
         toked = toked.persist(StorageLevel.MEMORY_AND_DISK)

@@ -922,12 +922,37 @@ def _pq_res_comps(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     return rcomps, cm
 
 
-def _pq_res_codes_cb(emb: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+def _pq_res_encode(rcomps: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, code): nearest-codebook-entry assignment of residual
+    components — the shared encode step (argmin_j Σ_r (rq-qc)², ties to the
+    lowest j via the min-struct idiom)."""
+    d2 = (F.col("rq") - F.col("qc")) * (F.col("rq") - F.col("qc"))
+    return (
+        rcomps.join(F.broadcast(cb), ["m", "r"])
+        .groupBy("vec_id", "m", "j")
+        .agg(F.sum(d2).alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "j")).alias("mn"))
+        .select("vec_id", "m", F.col("mn.j").alias("code"))
+    )
+
+
+def _pq_res_codes_cb(
+    emb: DataFrame, lloyd_rounds: int = 0
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(codes, cb, cell_means) for the residual encoding. Codebooks are
     shared across cells and trained on residuals (classic IVFADC: one
     residual codebook, not FAISS's optional per-cell variant) — entry j of
     subspace m is the m-th residual subvector of the j-th lowest vec_id
-    (the one-shot seeding convention of _pq_codebook)."""
+    (the one-shot seeding convention of _pq_codebook).
+
+    ``lloyd_rounds`` unrolls per-subspace k-means refinement on top of the
+    seeds (the ml_kmeans_refine convention: a FIXED number of
+    assign→update rounds, each update the TRUNCATED INTEGER MEAN of the
+    assigned residual components, empty entries keeping their previous
+    value) — deterministic, engine-exact, and oracle-replayable as chained
+    CTEs. Each round is one broadcast-join encode + one (m,r,code) grouped
+    mean over the residual stream."""
     from pyspark.sql import Window
 
     rcomps, cm = _pq_res_comps(emb)
@@ -939,20 +964,26 @@ def _pq_res_codes_cb(emb: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     cb = rcomps.join(F.broadcast(seed_j), "vec_id").select(
         "m", "r", "j", F.col("rq").alias("qc")
     )
-    d2 = (F.col("rq") - F.col("qc")) * (F.col("rq") - F.col("qc"))
-    codes = (
-        rcomps.join(F.broadcast(cb), ["m", "r"])
-        .groupBy("vec_id", "m", "j")
-        .agg(F.sum(d2).alias("d2"))
-        .groupBy("vec_id", "m")
-        .agg(F.min(F.struct("d2", "j")).alias("mn"))
-        .select("vec_id", "m", F.col("mn.j").alias("code"))
-    )
-    return codes, cb, cm
+    for _ in range(lloyd_rounds):
+        assigned = _pq_res_encode(rcomps, cb)
+        upd = (
+            rcomps.join(assigned, ["vec_id", "m"])
+            .groupBy("m", "r", "code")
+            .agg(F.expr("sum(rq) div count(1)").alias("qc2"))
+            .withColumnRenamed("code", "j")
+        )
+        cb = cb.join(upd, ["m", "r", "j"], "left").select(
+            "m", "r", "j", F.coalesce("qc2", "qc").alias("qc")
+        )
+    return _pq_res_encode(rcomps, cb), cb, cm
 
 
 def _ivfpq_residual(
-    emb: DataFrame, query_vec_id: int, nprobe: int = NPROBE, k: int = TOP_K
+    emb: DataFrame,
+    query_vec_id: int,
+    nprobe: int = NPROBE,
+    k: int = TOP_K,
+    lloyd_rounds: int = 0,
 ) -> DataFrame:
     """Residual-IVFPQ ranked top-k for one query id. Unlike the global-PQ
     form, the query's ADC distance table is PER PROBED CELL (the query
@@ -969,7 +1000,7 @@ def _ivfpq_residual(
         .limit(nprobe)
         .select("label")
     )
-    codes, cb, cm = _pq_res_codes_cb(emb)
+    codes, cb, cm = _pq_res_codes_cb(emb, lloyd_rounds=lloyd_rounds)
     qcomps = emb.filter(F.col("vec_id") == query_vec_id).select(
         F.posexplode("v").alias("pos", "val")
     ).select(
@@ -1019,8 +1050,58 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_residual(emb, QUERY_VEC_ID)
 
 
-def _ivfpq_residual_sql() -> str:
+PQ_LLOYD_ROUNDS = 2  # the ml_kmeans_refine convention: fixed unrolled rounds
+
+
+def sim_ivfpq_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ with LLOYD-REFINED codebooks — the 'codebook
+    training' dial BASELINE §2c names as the remaining distance to high
+    clustered recall: PQ_LLOYD_ROUNDS unrolled per-subspace k-means rounds
+    (assign → truncated-integer-mean update, empty entries frozen) on top
+    of the one-shot seeds, then the same per-probed-cell ADC probe as
+    sim_ivfpq_residual_topk. Deterministic and engine-exact, so the
+    TRAINING itself is oracle-replayed as chained CTEs — the same
+    verification trick as ml_kmeans_refine and text_bpe_tokens.
+
+    Scale shape per round: one broadcast-join encode over the residual
+    stream + one (m, r, code)-keyed grouped mean (map-side combined,
+    PQ_M·PQ_SUBDIM·PQ_K = 1024 output rows). Training cost is
+    rounds × O(corpus·M·K) pre-combined rows — the one-time index-build
+    cost; probes pay nothing extra."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    return _ivfpq_residual(emb, QUERY_VEC_ID, lloyd_rounds=PQ_LLOYD_ROUNDS)
+
+
+def _ivfpq_residual_sql(lloyd_rounds: int = 0) -> str:
     cell_cos = cosine_sql_duckdb("c.c", "q.q")
+    # Unrolled per-subspace Lloyd refinement as chained CTEs (the
+    # ml_kmeans_refine oracle convention): each round re-assigns every
+    # residual to its nearest entry, then replaces each entry with the
+    # truncated integer mean of its members (empty entries keep their
+    # previous value).
+    rounds = ""
+    cbf = "cb0"
+    for i in range(lloyd_rounds):
+        rounds += f""",
+codes{i} AS (
+  SELECT vec_id, m, min(struct_pack(d2 := d2, j := j)).j AS code
+  FROM (
+    SELECT rc.vec_id, rc.m, cb.j, SUM((rc.rq - cb.qc) * (rc.rq - cb.qc)) AS d2
+    FROM rcomps rc JOIN {cbf} cb ON rc.m = cb.m AND rc.r = cb.r
+    GROUP BY rc.vec_id, rc.m, cb.j
+  ) GROUP BY vec_id, m
+),
+cb{i + 1} AS (
+  SELECT c.m, c.r, c.j, COALESCE(u.qc2, c.qc) AS qc
+  FROM {cbf} c LEFT JOIN (
+    SELECT rc.m, rc.r, a.code AS j, CAST(SUM(rc.rq) // COUNT(*) AS BIGINT) AS qc2
+    FROM rcomps rc JOIN codes{i} a ON rc.vec_id = a.vec_id AND rc.m = a.m
+    GROUP BY rc.m, rc.r, a.code
+  ) u ON u.m = c.m AND u.r = c.r AND u.j = c.j
+)"""
+        cbf = f"cb{i + 1}"
     return f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 comps AS (
@@ -1044,14 +1125,14 @@ seed_j AS (
   SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j
   FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT {PQ_K})
 ),
-cb AS (
+cb0 AS (
   SELECT m, r, j, rq AS qc FROM rcomps JOIN seed_j USING (vec_id)
-),
+){rounds},
 codes AS (
   SELECT vec_id, m, min(struct_pack(d2 := d2, j := j)).j AS code
   FROM (
     SELECT rc.vec_id, rc.m, cb.j, SUM((rc.rq - cb.qc) * (rc.rq - cb.qc)) AS d2
-    FROM rcomps rc JOIN cb ON rc.m = cb.m AND rc.r = cb.r
+    FROM rcomps rc JOIN {cbf} cb ON rc.m = cb.m AND rc.r = cb.r
     GROUP BY rc.vec_id, rc.m, cb.j
   ) GROUP BY vec_id, m
 ),
@@ -1077,7 +1158,7 @@ qlut AS (
          SUM(((c.q - cm.mc) - cb.qc) * ((c.q - cm.mc) - cb.qc)) AS lut_d2
   FROM comps c CROSS JOIN best b
   JOIN cellmeans cm ON cm.label = b.label AND cm.pos = c.pos
-  JOIN cb ON cb.m = c.m AND cb.r = c.r
+  JOIN {cbf} cb ON cb.m = c.m AND cb.r = c.r
   WHERE c.vec_id = {QUERY_VEC_ID}
   GROUP BY b.label, cb.m, cb.j
 ),
@@ -1105,6 +1186,7 @@ QUERIES = {
     "sim_pq_topk": sim_pq_topk,
     "sim_ivfpq_topk": sim_ivfpq_topk,
     "sim_ivfpq_residual_topk": sim_ivfpq_residual_topk,
+    "sim_ivfpq_lloyd_topk": sim_ivfpq_lloyd_topk,
 }
 
 ORACLE = {
@@ -1117,4 +1199,5 @@ ORACLE = {
     "sim_pq_topk": SIM_PQ_SQL,
     "sim_ivfpq_topk": _ivfpq_sql(),
     "sim_ivfpq_residual_topk": _ivfpq_residual_sql(),
+    "sim_ivfpq_lloyd_topk": _ivfpq_residual_sql(PQ_LLOYD_ROUNDS),
 }

@@ -1585,6 +1585,61 @@ def test_residual_ivfpq_beats_global_on_clustered(spark, tmp_path):
     assert res > glob, (glob, res)  # study: 0.45 vs 0.26 over 30 queries
 
 
+def test_lloyd_codebook_refinement_reduces_distortion(spark, tmp_path):
+    """Per-subspace Lloyd refinement must strictly reduce total
+    quantization distortion on the clustered fixture (the k-means descent
+    guarantee; truncated-integer means can wobble a single entry but not
+    the round-level objective)."""
+    import importlib.util
+    import pathlib
+
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.functions.vectors import as_double_array
+    from pinterest_data_pipeline218_spark.operators.similarity import (
+        PQ_LLOYD_ROUNDS,
+        _pq_res_codes_cb,
+        _pq_res_comps,
+    )
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "recall_study_mod3", root / "tools" / "recall_study.py"
+    )
+    R = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(R)
+
+    fixture = R.make_clustered_fixture(str(tmp_path / "clustered"))
+    emb = load_table(spark, fixture, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    emb = emb.cache()
+
+    def distortion(rounds):
+        _, cb, _ = _pq_res_codes_cb(emb, lloyd_rounds=rounds)
+        rcomps, _ = _pq_res_comps(emb)
+        d2 = (F.col("rq") - F.col("qc")) * (F.col("rq") - F.col("qc"))
+        per = (
+            rcomps.join(F.broadcast(cb), ["m", "r"])
+            .groupBy("vec_id", "m", "j")
+            .agg(F.sum(d2).alias("d2"))
+            .groupBy("vec_id", "m")
+            .agg(F.min("d2").alias("mn"))
+            .agg(F.sum("mn").alias("total"))
+        )
+        return per.head().total
+
+    d0 = distortion(0)
+    d2 = distortion(PQ_LLOYD_ROUNDS)
+    # strict descent: the refined codebook fits the residual distribution
+    # measurably better than the one-shot seeds. (Recall is deliberately
+    # NOT asserted here: the §2c study measures that distortion-optimal is
+    # not ranking-optimal on clustered residuals — refined recall is
+    # +15% relative on the uniform fixture and parity on the clustered
+    # one, where 4-bit code RESOLUTION, not entry placement, binds.)
+    assert d2 < d0, (d0, d2)
+    emb.unpersist()
+
+
 def test_imaging_codecs_roundtrip_and_dispatch():
     """Pure-Python PPM/BMP codecs: encode→decode is the identity on the
     row-major RGB buffer for both containers (BMP's bottom-up BGR padded

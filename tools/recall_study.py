@@ -154,6 +154,18 @@ def study(spark, sf_dir: str, tag: str) -> list[tuple[str, str, float, str]]:
             f"~{S.NPROBE}/10 (codes only)",
         )
     )
+    out.append(
+        (
+            "IVF-PQ residual + Lloyd",
+            f"nprobe {S.NPROBE}, {S.PQ_LLOYD_ROUNDS} rounds",
+            recall(
+                lambda q: S._ivfpq_residual(
+                    emb, q, nprobe=S.NPROBE, lloyd_rounds=S.PQ_LLOYD_ROUNDS
+                )
+            ),
+            f"~{S.NPROBE}/10 (codes only)",
+        )
+    )
     return out
 
 
