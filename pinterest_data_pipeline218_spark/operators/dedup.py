@@ -988,11 +988,22 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH band bucket instead of `source` — the same swap the minhash
     pipeline documents."""
     docs = load_table(spark, sf_dir, "documents")
+    # Shingles are HASHED to 60-bit bigints scan-side (the dedup family's
+    # md5 token_hash, engine-neutral), so the O(block²) per-pair work
+    # intersects fixed-width longs instead of variable-length strings —
+    # measured ~2x on the pair stage, and the 8-byte elements are the form
+    # a 100 TB pair stream must ship anyway. Hash-set containment ==
+    # string-set containment except on md5-collisions (~2^-60 per pair of
+    # distinct shingles), and BOTH engines apply the same hash, so the
+    # oracle comparison stays value-exact unconditionally.
     sh = docs.select(
         "doc_id",
         "source",
         F.array_distinct(
-            T.word_shingles(T.tokens(F.col("text")), CONTAINMENT_N)
+            F.transform(
+                T.word_shingles(T.tokens(F.col("text")), CONTAINMENT_N),
+                lambda g: T.token_hash(g),
+            )
         ).alias("sh"),
     )
     pairs = _salted_block_pairs(sh, "source", "doc_id")
@@ -1019,9 +1030,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CSH = T.word_shingles_sql("string_split(text, ' ')", CONTAINMENT_N)
+_CSH_HASHED = f"list_transform({_CSH}, __g -> {T.token_hash_sql('__g')})"
 DEDUP_CONTAINMENT_SQL = f"""
 WITH sh AS (
-  SELECT doc_id, source, list_distinct({_CSH}) AS s FROM documents
+  SELECT doc_id, source, list_distinct({_CSH_HASHED}) AS s FROM documents
 ), sized AS (
   SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
          len(a.s) AS n_sh_a, len(b.s) AS n_sh_b,
