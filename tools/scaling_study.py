@@ -1,0 +1,123 @@
+"""Scaling study harness (BASELINE §2b): replicate the sf tables 1x/2x/4x/8x
+with id offsets (replica text perturbed by one token so replicas are near-
+but not exact duplicates), then time selected gated queries per scale.
+
+Round 4 ran this ad hoc; this tool makes the protocol reproducible.
+
+Usage:
+    python tools/scaling_study.py [sf_dir] [query ...]
+
+Default query set = the round-5 additions. Output: one markdown table row
+per query in the §2b format (min of 2 warm runs per scale).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALES = (1, 2, 4, 8)
+DEFAULT_QUERIES = (
+    "text_lm_score",
+    "text_bpe_tokens",
+    "corpus_shuffle_shards",
+    "ev_funnel_steps",
+    "ev_retention_cohorts",
+)
+
+
+def replicate(spark, sf_dir: str, out_dir: str, k: int) -> str:
+    """Write documents/embeddings/events replicated k times with id offsets.
+    Document text gets a per-replica suffix token (near- not exact dup);
+    event user_ids offset per replica so the user population scales too."""
+    import pyspark.sql.functions as F
+
+    from pinterest_data_pipeline218_spark.data import load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    reps = None
+    for i in range(k):
+        r = docs.select(
+            (F.col("doc_id") + i * n_docs).alias("doc_id"),
+            "source",
+            "lang",
+            F.concat(F.col("text"), F.lit(f" replica{i}")).alias("text"),
+            "n_chars",
+        )
+        reps = r if reps is None else reps.unionAll(r)
+    reps.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+
+    ev = load_table(spark, sf_dir, "events")
+    n_ev = ev.count()
+    n_users = ev.agg(F.max("user_id")).head()[0] + 1
+    reps = None
+    for i in range(k):
+        r = ev.select(
+            (F.col("event_id") + i * n_ev).alias("event_id"),
+            "ts",
+            (F.col("user_id") + i * n_users).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        reps = r if reps is None else reps.unionAll(r)
+    reps.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_emb = emb.count()
+    reps = None
+    for i in range(k):
+        r = emb.select(
+            (F.col("vec_id") + i * n_emb).alias("vec_id"), "embedding", "label"
+        )
+        reps = r if reps is None else reps.unionAll(r)
+    reps.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+    return out_dir
+
+
+def main():
+    import __spark_entry__ as entrymod
+    from pinterest_data_pipeline218_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    names = sys.argv[2:] or list(DEFAULT_QUERIES)
+    spark = get_spark("scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    dirs = {}
+    for k in SCALES:
+        d = os.path.join(tempfile.gettempdir(), f"scaling_{k}x")
+        if not os.path.exists(os.path.join(d, "events.parquet")):
+            replicate(spark, sf_dir, d, k)
+        dirs[k] = d
+
+    def force(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    print("| operator | " + " | ".join(f"{k}x" for k in SCALES) + " | 8x/1x |")
+    print("|---|" + "---|" * (len(SCALES) + 1))
+    for name in names:
+        times = []
+        for k in SCALES:
+            force(qs[name](spark, dirs[k]))  # warm
+            best = min(
+                (lambda: (lambda t0: (force(qs[name](spark, dirs[k])), time.time() - t0)[1])(
+                    time.time()
+                ))()
+                for _ in range(2)
+            )
+            times.append(best)
+        ratio = times[-1] / times[0]
+        row = " | ".join(f"{t:.2f}" for t in times)
+        print(f"| {name} | {row} | {ratio:.1f}x |", flush=True)
+
+
+if __name__ == "__main__":
+    main()
