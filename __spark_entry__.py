@@ -153,6 +153,9 @@ _TAIL = (
     # r5 ninth rotation: sim_ivfpq_lloyd_topk (Lloyd-refined residual
     # codebooks) is NEW and moves into the window.
     "tpch_q22_anti_join",  # r01-r04 green; the anti-join family keeps a driver row via in-window tpch_q16 (NOT-IN planned as broadcast anti join, plan-tested by test_q16_not_in_runs_as_broadcast_anti_join)
+    # r5 tenth rotation: mm_audio_decode (real RIFF/WAV decode) is NEW and
+    # moves into the window.
+    "geo_clean_pipeline",  # r01-r04 green; the cleaning contract family keeps driver rows via in-window pin_clean_pipeline + user_clean_pipeline (sentinels, regex, casts, P10 timestamp parse), and geo's unique pieces (P12 array ctor, column synthesis) are pytest-pinned (test_geo_user_clean_types)
 )
 
 

@@ -372,11 +372,144 @@ def _fake_features_sql() -> str:
     )
 
 
+# ----------------------------------------------------------------- audio
+# Same design as the image fixture: REAL RIFF/WAV container bytes are
+# generated per document (mono for most docs, stereo every fourth — so the
+# decode kernel exercises genuine chunk walking + interleaved-channel
+# unpacking), while the DuckDB oracle replays the generative sample
+# formula closed-form without needing a decoder. Any decoder defect
+# (chunk offsets, word alignment, channel de-interleave, sign handling)
+# breaks the match.
+AUDIO_N_TOTAL = 64  # interleaved int16 samples per payload
+
+
+def _fixture_sample(doc_id: int, j: int) -> int:
+    return ((doc_id * 17 + j * 7) % 4096) - 2048
+
+
+def _audio_params(doc_id: int) -> tuple[int, int]:
+    """(sample_rate, n_channels) for the fixture payload of doc_id."""
+    return 8000 + (doc_id % 3) * 4000, 2 if doc_id % 4 == 0 else 1
+
+
+def with_audio_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): real encoded WAV bytes per document."""
+    import struct
+
+    from ..functions import audio
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                rate, n_ch = _audio_params(doc_id)
+                raw = struct.pack(
+                    f"<{AUDIO_N_TOTAL}h",
+                    *[_fixture_sample(doc_id, j) for j in range(AUDIO_N_TOTAL)],
+                )
+                payloads.append(audio.encode_wav(rate, n_ch, raw))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=_IMG_PAYLOAD_SCHEMA)
+
+
+_AUDIO_FEAT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("duration_us", LongType()),
+        StructField("amp_sum", LongType()),
+        StructField("zcr_ch0", IntegerType()),
+    ]
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Real WAV decode as a mapInPandas kernel: per payload, walk the RIFF
+    chunks, validate 16-bit PCM, de-interleave, then compute integer-exact
+    signal statistics — frame count, duration (µs, integer division),
+    total sample sum, and channel-0 zero crossings (the classic cheap
+    audio features a curation pipeline gates on). This is the decode stage
+    of an audio featurization pipeline with the embedding model swapped
+    for oracle-checkable arithmetic."""
+    from ..functions import audio
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # NULL payload decodes to no row
+                rate, n_ch, raw = audio.decode_wav(bytes(payload))
+                vals = audio.samples_to_ints(raw)
+                n_frames = len(vals) // n_ch
+                ch0 = vals[::n_ch]
+                zcr = sum(
+                    1
+                    for a, b in zip(ch0, ch0[1:])
+                    if (a < 0) != (b < 0)
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        rate,
+                        n_ch,
+                        n_frames,
+                        n_frames * 1_000_000 // rate,
+                        sum(vals),
+                        zcr,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _AUDIO_FEAT_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(feats, schema=_AUDIO_FEAT_SCHEMA)
+
+
+def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generate real RIFF/WAV bytes per document, then DECODE them — chunk
+    walk, PCM validation, interleaved-channel unpack — and emit
+    integer-exact signal statistics. The oracle never decodes: it replays
+    the generative sample formula arithmetically."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_audio_features(with_audio_payload(docs)).orderBy("doc_id")
+
+
+def _audio_decode_sql() -> str:
+    samp = "((doc_id * 17 + {j} * 7) % 4096) - 2048"
+    s_j = samp.format(j="__j")
+    s_prev = samp.format(j="((__k - 1) * n_ch)")
+    s_cur = samp.format(j="(__k * n_ch)")
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate,
+         CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS INT) AS n_ch
+  FROM documents
+)
+SELECT doc_id,
+       rate AS sample_rate,
+       n_ch AS n_channels,
+       CAST({AUDIO_N_TOTAL} // n_ch AS INT) AS n_frames,
+       CAST(({AUDIO_N_TOTAL} // n_ch) * 1000000 // rate AS BIGINT) AS duration_us,
+       CAST(list_sum(list_transform(range(0, {AUDIO_N_TOTAL}),
+            __j -> {s_j})) AS BIGINT) AS amp_sum,
+       CAST(list_sum(list_transform(range(1, {AUDIO_N_TOTAL} // n_ch),
+            __k -> CASE WHEN (({s_prev}) < 0) != (({s_cur}) < 0)
+                        THEN 1 ELSE 0 END)) AS INT) AS zcr_ch0
+FROM base ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_fake_features": mm_fake_features,
     "mm_frame_sample": mm_frame_sample,
     "mm_image_decode": mm_image_decode,
+    "mm_audio_decode": mm_audio_decode,
 }
 
 ORACLE = {
@@ -384,4 +517,5 @@ ORACLE = {
     "mm_fake_features": _fake_features_sql(),
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     "mm_image_decode": _image_decode_sql(),
+    "mm_audio_decode": _audio_decode_sql(),
 }

@@ -1640,6 +1640,64 @@ def test_lloyd_codebook_refinement_reduces_distortion(spark, tmp_path):
     emb.unpersist()
 
 
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """Pure-Python WAV codec: encode→decode is the identity on (rate,
+    channels, sample bytes); the decoder walks the RIFF chunk list (a
+    LIST metadata chunk inserted before `data` — with an ODD size, so
+    word alignment is exercised — must be skipped); non-PCM and
+    non-RIFF payloads raise."""
+    import struct
+
+    import pytest as _pytest
+
+    from pinterest_data_pipeline218_spark.functions import audio
+
+    raw = struct.pack("<8h", 100, -200, 300, -400, 0, -1, 1, -32768)
+    data = audio.encode_wav(16000, 2, raw)
+    assert audio.sniff_wav(data)
+    assert audio.decode_wav(data) == (16000, 2, raw)
+
+    # splice an odd-sized LIST chunk between fmt and data
+    fmt_end = data.index(b"data")
+    meta = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad byte
+    spliced = data[:fmt_end] + meta + data[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert audio.decode_wav(spliced) == (16000, 2, raw)
+
+    with _pytest.raises(audio.AudioFormatError):
+        audio.decode_wav(b"not audio at all!!")
+    # 8-bit PCM (bits=8) must be rejected, not mis-decoded
+    bad = bytearray(data)
+    struct.pack_into("<H", bad, data.index(b"fmt ") + 8 + 14, 8)
+    with _pytest.raises(audio.AudioFormatError):
+        audio.decode_wav(bytes(bad))
+
+
+def test_audio_kernel_null_safe(spark):
+    """A NULL payload must yield no row (the mm_image/mm_binary contract),
+    and decoded stats must match hand arithmetic on a known payload."""
+    import struct
+
+    from pinterest_data_pipeline218_spark.functions import audio as A
+    from pinterest_data_pipeline218_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    raw = struct.pack("<6h", 5, -5, 5, -5, 0, 7)  # mono: 5 crossings? see below
+    wav = A.encode_wav(8000, 1, raw)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, None)], "doc_id long, payload binary"
+    )
+    rows = extract_audio_features(df).collect()
+    assert len(rows) == 1  # the NULL payload emitted nothing
+    r = rows[0]
+    # signs: + - + - (+|0) + → crossings at 4 sign flips (0 counts as >= 0)
+    assert (r.doc_id, r.sample_rate, r.n_channels, r.n_frames) == (1, 8000, 1, 6)
+    assert r.duration_us == 6 * 1_000_000 // 8000
+    assert r.amp_sum == 5 - 5 + 5 - 5 + 0 + 7
+    assert r.zcr_ch0 == 4
+
+
 def test_imaging_codecs_roundtrip_and_dispatch():
     """Pure-Python PPM/BMP codecs: encode→decode is the identity on the
     row-major RGB buffer for both containers (BMP's bottom-up BGR padded
