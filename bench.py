@@ -107,6 +107,7 @@ HEADLINE = [
     "ev_funnel_steps",
     "ev_retention_cohorts",
     "sim_ivfpq_lloyd_topk",
+    "mm_audio_decode",
 ]
 
 
