@@ -987,7 +987,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer divisions (no floats). At corpus scale the blocking key is the
     LSH band bucket instead of `source` — the same swap the minhash
     pipeline documents."""
-    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def containment_pairs(docs: DataFrame) -> DataFrame:
+    """DataFrame→DataFrame combinator behind dedup_containment; expects
+    (doc_id, source, text)."""
     # Shingles are HASHED to 60-bit bigints scan-side (the dedup family's
     # md5 token_hash, engine-neutral), so the O(block²) per-pair work
     # intersects fixed-width longs instead of variable-length strings —

@@ -160,3 +160,45 @@ def test_dupspan_remove_matches_model(spark, doclists):
         for r in dupspan_remove(df).collect()
     }
     assert got == _model_dupspan(docs)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_containment_matches_set_model(spark, docs_tokens):
+    """dedup_containment vs brute-force Python set arithmetic on a dense
+    4-token alphabet: every same-source pair with a shared 3-shingle must
+    appear with exactly the model's n_common / basis-point containments /
+    subdup flag (the 60-bit shingle hashing must be count-preserving)."""
+    from pinterest_data_pipeline218_spark.operators.dedup import (
+        CONTAINMENT_MIN_BP,
+        containment_pairs,
+    )
+
+    rows = [(i, "s", " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.cont_a_bp, r.cont_b_bp, r.subdup)
+        for r in containment_pairs(df).collect()
+    }
+
+    def sh(text):
+        toks = text.split(" ")  # mirrors F.split / string_split exactly
+        return {
+            " ".join(toks[i : i + 3]) for i in range(max(0, len(toks) - 2))
+        }
+
+    want = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = sh(rows[i][2]), sh(rows[j][2])
+            inter = len(a & b)
+            if inter > 0:
+                ca, cb = 10000 * inter // len(a), 10000 * inter // len(b)
+                want[(i, j)] = (inter, ca, cb, max(ca, cb) >= CONTAINMENT_MIN_BP)
+    assert got == want
