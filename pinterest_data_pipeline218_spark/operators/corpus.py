@@ -975,6 +975,54 @@ def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_report_vs(docs: DataFrame, bench: DataFrame) -> DataFrame:
+    """The curation dashboard against an EXPLICIT eval set — the deployable
+    variant of corpus_quality_report (whose bench slice is self-derived for
+    oracle parity): same columns, same gate expressions, contamination
+    screened with contamination_report_vs. This is also the batch
+    ground-truth the incremental streaming report
+    (streaming/pipeline.attach_quality_report_stream) is tested against.
+    ``docs`` expects (doc_id, text, lang, source)."""
+    from .text_analysis import contamination_report_vs, repetition_flags
+
+    docs = docs.filter(F.col("text").isNotNull())
+    toks = T.tokens(F.col("text"))
+    qual = T.quality_score(toks) >= QUALITY_THRESHOLD
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks).cast("bigint")).alias("n_tokens"),
+        F.count_if(qual).alias("n_quality_pass"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    n_unique = docs.select(F.md5("text").alias("h")).distinct().agg(
+        F.count(F.lit(1)).alias("n_unique_texts")
+    )
+    n_rep = repetition_flags(docs).agg(
+        F.count_if(F.col("keep")).alias("n_repetition_pass")
+    )
+    n_cont = contamination_report_vs(docs, bench).agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    return (
+        base.crossJoin(F.broadcast(n_unique))
+        .crossJoin(F.broadcast(n_rep))
+        .crossJoin(F.broadcast(n_cont))
+        .select(
+            "n_docs",
+            "n_tokens",
+            F.expr("n_quality_pass * 10000 div n_docs").alias("quality_pass_bp"),
+            F.expr("n_repetition_pass * 10000 div n_docs").alias(
+                "repetition_pass_bp"
+            ),
+            F.expr("n_contaminated * 10000 div n_docs").alias("contaminated_bp"),
+            (F.col("n_docs") - F.col("n_unique_texts")).alias("n_exact_dup_docs"),
+            "n_langs",
+            "n_sources",
+        )
+    )
+
+
 def _quality_report_sql() -> str:
     from .text_analysis import DECON_BENCH_MOD, DECON_BENCH_RESIDUE, DECON_NGRAM
 

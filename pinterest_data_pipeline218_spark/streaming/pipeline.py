@@ -259,3 +259,110 @@ def sliding_counts(
             "n_events",
         )
     )
+
+
+# --------------------------------------------------------- incremental report
+def quality_state_batch(batch_df: DataFrame, bench: DataFrame, state_dir: str) -> None:
+    """One micro-batch's contribution to the incremental curation
+    dashboard. Everything the report needs decomposes into either
+    (a) summable integer counters — docs, tokens, quality passes,
+    repetition passes (the bigram gate is within-doc), contamination hits
+    vs the STATIC eval set — appended as one row to
+    ``{state_dir}/counters``; or (b) distinct-at-report-time key sets —
+    content digests (cross-batch exact dups!), langs, sources — appended
+    as (kind, value) rows to ``{state_dir}/keys``. The per-batch work is
+    the SAME gate expressions the batch report runs; no state lives in
+    executor memory, so the dashboard survives restarts with the stream's
+    checkpoint."""
+    from ..functions import text as T
+    from ..operators.corpus import QUALITY_THRESHOLD
+    from ..operators.text_analysis import (
+        contamination_report_vs,
+        repetition_flags,
+    )
+
+    docs = batch_df.filter(F.col("text").isNotNull())
+    toks = T.tokens(F.col("text"))
+    qual = T.quality_score(toks) >= QUALITY_THRESHOLD
+    n_rep = repetition_flags(docs).agg(
+        F.count_if(F.col("keep")).alias("n_repetition_pass")
+    )
+    n_cont = contamination_report_vs(docs, bench).agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    counters = (
+        docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(toks).cast("bigint")).alias("n_tokens"),
+            F.count_if(qual).alias("n_quality_pass"),
+        )
+        .crossJoin(F.broadcast(n_rep))
+        .crossJoin(F.broadcast(n_cont))
+    )
+    counters.write.mode("append").parquet(f"{state_dir}/counters")
+    keys = (
+        docs.select(F.lit("digest").alias("kind"), F.md5("text").alias("value"))
+        .unionAll(docs.select(F.lit("lang").alias("kind"), F.col("lang").alias("value")))
+        .unionAll(
+            docs.select(F.lit("source").alias("kind"), F.col("source").alias("value"))
+        )
+        .distinct()
+    )
+    keys.write.mode("append").parquet(f"{state_dir}/keys")
+
+
+def attach_quality_report_stream(
+    stream_docs: DataFrame, bench: DataFrame, state_dir: str, checkpoint: str
+):
+    """Run the incremental dashboard over a document stream (foreachBatch —
+    the multi-aggregate report cannot be one streaming query, which is
+    exactly why it decomposes into mergeable state)."""
+    return (
+        stream_docs.writeStream.foreachBatch(
+            lambda batch_df, _bid: quality_state_batch(batch_df, bench, state_dir)
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def incremental_quality_report(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Assemble the dashboard from the accumulated state: sum the counter
+    rows, count distinct keys per kind. Emits EXACTLY the
+    corpus.quality_report_vs schema, and (pytest-proved) exactly its
+    values over the union of all processed batches — including cross-batch
+    exact duplicates, which per-batch reports cannot see."""
+    c = spark.read.parquet(f"{state_dir}/counters").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_quality_pass").alias("n_quality_pass"),
+        F.sum("n_repetition_pass").alias("n_repetition_pass"),
+        F.sum("n_contaminated").alias("n_contaminated"),
+    )
+    keys = spark.read.parquet(f"{state_dir}/keys")
+
+    def n_distinct(kind: str, alias: str) -> DataFrame:
+        return (
+            keys.filter(F.col("kind") == kind)
+            .select("value")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    return (
+        c.crossJoin(F.broadcast(n_distinct("digest", "n_unique_texts")))
+        .crossJoin(F.broadcast(n_distinct("lang", "n_langs")))
+        .crossJoin(F.broadcast(n_distinct("source", "n_sources")))
+        .select(
+            "n_docs",
+            "n_tokens",
+            F.expr("n_quality_pass * 10000 div n_docs").alias("quality_pass_bp"),
+            F.expr("n_repetition_pass * 10000 div n_docs").alias(
+                "repetition_pass_bp"
+            ),
+            F.expr("n_contaminated * 10000 div n_docs").alias("contaminated_bp"),
+            (F.col("n_docs") - F.col("n_unique_texts")).alias("n_exact_dup_docs"),
+            "n_langs",
+            "n_sources",
+        )
+    )

@@ -736,3 +736,73 @@ def test_stream_lm_score_equals_batch(spark, tmp_path):
     # doc 4's rearrangement: on-the/the-mat/the-cat in-domain, mat-sat and
     # sat-the out — OOV counting sees bigrams, not vocabulary
     assert got[4][:2] == (5, 2)
+
+
+def test_incremental_quality_report_equals_batch(spark, tmp_path):
+    """The streaming curation dashboard: per-micro-batch mergeable state
+    (summable gate counters + distinct-at-report key sets) must assemble
+    to EXACTLY the batch quality_report_vs over the union of batches —
+    including a cross-batch exact duplicate, which no per-batch report
+    can see, and a contaminated doc screened against the STATIC eval
+    set."""
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pinterest_data_pipeline218_spark.operators.corpus import quality_report_vs
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        attach_quality_report_stream,
+        incremental_quality_report,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    leak = "alpha beta gamma delta epsilon zeta"
+    bench = spark.createDataFrame(
+        [(100, f"benchmark passage {leak} continues here")],
+        StructType([StructField("doc_id", LongType()), StructField("text", StringType())]),
+    )
+    dup_text = "this exact document body appears in two different batches"
+    docs = [
+        (1, "a perfectly ordinary document with the usual number of words", "en", "web"),
+        (2, dup_text, "en", "web"),
+        (3, f"copied {leak} straight into the training text", "en", "forum"),
+        (4, dup_text, "en", "web"),  # cross-batch exact dup of doc 2
+        (5, "short one", "de", "web"),
+        (6, "the the the the the the the the the the the the", "en", "forum"),
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i in range(3):
+        with open(src / f"{i:03d}.jsonl", "w") as f:
+            for doc_id, text, lang, source in docs[i * 2 : i * 2 + 2]:
+                f.write(
+                    json.dumps(
+                        {"doc_id": doc_id, "text": text, "lang": lang, "source": source}
+                    )
+                    + "\n"
+                )
+    stream = (
+        spark.readStream.format("json").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(str(src))
+    )
+    state = str(tmp_path / "state")
+    q = attach_quality_report_stream(
+        stream, bench, state, str(tmp_path / "cp")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = incremental_quality_report(spark, state).collect()
+    want = quality_report_vs(spark.createDataFrame(docs, schema), bench).collect()
+    assert len(got) == 1 and got == want
+    r = got[0]
+    assert r.n_exact_dup_docs == 1  # the cross-batch duplicate was seen
+    assert r.contaminated_bp > 0  # the static-eval screen fired
+    assert (r.n_langs, r.n_sources) == (2, 2)
