@@ -47,6 +47,23 @@ def read_csv(spark: SparkSession, path: str, header: bool = True, sep: str = ","
     )
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """XML scan via Spark 4's NATIVE xml data source (no external package —
+    the spark-xml library was folded into Spark itself): one DataFrame row
+    per ``row_tag`` element, schema inferred from the elements unless
+    given. Corrupt elements follow the same PERMISSIVE/columnNameOfCorrupt-
+    Record contract as the JSON scan, so the quarantine pattern composes."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def read_orc(
     spark: SparkSession, path: str, schema: StructType | None = None
 ) -> DataFrame:

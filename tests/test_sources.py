@@ -239,3 +239,31 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_docs")
         spark.sql("DROP TABLE IF EXISTS bk_other")
+
+
+def test_xml_scan_rows_nested_and_pruned(spark, tmp_path):
+    """Spark 4 native XML source: one row per rowTag element, nested
+    elements become structs, attribute syntax decodes, and projection
+    reaches the scan (the xml reader prunes to the selected fields)."""
+    from pinterest_data_pipeline218_spark.sources.batch import read_xml
+
+    d = tmp_path / "xml"
+    d.mkdir()
+    (d / "a.xml").write_text(
+        "<records>"
+        "<rec id=\"1\"><name>ada</name><geo><lat>1.5</lat><lon>2.5</lon></geo></rec>"
+        "<rec id=\"2\"><name>bob</name><geo><lat>-3.0</lat><lon>4.0</lon></geo></rec>"
+        "</records>"
+    )
+    df = read_xml(spark, str(d), row_tag="rec")
+    got = {r["_id"]: (r["name"], r["geo"]["lat"]) for r in df.collect()}
+    assert got == {1: ("ada", 1.5), 2: ("bob", -3.0)}
+    # projection prunes: only the selected leaf shows in the read schema
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.select("name").explain("formatted")
+    read = buf.getvalue().split("ReadSchema")[1][:120]
+    assert "name" in read and "geo" not in read
