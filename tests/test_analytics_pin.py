@@ -219,3 +219,38 @@ def test_approx_median_within_rank_bounds(clean_tables):
             assert lo is None
         else:
             assert lo <= approx[k] <= hi, k
+
+
+def test_funnel_ordering_semantics(spark, tmp_path):
+    """The funnel's defining rule, hand-pinned: a user whose click PRECEDES
+    their first view does NOT convert at step 2 (per-type distinct counts
+    would wrongly count them), and a purchase before the qualifying click
+    does not convert at step 3."""
+    import datetime as dt
+
+    from pinterest_data_pipeline218_spark.plans.events import ev_funnel_steps
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(i, user, typ, minutes):
+        return (i, t0 + dt.timedelta(minutes=minutes), user, typ, 1.0, "{}")
+
+    rows = [
+        # user 1: view -> click -> purchase, fully ordered: converts all 3
+        ev(1, 1, "view", 0), ev(2, 1, "click", 5), ev(3, 1, "purchase", 10),
+        # user 2: click BEFORE the first view, none after: stops at step 1
+        ev(4, 2, "click", 0), ev(5, 2, "view", 5),
+        # user 3: view, click, but purchase BEFORE the click: stops at step 2
+        ev(6, 3, "view", 0), ev(7, 3, "purchase", 2), ev(8, 3, "click", 4),
+        # user 4: never viewed: appears nowhere
+        ev(9, 4, "click", 0), ev(10, 4, "purchase", 1),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r.step: (r.n_users, r.conv_bp) for r in ev_funnel_steps(spark, str(tmp_path)).collect()}
+    # step 1: users 1,2,3 viewed; step 2: only 1 and 3 clicked after their
+    # view; step 3: only user 1 purchased after the qualifying click
+    assert got == {1: (3, 10000), 2: (2, 6666), 3: (1, 3333)}
