@@ -156,6 +156,9 @@ _TAIL = (
     # r5 tenth rotation: mm_audio_decode (real RIFF/WAV decode) is NEW and
     # moves into the window.
     "geo_clean_pipeline",  # r01-r04 green; the cleaning contract family keeps driver rows via in-window pin_clean_pipeline + user_clean_pipeline (sentinels, regex, casts, P10 timestamp parse), and geo's unique pieces (P12 array ctor, column synthesis) are pytest-pinned (test_geo_user_clean_types)
+    # r5 eleventh rotation: ev_markov_transitions (event-sequence mining)
+    # is NEW and moves into the window.
+    "dedup_cluster_cc_star",  # r04-green; the min-label CC family keeps a driver row via in-window dedup_cluster_cc_bounded, and star-vs-plain-CC label equality is pytest-proved (test_cc_star_matches_union_find_on_random_graphs)
 )
 
 

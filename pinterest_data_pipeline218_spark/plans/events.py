@@ -536,6 +536,68 @@ ORDER BY 1, 2
 """
 
 
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-sequence mining: the Markov transition matrix of
+    event types — for each (from_type, to_type), how often a user's next
+    event is to_type, with the row-conditional probability in basis points
+    (integer fixed-point). The 'what happens after X' primitive behind
+    next-event prediction features and anomalous-flow detection.
+
+    100 TB shape: ONE shuffle — the per-user lead() window keyed on
+    user_id (ties broken by event_id, deterministic cross-engine) — then a
+    |types|² grouped count with map-side combine and a broadcast 1-level
+    rollup join for the conditional denominator. Nothing quadratic; state
+    is the type-pair matrix (tiny at any corpus size)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy(F.col("from_type").alias("ft")).agg(
+        F.sum("n").alias("n_from")
+    )
+    return (
+        counts.join(F.broadcast(totals), counts.from_type == totals.ft)
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("(10000L * n) div n_from").alias("p_bp"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+EV_MARKOV_SQL = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+), totals AS (
+  SELECT from_type AS ft, CAST(SUM(n) AS BIGINT) AS n_from
+  FROM counts GROUP BY from_type
+)
+SELECT from_type, to_type, n, (10000 * n) // n_from AS p_bp
+FROM counts JOIN totals ON counts.from_type = totals.ft
+ORDER BY from_type, to_type
+"""
+
+
 QUERIES = {
     "ev_counts_hourly": ev_counts_hourly,
     "ev_stats_by_type": ev_stats_by_type,
@@ -553,6 +615,7 @@ QUERIES = {
     "ev_theta_user_overlap": ev_theta_user_overlap,
     "ev_funnel_steps": ev_funnel_steps,
     "ev_retention_cohorts": ev_retention_cohorts,
+    "ev_markov_transitions": ev_markov_transitions,
 }
 
 ORACLE = {
@@ -572,4 +635,5 @@ ORACLE = {
     "ev_sliding_1h_value": EV_SLIDING_SQL,
     "ev_funnel_steps": EV_FUNNEL_SQL,
     "ev_retention_cohorts": EV_RETENTION_SQL,
+    "ev_markov_transitions": EV_MARKOV_SQL,
 }
