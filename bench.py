@@ -108,6 +108,7 @@ HEADLINE = [
     "ev_retention_cohorts",
     "sim_ivfpq_lloyd_topk",
     "mm_audio_decode",
+    "ev_markov_transitions",
 ]
 
 
