@@ -111,6 +111,64 @@ def read_binary_dir(
     return reader.load(path)
 
 
+ZORDER_BITS = 16  # bucket resolution per dimension (2^16 buckets)
+
+
+def zorder_code(
+    df: DataFrame, cols: list[str], bits: int = ZORDER_BITS
+) -> "F.Column":
+    """Morton (Z-order) code over two numeric columns: each value is
+    width-bucketed into 2^bits uniform buckets between its column min/max
+    (the driver-side range read is query-planning state, like a range
+    partitioner's sampling), then the bucket ids' bits are interleaved —
+    a static chain of shift/mask expressions, fully codegen'd."""
+    import pyspark.sql.functions as F
+
+    assert len(cols) == 2, "zorder_code interleaves exactly two dimensions"
+    bounds = df.agg(
+        *[f(c).alias(f"{n}_{c}") for c in cols for n, f in (("mn", F.min), ("mx", F.max))]
+    ).head()
+    parts = []
+    for d, c in enumerate(cols):
+        mn, mx = float(bounds[f"mn_{c}"]), float(bounds[f"mx_{c}"])
+        b = (
+            F.width_bucket(F.col(c).cast("double"), F.lit(mn), F.lit(mx), F.lit((1 << bits) - 1))
+            - 1
+        ).cast("bigint")
+        for i in range(bits):
+            parts.append(
+                F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + d)
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.bitwiseOR(p)
+    return out
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: list[str], n_files: int = 8
+) -> None:
+    """Multi-dimensional layout clustering — the OPTIMIZE ZORDER analog
+    (Delta/Iceberg's data-skipping layout, done with plain Spark + parquet):
+    range-sort the write by the Morton interleaving of the cluster columns,
+    so EVERY clustered dimension gets tight per-file and per-rowgroup
+    min/max statistics. A single-column sort gives one dimension perfect
+    stats and leaves the others uniform; the Z-order curve splits the
+    skipping power across all of them — the layout lever for a 100 TB table
+    filtered on more than one column. Pruning then happens for free:
+    parquet rowgroup stats + Spark's pushed filters skip non-matching
+    files/rowgroups (pytest measures the stat tightness directly)."""
+    z = zorder_code(df, cols)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
