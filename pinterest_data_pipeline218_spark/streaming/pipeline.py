@@ -366,3 +366,50 @@ def incremental_quality_report(spark: SparkSession, state_dir: str) -> DataFrame
             "n_sources",
         )
     )
+
+
+# --------------------------------------------------------------- maintenance
+def compact_sink_output(
+    spark: SparkSession, path: str, target_files: int = 8
+) -> int:
+    """Small-file compaction — the maintenance job every micro-batch
+    parquet destination needs (each trigger writes >=1 file; a day of
+    10 s triggers is ~8.6k files, and at 100 TB the file-listing and
+    per-file open costs dominate scans long before the data does).
+    Rewrites the directory to ``target_files`` coalesced files and swaps
+    it in via directory rename; returns the number of files before
+    compaction. Targets foreachBatch outputs and batch-written dirs (the
+    incremental-dashboard state dirs, merge-triage outputs).
+
+    It REFUSES a FileStreamSink output (one carrying a _spark_metadata
+    manifest): those directories are read through the sink's own file
+    manifest, so rewriting files underneath it silently hides data from
+    manifest-driven readers — compacting a manifest-managed table with
+    snapshot isolation is precisely the ACID-table-format feature
+    (Delta/Iceberg OPTIMIZE) this environment's missing jar would provide
+    (COVERAGE.md S5), not something two directory renames can fake.
+
+    Swap caveat, stated honestly: the renames are not atomic for a
+    concurrent reader — run between read windows, as the reference's
+    daily cadence naturally does. Streaming CHECKPOINTS are untouched:
+    compaction rewrites outputs, not source progress."""
+    import glob as _glob
+    import shutil
+
+    if os.path.exists(os.path.join(path, "_spark_metadata")):
+        raise ValueError(
+            f"{path} is a FileStreamSink output (_spark_metadata manifest): "
+            "rewriting its files would desynchronize manifest-driven reads; "
+            "manifest-aware compaction is the ACID-table-format feature "
+            "(Delta OPTIMIZE) — see COVERAGE.md S5"
+        )
+    before = len(_glob.glob(os.path.join(path, "*.parquet")))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".__compact_old__"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return before

@@ -806,3 +806,75 @@ def test_incremental_quality_report_equals_batch(spark, tmp_path):
     assert r.n_exact_dup_docs == 1  # the cross-batch duplicate was seen
     assert r.contaminated_bp > 0  # the static-eval screen fired
     assert (r.n_langs, r.n_sources) == (2, 2)
+
+
+def test_compact_sink_output_preserves_rows_and_refuses_manifest(spark, tmp_path):
+    """Sink compaction: after many tiny foreachBatch files, compaction must
+    (a) reduce the file count to the target, (b) preserve every row
+    exactly, and (c) leave the stream's checkpoint valid — a later
+    incremental run appends new data without re-emitting old rows. A
+    FileStreamSink output (with a _spark_metadata manifest) must be
+    REFUSED: rewriting files under the manifest hides data from
+    manifest-driven readers (the Delta-OPTIMIZE gap, COVERAGE.md S5)."""
+    import glob
+    import json
+
+    import pytest as _pytest
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        compact_sink_output,
+        write_append_stream,
+    )
+
+    schema = StructType([StructField("id", LongType())])
+    src = tmp_path / "src"
+    src.mkdir()
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+
+    def add(name, ids):
+        with open(src / name, "w") as f:
+            for i in ids:
+                f.write(json.dumps({"id": i}) + "\n")
+
+    def drain():
+        stream = (
+            spark.readStream.format("json").schema(schema)
+            .option("maxFilesPerTrigger", "1").load(str(src))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for b in range(6):  # 6 tiny files -> >= 6 sink files
+        add(f"{b:03d}.jsonl", [b * 10, b * 10 + 1])
+    drain()
+    n_before = compact_sink_output(spark, out, target_files=2)
+    n_after = len(glob.glob(out + "/*.parquet"))
+    assert n_before >= 6 and n_after <= 2
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == sorted(b * 10 + k for b in range(6) for k in (0, 1))
+
+    add("zzz.jsonl", [999])  # the checkpoint must resume incrementally
+    drain()
+    got2 = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got2 == got + [999]  # old rows once, new row appended
+
+    # manifest-managed sink output: refuse, do not corrupt
+    sink_out = str(tmp_path / "manifest_out")
+    q = write_append_stream(
+        spark.readStream.format("json").schema(schema).load(str(src)),
+        sink_out,
+        str(tmp_path / "cp2"),
+        "manifest_etl",
+        available_now=True,
+    )
+    q.awaitTermination()
+    with _pytest.raises(ValueError, match="_spark_metadata"):
+        compact_sink_output(spark, sink_out, target_files=2)
