@@ -254,3 +254,44 @@ def test_funnel_ordering_semantics(spark, tmp_path):
     # step 1: users 1,2,3 viewed; step 2: only 1 and 3 clicked after their
     # view; step 3: only user 1 purchased after the qualifying click
     assert got == {1: (3, 10000), 2: (2, 6666), 3: (1, 3333)}
+
+
+def test_retention_cohort_offsets_hand_computed(spark, tmp_path):
+    """Retention triangle semantics, hand-pinned: a user active in their
+    cohort week and again two ISO weeks later contributes to offsets 0 and
+    2 (not 1); two users first seen in different weeks land in different
+    cohorts; within-week repeat activity counts once."""
+    import datetime as dt
+
+    from pinterest_data_pipeline218_spark.plans.events import ev_retention_cohorts
+
+    # 2024-01-01 is a Monday: clean ISO week boundaries
+    mon1 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    mon2 = mon1 + dt.timedelta(weeks=1)
+    mon3 = mon1 + dt.timedelta(weeks=2)
+
+    def ev(i, user, ts):
+        return (i, ts, user, "view", 1.0, "{}")
+
+    rows = [
+        # user 1: cohort week 1, active weeks 1 and 3 -> offsets {0, 2}
+        ev(1, 1, mon1),
+        ev(2, 1, mon1 + dt.timedelta(days=3)),  # same week: counts once
+        ev(3, 1, mon3),
+        # user 2: cohort week 2 only -> offset {0} in the week-2 cohort
+        ev(4, 2, mon2 + dt.timedelta(days=1)),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r.cohort_week.isoformat(), r.week_offset): r.n_users
+        for r in ev_retention_cohorts(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
