@@ -1056,6 +1056,72 @@ ORDER BY source, doc_a, doc_b
 """
 
 
+def containment_pairs_lsh(docs: DataFrame) -> DataFrame:
+    """The documented 100 TB blocking swap for dedup_containment: candidate
+    pairs come from the minhash BAND BUCKETS (the exact machinery behind
+    dedup_minhash_lsh — never all-pairs within a metadata block), then the
+    same hashed-shingle containment scoring. Columns match
+    containment_pairs minus `source` (bands span sources).
+
+    The trade, stated plainly: minhash banding approximates JACCARD, so an
+    engulfed-but-small document (high containment, low Jaccard — exactly
+    the asymmetric case) can fall below the banding recall curve; the
+    candidate generator real systems use for containment at scale is
+    seed-chunk / suffix sampling, not symmetric minhash. This form is the
+    right swap when containment runs BESIDE the near-dup screen on the
+    same candidate stream (one banding pass feeds both scorers, which is
+    how the pair machinery here composes); the exhaustive source-blocked
+    form remains the within-block contract. Pytest proves score equality
+    with the exhaustive form on every pair both emit."""
+    par = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    bands = _band_table(docs).repartition(par)
+    left, right = bands.alias("a"), bands.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(_first_band_match())
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                T.word_shingles(T.tokens(F.col("text")), CONTAINMENT_N),
+                lambda g: T.token_hash(g),
+            )
+        ).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    sized = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(inter > 0)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("sh_a").alias("n_sh_a"),
+            F.size("sh_b").alias("n_sh_b"),
+            inter.alias("n_common"),
+        )
+    )
+    ca = F.expr("(10000L * n_common) div n_sh_a")
+    cb = F.expr("(10000L * n_common) div n_sh_b")
+    return sized.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        ca.alias("cont_a_bp"),
+        cb.alias("cont_b_bp"),
+        (F.greatest(ca, cb) >= CONTAINMENT_MIN_BP).alias("subdup"),
+    ).orderBy("doc_a", "doc_b")
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,

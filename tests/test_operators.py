@@ -1361,6 +1361,33 @@ def test_containment_catches_subsets_jaccard_misses(spark, tmp_path):
     # near-dup threshold; containment is what catches it.
 
 
+def test_containment_lsh_blocking_agrees_with_exhaustive(spark):
+    """The band-bucket blocking swap: on every pair BOTH forms emit, the
+    LSH-blocked containment must carry byte-identical scores (same shingle
+    hashing, same fixed-point arithmetic — only candidate generation
+    differs), and the band generator must actually produce overlapping
+    coverage on this corpus."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_lsh,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exhaustive = {
+        (r.doc_a, r.doc_b): (r.n_common, r.cont_a_bp, r.cont_b_bp, r.subdup)
+        for r in containment_pairs(docs).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): (r.n_common, r.cont_a_bp, r.cont_b_bp, r.subdup)
+        for r in containment_pairs_lsh(docs).collect()
+    }
+    shared = set(exhaustive) & set(lsh)
+    assert shared, "band blocking produced no overlap with source blocking"
+    for k in shared:
+        assert lsh[k] == exhaustive[k], k
+
+
 def test_corpus_shuffle_shards_deterministic_and_contiguous(spark):
     """Training-order shuffle contract: reproducible across runs, positions
     contiguous 1..n within every shard, and within-shard order is hash
