@@ -61,6 +61,11 @@ def decode_wav(data: bytes) -> tuple[int, int, bytes]:
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
+        if pos + 8 + size > len(data):
+            raise AudioFormatError(
+                f"chunk {cid!r} declares {size} bytes but the payload ends "
+                f"{pos + 8 + size - len(data)} bytes short — truncated file"
+            )
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             if size < 16:

@@ -963,11 +963,11 @@ def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_docs",
             "n_tokens",
-            F.expr("n_quality_pass * 10000 div n_docs").alias("quality_pass_bp"),
-            F.expr("n_repetition_pass * 10000 div n_docs").alias(
+            F.expr("n_quality_pass * 10000 div nullif(n_docs, 0)").alias("quality_pass_bp"),
+            F.expr("n_repetition_pass * 10000 div nullif(n_docs, 0)").alias(
                 "repetition_pass_bp"
             ),
-            F.expr("n_contaminated * 10000 div n_docs").alias("contaminated_bp"),
+            F.expr("n_contaminated * 10000 div nullif(n_docs, 0)").alias("contaminated_bp"),
             (F.col("n_docs") - F.col("n_unique_texts")).alias("n_exact_dup_docs"),
             "n_langs",
             "n_sources",
@@ -1011,11 +1011,11 @@ def quality_report_vs(docs: DataFrame, bench: DataFrame) -> DataFrame:
         .select(
             "n_docs",
             "n_tokens",
-            F.expr("n_quality_pass * 10000 div n_docs").alias("quality_pass_bp"),
-            F.expr("n_repetition_pass * 10000 div n_docs").alias(
+            F.expr("n_quality_pass * 10000 div nullif(n_docs, 0)").alias("quality_pass_bp"),
+            F.expr("n_repetition_pass * 10000 div nullif(n_docs, 0)").alias(
                 "repetition_pass_bp"
             ),
-            F.expr("n_contaminated * 10000 div n_docs").alias("contaminated_bp"),
+            F.expr("n_contaminated * 10000 div nullif(n_docs, 0)").alias("contaminated_bp"),
             (F.col("n_docs") - F.col("n_unique_texts")).alias("n_exact_dup_docs"),
             "n_langs",
             "n_sources",

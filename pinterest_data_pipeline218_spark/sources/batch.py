@@ -130,7 +130,17 @@ def zorder_code(
     ).head()
     parts = []
     for d, c in enumerate(cols):
+        if bounds[f"mn_{c}"] is None or bounds[f"mx_{c}"] is None:
+            raise ValueError(
+                f"zorder_code: column {c!r} has no non-null values to bound "
+                "(empty input?) — a Z-order layout over it is undefined"
+            )
         mn, mx = float(bounds[f"mn_{c}"]), float(bounds[f"mx_{c}"])
+        if mn == mx:
+            # constant dimension: width_bucket(x, v, v, n) is NULL for every
+            # row, which would NULL the whole code — a constant column carries
+            # no skipping power, so its contribution is bucket 0.
+            continue
         b = (
             F.width_bucket(F.col(c).cast("double"), F.lit(mn), F.lit(mx), F.lit((1 << bits) - 1))
             - 1
@@ -139,6 +149,8 @@ def zorder_code(
             parts.append(
                 F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + d)
             )
+    if not parts:  # both dimensions constant: every row is the same cell
+        return F.lit(0).cast("bigint")
     out = parts[0]
     for p in parts[1:]:
         out = out.bitwiseOR(p)

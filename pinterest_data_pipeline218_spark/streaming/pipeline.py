@@ -262,18 +262,27 @@ def sliding_counts(
 
 
 # --------------------------------------------------------- incremental report
-def quality_state_batch(batch_df: DataFrame, bench: DataFrame, state_dir: str) -> None:
+def quality_state_batch(
+    batch_df: DataFrame, bench: DataFrame, state_dir: str, batch_id: int = -1
+) -> None:
     """One micro-batch's contribution to the incremental curation
     dashboard. Everything the report needs decomposes into either
     (a) summable integer counters — docs, tokens, quality passes,
     repetition passes (the bigram gate is within-doc), contamination hits
-    vs the STATIC eval set — appended as one row to
-    ``{state_dir}/counters``; or (b) distinct-at-report-time key sets —
-    content digests (cross-batch exact dups!), langs, sources — appended
-    as (kind, value) rows to ``{state_dir}/keys``. The per-batch work is
-    the SAME gate expressions the batch report runs; no state lives in
-    executor memory, so the dashboard survives restarts with the stream's
-    checkpoint."""
+    vs the STATIC eval set — one row under
+    ``{state_dir}/counters/batch_id=<bid>``; or (b) distinct-at-report-time
+    key sets — content digests (cross-batch exact dups!), langs, sources —
+    (kind, value) rows under ``{state_dir}/keys/batch_id=<bid>``. The
+    per-batch work is the SAME gate expressions the batch report runs; no
+    state lives in executor memory, so the dashboard survives restarts with
+    the stream's checkpoint.
+
+    IDEMPOTENT on batch id: foreachBatch is at-least-once, so a batch
+    replayed after a crash must not double-count. Each batch's rows land in
+    their own ``batch_id=<bid>`` partition directory written with
+    ``overwrite`` — a replay rewrites the same partition instead of
+    appending a duplicate, and assembly sums across partitions unchanged
+    (partition discovery surfaces batch_id as a column the report ignores)."""
     from ..functions import text as T
     from ..operators.corpus import QUALITY_THRESHOLD
     from ..operators.text_analysis import (
@@ -299,7 +308,9 @@ def quality_state_batch(batch_df: DataFrame, bench: DataFrame, state_dir: str) -
         .crossJoin(F.broadcast(n_rep))
         .crossJoin(F.broadcast(n_cont))
     )
-    counters.write.mode("append").parquet(f"{state_dir}/counters")
+    counters.write.mode("overwrite").parquet(
+        f"{state_dir}/counters/batch_id={batch_id}"
+    )
     keys = (
         docs.select(F.lit("digest").alias("kind"), F.md5("text").alias("value"))
         .unionAll(docs.select(F.lit("lang").alias("kind"), F.col("lang").alias("value")))
@@ -308,7 +319,7 @@ def quality_state_batch(batch_df: DataFrame, bench: DataFrame, state_dir: str) -
         )
         .distinct()
     )
-    keys.write.mode("append").parquet(f"{state_dir}/keys")
+    keys.write.mode("overwrite").parquet(f"{state_dir}/keys/batch_id={batch_id}")
 
 
 def attach_quality_report_stream(
@@ -319,7 +330,7 @@ def attach_quality_report_stream(
     exactly why it decomposes into mergeable state)."""
     return (
         stream_docs.writeStream.foreachBatch(
-            lambda batch_df, _bid: quality_state_batch(batch_df, bench, state_dir)
+            lambda batch_df, bid: quality_state_batch(batch_df, bench, state_dir, bid)
         )
         .option("checkpointLocation", checkpoint)
         .start()
@@ -331,7 +342,20 @@ def incremental_quality_report(spark: SparkSession, state_dir: str) -> DataFrame
     rows, count distinct keys per kind. Emits EXACTLY the
     corpus.quality_report_vs schema, and (pytest-proved) exactly its
     values over the union of all processed batches — including cross-batch
-    exact duplicates, which per-batch reports cannot see."""
+    exact duplicates, which per-batch reports cannot see. Queried before
+    the first batch has landed (state dirs absent), returns the all-zero
+    report instead of throwing; zero-doc division yields NULL bps."""
+    if not (
+        os.path.isdir(f"{state_dir}/counters") and os.path.isdir(f"{state_dir}/keys")
+    ):
+        return spark.sql(
+            "SELECT CAST(0 AS BIGINT) n_docs, CAST(0 AS BIGINT) n_tokens, "
+            "CAST(NULL AS BIGINT) quality_pass_bp, "
+            "CAST(NULL AS BIGINT) repetition_pass_bp, "
+            "CAST(NULL AS BIGINT) contaminated_bp, "
+            "CAST(0 AS BIGINT) n_exact_dup_docs, "
+            "CAST(0 AS BIGINT) n_langs, CAST(0 AS BIGINT) n_sources"
+        )
     c = spark.read.parquet(f"{state_dir}/counters").agg(
         F.sum("n_docs").alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
@@ -356,11 +380,11 @@ def incremental_quality_report(spark: SparkSession, state_dir: str) -> DataFrame
         .select(
             "n_docs",
             "n_tokens",
-            F.expr("n_quality_pass * 10000 div n_docs").alias("quality_pass_bp"),
-            F.expr("n_repetition_pass * 10000 div n_docs").alias(
+            F.expr("n_quality_pass * 10000 div nullif(n_docs, 0)").alias("quality_pass_bp"),
+            F.expr("n_repetition_pass * 10000 div nullif(n_docs, 0)").alias(
                 "repetition_pass_bp"
             ),
-            F.expr("n_contaminated * 10000 div n_docs").alias("contaminated_bp"),
+            F.expr("n_contaminated * 10000 div nullif(n_docs, 0)").alias("contaminated_bp"),
             (F.col("n_docs") - F.col("n_unique_texts")).alias("n_exact_dup_docs"),
             "n_langs",
             "n_sources",
@@ -392,10 +416,21 @@ def compact_sink_output(
     Swap caveat, stated honestly: the renames are not atomic for a
     concurrent reader — run between read windows, as the reference's
     daily cadence naturally does. Streaming CHECKPOINTS are untouched:
-    compaction rewrites outputs, not source progress."""
+    compaction rewrites outputs, not source progress.
+
+    Crash-safe on re-entry: a crash between the two swap renames leaves
+    the dataset stranded at ``.__compact_old__`` with nothing at ``path``;
+    on entry that half-finished swap is detected and rolled back (the old
+    dir renamed into place), and any stale ``.__compact_tmp__`` from an
+    aborted write is removed before writing."""
     import glob as _glob
     import shutil
 
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    old = path.rstrip("/") + ".__compact_old__"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)  # recover the crash window between the two renames
+    shutil.rmtree(tmp, ignore_errors=True)
     if os.path.exists(os.path.join(path, "_spark_metadata")):
         raise ValueError(
             f"{path} is a FileStreamSink output (_spark_metadata manifest): "
@@ -405,9 +440,7 @@ def compact_sink_output(
         )
     before = len(_glob.glob(os.path.join(path, "*.parquet")))
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".__compact_tmp__"
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + ".__compact_old__"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)

@@ -1889,3 +1889,25 @@ def test_bpe_merges_match_python_reference_and_reduce_fertility(spark):
         )
     ).first()
     assert row.bpe < row.chars  # merges strictly compress the stream
+
+
+def test_wav_truncated_chunk_raises_typed_error():
+    """A chunk whose declared size overruns the buffer must raise
+    AudioFormatError (typed, catchable at the codec boundary), not a bare
+    struct.error from inside the parser — and never silently truncate."""
+    import pytest as _pytest
+    import struct as _struct
+
+    from pinterest_data_pipeline218_spark.functions import audio
+
+    raw = _struct.pack("<8h", *[100, -100, 200, -200, 300, -300, 400, -400])
+    data = bytearray(audio.encode_wav(16000, 2, raw))
+    # inflate the data chunk's declared size past the end of the buffer
+    data_pos = bytes(data).index(b"data")
+    _struct.pack_into("<I", data, data_pos + 4, len(raw) + 64)
+    with _pytest.raises(audio.AudioFormatError, match="truncated"):
+        audio.decode_wav(bytes(data))
+    # truncated fmt chunk: declared 16 bytes, buffer ends first
+    hdr = b"RIFF" + _struct.pack("<I", 20) + b"WAVE" + b"fmt " + _struct.pack("<I", 16) + b"\x01\x00"
+    with _pytest.raises(audio.AudioFormatError):
+        audio.decode_wav(hdr)

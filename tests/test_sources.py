@@ -318,3 +318,34 @@ def test_zorder_layout_tightens_stats_on_both_dimensions(spark, tmp_path):
     assert mean_span(zdir, "value") < 0.6 * mean_span(udir, "value")
     assert mean_span(zdir, "user_id") < 0.6 * mean_span(vdir, "user_id")
     assert spark.read.parquet(zdir).count() == ev.count()
+
+
+def test_zorder_code_degenerate_bounds(spark):
+    """Guard rails on the Morton code: empty input (no bounds) raises a
+    clear error instead of TypeError(float(None)); a constant dimension
+    (min == max, where width_bucket would NULL every code) contributes
+    bucket 0 so the layout degrades to a single-column sort instead of a
+    silently-NULL cluster key."""
+    import pytest as _pytest
+
+    import pyspark.sql.functions as F
+    from pinterest_data_pipeline218_spark.sources.batch import zorder_code
+
+    empty = spark.range(0).select(
+        F.col("id").alias("a"), F.col("id").alias("b")
+    )
+    with _pytest.raises(ValueError, match="empty"):
+        zorder_code(empty, ["a", "b"])
+
+    const_b = spark.range(8).select(
+        F.col("id").alias("a"), F.lit(7).alias("b")
+    )
+    codes = [r.z for r in const_b.select(zorder_code(const_b, ["a", "b"], bits=4).alias("z")).collect()]
+    assert all(z is not None for z in codes)
+    assert len(set(codes)) > 1  # column a still clusters
+
+    both_const = spark.range(5).select(
+        F.lit(1).alias("a"), F.lit(2).alias("b")
+    )
+    codes2 = [r.z for r in both_const.select(zorder_code(both_const, ["a", "b"]).alias("z")).collect()]
+    assert codes2 == [0] * 5

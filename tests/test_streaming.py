@@ -878,3 +878,79 @@ def test_compact_sink_output_preserves_rows_and_refuses_manifest(spark, tmp_path
     q.awaitTermination()
     with _pytest.raises(ValueError, match="_spark_metadata"):
         compact_sink_output(spark, sink_out, target_files=2)
+
+
+def test_quality_state_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a micro-batch REPLAYED after a crash
+    (same batch_id, same data) must not double-count. State rows land in
+    batch_id=<bid> partitions written with overwrite, so the replayed
+    batch rewrites its partition and the assembled report is unchanged."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pinterest_data_pipeline218_spark.operators.corpus import quality_report_vs
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        incremental_quality_report,
+        quality_state_batch,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    bench = spark.createDataFrame(
+        [(100, "held out benchmark passage")],
+        StructType([StructField("doc_id", LongType()), StructField("text", StringType())]),
+    )
+    b0 = [(1, "an ordinary first document body", "en", "web"),
+          (2, "another routine text with words", "en", "web")]
+    b1 = [(3, "a third document in the corpus", "de", "forum")]
+    state = str(tmp_path / "state")
+    quality_state_batch(spark.createDataFrame(b0, schema), bench, state, batch_id=0)
+    quality_state_batch(spark.createDataFrame(b1, schema), bench, state, batch_id=1)
+    # crash-replay of batch 1: identical data, identical batch_id
+    quality_state_batch(spark.createDataFrame(b1, schema), bench, state, batch_id=1)
+    got = incremental_quality_report(spark, state).collect()
+    want = quality_report_vs(spark.createDataFrame(b0 + b1, schema), bench).collect()
+    assert got == want
+    assert got[0].n_docs == 3  # not 4 — the replay did not double-count
+
+
+def test_incremental_report_before_first_batch_is_zero(spark, tmp_path):
+    """Querying the dashboard before any batch has landed (state dirs
+    absent) returns the all-zero report instead of AnalysisException, and
+    the zero-doc bp divisions are NULL instead of an ANSI div-by-zero."""
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        incremental_quality_report,
+    )
+
+    r = incremental_quality_report(spark, str(tmp_path / "never_written")).collect()
+    assert len(r) == 1
+    assert (r[0].n_docs, r[0].n_tokens) == (0, 0)
+    assert r[0].quality_pass_bp is None
+
+
+def test_compact_sink_output_recovers_half_finished_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves the dataset stranded in
+    .__compact_old__ and nothing at `path`; re-running compaction must
+    roll the old directory back into place (and clear stale tmp dirs)
+    instead of failing on the missing path."""
+    import os as _os
+    import shutil as _shutil
+
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        compact_sink_output,
+    )
+
+    out = str(tmp_path / "out")
+    spark.range(20).write.parquet(out)
+    # simulate the crash window: first rename done, second never happened
+    _os.rename(out, out + ".__compact_old__")
+    _os.makedirs(out + ".__compact_tmp__")  # stale aborted write too
+    compact_sink_output(spark, out, target_files=1)
+    assert not _os.path.exists(out + ".__compact_old__")
+    assert not _os.path.exists(out + ".__compact_tmp__")
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == list(range(20))
