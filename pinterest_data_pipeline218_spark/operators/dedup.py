@@ -1122,6 +1122,135 @@ def containment_pairs_lsh(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+CONTAINMENT_SEED_K = 8  # bottom-k seed shingles per document
+
+
+def containment_pairs_seeds(
+    docs: DataFrame, seed_k: int = CONTAINMENT_SEED_K, df_cap: int | None = None
+) -> DataFrame:
+    """The ASYMMETRIC containment candidate generator real systems use at
+    scale — seed-shingle sampling — replacing both the all-pairs block
+    screen and the symmetric minhash banding whose recall curve
+    under-serves engulfed-SMALL documents (containment_pairs_lsh's
+    documented trade).
+
+    Mechanics: each document contributes its ``seed_k`` hash-smallest
+    shingles as SEEDS (a bottom-k sketch — deterministic, and w.r.t. the
+    hash order a uniform random k-subset of the doc's shingle set); every
+    document's full shingle set is an inverted-index POSTING list; a
+    candidate pair is any (seed owner, posting owner) sharing a shingle
+    hash. If cont(A→B) = |A∩B| div |A| ≥ τ, the chance all k of A's seeds
+    miss B is ≤ (1-τ)^k — at τ=0.8, k=8 that is 2.6e-6, so engulfment is
+    caught regardless of how LARGE B is (the case Jaccard banding dilutes
+    away: a 20-shingle quote inside a 500-shingle page has j≈0.04 but
+    cont≈1.0). Candidates are then scored by the exact hashed-shingle
+    containment expressions shared with containment_pairs / _lsh, so
+    scores are equal on every pair any generator emits (pytest-proved).
+
+    Scale shape: seeds are n·k rows; postings are the distinct-shingle
+    volume (the same explode the minhash signature pass already pays); the
+    candidate join is a hash equi-join on the shingle value whose output is
+    bounded by seed-posting co-occurrence — never all-pairs, never
+    quadratic in a block. The one adversarial input is a STOPWORD-heavy
+    shingle present in a large fraction of the corpus (its posting list
+    multiplies every seed occurrence): ``df_cap`` drops postings whose
+    document frequency exceeds the cap before the join — the standard
+    stopword-posting cut, one extra (hash)-keyed grouped count. The gated
+    form runs df_cap=None so the oracle stays a 4-CTE replay."""
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                T.word_shingles(T.tokens(F.col("text")), CONTAINMENT_N),
+                lambda g: T.token_hash(g),
+            )
+        ).alias("sh"),
+    )
+    seeds = sh.select(
+        "doc_id",
+        F.explode(F.slice(F.array_sort("sh"), 1, seed_k)).alias("h"),
+    )
+    postings = sh.select(
+        F.col("doc_id").alias("p_doc"), F.explode("sh").alias("h")
+    )
+    if df_cap is not None:
+        keep = (
+            postings.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("h")
+        )
+        postings = postings.join(keep, "h")
+    cand = (
+        seeds.join(postings, "h")
+        .filter(F.col("doc_id") != F.col("p_doc"))
+        .select(
+            F.least("doc_id", "p_doc").alias("doc_a"),
+            F.greatest("doc_id", "p_doc").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    sized = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(inter > 0)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("sh_a").alias("n_sh_a"),
+            F.size("sh_b").alias("n_sh_b"),
+            inter.alias("n_common"),
+        )
+    )
+    ca = F.expr("(10000L * n_common) div n_sh_a")
+    cb = F.expr("(10000L * n_common) div n_sh_b")
+    return sized.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        ca.alias("cont_a_bp"),
+        cb.alias("cont_b_bp"),
+        (F.greatest(ca, cb) >= CONTAINMENT_MIN_BP).alias("subdup"),
+    ).orderBy("doc_a", "doc_b")
+
+
+def dedup_containment_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated rendering of the seed-shingle containment screen (the 100 TB
+    candidate-generation shape) over the documents table."""
+    return containment_pairs_seeds(load_table(spark, sf_dir, "documents"))
+
+
+DEDUP_CONTAINMENT_SEEDS_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({_CSH_HASHED}) AS s FROM documents
+), seeds AS (
+  SELECT doc_id, unnest(list_sort(s)[1:{CONTAINMENT_SEED_K}]) AS h FROM sh
+), postings AS (
+  SELECT doc_id AS p_doc, unnest(s) AS h FROM sh
+), cand AS (
+  SELECT DISTINCT LEAST(se.doc_id, p.p_doc) AS doc_a,
+         GREATEST(se.doc_id, p.p_doc) AS doc_b
+  FROM seeds se JOIN postings p USING (h)
+  WHERE se.doc_id != p.p_doc
+), sized AS (
+  SELECT c.doc_a, c.doc_b, len(a.s) AS n_sh_a, len(b.s) AS n_sh_b,
+         len(list_intersect(a.s, b.s)) AS n_common
+  FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) > 0
+)
+SELECT doc_a, doc_b, n_common,
+       (10000 * n_common) // n_sh_a AS cont_a_bp,
+       (10000 * n_common) // n_sh_b AS cont_b_bp,
+       GREATEST((10000 * n_common) // n_sh_a,
+                (10000 * n_common) // n_sh_b) >= {CONTAINMENT_MIN_BP} AS subdup
+FROM sized
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1134,6 +1263,7 @@ QUERIES = {
     "dedup_embedding_neardup": dedup_embedding_neardup,
     "dedup_compact_corpus": dedup_compact_corpus,
     "dedup_containment": dedup_containment,
+    "dedup_containment_seeds": dedup_containment_seeds,
 }
 
 ORACLE = {
@@ -1148,4 +1278,5 @@ ORACLE = {
     "dedup_embedding_neardup": DEDUP_EMBEDDING_SQL,
     "dedup_compact_corpus": DEDUP_COMPACT_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
+    "dedup_containment_seeds": DEDUP_CONTAINMENT_SEEDS_SQL,
 }

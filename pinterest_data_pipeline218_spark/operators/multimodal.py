@@ -504,12 +504,203 @@ FROM base ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Perceptual image hashing (dHash/aHash) + Hamming-banded near-dup pairs —
+# the multimodal dedup operator a training-data pipeline actually runs
+# (near-identical images survive exact-byte dedup: re-encodes, crops of
+# padding, minor edits). Made honest by the REAL pixel decoders
+# (functions/imaging.py): fingerprints are computed from decoded RGB, so a
+# decoder defect (row order, channel order, padding) changes the hash and
+# breaks the oracle match. 56-bit fingerprints (7 rows x 8 comparisons)
+# keep every value a positive BIGINT in both engines (the dedup_simhash
+# 60-bit convention).
+PHASH_ROWS = 7  # sample rows
+PHASH_BITS_PER_ROW = 8  # comparisons per row (dHash samples 9 columns)
+PHASH_NBITS = PHASH_ROWS * PHASH_BITS_PER_ROW  # 56
+
+
+def _phash_grid_coords(nx: int, w: int, h: int) -> list[tuple[int, int]]:
+    """Row-major (pixel_x, pixel_y) nearest-neighbor sample coordinates for
+    an nx x PHASH_ROWS grid — shared by the kernel and the oracle SQL
+    generator so both sample identical pixels."""
+    return [
+        (x * w // nx, y * h // PHASH_ROWS)
+        for y in range(PHASH_ROWS)
+        for x in range(nx)
+    ]
+
+
+def _luma_samples(px: bytes, w: int, h: int, nx: int) -> list[int]:
+    """Integer luma (r+g+b) at each grid sample of a decoded RGB buffer."""
+    out = []
+    for sx, sy in _phash_grid_coords(nx, w, h):
+        i = (sy * w + sx) * 3
+        out.append(px[i] + px[i + 1] + px[i + 2])
+    return out
+
+
+def dhash56(px: bytes, w: int, h: int) -> int:
+    """Difference hash: 9-column x 7-row luma grid; bit p=(y*8+x) set iff
+    luma(x+1,y) > luma(x,y) — the horizontal-gradient signature, invariant
+    to global brightness shifts."""
+    nx = PHASH_BITS_PER_ROW + 1
+    lum = _luma_samples(px, w, h, nx)
+    fp = 0
+    for y in range(PHASH_ROWS):
+        for x in range(PHASH_BITS_PER_ROW):
+            if lum[y * nx + x + 1] > lum[y * nx + x]:
+                fp |= 1 << (y * PHASH_BITS_PER_ROW + x)
+    return fp
+
+
+def ahash56(px: bytes, w: int, h: int) -> int:
+    """Average hash: 8x7 luma grid; bit p set iff luma(p) > truncated
+    integer mean over the grid."""
+    lum = _luma_samples(px, w, h, PHASH_BITS_PER_ROW)
+    mean = sum(lum) // PHASH_NBITS
+    fp = 0
+    for p, v in enumerate(lum):
+        if v > mean:
+            fp |= 1 << p
+    return fp
+
+
+_PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dhash", LongType()),
+        StructField("ahash", LongType()),
+    ]
+)
+
+
+def extract_image_phash(df: DataFrame) -> DataFrame:
+    """(doc_id, dhash, ahash) from (doc_id, payload) — Arrow-batched decode
+    + fingerprint kernel. NULL payloads yield no row (the decode-quarantine
+    contract)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                _fmt, w, h, px = decode_image(bytes(payload))
+                rows.append((doc_id, dhash56(px, w, h), ahash56(px, w, h)))
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash", "ahash"])
+
+    return df.mapInPandas(feats, schema=_PHASH_SCHEMA)
+
+
+def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated rendering: generate real PPM/BMP payloads per document, decode
+    them, emit both perceptual fingerprints. The oracle replays the
+    generative pixel formula closed-form (grid coordinates precomputed at
+    SQL-build time), never touching a decoder — so container parsing,
+    channel order, row order AND the sampling arithmetic are all under
+    test."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_image_phash(with_image_payload(docs)).orderBy("doc_id")
+
+
+def _image_phash_sql() -> str:
+    def luma(sx: int, sy: int) -> str:
+        base = (sy * IMG_W + sx) * 3
+        return "(" + " + ".join(
+            f"((doc_id * 31 + {base + c}) % 256)" for c in range(3)
+        ) + ")"
+
+    nx = PHASH_BITS_PER_ROW + 1
+    dcoords = _phash_grid_coords(nx, IMG_W, IMG_H)
+    dterms = []
+    for y in range(PHASH_ROWS):
+        for x in range(PHASH_BITS_PER_ROW):
+            a = dcoords[y * nx + x]
+            b = dcoords[y * nx + x + 1]
+            p = y * PHASH_BITS_PER_ROW + x
+            dterms.append(
+                f"CASE WHEN {luma(*b)} > {luma(*a)} THEN {1 << p}::BIGINT ELSE 0::BIGINT END"
+            )
+    acoords = _phash_grid_coords(PHASH_BITS_PER_ROW, IMG_W, IMG_H)
+    mean = "((" + " + ".join(luma(*c) for c in acoords) + f") // {PHASH_NBITS})"
+    aterms = [
+        f"CASE WHEN {luma(*c)} > __amean THEN {1 << p}::BIGINT ELSE 0::BIGINT END"
+        for p, c in enumerate(acoords)
+    ]
+    return f"""
+WITH base AS (SELECT doc_id, {mean} AS __amean FROM documents)
+SELECT doc_id,
+       ({" + ".join(dterms)}) AS dhash,
+       ({" + ".join(aterms)}) AS ahash
+FROM base ORDER BY doc_id
+"""
+
+
+PHASH_BANDS = 4  # 14 bits per band: pigeonhole-guaranteed for hamming <= 3
+PHASH_MAX_HAMMING = 3
+
+
+def phash_neardup_pairs(
+    fps: DataFrame, max_hamming: int = PHASH_MAX_HAMMING, col: str = "dhash"
+) -> DataFrame:
+    """Near-duplicate image pairs from perceptual fingerprints, banded for
+    scale: the 56-bit fingerprint splits into PHASH_BANDS 14-bit bands;
+    candidates share at least one band (a hash equi-join on (band_idx,
+    band_value) — never all-pairs); survivors are filtered by exact
+    Hamming distance bit_count(a XOR b) <= max_hamming. Pigeonhole makes
+    recall EXACT for max_hamming < PHASH_BANDS (a pair differing in <= 3
+    bits cannot touch all 4 bands); larger radii degrade gracefully like
+    any banding scheme. Expects (doc_id, {col}); emits
+    (doc_a, doc_b, hamming)."""
+    band_w = PHASH_NBITS // PHASH_BANDS
+    mask = (1 << band_w) - 1
+    banded = fps.select(
+        "doc_id",
+        F.col(col).alias("fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col(col), i * band_w)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "fp", "bk.band_idx", "bk.band_val")
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("fp").alias("fp_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("fp").alias("fp_b"),
+        "band_idx",
+        "band_val",
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_fake_features": mm_fake_features,
     "mm_frame_sample": mm_frame_sample,
     "mm_image_decode": mm_image_decode,
     "mm_audio_decode": mm_audio_decode,
+    "mm_image_phash": mm_image_phash,
 }
 
 ORACLE = {
@@ -518,4 +709,5 @@ ORACLE = {
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     "mm_image_decode": _image_decode_sql(),
     "mm_audio_decode": _audio_decode_sql(),
+    "mm_image_phash": _image_phash_sql(),
 }

@@ -938,7 +938,7 @@ def _pq_res_encode(rcomps: DataFrame, cb: DataFrame) -> DataFrame:
 
 
 def _pq_res_codes_cb(
-    emb: DataFrame, lloyd_rounds: int = 0
+    emb: DataFrame, lloyd_rounds: int = 0, pq_k: int = PQ_K
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(codes, cb, cell_means) for the residual encoding. Codebooks are
     shared across cells and trained on residuals (classic IVFADC: one
@@ -952,11 +952,18 @@ def _pq_res_codes_cb(
     assigned residual components, empty entries keeping their previous
     value) — deterministic, engine-exact, and oracle-replayable as chained
     CTEs. Each round is one broadcast-join encode + one (m,r,code) grouped
-    mean over the residual stream."""
+    mean over the residual stream.
+
+    ``pq_k`` is the CODE WIDTH dial (entries per subspace codebook):
+    16 → 4-bit codes, 256 → 8-bit codes. BASELINE §2c's measured finding is
+    that after residual re-centering, clustered recall is bound by code
+    RESOLUTION, not codebook placement — widening pq_k is the named lever,
+    at 2× the code bytes and K× the encode candidates (still n·M·K
+    pre-combined rows, one-time index-build cost)."""
     from pyspark.sql import Window
 
     rcomps, cm = _pq_res_comps(emb)
-    seeds = emb.select("vec_id").orderBy("vec_id").limit(PQ_K)
+    seeds = emb.select("vec_id").orderBy("vec_id").limit(pq_k)
     seed_j = seeds.select(
         "vec_id",
         (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("j"),
@@ -984,6 +991,7 @@ def _ivfpq_residual(
     nprobe: int = NPROBE,
     k: int = TOP_K,
     lloyd_rounds: int = 0,
+    pq_k: int = PQ_K,
 ) -> DataFrame:
     """Residual-IVFPQ ranked top-k for one query id. Unlike the global-PQ
     form, the query's ADC distance table is PER PROBED CELL (the query
@@ -1000,7 +1008,7 @@ def _ivfpq_residual(
         .limit(nprobe)
         .select("label")
     )
-    codes, cb, cm = _pq_res_codes_cb(emb, lloyd_rounds=lloyd_rounds)
+    codes, cb, cm = _pq_res_codes_cb(emb, lloyd_rounds=lloyd_rounds, pq_k=pq_k)
     qcomps = emb.filter(F.col("vec_id") == query_vec_id).select(
         F.posexplode("v").alias("pos", "val")
     ).select(
@@ -1050,7 +1058,30 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_residual(emb, QUERY_VEC_ID)
 
 
+PQ_K_WIDE = 256  # 8-bit codes: the measured recall lever after residuals
 PQ_LLOYD_ROUNDS = 2  # the ml_kmeans_refine convention: fixed unrolled rounds
+
+
+def sim_ivfpq_wide_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ with WIDE (8-bit) codes — pq_k = 256 entries per
+    subspace codebook instead of 16. BASELINE §2c reading 3's conclusion
+    made this the named next lever: residual re-centering fixed codebook
+    PLACEMENT, leaving clustered recall bound by 4-bit code RESOLUTION
+    (16 entries cannot separate within-cluster neighbors whose residual
+    spread spans more than 16 distinguishable shells). 8-bit codes are the
+    FAISS default for exactly this reason.
+
+    Cost accounting, honest: codes go 4 bytes → 8 bytes per vector
+    (M=8 codes, one byte each when packed — still ~32× under the raw
+    256-byte vector), the encode pass carries n·M·256 pre-combined rows
+    instead of n·M·16 (a one-time index-build cost), and the per-probed-cell
+    ADC LUT grows to nprobe·M·256 integers — all still broadcast-trivial.
+    The probe-side plan is byte-identical in shape to
+    sim_ivfpq_residual_topk."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    return _ivfpq_residual(emb, QUERY_VEC_ID, pq_k=PQ_K_WIDE)
 
 
 def sim_ivfpq_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1074,7 +1105,7 @@ def sim_ivfpq_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_residual(emb, QUERY_VEC_ID, lloyd_rounds=PQ_LLOYD_ROUNDS)
 
 
-def _ivfpq_residual_sql(lloyd_rounds: int = 0) -> str:
+def _ivfpq_residual_sql(lloyd_rounds: int = 0, pq_k: int = PQ_K) -> str:
     cell_cos = cosine_sql_duckdb("c.c", "q.q")
     # Unrolled per-subspace Lloyd refinement as chained CTEs (the
     # ml_kmeans_refine oracle convention): each round re-assigns every
@@ -1123,7 +1154,7 @@ rcomps AS (
 ),
 seed_j AS (
   SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j
-  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT {PQ_K})
+  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT {pq_k})
 ),
 cb0 AS (
   SELECT m, r, j, rq AS qc FROM rcomps JOIN seed_j USING (vec_id)
@@ -1187,6 +1218,7 @@ QUERIES = {
     "sim_ivfpq_topk": sim_ivfpq_topk,
     "sim_ivfpq_residual_topk": sim_ivfpq_residual_topk,
     "sim_ivfpq_lloyd_topk": sim_ivfpq_lloyd_topk,
+    "sim_ivfpq_wide_topk": sim_ivfpq_wide_topk,
 }
 
 ORACLE = {
@@ -1200,4 +1232,5 @@ ORACLE = {
     "sim_ivfpq_topk": _ivfpq_sql(),
     "sim_ivfpq_residual_topk": _ivfpq_residual_sql(),
     "sim_ivfpq_lloyd_topk": _ivfpq_residual_sql(PQ_LLOYD_ROUNDS),
+    "sim_ivfpq_wide_topk": _ivfpq_residual_sql(pq_k=PQ_K_WIDE),
 }

@@ -1911,3 +1911,187 @@ def test_wav_truncated_chunk_raises_typed_error():
     hdr = b"RIFF" + _struct.pack("<I", 20) + b"WAVE" + b"fmt " + _struct.pack("<I", 16) + b"\x01\x00"
     with _pytest.raises(audio.AudioFormatError):
         audio.decode_wav(hdr)
+
+
+def test_wide_pq_codes_lift_clustered_recall(spark, tmp_path):
+    """The round-6 lever, pinned: after residual re-centering, clustered
+    recall is bound by CODE RESOLUTION (BASELINE §2c reading 3) — so 8-bit
+    codes (pq_k=256) must recall strictly more true neighbors than 4-bit
+    codes (pq_k=16) on the clustered fixture at the same nprobe, and the
+    wide codes must land at/near exact-ranking recall inside the probed
+    cells."""
+    import importlib.util
+    import pathlib
+
+    import numpy as np
+
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.functions.vectors import as_double_array
+    from pinterest_data_pipeline218_spark.operators.similarity import (
+        NPROBE,
+        PQ_K,
+        PQ_K_WIDE,
+        _ivfpq_residual,
+    )
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "recall_study_mod4", root / "tools" / "recall_study.py"
+    )
+    R = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(R)
+
+    fixture = R.make_clustered_fixture(str(tmp_path / "clustered"))
+    emb = load_table(spark, fixture, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    emb = emb.cache()
+    rows = emb.orderBy("vec_id").collect()
+    mat = np.array([list(r.v) for r in rows])
+    qids = list(range(0, len(rows), 60))  # 9 deterministic probes
+    truths = {q: R._truth(mat, q) for q in qids}
+
+    def recall(pq_k):
+        hit = sum(
+            len(
+                {
+                    r.vec_id
+                    for r in _ivfpq_residual(
+                        emb, q, nprobe=NPROBE, pq_k=pq_k
+                    ).collect()
+                }
+                & truths[q]
+            )
+            for q in qids
+        )
+        return hit / (10 * len(qids))
+
+    narrow, wide = recall(PQ_K), recall(PQ_K_WIDE)
+    emb.unpersist()
+    assert wide > narrow, (narrow, wide)
+    assert wide >= 0.60, (narrow, wide)  # study: ~0.45 @ 4-bit on this regime
+
+
+def test_seed_containment_finds_engulfment_banding_misses(spark, tmp_path):
+    """The round-6 candidate-generation directive, pinned on a planted
+    fixture: small documents engulfed in much larger hosts (cont≈1.0,
+    Jaccard≈0.05) must be CANDIDATES under seed-shingle sampling — with
+    ≥1 planted pair that symmetric minhash banding misses (its recall
+    curve tracks Jaccard, which engulfment dilutes). Scores on every pair
+    any generator emits must be byte-identical to the exhaustive form."""
+    from pinterest_data_pipeline218_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_lsh,
+        containment_pairs_seeds,
+    )
+
+    # 6 hosts of 400 distinct-ish tokens; each host k engulfs quote doc
+    # 100+k (tokens 10..40 of the host). Jaccard ≈ 28/398 ≈ 0.07.
+    rows = []
+    for k in range(6):
+        toks = [f"h{k}_{i}" for i in range(400)]
+        rows.append((k, "s", " ".join(toks)))
+        rows.append((100 + k, "s", " ".join(toks[10:40])))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    planted = {(k, 100 + k) for k in range(6)}
+    seeds = {
+        (r.doc_a, r.doc_b): (r.n_common, r.cont_a_bp, r.cont_b_bp, r.subdup)
+        for r in containment_pairs_seeds(docs).collect()
+    }
+    assert planted <= set(seeds), planted - set(seeds)
+    for (a, b) in planted:  # the engulfed side is fully contained
+        assert max(seeds[(a, b)][1], seeds[(a, b)][2]) == 10000
+        assert seeds[(a, b)][3]  # subdup fired
+
+    banded = {
+        (r.doc_a, r.doc_b) for r in containment_pairs_lsh(docs).collect()
+    }
+    missed_by_banding = planted - banded
+    assert missed_by_banding, (
+        "fixture failed to demonstrate the banding gap — every engulfed "
+        "pair survived the Jaccard-recall curve"
+    )
+
+    exhaustive = {
+        (r.doc_a, r.doc_b): (r.n_common, r.cont_a_bp, r.cont_b_bp, r.subdup)
+        for r in containment_pairs(docs).collect()
+    }
+    for k in set(seeds) & set(exhaustive):
+        assert seeds[k] == exhaustive[k], k
+
+
+def test_seed_containment_df_cap_drops_stopword_postings(spark):
+    """df_cap: a shingle present in (almost) every document is a stopword
+    posting — with the cap it is cut BEFORE the candidate join, so pairs
+    whose only shared shingles are ubiquitous ones disappear while
+    genuinely-engulfed pairs survive (their seeds hit rare shingles too)."""
+    from pinterest_data_pipeline218_spark.operators.dedup import (
+        containment_pairs_seeds,
+    )
+
+    common = "the quick brown fox jumps over lazy dogs"  # shared boilerplate
+    rows = [(i, "s", f"{common} unique{i}a unique{i}b unique{i}c") for i in range(8)]
+    rows.append((100, "s", common))  # fully engulfed boilerplate doc
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    uncapped = {
+        (r.doc_a, r.doc_b) for r in containment_pairs_seeds(docs).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in containment_pairs_seeds(docs, df_cap=3).collect()
+    }
+    # every pair here co-occurs only through the 9-doc boilerplate shingles,
+    # so the cap (df<=3) empties the candidate set entirely
+    assert uncapped and not capped, (len(uncapped), len(capped))
+
+
+def test_phash_neardup_pairs_on_perturbed_images(spark):
+    """Perceptual near-dup: perturbed re-encodes of an image (a few pixels
+    nudged, or the same pixels in a different CONTAINER) must pair with
+    their original at small Hamming distance, while unrelated
+    pseudo-random images stay unpaired. Also pins the pigeonhole recall
+    guarantee (hamming <= 3 with 4 bands) and dHash's brightness
+    invariance (a global +10 luma shift leaves the hash unchanged)."""
+    from pinterest_data_pipeline218_spark.functions import imaging
+    from pinterest_data_pipeline218_spark.operators.multimodal import (
+        dhash56,
+        extract_image_phash,
+        phash_neardup_pairs,
+    )
+
+    W, H = 16, 14
+
+    def base_pixels(seed):
+        return bytes(((seed * 2654435761 + i * 40503) >> 3) % 256 for i in range(W * H * 3))
+
+    rows = []
+    for k in range(5):  # 5 unrelated pseudo-random images
+        px = base_pixels(k)
+        rows.append((k, imaging.encode("ppm", W, H, px)))
+        if k < 3:  # each of the first 3 gets a perturbed near-copy
+            perturbed = bytearray(px)
+            for j in range(0, 30, 7):  # nudge a few scattered bytes
+                perturbed[j * 17 % len(perturbed)] ^= 1
+            # different CONTAINER too: BMP re-encode of the nudged pixels
+            rows.append((100 + k, imaging.encode("bmp", W, H, bytes(perturbed))))
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in rows], "doc_id long, payload binary"
+    )
+    fps = extract_image_phash(df)
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in phash_neardup_pairs(fps).collect()
+    }
+    for k in range(3):
+        assert (k, 100 + k) in pairs, (k, pairs)
+        assert pairs[(k, 100 + k)] <= 3
+    for a, b in pairs:  # no unrelated pair sneaks in
+        assert b == a + 100, (a, b)
+
+    # brightness invariance of the gradient hash (pixels bounded so the
+    # +10 shift cannot clip — clipping genuinely changes gradients)
+    px = bytes(v % 200 for v in base_pixels(9))
+    brighter = bytes(v + 10 for v in px)
+    assert dhash56(px, W, H) == dhash56(brighter, W, H)

@@ -166,6 +166,18 @@ def study(spark, sf_dir: str, tag: str) -> list[tuple[str, str, float, str]]:
             f"~{S.NPROBE}/10 (codes only)",
         )
     )
+    out.append(
+        (
+            "IVF-PQ residual WIDE",
+            f"nprobe {S.NPROBE}, 8-bit codes (K={S.PQ_K_WIDE})",
+            recall(
+                lambda q: S._ivfpq_residual(
+                    emb, q, nprobe=S.NPROBE, pq_k=S.PQ_K_WIDE
+                )
+            ),
+            f"~{S.NPROBE}/10 (codes only, 2x code bytes)",
+        )
+    )
     return out
 
 
