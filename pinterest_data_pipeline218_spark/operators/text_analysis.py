@@ -93,6 +93,185 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# TRAINED char-trigram language ID (supersedes the stopword-ratio rendering
+# above, which is English-centric by construction). The classic n-gram
+# profile method (Cavnar & Trenkle 1994, "N-Gram-Based Text
+# Categorization"), built the text_bpe_tokens way: the model is TRAINED
+# inside the engine from a small labeled fixture (profile table = the
+# state), training is deterministic and replayed verbatim by the DuckDB
+# oracle, and scoring is scan-side trigram explode + one broadcast join —
+# fixed-point ppm weights, no floats.
+LANGID_TRAIN: dict[str, list[str]] = {
+    "en": [
+        "the quick brown fox jumps over the lazy dog",
+        "where there is a will there is a way",
+        "the weather today is cold and the wind blows from the north",
+        "she said that they would come to the house in the morning",
+        "this is the thing that we wanted to show you",
+        "a bird in the hand is worth two in the bush",
+        "what you see is what you get with this one",
+        "children play in the park when the sun shines",
+    ],
+    "de": [
+        "der schnelle braune fuchs springt ueber den faulen hund",
+        "wo ein wille ist da ist auch ein weg",
+        "das wetter ist heute kalt und der wind weht aus dem norden",
+        "sie sagte dass sie morgen frueh zu dem haus kommen wuerden",
+        "das ist genau das was wir euch zeigen wollten",
+        "ein vogel in der hand ist besser als zwei im busch",
+        "die kinder spielen im park wenn die sonne scheint",
+        "ich weiss nicht was soll es bedeuten dass ich so traurig bin",
+    ],
+    "fr": [
+        "le rapide renard brun saute par dessus le chien paresseux",
+        "quand on veut on peut dit le proverbe ancien",
+        "le temps est froid aujourd hui et le vent souffle du nord",
+        "elle a dit qu ils viendraient a la maison demain matin",
+        "c est exactement ce que nous voulions vous montrer",
+        "un oiseau dans la main vaut mieux que deux dans le buisson",
+        "les enfants jouent dans le parc quand le soleil brille",
+        "je ne sais pas ce que cela veut dire",
+    ],
+    "es": [
+        "el rapido zorro marron salta sobre el perro perezoso",
+        "querer es poder dice el viejo refran popular",
+        "el tiempo esta frio hoy y el viento sopla del norte",
+        "ella dijo que vendrian a la casa manana por la manana",
+        "esto es exactamente lo que queriamos mostrarles hoy",
+        "mas vale pajaro en mano que ciento volando",
+        "los ninos juegan en el parque cuando brilla el sol",
+        "no se lo que quiere decir todo esto",
+    ],
+    "zh": [  # romanized (pinyin) profile — the fixture's zh register
+        "wo men jin tian qu gong yuan san bu ba",
+        "ta shuo ming tian zao shang lai wo jia",
+        "zhe jiu shi wo men xiang gei ni kan de dong xi",
+        "tian qi hen leng feng cong bei bian chui lai",
+        "hai zi men zai gong yuan li wan shua tai yang hen hao",
+        "yi niao zai shou sheng guo liang niao zai lin",
+        "ni kan dao de jiu shi ni de dao de",
+        "wo bu zhi dao zhe shi shen me yi si",
+    ],
+}
+
+LANGID_PPM = 1_000_000
+
+
+def char_trigrams(c: F.Column) -> F.Column:
+    """Overlapping character 3-grams of lower(c) — scan-local, codegen'd."""
+    t = F.lower(c)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(0))),
+        lambda i: t.substr(i, F.lit(3)),
+    )
+
+
+def langid_fixture_df(spark: SparkSession) -> DataFrame:
+    rows = [(lang, s) for lang, sents in LANGID_TRAIN.items() for s in sents]
+    return spark.createDataFrame(rows, "lang string, sent string")
+
+
+def train_langid_profiles(fixture: DataFrame) -> DataFrame:
+    """(lang, g, w_ppm): per-language trigram frequency profile in
+    fixed-point parts-per-million (trunc division — engine-exact). The
+    profile is the MODEL: a few hundred rows of query-planning-scale state
+    that broadcasts into every scoring join."""
+    grams = fixture.select(
+        "lang", F.explode(char_trigrams(F.col("sent"))).alias("g")
+    )
+    counts = grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c"))
+    totals = grams.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    return counts.join(totals, "lang").select(
+        "lang", "g", F.expr(f"({LANGID_PPM}L * c) div n").alias("w_ppm")
+    )
+
+
+def langid_classify(docs: DataFrame, profiles: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang, score_ppm): evidence score per language = sum of
+    profile weights over the document's trigram OCCURRENCES; argmax with
+    ties to the lexicographically smallest language (the min-struct idiom).
+    Documents matching no profile trigram (empty/NULL text) classify as
+    'und' with score 0. One scan-side explode + one broadcast join + two
+    partial-agg groupBys — no shuffle carries more than (doc, lang) rows."""
+    dg = docs.select("doc_id", F.explode(char_trigrams(F.col("text"))).alias("g"))
+    scores = (
+        dg.join(F.broadcast(profiles), "g")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("w_ppm").alias("score"))
+    )
+    best = (
+        scores.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("score")).alias("ns"), F.col("lang").alias("lg"))
+            ).alias("mn")
+        )
+        .select(
+            "doc_id",
+            F.col("mn.lg").alias("pred_lang"),
+            (-F.col("mn.ns")).alias("score_ppm"),
+        )
+    )
+    return docs.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+        F.coalesce("score_ppm", F.lit(0).cast("long")).alias("score_ppm"),
+    )
+
+
+def text_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated rendering: train the trigram profiles from LANGID_TRAIN inside
+    the engine, classify every document. The oracle replays training AND
+    scoring from the same fixture literals — the text_bpe_tokens
+    verification pattern."""
+    profiles = train_langid_profiles(langid_fixture_df(spark))
+    docs = load_table(spark, sf_dir, "documents")
+    return langid_classify(docs, profiles).orderBy("doc_id")
+
+
+def _langid_trained_sql() -> str:
+    fixture_rows = ", ".join(
+        f"('{lang}', '{s}')"
+        for lang, sents in LANGID_TRAIN.items()
+        for s in sents
+    )
+    tri = (
+        "list_transform(range(1, greatest(len({t}) - 2, 0) + 1), "
+        "__i -> substr({t}, __i, 3))"
+    )
+    return f"""
+WITH fx AS (SELECT * FROM (VALUES {fixture_rows}) AS t(lang, sent)),
+grams AS (
+  SELECT lang, unnest({tri.format(t="lower(sent)")}) AS g FROM fx
+),
+counts AS (SELECT lang, g, COUNT(*) AS c FROM grams GROUP BY lang, g),
+totals AS (SELECT lang, COUNT(*) AS n FROM grams GROUP BY lang),
+profiles AS (
+  SELECT counts.lang, g, ({LANGID_PPM} * c) // n AS w_ppm
+  FROM counts JOIN totals ON counts.lang = totals.lang
+),
+dg AS (
+  SELECT doc_id, unnest({tri.format(t="lower(text)")}) AS g FROM documents
+),
+scores AS (
+  SELECT doc_id, lang, CAST(SUM(w_ppm) AS BIGINT) AS score
+  FROM dg JOIN profiles USING (g) GROUP BY doc_id, lang
+),
+best AS (
+  SELECT doc_id,
+         (min(struct_pack(ns := -score, lg := lang))).lg AS pred_lang,
+         -((min(struct_pack(ns := -score, lg := lang))).ns) AS score_ppm
+  FROM scores GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(b.pred_lang, 'und') AS pred_lang,
+       CAST(COALESCE(b.score_ppm, 0) AS BIGINT) AS score_ppm
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive md5 fingerprint of the token set per document."""
     docs = load_table(spark, sf_dir, "documents")
@@ -957,6 +1136,7 @@ QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
     "text_langid": text_langid,
+    "text_langid_trained": text_langid_trained,
     "text_fingerprint": text_fingerprint,
     "text_word_frequencies": text_word_frequencies,
     "text_tfidf_top_terms": text_tfidf_top_terms,
@@ -973,6 +1153,7 @@ ORACLE = {
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
+    "text_langid_trained": _langid_trained_sql(),
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_word_frequencies": TEXT_WORD_FREQ_SQL,
     "text_tfidf_top_terms": TEXT_TFIDF_SQL,

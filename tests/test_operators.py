@@ -2095,3 +2095,46 @@ def test_phash_neardup_pairs_on_perturbed_images(spark):
     px = bytes(v % 200 for v in base_pixels(9))
     brighter = bytes(v + 10 for v in px)
     assert dhash56(px, W, H) == dhash56(brighter, W, H)
+
+
+def test_langid_trained_classifies_heldout_sentences(spark):
+    """The trained char-trigram classifier must label HELD-OUT sentences
+    (none appear in LANGID_TRAIN) correctly for every fixture language —
+    the accuracy gate the stopword-ratio heuristic cannot pass (it only
+    knows English)."""
+    from pinterest_data_pipeline218_spark.operators.text_analysis import (
+        LANGID_TRAIN,
+        langid_classify,
+        langid_fixture_df,
+        train_langid_profiles,
+    )
+
+    heldout = {
+        "en": "the house by the river is where they keep all the old things",
+        "de": "der mann geht mit dem hund durch die strasse zur arbeit",
+        "fr": "la femme marche dans la rue avec le petit chien noir",
+        "es": "la mujer camina por la calle con el perro negro cada dia",
+        "zh": "wo men ming tian zai jia li chi fan hao ma",
+    }
+    for lang, s in heldout.items():
+        assert s not in LANGID_TRAIN[lang]
+
+    profiles = train_langid_profiles(langid_fixture_df(spark))
+    docs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(heldout.values())],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.pred_lang
+        for r in langid_classify(docs, profiles).collect()
+    }
+    want = dict(enumerate(heldout.keys()))
+    assert got == want, (got, want)
+
+    # empty / NULL text: the 'und' contract
+    und = spark.createDataFrame([(0, ""), (1, None)], "doc_id long, text string")
+    got_und = {
+        r.doc_id: (r.pred_lang, r.score_ppm)
+        for r in langid_classify(und, profiles).collect()
+    }
+    assert got_und == {0: ("und", 0), 1: ("und", 0)}
