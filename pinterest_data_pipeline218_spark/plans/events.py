@@ -420,11 +420,21 @@ def ev_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: three filtered aggregates chained by user_id equi-joins —
     every shuffle is keyed on user_id (the natural bucketing key for an
-    events store, so with a bucketed layout the joins are exchange-free),
-    each join's right side is the shrinking survivor set, and the final
-    counts are 1-row aggregates broadcast-joined for the ratio. No windows
-    over unpartitioned data, no self-cartesian."""
-    ev = load_table(spark, sf_dir, "events")
+    events store, so with a bucketed layout the joins are exchange-free —
+    PROVEN by test_bucketed_funnel_has_no_user_id_exchange: against a
+    user_id-bucketed events table the executed plan contains zero
+    hashpartitioning(user_id) exchanges, only the 1-row global-count
+    exchanges at the very top), each join's right side is the shrinking
+    survivor set, and the final counts are 1-row aggregates
+    broadcast-joined for the ratio. No windows over unpartitioned data, no
+    self-cartesian."""
+    return funnel_steps(load_table(spark, sf_dir, "events"))
+
+
+def funnel_steps(ev: DataFrame) -> DataFrame:
+    """DataFrame→DataFrame combinator behind ev_funnel_steps; expects
+    (user_id, event_type, ts) — runnable against any layout, including a
+    user_id-bucketed table where its per-user shuffles vanish."""
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")

@@ -648,3 +648,45 @@ def test_funnel_and_retention_shuffle_on_user_id(spark, qs):
             if not p.startswith(("step", "cohort_week", "week_offset"))
         }
         assert data_keys <= {"user_id"}, (name, sorted(data_keys))
+
+
+def test_bucketed_funnel_has_no_user_id_exchange(spark, tmp_path):
+    """The funnel docstring's 100 TB claim, proven: against a
+    user_id-bucketed events table, every per-user shuffle in the ordered
+    funnel (three groupBy user_id aggregates + two user_id equi-joins)
+    disappears — the executed plan contains ZERO
+    hashpartitioning(user_id) exchanges (only the 1-row global-count
+    exchanges remain, which are inherent to the final step counts). The
+    same plan over the plain parquet layout DOES shuffle on user_id, so
+    the comparison is meaningful — and both layouts produce identical
+    funnel rows."""
+    import pyspark.sql.functions as SF_
+
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.plans.events import funnel_steps
+
+    ev = load_table(spark, SF, "events").select("user_id", "event_type", "ts")
+    (
+        ev.write.mode("overwrite")
+        .option("path", str(tmp_path / "b_events"))
+        .bucketBy(16, "user_id")
+        .sortBy("user_id")
+        .saveAsTable("b_events")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = funnel_steps(ev)
+        plan_plain = plain._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(user_id" in plan_plain  # the baseline cost
+
+        bucketed = funnel_steps(spark.table("b_events"))
+        plan_b = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(user_id" not in plan_b, plan_b
+
+        assert sorted(map(tuple, bucketed.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_events")
