@@ -1132,6 +1132,160 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Backoff LM scoring — the standard upgrade over add-one smoothing. Add-one
+# has a known pathology for a quality filter: an UNSEEN bigram's probability
+# 1/(c(w1)+V) depends only on the left context, so garbled text stitched
+# from rare-context words outscores fluent novel combinations after common
+# words. The fix is backoff with a Kneser-Ney CONTINUATION unigram (Kneser &
+# Ney 1995; stupid-backoff weighting, Brants et al. 2007): an unseen bigram
+# falls back to how many DISTINCT contexts its w2 follows — "francisco" may
+# be frequent, but it follows one context, so garbled "...x francisco"
+# scores near-zero while fluent novel pairs of versatile words score well.
+# All fixed-point ppm integers; same vocab-bounded join shape as
+# lm_score_flags (one extra w2-keyed continuation-count join).
+LM_BACKOFF_ALPHA_PPM = 400_000  # stupid-backoff weight 0.4, in ppm
+# Keep floor for the backoff score (calibrated like LM_KEEP_MIN_PPM: the
+# backoff score mass at dev scale sits slightly above the add-one mass —
+# no +1/V dilution on seen bigrams — with the same low tail).
+LM_BACKOFF_KEEP_MIN_PPM = 33_000
+
+
+def lm_backoff_score_flags(
+    docs: DataFrame, target: DataFrame | None = None
+) -> DataFrame:
+    """Per-document backoff-LM score + keep gate (same contract and output
+    shape as lm_score_flags; n_oov_bigrams counts backed-off bigrams).
+
+    Seen bigram:   ppm = (10^6 * c12) div c1
+    Unseen bigram: ppm = max((alpha * n_cont(w2)) div n_types, 1)
+    where n_cont(w2) = |{w1 : c(w1,w2) > 0}| and n_types = distinct target
+    bigram types — the KN continuation distribution, integer-exact."""
+    from .corpus import QUALITY_THRESHOLD  # deferred: avoids an import cycle
+
+    toked = _tokenized(docs)
+    if target is None:
+        target = toked.filter(T.quality_score(F.col("toks")) >= QUALITY_THRESHOLD)
+    pairs = _gram_rows(toked, 2)
+    c12 = _gram_rows(_tokenized(target), 2).groupBy("gram").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    c1 = (
+        c12.select(F.substring_index("gram", " ", 1).alias("w1"), "c12")
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    cont = (
+        c12.select(
+            F.substring_index("gram", " ", 1).alias("cw1"),
+            F.substring_index("gram", " ", -1).alias("w2"),
+        )
+        .distinct()
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("n_cont"))
+    )
+    n_types = c12.agg(F.count(F.lit(1)).alias("t"))
+    scored = (
+        pairs.join(c12, "gram", "left")
+        .withColumn("w1", F.substring_index("gram", " ", 1))
+        .withColumn("w2", F.substring_index("gram", " ", -1))
+        .join(c1, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(n_types))  # 1-row scalar-subquery idiom
+        .select(
+            "doc_id",
+            F.col("c12").isNull().cast("long").alias("oov"),
+            F.expr(
+                f"CASE WHEN c12 IS NOT NULL THEN ({LM_PPM_SCALE}L * c12) div c1 "
+                f"ELSE greatest(({LM_BACKOFF_ALPHA_PPM}L * coalesce(n_cont, 0L))"
+                " div greatest(t, 1L), 1L) END"
+            ).alias("ppm"),
+        )
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("oov").alias("n_oov_bigrams"),
+        F.sum("ppm").alias("ppm_sum"),
+    )
+    avg = F.expr("ppm_sum div n_bigrams")
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_oov_bigrams", F.lit(0)).alias("n_oov_bigrams"),
+            avg.alias("lm_avg_ppm"),
+            F.when(F.col("ppm_sum").isNull(), F.lit(True))
+            .otherwise(avg >= LM_BACKOFF_KEEP_MIN_PPM)
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated rendering of lm_backoff_score_flags over the documents table."""
+    return lm_backoff_score_flags(load_table(spark, sf_dir, "documents"))
+
+
+def _lm_backoff_sql() -> str:
+    from .corpus import QUALITY_THRESHOLD  # deferred: avoids an import cycle
+
+    sw = T.stopword_ratio_sql("string_split(text, ' ')")
+    atl = T.avg_token_len_sql("string_split(text, ' ')")
+    quality = (
+        f"(0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)"
+        f" + 0.3 * (1.0 - {sw})"
+        f" + 0.2 * least({atl} / 8.0, 1.0))"
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id, unnest({_GRAMS2}) AS gram FROM documents
+), q AS (
+  SELECT doc_id FROM documents WHERE {quality} >= {QUALITY_THRESHOLD}
+), tg AS (
+  SELECT g.doc_id, g.gram FROM g JOIN q USING (doc_id)
+), c12 AS (
+  SELECT gram, COUNT(*) AS c12 FROM tg GROUP BY gram
+), c1 AS (
+  SELECT split_part(gram, ' ', 1) AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+  FROM c12 GROUP BY 1
+), cont AS (
+  SELECT w2, COUNT(*) AS n_cont FROM (
+    SELECT DISTINCT split_part(gram, ' ', 1) AS w1, split_part(gram, ' ', 2) AS w2
+    FROM c12
+  ) GROUP BY w2
+), t AS (
+  SELECT COUNT(*) AS t FROM c12
+), s AS (
+  SELECT g.doc_id,
+         CASE WHEN c12.c12 IS NULL THEN 1 ELSE 0 END AS oov,
+         CASE WHEN c12.c12 IS NOT NULL
+              THEN ({LM_PPM_SCALE} * c12.c12) // c1.c1
+              ELSE GREATEST(({LM_BACKOFF_ALPHA_PPM} * COALESCE(cont.n_cont, 0))
+                            // GREATEST(t.t, 1), 1) END AS ppm
+  FROM g LEFT JOIN c12 USING (gram)
+         LEFT JOIN c1 ON split_part(g.gram, ' ', 1) = c1.w1
+         LEFT JOIN cont ON split_part(g.gram, ' ', 2) = cont.w2
+         CROSS JOIN t
+), per AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(oov) AS BIGINT) AS n_oov_bigrams,
+         CAST(SUM(ppm) AS BIGINT) AS ppm_sum
+  FROM s GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       COALESCE(p.n_oov_bigrams, 0) AS n_oov_bigrams,
+       p.ppm_sum // p.n_bigrams AS lm_avg_ppm,
+       CASE WHEN p.ppm_sum IS NULL THEN true
+            ELSE (p.ppm_sum // p.n_bigrams) >= {LM_BACKOFF_KEEP_MIN_PPM} END AS keep
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -1147,6 +1301,7 @@ QUERIES = {
     "text_subword_tokens": text_subword_tokens,
     "text_bpe_tokens": text_bpe_tokens,
     "text_lm_score": text_lm_score,
+    "text_lm_backoff": text_lm_backoff,
 }
 
 ORACLE = {
@@ -1164,4 +1319,5 @@ ORACLE = {
     "text_subword_tokens": TEXT_SUBWORD_SQL,
     "text_bpe_tokens": _bpe_sql(),
     "text_lm_score": _lm_sql(),
+    "text_lm_backoff": _lm_backoff_sql(),
 }

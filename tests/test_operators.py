@@ -2138,3 +2138,44 @@ def test_langid_trained_classifies_heldout_sentences(spark):
         for r in langid_classify(und, profiles).collect()
     }
     assert got_und == {0: ("und", 0), 1: ("und", 0)}
+
+
+def test_backoff_lm_corrects_addone_misranking(spark):
+    """The upgrade's reason to exist, pinned: on a held-out fluent/garbled
+    pair of UNSEEN bigrams, add-one smoothing misranks (its unseen-bigram
+    score 1/(c(w1)+V) depends only on the left context, so a rare-context
+    word followed by the one-context word 'francisco' outscores a fluent
+    novel pair), while the KN-continuation backoff ranks the fluent pair
+    above the garbled one (the versatile word 'cat' follows 3 distinct
+    contexts; 'francisco' follows exactly one)."""
+    from pinterest_data_pipeline218_spark.operators.text_analysis import (
+        lm_backoff_score_flags,
+        lm_score_flags,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "the cat sleeps"),
+            (2, "a cat eats"),
+            (3, "my cat plays"),
+            (4, "we visited san francisco"),
+            (5, "they love san francisco"),
+            (6, "zebra runs"),
+            (7, "old house stands"),
+            (8, "old tree falls"),
+            (9, "old town sleeps"),
+        ],
+        "doc_id long, text string",
+    )
+    held = spark.createDataFrame(
+        [(100, "old cat"), (101, "zebra francisco")],
+        "doc_id long, text string",
+    )
+    addone = {r.doc_id: r.lm_avg_ppm for r in lm_score_flags(held, train).collect()}
+    backoff = {
+        r.doc_id: r.lm_avg_ppm for r in lm_backoff_score_flags(held, train).collect()
+    }
+    # both bigrams are unseen in the target
+    assert all(r.n_oov_bigrams == 1 for r in lm_score_flags(held, train).collect())
+    assert addone[101] > addone[100], addone  # the add-one pathology
+    assert backoff[100] > backoff[101], backoff  # continuation fixes it
