@@ -517,8 +517,17 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("week", F.col("ts")).alias("w")
     )
-    first = ev.groupBy("user_id").agg(F.min("w").alias("cohort_w"))
-    act = ev.distinct()
+    return retention_triangle_from_activity(ev.distinct())
+
+
+def retention_triangle_from_activity(act: DataFrame) -> DataFrame:
+    """The triangle from a DISTINCT (user_id, w) activity set — the
+    combinator shared by the batch query and the incremental streaming
+    assembly (streaming/pipeline.incremental_retention_triangle): the
+    activity set is exactly the MERGEABLE state retention decomposes into
+    (union of per-batch distinct pairs, re-distinct-ed at read), because
+    both the cohort (min week) and every offset count are functions of it."""
+    first = act.groupBy("user_id").agg(F.min("w").alias("cohort_w"))
     return (
         act.join(first, "user_id")
         .select(

@@ -392,6 +392,59 @@ def incremental_quality_report(spark: SparkSession, state_dir: str) -> DataFrame
     )
 
 
+# ------------------------------------------------- incremental retention
+def retention_state_batch(
+    batch_df: DataFrame, state_dir: str, batch_id: int = -1
+) -> None:
+    """One micro-batch's contribution to the incremental retention
+    triangle. The triangle decomposes into ONE piece of mergeable state:
+    the distinct (user_id, activity-week) set — both the cohort (a user's
+    MIN week) and every offset count are functions of it, and set-union
+    merges across batches (a user first seen in batch 0 and active again
+    in batch 5 lands in the right offset cell at assembly, which no
+    per-batch triangle can do). Same idempotence contract as
+    quality_state_batch: rows land in a batch_id partition written with
+    overwrite, so an at-least-once replay rewrites instead of
+    double-appending. Expects (user_id, ts, ...)."""
+    acts = batch_df.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    acts.write.mode("overwrite").parquet(
+        f"{state_dir}/activity/batch_id={batch_id}"
+    )
+
+
+def attach_retention_stream(
+    stream_ev: DataFrame, state_dir: str, checkpoint: str
+):
+    """Run the incremental retention state over an event stream
+    (foreachBatch — min-per-user plus a distinct-join-rollup cannot be one
+    streaming aggregate, which is exactly why it decomposes)."""
+    return (
+        stream_ev.writeStream.foreachBatch(
+            lambda batch_df, bid: retention_state_batch(batch_df, state_dir, bid)
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def incremental_retention_triangle(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Assemble the triangle from accumulated activity state: re-distinct
+    the unioned (user_id, w) pairs (batch_id partition column dropped),
+    then EXACTLY the batch combinator — so equality with the batch
+    triangle over the union of processed batches holds by construction and
+    is pytest-proved (`test_incremental_retention_equals_batch`)."""
+    from ..plans.events import retention_triangle_from_activity
+
+    act = (
+        spark.read.parquet(f"{state_dir}/activity")
+        .select("user_id", "w")
+        .distinct()
+    )
+    return retention_triangle_from_activity(act)
+
+
 # --------------------------------------------------------------- maintenance
 def compact_sink_output(
     spark: SparkSession, path: str, target_files: int = 8

@@ -954,3 +954,66 @@ def test_compact_sink_output_recovers_half_finished_swap(spark, tmp_path):
     assert not _os.path.exists(out + ".__compact_old__")
     assert not _os.path.exists(out + ".__compact_tmp__")
     assert sorted(r.id for r in spark.read.parquet(out).collect()) == list(range(20))
+
+
+def test_incremental_retention_equals_batch(spark, tmp_path):
+    """Streaming retention (round-6 directive): the incremental triangle
+    assembled from per-micro-batch activity state must equal the batch
+    triangle over the union of batches — including a user whose cohort
+    week arrives in batch 0 but whose return activity arrives two batches
+    later (the cross-batch offset no per-batch triangle can see), a user
+    active in the same week across two batches (set-union dedup), and an
+    at-least-once REPLAY of a batch (idempotence)."""
+    import datetime
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from pinterest_data_pipeline218_spark.plans.events import (
+        retention_triangle_from_activity,
+    )
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        incremental_retention_triangle,
+        retention_state_batch,
+    )
+    import pyspark.sql.functions as F_
+
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("ts", TimestampType())]
+    )
+
+    def t(day, hour=12):
+        return datetime.datetime(2026, 3, day, hour)
+
+    # weeks (ISO Mondays): Mar 2 / Mar 9 / Mar 16 / Mar 23
+    batches = [
+        [(1, t(3)), (2, t(4)), (3, t(5))],          # cohort week Mar 2 x3
+        [(1, t(10)), (2, t(11)), (4, t(12))],       # offset 1; user 4 cohort Mar 9
+        [(1, t(18)), (3, t(19)), (4, t(20)), (2, t(11, 13))],  # offsets 2/1; dup-week user 2
+    ]
+    state = str(tmp_path / "state")
+    for bid, rows in enumerate(batches):
+        retention_state_batch(spark.createDataFrame(rows, schema), state, bid)
+    retention_state_batch(spark.createDataFrame(batches[1], schema), state, 1)  # replay
+
+    got = incremental_retention_triangle(spark, state).collect()
+    union = spark.createDataFrame(
+        [r for rows in batches for r in rows], schema
+    )
+    want = retention_triangle_from_activity(
+        union.select("user_id", F_.date_trunc("week", "ts").alias("w")).distinct()
+    ).collect()
+    assert got == want and len(got) >= 4
+    by_cell = {(str(r.cohort_week), r.week_offset): r.n_users for r in got}
+    # hand-pinned: cohort Mar 2 has 3 users at offset 0, 2 at offset 1
+    # (users 1,2), 2 at offset 2 (users 1,3); cohort Mar 9 (user 4) has
+    # offset 0 and 1
+    assert by_cell[("2026-03-02", 0)] == 3
+    assert by_cell[("2026-03-02", 1)] == 2
+    assert by_cell[("2026-03-02", 2)] == 2
+    assert by_cell[("2026-03-09", 0)] == 1
+    assert by_cell[("2026-03-09", 1)] == 1
