@@ -59,7 +59,6 @@ _MODULES = (
 _TAIL = (
     "mm_fake_features",  # third kernel of the mapInPandas plumbing family; the 1→1 (mm_binary_meta) and 1→N (mm_frame_sample) shapes stay driver-checked. Green r01+r02; tailed to admit text_repetition_score.
     "text_langid",  # thresholded rendering of the same scan-local stopword-ratio expression checked via text_quality_score. Green r01+r02; tailed to admit text_decontaminate.
-    "sim_ivf_multiprobe",  # nprobe=2 rendering of the same quantizer machinery; shares its oracle VERBATIM with the in-window sim_ivf_index_probe, so a driver row for the probe is a driver row for this
     "ev_approx_value_quantiles",  # sketch family (like ev_approx_distinct_users): no oracle by design, pytest-bounded vs exact percentiles
     # r4 rotation: ml_kmeans_refine / dedup_semantic_kmeans / corpus_pack_sequences /
     # corpus_mixture_sample / dedup_cluster_cc_star moved INTO the window (they had
@@ -159,6 +158,19 @@ _TAIL = (
     # r5 eleventh rotation: ev_markov_transitions (event-sequence mining)
     # is NEW and moves into the window.
     "dedup_cluster_cc_star",  # r04-green; the min-label CC family keeps a driver row via in-window dedup_cluster_cc_bounded, and star-vs-plain-CC label equality is pytest-proved (test_cc_star_matches_union_find_on_random_graphs)
+    # r6 rotation: five NEW oracled entries (text_langid_trained,
+    # text_lm_backoff, dedup_containment_seeds, sim_ivfpq_wide_topk,
+    # mm_image_phash) enter the window, and sim_ivf_multiprobe rotates IN
+    # (VERDICT r5 #7 — the last oracled entry without a driver row; its
+    # oracle is shared verbatim with sim_ivf_index_probe, now both get
+    # independent rows). The six below rotate out in exchange; every one is
+    # r05-green and value-redundant with machinery keeping a driver row.
+    "sim_ivfpq_topk",  # r05-green; global-codebook IVFPQ — the cell-pruned ADC machinery keeps driver rows via in-window sim_ivfpq_residual_topk and the incoming wide-code form (same plan, harder codebooks)
+    "sim_ivfpq_lloyd_topk",  # r05-green; the Lloyd-training dial over the SAME residual probe now in-window twice (residual + wide); training descent stays pytest-asserted (test_lloyd_codebook_refinement_reduces_distortion)
+    "dedup_containment",  # r05-green; the exhaustive within-block form — the containment scorer keeps a driver row verbatim via incoming dedup_containment_seeds (same hashed-shingle scoring, the scale candidate generator), score equality pytest-proved on shared pairs
+    "text_lm_score",  # r05-green; add-one bigram LM — the gram/count/score join machinery keeps a driver row via incoming text_lm_backoff (same shape + continuation join); the add-one/backoff ranking difference is pytest-pinned
+    "mm_image_decode",  # r05-green; the PPM/BMP pixel-decode kernel keeps a driver row via incoming mm_image_phash (same decoders feeding a strictly harder fingerprint kernel, same closed-form oracle style)
+    "corpus_shuffle_shards",  # r05-green; deterministic md5-hash shard/position machinery shared with in-window corpus_hash_sample + corpus_split_assign; contiguity contract stays pytest-proved
 )
 
 

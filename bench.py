@@ -109,6 +109,11 @@ HEADLINE = [
     "sim_ivfpq_lloyd_topk",
     "mm_audio_decode",
     "ev_markov_transitions",
+    "text_langid_trained",
+    "text_lm_backoff",
+    "dedup_containment_seeds",
+    "sim_ivfpq_wide_topk",
+    "mm_image_phash",
 ]
 
 

@@ -22,11 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SCALES = (1, 2, 4, 8)
 DEFAULT_QUERIES = (
-    "text_lm_score",
-    "text_bpe_tokens",
-    "corpus_shuffle_shards",
-    "ev_funnel_steps",
-    "ev_retention_cohorts",
+    # round-6 additions
+    "text_langid_trained",
+    "text_lm_backoff",
+    "dedup_containment_seeds",
+    "sim_ivfpq_wide_topk",
+    "mm_image_phash",
 )
 
 
