@@ -544,16 +544,17 @@ def _pq_comps(emb: DataFrame) -> DataFrame:
     )
 
 
-def _pq_codebook(emb: DataFrame, comps: DataFrame) -> DataFrame:
+def _pq_codebook(emb: DataFrame, comps: DataFrame, pq_k: int = PQ_K) -> DataFrame:
     """(m, r, j, qc): the PQ codebook — entry j of subspace m is the m-th
     quantized subvector of the j-th lowest vec_id (one-shot seeding, the
     ml_kmeans_refine convention). The SINGLE source of truth for the
     seeding/quantization convention: `_pq_codes_lut` (inline queries) and
     `write_pq_index` (materialized index) both build from here, so the
-    persisted codebook cannot drift from the codes/LUT arithmetic."""
+    persisted codebook cannot drift from the codes/LUT arithmetic.
+    ``pq_k`` is the code-width dial (16 → 4-bit, 256 → 8-bit codes)."""
     from pyspark.sql import Window
 
-    seeds = emb.select("vec_id").orderBy("vec_id").limit(PQ_K)
+    seeds = emb.select("vec_id").orderBy("vec_id").limit(pq_k)
     seed_j = seeds.select(
         "vec_id",
         (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("j"),
@@ -563,13 +564,15 @@ def _pq_codebook(emb: DataFrame, comps: DataFrame) -> DataFrame:
     )
 
 
-def _pq_codes_lut(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _pq_codes_lut(
+    emb: DataFrame, pq_k: int = PQ_K
+) -> tuple[DataFrame, DataFrame]:
     """(codes, lut): the PQ encoding of a corpus plus the query's distance
     table — the shared machinery behind sim_pq_topk and sim_ivfpq_topk.
     `emb` expects (vec_id, v double-array); codes = (vec_id, m, code),
     lut = (m, j, lut_d2) for QUERY_VEC_ID."""
     comps = _pq_comps(emb)
-    cb = _pq_codebook(emb, comps)
+    cb = _pq_codebook(emb, comps, pq_k=pq_k)
     d2 = (F.col("q") - F.col("qc")) * (F.col("q") - F.col("qc"))
     codes = (
         comps.join(F.broadcast(cb), ["m", "r"])
@@ -725,7 +728,7 @@ LIMIT {TOP_K}
 """
 
 
-def write_pq_index(emb: DataFrame, path: str) -> None:
+def write_pq_index(emb: DataFrame, path: str, pq_k: int = PQ_K) -> None:
     """One-time PQ (IVF-PQ) index build, completing the materialized-index
     trio (LSH buckets, IVF cells, PQ codes):
 
@@ -737,9 +740,12 @@ def write_pq_index(emb: DataFrame, path: str) -> None:
       (1024 small rows, the RAM-resident part);
     - ``{path}/centroids``: the IVF coarse quantizer (for cell ranking).
 
-    Expects (vec_id, label, v double-array)."""
+    Expects (vec_id, label, v double-array). ``pq_k`` picks the code width
+    (16 → 4-bit, 256 → 8-bit, the §2c recall/memory dial); the probe side
+    infers the width from the persisted codebook, so indexes of any width
+    probe unchanged."""
     flat = emb.select("vec_id", "v")
-    codes, _ = _pq_codes_lut(flat)
+    codes, _ = _pq_codes_lut(flat, pq_k=pq_k)
     packed = codes.groupBy("vec_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("m", "code"))),
@@ -750,7 +756,7 @@ def write_pq_index(emb: DataFrame, path: str) -> None:
     data.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/codes"
     )
-    _pq_codebook(flat, _pq_comps(flat)).write.mode("overwrite").parquet(
+    _pq_codebook(flat, _pq_comps(flat), pq_k=pq_k).write.mode("overwrite").parquet(
         f"{path}/codebook"
     )
     build_ivf_centroids(emb).write.mode("overwrite").parquet(f"{path}/centroids")
@@ -776,9 +782,14 @@ def pq_index_topk(
     Catalyst."""
     cb_rows = spark.read.parquet(f"{index_path}/codebook").collect()
     qq = [int(x * QUANT) for x in query_vec]  # trunc, matches cast("long")
-    lut = [[0] * PQ_K for _ in range(PQ_M)]
+    # infer the index geometry from the persisted codebook — probes work
+    # unchanged across code widths (pq_k=16 and 256 indexes alike)
+    n_m = max(r.m for r in cb_rows) + 1
+    n_k = max(r.j for r in cb_rows) + 1
+    subdim = max(r.r for r in cb_rows) + 1
+    lut = [[0] * n_k for _ in range(n_m)]
     for r in cb_rows:
-        d = qq[r.m * PQ_SUBDIM + r.r] - r.qc
+        d = qq[r.m * subdim + r.r] - r.qc
         lut[r.m][r.j] += d * d
     cells: list[int] | None = None
     if nprobe is not None:
@@ -793,7 +804,7 @@ def pq_index_topk(
                 F.element_at(lut_lit, m + 1),
                 F.element_at(F.col("code"), m + 1) + 1,
             )
-            for m in range(PQ_M)
+            for m in range(n_m)
         ],
     )
     codes = spark.read.parquet(f"{index_path}/codes")

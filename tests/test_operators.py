@@ -2179,3 +2179,66 @@ def test_backoff_lm_corrects_addone_misranking(spark):
     assert all(r.n_oov_bigrams == 1 for r in lm_score_flags(held, train).collect())
     assert addone[101] > addone[100], addone  # the add-one pathology
     assert backoff[100] > backoff[101], backoff  # continuation fixes it
+
+
+def test_wide_pq_materialized_index_probe(spark, tmp_path):
+    """The production shape of the wide-code lever: write_pq_index at
+    pq_k=256 persists 8-bit codes + the 16x-larger codebook; pq_index_topk
+    INFERS the geometry from the persisted codebook (no API change), and
+    on the clustered fixture the wide index's probe recalls at least as
+    many true neighbors as the narrow one at the same nprobe."""
+    import importlib.util
+    import pathlib
+
+    import numpy as np
+
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.functions.vectors import as_double_array
+    from pinterest_data_pipeline218_spark.operators.similarity import (
+        NPROBE,
+        PQ_K,
+        PQ_K_WIDE,
+        pq_index_topk,
+        write_pq_index,
+    )
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "recall_study_mod5", root / "tools" / "recall_study.py"
+    )
+    R = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(R)
+
+    fixture = R.make_clustered_fixture(str(tmp_path / "clustered"))
+    emb = load_table(spark, fixture, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    emb = emb.cache()
+    rows = emb.orderBy("vec_id").collect()
+    mat = np.array([list(r.v) for r in rows])
+    by_id = {r.vec_id: list(r.v) for r in rows}
+    qids = list(range(0, len(rows), 100))  # 5 deterministic probes
+    truths = {q: R._truth(mat, q) for q in qids}
+
+    narrow_p, wide_p = str(tmp_path / "pq16"), str(tmp_path / "pq256")
+    write_pq_index(emb, narrow_p, pq_k=PQ_K)
+    write_pq_index(emb, wide_p, pq_k=PQ_K_WIDE)
+
+    def recall(path):
+        return sum(
+            len(
+                {
+                    r.vec_id
+                    for r in pq_index_topk(
+                        spark, path, by_id[q], nprobe=NPROBE, exclude_vec_id=q
+                    ).collect()
+                }
+                & truths[q]
+            )
+            for q in qids
+        ) / (10 * len(qids))
+
+    rn, rw = recall(narrow_p), recall(wide_p)
+    emb.unpersist()
+    assert rw >= rn, (rn, rw)
+    assert rw >= 0.5, (rn, rw)  # §2c: 0.59 over the 30-query split

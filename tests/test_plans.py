@@ -542,15 +542,14 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
     missing = tail - set(names)
     assert missing == set(), f"_TAIL names not in registry: {missing}"
     head = set(names[:50])
-    # r5: the entries that have never produced a driver CORRECTNESS row
-    # (rotated in per VERDICT r4 #2) must sit inside the checked window
+    # r6: the entries that have never produced a driver CORRECTNESS row
+    # must sit inside the checked window — the five new round-6 operators
+    # plus sim_ivf_multiprobe (rotated in per VERDICT r5 #7, the last
+    # oracled entry without an independent driver row; the r5 novel set
+    # all got their rows in CORRECTNESS_r05 and has rotated out)
     novel = {
-        "tpch_q2_min_cost_supplier", "tpch_q8_market_share",
-        "tpch_q9_product_profit", "tpch_q11_important_parts",
-        "tpch_q20_concentrated_suppliers", "corpus_build_full",
-        "ev_cube_type_dow", "ev_sliding_1h_value", "user_oldest_nulls_last",
-        "corpus_hash_sample", "corpus_split_assign", "dedup_compact_corpus",
-        "mm_image_decode", "text_bpe_tokens",
+        "text_langid_trained", "text_lm_backoff", "dedup_containment_seeds",
+        "sim_ivfpq_wide_topk", "mm_image_phash", "sim_ivf_multiprobe",
     }
     out = novel - head
     assert out == set(), f"novel operators outside the checked window: {out}"
