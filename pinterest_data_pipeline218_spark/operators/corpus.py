@@ -295,6 +295,58 @@ ORDER BY doc_id
 """
 
 
+def corpus_stratified_predlang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling keyed on the TRAINED classifier's PREDICTED
+    language instead of the metadata column — the composition VERDICT r5
+    #4 asked for: real corpora arrive without trustworthy language labels
+    (or with lying ones), so the rebalancing rates must key on what the
+    text actually is. Same deterministic id-hash percentile, same rate
+    CASE — only the stratum key changes, supplied by
+    text_analysis.langid_classify (one scan-side trigram explode + one
+    broadcast profile join ahead of the filter; at 100 TB the classifier
+    output would be a materialized column written once at ingest)."""
+    from .text_analysis import (
+        langid_classify,
+        langid_fixture_df,
+        train_langid_profiles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = langid_classify(
+        docs, train_langid_profiles(langid_fixture_df(spark))
+    ).select("doc_id", "pred_lang")
+    rate = F.lit(DEFAULT_RATE)
+    for lang, r in STRATA_RATES.items():
+        rate = F.when(F.col("pred_lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        docs.join(pred, "doc_id")
+        .filter(_doc_pct(STRATA_SEED) < rate)
+        .select("doc_id", "pred_lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def _stratified_predlang_sql() -> str:
+    from .text_analysis import _langid_cte_sql
+
+    rate = "CASE " + " ".join(
+        f"WHEN pred_lang = '{lang}' THEN {r}"
+        for lang, r in STRATA_RATES.items()
+    ) + f" ELSE {DEFAULT_RATE} END"
+    return f"""
+WITH {_langid_cte_sql()},
+pred AS (
+  SELECT d.doc_id, COALESCE(b.pred_lang, 'und') AS pred_lang,
+         d.source, d.n_chars
+  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+)
+SELECT doc_id, pred_lang, source, n_chars
+FROM pred
+WHERE {_doc_pct_sql(STRATA_SEED)} < {rate}
+ORDER BY doc_id
+"""
+
+
 PACK_TOKENS = 256  # target training-sequence length (tokens)
 PACK_BUCKETS = 16  # parallel packing streams; the scale knob
 PACK_SEED = 113
@@ -1155,6 +1207,7 @@ QUERIES = {
     "corpus_split_assign": corpus_split_assign,
     "corpus_chunk_tokens": corpus_chunk_tokens,
     "corpus_stratified_sample": corpus_stratified_sample,
+    "corpus_stratified_predlang": corpus_stratified_predlang,
     "corpus_mixture_sample": corpus_mixture_sample,
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_build_full": corpus_build_full,
@@ -1171,6 +1224,7 @@ ORACLE = {
     "corpus_split_assign": CORPUS_SPLIT_SQL,
     "corpus_chunk_tokens": CORPUS_CHUNK_SQL,
     "corpus_stratified_sample": CORPUS_STRATIFIED_SQL,
+    "corpus_stratified_predlang": _stratified_predlang_sql(),
     "corpus_mixture_sample": CORPUS_MIXTURE_SQL,
     "corpus_pack_sequences": CORPUS_PACK_SQL,
     "corpus_build_full": _build_full_sql(),

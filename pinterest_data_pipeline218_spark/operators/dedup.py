@@ -1156,7 +1156,16 @@ def containment_pairs_seeds(
     multiplies every seed occurrence): ``df_cap`` drops postings whose
     document frequency exceeds the cap before the join — the standard
     stopword-posting cut, one extra (hash)-keyed grouped count. The gated
-    form runs df_cap=None so the oracle stays a 4-CTE replay."""
+    form runs df_cap=None so the oracle stays a 4-CTE replay.
+
+    The shingle build (tokenize + hash per doc) is the CPU-heavy scan-side
+    stage and every consumer re-derives from it, so the narrow doc
+    projection is round-robin repartitioned first: on a few-row-group scan
+    the whole shingle pass otherwise pins to the scan tasks (measured 2x
+    at sf0.1; correctness-neutral, the downstream joins shuffle on their
+    own keys)."""
+    par = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    docs = docs.select("doc_id", "text").repartition(par)
     sh = docs.select(
         "doc_id",
         F.array_distinct(

@@ -1009,7 +1009,18 @@ def _ivfpq_residual(
     residual differs per cell centroid) — nprobe·PQ_M·PQ_K rows, still a
     trivial broadcast. Plan shape is otherwise sim_ivfpq_topk's: broadcast
     |cells|-row centroid ranking, broadcast nprobe-cell semi-join into the
-    codes stream, LUT broadcast + per-vec_id sum."""
+    codes stream, LUT broadcast + per-vec_id sum.
+
+    For WIDE codebooks the narrow (vec_id, label, v) input is round-robin
+    repartitioned up front: the encode's heavy stage (comps x broadcast
+    codebook, n·M·K pre-agg rows) otherwise runs on the scan's task count
+    — one task on a single-row-group dev table. Interleaved A/B at sf0.1:
+    1.8x faster at pq_k=256, but 1.5x SLOWER at pq_k=16 (the extra
+    exchange outweighs the small encode), so the spread is conditional on
+    the encode volume; a many-file corpus scan parallelizes itself."""
+    if pq_k * PQ_M >= 512:
+        par = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        emb = emb.repartition(par)
     centroids = build_ivf_centroids(emb)
     qrow = emb.filter(F.col("vec_id") == query_vec_id).select(F.col("v").alias("q"))
     best_cell = (

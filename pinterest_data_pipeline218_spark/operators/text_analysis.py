@@ -159,12 +159,18 @@ LANGID_PPM = 1_000_000
 
 
 def char_trigrams(c: F.Column) -> F.Column:
-    """Overlapping character 3-grams of lower(c) — scan-local, codegen'd."""
+    """Overlapping character 3-grams of lower(c) — scan-local. Texts
+    shorter than 3 chars yield the empty array (guarded explicitly:
+    Spark's sequence(1, 0) would otherwise DESCEND and emit phantom
+    positions)."""
     t = F.lower(c)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(0))),
-        lambda i: t.substr(i, F.lit(3)),
-    )
+    return F.when(
+        F.length(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 2),
+            lambda i: t.substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def langid_fixture_df(spark: SparkSession) -> DataFrame:
@@ -193,8 +199,30 @@ def langid_classify(docs: DataFrame, profiles: DataFrame) -> DataFrame:
     ties to the lexicographically smallest language (the min-struct idiom).
     Documents matching no profile trigram (empty/NULL text) classify as
     'und' with score 0. One scan-side explode + one broadcast join + two
-    partial-agg groupBys — no shuffle carries more than (doc, lang) rows."""
-    dg = docs.select("doc_id", F.explode(char_trigrams(F.col("text"))).alias("g"))
+    partial-agg groupBys — no shuffle carries more than (doc, lang) rows.
+
+    The corpus-side trigram build explodes POSITIONS first and slices with
+    a plain codegen'd substring per exploded row (measured 2x over the
+    interpreted per-element transform-lambda form), and ROUND-ROBIN
+    repartitions the narrow (doc_id, text) projection ahead of the explode
+    — the scoring join's other side is a broadcast model, so round-robin
+    is correct, and without it a few-row-group scan pins the whole
+    explode+join pipeline to its scan tasks (measured 5x on the
+    single-row-group dev tables; on a real many-file corpus the scan
+    itself provides the parallelism)."""
+    par = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    t = F.lower(F.col("text"))
+    dg = (
+        docs.select("doc_id", t.alias("__t"))
+        .filter(F.length("__t") >= 3)  # sequence(1, 0) would descend
+        .repartition(par)
+        .select(
+            "doc_id",
+            "__t",
+            F.explode(F.sequence(F.lit(1), F.length("__t") - 2)).alias("__i"),
+        )
+        .select("doc_id", F.expr("substring(__t, __i, 3)").alias("g"))
+    )
     scores = (
         dg.join(F.broadcast(profiles), "g")
         .groupBy("doc_id", "lang")
@@ -230,7 +258,11 @@ def text_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_classify(docs, profiles).orderBy("doc_id")
 
 
-def _langid_trained_sql() -> str:
+def _langid_cte_sql() -> str:
+    """The fixture→profiles→scores→best CTE chain — shared by the gated
+    langid query's oracle and corpus oracles that compose the classifier
+    (corpus_stratified_predlang), so the trained model cannot drift
+    between them."""
     fixture_rows = ", ".join(
         f"('{lang}', '{s}')"
         for lang, sents in LANGID_TRAIN.items()
@@ -240,8 +272,7 @@ def _langid_trained_sql() -> str:
         "list_transform(range(1, greatest(len({t}) - 2, 0) + 1), "
         "__i -> substr({t}, __i, 3))"
     )
-    return f"""
-WITH fx AS (SELECT * FROM (VALUES {fixture_rows}) AS t(lang, sent)),
+    return f"""fx AS (SELECT * FROM (VALUES {fixture_rows}) AS t(lang, sent)),
 grams AS (
   SELECT lang, unnest({tri.format(t="lower(sent)")}) AS g FROM fx
 ),
@@ -263,7 +294,12 @@ best AS (
          (min(struct_pack(ns := -score, lg := lang))).lg AS pred_lang,
          -((min(struct_pack(ns := -score, lg := lang))).ns) AS score_ppm
   FROM scores GROUP BY doc_id
-)
+)"""
+
+
+def _langid_trained_sql() -> str:
+    return f"""
+WITH {_langid_cte_sql()}
 SELECT d.doc_id,
        COALESCE(b.pred_lang, 'und') AS pred_lang,
        CAST(COALESCE(b.score_ppm, 0) AS BIGINT) AS score_ppm
