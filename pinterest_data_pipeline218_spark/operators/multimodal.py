@@ -505,6 +505,80 @@ FROM base ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Audio perceptual fingerprint — the time-domain analog of the image dHash
+# (the Haitsma-Kalman 2002 family's core move — sign of energy GRADIENTS —
+# applied to channel-0 sample gradients, which needs no FFT and stays
+# integer-exact): bit k set iff ch0[k+1] > ch0[k], first AFP_NBITS
+# comparisons, zero-padded when the clip is shorter. Invariant to DC offset
+# and (sign-preserving) gain, robust to small additive noise on
+# decent-slope signals; near-dup pairs reuse the image phash's Hamming
+# band machinery verbatim (`phash_neardup_pairs(fps, col="afp")`).
+AFP_NBITS = 56  # positive-BIGINT convention shared with dhash56/simhash
+
+
+def afp56(ch0: list[int]) -> int:
+    """56-bit sign-of-gradient fingerprint of a channel-0 sample list."""
+    fp = 0
+    for k in range(min(AFP_NBITS, len(ch0) - 1)):
+        if ch0[k + 1] > ch0[k]:
+            fp |= 1 << k
+    return fp
+
+
+_AFP_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("afp", LongType())]
+)
+
+
+def extract_audio_fingerprint(df: DataFrame) -> DataFrame:
+    """(doc_id, afp) from (doc_id, payload) — real WAV decode +
+    de-interleave + gradient fingerprint. NULL payloads yield no row."""
+    from ..functions import audio
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                _rate, n_ch, raw = audio.decode_wav(bytes(payload))
+                ch0 = audio.samples_to_ints(raw)[::n_ch]
+                rows.append((doc_id, afp56(ch0)))
+            yield pd.DataFrame(rows, columns=["doc_id", "afp"])
+
+    return df.mapInPandas(feats, schema=_AFP_SCHEMA)
+
+
+def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated rendering: real WAV payloads decoded to channel-0 gradients.
+    The oracle replays the generative sample formula (mono docs get 56
+    comparisons, stereo docs 31 — channel count changes the ch0 stride,
+    so a de-interleave defect breaks the match)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_audio_fingerprint(with_audio_payload(docs)).orderBy("doc_id")
+
+
+def _audio_fingerprint_sql() -> str:
+    samp = "((doc_id * 17 + {j} * 7) % 4096) - 2048"
+    s_next = samp.format(j="((__k + 1) * n_ch)")
+    s_cur = samp.format(j="(__k * n_ch)")
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS INT) AS n_ch
+  FROM documents
+)
+SELECT doc_id,
+       CAST(COALESCE(list_sum(list_transform(
+            range(0, LEAST({AFP_NBITS}, {AUDIO_N_TOTAL} // n_ch - 1)),
+            __k -> CASE WHEN ({s_next}) > ({s_cur})
+                        THEN (1::BIGINT << __k) ELSE 0::BIGINT END)), 0)
+            AS BIGINT) AS afp
+FROM base ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Perceptual image hashing (dHash/aHash) + Hamming-banded near-dup pairs —
 # the multimodal dedup operator a training-data pipeline actually runs
 # (near-identical images survive exact-byte dedup: re-encodes, crops of
@@ -701,6 +775,7 @@ QUERIES = {
     "mm_image_decode": mm_image_decode,
     "mm_audio_decode": mm_audio_decode,
     "mm_image_phash": mm_image_phash,
+    "mm_audio_fingerprint": mm_audio_fingerprint,
 }
 
 ORACLE = {
@@ -710,4 +785,5 @@ ORACLE = {
     "mm_image_decode": _image_decode_sql(),
     "mm_audio_decode": _audio_decode_sql(),
     "mm_image_phash": _image_phash_sql(),
+    "mm_audio_fingerprint": _audio_fingerprint_sql(),
 }

@@ -2242,3 +2242,58 @@ def test_wide_pq_materialized_index_probe(spark, tmp_path):
     emb.unpersist()
     assert rw >= rn, (rn, rw)
     assert rw >= 0.5, (rn, rw)  # §2c: 0.59 over the 30-query split
+
+
+def test_audio_fingerprint_neardup_pairs_on_perturbed_clips(spark):
+    """Audio near-dup: a re-encode of a clip with small additive noise (or
+    the same samples at a different SAMPLE RATE — the classic 'same audio,
+    different container params' dup) must pair with its original at small
+    Hamming distance via the shared Hamming-band machinery, while
+    unrelated pseudo-random clips stay unpaired. Also pins DC-offset
+    invariance of the gradient fingerprint."""
+    import struct as _struct
+
+    from pinterest_data_pipeline218_spark.functions import audio
+    from pinterest_data_pipeline218_spark.operators.multimodal import (
+        afp56,
+        extract_audio_fingerprint,
+        phash_neardup_pairs,
+    )
+
+    N = 64
+
+    def base_samples(seed):
+        # decent-slope pseudo-random walk, bounded
+        out, v = [], 0
+        for i in range(N):
+            v = (v + ((seed * 2654435761 + i * 40503) % 400) - 180) % 1500
+            out.append(v - 700)
+        return out
+
+    rows = []
+    for k in range(5):
+        s = base_samples(k)
+        raw = _struct.pack(f"<{N}h", *s)
+        rows.append((k, audio.encode_wav(16000, 1, raw)))
+        if k < 3:  # perturbed near-copy at a DIFFERENT sample rate
+            noisy = [v + ((k + i) % 3) - 1 for i, v in enumerate(s)]  # ±1 noise
+            rows.append(
+                (100 + k, audio.encode_wav(8000, 1, _struct.pack(f"<{N}h", *noisy)))
+            )
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in rows], "doc_id long, payload binary"
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in phash_neardup_pairs(
+            extract_audio_fingerprint(df), col="afp"
+        ).collect()
+    }
+    for k in range(3):
+        assert (k, 100 + k) in pairs, (k, pairs)
+        assert pairs[(k, 100 + k)] <= 3
+    for a, b in pairs:
+        assert b == a + 100, (a, b)
+
+    s = base_samples(9)
+    assert afp56([v + 50 for v in s]) == afp56(s)  # DC-offset invariant
