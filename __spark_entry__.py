@@ -171,6 +171,12 @@ _TAIL = (
     "text_lm_score",  # r05-green; add-one bigram LM — the gram/count/score join machinery keeps a driver row via incoming text_lm_backoff (same shape + continuation join); the add-one/backoff ranking difference is pytest-pinned
     "mm_image_decode",  # r05-green; the PPM/BMP pixel-decode kernel keeps a driver row via incoming mm_image_phash (same decoders feeding a strictly harder fingerprint kernel, same closed-form oracle style)
     "corpus_shuffle_shards",  # r05-green; deterministic md5-hash shard/position machinery shared with in-window corpus_hash_sample + corpus_split_assign; contiguity contract stays pytest-proved
+    # r6 second rotation: corpus_stratified_predlang (trained-langid
+    # stratified sampling) and mm_audio_fingerprint (gradient audio
+    # fingerprint) are NEW and move into the window; the two below are
+    # r05-green and value-redundant.
+    "sim_ivf_index_probe",  # r05-green (r03-r05); shares its oracle VERBATIM with the just-rotated-in sim_ivf_multiprobe, so the quantizer/probe machinery keeps an independent driver row either way; index materialization freshness stays pytest-proved (test_ivf_index_upsert_is_fresh_and_preserves_base)
+    "mm_audio_decode",  # r05-green; the RIFF/WAV decode + de-interleave machinery keeps a driver row via incoming mm_audio_fingerprint (same decoder feeding a strictly harder kernel — the mm_image_decode/mm_image_phash pattern)
 )
 
 

@@ -114,6 +114,8 @@ HEADLINE = [
     "dedup_containment_seeds",
     "sim_ivfpq_wide_topk",
     "mm_image_phash",
+    "corpus_stratified_predlang",
+    "mm_audio_fingerprint",
 ]
 
 
