@@ -177,6 +177,9 @@ _TAIL = (
     # r05-green and value-redundant.
     "sim_ivf_index_probe",  # r05-green (r03-r05); shares its oracle VERBATIM with the just-rotated-in sim_ivf_multiprobe, so the quantizer/probe machinery keeps an independent driver row either way; index materialization freshness stays pytest-proved (test_ivf_index_upsert_is_fresh_and_preserves_base)
     "mm_audio_decode",  # r05-green; the RIFF/WAV decode + de-interleave machinery keeps a driver row via incoming mm_audio_fingerprint (same decoder feeding a strictly harder kernel — the mm_image_decode/mm_image_phash pattern)
+    # r6 third rotation: ev_value_outliers (integer-exact sigma screen) is
+    # NEW and moves into the window.
+    "corpus_split_assign",  # r05-green; the md5-percent hash-range machinery keeps TWO driver rows (in-window corpus_hash_sample + incoming corpus_stratified_predlang use the identical _doc_pct); the 80/10/10 CASE shape is t11's in-window bucketing
 )
 
 

@@ -116,6 +116,7 @@ HEADLINE = [
     "mm_image_phash",
     "corpus_stratified_predlang",
     "mm_audio_fingerprint",
+    "ev_value_outliers",
 ]
 
 

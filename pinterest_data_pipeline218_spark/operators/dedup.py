@@ -1232,6 +1232,96 @@ def dedup_containment_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs_seeds(load_table(spark, sf_dir, "documents"))
 
 
+def containment_increment(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    seed_k: int = CONTAINMENT_SEED_K,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Incremental containment triage: screen a batch of NEW documents
+    against an existing corpus for sub-document duplication, in BOTH
+    directions — a new doc engulfed by a corpus doc (quote/boilerplate
+    ingestion) AND a new doc that engulfs a corpus doc (a superset page
+    re-crawled). Candidates come from two asymmetric seed joins:
+    new-side seeds x corpus postings catches new⊆corpus, corpus-side
+    seeds x new postings catches corpus⊆new; each has the (1-tau)^k miss
+    bound on its own direction. This is the per-micro-batch composition
+    (dedup_incremental_lsh's contract for the containment measure): cost
+    scales with |new| x posting hit rates, never with |corpus|² —
+    corpus-side seeds/postings are derivable once and reusable across
+    batches. Emits (doc_new, doc_corpus, n_common, cont_new_bp,
+    cont_corpus_bp, subdup); stream-static equality is pytest-proved
+    (`test_stream_containment_increment_equals_batch`)."""
+
+    def shingled(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    T.word_shingles(T.tokens(F.col("text")), CONTAINMENT_N),
+                    lambda g: T.token_hash(g),
+                )
+            ).alias("sh"),
+        )
+
+    sh_new, sh_corpus = shingled(new_docs), shingled(corpus)
+
+    def seeds_of(sh: DataFrame) -> DataFrame:
+        return sh.select(
+            "doc_id", F.explode(F.slice(F.array_sort("sh"), 1, seed_k)).alias("h")
+        )
+
+    def postings_of(sh: DataFrame) -> DataFrame:
+        p = sh.select(F.col("doc_id").alias("p_doc"), F.explode("sh").alias("h"))
+        if df_cap is not None:
+            keep = (
+                p.groupBy("h")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= df_cap)
+                .select("h")
+            )
+            p = p.join(keep, "h")
+        return p
+
+    fwd = seeds_of(sh_new).join(postings_of(sh_corpus), "h").select(
+        F.col("doc_id").alias("doc_new"), F.col("p_doc").alias("doc_corpus")
+    )
+    rev = (
+        seeds_of(sh_corpus)
+        .select(F.col("doc_id").alias("__corpus_doc"), "h")
+        .join(postings_of(sh_new), "h")
+        .select(
+            F.col("p_doc").alias("doc_new"), F.col("__corpus_doc").alias("doc_corpus")
+        )
+    )
+    cand = fwd.unionAll(rev).distinct()
+    a = sh_new.select(F.col("doc_id").alias("doc_new"), F.col("sh").alias("sh_a"))
+    b = sh_corpus.select(F.col("doc_id").alias("doc_corpus"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    sized = (
+        cand.join(a, "doc_new")
+        .join(b, "doc_corpus")
+        .filter(inter > 0)
+        .select(
+            "doc_new",
+            "doc_corpus",
+            F.size("sh_a").alias("n_sh_a"),
+            F.size("sh_b").alias("n_sh_b"),
+            inter.alias("n_common"),
+        )
+    )
+    ca = F.expr("(10000L * n_common) div n_sh_a")
+    cb = F.expr("(10000L * n_common) div n_sh_b")
+    return sized.select(
+        "doc_new",
+        "doc_corpus",
+        "n_common",
+        ca.alias("cont_new_bp"),
+        cb.alias("cont_corpus_bp"),
+        (F.greatest(ca, cb) >= CONTAINMENT_MIN_BP).alias("subdup"),
+    ).orderBy("doc_new", "doc_corpus")
+
+
 DEDUP_CONTAINMENT_SEEDS_SQL = f"""
 WITH sh AS (
   SELECT doc_id, list_distinct({_CSH_HASHED}) AS s FROM documents

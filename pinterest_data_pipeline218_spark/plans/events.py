@@ -617,6 +617,67 @@ ORDER BY from_type, to_type
 """
 
 
+OUTLIER_SIGMAS = 3
+
+
+def ev_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value anomalies — the data-quality screen a pipeline runs
+    before trusting a metric column: flag events whose value deviates
+    more than OUTLIER_SIGMAS standard deviations from their event_type's
+    population. ENGINE-EXACT without a single float: values are scaled to
+    integer cents (the trunc of value*100 is the same IEEE double op in
+    both engines), and the sigma test is cleared of divisions and square
+    roots by squaring —
+
+        |x - s/n| > k·sigma  <=>  n·(n·x - s)² > k²·n·(n·q - s²)
+                             <=>  (n·x - s)² > k²·(n·q - s²)
+
+    with s = Σx, q = Σx² per type. Every quantity is a BIGINT; overflow
+    bound stated honestly: s² < 2^63 requires n·avg_cents < 3·10^9 per
+    group — beyond that, swap the comparison operands to DECIMAL(38,0)
+    (one cast, same plan). 100 TB shape: one map-side-combined per-type
+    aggregate (|types| rows, broadcast back), one scan-side comparison —
+    no shuffle beyond the tiny stats table and the final order."""
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.expr("CAST(value * 100 AS BIGINT)")
+    stats = (
+        ev.select("event_type", vc.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(F.expr("v * v")).alias("q"),
+        )
+    )
+    k2 = OUTLIER_SIGMAS * OUTLIER_SIGMAS
+    return (
+        ev.select("event_id", "event_type", vc.alias("v"))
+        .join(F.broadcast(stats), "event_type")
+        .filter(
+            F.expr(f"(n * v - s) * (n * v - s) > {k2}L * (n * q - s * s)")
+        )
+        .select("event_id", "event_type", F.col("v").alias("value_cents"))
+        .orderBy("event_id")
+    )
+
+
+EV_VALUE_OUTLIERS_SQL = f"""
+WITH e AS (
+  -- TRUNC before the cast: DuckDB's double->int cast ROUNDS, Spark's
+  -- truncates (the repo-wide QUANT convention)
+  SELECT event_id, event_type, CAST(TRUNC(value * 100) AS BIGINT) AS v FROM events
+), stats AS (
+  SELECT event_type, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(v * v) AS BIGINT) AS q
+  FROM e GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.v AS value_cents
+FROM e JOIN stats USING (event_type)
+WHERE (n * e.v - s) * (n * e.v - s) > {OUTLIER_SIGMAS * OUTLIER_SIGMAS} * (n * q - s * s)
+ORDER BY e.event_id
+"""
+
+
 QUERIES = {
     "ev_counts_hourly": ev_counts_hourly,
     "ev_stats_by_type": ev_stats_by_type,
@@ -635,6 +696,7 @@ QUERIES = {
     "ev_funnel_steps": ev_funnel_steps,
     "ev_retention_cohorts": ev_retention_cohorts,
     "ev_markov_transitions": ev_markov_transitions,
+    "ev_value_outliers": ev_value_outliers,
 }
 
 ORACLE = {
@@ -655,4 +717,5 @@ ORACLE = {
     "ev_funnel_steps": EV_FUNNEL_SQL,
     "ev_retention_cohorts": EV_RETENTION_SQL,
     "ev_markov_transitions": EV_MARKOV_SQL,
+    "ev_value_outliers": EV_VALUE_OUTLIERS_SQL,
 }

@@ -689,3 +689,33 @@ def test_bucketed_funnel_has_no_user_id_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_events")
+
+
+def test_value_outliers_hand_computed(spark, tmp_path):
+    """Integer-exact sigma screen on a planted fixture: 9 clustered values
+    + 1 far spike per type — the spike must flag, the cluster must not,
+    and a type whose values are all equal (zero variance) must flag any
+    deviant but never its own members (n*q - s*s == 0 edge)."""
+    import pyspark.sql.functions as SF_
+
+    from pinterest_data_pipeline218_spark.plans.events import ev_value_outliers
+
+    rows = []
+    eid = 0
+    # 17 constants + 1 spike: a single point's max possible z-score is
+    # sqrt(n-1) (the spike inflates its own sigma), so 9+1 would sit at
+    # EXACTLY 3 sigma and the strict > correctly leaves it unflagged;
+    # 17+1 puts the spike at sqrt(17) ~ 4.1 sigma
+    for v in [10.0] * 17 + [500.0]:  # 'click': tight cluster + spike
+        rows.append((eid, 1, "click", v)); eid += 1
+    for v in [25.0] * 8:  # 'view': zero variance, no deviants
+        rows.append((eid, 2, "view", v)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    )
+    df = df.withColumn("ts", SF_.lit("2026-01-01 00:00:00").cast("timestamp"))
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = ev_value_outliers(spark, str(tmp_path)).collect()
+    assert [(r.event_id, r.event_type, r.value_cents) for r in got] == [
+        (17, "click", 50000)
+    ]

@@ -1017,3 +1017,76 @@ def test_incremental_retention_equals_batch(spark, tmp_path):
     assert by_cell[("2026-03-02", 2)] == 2
     assert by_cell[("2026-03-09", 0)] == 1
     assert by_cell[("2026-03-09", 1)] == 1
+
+
+def test_stream_containment_increment_equals_batch(spark, tmp_path):
+    """Incremental containment triage per micro-batch against a STATIC
+    corpus must equal the batch combinator over the union of batches (a
+    new doc's verdict depends only on its own text + the corpus — no
+    cross-batch state), and must catch BOTH directions of engulfment:
+    a new doc that is a chunk of a corpus doc, and a new doc that
+    engulfs a corpus doc."""
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pinterest_data_pipeline218_spark.operators.dedup import (
+        containment_increment,
+    )
+
+    host = [f"h{i}" for i in range(300)]
+    small = [f"s{i}" for i in range(25)]
+    corpus = spark.createDataFrame(
+        [(1, " ".join(host)), (2, " ".join(small)),
+         (3, " ".join(f"x{i}" for i in range(80)))],
+        "doc_id long, text string",
+    )
+    new_rows = [
+        (100, " ".join(host[50:80])),                      # new ⊆ corpus doc 1
+        (101, " ".join(small + [f"extra{i}" for i in range(200)])),  # engulfs corpus doc 2
+        (102, " ".join(f"z{i}" for i in range(60))),       # unrelated
+        (103, " ".join(host[10:35])),                      # new ⊆ corpus doc 1
+    ]
+    src = tmp_path / "new_docs"
+    src.mkdir()
+    for i in range(2):
+        with open(src / f"{i:03d}.jsonl", "w") as f:
+            for d, t in new_rows[i * 2 : i * 2 + 2]:
+                f.write(json.dumps({"doc_id": d, "text": t}) + "\n")
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = (
+        spark.readStream.format("json").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(str(src))
+    )
+    out = str(tmp_path / "inc")
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _i: containment_increment(b, corpus)
+            .write.mode("append")
+            .parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.doc_new, r.doc_corpus): (r.n_common, r.cont_new_bp, r.cont_corpus_bp, r.subdup)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.doc_new, r.doc_corpus): (r.n_common, r.cont_new_bp, r.cont_corpus_bp, r.subdup)
+        for r in containment_increment(
+            spark.createDataFrame(new_rows, "doc_id long, text string"), corpus
+        ).collect()
+    }
+    assert got == want
+    # both engulfment directions flagged
+    assert got[(100, 1)][3] and got[(100, 1)][1] == 10000  # new fully inside
+    assert got[(103, 1)][3]
+    assert got[(101, 2)][3] and got[(101, 2)][2] == 10000  # corpus doc engulfed
+    assert not any(a == 102 for a, _ in got)  # unrelated stays clean
