@@ -150,6 +150,7 @@ def build_training_corpus(
     repetition_gate: bool = False,
     decontaminate: bool = False,
     near_dedup: bool = False,
+    lm_gate: bool = False,
     persist_shared: bool = True,
 ) -> DataFrame:
     """The end-to-end corpus build a training pipeline runs, composed from
@@ -180,7 +181,7 @@ def build_training_corpus(
     tokenization passes — measured ~6x the sum of its parts at sf0.1."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toked = docs.select("doc_id", "text", T.tokens(F.col("text")).alias("toks"))
-    if persist_shared and (repetition_gate or decontaminate or near_dedup):
+    if persist_shared and (repetition_gate or decontaminate or near_dedup or lm_gate):
         from pyspark import StorageLevel
 
         toked = toked.persist(StorageLevel.MEMORY_AND_DISK)
@@ -195,6 +196,13 @@ def build_training_corpus(
 
         dirty_ids = contamination_report(toked).select("doc_id")
         good = good.join(dirty_ids, "doc_id", "left_anti")
+    if lm_gate:
+        # the CCNet-style perplexity screen composes on the SAME shared
+        # tokenized projection (lm_score_flags accepts pre-tokenized input)
+        from .text_analysis import lm_score_flags
+
+        lm_keep = lm_score_flags(toked).filter(F.col("keep")).select("doc_id")
+        good = good.join(lm_keep, "doc_id", "left_semi")
     keepers = (
         good.groupBy(F.md5("text").alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))

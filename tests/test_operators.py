@@ -2297,3 +2297,30 @@ def test_audio_fingerprint_neardup_pairs_on_perturbed_clips(spark):
 
     s = base_samples(9)
     assert afp56([v + 50 for v in s]) == afp56(s)  # DC-offset invariant
+
+
+def test_corpus_build_lm_gate_composes(spark):
+    """build_training_corpus(lm_gate=True) must equal the lm_gate=False
+    build restricted to lm-keep docs — the perplexity screen composes on
+    the shared tokenized projection like every other gate (and actually
+    removes something on this corpus, so the composition is exercised)."""
+    from pinterest_data_pipeline218_spark.operators.corpus import (
+        build_training_corpus,
+    )
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.operators.text_analysis import (
+        lm_score_flags,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = build_training_corpus(spark, sf).collect()
+    gated = build_training_corpus(spark, sf, lm_gate=True).collect()
+    lm_keep = {
+        r.doc_id
+        for r in lm_score_flags(load_table(spark, sf, "documents"))
+        .filter(F.col("keep"))
+        .collect()
+    }
+    want = [r for r in base if r.doc_id in lm_keep]
+    assert sorted(map(tuple, gated)) == sorted(map(tuple, want))
+    assert len(gated) < len(base)  # the gate actually fired

@@ -719,3 +719,49 @@ def test_value_outliers_hand_computed(spark, tmp_path):
     assert [(r.event_id, r.event_type, r.value_cents) for r in got] == [
         (17, "click", 50000)
     ]
+
+
+def test_round6_operator_plan_properties(spark, qs):
+    """Physical-plan contracts for the round-6 operators:
+    - text_langid_trained / corpus_stratified_predlang: the profile model
+      joins BROADCAST (never shuffle the corpus-side trigram stream on a
+      gram key);
+    - ev_value_outliers: the per-type stats table joins broadcast, and the
+      events scan appears with pushable projection (no extra exchange
+      beyond the stats aggregate + final sort);
+    - dedup_containment_seeds / phash pairs: candidate generation is a
+      hash EQUI-join — no CartesianProduct / BroadcastNestedLoopJoin
+      anywhere in any round-6 plan."""
+    names = [
+        "text_langid_trained",
+        "corpus_stratified_predlang",
+        "ev_value_outliers",
+        "dedup_containment_seeds",
+        "mm_image_phash",
+        "mm_audio_fingerprint",
+        "sim_ivfpq_wide_topk",
+        "text_lm_backoff",
+    ]
+    plans = {
+        n: qs[n](spark, SF)._jdf.queryExecution().executedPlan().toString()
+        for n in names
+    }
+    for n, p in plans.items():
+        assert "CartesianProduct" not in p, n
+    # BNLJ-free where one would signal a quadratic fallback; the PQ/LM
+    # plans legitimately contain the 1-row scalar-subquery crossJoin idiom
+    # (broadcast single-row side), which plans as a trivial BNLJ
+    for n in (
+        "text_langid_trained",
+        "corpus_stratified_predlang",
+        "ev_value_outliers",
+        "dedup_containment_seeds",
+        "mm_image_phash",
+        "mm_audio_fingerprint",
+    ):
+        assert "BroadcastNestedLoopJoin" not in plans[n], n
+    for n in ("text_langid_trained", "corpus_stratified_predlang"):
+        assert "BroadcastHashJoin" in plans[n], n
+        # the gram-keyed model join must not shuffle the trigram stream
+        assert "hashpartitioning(g" not in plans[n], n
+    assert "BroadcastHashJoin" in plans["ev_value_outliers"]
