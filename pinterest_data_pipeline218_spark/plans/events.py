@@ -431,43 +431,43 @@ def ev_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_steps(load_table(spark, sf_dir, "events"))
 
 
-def funnel_steps(ev: DataFrame) -> DataFrame:
+FUNNEL_DEFAULT_STEPS = ("view", "click", "purchase")
+
+
+def funnel_steps(
+    ev: DataFrame, steps: tuple[str, ...] = FUNNEL_DEFAULT_STEPS
+) -> DataFrame:
     """DataFrame→DataFrame combinator behind ev_funnel_steps; expects
     (user_id, event_type, ts) — runnable against any layout, including a
-    user_id-bucketed table where its per-user shuffles vanish."""
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    n1 = v.agg(F.count(F.lit(1)).alias("n1"))
+    user_id-bucketed table where its per-user shuffles vanish.
 
-    def step(df: DataFrame, i: int, name: str) -> DataFrame:
+    Generalized to ANY ordered step list (first-touch semantics per step:
+    a user reaches step k with a step-k event strictly after their
+    step-(k-1) entry time): the plan is a chain of len(steps) filtered
+    per-user min aggregates joined on user_id — each stage's right side is
+    the shrinking survivor set, so adding steps adds user_id-keyed stages,
+    never another pass over non-matching events."""
+    assert len(steps) >= 1
+    survivors = []
+    cur = None
+    for name in steps:
+        stage = ev.filter(F.col("event_type") == name)
+        if cur is not None:
+            stage = stage.join(cur, "user_id").filter(F.col("ts") > F.col("t"))
+        cur = stage.groupBy("user_id").agg(F.min("ts").alias("t"))
+        survivors.append(cur)
+    n1 = survivors[0].agg(F.count(F.lit(1)).alias("n1"))
+
+    def count_step(df: DataFrame, i: int, name: str) -> DataFrame:
         return df.agg(F.count(F.lit(1)).alias("n_users")).select(
             F.lit(i).alias("step"), F.lit(name).alias("event_type"), "n_users"
         )
 
-    steps = (
-        step(v, 1, "view")
-        .unionAll(step(c, 2, "click"))
-        .unionAll(step(p, 3, "purchase"))
-    )
+    counted = count_step(survivors[0], 1, steps[0])
+    for i, (name, df) in enumerate(zip(steps[1:], survivors[1:]), start=2):
+        counted = counted.unionAll(count_step(df, i, name))
     return (
-        steps.crossJoin(F.broadcast(n1))  # 1-row scalar-subquery idiom
+        counted.crossJoin(F.broadcast(n1))  # 1-row scalar-subquery idiom
         .select(
             "step",
             "event_type",

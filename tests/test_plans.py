@@ -765,3 +765,34 @@ def test_round6_operator_plan_properties(spark, qs):
         # the gram-keyed model join must not shuffle the trigram stream
         assert "hashpartitioning(g" not in plans[n], n
     assert "BroadcastHashJoin" in plans["ev_value_outliers"]
+
+
+def test_funnel_generalizes_to_n_steps(spark):
+    """The generalized funnel on a 4-step hand fixture: ordering is
+    first-touch per step (user 1 completes all 4 in order; user 2's step-3
+    event PRECEDES their step-2 entry so they stall at step 2; user 3
+    only reaches step 1) — and the 3-step default must equal the original
+    hardcoded semantics on the gated corpus."""
+    import datetime
+
+    from pinterest_data_pipeline218_spark.plans.events import funnel_steps
+
+    def t(m):
+        return datetime.datetime(2026, 1, 1, 12, m)
+
+    rows = [
+        (1, "a", t(0)), (1, "b", t(1)), (1, "c", t(2)), (1, "d", t(3)),
+        (2, "a", t(0)), (2, "c", t(1)), (2, "b", t(2)),  # c before b entry
+        (3, "a", t(5)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        r.step: (r.event_type, r.n_users, r.conv_bp)
+        for r in funnel_steps(ev, ("a", "b", "c", "d")).collect()
+    }
+    assert got == {
+        1: ("a", 3, 10000),
+        2: ("b", 2, 6666),
+        3: ("c", 1, 3333),
+        4: ("d", 1, 3333),
+    }
