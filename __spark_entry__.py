@@ -180,6 +180,9 @@ _TAIL = (
     # r6 third rotation: ev_value_outliers (integer-exact sigma screen) is
     # NEW and moves into the window.
     "corpus_split_assign",  # r05-green; the md5-percent hash-range machinery keeps TWO driver rows (in-window corpus_hash_sample + incoming corpus_stratified_predlang use the identical _doc_pct); the 80/10/10 CASE shape is t11's in-window bucketing
+    # r6 fourth rotation: dedup_cluster_best (quality-aware keeper
+    # election) is NEW and moves into the window.
+    "dedup_compact_corpus",  # r05-green; the exact-dedup keeper machinery keeps driver rows via in-window corpus_build_full (same digest-groupBy compact stage) and incoming dedup_cluster_best (the harder keeper election over the same CC labels)
 )
 
 

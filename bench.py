@@ -117,6 +117,7 @@ HEADLINE = [
     "corpus_stratified_predlang",
     "mm_audio_fingerprint",
     "ev_value_outliers",
+    "dedup_cluster_best",
 ]
 
 

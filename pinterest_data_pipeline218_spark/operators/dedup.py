@@ -1122,6 +1122,89 @@ def containment_pairs_lsh(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection per near-dup cluster — the compaction
+    policy a production dedup actually runs: within each connected
+    component of the verified LSH pair graph, keep the HIGHEST-quality
+    member (ties to the lowest doc_id), not the arbitrary minimum id.
+    Quality is the corpus gate's score in fixed-point ppm (trunc of
+    score*10^6 — the engine-exact convention), so keeper choice is
+    deterministic and oracle-replayable. Output: one row per cluster
+    (cluster_id, keeper_doc_id, keeper_q_ppm, n_members).
+
+    Scale shape: the CC labeling is the existing min-label machinery
+    (LSH-candidate edges only, localCheckpoint rounds); keeper election is
+    ONE grouped min-struct over the |docs| label table — no window, no
+    second pass over text (quality computes scan-side on the same read
+    that feeds the signatures)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _lsh_verified_pairs(spark, sf_dir, CC_JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    labels = connected_components(nodes, pairs)
+    q_ppm = (T.quality_score(T.tokens(F.col("text"))) * 1_000_000).cast("long")
+    quality = docs.select(F.col("doc_id").alias("node"), q_ppm.alias("q_ppm"))
+    return (
+        labels.join(quality, "node")
+        .groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("q_ppm")).alias("nq"), F.col("node").alias("d")
+                )
+            ).alias("mn"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            F.col("mn.d").alias("keeper_doc_id"),
+            (-F.col("mn.nq")).alias("keeper_q_ppm"),
+            "n_members",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _cluster_best_sql() -> str:
+    sw = T.stopword_ratio_sql("string_split(text, ' ')")
+    atl = T.avg_token_len_sql("string_split(text, ' ')")
+    quality = (
+        f"(0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)"
+        f" + 0.3 * (1.0 - {sw})"
+        f" + 0.2 * least({atl} / 8.0, 1.0))"
+    )
+    return f"""
+WITH RECURSIVE {_minhash_cte_body()}, pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN sig x ON cand.doc_a = x.doc_id
+  JOIN sig y ON cand.doc_b = y.doc_id
+  WHERE {_VERIFIED_JACCARD} >= {CC_JACCARD_THRESHOLD}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node WHERE r.label < e.dst
+), cc AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+), q AS (
+  SELECT doc_id, CAST(TRUNC({quality} * 1000000) AS BIGINT) AS q_ppm
+  FROM documents
+)
+SELECT cc.cluster_id,
+       (min(struct_pack(nq := -q.q_ppm, d := cc.doc_id))).d AS keeper_doc_id,
+       -((min(struct_pack(nq := -q.q_ppm, d := cc.doc_id))).nq) AS keeper_q_ppm,
+       COUNT(*) AS n_members
+FROM cc JOIN q ON cc.doc_id = q.doc_id
+GROUP BY cc.cluster_id
+ORDER BY cc.cluster_id
+"""
+
+
 CONTAINMENT_SEED_K = 8  # bottom-k seed shingles per document
 
 
@@ -1363,6 +1446,7 @@ QUERIES = {
     "dedup_compact_corpus": dedup_compact_corpus,
     "dedup_containment": dedup_containment,
     "dedup_containment_seeds": dedup_containment_seeds,
+    "dedup_cluster_best": dedup_cluster_best,
 }
 
 ORACLE = {
@@ -1378,4 +1462,5 @@ ORACLE = {
     "dedup_compact_corpus": DEDUP_COMPACT_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_containment_seeds": DEDUP_CONTAINMENT_SEEDS_SQL,
+    "dedup_cluster_best": _cluster_best_sql(),
 }

@@ -2324,3 +2324,51 @@ def test_corpus_build_lm_gate_composes(spark):
     want = [r for r in base if r.doc_id in lm_keep]
     assert sorted(map(tuple, gated)) == sorted(map(tuple, want))
     assert len(gated) < len(base)  # the gate actually fired
+
+
+def test_cluster_best_elects_quality_keeper(spark):
+    """Quality-aware keeper election: on the sf0.01 corpus the chosen
+    keeper must (a) be a member of its cluster, (b) carry the maximum
+    quality among members (ties to lowest id), and (c) actually DIFFER
+    from the min-id keeper somewhere — the policy changes real outcomes,
+    it is not min-id by another name."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.functions import text as T
+    from pinterest_data_pipeline218_spark.operators.dedup import (
+        CC_JACCARD_THRESHOLD,
+        _lsh_verified_pairs,
+        connected_components,
+        dedup_cluster_best,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    best = dedup_cluster_best(spark, sf).collect()
+    docs = load_table(spark, sf, "documents")
+    labels = {
+        r.node: r.label
+        for r in connected_components(
+            docs.select(F.col("doc_id").alias("node")),
+            _lsh_verified_pairs(spark, sf, CC_JACCARD_THRESHOLD).select(
+                "doc_a", "doc_b"
+            ),
+        ).collect()
+    }
+    q = {
+        r.doc_id: r.q
+        for r in docs.select(
+            "doc_id",
+            (T.quality_score(T.tokens(F.col("text"))) * 1_000_000)
+            .cast("long")
+            .alias("q"),
+        ).collect()
+    }
+    for r in best:
+        members = [n for n, l in labels.items() if l == r.cluster_id]
+        assert r.keeper_doc_id in members
+        mx = max(q[m] for m in members)
+        assert r.keeper_q_ppm == mx
+        assert r.keeper_doc_id == min(m for m in members if q[m] == mx)
+        assert r.n_members == len(members)
+    assert any(
+        r.n_members > 1 and r.keeper_doc_id != r.cluster_id for r in best
+    )
