@@ -183,6 +183,9 @@ _TAIL = (
     # r6 fourth rotation: dedup_cluster_best (quality-aware keeper
     # election) is NEW and moves into the window.
     "dedup_compact_corpus",  # r05-green; the exact-dedup keeper machinery keeps driver rows via in-window corpus_build_full (same digest-groupBy compact stage) and incoming dedup_cluster_best (the harder keeper election over the same CC labels)
+    # r6 fifth rotation: sim_radius_search (exact range similarity) is NEW
+    # and moves into the window.
+    "ev_json_extract_sum",  # green since r01; regexp_extract + try_cast + grouped sum — the regex family keeps driver rows via the in-window pin cleaning pipeline (P8), lenient casts via user_clean_pipeline (P9), grouped sums everywhere
 )
 
 

@@ -118,6 +118,7 @@ HEADLINE = [
     "mm_audio_fingerprint",
     "ev_value_outliers",
     "dedup_cluster_best",
+    "sim_radius_search",
 ]
 
 

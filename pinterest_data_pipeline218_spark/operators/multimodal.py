@@ -715,7 +715,10 @@ PHASH_MAX_HAMMING = 3
 
 
 def phash_neardup_pairs(
-    fps: DataFrame, max_hamming: int = PHASH_MAX_HAMMING, col: str = "dhash"
+    fps: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    col: str = "dhash",
+    drop_degenerate: bool = True,
 ) -> DataFrame:
     """Near-duplicate image pairs from perceptual fingerprints, banded for
     scale: the 56-bit fingerprint splits into PHASH_BANDS 14-bit bands;
@@ -725,9 +728,21 @@ def phash_neardup_pairs(
     recall EXACT for max_hamming < PHASH_BANDS (a pair differing in <= 3
     bits cannot touch all 4 bands); larger radii degrade gracefully like
     any banding scheme. Expects (doc_id, {col}); emits
-    (doc_a, doc_b, hamming)."""
+    (doc_a, doc_b, hamming).
+
+    ``drop_degenerate`` (default on) excludes the all-zero and all-one
+    fingerprints before banding — a CONSTANT signal (flat image, silent
+    clip) hashes to one of those two values, so at corpus scale every
+    flat input lands in the same band bucket and the "pairs" it emits are
+    matches on signal absence, not content: a quadratic hot bucket with
+    meaningless output (the standard guard perceptual-dedup systems
+    apply). Pass False to screen degenerates deliberately."""
     band_w = PHASH_NBITS // PHASH_BANDS
     mask = (1 << band_w) - 1
+    if drop_degenerate:
+        fps = fps.filter(
+            (F.col(col) != 0) & (F.col(col) != ((1 << PHASH_NBITS) - 1))
+        )
     banded = fps.select(
         "doc_id",
         F.col(col).alias("fp"),

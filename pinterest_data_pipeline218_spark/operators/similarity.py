@@ -76,6 +76,49 @@ LIMIT {TOP_K}
 """
 
 
+RADIUS_MIN_COS = 0.3  # gated threshold — calibrated so the near-uniform dev corpus yields a small-but-nonempty ball (policy, not semantics)
+
+
+def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE similarity search — the dual of top-k that dedup and
+    retrieval-filtering actually call ("give me EVERYTHING within the
+    ball", not the k best): all vectors with cosine >= RADIUS_MIN_COS to
+    the query, exact. Same plan skeleton as sim_topk_bruteforce (broadcast
+    1-row query, scan-local codegen'd cosine) but the selection is a
+    FILTER, not a TakeOrdered — output size is data-dependent, so there is
+    no top-k heap; rows stream out as the scan finds them and the only
+    ordered work is the final presentation sort. The ANN variant of the
+    same contract is the banded/bucketed probe with the threshold applied
+    after scoring (ann_index_topk + filter); at 100 TB radius search is
+    exactly what the near-dup screens (`dedup_embedding_neardup`) run
+    per-anchor, which is why the exact form is worth gating on its own."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("q"))
+    sim = F.round(cosine(F.col("v"), F.col("q")), 6).cast("double")
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= RADIUS_MIN_COS)
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    )
+
+
+SIM_RADIUS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+     q AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, cos_sim FROM (
+  SELECT e.vec_id AS vec_id, CAST(ROUND({_COS}, 6) AS DOUBLE) AS cos_sim
+  FROM e CROSS JOIN q
+  WHERE e.vec_id != {QUERY_VEC_ID}
+)
+WHERE cos_sim >= {RADIUS_MIN_COS}
+ORDER BY cos_sim DESC, vec_id ASC
+"""
+
+
 def with_lsh_bucket(emb: DataFrame) -> DataFrame:
     """Add the random-hyperplane sign bucket to an embedding DataFrame
     (expects a double-array column `v`). Pure column expressions."""
@@ -1232,6 +1275,7 @@ LIMIT {TOP_K}
 
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
+    "sim_radius_search": sim_radius_search,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_multiprobe": sim_ivf_multiprobe,
@@ -1245,6 +1289,7 @@ QUERIES = {
 
 ORACLE = {
     "sim_topk_bruteforce": SIM_TOPK_SQL,
+    "sim_radius_search": SIM_RADIUS_SQL,
     "sim_ann_lsh": _ann_sql(),
     "sim_ivf_topk": _ivf_sql(),
     "sim_ivf_multiprobe": _ivf_sql(NPROBE),

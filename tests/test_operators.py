@@ -2372,3 +2372,85 @@ def test_cluster_best_elects_quality_keeper(spark):
     assert any(
         r.n_members > 1 and r.keeper_doc_id != r.cluster_id for r in best
     )
+
+
+def test_phash_pairs_drop_degenerate_fingerprints(spark):
+    """Constant signals (flat images / silent clips) hash to all-zero or
+    all-one fingerprints; two unrelated flat inputs would 'pair' at
+    Hamming 0 through a quadratic hot bucket. The default guard drops
+    them; drop_degenerate=False re-admits them for deliberate screening."""
+    from pinterest_data_pipeline218_spark.operators.multimodal import (
+        PHASH_NBITS,
+        phash_neardup_pairs,
+    )
+
+    all_ones = (1 << PHASH_NBITS) - 1
+    fps = spark.createDataFrame(
+        [
+            (1, 0),          # silent clip A
+            (2, 0),          # silent clip B — unrelated, same degenerate fp
+            (3, all_ones),   # monotone-gradient image
+            (4, all_ones),
+            (5, 0x0F0F0F0F0F0F0F),  # real content
+            (6, 0x0F0F0F0F0F0F0E),  # near-dup of 5 (hamming 1)
+        ],
+        "doc_id long, dhash long",
+    )
+    default = {(r.doc_a, r.doc_b) for r in phash_neardup_pairs(fps).collect()}
+    assert default == {(5, 6)}
+    screened = {
+        (r.doc_a, r.doc_b)
+        for r in phash_neardup_pairs(fps, drop_degenerate=False).collect()
+    }
+    assert {(1, 2), (3, 4), (5, 6)} <= screened
+
+
+def test_radius_search_matches_numpy_ball(spark, tmp_path):
+    """Exact range search on the clustered fixture: the returned ball at
+    cos >= 0.9 must be exactly numpy's (nonempty there — the query's own
+    cluster), ordered by similarity."""
+    import importlib.util
+    import pathlib
+
+    import numpy as np
+
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.functions.vectors import (
+        as_double_array,
+        cosine,
+    )
+    from pinterest_data_pipeline218_spark.operators.similarity import (
+        QUERY_VEC_ID,
+    )
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "recall_study_mod6", root / "tools" / "recall_study.py"
+    )
+    R = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(R)
+    fixture = R.make_clustered_fixture(str(tmp_path / "clustered"))
+
+    emb = load_table(spark, fixture, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("q"))
+    got = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine(F.col("v"), F.col("q")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.9)
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .collect()
+    )
+    rows = emb.orderBy("vec_id").collect()
+    mat = np.array([list(r.v) for r in rows])
+    qv = mat[QUERY_VEC_ID]
+    sims = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    want = {
+        r.vec_id
+        for r, s in zip(rows, sims)
+        if r.vec_id != QUERY_VEC_ID and round(float(s), 6) >= 0.9
+    }
+    assert want and {r.vec_id for r in got} == want
+    assert [r.cos_sim for r in got] == sorted((r.cos_sim for r in got), reverse=True)
