@@ -1143,7 +1143,13 @@ def dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = docs.select(F.col("doc_id").alias("node"))
     labels = connected_components(nodes, pairs)
-    q_ppm = (T.quality_score(T.tokens(F.col("text"))) * 1_000_000).cast("long")
+    # NULL text scores NULL — coalesce to -1 so a NULL-quality member sorts
+    # LAST deterministically in BOTH engines (struct comparison over a NULL
+    # field is the one place Spark/DuckDB ordering could diverge)
+    q_ppm = F.coalesce(
+        (T.quality_score(T.tokens(F.col("text"))) * 1_000_000).cast("long"),
+        F.lit(-1).cast("long"),
+    )
     quality = docs.select(F.col("doc_id").alias("node"), q_ppm.alias("q_ppm"))
     return (
         labels.join(quality, "node")
@@ -1192,7 +1198,8 @@ WITH RECURSIVE {_minhash_cte_body()}, pairs AS (
 ), cc AS (
   SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
 ), q AS (
-  SELECT doc_id, CAST(TRUNC({quality} * 1000000) AS BIGINT) AS q_ppm
+  SELECT doc_id,
+         COALESCE(CAST(TRUNC({quality} * 1000000) AS BIGINT), -1) AS q_ppm
   FROM documents
 )
 SELECT cc.cluster_id,

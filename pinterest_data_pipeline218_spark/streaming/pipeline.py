@@ -437,6 +437,13 @@ def incremental_retention_triangle(spark: SparkSession, state_dir: str) -> DataF
     is pytest-proved (`test_incremental_retention_equals_batch`)."""
     from ..plans.events import retention_triangle_from_activity
 
+    if not os.path.isdir(f"{state_dir}/activity"):
+        # queried before the first batch has landed: the empty triangle,
+        # not AnalysisException (the incremental_quality_report contract)
+        return spark.sql(
+            "SELECT CAST(NULL AS DATE) cohort_week, CAST(NULL AS INT) "
+            "week_offset, CAST(0 AS BIGINT) n_users"
+        ).limit(0)
     act = (
         spark.read.parquet(f"{state_dir}/activity")
         .select("user_id", "w")

@@ -1090,3 +1090,13 @@ def test_stream_containment_increment_equals_batch(spark, tmp_path):
     assert got[(103, 1)][3]
     assert got[(101, 2)][3] and got[(101, 2)][2] == 10000  # corpus doc engulfed
     assert not any(a == 102 for a, _ in got)  # unrelated stays clean
+
+
+def test_incremental_retention_before_first_batch_is_empty(spark, tmp_path):
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        incremental_retention_triangle,
+    )
+
+    df = incremental_retention_triangle(spark, str(tmp_path / "never"))
+    assert df.collect() == []
+    assert df.columns == ["cohort_week", "week_offset", "n_users"]
