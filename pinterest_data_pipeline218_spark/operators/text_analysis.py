@@ -188,7 +188,10 @@ def train_langid_profiles(fixture: DataFrame) -> DataFrame:
     )
     counts = grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c"))
     totals = grams.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    return counts.join(totals, "lang").select(
+    # |langs| rows: broadcast explicitly so the static plan is already
+    # right (AQE would convert the SMJ at runtime; the hint removes the
+    # conversion and the planned exchange — tools/plan_audit.py evidence)
+    return counts.join(F.broadcast(totals), "lang").select(
         "lang", "g", F.expr(f"({LANGID_PPM}L * c) div n").alias("w_ppm")
     )
 
@@ -241,6 +244,9 @@ def langid_classify(docs: DataFrame, profiles: DataFrame) -> DataFrame:
             (-F.col("mn.ns")).alias("score_ppm"),
         )
     )
+    # best is bounded by |docs-with-matches|; at dev scale it broadcasts
+    # and at corpus scale the left join shuffles on doc_id either way —
+    # leave it hint-free (AQE policy) and only the final projection here
     return docs.select("doc_id").join(best, "doc_id", "left").select(
         "doc_id",
         F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
