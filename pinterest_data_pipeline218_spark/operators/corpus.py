@@ -151,6 +151,7 @@ def build_training_corpus(
     decontaminate: bool = False,
     near_dedup: bool = False,
     lm_gate: bool = False,
+    keeper: str = "min_id",
     persist_shared: bool = True,
 ) -> DataFrame:
     """The end-to-end corpus build a training pipeline runs, composed from
@@ -228,13 +229,34 @@ def build_training_corpus(
         # global min-id was already removed by the quality/repetition/
         # decontamination/exact-dedup gates, label==node would retain no
         # member and the whole near-dup cluster silently vanished. Restrict
-        # the label table to survivors first, then take min per cluster.
+        # the label table to survivors first, then elect per cluster.
         surviving_labels = labels.join(
             kept.select(F.col("doc_id").alias("node")), "node", "left_semi"
         )
-        cc_keepers = surviving_labels.groupBy("label").agg(
-            F.min("node").alias("doc_id")
-        ).select("doc_id")
+        if keeper == "best_quality":
+            # the dedup_cluster_best policy: keep the max-quality member
+            # (fixed-point ppm, NULL pinned to -1, ties to lowest id)
+            q_ppm = F.coalesce(
+                (T.quality_score(F.col("toks")) * 1_000_000).cast("long"),
+                F.lit(-1).cast("long"),
+            )
+            q_tbl = toked.select(F.col("doc_id").alias("node"), q_ppm.alias("q"))
+            cc_keepers = (
+                surviving_labels.join(q_tbl, "node")
+                .groupBy("label")
+                .agg(
+                    F.min(
+                        F.struct((-F.col("q")).alias("nq"), F.col("node").alias("d"))
+                    ).alias("mn")
+                )
+                .select(F.col("mn.d").alias("doc_id"))
+            )
+        elif keeper == "min_id":
+            cc_keepers = surviving_labels.groupBy("label").agg(
+                F.min("node").alias("doc_id")
+            ).select("doc_id")
+        else:
+            raise ValueError(f"unknown keeper policy {keeper!r}")
         kept = kept.join(cc_keepers, "doc_id", "left_semi")
     if sample_pct < 100:
         kept = kept.filter(_doc_pct(SAMPLE_SEED) < sample_pct)

@@ -2454,3 +2454,31 @@ def test_radius_search_matches_numpy_ball(spark, tmp_path):
     }
     assert want and {r.vec_id for r in got} == want
     assert [r.cos_sim for r in got] == sorted((r.cos_sim for r in got), reverse=True)
+
+
+def test_corpus_build_keeper_policy(spark):
+    """build_training_corpus(near_dedup=True, keeper=...): both policies
+    keep exactly one member per near-dup cluster (same cluster count,
+    same coverage of non-duplicated docs); 'best_quality' must elect a
+    different member than 'min_id' for at least one cluster on this
+    corpus (the dedup_cluster_best measurement: 9 of 21 multi-member
+    clusters differ at sf0.01; sf0.001 has its own split)."""
+    from pinterest_data_pipeline218_spark.operators.corpus import (
+        build_training_corpus,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    min_id = {r.doc_id for r in build_training_corpus(spark, sf, near_dedup=True).collect()}
+    best = {
+        r.doc_id
+        for r in build_training_corpus(
+            spark, sf, near_dedup=True, keeper="best_quality"
+        ).collect()
+    }
+    assert len(min_id) == len(best)  # one keeper per cluster either way
+    assert min_id != best  # the election changed at least one cluster
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keeper"):
+        build_training_corpus(spark, sf, near_dedup=True, keeper="nope")
