@@ -798,3 +798,44 @@ def test_funnel_generalizes_to_n_steps(spark):
         3: ("c", 1, 3333),
         4: ("d", 1, 3333),
     }
+
+
+def test_bucketed_retention_has_no_user_id_exchange(spark, tmp_path):
+    """Retention's 100 TB claim, proven like the funnel's: against a
+    user_id-bucketed events table the cohort triangle (per-user min week +
+    distinct activity + user_id join) plans with ZERO
+    hashpartitioning(user_id) exchanges; the plain layout provably
+    shuffles; results identical."""
+    import pyspark.sql.functions as SF_
+
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.plans.events import (
+        retention_triangle_from_activity,
+    )
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id", SF_.date_trunc("week", SF_.col("ts")).alias("w")
+    )
+    (
+        ev.write.mode("overwrite")
+        .option("path", str(tmp_path / "b_act"))
+        .bucketBy(16, "user_id")
+        .sortBy("user_id")
+        .saveAsTable("b_act")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = retention_triangle_from_activity(ev.distinct())
+        assert "hashpartitioning(user_id" in (
+            plain._jdf.queryExecution().executedPlan().toString()
+        )
+        bucketed = retention_triangle_from_activity(spark.table("b_act").distinct())
+        plan_b = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(user_id" not in plan_b, plan_b
+        assert sorted(map(tuple, bucketed.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_act")
