@@ -186,6 +186,9 @@ _TAIL = (
     # r6 fifth rotation: sim_radius_search (exact range similarity) is NEW
     # and moves into the window.
     "ev_json_extract_sum",  # green since r01; regexp_extract + try_cast + grouped sum — the regex family keeps driver rows via the in-window pin cleaning pipeline (P8), lenient casts via user_clean_pipeline (P9), grouped sums everywhere
+    # r6 sixth rotation: text_normalize (canonical normalization) is NEW
+    # and moves into the window.
+    "text_quality_score",  # green r01-r05; the quality expression keeps THREE in-window driver rows by composition — corpus_build_full's gate, corpus_quality_report's counters, dedup_cluster_best's keeper election all evaluate it value-exactly
 )
 
 

@@ -119,6 +119,7 @@ HEADLINE = [
     "ev_value_outliers",
     "dedup_cluster_best",
     "sim_radius_search",
+    "text_normalize",
 ]
 
 

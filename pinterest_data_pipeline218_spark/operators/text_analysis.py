@@ -314,6 +314,44 @@ ORDER BY d.doc_id
 """
 
 
+def normalize_text(c: F.Column) -> F.Column:
+    """Canonical text normalization — the stage every text pipeline runs
+    before tokenize/hash/dedup: lowercase, strip everything outside
+    [a-z0-9 ], collapse whitespace runs, trim. Pure codegen'd expression
+    chain (P8's regexp_replace machinery), identical semantics in DuckDB
+    with the 'g' flag."""
+    t = F.lower(c)
+    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)
+
+
+NORMALIZE_SQL_EXPR = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated rendering: normalized text + its token count per document —
+    the projection a normalization-first pipeline would materialize."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.size(T.tokens(norm)).alias("n_norm_tokens"),
+    ).orderBy("doc_id")
+
+
+TEXT_NORMALIZE_SQL = f"""
+SELECT doc_id,
+       {NORMALIZE_SQL_EXPR.format(c="text")} AS norm_text,
+       len(string_split({NORMALIZE_SQL_EXPR.format(c="text")}, ' ')) AS n_norm_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive md5 fingerprint of the token set per document."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1333,6 +1371,7 @@ QUERIES = {
     "text_quality_score": text_quality_score,
     "text_langid": text_langid,
     "text_langid_trained": text_langid_trained,
+    "text_normalize": text_normalize,
     "text_fingerprint": text_fingerprint,
     "text_word_frequencies": text_word_frequencies,
     "text_tfidf_top_terms": text_tfidf_top_terms,
@@ -1351,6 +1390,7 @@ ORACLE = {
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_langid_trained": _langid_trained_sql(),
+    "text_normalize": TEXT_NORMALIZE_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_word_frequencies": TEXT_WORD_FREQ_SQL,
     "text_tfidf_top_terms": TEXT_TFIDF_SQL,

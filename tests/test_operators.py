@@ -2482,3 +2482,31 @@ def test_corpus_build_keeper_policy(spark):
 
     with _pytest.raises(ValueError, match="keeper"):
         build_training_corpus(spark, sf, near_dedup=True, keeper="nope")
+
+
+def test_text_normalize_hand_cases(spark):
+    """Normalization contract: case-fold, punctuation to space, whitespace
+    collapse, trim; NULL text stays NULL (no phantom empty row)."""
+    from pinterest_data_pipeline218_spark.operators.text_analysis import (
+        normalize_text,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "  Hello,   World!! (v2.0) "),
+            (2, "already clean text"),
+            (3, None),
+            (4, "$$$"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n
+        for r in df.select("doc_id", normalize_text(F.col("text")).alias("n")).collect()
+    }
+    assert got == {
+        1: "hello world v2 0",
+        2: "already clean text",
+        3: None,
+        4: "",
+    }
