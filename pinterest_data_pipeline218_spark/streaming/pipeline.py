@@ -452,6 +452,89 @@ def incremental_retention_triangle(spark: SparkSession, state_dir: str) -> DataF
     return retention_triangle_from_activity(act)
 
 
+def funnel_state_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int = -1,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> None:
+    """One micro-batch's contribution to the incremental ordered funnel
+    (the streaming sibling of `plans.events.funnel_steps`, completing the
+    retention/funnel pair). The mergeable state is the DISTINCT
+    ``(user_id, event_type, ts)`` set restricted to the funnel's step
+    types — and it genuinely cannot be less than that: first-touch entry
+    times are NOT per-(user, step) minima (step k's entry is the min
+    step-k ts strictly after the step-(k-1) entry), and the step-1 entry
+    time only DECREASES as batches merge, so a step-k event that looks
+    too early today may become the first touch once an earlier step-(k-1)
+    event arrives; symmetrically, pruning step-k events below the current
+    step-1 minimum is unsound because the final minimum is <= the current
+    one. A per-(user, step) min — or any bounded truncation — therefore
+    breaks cross-batch ordering; the distinct event-triple set (a small,
+    step-filtered fraction of the stream) is the exact lower bound of
+    information the funnel needs. Set-union merges; same
+    ``batch_id=<bid>`` overwrite-partition idempotence contract as
+    quality_state_batch, so an at-least-once replay rewrites instead of
+    double-appending. Expects (user_id, event_type, ts, ...)."""
+    evs = (
+        batch_df.filter(F.col("event_type").isin(*steps))
+        .select("user_id", "event_type", "ts")
+        .distinct()
+    )
+    evs.write.mode("overwrite").parquet(
+        f"{state_dir}/funnel_events/batch_id={batch_id}"
+    )
+
+
+def attach_funnel_stream(
+    stream_ev: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+):
+    """Run the incremental funnel state over an event stream (foreachBatch
+    — the chained filtered-min joins cannot be one streaming aggregate,
+    which is exactly why the state/assembly decomposition exists)."""
+    return (
+        stream_ev.writeStream.foreachBatch(
+            lambda batch_df, bid: funnel_state_batch(
+                batch_df, state_dir, bid, steps
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def incremental_funnel(
+    spark: SparkSession,
+    state_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Assemble the funnel from accumulated step-event state: re-distinct
+    the unioned triples (batch_id partition column dropped), then EXACTLY
+    the batch combinator — equality with the batch funnel over the union
+    of processed batches holds by construction and is pytest-proved
+    (`test_incremental_funnel_equals_batch`), including the cross-batch
+    reordering case where a user's click precedes their view until an
+    earlier view arrives in a later batch."""
+    from ..plans.events import funnel_steps
+
+    if not os.path.isdir(f"{state_dir}/funnel_events"):
+        # queried before the first batch has landed: the empty funnel,
+        # not AnalysisException (the incremental_quality_report contract)
+        return spark.sql(
+            "SELECT CAST(0 AS INT) step, CAST(NULL AS STRING) event_type, "
+            "CAST(0 AS BIGINT) n_users, CAST(0 AS BIGINT) conv_bp"
+        ).limit(0)
+    evs = (
+        spark.read.parquet(f"{state_dir}/funnel_events")
+        .select("user_id", "event_type", "ts")
+        .distinct()
+    )
+    return funnel_steps(evs, steps)
+
+
 # --------------------------------------------------------------- maintenance
 def compact_sink_output(
     spark: SparkSession, path: str, target_files: int = 8

@@ -1100,3 +1100,100 @@ def test_incremental_retention_before_first_batch_is_empty(spark, tmp_path):
     df = incremental_retention_triangle(spark, str(tmp_path / "never"))
     assert df.collect() == []
     assert df.columns == ["cohort_week", "week_offset", "n_users"]
+
+
+def test_incremental_funnel_equals_batch(spark, tmp_path):
+    """Streaming funnel (the retention pair's other half): the incremental
+    funnel assembled from per-micro-batch step-event state must equal the
+    batch funnel over the union of batches — including the cross-batch
+    REORDERING case that proves why the state must be the full distinct
+    (user, type, ts) set: user 2's click arrives in batch 0 BEFORE any of
+    their views, so they are a non-converter until batch 1 delivers an
+    earlier view, which retroactively makes that click a valid step-2
+    first touch (any per-(user, step) min or truncated state misses
+    this). Also exercises set-union dedup of an identical event across
+    batches and an at-least-once replay of a whole batch (idempotence)."""
+    import datetime
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from pinterest_data_pipeline218_spark.plans.events import funnel_steps
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        funnel_state_batch,
+        incremental_funnel,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+
+    def t(hour, minute=0):
+        return datetime.datetime(2026, 3, 3, hour, minute)
+
+    batches = [
+        # user 1: clean view->click->purchase within one batch
+        # user 2: click at 10:00 with NO earlier view yet (non-converter)
+        # user 3: view only; 'scroll' must be filtered out of the state
+        [
+            (1, "view", t(9)),
+            (1, "click", t(10)),
+            (1, "purchase", t(11)),
+            (2, "click", t(10)),
+            (3, "view", t(9)),
+            (3, "scroll", t(10)),
+        ],
+        # user 2's EARLIER view arrives late -> their 10:00 click becomes
+        # a valid step-2 first touch; duplicate of user 1's view (dedup)
+        [
+            (2, "view", t(8)),
+            (1, "view", t(9)),
+        ],
+        # user 2 purchases after their click -> full conversion
+        [
+            (2, "purchase", t(12)),
+        ],
+    ]
+    state = str(tmp_path / "state")
+
+    # after batch 0 alone: user 2 must NOT count at step 2 (click precedes
+    # every known view)
+    funnel_state_batch(spark.createDataFrame(batches[0], schema), state, 0)
+    mid = {r.step: r.n_users for r in incremental_funnel(spark, state).collect()}
+    assert mid == {1: 2, 2: 1, 3: 1}
+
+    funnel_state_batch(spark.createDataFrame(batches[1], schema), state, 1)
+    funnel_state_batch(spark.createDataFrame(batches[2], schema), state, 2)
+    funnel_state_batch(spark.createDataFrame(batches[1], schema), state, 1)  # replay
+
+    got = incremental_funnel(spark, state).collect()
+    union = spark.createDataFrame([r for rows in batches for r in rows], schema)
+    want = funnel_steps(union).collect()
+    assert got == want
+    by_step = {r.step: r.n_users for r in got}
+    # hand-pinned: users 1,2,3 viewed; 1,2 clicked after their view;
+    # 1,2 purchased after their click
+    assert by_step == {1: 3, 2: 2, 3: 2}
+    assert [r.conv_bp for r in got] == [10000, 6666, 6666]
+    # state holds only funnel-step events (scroll filtered scan-side)
+    st = spark.read.parquet(f"{state}/funnel_events")
+    assert st.filter(st.event_type == "scroll").count() == 0
+
+
+def test_incremental_funnel_before_first_batch_is_empty(spark, tmp_path):
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        incremental_funnel,
+    )
+
+    df = incremental_funnel(spark, str(tmp_path / "never"))
+    assert df.collect() == []
+    assert df.columns == ["step", "event_type", "n_users", "conv_bp"]
