@@ -189,6 +189,9 @@ _TAIL = (
     # r6 sixth rotation: text_normalize (canonical normalization) is NEW
     # and moves into the window.
     "text_quality_score",  # green r01-r05; the quality expression keeps THREE in-window driver rows by composition — corpus_build_full's gate, corpus_quality_report's counters, dedup_cluster_best's keeper election all evaluate it value-exactly
+    # r6 seventh rotation: ev_kmv_distinct_users (KMV distinct sketch, the
+    # value-oracled sketch-family member) is NEW and moves into the window.
+    "dedup_semantic_kmeans",  # r05-green; the Lloyd rounds keep a driver row via in-window ml_kmeans_refine (same training loop, integer-exact, descent pytest-proved by test_kmeans_refine_improves_over_seed_assignment), the salted cluster-blocked cosine pair machinery via in-window dedup_cluster_best's upstream; still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

@@ -120,6 +120,7 @@ HEADLINE = [
     "dedup_cluster_best",
     "sim_radius_search",
     "text_normalize",
+    "ev_kmv_distinct_users",
 ]
 
 

@@ -410,6 +410,104 @@ def ev_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_K = 256
+KMV_HEX_CHARS = 13  # 52-bit hash: (k-1) * 2^52 stays inside int64 exactly
+KMV_SCALE = 1 << (4 * KMV_HEX_CHARS)
+KMV_SALT_BUCKETS = 64
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, key_col: str, k: int = KMV_K
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per group — sketch
+    family member #4, and the one with an ENGINE-INDEPENDENT contract:
+    where HLL/KLL/theta estimates depend on engine-internal sketch
+    encodings (their gated queries are deliberately rows-only), KMV over
+    a deterministic md5-derived hash is bit-reproducible anywhere, so
+    `ev_kmv_distinct_users` carries a full value-exact DuckDB oracle.
+    Estimator: with h uniform on [0, 2^52), the k-th smallest distinct
+    hash value estimates density, so n_distinct ~= (k-1) * 2^52 / h_(k);
+    below k distinct keys the sketch IS the exact answer (exact mode).
+    All arithmetic is integer (52-bit hash so (k-1) * 2^52 fits int64;
+    both engines truncate positive integer division identically).
+
+    100 TB shape: the candidate generation is a TWO-LEVEL min-k — a
+    per-(group, salt) row_number keeps the k smallest hashes inside each
+    of 64 salt buckets (bounded sort groups, map-side parallel), then a
+    per-group pass over <= 64k surviving candidates takes the global
+    k-th. That second level is exactly a KMV MERGE (union candidate
+    sets, re-take the k smallest) — each salt bucket is a partial
+    sketch, which is the mergeability argument for running this over
+    100 TB partitions or micro-batches. The exact-count fallback `nd`
+    is a plain distinct count only groups in exact mode consult;
+    at scale the estimate branch never needs it, and Catalyst computes
+    it from the same shuffled distinct set the sketch reads."""
+    from ..functions.text import token_hash
+
+    d = df.select(
+        group_col,
+        token_hash(
+            F.col(key_col).cast("string"), hex_chars=KMV_HEX_CHARS
+        ).alias("h"),
+    ).distinct()
+    w1 = Window.partitionBy(group_col, "salt").orderBy("h")
+    cand = (
+        d.withColumn("salt", F.pmod(F.col("h"), F.lit(KMV_SALT_BUCKETS)))
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= k)
+        .drop("rn1", "salt")
+    )
+    w2 = Window.partitionBy(group_col).orderBy("h")
+    kth = (
+        cand.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == k)
+        .select(group_col, F.col("h").alias("kth"))
+    )
+    n = d.groupBy(group_col).agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        n.join(kth, group_col, "left")
+        .select(
+            group_col,
+            F.when(F.col("nd") < k, F.col("nd"))
+            .otherwise(F.expr(f"({k - 1}L * {KMV_SCALE}L) div kth"))
+            .alias("kmv_users"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def ev_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via the KMV sketch (see
+    kmv_distinct) — the value-oracled counterpart of
+    ev_approx_distinct_users: same question, but the estimate itself is
+    engine-exact, so the driver's hash gate verifies it end-to-end."""
+    return kmv_distinct(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
+EV_KMV_SQL = f"""
+WITH d AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, {KMV_HEX_CHARS}))::BIGINT AS h
+  FROM events
+), r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM d
+), n AS (
+  SELECT event_type, COUNT(*) AS nd FROM d GROUP BY event_type
+), kth AS (
+  SELECT event_type, h AS kth FROM r WHERE rn = {KMV_K}
+)
+SELECT n.event_type,
+       CASE WHEN n.nd < {KMV_K} THEN n.nd
+            ELSE ({KMV_K - 1} * {KMV_SCALE}) // kth.kth END AS kmv_users
+FROM n LEFT JOIN kth ON n.event_type = kth.event_type
+ORDER BY n.event_type
+"""
+
+
 def ev_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view → click → purchase: a user counts at
     step k only with a step-k event STRICTLY AFTER their step-(k-1) entry
@@ -690,6 +788,7 @@ QUERIES = {
     "ev_pivot_type_counts": ev_pivot_type_counts,
     "ev_cube_type_dow": ev_cube_type_dow,
     "ev_approx_distinct_users": ev_approx_distinct_users,
+    "ev_kmv_distinct_users": ev_kmv_distinct_users,
     "ev_sliding_1h_value": ev_sliding_1h_value,
     "ev_approx_value_quantiles": ev_approx_value_quantiles,
     "ev_theta_user_overlap": ev_theta_user_overlap,
@@ -713,6 +812,7 @@ ORACLE = {
     # ev_approx_distinct_users: deliberately no oracle — sketch estimates are
     # engine-specific; the driver runs its rows-only check, pytest bounds the
     # error vs the exact count
+    "ev_kmv_distinct_users": EV_KMV_SQL,
     "ev_sliding_1h_value": EV_SLIDING_SQL,
     "ev_funnel_steps": EV_FUNNEL_SQL,
     "ev_retention_cohorts": EV_RETENTION_SQL,

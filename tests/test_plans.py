@@ -392,6 +392,38 @@ def test_approx_distinct_within_bound(spark, qs):
         assert abs(approx[t] - exact[t]) <= max(1, 0.05 * exact[t]), (t, approx[t], exact[t])
 
 
+def test_kmv_distinct_bound_and_exact_mode(spark, qs):
+    """KMV at k=256 (rsd ~= 1/sqrt(k-2) ~= 6.3%): every per-type estimate
+    within 20% of the exact distinct count (3 sigma) on real data; and on
+    a group with fewer than k distinct keys the sketch is in exact mode,
+    returning the EXACT count (which is also what the DuckDB oracle gate
+    verifies value-exactly at sf0.01)."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.plans.events import (
+        KMV_K,
+        kmv_distinct,
+    )
+
+    est = {r.event_type: r.kmv_users
+           for r in qs["ev_kmv_distinct_users"](spark, SF).collect()}
+    ev = load_table(spark, SF, "events")
+    exact = {r.event_type: r.n for r in ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert est.keys() == exact.keys()
+    for t in exact:
+        if exact[t] < KMV_K:
+            assert est[t] == exact[t], (t, est[t], exact[t])
+        else:
+            assert abs(est[t] - exact[t]) <= 0.20 * exact[t], (t, est[t], exact[t])
+
+    # exact mode pinned on a tiny synthetic frame: 2 groups, 7 / 300 keys
+    rows = [("a", i) for i in range(7)] * 3 + [("b", i) for i in range(300)]
+    df = spark.createDataFrame(rows, ["g", "k"])
+    got = {r.g: r.kmv_users for r in kmv_distinct(df, "g", "k").collect()}
+    assert got["a"] == 7
+    assert abs(got["b"] - 300) <= 60
+
+
 def test_tpch_rest_follows_broadcast_policy_and_pushdown(spark, qs):
     """The completion set (q2/q9/q11/q20) joins the |part×supplier|-sized
     derived bridge plus sf-scaled part/supplier dims — all must stay
@@ -552,7 +584,7 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
         "sim_ivfpq_wide_topk", "mm_image_phash", "sim_ivf_multiprobe",
         "corpus_stratified_predlang", "mm_audio_fingerprint",
         "ev_value_outliers", "dedup_cluster_best", "sim_radius_search",
-        "text_normalize",
+        "text_normalize", "ev_kmv_distinct_users",
     }
     out = novel - head
     assert out == set(), f"novel operators outside the checked window: {out}"
