@@ -192,6 +192,9 @@ _TAIL = (
     # r6 seventh rotation: ev_kmv_distinct_users (KMV distinct sketch, the
     # value-oracled sketch-family member) is NEW and moves into the window.
     "dedup_semantic_kmeans",  # r05-green; the Lloyd rounds keep a driver row via in-window ml_kmeans_refine (same training loop, integer-exact, descent pytest-proved by test_kmeans_refine_improves_over_seed_assignment), the salted cluster-blocked cosine pair machinery via in-window dedup_cluster_best's upstream; still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r6 eighth rotation: text_quality_classifier (trained curated-vs-crawl
+    # token-contrast discriminator) is NEW and moves into the window.
+    "corpus_hash_sample",  # r05-green; the _doc_pct md5-percent machinery keeps a driver row via in-window corpus_stratified_predlang (identical hash-rate filter, composed with the trained-langid strata); still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

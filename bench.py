@@ -121,6 +121,7 @@ HEADLINE = [
     "sim_radius_search",
     "text_normalize",
     "ev_kmv_distinct_users",
+    "text_quality_classifier",
 ]
 
 

@@ -1366,6 +1366,159 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------- trained quality classifier
+# The curated-vs-crawl discriminator every large-scale LLM data pipeline runs
+# (GPT-3 / PaLM style: positives = curated sources, negatives = raw crawl;
+# keep crawl documents that SCORE like curated ones). Reference scope: the
+# reference has no trained models at all — this extends the engine's
+# trained-in-engine family (BPE merges, char-trigram langid, bigram LM).
+
+CURATED_SOURCES = ("src0", "src1", "src2", "src3")
+CONTRAST_BUCKETS = 4096
+CONTRAST_FP = 1_000_000
+
+
+def _contrast_grams(docs: DataFrame, pos_col) -> DataFrame:
+    """(doc_id, is_pos, b): one hashed-bucket row per token OCCURRENCE —
+    the single shared projection both the trainer and the scorer read."""
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            pos_col.alias("is_pos"),
+            F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "is_pos",
+            F.pmod(T.token_hash(F.col("tok")), F.lit(CONTRAST_BUCKETS)).alias(
+                "b"
+            ),
+        )
+    )
+
+
+def train_token_contrast(grams: DataFrame) -> DataFrame:
+    """(b, w): hashed-bucket token-contrast weights. The model is the
+    fixed-point, log-free analog of naive-Bayes log-odds: per bucket,
+    add-one-smoothed occurrence frequency in the positive class minus the
+    negative class, in parts-per-million (floating logs are not
+    bit-portable across engines; the frequency CONTRAST preserves the
+    discriminative sign structure and stays integer-exact, the same
+    trade the langid profiles make). Hashing tokens into a fixed 4096
+    buckets bounds the model at kilobytes REGARDLESS of corpus vocabulary
+    — the fastText trick, and what makes the weights broadcastable after
+    training over 100 TB. Training is ONE grouped conditional aggregate
+    over the gram stream (map-side combined, 4096 result rows) plus a
+    1-row total — no iteration, no driver-side math beyond none."""
+    counts = grams.groupBy("b").agg(
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).alias("cp"),
+        F.sum(F.when(~F.col("is_pos"), 1).otherwise(0)).alias("cn"),
+    )
+    tot = grams.agg(
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(~F.col("is_pos"), 1).otherwise(0)).alias("tn"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.expr(
+                f"({CONTRAST_FP}L * (cp + 1)) div (tp + {CONTRAST_BUCKETS})"
+            )
+            - F.expr(
+                f"({CONTRAST_FP}L * (cn + 1)) div (tn + {CONTRAST_BUCKETS})"
+            )
+        ).alias("w"),
+    )
+
+
+def score_token_contrast(
+    docs: DataFrame, grams: DataFrame, weights: DataFrame
+) -> DataFrame:
+    """(doc_id, source, contrast_score, looks_curated): per-document sum
+    of broadcast bucket weights over token occurrences; a document scoring
+    above zero 'looks curated' — on crawl documents that is exactly the
+    keep signal the GPT-3-style pipeline selects on. Documents with NULL
+    text score 0 (left join + coalesce, the langid contract)."""
+    s = (
+        grams.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("contrast_score"))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(s, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("contrast_score", F.lit(0).cast("long")).alias(
+                "contrast_score"
+            ),
+            (F.coalesce("contrast_score", F.lit(0).cast("long")) > 0).alias(
+                "looks_curated"
+            ),
+        )
+    )
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated rendering: weak labels from the source column (curated =
+    CURATED_SOURCES), train the contrast weights in-engine, score every
+    document — training and scoring share ONE persisted tokenized gram
+    projection (the corpus_build_full single-pass discipline: without it
+    the corpus is tokenized twice). The oracle replays training AND
+    scoring from the same weak labels, so the driver's hash gate verifies
+    the trained model end-to-end — the text_langid_trained pattern."""
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _contrast_grams(
+        docs, F.col("source").isin(*CURATED_SOURCES)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    weights = train_token_contrast(grams)
+    return score_token_contrast(docs, grams, weights).orderBy("doc_id")
+
+
+_CURATED_IN = ", ".join(f"'{s}'" for s in CURATED_SOURCES)
+
+TEXT_QUALITY_CLASSIFIER_SQL = f"""
+WITH g AS (
+  SELECT doc_id, is_pos,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT % {CONTRAST_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, source IN ({_CURATED_IN}) AS is_pos,
+           unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents WHERE text IS NOT NULL
+  )
+),
+counts AS (
+  SELECT b, SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS cp,
+         SUM(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) AS cn
+  FROM g GROUP BY b
+),
+tot AS (
+  SELECT SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) AS tn
+  FROM g
+),
+w AS (
+  SELECT b,
+         ({CONTRAST_FP} * (cp + 1)) // (tp + {CONTRAST_BUCKETS})
+         - ({CONTRAST_FP} * (cn + 1)) // (tn + {CONTRAST_BUCKETS}) AS w
+  FROM counts CROSS JOIN tot
+),
+s AS (
+  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS contrast_score
+  FROM g JOIN w USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id, d.source,
+       COALESCE(s.contrast_score, 0) AS contrast_score,
+       COALESCE(s.contrast_score, 0) > 0 AS looks_curated
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -1383,6 +1536,7 @@ QUERIES = {
     "text_bpe_tokens": text_bpe_tokens,
     "text_lm_score": text_lm_score,
     "text_lm_backoff": text_lm_backoff,
+    "text_quality_classifier": text_quality_classifier,
 }
 
 ORACLE = {
@@ -1402,4 +1556,5 @@ ORACLE = {
     "text_bpe_tokens": _bpe_sql(),
     "text_lm_score": _lm_sql(),
     "text_lm_backoff": _lm_backoff_sql(),
+    "text_quality_classifier": TEXT_QUALITY_CLASSIFIER_SQL,
 }

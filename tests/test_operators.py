@@ -2510,3 +2510,43 @@ def test_text_normalize_hand_cases(spark):
         3: None,
         4: "",
     }
+
+
+def test_token_contrast_classifier_separates_held_out_docs(spark):
+    """The trained curated-vs-crawl discriminator must generalize: train
+    on labeled docs from two disjoint vocabularies, score HELD-OUT docs
+    (absent from training), and the held-out curated-vocabulary doc must
+    score positive while the held-out crawl-vocabulary doc scores
+    negative. Also pins the weak-label keep signal: a 'crawl' TRAINING
+    doc written in curated vocabulary must come out looks_curated=true
+    (selecting such docs is the entire point of the classifier)."""
+    import pyspark.sql.functions as F_
+
+    from pinterest_data_pipeline218_spark.operators.text_analysis import (
+        _contrast_grams,
+        score_token_contrast,
+        train_token_contrast,
+    )
+
+    cur = "measured deliberate prose with careful structure"
+    crawl = "buy cheap click here spam spam winner"
+    train_rows = (
+        [(i, cur + f" variant {i}", "curated") for i in range(5)]
+        + [(10 + i, crawl + f" junk {i}", "crawl") for i in range(5)]
+        # the interesting row: crawl-labeled but curated-voiced
+        + [(20, cur + " outlier", "crawl")]
+    )
+    train = spark.createDataFrame(train_rows, "doc_id long, text string, source string")
+    grams = _contrast_grams(train, F_.col("source") == "curated")
+    weights = train_token_contrast(grams)
+
+    held_rows = [(100, cur, "unseen"), (101, crawl, "unseen")]
+    held = spark.createDataFrame(held_rows, "doc_id long, text string, source string")
+    hg = _contrast_grams(held, F_.lit(False))
+    got = {r.doc_id: r for r in score_token_contrast(held, hg, weights).collect()}
+    assert got[100].contrast_score > 0 and got[100].looks_curated
+    assert got[101].contrast_score < 0 and not got[101].looks_curated
+
+    # weak-label selection: the curated-voiced crawl doc scores positive
+    tg = {r.doc_id: r for r in score_token_contrast(train, grams, weights).collect()}
+    assert tg[20].looks_curated

@@ -584,7 +584,7 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
         "sim_ivfpq_wide_topk", "mm_image_phash", "sim_ivf_multiprobe",
         "corpus_stratified_predlang", "mm_audio_fingerprint",
         "ev_value_outliers", "dedup_cluster_best", "sim_radius_search",
-        "text_normalize", "ev_kmv_distinct_users",
+        "text_normalize", "ev_kmv_distinct_users", "text_quality_classifier",
     }
     out = novel - head
     assert out == set(), f"novel operators outside the checked window: {out}"
