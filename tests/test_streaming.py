@@ -1197,3 +1197,87 @@ def test_incremental_funnel_before_first_batch_is_empty(spark, tmp_path):
     df = incremental_funnel(spark, str(tmp_path / "never"))
     assert df.collect() == []
     assert df.columns == ["step", "event_type", "n_users", "conv_bp"]
+
+
+def test_stream_quality_classifier_equals_batch(spark, tmp_path):
+    """Streaming curated-vs-crawl scoring: score_token_contrast per
+    micro-batch against FROZEN trained weights must equal the batch run
+    over the union of batches — with a fixed model, each doc's score
+    depends only on its own tokens, so the classifier composes per
+    micro-batch exactly like decontamination / explicit-target LM
+    scoring. (Training inside the stream is deliberately NOT offered:
+    the weights depend on the whole labeled corpus.)"""
+    import json
+
+    import pyspark.sql.functions as F_
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pinterest_data_pipeline218_spark.operators.text_analysis import (
+        _contrast_grams,
+        score_token_contrast,
+        train_token_contrast,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    train = spark.createDataFrame(
+        [(100 + i, "measured careful prose structure", "curated") for i in range(3)]
+        + [(200 + i, "buy cheap spam winner click", "crawl") for i in range(3)],
+        schema,
+    )
+    weights = train_token_contrast(
+        _contrast_grams(train, F_.col("source") == "curated")
+    )
+
+    docs = [
+        (1, "measured careful prose", "unseen"),
+        (2, "cheap spam spam", "unseen"),
+        (3, "prose winner", "unseen"),
+        (4, "entirely novel tokens", "unseen"),
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i in range(2):  # 2 micro-batches of 2 docs
+        with open(src / f"{i:03d}.jsonl", "w") as f:
+            for doc_id, text, source in docs[i * 2 : i * 2 + 2]:
+                f.write(
+                    json.dumps({"doc_id": doc_id, "text": text, "source": source})
+                    + "\n"
+                )
+    stream = (
+        spark.readStream.format("json").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(str(src))
+    )
+    out = str(tmp_path / "scored")
+
+    def score(batch_df, _):
+        score_token_contrast(
+            batch_df, _contrast_grams(batch_df, F_.lit(False)), weights
+        ).write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(score)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.doc_id: (r.contrast_score, r.looks_curated)
+        for r in spark.read.parquet(out).collect()
+    }
+    union = spark.createDataFrame(docs, schema)
+    want = {
+        r.doc_id: (r.contrast_score, r.looks_curated)
+        for r in score_token_contrast(
+            union, _contrast_grams(union, F_.lit(False)), weights
+        ).collect()
+    }
+    assert got == want and len(got) == 4
+    assert got[1][1] and not got[2][1]  # curated-voiced keeps, spam drops
