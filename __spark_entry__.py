@@ -19,6 +19,7 @@ from pinterest_data_pipeline218_spark.operators import (
     clustering,
     corpus,
     dedup,
+    graph,
     multimodal,
     similarity,
     text_analysis,
@@ -40,6 +41,7 @@ _MODULES = (
     tpch_more,
     tpch_rest,
     events,
+    graph,
     pin_domain,
     text_analysis,
     dedup,
@@ -195,6 +197,9 @@ _TAIL = (
     # r6 eighth rotation: text_quality_classifier (trained curated-vs-crawl
     # token-contrast discriminator) is NEW and moves into the window.
     "corpus_hash_sample",  # r05-green; the _doc_pct md5-percent machinery keeps a driver row via in-window corpus_stratified_predlang (identical hash-rate filter, composed with the trained-langid strata); still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r6 ninth rotation: graph_pagerank_trade (fixed-point PageRank, the
+    # iterative link-graph family) is NEW and moves into the window.
+    "corpus_mixture_sample",  # r05-green; the per-stratum rate CASE + _doc_pct filter machinery keeps driver rows via in-window corpus_stratified_predlang (same shape over trained strata) and corpus_dsir_sample (importance-weighted sampling, the harder form); still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

@@ -122,6 +122,7 @@ HEADLINE = [
     "text_normalize",
     "ev_kmv_distinct_users",
     "text_quality_classifier",
+    "graph_pagerank_trade",
 ]
 
 

@@ -2550,3 +2550,49 @@ def test_token_contrast_classifier_separates_held_out_docs(spark):
     # weak-label selection: the curated-voiced crawl doc scores positive
     tg = {r.doc_id: r for r in score_token_contrast(train, grams, weights).collect()}
     assert tg[20].looks_curated
+
+
+def test_pagerank_matches_python_model_and_trade_invariants(spark):
+    """Fixed-point PageRank must match an independently-coded Python
+    replay of the same integer recurrence on a hand-built graph (star +
+    chain: 1<->2, 1<->3, 3->2 — node 1 is the hub), preserve total rank
+    mass within truncation slack, and rank the hub first. Also pins the
+    trade-graph invariant the combinator relies on: every node of the
+    symmetrized edge list appears as a src."""
+    from pinterest_data_pipeline218_spark.operators.graph import (
+        PR_BASE,
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_FP,
+        PR_ROUNDS,
+        pagerank,
+        trade_edges,
+    )
+
+    edges = [("1", "2"), ("2", "1"), ("1", "3"), ("3", "1"), ("3", "2")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.pr for r in pagerank(df).collect()}
+
+    # independent Python model of the identical recurrence
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    pr = {n: PR_FP for n in out}
+    for _ in range(PR_ROUNDS):
+        acc = {n: 0 for n in out}
+        for s, ds in out.items():
+            c = pr[s] // len(ds)
+            for d in ds:
+                acc[d] += c
+        pr = {n: PR_BASE + (PR_DAMP_NUM * acc[n]) // PR_DAMP_DEN for n in out}
+    assert got == pr
+    # hub ranks first; mass conserved within per-node truncation slack
+    assert max(got, key=got.get) == "1"
+    assert abs(sum(got.values()) - 3 * PR_FP) <= 3 * (PR_DAMP_DEN + len(edges))
+
+    # trade-graph invariant: symmetrization leaves no sink nodes
+    e = trade_edges(spark, "/root/testdata/sf0.001")
+    sinks = e.select("dst").distinct().join(
+        e.select("src").distinct(), F.col("dst") == F.col("src"), "left_anti"
+    )
+    assert sinks.count() == 0
