@@ -151,13 +151,15 @@ def build_training_corpus(
     decontaminate: bool = False,
     near_dedup: bool = False,
     lm_gate: bool = False,
+    classifier_gate: bool = False,
     keeper: str = "min_id",
     persist_shared: bool = True,
 ) -> DataFrame:
     """The end-to-end corpus build a training pipeline runs, composed from
     the same operator expressions the gated queries use:
 
-      quality filter → [repetition gate] → [decontamination] →
+      quality filter → [trained-classifier gate] → [repetition gate] →
+      [decontamination] → [LM-perplexity gate] →
       exact-dedup compact (keeper = min doc_id) →
       [near-dup compact: LSH pairs → connected components → cluster min] →
       deterministic hash sample → split assign → token chunking
@@ -181,12 +183,55 @@ def build_training_corpus(
     every document). Without this, a 4-gate build paid 4 corpus-wide
     tokenization passes — measured ~6x the sum of its parts at sf0.1."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    toked = docs.select("doc_id", "text", T.tokens(F.col("text")).alias("toks"))
-    if persist_shared and (repetition_gate or decontaminate or near_dedup or lm_gate):
+    proj = ["doc_id", "text", T.tokens(F.col("text")).alias("toks")]
+    if classifier_gate:
+        # the classifier gate needs weak labels; carry the (narrow) source
+        # column on the shared projection instead of re-joining for it
+        proj.insert(1, "source")
+    toked = docs.select(*proj)
+    if persist_shared and (
+        repetition_gate or decontaminate or near_dedup or lm_gate or classifier_gate
+    ):
         from pyspark import StorageLevel
 
         toked = toked.persist(StorageLevel.MEMORY_AND_DISK)
     good = toked.filter(T.quality_score(F.col("toks")) >= quality_threshold)
+    if classifier_gate:
+        # GPT-3-style trained-quality screen composed on the SAME shared
+        # tokenized projection: per-token lower() after a whitespace split
+        # is identical to splitting lowered text, so the classifier's gram
+        # stream needs no re-tokenization. Keep rule = curated sources
+        # unconditionally + crawl docs the trained contrast scores positive
+        # (selecting curated-looking crawl is the classifier's entire job).
+        from .text_analysis import (
+            CONTRAST_BUCKETS,
+            CURATED_SOURCES,
+            train_token_contrast,
+        )
+
+        is_pos = F.col("source").isin(*CURATED_SOURCES)
+        grams = toked.select(
+            "doc_id", is_pos.alias("is_pos"), F.explode("toks").alias("tok")
+        ).select(
+            "doc_id",
+            "is_pos",
+            F.pmod(
+                T.token_hash(F.lower(F.col("tok"))), F.lit(CONTRAST_BUCKETS)
+            ).alias("b"),
+        )
+        weights = train_token_contrast(grams)
+        scores = (
+            grams.join(F.broadcast(weights), "b")
+            .groupBy("doc_id")
+            .agg(F.sum("w").alias("cs"))
+        )
+        cls_keep = (
+            toked.select("doc_id", is_pos.alias("is_pos"))
+            .join(scores, "doc_id", "left")
+            .filter(F.col("is_pos") | (F.coalesce("cs", F.lit(0)) > 0))
+            .select("doc_id")
+        )
+        good = good.join(cls_keep, "doc_id", "left_semi")
     if repetition_gate:
         from .text_analysis import repetition_flags
 

@@ -2596,3 +2596,41 @@ def test_pagerank_matches_python_model_and_trade_invariants(spark):
         e.select("src").distinct(), F.col("dst") == F.col("src"), "left_anti"
     )
     assert sinks.count() == 0
+
+
+def test_training_corpus_classifier_gate_matches_gated_query(spark):
+    """classifier_gate composes the trained curated-vs-crawl screen into
+    the corpus build: the gated build's surviving doc set must equal the
+    ungated build minus exactly the docs the standalone
+    text_quality_classifier query (same weak labels, same corpus) scores
+    non-positive AND that are not from a curated source — proving the
+    in-build gram stream (per-token lower over the shared toks
+    projection) is value-identical to the standalone tokenizer
+    (lower-then-split). Both gates must actually drop something and keep
+    something for the test to bite."""
+    from pinterest_data_pipeline218_spark.operators.corpus import (
+        build_training_corpus,
+    )
+    from pinterest_data_pipeline218_spark.operators.text_analysis import (
+        CURATED_SOURCES,
+        text_quality_classifier,
+    )
+
+    base_ids = {
+        r.doc_id
+        for r in build_training_corpus(spark, SF).select("doc_id").distinct().collect()
+    }
+    gated_ids = {
+        r.doc_id
+        for r in build_training_corpus(spark, SF, classifier_gate=True)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    cls = {
+        r.doc_id: (r.source in CURATED_SOURCES, r.looks_curated)
+        for r in text_quality_classifier(spark, SF).collect()
+    }
+    keep = {d for d, (pos, lc) in cls.items() if pos or lc}
+    assert gated_ids == base_ids & keep
+    assert gated_ids and gated_ids < base_ids  # gate bites both ways
