@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pinterest_data_pipeline218_spark.operators import (
     asof,
+    bloom,
     clustering,
     corpus,
     dedup,
@@ -42,6 +43,7 @@ _MODULES = (
     tpch_rest,
     events,
     graph,
+    bloom,
     pin_domain,
     text_analysis,
     dedup,
@@ -200,6 +202,10 @@ _TAIL = (
     # r6 ninth rotation: graph_pagerank_trade (fixed-point PageRank, the
     # iterative link-graph family) is NEW and moves into the window.
     "corpus_mixture_sample",  # r05-green; the per-stratum rate CASE + _doc_pct filter machinery keeps driver rows via in-window corpus_stratified_predlang (same shape over trained strata) and corpus_dsir_sample (importance-weighted sampling, the harder form); still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r6 tenth rotation: tpch_bloom_prefilter (deterministic Bloom-filter
+    # semi-join pre-filter, the runtime-filter family) is NEW and moves
+    # into the window.
+    "corpus_token_budget",  # r05-green; the per-source planning-aggregate machinery keeps driver rows via in-window corpus_pack_sequences (bucketized running-sum packing, the harder planning form), and the window-frame family via ev_sliding_1h_value; still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

@@ -123,6 +123,7 @@ HEADLINE = [
     "ev_kmv_distinct_users",
     "text_quality_classifier",
     "graph_pagerank_trade",
+    "tpch_bloom_prefilter",
 ]
 
 

@@ -2634,3 +2634,41 @@ def test_training_corpus_classifier_gate_matches_gated_query(spark):
     keep = {d for d, (pos, lc) in cls.items() if pos or lc}
     assert gated_ids == base_ids & keep
     assert gated_ids and gated_ids < base_ids  # gate bites both ways
+
+
+def test_bloom_prefilter_contracts_and_merge_law(spark):
+    """The Bloom pre-filter's three contracts on a planted key set with a
+    deliberately small filter (m=128): (1) zero false negatives — every
+    true key passes; (2) false positives exist but stay under 3x the
+    analytic (1-e^(-kn/m))^k bound scaled to the probe count — the
+    deterministic hash family behaves like a hash family; (3) the merge
+    law — building from a union of key subsets equals the elementwise
+    bit_or of each subset's words, which is what makes the build
+    map-side combinable at 100 TB."""
+    import math
+
+    from pinterest_data_pipeline218_spark.operators.bloom import (
+        bloom_build_words,
+        bloom_prefilter,
+    )
+
+    m, k = 128, 3
+    keys = spark.createDataFrame([(i,) for i in range(40)], "key long")
+    words = bloom_build_words(keys, "key", m=m, k=k)
+
+    # (1) no false negatives
+    passed = bloom_prefilter(keys, "key", words, m=m, k=k).count()
+    assert passed == 40
+
+    # (2) bounded false positives on 400 disjoint probe keys
+    probes = spark.createDataFrame([(1000 + i,) for i in range(400)], "key long")
+    fp = bloom_prefilter(probes, "key", words, m=m, k=k).count()
+    rate = (1 - math.exp(-k * 40 / m)) ** k
+    assert 0 < fp <= 3 * rate * 400, (fp, rate * 400)
+
+    # (3) merge law: union build == bit_or of subset builds
+    a = spark.createDataFrame([(i,) for i in range(20)], "key long")
+    b = spark.createDataFrame([(i,) for i in range(20, 40)], "key long")
+    wa = bloom_build_words(a, "key", m=m, k=k)
+    wb = bloom_build_words(b, "key", m=m, k=k)
+    assert [x | y for x, y in zip(wa, wb)] == words

@@ -585,7 +585,7 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
         "corpus_stratified_predlang", "mm_audio_fingerprint",
         "ev_value_outliers", "dedup_cluster_best", "sim_radius_search",
         "text_normalize", "ev_kmv_distinct_users", "text_quality_classifier",
-        "graph_pagerank_trade",
+        "graph_pagerank_trade", "tpch_bloom_prefilter",
     }
     out = novel - head
     assert out == set(), f"novel operators outside the checked window: {out}"
