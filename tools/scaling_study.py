@@ -79,6 +79,32 @@ def replicate(spark, sf_dir: str, out_dir: str, k: int) -> str:
         )
         reps = r if reps is None else reps.unionAll(r)
     reps.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+    # TPC-H side, for the graph / runtime-filter operators: facts
+    # (lineitem, orders) replicate with key offsets — the customer
+    # population scales, the supplier dimension does NOT (so the trade
+    # graph gains edges linearly and a Bloom filter built on a dim key
+    # set stays fixed-size while its probe side scales); dims copy as-is.
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    max_ok = orders.agg(F.max("o_orderkey")).head()[0] + 1
+    max_ck = orders.agg(F.max("o_custkey")).head()[0] + 1
+    reps = None
+    for i in range(k):
+        r = orders.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(i * max_ok)
+        ).withColumn("o_custkey", F.col("o_custkey") + F.lit(i * max_ck))
+        reps = r if reps is None else reps.unionAll(r)
+    reps.write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+    reps = None
+    for i in range(k):
+        r = li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * max_ok))
+        reps = r if reps is None else reps.unionAll(r)
+    reps.write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
+    for dim in ("supplier", "nation", "region", "customer", "part"):
+        load_table(spark, sf_dir, dim).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{dim}.parquet")
+        )
     return out_dir
 
 
@@ -95,7 +121,7 @@ def main():
     dirs = {}
     for k in SCALES:
         d = os.path.join(tempfile.gettempdir(), f"scaling_{k}x")
-        if not os.path.exists(os.path.join(d, "events.parquet")):
+        if not os.path.exists(os.path.join(d, "lineitem.parquet")):
             replicate(spark, sf_dir, d, k)
         dirs[k] = d
 
