@@ -206,6 +206,9 @@ _TAIL = (
     # semi-join pre-filter, the runtime-filter family) is NEW and moves
     # into the window.
     "corpus_token_budget",  # r05-green; the per-source planning-aggregate machinery keeps driver rows via in-window corpus_pack_sequences (bucketized running-sum packing, the harder planning form), and the window-frame family via ev_sliding_1h_value; still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r6 eleventh rotation: ev_cm_top_users (count-min heavy hitters, the
+    # value-oracled counting sketch) is NEW and moves into the window.
+    "corpus_merge_increment",  # r05-green; its triage stages (quality gate, digest dedup, asymmetric LSH screen) each keep an in-window driver row via corpus_build_full, and the per-micro-batch composition stays pytest-proved (test_stream_static_merge_triage_equals_batch); still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

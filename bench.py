@@ -124,6 +124,7 @@ HEADLINE = [
     "text_quality_classifier",
     "graph_pagerank_trade",
     "tpch_bloom_prefilter",
+    "ev_cm_top_users",
 ]
 
 

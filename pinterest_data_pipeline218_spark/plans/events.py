@@ -476,6 +476,105 @@ def kmv_distinct(
     )
 
 
+CM_D = 4  # count-min depth (hash rows)
+CM_W = 1024  # count-min width (counters per row)
+
+
+def cm_heavy_hitters(
+    df: DataFrame, key_col: str, top_n: int = 10, d: int = CM_D, w: int = CM_W
+) -> DataFrame:
+    """Count-min heavy hitters per key — the COUNTING sketch beside KMV's
+    distinct sketch, same engine-independent contract: d seeded
+    md5-derived hash rows x w counters, every estimate = min over rows of
+    the key's counter. With deterministic hashes even the collision
+    overestimates are a FIXED value, so the gated query carries a full
+    value-exact DuckDB oracle AND reports the exact count next to the
+    estimate — the one-sided error guarantee (est >= exact, always) is
+    itself part of the checked result.
+
+    100 TB shape: the counter build is ONE grouped count over d
+    scan-side hash projections (map-side combinable — counter matrices
+    merge by cell-wise addition, which is exactly what partial
+    aggregation does), and the whole matrix is <= d*w rows regardless of
+    key cardinality — kilobytes where an exact per-key count is
+    |keys| rows. The estimate probe here ranges over all distinct keys
+    (fine at test scale and needed for the top-n answer); a production
+    heavy-hitter pipeline tracks a bounded candidate set (per-partition
+    top-k or a sample) and probes only those — the sketch's value is the
+    bounded counter state, not the probe."""
+    from ..functions.text import token_hash
+
+    k = F.col(key_col).cast("string")
+    branches = [
+        F.struct(
+            F.lit(j).alias("j"),
+            F.pmod(token_hash(k, seed=j), F.lit(w)).alias("c"),
+        )
+        for j in range(d)
+    ]
+    pairs = df.select(
+        F.col(key_col).alias("key"), F.explode(F.array(*branches)).alias("p")
+    ).select("key", F.col("p.j").alias("j"), F.col("p.c").alias("c"))
+    counters = pairs.groupBy("j", "c").agg(F.count(F.lit(1)).alias("n"))
+    est = (
+        pairs.distinct()
+        .join(F.broadcast(counters), ["j", "c"])
+        .groupBy("key")
+        .agg(F.min("n").alias("est_count"))
+    )
+    exact = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return (
+        est.join(exact, "key")
+        .select(
+            F.col("key").alias(key_col),
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overshoot"),
+        )
+        .orderBy(F.col("est_count").desc(), key_col)
+        .limit(top_n)
+    )
+
+
+def ev_cm_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by count-min-estimated event count (see
+    cm_heavy_hitters) — est/exact/overshoot all value-oracled."""
+    return cm_heavy_hitters(load_table(spark, sf_dir, "events"), "user_id")
+
+
+def _cm_sql() -> str:
+    def pos(j: int) -> str:
+        return (
+            f"('0x' || substr(md5('{j}:' || CAST(user_id AS VARCHAR)), 1, 15))"
+            f"::BIGINT % {CM_W}"
+        )
+
+    union = "\n  UNION ALL\n".join(
+        f"  SELECT user_id AS key, {j} AS j, {pos(j)} AS c FROM events"
+        for j in range(CM_D)
+    )
+    return f"""
+WITH pairs AS (
+{union}
+),
+counters AS (SELECT j, c, COUNT(*) AS n FROM pairs GROUP BY j, c),
+est AS (
+  SELECT key, MIN(n) AS est_count
+  FROM (SELECT DISTINCT key, j, c FROM pairs) p
+  JOIN counters USING (j, c)
+  GROUP BY key
+),
+exact AS (SELECT user_id AS key, COUNT(*) AS exact_count FROM events GROUP BY user_id)
+SELECT est.key AS user_id, est.est_count, exact.exact_count,
+       est.est_count - exact.exact_count AS overshoot
+FROM est JOIN exact ON est.key = exact.key
+ORDER BY est.est_count DESC, est.key
+LIMIT 10
+"""
+
+
 def ev_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type via the KMV sketch (see
     kmv_distinct) — the value-oracled counterpart of
@@ -789,6 +888,7 @@ QUERIES = {
     "ev_cube_type_dow": ev_cube_type_dow,
     "ev_approx_distinct_users": ev_approx_distinct_users,
     "ev_kmv_distinct_users": ev_kmv_distinct_users,
+    "ev_cm_top_users": ev_cm_top_users,
     "ev_sliding_1h_value": ev_sliding_1h_value,
     "ev_approx_value_quantiles": ev_approx_value_quantiles,
     "ev_theta_user_overlap": ev_theta_user_overlap,
@@ -813,6 +913,7 @@ ORACLE = {
     # engine-specific; the driver runs its rows-only check, pytest bounds the
     # error vs the exact count
     "ev_kmv_distinct_users": EV_KMV_SQL,
+    "ev_cm_top_users": _cm_sql(),
     "ev_sliding_1h_value": EV_SLIDING_SQL,
     "ev_funnel_steps": EV_FUNNEL_SQL,
     "ev_retention_cohorts": EV_RETENTION_SQL,

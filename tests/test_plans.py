@@ -585,7 +585,7 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
         "corpus_stratified_predlang", "mm_audio_fingerprint",
         "ev_value_outliers", "dedup_cluster_best", "sim_radius_search",
         "text_normalize", "ev_kmv_distinct_users", "text_quality_classifier",
-        "graph_pagerank_trade", "tpch_bloom_prefilter",
+        "graph_pagerank_trade", "tpch_bloom_prefilter", "ev_cm_top_users",
     }
     out = novel - head
     assert out == set(), f"novel operators outside the checked window: {out}"
@@ -873,3 +873,25 @@ def test_bucketed_retention_has_no_user_id_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_act")
+
+
+def test_cm_sketch_one_sided_error_and_heavy_hitter(spark):
+    """Count-min contracts on a planted skewed key set: (1) the one-sided
+    guarantee — EVERY key's estimate >= its exact count (checked across
+    all keys, not just the top-n); (2) the planted heavy hitter ranks
+    first; (3) overshoot stays within the classic epsilon*N bound scaled
+    generously (5*N/w) — collisions exist at w=64 with 200 tail keys, so
+    the bound is exercised, not vacuous."""
+    from pinterest_data_pipeline218_spark.plans.events import cm_heavy_hitters
+
+    rows = [("hot",)] * 500 + [(f"tail{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string")
+    n = len(rows)
+    w = 64
+    got = cm_heavy_hitters(df, "k", top_n=201, d=4, w=w).collect()
+    assert len(got) == 201
+    assert all(r.overshoot >= 0 for r in got)
+    assert got[0].k == "hot" and got[0].exact_count == 500
+    assert max(r.overshoot for r in got) <= 5 * n / w
+    # collisions actually happened at this width (the bound bites)
+    assert any(r.overshoot > 0 for r in got)
