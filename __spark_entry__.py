@@ -209,6 +209,10 @@ _TAIL = (
     # r6 eleventh rotation: ev_cm_top_users (count-min heavy hitters, the
     # value-oracled counting sketch) is NEW and moves into the window.
     "corpus_merge_increment",  # r05-green; its triage stages (quality gate, digest dedup, asymmetric LSH screen) each keep an in-window driver row via corpus_build_full, and the per-micro-batch composition stays pytest-proved (test_stream_static_merge_triage_equals_batch); still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r6 twelfth rotation: ev_hist_value_quantiles (mergeable fixed-bin
+    # histogram quantile, the value-oracled quantile-sketch axis) is NEW
+    # and moves into the window.
+    "tpch_q8_market_share",  # r05-green (first driver row that round); the long dim-chain join machinery keeps driver rows via in-window tpch_q2 (chain + correlated min) and tpch_q9 (multi-way join rollup); the conditional-ratio idiom via in-window t11 CASE bucketing + tpch_q19; still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

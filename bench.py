@@ -125,6 +125,7 @@ HEADLINE = [
     "graph_pagerank_trade",
     "tpch_bloom_prefilter",
     "ev_cm_top_users",
+    "ev_hist_value_quantiles",
 ]
 
 

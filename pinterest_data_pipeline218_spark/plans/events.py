@@ -476,6 +476,90 @@ def kmv_distinct(
     )
 
 
+HIST_BIN_CENTS = 100  # fixed-bin histogram: 1-unit bins over DECIMAL cents
+
+
+def ev_hist_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type p50/p95 of `value` from a FIXED-BIN mergeable histogram —
+    the quantile axis of the sketch family done the value-oracled way:
+    where percentile_approx's KLL internals are engine-specific (its
+    gated query is rows-only by design), a fixed-bin histogram is pure
+    integer arithmetic end to end — DECIMAL cents, `div`-binned counts,
+    ceil-rank lookup — so the DuckDB oracle verifies the quantiles
+    bitwise. The answer is the bin LOWER BOUND (in cents): a one-bin-
+    granularity approximation with a pytest-pinned error bound vs the
+    exact percentile.
+
+    100 TB shape: ONE grouped count bounded by |types| x |bins| rows
+    (bin counts are cell-wise additive, so partial aggregation is the
+    histogram merge — the same mergeability argument as count-min), a
+    window cumsum over the tiny histogram, and a conditional-min rank
+    lookup. The exact form sorts every group; this never shuffles more
+    than the histogram."""
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.expr(
+            f"cast(try_cast(value as decimal(18,2)) * 100 as bigint)"
+            f" div {HIST_BIN_CENTS}"
+        ).alias("bin"),
+    ).filter(F.col("bin").isNotNull())
+    hist = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    n = binned.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cum.join(F.broadcast(n), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(n * 50 + 99) div 100"),
+                    F.col("bin") * HIST_BIN_CENTS,
+                )
+            ).alias("p50_lo_cents"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(n * 95 + 99) div 100"),
+                    F.col("bin") * HIST_BIN_CENTS,
+                )
+            ).alias("p95_lo_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_HIST_QUANTILES_SQL = f"""
+WITH binned AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // {HIST_BIN_CENTS} AS bin
+  FROM events WHERE value IS NOT NULL
+),
+hist AS (SELECT event_type, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+n AS (SELECT event_type, COUNT(*) AS n FROM binned GROUP BY 1)
+SELECT cum.event_type,
+       MIN(CASE WHEN cum >= (n.n * 50 + 99) // 100
+                THEN bin * {HIST_BIN_CENTS} END) AS p50_lo_cents,
+       MIN(CASE WHEN cum >= (n.n * 95 + 99) // 100
+                THEN bin * {HIST_BIN_CENTS} END) AS p95_lo_cents
+FROM cum JOIN n ON cum.event_type = n.event_type
+GROUP BY cum.event_type
+ORDER BY cum.event_type
+"""
+
+
 CM_D = 4  # count-min depth (hash rows)
 CM_W = 1024  # count-min width (counters per row)
 
@@ -889,6 +973,7 @@ QUERIES = {
     "ev_approx_distinct_users": ev_approx_distinct_users,
     "ev_kmv_distinct_users": ev_kmv_distinct_users,
     "ev_cm_top_users": ev_cm_top_users,
+    "ev_hist_value_quantiles": ev_hist_value_quantiles,
     "ev_sliding_1h_value": ev_sliding_1h_value,
     "ev_approx_value_quantiles": ev_approx_value_quantiles,
     "ev_theta_user_overlap": ev_theta_user_overlap,
@@ -914,6 +999,7 @@ ORACLE = {
     # error vs the exact count
     "ev_kmv_distinct_users": EV_KMV_SQL,
     "ev_cm_top_users": _cm_sql(),
+    "ev_hist_value_quantiles": EV_HIST_QUANTILES_SQL,
     "ev_sliding_1h_value": EV_SLIDING_SQL,
     "ev_funnel_steps": EV_FUNNEL_SQL,
     "ev_retention_cohorts": EV_RETENTION_SQL,

@@ -586,6 +586,7 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
         "ev_value_outliers", "dedup_cluster_best", "sim_radius_search",
         "text_normalize", "ev_kmv_distinct_users", "text_quality_classifier",
         "graph_pagerank_trade", "tpch_bloom_prefilter", "ev_cm_top_users",
+        "ev_hist_value_quantiles",
     }
     out = novel - head
     assert out == set(), f"novel operators outside the checked window: {out}"
@@ -895,3 +896,31 @@ def test_cm_sketch_one_sided_error_and_heavy_hitter(spark):
     assert max(r.overshoot for r in got) <= 5 * n / w
     # collisions actually happened at this width (the bound bites)
     assert any(r.overshoot > 0 for r in got)
+
+
+def test_hist_quantiles_bin_contains_order_statistic(spark, qs):
+    """The mergeable-histogram quantile computes the inverted-CDF
+    percentile (the ceil(q*n)-th smallest value) to bin granularity: for
+    every type, that exact order statistic must lie INSIDE the reported
+    bin [lo, lo + bin). (Interpolated percentile() is deliberately not
+    the reference — in sparse data it can sit between far-apart order
+    statistics, which is a different definition, not an error.)"""
+    import math
+
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.plans.events import HIST_BIN_CENTS
+
+    got = {r.event_type: (r.p50_lo_cents, r.p95_lo_cents)
+           for r in qs["ev_hist_value_quantiles"](spark, SF).collect()}
+    ev = load_table(spark, SF, "events")
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    assert got.keys() == vals.keys()
+    for t, vs in vals.items():
+        vs.sort()
+        for q, lo in zip((50, 95), got[t]):
+            stat = vs[math.ceil(q * len(vs) / 100) - 1]
+            cents = int(round(stat * 100))
+            assert lo % HIST_BIN_CENTS == 0
+            assert lo <= cents < lo + HIST_BIN_CENTS, (t, q, lo, stat)
