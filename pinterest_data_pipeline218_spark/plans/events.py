@@ -416,6 +416,53 @@ KMV_SCALE = 1 << (4 * KMV_HEX_CHARS)
 KMV_SALT_BUCKETS = 64
 
 
+def kmv_hashes(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """(group, h): the distinct 52-bit hash set per group — the raw
+    material both the batch sketch and the streaming partial sketches
+    consume."""
+    from ..functions.text import token_hash
+
+    return df.select(
+        F.col(group_col).alias("g"),
+        token_hash(
+            F.col(key_col).cast("string"), hex_chars=KMV_HEX_CHARS
+        ).alias("h"),
+    ).distinct()
+
+
+def kmv_estimate_from_hashes(d: DataFrame, k: int = KMV_K) -> DataFrame:
+    """(g, kmv_users): the KMV estimator over a distinct (g, h) hash set
+    — shared verbatim by the gated batch query and the incremental
+    streaming assembly, which is what makes stream == batch equality
+    hold by construction (min-k of a union equals min-k of the union of
+    per-batch min-k sets, and below k total hashes the union is complete
+    so exact mode sees the true distinct count)."""
+    w1 = Window.partitionBy("g", "salt").orderBy("h")
+    cand = (
+        d.withColumn("salt", F.pmod(F.col("h"), F.lit(KMV_SALT_BUCKETS)))
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= k)
+        .drop("rn1", "salt")
+    )
+    w2 = Window.partitionBy("g").orderBy("h")
+    kth = (
+        cand.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == k)
+        .select("g", F.col("h").alias("kth"))
+    )
+    n = d.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        n.join(kth, "g", "left")
+        .select(
+            "g",
+            F.when(F.col("nd") < k, F.col("nd"))
+            .otherwise(F.expr(f"({k - 1}L * {KMV_SCALE}L) div kth"))
+            .alias("kmv_users"),
+        )
+        .orderBy("g")
+    )
+
+
 def kmv_distinct(
     df: DataFrame, group_col: str, key_col: str, k: int = KMV_K
 ) -> DataFrame:
@@ -442,38 +489,9 @@ def kmv_distinct(
     is a plain distinct count only groups in exact mode consult;
     at scale the estimate branch never needs it, and Catalyst computes
     it from the same shuffled distinct set the sketch reads."""
-    from ..functions.text import token_hash
-
-    d = df.select(
-        group_col,
-        token_hash(
-            F.col(key_col).cast("string"), hex_chars=KMV_HEX_CHARS
-        ).alias("h"),
-    ).distinct()
-    w1 = Window.partitionBy(group_col, "salt").orderBy("h")
-    cand = (
-        d.withColumn("salt", F.pmod(F.col("h"), F.lit(KMV_SALT_BUCKETS)))
-        .withColumn("rn1", F.row_number().over(w1))
-        .filter(F.col("rn1") <= k)
-        .drop("rn1", "salt")
-    )
-    w2 = Window.partitionBy(group_col).orderBy("h")
-    kth = (
-        cand.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") == k)
-        .select(group_col, F.col("h").alias("kth"))
-    )
-    n = d.groupBy(group_col).agg(F.count(F.lit(1)).alias("nd"))
-    return (
-        n.join(kth, group_col, "left")
-        .select(
-            group_col,
-            F.when(F.col("nd") < k, F.col("nd"))
-            .otherwise(F.expr(f"({k - 1}L * {KMV_SCALE}L) div kth"))
-            .alias("kmv_users"),
-        )
-        .orderBy(group_col)
-    )
+    return kmv_estimate_from_hashes(
+        kmv_hashes(df, group_col, key_col), k
+    ).withColumnRenamed("g", group_col)
 
 
 HIST_BIN_CENTS = 100  # fixed-bin histogram: 1-unit bins over DECIMAL cents

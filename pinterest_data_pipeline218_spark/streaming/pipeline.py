@@ -26,7 +26,7 @@ from __future__ import annotations
 import os
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StringType, StructField, StructType
 
@@ -533,6 +533,74 @@ def incremental_funnel(
         .distinct()
     )
     return funnel_steps(evs, steps)
+
+
+def kmv_state_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int = -1,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    k: int | None = None,
+) -> None:
+    """One micro-batch's contribution to incremental KMV distinct counts:
+    the batch's PARTIAL SKETCH — its distinct (group, hash) pairs
+    truncated to the k smallest per group, so unlike the funnel's
+    event-triple state this state is BOUNDED (k rows per group per
+    batch) no matter how large the batch. Sound because min-k of a union
+    equals min-k of the union of per-batch min-k sets, and below k total
+    distinct hashes every batch's set survives truncation intact, so
+    exact mode still sees the true count. Same batch_id overwrite-
+    partition idempotence contract as the other dashboards."""
+    from ..plans.events import KMV_K, kmv_hashes
+
+    k = k or KMV_K
+    d = kmv_hashes(batch_df, group_col, key_col)
+    w = Window.partitionBy("g").orderBy("h")
+    partial = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("g", "h")
+    )
+    partial.write.mode("overwrite").parquet(
+        f"{state_dir}/kmv/batch_id={batch_id}"
+    )
+
+
+def attach_kmv_stream(
+    stream_ev: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+):
+    """Run the incremental KMV state over an event stream (foreachBatch —
+    the min-k truncation is a per-batch rank, not a streaming aggregate)."""
+    return (
+        stream_ev.writeStream.foreachBatch(
+            lambda batch_df, bid: kmv_state_batch(
+                batch_df, state_dir, bid, group_col, key_col
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def incremental_kmv(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Assemble distinct-count estimates from accumulated partial
+    sketches: union, re-distinct, then EXACTLY the batch estimator —
+    stream == batch equality holds by construction in BOTH regimes
+    (estimate and exact mode) and is pytest-proved
+    (`test_incremental_kmv_equals_batch`)."""
+    from ..plans.events import kmv_estimate_from_hashes
+
+    if not os.path.isdir(f"{state_dir}/kmv"):
+        return spark.sql(
+            "SELECT CAST(NULL AS STRING) g, CAST(0 AS BIGINT) kmv_users"
+        ).limit(0)
+    d = spark.read.parquet(f"{state_dir}/kmv").select("g", "h").distinct()
+    return kmv_estimate_from_hashes(d)
 
 
 # --------------------------------------------------------------- maintenance

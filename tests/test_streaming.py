@@ -1281,3 +1281,65 @@ def test_stream_quality_classifier_equals_batch(spark, tmp_path):
     }
     assert got == want and len(got) == 4
     assert got[1][1] and not got[2][1]  # curated-voiced keeps, spam drops
+
+
+def test_incremental_kmv_equals_batch(spark, tmp_path):
+    """Incremental KMV distinct counts from bounded per-batch partial
+    sketches must equal the batch sketch over the union of batches in
+    BOTH regimes: group 'big' has far more than k distinct keys (estimate
+    branch — min-k of the union must equal min-k of unioned min-k sets,
+    exercised with overlapping keys across batches), group 'small' stays
+    below k (exact mode — the true distinct count must survive
+    truncation and cross-batch dedup). Also replays a batch
+    (idempotence)."""
+    from pinterest_data_pipeline218_spark.plans.events import kmv_distinct
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        incremental_kmv,
+        kmv_state_batch,
+    )
+
+    k = 32
+    batches = [
+        [("big", i) for i in range(300)] + [("small", i) for i in range(5)],
+        [("big", i) for i in range(200, 500)] + [("small", i) for i in range(3, 8)],
+        [("big", i) for i in range(450, 700)] + [("small", 7), ("small", 8)],
+    ]
+    state = str(tmp_path / "state")
+    for bid, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "event_type string, user_id long")
+        kmv_state_batch(df, state, bid, k=k)
+    kmv_state_batch(
+        spark.createDataFrame(batches[1], "event_type string, user_id long"),
+        state, 1, k=k,
+    )  # replay
+
+    # incremental_kmv assembles with the default K; re-run the estimator
+    # at the test k over the same state for an apples-to-apples check
+    from pinterest_data_pipeline218_spark.plans.events import (
+        kmv_estimate_from_hashes,
+    )
+
+    d = spark.read.parquet(f"{state}/kmv").select("g", "h").distinct()
+    got = {r.g: r.kmv_users for r in kmv_estimate_from_hashes(d, k).collect()}
+
+    union = spark.createDataFrame(
+        [r for rows in batches for r in rows], "event_type string, user_id long"
+    )
+    want = {r.event_type: r.kmv_users
+            for r in kmv_distinct(union, "event_type", "user_id", k=k).collect()}
+    assert got == want
+    assert got["small"] == 9  # exact mode: true distinct count
+    # estimate-regime sanity only: within a factor of 2 at k=32 (rsd ~18%,
+    # this deterministic draw lands ~3 sigma high; the real accuracy bound
+    # is pytest-pinned at k=256 in test_kmv_distinct_bound_and_exact_mode)
+    assert 350 <= got["big"] <= 1400
+
+
+def test_incremental_kmv_before_first_batch_is_empty(spark, tmp_path):
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        incremental_kmv,
+    )
+
+    df = incremental_kmv(spark, str(tmp_path / "never"))
+    assert df.collect() == []
+    assert df.columns == ["g", "kmv_users"]
