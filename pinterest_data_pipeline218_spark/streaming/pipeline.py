@@ -635,6 +635,19 @@ def compact_sink_output(
     dir renamed into place), and any stale ``.__compact_tmp__`` from an
     aborted write is removed before writing."""
     import glob as _glob
+
+    tmp, old = _prepare_swap(path)
+    before = len(_glob.glob(os.path.join(path, "*.parquet")))
+    df = spark.read.parquet(path)
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    _finish_swap(path, tmp, old)
+    return before
+
+
+def _prepare_swap(path: str) -> tuple[str, str]:
+    """Shared rewrite-and-swap preamble (compaction, key purge): recover a
+    half-finished prior swap, clear stale tmp dirs, refuse
+    manifest-managed directories."""
     import shutil
 
     tmp = path.rstrip("/") + ".__compact_tmp__"
@@ -646,14 +659,49 @@ def compact_sink_output(
         raise ValueError(
             f"{path} is a FileStreamSink output (_spark_metadata manifest): "
             "rewriting its files would desynchronize manifest-driven reads; "
-            "manifest-aware compaction is the ACID-table-format feature "
-            "(Delta OPTIMIZE) — see COVERAGE.md S5"
+            "manifest-aware rewrites are the ACID-table-format feature "
+            "(Delta OPTIMIZE / DELETE) — see COVERAGE.md S5"
         )
-    before = len(_glob.glob(os.path.join(path, "*.parquet")))
-    df = spark.read.parquet(path)
-    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    return tmp, old
+
+
+def _finish_swap(path: str, tmp: str, old: str) -> None:
+    import shutil
+
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
-    return before
+
+
+def purge_keys(spark: SparkSession, path: str, key_col: str, keys) -> int:
+    """Right-to-erasure delete over an immutable parquet directory — the
+    GDPR maintenance job every retention pipeline runs: rewrite the
+    directory WITHOUT the rows whose ``key_col`` is in ``keys`` (a
+    DataFrame or an iterable of values), swap it in with the same
+    crash-recoverable two-rename protocol as compact_sink_output, and
+    return how many rows were purged. The key set is a deletion-request
+    batch — small by nature — so it broadcasts into the anti-join and
+    the rewrite is one scan, no shuffle.
+
+    Scale note, stated honestly: this rewrites the WHOLE directory — the
+    right local form, and correct at any size, but at 100 TB you bound
+    the rewrite by layout: a dir partitioned (or Z-ordered) on a column
+    correlated with the key confines the rewrite to the files whose
+    min/max spans intersect the key set; manifest-managed snapshot
+    deletes (Delta DELETE) are the ACID-format feature this environment's
+    missing jar would provide (COVERAGE.md S5), and this helper refuses
+    manifest-managed dirs for the same reason compaction does. Streaming
+    checkpoints are untouched: the purge rewrites outputs, not source
+    progress."""
+    if not isinstance(keys, DataFrame):
+        keys = spark.createDataFrame([(k,) for k in keys], [key_col])
+    tmp, old = _prepare_swap(path)
+    df = spark.read.parquet(path)
+    before = df.count()
+    kept = df.join(
+        F.broadcast(keys.select(key_col).distinct()), key_col, "left_anti"
+    )
+    kept.write.mode("overwrite").parquet(tmp)
+    _finish_swap(path, tmp, old)
+    return before - spark.read.parquet(path).count()

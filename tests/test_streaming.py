@@ -1343,3 +1343,42 @@ def test_incremental_kmv_before_first_batch_is_empty(spark, tmp_path):
     df = incremental_kmv(spark, str(tmp_path / "never"))
     assert df.collect() == []
     assert df.columns == ["g", "kmv_users"]
+
+
+def test_purge_keys_erases_and_recovers(spark, tmp_path):
+    """GDPR purge contracts: (1) every row for the requested keys is
+    gone and every other row survives byte-identical; (2) the returned
+    count is the number of purged rows; (3) a half-finished prior swap
+    (dataset stranded at .__compact_old__) is recovered on entry — the
+    compact_sink_output crash-window protocol, shared code; (4) a
+    manifest-managed dir is refused."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from pinterest_data_pipeline218_spark.streaming.pipeline import purge_keys
+
+    path = str(tmp_path / "tbl")
+    rows = [(u, f"payload{u}-{i}") for u in range(10) for i in range(5)]
+    spark.createDataFrame(rows, "user_id long, payload string").write.parquet(path)
+
+    n = purge_keys(spark, path, "user_id", [3, 7, 99])  # 99 absent: no-op key
+    assert n == 10
+    left = spark.read.parquet(path)
+    assert left.count() == 40
+    assert left.filter(F.col("user_id").isin(3, 7)).count() == 0
+    assert sorted(r.payload for r in left.filter(F.col("user_id") == 5).collect()) == [
+        f"payload5-{i}" for i in range(5)
+    ]
+
+    # crash-window recovery: strand the dataset at .__compact_old__
+    _os.rename(path, path + ".__compact_old__")
+    n2 = purge_keys(spark, path, "user_id", [5])
+    assert n2 == 5 and spark.read.parquet(path).count() == 35
+
+    # manifest refusal
+    bad = str(tmp_path / "sink")
+    spark.createDataFrame([(1,)], "x long").write.parquet(bad)
+    _os.mkdir(_os.path.join(bad, "_spark_metadata"))
+    with _pytest.raises(ValueError, match="manifest"):
+        purge_keys(spark, bad, "x", [1])
