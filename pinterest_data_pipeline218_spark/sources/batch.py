@@ -11,6 +11,7 @@
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -74,6 +75,41 @@ def read_orc(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load(path)
+
+
+def read_parquet_evolving(
+    spark: SparkSession, path: str, target: StructType | None = None
+) -> DataFrame:
+    """Schema-evolution read: a long-lived parquet directory accumulates
+    files written under DIFFERENT schema versions (columns added over
+    time); a plain read takes one footer's schema and silently drops the
+    others' columns. ``mergeSchema`` unions every file footer's schema
+    (added columns surface as NULL for files that predate them — additive
+    evolution, the only kind plain parquet supports; a TYPE change for
+    an existing column is a conflict and fails the merge, which is the
+    correct loud behavior). With ``target`` the merged frame is then
+    reconciled to a fixed contract: missing columns materialize as typed
+    NULLs, extra columns drop, and each column try_casts to the target
+    type — the lenient reader a consumer pins its downstream schema with.
+
+    Scale: schema merging reads FOOTERS (one small read per file, spread
+    across the cluster), not data — it is off by default in Spark
+    precisely because of that extra footer pass, so turning it on is a
+    per-read decision, which this wrapper makes explicit."""
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if target is None:
+        return df
+    cols = []
+    for f in target.fields:
+        if f.name in df.columns:
+            cols.append(
+                F.expr(f"try_cast({f.name} as {f.dataType.simpleString()})").alias(
+                    f.name
+                )
+            )
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
 
 
 def write_partitioned(

@@ -426,3 +426,54 @@ def test_zorder_layout_prunes_more_rowgroups_on_box_filter(spark, tmp_path):
     got_z = sorted(r.event_id for r in spark.read.parquet(zdir).filter(q).collect())
     got_u = sorted(r.event_id for r in spark.read.parquet(udir).filter(q).collect())
     assert got_z == got_u and got_z
+
+
+def test_parquet_schema_evolution_merge_and_reconcile(spark, tmp_path):
+    """read_parquet_evolving: files written under additive schema
+    versions union cleanly (pre-evolution rows surface NULL for the new
+    column), a target contract materializes missing columns as typed
+    NULLs / drops extras / leniently casts, and a TYPE conflict on an
+    existing column fails loudly instead of silently picking a winner."""
+    import pytest as _pytest
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from pinterest_data_pipeline218_spark.sources.batch import (
+        read_parquet_evolving,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "x")], "id long, a string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "y", 2.5)], "id long, a string, b double"
+    ).write.mode("append").parquet(path)
+
+    merged = read_parquet_evolving(spark, path)
+    assert set(merged.columns) == {"id", "a", "b"}
+    rows = {r.id: (r.a, r.b) for r in merged.collect()}
+    assert rows == {1: ("x", None), 2: ("y", 2.5)}
+
+    target = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("b", DoubleType()),
+            StructField("c", StringType()),  # never written anywhere
+        ]
+    )
+    fixed = read_parquet_evolving(spark, path, target)
+    assert fixed.columns == ["id", "b", "c"]
+    assert fixed.schema["c"].dataType == StringType()
+    got = {r.id: (r.b, r.c) for r in fixed.collect()}
+    assert got == {1: (None, None), 2: (2.5, None)}
+
+    # type conflict: same column name, incompatible type -> loud failure
+    spark.createDataFrame([(3, 9)], "id long, a long").write.mode(
+        "append"
+    ).parquet(path)
+    with _pytest.raises(Exception, match="[Mm]erg|[Cc]onflict|incompatible"):
+        read_parquet_evolving(spark, path).collect()
