@@ -515,6 +515,12 @@ def ev_hist_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookup. The exact form sorts every group; this never shuffles more
     than the histogram."""
     ev = load_table(spark, sf_dir, "events")
+    return hist_quantiles_from_counts(hist_bin_counts(ev))
+
+
+def hist_bin_counts(ev: DataFrame) -> DataFrame:
+    """(event_type, bin, c): the histogram itself — the additive sketch
+    state the streaming assembly sums across batches."""
     binned = ev.select(
         "event_type",
         F.expr(
@@ -522,16 +528,21 @@ def ev_hist_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div {HIST_BIN_CENTS}"
         ).alias("bin"),
     ).filter(F.col("bin").isNotNull())
-    hist = binned.groupBy("event_type", "bin").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    return binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
+
+
+def hist_quantiles_from_counts(hist: DataFrame) -> DataFrame:
+    """The rank-lookup finisher over a (event_type, bin, c) histogram —
+    shared verbatim by the gated batch query and the incremental
+    streaming assembly (bin counts add, so summed per-batch histograms
+    feed the identical finisher and stream == batch holds exactly)."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = hist.withColumn("cum", F.sum("c").over(w))
-    n = binned.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    n = hist.groupBy("event_type").agg(F.sum("c").alias("n"))
     return (
         cum.join(F.broadcast(n), "event_type")
         .groupBy("event_type")

@@ -603,6 +603,41 @@ def incremental_kmv(spark: SparkSession, state_dir: str) -> DataFrame:
     return kmv_estimate_from_hashes(d)
 
 
+def hist_state_batch(
+    batch_df: DataFrame, state_dir: str, batch_id: int = -1
+) -> None:
+    """One micro-batch's histogram — the purely ADDITIVE sketch state
+    (bin counts sum across batches), bounded by |types| x |bins| rows per
+    batch. Same batch_id overwrite-partition idempotence contract as the
+    other incremental dashboards."""
+    from ..plans.events import hist_bin_counts
+
+    hist_bin_counts(batch_df).write.mode("overwrite").parquet(
+        f"{state_dir}/hist/batch_id={batch_id}"
+    )
+
+
+def incremental_hist_quantiles(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Assemble p50/p95 from accumulated per-batch histograms: sum the
+    bin counts (histogram merge IS addition), then EXACTLY the batch
+    rank-lookup finisher — stream == batch equality holds exactly, not
+    approximately, and is pytest-proved
+    (`test_incremental_hist_quantiles_equals_batch`)."""
+    from ..plans.events import hist_quantiles_from_counts
+
+    if not os.path.isdir(f"{state_dir}/hist"):
+        return spark.sql(
+            "SELECT CAST(NULL AS STRING) event_type, CAST(0 AS BIGINT) "
+            "p50_lo_cents, CAST(0 AS BIGINT) p95_lo_cents"
+        ).limit(0)
+    merged = (
+        spark.read.parquet(f"{state_dir}/hist")
+        .groupBy("event_type", "bin")
+        .agg(F.sum("c").alias("c"))
+    )
+    return hist_quantiles_from_counts(merged)
+
+
 # --------------------------------------------------------------- maintenance
 def compact_sink_output(
     spark: SparkSession, path: str, target_files: int = 8

@@ -1382,3 +1382,54 @@ def test_purge_keys_erases_and_recovers(spark, tmp_path):
     _os.mkdir(_os.path.join(bad, "_spark_metadata"))
     with _pytest.raises(ValueError, match="manifest"):
         purge_keys(spark, bad, "x", [1])
+
+
+def test_incremental_hist_quantiles_equals_batch(spark, tmp_path):
+    """Incremental histogram quantiles from per-batch additive bin counts
+    must EXACTLY equal the batch query over the union of batches — the
+    strongest equality in the sketch-dashboard family, since histogram
+    merge is plain addition. Exercises values straddling bin edges across
+    batches and a replayed batch (idempotence)."""
+    from pinterest_data_pipeline218_spark.plans.events import (
+        hist_bin_counts,
+        hist_quantiles_from_counts,
+    )
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        hist_state_batch,
+        incremental_hist_quantiles,
+    )
+
+    batches = [
+        [("click", 0.5 + i) for i in range(40)],
+        [("click", 20.5 + i) for i in range(40)],  # overlapping bin range
+        [("view", 99.99), ("view", 100.01), ("click", 0.75)],
+    ]
+    state = str(tmp_path / "state")
+    for bid, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "event_type string, value double")
+        hist_state_batch(df, state, bid)
+    hist_state_batch(
+        spark.createDataFrame(batches[1], "event_type string, value double"),
+        state, 1,
+    )  # replay
+
+    got = incremental_hist_quantiles(spark, state).collect()
+    union = spark.createDataFrame(
+        [r for rows in batches for r in rows], "event_type string, value double"
+    )
+    want = hist_quantiles_from_counts(hist_bin_counts(union)).collect()
+    assert got == want and len(got) == 2
+    by = {r.event_type: (r.p50_lo_cents, r.p95_lo_cents) for r in got}
+    # view: values 99.99 / 100.01 straddle the 100-unit bin edge;
+    # p50 = ceil(2*0.5)=1st value 99.99 -> bin 99 -> 9900 cents
+    assert by["view"] == (9900, 10000)
+
+
+def test_incremental_hist_before_first_batch_is_empty(spark, tmp_path):
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        incremental_hist_quantiles,
+    )
+
+    df = incremental_hist_quantiles(spark, str(tmp_path / "never"))
+    assert df.collect() == []
+    assert df.columns == ["event_type", "p50_lo_cents", "p95_lo_cents"]
