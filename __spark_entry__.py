@@ -213,6 +213,13 @@ _TAIL = (
     # histogram quantile, the value-oracled quantile-sketch axis) is NEW
     # and moves into the window.
     "tpch_q8_market_share",  # r05-green (first driver row that round); the long dim-chain join machinery keeps driver rows via in-window tpch_q2 (chain + correlated min) and tpch_q9 (multi-way join rollup); the conditional-ratio idiom via in-window t11 CASE bucketing + tpch_q19; still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r6 thirteenth rotation: tpch_full_outer_nation_coverage /
+    # t_unpivot_nation_stats / set_bag_ops (full-outer join, UNPIVOT, bag
+    # set ops — the last ungated relational-algebra cells) are NEW and
+    # move into the window. The three below rotate out in exchange.
+    "tpch_q9_product_profit",  # r05-green (first driver row that round); multi-way join rollup machinery keeps driver rows via in-window tpch_q2 (dim chain) and tpch_q20 (stacked agg subqueries); still oracle-checked every round by tools/selfcheck.py over the full registry
+    "tpch_q11_important_parts",  # r05-green; the scalar-subquery share-of-total idiom keeps driver rows via in-window tpch_q20 (stacked agg subqueries) and the pervasive 1-row broadcast crossJoin idiom (funnel, bloom, classifier — all in-window); still oracle-checked every round by tools/selfcheck.py over the full registry
+    "tpch_q13_outer_join",  # r01-r05 green; the null-preserving outer-join family now keeps a STRONGER driver row via incoming tpch_full_outer_nation_coverage (both null directions checked, where left-outer checks one); the grouped order-count distribution shape stays via in-window tpch_q16; still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

@@ -126,6 +126,9 @@ HEADLINE = [
     "tpch_bloom_prefilter",
     "ev_cm_top_users",
     "ev_hist_value_quantiles",
+    "tpch_full_outer_nation_coverage",
+    "t_unpivot_nation_stats",
+    "set_bag_ops",
 ]
 
 

@@ -360,6 +360,137 @@ LIMIT 10
 """
 
 
+def tpch_full_outer_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the one join family the suite did not yet gate
+    (inner / left outer / semi / anti / disjunctive all have driver
+    rows): per-nation coverage of high-balance customers vs low-cost
+    suppliers, where each side's filter leaves some nations one-sided so
+    BOTH null-preserving directions are exercised in the checked result.
+    Scale note: a full outer equi-join shuffles both sides on the key
+    like any join; what it cannot do is broadcast (neither side may be
+    build-side-only), which is why Catalyst plans it as a sort-merge —
+    the correct plan, not a missed optimization."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    hc = (
+        customer.filter(F.col("c_acctbal") > 9900)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_rich_cust"))
+    )
+    ls = (
+        supplier.filter(F.col("s_acctbal") < 0)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_debt_supp"))
+    )
+    return (
+        hc.join(ls, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_rich_cust", F.lit(0)).alias("n_rich_cust"),
+            F.coalesce("n_debt_supp", F.lit(0)).alias("n_debt_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+FULL_OUTER_SQL = """
+WITH hc AS (
+  SELECT c_nationkey AS nk, COUNT(*) AS n_rich_cust
+  FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey
+),
+ls AS (
+  SELECT s_nationkey AS nk, COUNT(*) AS n_debt_supp
+  FROM supplier WHERE s_acctbal < 0 GROUP BY s_nationkey
+)
+SELECT COALESCE(hc.nk, ls.nk) AS nationkey,
+       COALESCE(n_rich_cust, 0) AS n_rich_cust,
+       COALESCE(n_debt_supp, 0) AS n_debt_supp
+FROM hc FULL OUTER JOIN ls ON hc.nk = ls.nk
+ORDER BY nationkey
+"""
+
+
+def t_unpivot_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long), the inverse of the gated pivot: per-nation
+    customer/supplier counts melted to (nationkey, metric, n) rows via
+    stack() — the codegen'd melt that stays scan-pipelined (each input
+    row fans out to a fixed small number of output rows, no shuffle
+    beyond the upstream aggregate)."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    wide = (
+        customer.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .join(
+            supplier.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+                F.count(F.lit(1)).alias("n_supp")
+            ),
+            "nationkey",
+        )
+    )
+    return wide.select(
+        "nationkey",
+        F.expr(
+            "stack(2, 'customers', n_cust, 'suppliers', n_supp)"
+            " as (metric, n)"
+        ),
+    ).orderBy("nationkey", "metric")
+
+
+UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT c.nationkey, c.n_cust, s.n_supp
+  FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+        FROM customer GROUP BY 1) c
+  JOIN (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+        FROM supplier GROUP BY 1) s USING (nationkey)
+)
+SELECT nationkey, 'customers' AS metric, n_cust AS n FROM wide
+UNION ALL
+SELECT nationkey, 'suppliers', n_supp FROM wide
+ORDER BY nationkey, metric
+"""
+
+
+def set_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — bag (multiset) semantics, the set-op
+    variants set_customer_overlap's DISTINCT forms cannot express:
+    duplicates count with multiplicity, so the result is sensitive to HOW
+    MANY times a key appears on each side (here: nations of high-balance
+    customers as a bag vs nations of suppliers as a bag — a nation with 5
+    rich customers and 2 suppliers contributes 2 to the intersection and
+    3 to the except). Spark plans both as aggregate+generate (count
+    per key on each side, replicate by min / by difference) — exactly
+    the map-side-combinable shape the bag algebra needs at scale."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    cn = customer.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_nationkey").alias("nk")
+    )
+    sn = supplier.select(F.col("s_nationkey").alias("nk"))
+    both = cn.intersectAll(sn).groupBy().agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("intersect_all").alias("op"), "n")
+    only = cn.exceptAll(sn).groupBy().agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("except_all").alias("op"), "n")
+    return both.unionAll(only).orderBy("op")
+
+
+SET_BAG_SQL = """
+WITH cn AS (SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000),
+sn AS (SELECT s_nationkey AS nk FROM supplier)
+SELECT 'except_all' AS op, COUNT(*) AS n FROM (
+  SELECT nk FROM cn EXCEPT ALL SELECT nk FROM sn
+)
+UNION ALL
+SELECT 'intersect_all', COUNT(*) FROM (
+  SELECT nk FROM cn INTERSECT ALL SELECT nk FROM sn
+)
+ORDER BY op
+"""
+
+
 QUERIES = {
     "tpch_q4_semi_join": tpch_q4_semi_join,
     "tpch_q21_sole_returner": tpch_q21_sole_returner,
@@ -369,6 +500,9 @@ QUERIES = {
     "tpch_q17_small_qty": tpch_q17_small_qty,
     "set_customer_overlap": set_customer_overlap,
     "window_showcase": window_showcase,
+    "tpch_full_outer_nation_coverage": tpch_full_outer_nation_coverage,
+    "t_unpivot_nation_stats": t_unpivot_nation_stats,
+    "set_bag_ops": set_bag_ops,
 }
 
 ORACLE = {
@@ -380,4 +514,7 @@ ORACLE = {
     "tpch_q17_small_qty": Q17_SQL,
     "set_customer_overlap": SET_OVERLAP_SQL,
     "window_showcase": WINDOW_SHOWCASE_SQL,
+    "tpch_full_outer_nation_coverage": FULL_OUTER_SQL,
+    "t_unpivot_nation_stats": UNPIVOT_SQL,
+    "set_bag_ops": SET_BAG_SQL,
 }

@@ -586,7 +586,8 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
         "ev_value_outliers", "dedup_cluster_best", "sim_radius_search",
         "text_normalize", "ev_kmv_distinct_users", "text_quality_classifier",
         "graph_pagerank_trade", "tpch_bloom_prefilter", "ev_cm_top_users",
-        "ev_hist_value_quantiles",
+        "ev_hist_value_quantiles", "tpch_full_outer_nation_coverage",
+        "t_unpivot_nation_stats", "set_bag_ops",
     }
     out = novel - head
     assert out == set(), f"novel operators outside the checked window: {out}"
@@ -924,3 +925,31 @@ def test_hist_quantiles_bin_contains_order_statistic(spark, qs):
             cents = int(round(stat * 100))
             assert lo % HIST_BIN_CENTS == 0
             assert lo <= cents < lo + HIST_BIN_CENTS, (t, q, lo, stat)
+
+
+def test_full_outer_exercises_both_null_directions(spark, qs):
+    """The full-outer gated query must actually produce one-sided rows in
+    BOTH directions at oracle scale (sf0.01) — otherwise it degenerates
+    into an inner join and the driver row proves nothing about
+    null-preservation."""
+    rows = qs["tpch_full_outer_nation_coverage"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert any(r.n_rich_cust == 0 and r.n_debt_supp > 0 for r in rows)
+    assert any(r.n_rich_cust > 0 and r.n_debt_supp == 0 for r in rows)
+
+
+def test_bag_ops_respect_multiplicity(spark, qs):
+    """INTERSECT ALL + EXCEPT ALL must partition the left bag by
+    multiplicity: |intersect_all| + |except_all| == |left bag| — the
+    identity DISTINCT set ops violate whenever duplicates exist."""
+    from pinterest_data_pipeline218_spark.data import load_table
+
+    got = {r.op: r.n for r in qs["set_bag_ops"](spark, SF).collect()}
+    left = (
+        load_table(spark, SF, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .count()
+    )
+    assert got["intersect_all"] + got["except_all"] == left
+    assert got["intersect_all"] > 0 < got["except_all"]
