@@ -220,6 +220,10 @@ _TAIL = (
     "tpch_q9_product_profit",  # r05-green (first driver row that round); multi-way join rollup machinery keeps driver rows via in-window tpch_q2 (dim chain) and tpch_q20 (stacked agg subqueries); still oracle-checked every round by tools/selfcheck.py over the full registry
     "tpch_q11_important_parts",  # r05-green; the scalar-subquery share-of-total idiom keeps driver rows via in-window tpch_q20 (stacked agg subqueries) and the pervasive 1-row broadcast crossJoin idiom (funnel, bloom, classifier — all in-window); still oracle-checked every round by tools/selfcheck.py over the full registry
     "tpch_q13_outer_join",  # r01-r05 green; the null-preserving outer-join family now keeps a STRONGER driver row via incoming tpch_full_outer_nation_coverage (both null directions checked, where left-outer checks one); the grouped order-count distribution shape stays via in-window tpch_q16; still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r6 fourteenth rotation: ev_gapfill_hourly (time-series gap filling
+    # with LOCF — sequence-explode grid + zero-fill + carried totals) is
+    # NEW and moves into the window.
+    "dedup_simhash",  # r01-r05 green; the Hamming-distance near-dup machinery keeps a driver row via in-window mm_image_phash (the same 64-bit-fingerprint Hamming pairing over decoded-pixel hashes), and the explode + codegen'd bit-count aggregation stays pytest-covered; still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

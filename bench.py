@@ -129,6 +129,7 @@ HEADLINE = [
     "tpch_full_outer_nation_coverage",
     "t_unpivot_nation_stats",
     "set_bag_ops",
+    "ev_gapfill_hourly",
 ]
 
 

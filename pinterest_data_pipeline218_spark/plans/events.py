@@ -494,6 +494,81 @@ def kmv_distinct(
     ).withColumnRenamed("g", group_col)
 
 
+def ev_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling — the dense hourly series every metrics
+    consumer expects from sparse event data: per type, materialize EVERY
+    hour between that type's first and last event (sequence + explode —
+    the grid generation no groupBy can produce), left-join the observed
+    per-hour aggregates, zero-fill the counts, and carry the last
+    observed hourly total forward across gaps (LOCF via
+    last(ignorenulls=True) over an UNBOUNDED..CURRENT frame). Totals are
+    DECIMAL cents so the carried values stay integer-exact.
+
+    100 TB shape: the grid is |types| x |hours| rows (tiny relative to
+    events), the observed aggregate is one map-side-combinable grouped
+    count, the join is keyed on (type, hour) and the LOCF window sorts
+    only the grid — the events table is scanned once and never sorted."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "cast(sum(cast(try_cast(value as decimal(18,2)) * 100 as bigint))"
+            " as bigint)"
+        ).alias("v_cents"),
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(agg, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("hour_ts"),
+            F.coalesce("n", F.lit(0).cast("long")).alias("n_events"),
+            F.last("v_cents", ignorenulls=True).over(w).alias("v_cents_locf"),
+        )
+        .orderBy("event_type", "hour_ts")
+    )
+
+
+EV_GAPFILL_SQL = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v_cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, date_trunc('hour', MIN(ts)) AS h0,
+         date_trunc('hour', MAX(ts)) AS h1
+  FROM events GROUP BY 1
+),
+grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+)
+SELECT g.event_type, g.h AS hour_ts,
+       COALESCE(a.n, 0) AS n_events,
+       last_value(a.v_cents IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS v_cents_locf
+FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.h = a.h
+ORDER BY g.event_type, hour_ts
+"""
+
+
 HIST_BIN_CENTS = 100  # fixed-bin histogram: 1-unit bins over DECIMAL cents
 
 
@@ -1003,6 +1078,7 @@ QUERIES = {
     "ev_kmv_distinct_users": ev_kmv_distinct_users,
     "ev_cm_top_users": ev_cm_top_users,
     "ev_hist_value_quantiles": ev_hist_value_quantiles,
+    "ev_gapfill_hourly": ev_gapfill_hourly,
     "ev_sliding_1h_value": ev_sliding_1h_value,
     "ev_approx_value_quantiles": ev_approx_value_quantiles,
     "ev_theta_user_overlap": ev_theta_user_overlap,
@@ -1029,6 +1105,7 @@ ORACLE = {
     "ev_kmv_distinct_users": EV_KMV_SQL,
     "ev_cm_top_users": _cm_sql(),
     "ev_hist_value_quantiles": EV_HIST_QUANTILES_SQL,
+    "ev_gapfill_hourly": EV_GAPFILL_SQL,
     "ev_sliding_1h_value": EV_SLIDING_SQL,
     "ev_funnel_steps": EV_FUNNEL_SQL,
     "ev_retention_cohorts": EV_RETENTION_SQL,

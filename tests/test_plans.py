@@ -587,7 +587,7 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
         "text_normalize", "ev_kmv_distinct_users", "text_quality_classifier",
         "graph_pagerank_trade", "tpch_bloom_prefilter", "ev_cm_top_users",
         "ev_hist_value_quantiles", "tpch_full_outer_nation_coverage",
-        "t_unpivot_nation_stats", "set_bag_ops",
+        "t_unpivot_nation_stats", "set_bag_ops", "ev_gapfill_hourly",
     }
     out = novel - head
     assert out == set(), f"novel operators outside the checked window: {out}"
@@ -953,3 +953,34 @@ def test_bag_ops_respect_multiplicity(spark, qs):
     )
     assert got["intersect_all"] + got["except_all"] == left
     assert got["intersect_all"] > 0 < got["except_all"]
+
+
+def test_gapfill_contiguous_zero_filled_and_locf(spark, qs):
+    """Gap-fill invariants on real sparse data: per type the hourly grid
+    is CONTIGUOUS from first to last event hour; gap rows carry
+    n_events=0 and the previous row's LOCF total unchanged; and
+    zero-filling adds no phantom events (per-type n_events sums to the
+    raw event count). Requires at least one actual gap to bite."""
+    import datetime
+
+    from pinterest_data_pipeline218_spark.data import load_table
+
+    rows = qs["ev_gapfill_hourly"](spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    totals = {r.event_type: r.n for r in
+              ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    saw_gap = False
+    for t, rs in by_type.items():
+        hours = [r.hour_ts for r in rs]
+        assert hours == sorted(hours)
+        step = datetime.timedelta(hours=1)
+        assert all(b - a == step for a, b in zip(hours, hours[1:])), t
+        assert sum(r.n_events for r in rs) == totals[t]
+        for prev, cur in zip(rs, rs[1:]):
+            if cur.n_events == 0:
+                saw_gap = True
+                assert cur.v_cents_locf == prev.v_cents_locf, (t, cur.hour_ts)
+    assert saw_gap
