@@ -224,6 +224,10 @@ _TAIL = (
     # with LOCF — sequence-explode grid + zero-fill + carried totals) is
     # NEW and moves into the window.
     "dedup_simhash",  # r01-r05 green; the Hamming-distance near-dup machinery keeps a driver row via in-window mm_image_phash (the same 64-bit-fingerprint Hamming pairing over decoded-pixel hashes), and the explode + codegen'd bit-count aggregation stays pytest-covered; still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r6 fifteenth rotation: ev_json_schema_stats (schema'd from_json
+    # parse with bad-document quarantine counting — the real JSON parser
+    # beside the regexp rendering) is NEW and moves into the window.
+    "text_dupspan_remove",  # r05-green; exact-span dedup is hypothesis model-checked against an independent Python implementation (test_dupspan_remove_matches_model), and its explode/window/segment-rebuild machinery is pervasive in-window (corpus_cdc_chunk, corpus_pack_sequences); still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

@@ -130,6 +130,7 @@ HEADLINE = [
     "t_unpivot_nation_stats",
     "set_bag_ops",
     "ev_gapfill_hourly",
+    "ev_json_schema_stats",
 ]
 
 

@@ -93,6 +93,47 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def ev_json_schema_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema'd JSON parse of the props column — the REAL parser
+    (`from_json` with a declared schema, the reference's S4 blob-decode
+    idiom applied to a nested column), where ev_json_extract_sum's regexp
+    rendering only pattern-matches digits: a malformed document or a
+    quoted number behaves like JSON says it should, not like a regex
+    does. Per type: sum/min/max of the parsed field plus a bad-document
+    count (from_json yields NULL on corrupt input — the quarantine
+    contract, countable). Scan-local parse, one grouped agg."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k bigint").getField("k")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k").isNull() & F.col("props").isNotNull(), 1)).alias(
+                "n_bad"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_JSON_SCHEMA_SQL = """
+WITH p AS (
+  SELECT event_type, props,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       CAST(COUNT(CASE WHEN k IS NULL AND props IS NOT NULL THEN 1 END) AS BIGINT) AS n_bad
+FROM p GROUP BY event_type ORDER BY event_type
+"""
+
+
 def ev_sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: number of activity sessions per user with a 30-minute
     inactivity gap. lag → gap flag → running sum (the streaming equivalent is
@@ -1067,6 +1108,7 @@ QUERIES = {
     "ev_counts_hourly": ev_counts_hourly,
     "ev_stats_by_type": ev_stats_by_type,
     "ev_json_extract_sum": ev_json_extract_sum,
+    "ev_json_schema_stats": ev_json_schema_stats,
     "ev_sessions_per_user": ev_sessions_per_user,
     "ev_running_total": ev_running_total,
     "ev_salted_stats": ev_salted_stats,
@@ -1092,6 +1134,7 @@ ORACLE = {
     "ev_counts_hourly": EV_COUNTS_HOURLY_SQL,
     "ev_stats_by_type": EV_STATS_SQL,
     "ev_json_extract_sum": EV_JSON_SQL,
+    "ev_json_schema_stats": EV_JSON_SCHEMA_SQL,
     "ev_sessions_per_user": EV_SESSIONS_SQL,
     "ev_running_total": EV_RUNNING_SQL,
     "ev_salted_stats": EV_SALTED_STATS_SQL,

@@ -588,6 +588,7 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
         "graph_pagerank_trade", "tpch_bloom_prefilter", "ev_cm_top_users",
         "ev_hist_value_quantiles", "tpch_full_outer_nation_coverage",
         "t_unpivot_nation_stats", "set_bag_ops", "ev_gapfill_hourly",
+        "ev_json_schema_stats",
     }
     out = novel - head
     assert out == set(), f"novel operators outside the checked window: {out}"
@@ -984,3 +985,29 @@ def test_gapfill_contiguous_zero_filled_and_locf(spark, qs):
                 saw_gap = True
                 assert cur.v_cents_locf == prev.v_cents_locf, (t, cur.hour_ts)
     assert saw_gap
+
+
+def test_json_schema_parse_beats_regexp_on_malformed_docs(spark):
+    """Why the schema'd parse earns its own gated query: on a malformed
+    document, a wrong-key document, and a non-numeric value, from_json
+    returns NULL (the quarantine contract) while the regexp rendering
+    happily extracts digits from the WRONG place. Also pins n_bad
+    counting NULL-parse rows but not NULL-props rows."""
+    df = spark.createDataFrame(
+        [
+            ("a", '{"k": 7}'),
+            ("a", '{"j": 5}'),      # wrong key: regexp would extract 5
+            ("a", 'not json 42'),   # malformed: regexp would extract 42
+            ("a", '{"k": "xyz"}'),  # non-numeric value
+            ("a", None),            # null props: not a bad document
+        ],
+        "event_type string, props string",
+    )
+    k = F.from_json("props", "k bigint").getField("k")
+    out = df.withColumn("k", k).agg(
+        F.sum("k").alias("s"),
+        F.count(F.when(F.col("k").isNull() & F.col("props").isNotNull(), 1)).alias("bad"),
+    ).collect()[0]
+    assert out.s == 7 and out.bad == 3
+    rx = F.regexp_extract("props", r"[0-9]+", 0).try_cast("bigint")
+    assert df.withColumn("k", rx).agg(F.sum("k")).collect()[0][0] == 54  # 7+5+42
