@@ -731,9 +731,15 @@ def cm_heavy_hitters(
     heavy-hitter pipeline tracks a bounded candidate set (per-partition
     top-k or a sample) and probes only those — the sketch's value is the
     bounded counter state, not the probe."""
+    counters, key_counts = cm_partials(df, key_col, d=d, w=w)
+    return cm_finish(counters, key_counts, key_col, top_n=top_n, d=d, w=w)
+
+
+def _cm_pairs(keyed: DataFrame, d: int, w: int) -> DataFrame:
+    """(key, j, c): the d deterministic counter positions per row."""
     from ..functions.text import token_hash
 
-    k = F.col(key_col).cast("string")
+    k = F.col("key").cast("string")
     branches = [
         F.struct(
             F.lit(j).alias("j"),
@@ -741,21 +747,46 @@ def cm_heavy_hitters(
         )
         for j in range(d)
     ]
-    pairs = df.select(
-        F.col(key_col).alias("key"), F.explode(F.array(*branches)).alias("p")
-    ).select("key", F.col("p.j").alias("j"), F.col("p.c").alias("c"))
-    counters = pairs.groupBy("j", "c").agg(F.count(F.lit(1)).alias("n"))
+    return keyed.select("key", F.explode(F.array(*branches)).alias("p")).select(
+        "key", F.col("p.j").alias("j"), F.col("p.c").alias("c")
+    )
+
+
+def cm_partials(
+    df: DataFrame, key_col: str, d: int = CM_D, w: int = CM_W
+) -> tuple[DataFrame, DataFrame]:
+    """The sketch's two ADDITIVE partials — (j, c, n) counter cells and
+    (key, exact_count) per-key counts — shared by the batch query and the
+    streaming per-batch state (both merge by plain summation, so the
+    incremental assembly is exact)."""
+    keyed = df.select(F.col(key_col).alias("key"))
+    counters = _cm_pairs(keyed, d, w).groupBy("j", "c").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    key_counts = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("exact_count"))
+    return counters, key_counts
+
+
+def cm_finish(
+    counters: DataFrame,
+    key_counts: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+    d: int = CM_D,
+    w: int = CM_W,
+) -> DataFrame:
+    """The probe/rank finisher over merged partials — positions are
+    recomputed from the candidate keys (they are deterministic functions
+    of the key, so they never need to be stored), estimates are the min
+    joined counter, and the answer is the top-n by (estimate, key)."""
     est = (
-        pairs.distinct()
+        _cm_pairs(key_counts.select("key"), d, w)
         .join(F.broadcast(counters), ["j", "c"])
         .groupBy("key")
         .agg(F.min("n").alias("est_count"))
     )
-    exact = df.groupBy(F.col(key_col).alias("key")).agg(
-        F.count(F.lit(1)).alias("exact_count")
-    )
     return (
-        est.join(exact, "key")
+        est.join(key_counts, "key")
         .select(
             F.col("key").alias(key_col),
             "est_count",

@@ -638,6 +638,57 @@ def incremental_hist_quantiles(spark: SparkSession, state_dir: str) -> DataFrame
     return hist_quantiles_from_counts(merged)
 
 
+def cm_state_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int = -1,
+    key_col: str = "user_id",
+) -> None:
+    """One micro-batch's count-min contribution: the sketch's two
+    ADDITIVE partials — the (j, c, n) counter cells (bounded at d*w rows
+    per batch) and the per-key counts the top-n answer needs anyway.
+    Counter positions are deterministic functions of the key, so they
+    are never stored for the probe side. Same batch_id overwrite-
+    partition idempotence contract as the other dashboards."""
+    from ..plans.events import cm_partials
+
+    counters, key_counts = cm_partials(batch_df, key_col)
+    counters.write.mode("overwrite").parquet(
+        f"{state_dir}/cm_counters/batch_id={batch_id}"
+    )
+    key_counts.write.mode("overwrite").parquet(
+        f"{state_dir}/cm_keys/batch_id={batch_id}"
+    )
+
+
+def incremental_cm_top_users(
+    spark: SparkSession, state_dir: str, key_col: str = "user_id", top_n: int = 10
+) -> DataFrame:
+    """Assemble heavy hitters from accumulated count-min partials: sum
+    the counter cells and the per-key counts (both merges are plain
+    addition), then EXACTLY the batch probe/rank finisher — stream ==
+    batch equality is exact and pytest-proved
+    (`test_incremental_cm_equals_batch`)."""
+    from ..plans.events import cm_finish
+
+    if not os.path.isdir(f"{state_dir}/cm_counters"):
+        return spark.sql(
+            f"SELECT CAST(NULL AS BIGINT) {key_col}, CAST(0 AS BIGINT) "
+            "est_count, CAST(0 AS BIGINT) exact_count, CAST(0 AS BIGINT) overshoot"
+        ).limit(0)
+    counters = (
+        spark.read.parquet(f"{state_dir}/cm_counters")
+        .groupBy("j", "c")
+        .agg(F.sum("n").alias("n"))
+    )
+    key_counts = (
+        spark.read.parquet(f"{state_dir}/cm_keys")
+        .groupBy("key")
+        .agg(F.sum("exact_count").alias("exact_count"))
+    )
+    return cm_finish(counters, key_counts, key_col, top_n=top_n)
+
+
 # --------------------------------------------------------------- maintenance
 def compact_sink_output(
     spark: SparkSession, path: str, target_files: int = 8

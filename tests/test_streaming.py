@@ -1433,3 +1433,50 @@ def test_incremental_hist_before_first_batch_is_empty(spark, tmp_path):
     df = incremental_hist_quantiles(spark, str(tmp_path / "never"))
     assert df.collect() == []
     assert df.columns == ["event_type", "p50_lo_cents", "p95_lo_cents"]
+
+
+def test_incremental_cm_equals_batch(spark, tmp_path):
+    """Incremental count-min heavy hitters from additive per-batch
+    partials (counter cells + per-key counts) must EXACTLY equal the
+    batch sketch over the union of batches — a key's collisions
+    accumulate across batches identically because the counter matrix
+    merges by addition. The planted heavy hitter spans all batches;
+    includes a replayed batch (idempotence)."""
+    from pinterest_data_pipeline218_spark.plans.events import cm_heavy_hitters
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        cm_state_batch,
+        incremental_cm_top_users,
+    )
+
+    batches = [
+        [(7,)] * 50 + [(i,) for i in range(100)],
+        [(7,)] * 80 + [(i,) for i in range(50, 150)],
+        [(7,)] * 30 + [(200 + i,) for i in range(20)],
+    ]
+    state = str(tmp_path / "state")
+    for bid, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "user_id long")
+        cm_state_batch(df, state, bid)
+    cm_state_batch(
+        spark.createDataFrame(batches[1], "user_id long"), state, 1
+    )  # replay
+
+    got = incremental_cm_top_users(spark, state).collect()
+    union = spark.createDataFrame(
+        [r for rows in batches for r in rows], "user_id long"
+    )
+    want = cm_heavy_hitters(union, "user_id").collect()
+    assert got == want
+    # 50+80+30 planted + one more from batch 0's range(100)
+    assert got[0].user_id == 7 and got[0].exact_count == 161
+    assert all(r.overshoot >= 0 for r in got)
+
+
+def test_incremental_cm_before_first_batch_is_empty(spark, tmp_path):
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        incremental_cm_top_users,
+    )
+
+    df = incremental_cm_top_users(spark, str(tmp_path / "never"))
+    assert df.collect() == []
+    assert df.columns == ["user_id", "est_count", "exact_count", "overshoot"]
