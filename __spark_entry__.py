@@ -228,6 +228,10 @@ _TAIL = (
     # parse with bad-document quarantine counting — the real JSON parser
     # beside the regexp rendering) is NEW and moves into the window.
     "text_dupspan_remove",  # r05-green; exact-span dedup is hypothesis model-checked against an independent Python implementation (test_dupspan_remove_matches_model), and its explode/window/segment-rebuild machinery is pervasive in-window (corpus_cdc_chunk, corpus_pack_sequences); still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r6 sixteenth rotation: ev_click_streaks (gaps-and-islands run
+    # detection, batch twin of the second applyInPandasWithState
+    # operator) is NEW and moves into the window.
+    "sim_topk_bruteforce",  # r01-r05 green; the broadcast-1-row-query scan-local cosine scoring keeps a driver row via in-window sim_radius_search (same machinery, range predicate instead of top-k heap), and the top-k ranking shape via the in-window ANN probes (sim_ivf_multiprobe, sim_ivfpq_*); still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

@@ -131,6 +131,7 @@ HEADLINE = [
     "set_bag_ops",
     "ev_gapfill_hourly",
     "ev_json_schema_stats",
+    "ev_click_streaks",
 ]
 
 

@@ -535,6 +535,65 @@ def kmv_distinct(
     ).withColumnRenamed("g", group_col)
 
 
+STREAK_MIN_RUN = 3
+
+
+def click_streaks(ev: DataFrame, min_run: int = STREAK_MIN_RUN) -> DataFrame:
+    """Maximal runs of CONSECUTIVE 'click' events per user (engagement
+    bursts), length >= min_run — the classic gaps-and-islands idiom: a
+    click's island id is its position among the user's ALL events minus
+    its position among the user's clicks, constant exactly while no
+    non-click interrupts. Ordering is total (ts, event_id) so islands are
+    deterministic under timestamp ties. One shuffle on user_id + two
+    same-ordered windows (Catalyst reuses the sort), then a small
+    grouped aggregate over the islands."""
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_click = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = ev.withColumn("rn", F.row_number().over(w_all))
+    clicks = rn.filter(F.col("event_type") == "click").withColumn(
+        "island", F.col("rn") - F.row_number().over(w_click)
+    )
+    return (
+        clicks.groupBy("user_id", "island")
+        .agg(
+            F.min("ts").alias("run_start"),
+            F.max("ts").alias("run_end"),
+            F.count(F.lit(1)).alias("n_clicks"),
+        )
+        .filter(F.col("n_clicks") >= min_run)
+        .select("user_id", "run_start", "run_end", "n_clicks")
+        .orderBy("user_id", "run_start")
+    )
+
+
+def ev_click_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated rendering of click_streaks over the events table; the
+    streaming twin (`streaming/stateful.streak_stream`) detects the same
+    runs incrementally with applyInPandasWithState and is pytest-proved
+    equal on closed runs."""
+    return click_streaks(load_table(spark, sf_dir, "events"))
+
+
+EV_STREAKS_SQL = f"""
+WITH rn AS (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+clicks AS (
+  SELECT user_id, ts,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS island
+  FROM rn WHERE event_type = 'click'
+)
+SELECT user_id, MIN(ts) AS run_start, MAX(ts) AS run_end,
+       COUNT(*) AS n_clicks
+FROM clicks
+GROUP BY user_id, island
+HAVING COUNT(*) >= {STREAK_MIN_RUN}
+ORDER BY user_id, run_start
+"""
+
+
 def ev_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap filling — the dense hourly series every metrics
     consumer expects from sparse event data: per type, materialize EVERY
@@ -1140,6 +1199,7 @@ QUERIES = {
     "ev_stats_by_type": ev_stats_by_type,
     "ev_json_extract_sum": ev_json_extract_sum,
     "ev_json_schema_stats": ev_json_schema_stats,
+    "ev_click_streaks": ev_click_streaks,
     "ev_sessions_per_user": ev_sessions_per_user,
     "ev_running_total": ev_running_total,
     "ev_salted_stats": ev_salted_stats,
@@ -1166,6 +1226,7 @@ ORACLE = {
     "ev_stats_by_type": EV_STATS_SQL,
     "ev_json_extract_sum": EV_JSON_SQL,
     "ev_json_schema_stats": EV_JSON_SCHEMA_SQL,
+    "ev_click_streaks": EV_STREAKS_SQL,
     "ev_sessions_per_user": EV_SESSIONS_SQL,
     "ev_running_total": EV_RUNNING_SQL,
     "ev_salted_stats": EV_SALTED_STATS_SQL,

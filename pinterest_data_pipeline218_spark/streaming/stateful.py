@@ -128,3 +128,81 @@ def sessionize_stream(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+# ------------------------------------------------- streak (run) detection
+# Second custom stateful operator: maximal consecutive-click runs per user
+# (the batch twin is plans/events.click_streaks, the gaps-and-islands gated
+# query). A run survives micro-batch boundaries in state and closes when a
+# non-click event arrives; closed runs of length >= min_run emit. Same
+# ordering contract and state discipline as sessionization: per-key
+# event-time order across batches (within a batch we sort by (ts,
+# event_id)), flat 3-long state per user, append-mode emission.
+
+STREAK_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("run_start", LongType()),  # epoch seconds
+        StructField("run_end", LongType()),
+        StructField("n_clicks", LongType()),
+    ]
+)
+
+STREAK_STATE_SCHEMA = StructType(
+    [
+        StructField("start", LongType()),
+        StructField("last", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _streak_fn(min_run: int):
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple[int, int, int]] = []
+        run = state.get if state.exists else None
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        ts = rows["ts"].to_numpy().astype("datetime64[s]").astype("int64")
+        is_click = (rows["event_type"] == "click").to_numpy()
+        for t, c in zip(ts, is_click):
+            t = int(t)
+            if c:
+                run = (t, t, 1) if run is None else (run[0], t, run[2] + 1)
+            else:
+                if run is not None and run[2] >= min_run:
+                    closed.append(run)
+                run = None
+        if run is not None:
+            state.update(run)
+        elif state.exists:
+            state.remove()
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "run_start": [c[0] for c in closed],
+                    "run_end": [c[1] for c in closed],
+                    "n_clicks": [c[2] for c in closed],
+                }
+            )
+
+    return fn
+
+
+def streak_stream(events: DataFrame, min_run: int | None = None) -> DataFrame:
+    """events (user_id, event_id, ts, event_type) → closed click runs of
+    length >= min_run (append-mode). Runs still open at end of stream
+    stay in state (an unbroken run is not yet a fact); pytest proves
+    closed-run equality with the batch gaps-and-islands query when every
+    user's stream ends with a non-click."""
+    from ..plans.events import STREAK_MIN_RUN
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _streak_fn(min_run or STREAK_MIN_RUN),
+        outputStructType=STREAK_SCHEMA,
+        stateStructType=STREAK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

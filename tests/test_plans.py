@@ -588,7 +588,7 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
         "graph_pagerank_trade", "tpch_bloom_prefilter", "ev_cm_top_users",
         "ev_hist_value_quantiles", "tpch_full_outer_nation_coverage",
         "t_unpivot_nation_stats", "set_bag_ops", "ev_gapfill_hourly",
-        "ev_json_schema_stats",
+        "ev_json_schema_stats", "ev_click_streaks",
     }
     out = novel - head
     assert out == set(), f"novel operators outside the checked window: {out}"

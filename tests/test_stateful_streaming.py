@@ -123,3 +123,81 @@ def test_sessions_respect_gap(streamed_sessions):
         sessions.sort(key=lambda r: r.session_start)
         for a, b in zip(sessions, sessions[1:]):
             assert b.session_start - a.session_end > SESSION_GAP_SECONDS
+
+
+def test_streak_stream_equals_batch_on_closed_runs(spark, tmp_path):
+    """The stateful streak detector must agree with the batch
+    gaps-and-islands query on CLOSED runs — including a run that SPANS a
+    micro-batch boundary (clicks in batch 0 continue in batch 1 before a
+    non-click closes it: per-batch detection would see two short runs or
+    none). Every user's stream ends with a non-click so all runs close."""
+    import datetime
+    import json
+    import os
+    import time
+
+    from pinterest_data_pipeline218_spark.plans.events import click_streaks
+    from pinterest_data_pipeline218_spark.streaming.stateful import streak_stream
+
+    def t(minute):
+        return datetime.datetime(2026, 3, 3, 10, minute)
+
+    # (user, event_id, minute, type)
+    evs = [
+        # user 1: 2 clicks in batch0 + 2 clicks in batch1, closed by a view
+        (1, 1, 0, "click"), (1, 2, 1, "click"),
+        (1, 3, 2, "click"), (1, 4, 3, "click"), (1, 5, 4, "view"),
+        # user 2: run of 2 only (below min_run=3), closed
+        (2, 6, 0, "click"), (2, 7, 1, "click"), (2, 8, 2, "scroll"),
+        # user 3: two separate runs of 3, both closed
+        (3, 9, 0, "click"), (3, 10, 1, "click"), (3, 11, 2, "click"),
+        (3, 12, 3, "view"),
+        (3, 13, 4, "click"), (3, 14, 5, "click"), (3, 15, 6, "click"),
+        (3, 16, 7, "view"),
+    ]
+    batches = [evs[:2] + evs[5:7] + evs[8:11], evs[2:5] + evs[7:8] + evs[11:]]
+    src = tmp_path / "blobs"
+    src.mkdir()
+    base = time.time() - 100
+    for i, rows in enumerate(batches):
+        path = src / f"{i:03d}.jsonl"
+        with open(path, "w") as f:
+            for u, eid, m, ty in rows:
+                f.write(json.dumps({
+                    "user_id": u, "event_id": eid,
+                    "ts": t(m).strftime("%Y-%m-%d %H:%M:%S"), "event_type": ty,
+                }) + "\n")
+        os.utime(path, (base + 10 * i, base + 10 * i))
+
+    schema = ("user_id long, event_id long, ts string, event_type string")
+    stream = (
+        spark.readStream.format("json").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    q = (
+        streak_stream(stream)
+        .writeStream.format("memory").queryName("streaks")
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.run_start, r.run_end, r.n_clicks)
+        for r in spark.sql("SELECT * FROM streaks").collect()
+    }
+
+    batch_df = spark.createDataFrame(
+        [(u, eid, t(m), ty) for u, eid, m, ty in evs],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    want = {
+        (r.user_id, int(r.run_start.timestamp()), int(r.run_end.timestamp()),
+         r.n_clicks)
+        for r in click_streaks(batch_df).collect()
+    }
+    assert got == want
+    # hand-pinned: user 1's single 4-click run spans the batch boundary
+    assert (1, int(t(0).timestamp()), int(t(3).timestamp()), 4) in got
+    assert not any(u == 2 for u, *_ in got)
+    assert sum(1 for u, *_ in got if u == 3) == 2
