@@ -29,8 +29,10 @@ from pyspark.sql import DataFrame, SparkSession
 from ..data import load_table
 from ..functions.text import token_hash, token_hash_sql
 
-BLOOM_M = 1024  # bits; sized small in the gated query so the measured
-BLOOM_K = 3  # false-positive set is non-trivial at test scale
+BLOOM_M = 1024  # bits: under-loaded at sf0.01 (the gated row measures
+BLOOM_K = 3  # n_false_pos = 0 exactly), ~44% loaded at sf0.1 where real
+# false positives appear in the bench row; the pytest forces a loaded
+# filter (m=128) to exercise the FP bound directly
 
 
 def _positions(col: F.Column, m: int, k: int) -> list[F.Column]:

@@ -587,20 +587,28 @@ def attach_kmv_stream(
     )
 
 
-def incremental_kmv(spark: SparkSession, state_dir: str) -> DataFrame:
+def incremental_kmv(
+    spark: SparkSession, state_dir: str, k: int | None = None
+) -> DataFrame:
     """Assemble distinct-count estimates from accumulated partial
     sketches: union, re-distinct, then EXACTLY the batch estimator —
     stream == batch equality holds by construction in BOTH regimes
     (estimate and exact mode) and is pytest-proved
-    (`test_incremental_kmv_equals_batch`)."""
-    from ..plans.events import kmv_estimate_from_hashes
+    (`test_incremental_kmv_equals_batch`).
+
+    CONTRACT: ``k`` must equal the ``k`` the state batches were truncated
+    at (both default to KMV_K). A mismatched assembly is silently wrong
+    in a specific way: state truncated at a smaller k caps the candidate
+    union below a larger assembly K, so 'exact mode' returns the
+    candidate count instead of either valid estimate."""
+    from ..plans.events import KMV_K, kmv_estimate_from_hashes
 
     if not os.path.isdir(f"{state_dir}/kmv"):
         return spark.sql(
             "SELECT CAST(NULL AS STRING) g, CAST(0 AS BIGINT) kmv_users"
         ).limit(0)
     d = spark.read.parquet(f"{state_dir}/kmv").select("g", "h").distinct()
-    return kmv_estimate_from_hashes(d)
+    return kmv_estimate_from_hashes(d, k or KMV_K)
 
 
 def hist_state_batch(

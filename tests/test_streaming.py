@@ -1313,14 +1313,10 @@ def test_incremental_kmv_equals_batch(spark, tmp_path):
         state, 1, k=k,
     )  # replay
 
-    # incremental_kmv assembles with the default K; re-run the estimator
-    # at the test k over the same state for an apples-to-apples check
-    from pinterest_data_pipeline218_spark.plans.events import (
-        kmv_estimate_from_hashes,
-    )
-
-    d = spark.read.parquet(f"{state}/kmv").select("g", "h").distinct()
-    got = {r.g: r.kmv_users for r in kmv_estimate_from_hashes(d, k).collect()}
+    # the real assembly end-to-end at the STATE'S k (the documented
+    # contract: assembly k == truncation k)
+    got = {r.g: r.kmv_users
+           for r in incremental_kmv(spark, state, k=k).collect()}
 
     union = spark.createDataFrame(
         [r for rows in batches for r in rows], "event_type string, user_id long"
