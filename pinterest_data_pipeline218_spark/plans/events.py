@@ -988,7 +988,9 @@ def funnel_steps(
             "step",
             "event_type",
             "n_users",
-            F.expr("(10000L * n_users) div n1").alias("conv_bp"),
+            # nullif: zero step-1 users (empty corpus / empty stream
+            # state) yields NULL conversion, not an ANSI divide-by-zero
+            F.expr("(10000L * n_users) div nullif(n1, 0)").alias("conv_bp"),
         )
         .orderBy("step")
     )
@@ -1012,7 +1014,8 @@ steps AS (
   UNION ALL SELECT 2, 'click', COUNT(*) FROM c
   UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p
 )
-SELECT step, event_type, n_users, (10000 * n_users) // n1.n1 AS conv_bp
+SELECT step, event_type, n_users,
+       (10000 * n_users) // nullif(n1.n1, 0) AS conv_bp
 FROM steps CROSS JOIN n1
 ORDER BY step
 """

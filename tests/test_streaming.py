@@ -1476,3 +1476,37 @@ def test_incremental_cm_before_first_batch_is_empty(spark, tmp_path):
     df = incremental_cm_top_users(spark, str(tmp_path / "never"))
     assert df.collect() == []
     assert df.columns == ["user_id", "est_count", "exact_count", "overshoot"]
+
+
+def test_incremental_states_tolerate_all_empty_batches(spark, tmp_path):
+    """An empty micro-batch (quiet trigger) still writes its batch_id
+    partition; assembly over ONLY-empty state must not crash: the funnel
+    returns its zero-count rows with NULL conversion (the nullif guard —
+    previously an ANSI divide-by-zero), and the sketch assemblies return
+    empty."""
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        cm_state_batch,
+        funnel_state_batch,
+        hist_state_batch,
+        incremental_cm_top_users,
+        incremental_funnel,
+        incremental_hist_quantiles,
+        incremental_kmv,
+        kmv_state_batch,
+    )
+
+    empty = spark.createDataFrame(
+        [], "user_id long, event_id long, event_type string, ts timestamp, value double"
+    )
+    f, k, h, c = (str(tmp_path / d) for d in ("f", "k", "h", "c"))
+    funnel_state_batch(empty, f, 0)
+    rows = incremental_funnel(spark, f).collect()
+    assert [(r.step, r.n_users, r.conv_bp) for r in rows] == [
+        (1, 0, None), (2, 0, None), (3, 0, None)
+    ]
+    kmv_state_batch(empty, k, 0)
+    assert incremental_kmv(spark, k).collect() == []
+    hist_state_batch(empty, h, 0)
+    assert incremental_hist_quantiles(spark, h).collect() == []
+    cm_state_batch(empty, c, 0)
+    assert incremental_cm_top_users(spark, c).collect() == []
