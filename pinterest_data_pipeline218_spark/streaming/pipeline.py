@@ -517,7 +517,12 @@ def incremental_funnel(
     of processed batches holds by construction and is pytest-proved
     (`test_incremental_funnel_equals_batch`), including the cross-batch
     reordering case where a user's click precedes their view until an
-    earlier view arrives in a later batch."""
+    earlier view arrives in a later batch.
+
+    CONTRACT (the incremental_kmv pattern): ``steps`` must equal the
+    step list the state batches were filtered with — state filtered for
+    other step types simply lacks this assembly's events and every
+    count reads low."""
     from ..plans.events import funnel_steps
 
     if not os.path.isdir(f"{state_dir}/funnel_events"):
@@ -789,6 +794,9 @@ def purge_keys(spark: SparkSession, path: str, key_col: str, keys) -> int:
     checkpoints are untouched: the purge rewrites outputs, not source
     progress."""
     if not isinstance(keys, DataFrame):
+        keys = list(keys)
+        if not keys:
+            return 0  # empty deletion batch: no rewrite, nothing purged
         keys = spark.createDataFrame([(k,) for k in keys], [key_col])
     tmp, old = _prepare_swap(path)
     df = spark.read.parquet(path)
