@@ -1372,6 +1372,10 @@ def test_purge_keys_erases_and_recovers(spark, tmp_path):
     n2 = purge_keys(spark, path, "user_id", [5])
     assert n2 == 5 and spark.read.parquet(path).count() == 35
 
+    # empty deletion batch: no-op, no rewrite
+    assert purge_keys(spark, path, "user_id", []) == 0
+    assert spark.read.parquet(path).count() == 35
+
     # manifest refusal
     bad = str(tmp_path / "sink")
     spark.createDataFrame([(1,)], "x long").write.parquet(bad)
