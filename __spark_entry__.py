@@ -192,7 +192,7 @@ _TAIL = (
     "ev_json_extract_sum",  # green since r01; regexp_extract + try_cast + grouped sum — the regex family keeps driver rows via the in-window pin cleaning pipeline (P8), lenient casts via user_clean_pipeline (P9), grouped sums everywhere
     # r6 sixth rotation: text_normalize (canonical normalization) is NEW
     # and moves into the window.
-    "text_quality_score",  # green r01-r05; the quality expression keeps THREE in-window driver rows by composition — corpus_build_full's gate, corpus_quality_report's counters, dedup_cluster_best's keeper election all evaluate it value-exactly
+    "text_quality_score",  # green r01-r05; the quality expression keeps in-window driver rows by composition — corpus_build_full's gate and dedup_cluster_best's keeper election both evaluate it value-exactly
     # r6 seventh rotation: ev_kmv_distinct_users (KMV distinct sketch, the
     # value-oracled sketch-family member) is NEW and moves into the window.
     "dedup_semantic_kmeans",  # r05-green; the Lloyd rounds keep a driver row via in-window ml_kmeans_refine (same training loop, integer-exact, descent pytest-proved by test_kmeans_refine_improves_over_seed_assignment), the salted cluster-blocked cosine pair machinery via in-window dedup_cluster_best's upstream; still oracle-checked every round by tools/selfcheck.py over the full registry
@@ -232,6 +232,10 @@ _TAIL = (
     # detection, batch twin of the second applyInPandasWithState
     # operator) is NEW and moves into the window.
     "sim_topk_bruteforce",  # r01-r05 green; the broadcast-1-row-query scan-local cosine scoring keeps a driver row via in-window sim_radius_search (same machinery, range predicate instead of top-k heap), and the top-k ranking shape via the in-window ANN probes (sim_ivf_multiprobe, sim_ivfpq_*); still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r6 seventeenth rotation: ev_variant_stats (Spark 4 VARIANT
+    # semi-structured path with split parse/type quarantine) is NEW and
+    # moves into the window.
+    "corpus_quality_report",  # r05-green; its gate counters are composed value-exactly by in-window corpus_build_full, and the incremental dashboard is pytest-proved to assemble EXACTLY this report over batch unions (test_incremental_quality_report_equals_batch); still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

@@ -132,6 +132,7 @@ HEADLINE = [
     "ev_gapfill_hourly",
     "ev_json_schema_stats",
     "ev_click_streaks",
+    "ev_variant_stats",
 ]
 
 

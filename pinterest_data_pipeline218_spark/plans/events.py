@@ -566,6 +566,59 @@ def click_streaks(ev: DataFrame, min_run: int = STREAK_MIN_RUN) -> DataFrame:
     )
 
 
+def ev_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT path for semi-structured props — Spark 4's modern
+    replacement for schema'd from_json when the schema is open-ended:
+    try_parse_json shreds once into the binary VARIANT encoding, typed
+    access is try_variant_get per field (no full-schema declaration, no
+    re-parse per field). Same quarantine discipline as
+    ev_json_schema_stats, split FINER: parse failures (not valid JSON →
+    NULL variant) and type failures (valid JSON, field not castable)
+    count separately. The oracle replays the identical semantics through
+    DuckDB's json functions — the VALUES are engine-portable even though
+    the variant encoding is not."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.try_parse_json("props")
+    parsed = ev.select(
+        "event_type",
+        "props",
+        v.alias("v"),
+        F.expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')").alias(
+            "k"
+        ),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(
+                F.when(F.col("v").isNull() & F.col("props").isNotNull(), 1)
+            ).alias("n_parse_fail"),
+            F.count(
+                F.when(F.col("v").isNotNull() & F.col("k").isNull(), 1)
+            ).alias("n_type_fail"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_VARIANT_SQL = """
+WITH p AS (
+  SELECT event_type, props,
+         TRY_CAST(props AS JSON) AS v,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(COUNT(CASE WHEN v IS NULL AND props IS NOT NULL THEN 1 END) AS BIGINT)
+         AS n_parse_fail,
+       CAST(COUNT(CASE WHEN v IS NOT NULL AND k IS NULL THEN 1 END) AS BIGINT)
+         AS n_type_fail
+FROM p GROUP BY event_type ORDER BY event_type
+"""
+
+
 def ev_click_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gated rendering of click_streaks over the events table; the
     streaming twin (`streaming/stateful.streak_stream`) detects the same
@@ -1202,6 +1255,7 @@ QUERIES = {
     "ev_stats_by_type": ev_stats_by_type,
     "ev_json_extract_sum": ev_json_extract_sum,
     "ev_json_schema_stats": ev_json_schema_stats,
+    "ev_variant_stats": ev_variant_stats,
     "ev_click_streaks": ev_click_streaks,
     "ev_sessions_per_user": ev_sessions_per_user,
     "ev_running_total": ev_running_total,
@@ -1229,6 +1283,7 @@ ORACLE = {
     "ev_stats_by_type": EV_STATS_SQL,
     "ev_json_extract_sum": EV_JSON_SQL,
     "ev_json_schema_stats": EV_JSON_SCHEMA_SQL,
+    "ev_variant_stats": EV_VARIANT_SQL,
     "ev_click_streaks": EV_STREAKS_SQL,
     "ev_sessions_per_user": EV_SESSIONS_SQL,
     "ev_running_total": EV_RUNNING_SQL,

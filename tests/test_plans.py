@@ -588,7 +588,7 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
         "graph_pagerank_trade", "tpch_bloom_prefilter", "ev_cm_top_users",
         "ev_hist_value_quantiles", "tpch_full_outer_nation_coverage",
         "t_unpivot_nation_stats", "set_bag_ops", "ev_gapfill_hourly",
-        "ev_json_schema_stats", "ev_click_streaks",
+        "ev_json_schema_stats", "ev_click_streaks", "ev_variant_stats",
     }
     out = novel - head
     assert out == set(), f"novel operators outside the checked window: {out}"
@@ -1011,3 +1011,33 @@ def test_json_schema_parse_beats_regexp_on_malformed_docs(spark):
     assert out.s == 7 and out.bad == 3
     rx = F.regexp_extract("props", r"[0-9]+", 0).try_cast("bigint")
     assert df.withColumn("k", rx).agg(F.sum("k")).collect()[0][0] == 54  # 7+5+42
+
+
+def test_variant_quarantine_splits_parse_and_type_failures(spark):
+    """The VARIANT path's finer quarantine split: invalid JSON counts as
+    a parse failure (NULL variant), valid JSON whose field cannot cast
+    counts as a type failure, a missing key is a type failure too (NULL
+    extraction from a valid document), and NULL props counts as neither.
+    (At oracle scale every props is valid, so these semantics are pinned
+    here rather than by the driver row.)"""
+    df = spark.createDataFrame(
+        [
+            ("a", '{"k": 7}'),
+            ("a", '{"k": "xyz"}'),   # type failure
+            ("a", '{"j": 5}'),       # missing key -> type failure
+            ("a", "not json"),       # parse failure
+            ("a", None),             # neither
+        ],
+        "event_type string, props string",
+    )
+    v = F.try_parse_json("props")
+    out = df.select(
+        v.alias("v"),
+        F.expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')").alias("k"),
+        "props",
+    ).agg(
+        F.sum("k").alias("s"),
+        F.count(F.when(F.col("v").isNull() & F.col("props").isNotNull(), 1)).alias("pf"),
+        F.count(F.when(F.col("v").isNotNull() & F.col("k").isNull(), 1)).alias("tf"),
+    ).collect()[0]
+    assert (out.s, out.pf, out.tf) == (7, 1, 2)
