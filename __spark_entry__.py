@@ -236,6 +236,11 @@ _TAIL = (
     # semi-structured path with split parse/type quarantine) is NEW and
     # moves into the window.
     "corpus_quality_report",  # r05-green; its gate counters are composed value-exactly by in-window corpus_build_full, and the incremental dashboard is pytest-proved to assemble EXACTLY this report over batch unions (test_incremental_quality_report_equals_batch); still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r6 eighteenth rotation: text_classifier_eval (threshold-calibration
+    # sweep over the trained classifier — the eval harness, load-bearing
+    # because the linear contrast's smoothing bias makes the naive
+    # threshold degenerate) is NEW and moves into the window.
+    "tpch_q1_pricing_summary",  # green r01-r05 (five driver rows); the multi-DECIMAL-aggregate scan machinery keeps driver rows via in-window t11 (DECIMAL grouped medians), tpch_q19 + tpch_q16 (DECIMAL conditional aggregates), and q1 is re-measured in every committed bench table; still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

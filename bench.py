@@ -133,6 +133,7 @@ HEADLINE = [
     "ev_json_schema_stats",
     "ev_click_streaks",
     "ev_variant_stats",
+    "text_classifier_eval",
 ]
 
 

@@ -9,7 +9,7 @@ shuffle; only the final order/top-k aggregates exchange data.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..data import load_table
 from ..functions import text as T
@@ -1439,7 +1439,15 @@ def score_token_contrast(
     of broadcast bucket weights over token occurrences; a document scoring
     above zero 'looks curated' — on crawl documents that is exactly the
     keep signal the GPT-3-style pipeline selects on. Documents with NULL
-    text score 0 (left join + coalesce, the langid contract)."""
+    text score 0 (left join + coalesce, the langid contract).
+
+    Calibration caveat, stated plainly: under UNEQUAL class sizes the
+    log-free contrast is biased negative (add-one smoothing shrinks the
+    smaller class's frequencies harder), so at weak-label scale every
+    score can sit below zero and the fixed >0 threshold keeps nothing —
+    deploy with a threshold picked from text_classifier_eval's decile
+    sweep instead. On balanced classes (the held-out pytest) zero
+    separates correctly."""
     s = (
         grams.join(F.broadcast(weights), "b")
         .groupBy("doc_id")
@@ -1519,6 +1527,135 @@ ORDER BY d.doc_id
 """
 
 
+EVAL_DECILES = (10, 30, 50, 70, 90)
+
+
+def text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-calibration sweep for the trained classifier — the
+    evaluation harness a training-data pipeline runs before deploying a
+    filter, and here it is LOAD-BEARING: at weak-label scale the linear
+    frequency contrast is biased negative (add-one smoothing shrinks the
+    smaller positive class harder — a documented property of the log-free
+    form), so the naive looks_curated>0 threshold keeps nothing from
+    crawl; the sweep shows precision/recall at the OBSERVED score
+    deciles, which is how the deployment threshold gets picked. All
+    integer: thresholds are inverted-CDF order statistics (the histogram
+    idiom), confusion counts are conditional sums, rates are basis
+    points with nullif guards. Scale: one score pass (the classifier's
+    own plan), one rank window over scores (a GLOBAL sort — fine for an
+    eval job; at warehouse scale the thresholds come from the fixed-bin
+    histogram idiom instead), a 5-row broadcast threshold table, one
+    conditional aggregate."""
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _contrast_grams(
+        docs, F.col("source").isin(*CURATED_SOURCES)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    weights = train_token_contrast(grams)
+    scored = score_token_contrast(docs, grams, weights).select(
+        "doc_id",
+        F.col("source").isin(*CURATED_SOURCES).alias("is_pos"),
+        "contrast_score",
+    )
+    w = Window.orderBy("contrast_score", "doc_id")
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    n = scored.agg(F.count(F.lit(1)).alias("n"))
+    deciles = ", ".join(str(q) for q in EVAL_DECILES)
+    thr = (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            F.explode(F.expr(f"array({deciles})")).alias("q"),
+            "rn",
+            "n",
+            "contrast_score",
+        )
+        .filter(F.expr("rn = (q * n + 99) div 100"))
+        .select("q", F.col("contrast_score").alias("thr"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy("q", "thr")
+        .agg(
+            F.sum(F.expr("int(contrast_score >= thr AND is_pos)")).alias("tp"),
+            F.sum(F.expr("int(contrast_score >= thr AND NOT is_pos)")).alias("fp"),
+            F.sum(F.expr("int(contrast_score < thr AND is_pos)")).alias("fn"),
+            F.sum(F.expr("int(contrast_score < thr AND NOT is_pos)")).alias("tn"),
+        )
+        .select(
+            "q",
+            "thr",
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            F.expr("(10000 * tp) div nullif(tp + fp, 0)").alias("precision_bp"),
+            F.expr("(10000 * tp) div nullif(tp + fn, 0)").alias("recall_bp"),
+        )
+        .orderBy("q")
+    )
+
+
+TEXT_CLASSIFIER_EVAL_SQL = f"""
+WITH g AS (
+  SELECT doc_id, is_pos,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT % {CONTRAST_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, source IN ({_CURATED_IN}) AS is_pos,
+           unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents WHERE text IS NOT NULL
+  )
+),
+counts AS (
+  SELECT b, SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS cp,
+         SUM(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) AS cn
+  FROM g GROUP BY b
+),
+tot AS (
+  SELECT SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) AS tn
+  FROM g
+),
+w AS (
+  SELECT b,
+         ({CONTRAST_FP} * (cp + 1)) // (tp + {CONTRAST_BUCKETS})
+         - ({CONTRAST_FP} * (cn + 1)) // (tn + {CONTRAST_BUCKETS}) AS w
+  FROM counts CROSS JOIN tot
+),
+s AS (
+  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS contrast_score
+  FROM g JOIN w USING (b) GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.source IN ({_CURATED_IN}) AS is_pos,
+         COALESCE(s.contrast_score, 0) AS contrast_score
+  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY contrast_score, doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM scored
+),
+thr AS (
+  SELECT q, contrast_score AS thr
+  FROM ranked, (SELECT unnest([{", ".join(str(q) for q in EVAL_DECILES)}]) AS q)
+  WHERE rn = (q * n + 99) // 100
+)
+SELECT q, thr,
+       CAST(SUM(CASE WHEN contrast_score >= thr AND is_pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN contrast_score >= thr AND NOT is_pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN contrast_score < thr AND is_pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(SUM(CASE WHEN contrast_score < thr AND NOT is_pos THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       (10000 * SUM(CASE WHEN contrast_score >= thr AND is_pos THEN 1 ELSE 0 END))
+         // nullif(SUM(CASE WHEN contrast_score >= thr THEN 1 ELSE 0 END), 0) AS precision_bp,
+       (10000 * SUM(CASE WHEN contrast_score >= thr AND is_pos THEN 1 ELSE 0 END))
+         // nullif(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END), 0) AS recall_bp
+FROM scored CROSS JOIN thr
+GROUP BY q, thr
+ORDER BY q
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -1537,6 +1674,7 @@ QUERIES = {
     "text_lm_score": text_lm_score,
     "text_lm_backoff": text_lm_backoff,
     "text_quality_classifier": text_quality_classifier,
+    "text_classifier_eval": text_classifier_eval,
 }
 
 ORACLE = {
@@ -1557,4 +1695,5 @@ ORACLE = {
     "text_lm_score": _lm_sql(),
     "text_lm_backoff": _lm_backoff_sql(),
     "text_quality_classifier": TEXT_QUALITY_CLASSIFIER_SQL,
+    "text_classifier_eval": TEXT_CLASSIFIER_EVAL_SQL,
 }

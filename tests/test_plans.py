@@ -589,6 +589,7 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
         "ev_hist_value_quantiles", "tpch_full_outer_nation_coverage",
         "t_unpivot_nation_stats", "set_bag_ops", "ev_gapfill_hourly",
         "ev_json_schema_stats", "ev_click_streaks", "ev_variant_stats",
+        "text_classifier_eval",
     }
     out = novel - head
     assert out == set(), f"novel operators outside the checked window: {out}"
@@ -1041,3 +1042,23 @@ def test_variant_quarantine_splits_parse_and_type_failures(spark):
         F.count(F.when(F.col("v").isNotNull() & F.col("k").isNull(), 1)).alias("tf"),
     ).collect()[0]
     assert (out.s, out.pf, out.tf) == (7, 1, 2)
+
+
+def test_classifier_eval_sweep_invariants(spark, qs):
+    """Calibration-sweep invariants at oracle scale: confusion cells
+    partition the corpus at every threshold; recall is monotone
+    non-increasing in the threshold decile; and the sweep is
+    LOAD-BEARING — at the 10th-percentile threshold recall is near-total
+    while the naive score>0 rule (all scores negative under the
+    documented smoothing bias) would keep nothing."""
+    from pinterest_data_pipeline218_spark.data import load_table
+
+    rows = qs["text_classifier_eval"](spark, "/root/testdata/sf0.01").collect()
+    n = load_table(spark, "/root/testdata/sf0.01", "documents").count()
+    assert [r.q for r in rows] == [10, 30, 50, 70, 90]
+    for r in rows:
+        assert r.tp + r.fp + r.fn + r.tn == n, r
+        assert r.thr < 0  # the smoothing bias: every decile threshold negative
+    recalls = [r.recall_bp for r in rows]
+    assert all(a >= b for a, b in zip(recalls, recalls[1:]))
+    assert recalls[0] >= 8500  # q=10 keeps nearly all curated docs
