@@ -662,7 +662,16 @@ def ev_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, the join is keyed on (type, hour) and the LOCF window sorts
     only the grid — the events table is scanned once and never sorted."""
     ev = load_table(spark, sf_dir, "events")
-    agg = ev.groupBy(
+    return gapfill_from_hourly(gapfill_hourly_agg(ev))
+
+
+def gapfill_hourly_agg(ev: DataFrame) -> DataFrame:
+    """(event_type, h, n, v_cents): the per-hour observed aggregate —
+    the MERGEABLE state of the gap-fill dashboard: counts and cent sums
+    add, and the grid bounds are derivable (min/max of the observed
+    hours), so per-batch partials summed at assembly feed the identical
+    finisher (stream == batch exactly)."""
+    return ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(
         F.count(F.lit(1)).alias("n"),
@@ -671,9 +680,16 @@ def ev_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)"
         ).alias("v_cents"),
     )
-    bounds = ev.groupBy("event_type").agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
+
+
+def gapfill_from_hourly(agg: DataFrame) -> DataFrame:
+    """The grid/zero-fill/LOCF finisher over a merged hourly aggregate —
+    shared verbatim by the gated batch query and the incremental
+    streaming assembly. Bounds come from the aggregate itself (min/max
+    observed hour per type), which is what makes the hourly table the
+    COMPLETE state: no separate bounds bookkeeping to drift."""
+    bounds = agg.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
     )
     grid = bounds.select(
         "event_type",

@@ -702,6 +702,45 @@ def incremental_cm_top_users(
     return cm_finish(counters, key_counts, key_col, top_n=top_n)
 
 
+def gapfill_state_batch(
+    batch_df: DataFrame, state_dir: str, batch_id: int = -1
+) -> None:
+    """One micro-batch's hourly aggregate for the incremental gap-fill
+    dashboard — additive state (counts and cent sums add per (type,
+    hour) cell), and COMPLETE state: the grid bounds are min/max of the
+    observed hours, so no separate bounds bookkeeping can drift. Same
+    batch_id overwrite-partition idempotence contract as the other
+    dashboards."""
+    from ..plans.events import gapfill_hourly_agg
+
+    gapfill_hourly_agg(batch_df).write.mode("overwrite").parquet(
+        f"{state_dir}/gapfill/batch_id={batch_id}"
+    )
+
+
+def incremental_gapfill(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Assemble the dense hourly series from accumulated per-batch hourly
+    aggregates: sum the cells, then EXACTLY the batch grid/zero-fill/LOCF
+    finisher. The interesting merge case: a LATE batch extends a type's
+    bounds backward or forward, and hours between the old and new bounds
+    materialize as zero-filled gap rows no per-batch series contained —
+    pytest-proved equal to the batch query over the union
+    (`test_incremental_gapfill_equals_batch`)."""
+    from ..plans.events import gapfill_from_hourly
+
+    if not os.path.isdir(f"{state_dir}/gapfill"):
+        return spark.sql(
+            "SELECT CAST(NULL AS STRING) event_type, CAST(NULL AS TIMESTAMP) "
+            "hour_ts, CAST(0 AS BIGINT) n_events, CAST(0 AS BIGINT) v_cents_locf"
+        ).limit(0)
+    merged = (
+        spark.read.parquet(f"{state_dir}/gapfill")
+        .groupBy("event_type", "h")
+        .agg(F.sum("n").alias("n"), F.sum("v_cents").alias("v_cents"))
+    )
+    return gapfill_from_hourly(merged)
+
+
 # --------------------------------------------------------------- maintenance
 def compact_sink_output(
     spark: SparkSession, path: str, target_files: int = 8

@@ -1514,3 +1514,63 @@ def test_incremental_states_tolerate_all_empty_batches(spark, tmp_path):
     assert incremental_hist_quantiles(spark, h).collect() == []
     cm_state_batch(empty, c, 0)
     assert incremental_cm_top_users(spark, c).collect() == []
+
+
+def test_incremental_gapfill_equals_batch(spark, tmp_path):
+    """Incremental gap fill from additive per-batch hourly aggregates
+    must EXACTLY equal the batch query over the union — including the
+    bounds-extension case: a LATE batch adds events hours BEFORE the
+    earliest previously-seen hour, so assembly must materialize
+    zero-filled rows in the newly-opened range that no per-batch series
+    contained, and the LOCF carry must re-run over the widened grid.
+    Includes cell-level summation (same hour across batches) and a
+    replayed batch."""
+    import datetime
+
+    from pinterest_data_pipeline218_spark.plans.events import (
+        gapfill_from_hourly,
+        gapfill_hourly_agg,
+    )
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        gapfill_state_batch,
+        incremental_gapfill,
+    )
+
+    def t(hour, minute=0):
+        return datetime.datetime(2026, 3, 3, hour, minute)
+
+    batches = [
+        [("click", t(10, 5), 1.0), ("click", t(13, 10), 2.0)],   # gap 11-12
+        [("click", t(10, 40), 4.0)],                              # same-hour merge
+        [("click", t(7, 30), 8.0), ("view", t(9, 0), 1.5)],      # extends bounds back
+    ]
+    state = str(tmp_path / "state")
+    schema = "event_type string, ts timestamp, value double"
+    for bid, rows in enumerate(batches):
+        gapfill_state_batch(spark.createDataFrame(rows, schema), state, bid)
+    gapfill_state_batch(spark.createDataFrame(batches[1], schema), state, 1)  # replay
+
+    got = incremental_gapfill(spark, state).collect()
+    union = spark.createDataFrame([r for rows in batches for r in rows], schema)
+    want = gapfill_from_hourly(gapfill_hourly_agg(union)).collect()
+    assert got == want
+    click = {r.hour_ts.hour: (r.n_events, r.v_cents_locf)
+             for r in got if r.event_type == "click"}
+    # widened grid: hours 7..13; 8 and 9 are zero-filled rows opened by
+    # the LATE batch, carrying hour 7's total; hour 10 merged two batches
+    assert sorted(click) == [7, 8, 9, 10, 11, 12, 13]
+    assert click[7] == (1, 800)
+    assert click[8] == (0, 800) and click[9] == (0, 800)
+    assert click[10] == (2, 500)
+    assert click[11] == (0, 500) and click[12] == (0, 500)
+    assert click[13] == (1, 200)
+
+
+def test_incremental_gapfill_before_first_batch_is_empty(spark, tmp_path):
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        incremental_gapfill,
+    )
+
+    df = incremental_gapfill(spark, str(tmp_path / "never"))
+    assert df.collect() == []
+    assert df.columns == ["event_type", "hour_ts", "n_events", "v_cents_locf"]
