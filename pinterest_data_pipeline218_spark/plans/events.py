@@ -1155,21 +1155,30 @@ def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types|² grouped count with map-side combine and a broadcast 1-level
     rollup join for the conditional denominator. Nothing quadratic; state
     is the type-pair matrix (tiny at any corpus size)."""
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events")
+    return markov_from_counts(markov_pair_counts(ev))
+
+
+def markov_pair_counts(ev: DataFrame) -> DataFrame:
+    """(from_type, to_type, n): adjacent-pair counts per the (ts,
+    event_id) user ordering — the ADDITIVE piece of the Markov state
+    (pair matrices sum; the streaming assembly adds per-batch matrices
+    plus boundary pairs stitched through a per-user carry)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
-        ev.select(
-            "user_id",
-            F.col("event_type").alias("from_type"),
-            F.lead("event_type").over(w).alias("to_type"),
-        )
-        .filter(F.col("to_type").isNotNull())
-    )
-    counts = pairs.groupBy("from_type", "to_type").agg(
+    pairs = ev.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def markov_from_counts(counts: DataFrame) -> DataFrame:
+    """The conditional-probability finisher over a (from, to, n) pair
+    matrix — shared verbatim by the gated batch query and the
+    incremental streaming assembly."""
     totals = counts.groupBy(F.col("from_type").alias("ft")).agg(
         F.sum("n").alias("n_from")
     )
@@ -1178,7 +1187,7 @@ def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "from_type",
             "to_type",
-            "n",
+            F.col("n").cast("long").alias("n"),
             F.expr("(10000L * n) div n_from").alias("p_bp"),
         )
         .orderBy("from_type", "to_type")

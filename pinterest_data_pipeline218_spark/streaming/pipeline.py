@@ -741,6 +741,101 @@ def incremental_gapfill(spark: SparkSession, state_dir: str) -> DataFrame:
     return gapfill_from_hourly(merged)
 
 
+def markov_state_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int = -1,
+    prev_batch_id: int | None = None,
+) -> None:
+    """One micro-batch's Markov contribution — the fourth state SHAPE in
+    the incremental family (beside additive matrices, min-k sets, and
+    derived bounds): a per-user CARRY. Adjacent pairs inside the batch
+    are a lead window; the pair that SPANS the batch boundary needs the
+    user's last event from everything processed so far, so each batch
+    writes (a) its pair counts (within-batch + boundary, additive) and
+    (b) the updated carry — one row per user ever seen, their latest
+    (ts, event_id, event_type). The carry is a deterministic CHAIN:
+    carry_b = f(carry_{b-1}, batch_b), each link written under its own
+    batch_id partition, so an at-least-once replay of batch b recomputes
+    from carry_{b-1} and rewrites identical outputs (idempotence without
+    read-modify-write races). Same ordering contract as sessionization:
+    per-user event-time order across batches. An EMPTY batch copies the
+    carry forward so the chain never breaks."""
+    from ..plans.events import markov_pair_counts
+
+    prev = batch_id - 1 if prev_batch_id is None else prev_batch_id
+    within = markov_pair_counts(batch_df)
+
+    lasts = (
+        batch_df.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("m"))
+        .select("user_id", F.col("m.ts").alias("ts"),
+                F.col("m.event_id").alias("event_id"),
+                F.col("m.event_type").alias("event_type"))
+    )
+    firsts = (
+        batch_df.groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id", "event_type")).alias("m"))
+        .select("user_id", F.col("m.event_type").alias("first_type"))
+    )
+
+    spark = batch_df.sparkSession
+    prev_path = f"{state_dir}/markov_carry/batch_id={prev}"
+    if os.path.isdir(prev_path):
+        carry_prev = spark.read.parquet(prev_path).select(
+            "user_id", "ts", "event_id", "event_type"
+        )
+        boundary = (
+            carry_prev.join(firsts, "user_id")
+            .groupBy(
+                F.col("event_type").alias("from_type"),
+                F.col("first_type").alias("to_type"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        counts = within.unionAll(boundary).groupBy("from_type", "to_type").agg(
+            F.sum("n").alias("n")
+        )
+        carry = (
+            carry_prev.unionAll(lasts)
+            .groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("m"))
+            .select("user_id", F.col("m.ts").alias("ts"),
+                    F.col("m.event_id").alias("event_id"),
+                    F.col("m.event_type").alias("event_type"))
+        )
+    else:
+        counts, carry = within, lasts
+    counts.write.mode("overwrite").parquet(
+        f"{state_dir}/markov_counts/batch_id={batch_id}"
+    )
+    carry.write.mode("overwrite").parquet(
+        f"{state_dir}/markov_carry/batch_id={batch_id}"
+    )
+
+
+def incremental_markov(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Assemble the transition matrix from accumulated per-batch pair
+    counts (boundary pairs already stitched by the carry chain at write
+    time): sum the cells, then EXACTLY the batch conditional-probability
+    finisher — stream == batch equality incl. boundary transitions and a
+    user skipping whole batches is pytest-proved
+    (`test_incremental_markov_equals_batch`)."""
+    from ..plans.events import markov_from_counts
+
+    if not os.path.isdir(f"{state_dir}/markov_counts"):
+        return spark.sql(
+            "SELECT CAST(NULL AS STRING) from_type, CAST(NULL AS STRING) "
+            "to_type, CAST(0 AS BIGINT) n, CAST(0 AS BIGINT) p_bp"
+        ).limit(0)
+    merged = (
+        spark.read.parquet(f"{state_dir}/markov_counts")
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("n").alias("n"))
+    )
+    return markov_from_counts(merged)
+
+
 # --------------------------------------------------------------- maintenance
 def compact_sink_output(
     spark: SparkSession, path: str, target_files: int = 8

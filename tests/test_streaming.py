@@ -1574,3 +1574,62 @@ def test_incremental_gapfill_before_first_batch_is_empty(spark, tmp_path):
     df = incremental_gapfill(spark, str(tmp_path / "never"))
     assert df.collect() == []
     assert df.columns == ["event_type", "hour_ts", "n_events", "v_cents_locf"]
+
+
+def test_incremental_markov_equals_batch(spark, tmp_path):
+    """Incremental Markov transitions via the carry chain must EXACTLY
+    equal the batch matrix over the union of batches — including (1) a
+    transition that SPANS a batch boundary (user 1's view at the end of
+    batch 0 -> click at the start of batch 1), (2) a user who SKIPS a
+    whole batch (user 2 appears in batches 0 and 2 only: their carry
+    must survive batch 1 and still stitch the boundary pair), (3) an
+    EMPTY batch in the chain, and (4) an at-least-once replay of a
+    middle batch (the carry chain recomputes from its predecessor)."""
+    import datetime
+
+    from pinterest_data_pipeline218_spark.plans.events import (
+        markov_from_counts,
+        markov_pair_counts,
+    )
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        incremental_markov,
+        markov_state_batch,
+    )
+
+    def t(minute):
+        return datetime.datetime(2026, 3, 3, 10, minute)
+
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+    batches = [
+        [(1, 1, t(0), "view"), (1, 2, t(1), "view"), (2, 3, t(0), "click")],
+        [(1, 4, t(2), "click"), (1, 5, t(3), "purchase")],  # boundary: view->click
+        [],                                                  # empty batch
+        [(2, 6, t(9), "purchase")],                          # user 2 skipped 2 batches
+    ]
+    state = str(tmp_path / "state")
+    for bid, rows in enumerate(batches):
+        markov_state_batch(spark.createDataFrame(rows, schema), state, bid)
+    markov_state_batch(spark.createDataFrame(batches[1], schema), state, 1)  # replay
+
+    got = incremental_markov(spark, state).collect()
+    union = spark.createDataFrame([r for rows in batches for r in rows], schema)
+    want = markov_from_counts(markov_pair_counts(union)).collect()
+    assert got == want
+    cells = {(r.from_type, r.to_type): r.n for r in got}
+    # hand-pinned: user 1 view->view, view->click (boundary), click->purchase;
+    # user 2 click->purchase across THREE batch boundaries
+    assert cells == {
+        ("view", "view"): 1,
+        ("view", "click"): 1,
+        ("click", "purchase"): 2,
+    }
+
+
+def test_incremental_markov_before_first_batch_is_empty(spark, tmp_path):
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        incremental_markov,
+    )
+
+    df = incremental_markov(spark, str(tmp_path / "never"))
+    assert df.collect() == []
+    assert df.columns == ["from_type", "to_type", "n", "p_bp"]
