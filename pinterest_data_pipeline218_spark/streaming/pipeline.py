@@ -718,6 +718,20 @@ def gapfill_state_batch(
     )
 
 
+def attach_gapfill_stream(
+    stream_ev: DataFrame, state_dir: str, checkpoint: str
+):
+    """Run the incremental gap-fill state over an event stream
+    (foreachBatch, the dashboard-family contract)."""
+    return (
+        stream_ev.writeStream.foreachBatch(
+            lambda batch_df, bid: gapfill_state_batch(batch_df, state_dir, bid)
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def incremental_gapfill(spark: SparkSession, state_dir: str) -> DataFrame:
     """Assemble the dense hourly series from accumulated per-batch hourly
     aggregates: sum the cells, then EXACTLY the batch grid/zero-fill/LOCF
@@ -811,6 +825,21 @@ def markov_state_batch(
     )
     carry.write.mode("overwrite").parquet(
         f"{state_dir}/markov_carry/batch_id={batch_id}"
+    )
+
+
+def attach_markov_stream(
+    stream_ev: DataFrame, state_dir: str, checkpoint: str
+):
+    """Run the incremental Markov state over an event stream (foreachBatch
+    — Structured Streaming's batch ids are sequential per query, which is
+    exactly the carry chain's prev = bid - 1 contract)."""
+    return (
+        stream_ev.writeStream.foreachBatch(
+            lambda batch_df, bid: markov_state_batch(batch_df, state_dir, bid)
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
     )
 
 

@@ -1633,3 +1633,69 @@ def test_incremental_markov_before_first_batch_is_empty(spark, tmp_path):
     df = incremental_markov(spark, str(tmp_path / "never"))
     assert df.collect() == []
     assert df.columns == ["from_type", "to_type", "n", "p_bp"]
+
+
+def test_attach_markov_stream_end_to_end(spark, tmp_path):
+    """The attach wrapper drives the carry chain with Structured
+    Streaming's REAL batch ids (sequential per query — the prev = bid-1
+    contract): three file-triggered micro-batches with a
+    boundary-spanning transition must assemble to exactly the batch
+    matrix."""
+    import datetime
+    import json
+    import os
+    import time
+
+    from pinterest_data_pipeline218_spark.plans.events import (
+        markov_from_counts,
+        markov_pair_counts,
+    )
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        attach_markov_stream,
+        incremental_markov,
+    )
+
+    def t(minute):
+        return datetime.datetime(2026, 3, 3, 10, minute)
+
+    batches = [
+        [(1, 1, t(0), "view"), (2, 2, t(0), "click")],
+        [(1, 3, t(1), "click")],                      # boundary view->click
+        [(2, 4, t(2), "purchase"), (1, 5, t(3), "purchase")],
+    ]
+    src = tmp_path / "blobs"
+    src.mkdir()
+    base = time.time() - 100
+    for i, rows in enumerate(batches):
+        path = src / f"{i:03d}.jsonl"
+        with open(path, "w") as f:
+            for u, eid, ts, ty in rows:
+                f.write(json.dumps({
+                    "user_id": u, "event_id": eid,
+                    "ts": ts.strftime("%Y-%m-%d %H:%M:%S"), "event_type": ty,
+                }) + "\n")
+        os.utime(path, (base + 10 * i, base + 10 * i))
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id long, event_id long, ts string, event_type string")
+        .option("maxFilesPerTrigger", "1").load(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    state = str(tmp_path / "state")
+    q = attach_markov_stream(stream, state, str(tmp_path / "cp"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = incremental_markov(spark, state).collect()
+    union = spark.createDataFrame(
+        [r for rows in batches for r in rows],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    want = markov_from_counts(markov_pair_counts(union)).collect()
+    assert got == want
+    # hand-pinned — every transition here SPANS a batch boundary:
+    # user 1 view->click (0->1) and click->purchase (1->2); user 2
+    # click->purchase (0->2, carried through batch 1)
+    cells = {(r.from_type, r.to_type): r.n for r in got}
+    assert cells == {("view", "click"): 1, ("click", "purchase"): 2}
