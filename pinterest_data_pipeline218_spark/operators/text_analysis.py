@@ -1528,6 +1528,7 @@ ORDER BY d.doc_id
 
 
 EVAL_DECILES = (10, 30, 50, 70, 90)
+EVAL_HIST_BINS = 256
 
 
 def text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1538,14 +1539,24 @@ def text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller positive class harder — a documented property of the log-free
     form), so the naive looks_curated>0 threshold keeps nothing from
     crawl; the sweep shows precision/recall at the OBSERVED score
-    deciles, which is how the deployment threshold gets picked. All
-    integer: thresholds are inverted-CDF order statistics (the histogram
-    idiom), confusion counts are conditional sums, rates are basis
-    points with nullif guards. Scale: one score pass (the classifier's
-    own plan), one rank window over scores (a GLOBAL sort — fine for an
-    eval job; at warehouse scale the thresholds come from the fixed-bin
-    histogram idiom instead), a 5-row broadcast threshold table, one
-    conditional aggregate."""
+    deciles, which is how the deployment threshold gets picked.
+
+    Thresholds come from the FIXED-BIN HISTOGRAM idiom (the
+    ev_hist_value_quantiles machinery, specialized to an ungrouped
+    distribution): min/max in one 1-row aggregate fixes 256 equal-width
+    integer bins, the per-bin count is one map-side-combinable grouped
+    count bounded at 256 rows, the cumulative counts come from a
+    BROADCAST SELF-JOIN over that bounded bin table (bin2 <= bin) —
+    constant work, so there is NO WindowExec anywhere in this plan,
+    global or otherwise — and the decile threshold is the LOWER BOUND of
+    the first bin whose cumulative count reaches ceil(q*n/100): a
+    one-bin-granularity inverted CDF, all integer arithmetic (`div` on
+    non-negative operands only), bitwise-reproducible in the DuckDB
+    oracle. Confusion counts are conditional sums against the 5-row
+    broadcast threshold table; rates are basis points with nullif
+    guards. Scale: one score pass (the classifier's own plan), one
+    bounded histogram, one conditional aggregate — nothing super-linear,
+    no global sort."""
     from pyspark import StorageLevel
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1558,20 +1569,43 @@ def text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").isin(*CURATED_SOURCES).alias("is_pos"),
         "contrast_score",
     )
-    w = Window.orderBy("contrast_score", "doc_id")
-    ranked = scored.withColumn("rn", F.row_number().over(w))
-    n = scored.agg(F.count(F.lit(1)).alias("n"))
+    mm = scored.agg(
+        F.min("contrast_score").alias("lo"),
+        F.max("contrast_score").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = scored.crossJoin(F.broadcast(mm)).select(
+        "lo",
+        "n",
+        F.expr(
+            f"greatest(1L, (hi - lo) div {EVAL_HIST_BINS} + 1)"
+        ).alias("bw"),
+        "contrast_score",
+    )
+    hist = (
+        binned.withColumn("bin", F.expr("(contrast_score - lo) div bw"))
+        .groupBy("bin", "lo", "bw", "n")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rhs = hist.select(F.col("bin").alias("bin2"), F.col("c").alias("c2"))
+    cum = (
+        hist.join(F.broadcast(rhs), F.col("bin2") <= F.col("bin"))
+        .groupBy("bin", "lo", "bw", "n")
+        .agg(F.sum("c2").alias("cum"))
+    )
     deciles = ", ".join(str(q) for q in EVAL_DECILES)
     thr = (
-        ranked.crossJoin(F.broadcast(n))
-        .select(
+        cum.select(
             F.explode(F.expr(f"array({deciles})")).alias("q"),
-            "rn",
+            "bin",
+            "lo",
+            "bw",
             "n",
-            "contrast_score",
+            "cum",
         )
-        .filter(F.expr("rn = (q * n + 99) div 100"))
-        .select("q", F.col("contrast_score").alias("thr"))
+        .filter(F.expr("cum >= (q * n + 99) div 100"))
+        .groupBy("q")
+        .agg(F.min(F.expr("lo + bin * bw")).alias("thr"))
     )
     return (
         scored.crossJoin(F.broadcast(thr))
@@ -1631,15 +1665,32 @@ scored AS (
          COALESCE(s.contrast_score, 0) AS contrast_score
   FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
 ),
-ranked AS (
-  SELECT *, row_number() OVER (ORDER BY contrast_score, doc_id) AS rn,
-         COUNT(*) OVER () AS n
+mm AS (
+  SELECT MIN(contrast_score) AS lo, MAX(contrast_score) AS hi,
+         COUNT(*) AS n
   FROM scored
 ),
+binned AS (
+  SELECT lo, n,
+         GREATEST(CAST(1 AS BIGINT), (hi - lo) // {EVAL_HIST_BINS} + 1) AS bw,
+         contrast_score
+  FROM scored CROSS JOIN mm
+),
+hist AS (
+  SELECT (contrast_score - lo) // bw AS bin, lo, bw, n, COUNT(*) AS c
+  FROM binned GROUP BY 1, 2, 3, 4
+),
+cum AS (
+  SELECT a.bin, a.lo, a.bw, a.n, SUM(b.c) AS cum
+  FROM hist a JOIN hist b ON b.bin <= a.bin
+  GROUP BY 1, 2, 3, 4
+),
 thr AS (
-  SELECT q, contrast_score AS thr
-  FROM ranked, (SELECT unnest([{", ".join(str(q) for q in EVAL_DECILES)}]) AS q)
-  WHERE rn = (q * n + 99) // 100
+  SELECT q, MIN(lo + bin * bw) AS thr
+  FROM cum CROSS JOIN
+       (SELECT unnest([{", ".join(str(q) for q in EVAL_DECILES)}]) AS q)
+  WHERE cum >= (q * n + 99) // 100
+  GROUP BY q
 )
 SELECT q, thr,
        CAST(SUM(CASE WHEN contrast_score >= thr AND is_pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
