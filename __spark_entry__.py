@@ -70,21 +70,15 @@ _TAIL = (
     # are driver-checked green in CORRECTNESS_r03 and value-redundant, so they rotate
     # out in exchange.
     "sim_ivf_topk",  # nprobe=1 rendering of the quantizer machinery now driver-checked via sim_ivf_index_probe (r03-green on this exact plan)
-    "t5_priority_counts_by_year",  # r03-green; join + year-extract + group-count families stay checked via t4/t11
     "set_customer_overlap",  # r03-green since r01; INTERSECT/EXCEPT rendering over the same customer scans
     "tpch_q14_promo_revenue",  # r03-green; conditional-sum-ratio family stays checked via q12 (CASE agg) + q19 (disjunctive filter agg)
     "tpch_q18_large_orders",  # r03-green; group-HAVING semi-join family stays checked via q17 (per-group scalar threshold) + q21
     "tpch_q15_top_supplier",  # r03-green; agg + global-max equality join family stays checked via t6p2-style top-1 + q17
-    "t8_compat_window_median",  # value-identical to t8 (proved in r01)
     "ev_salted_stats",  # oracle-identical to ev_stats_by_type by design (4 green driver rounds on the plain form, r01-r04)
     "ev_salted_distinct_users",  # salting pytest-proved equal to plain distinct
-    "t6p2_top_nation_by_top_customer",  # top-1 of t6p1's checked output
-    "t7_top_priority_per_band",  # same rank-window shape as t4, green in r01
-    "t10_median_order_total_by_year",  # shape subsumed by t11 (band × year)
     "tpch_q6_revenue",  # scan+filter+agg shape covered by q14/q19
     "window_showcase",  # composite of window shapes checked via t4/ev_running_total
     "ev_counts_hourly",  # time-bucket count subsumed by ev_rollup_daily (green r01-class)
-    "t9_active_customers_by_year",  # count-distinct-per-year; family checked via q16 + ev_salted
     "tpch_q3_shipping_priority",  # join+top-k shape identical to checked q10 (q10 itself r01-r04 green)
     "tpch_q5_regional_volume",  # broadcast-chain join agg; families checked via q7 (r01-r04 green) + t4
     "ev_approx_distinct_users",  # no oracle by design (sketches are engine-specific)
@@ -94,7 +88,6 @@ _TAIL = (
     # r4 second rotation: text_dupspan_remove / corpus_dsir_sample /
     # corpus_token_budget / corpus_cdc_chunk are NEW this round and move into
     # the window; the four below are r03-green and value-redundant.
-    "t6p1_top_customer_per_nation",  # r03-green; rank-window + join family stays checked via t4 (same shape, finer keys)
     "tpch_q12_priority_classes",  # r03-green; CASE-conditional agg stays checked via t11 (CASE bands) + q19 (disjunctive filter agg)
     "dedup_incremental_lsh",  # r03-green; same signature/band machinery as in-window dedup_minhash_lsh; the asymmetric new-vs-corpus join is pytest-proved (test_incremental_lsh_flags_known_dup_and_novel_docs)
     "text_token_stats",  # r03-green; scan-local size/array_distinct exprs subsumed by in-window text_quality_score (token filters) + corpus_pack_sequences (size/slice); ttr is the same exact-quotient idiom
@@ -119,7 +112,6 @@ _TAIL = (
     # corpus_split_assign, dedup_compact_corpus. The 12 below rotate out in
     # exchange; every one is r04-green (most r01-r04 green) and
     # value-redundant with machinery that keeps a driver row.
-    "t8_median_balance_by_band",  # r01-r04 green; the in-window t11 runs the SAME exact-median machinery over finer keys (band × year)
     "tpch_q21_sole_returner",  # r01-r04 green; semi+anti-join families stay driver-checked via q22 (anti) and incoming q20 (stacked semi-joins)
     "tpch_q7_volume_shipping",  # r01-r04 green; dim-chain join + conditional year agg stays checked via incoming q8 (same chain + ratio) and q9 (multi-way join agg)
     "tpch_q10_returned_items",  # r01-r04 green; join + agg + top-k stays checked via incoming q2 (dim chain + order/limit) and t4 (rank top-k)
@@ -158,7 +150,6 @@ _TAIL = (
     "tpch_q22_anti_join",  # r01-r04 green; the anti-join family keeps a driver row via in-window tpch_q16 (NOT-IN planned as broadcast anti join, plan-tested by test_q16_not_in_runs_as_broadcast_anti_join)
     # r5 tenth rotation: mm_audio_decode (real RIFF/WAV decode) is NEW and
     # moves into the window.
-    "geo_clean_pipeline",  # r01-r04 green; the cleaning contract family keeps driver rows via in-window pin_clean_pipeline + user_clean_pipeline (sentinels, regex, casts, P10 timestamp parse), and geo's unique pieces (P12 array ctor, column synthesis) are pytest-pinned (test_geo_user_clean_types)
     # r5 eleventh rotation: ev_markov_transitions (event-sequence mining)
     # is NEW and moves into the window.
     "dedup_cluster_cc_star",  # r04-green; the min-label CC family keeps a driver row via in-window dedup_cluster_cc_bounded, and star-vs-plain-CC label equality is pytest-proved (test_cc_star_matches_union_find_on_random_graphs)
@@ -241,6 +232,21 @@ _TAIL = (
     # because the linear contrast's smoothing bias makes the naive
     # threshold degenerate) is NEW and moves into the window.
     "tpch_q1_pricing_summary",  # green r01-r05 (five driver rows); the multi-DECIMAL-aggregate scan machinery keeps driver rows via in-window t11 (DECIMAL grouped medians), tpch_q19 + tpch_q16 (DECIMAL conditional aggregates), and q1 is re-measured in every committed bench table; still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r7 rotation (VERDICT r7 #4): the nine stalest reference-surface rows
+    # (t5, t6p1, t6p2, t7, t8, t9, t10, t8_compat_window_median,
+    # geo_clean_pipeline — last driver rows r01-r04) move back INTO the
+    # window so every SURVEY §2.11 query gets a fresh driver row. The nine
+    # below rotate out in exchange; every one is r07-green and
+    # value-redundant with machinery that keeps (or regains) a driver row.
+    "t4_top_priority_per_nation",  # green r01-r07 (seven driver rows) AND still driver-smoked every round as entry()'s flagship at sf0.001; the rank-window + join shape regains a driver row via incoming t7 (identical shape over band keys) and t6p1 (finer keys)
+    "t11_median_order_total_by_band_year",  # green r01-r07; the exact grouped-median machinery regains driver rows via incoming t8 and t10 (same declared-mode median over coarser keys), and the CASE banding via incoming t7
+    "text_quality_classifier",  # r06-r07 green; its train+score chain is composed VALUE-EXACTLY by in-window text_classifier_eval (same grams/weights/scoring lineage feeding the threshold sweep); still oracle-checked every round by tools/selfcheck.py over the full registry
+    "tpch_q2_min_cost_supplier",  # r05-r07 green; the correlated-min-subquery family stays driver-checked via in-window tpch_q20 (stacked agg subqueries) and tpch_q16's plan-asserted anti-join; still oracle-checked every round by tools/selfcheck.py over the full registry
+    "sim_ivfpq_residual_topk",  # r05-r07 green; the residual-encoded ADC machinery keeps a driver row via in-window sim_ivfpq_wide_topk (same per-cell residual plan, strictly harder codebooks); still oracle-checked every round by tools/selfcheck.py over the full registry
+    "sim_ivf_multiprobe",  # r06-r07 green (independent rows both rounds); shares its oracle VERBATIM with sim_ivf_index_probe and its quantizer/probe machinery with the in-window IVFPQ probes; still oracle-checked every round by tools/selfcheck.py over the full registry
+    "corpus_stratified_predlang",  # r06-r07 green; the _doc_pct md5-percent rate filter keeps a driver row via in-window corpus_dsir_sample (the harder importance-weighted form) and the trained-langid strata via in-window text_langid_trained; still oracle-checked every round by tools/selfcheck.py over the full registry
+    "ev_value_outliers",  # r06-r07 green; the grouped-stats + threshold-join screen is subsumed by in-window ev_hist_value_quantiles (grouped distribution machinery over the same events scan) and the 1-row broadcast threshold idiom pervasive in-window; still oracle-checked every round by tools/selfcheck.py over the full registry
+    "user_clean_pipeline",  # green r01-r07 (seven driver rows); the cleaning contract keeps driver rows via in-window pin_clean_pipeline (P7/P8/P14 regex + sentinel families) and incoming geo_clean_pipeline (P10 timestamp parse, P12 array ctor); user's P9 lenient casts and P11 concat are pytest-pinned (test_geo_user_clean_types); still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

@@ -1545,18 +1545,25 @@ def text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_hist_value_quantiles machinery, specialized to an ungrouped
     distribution): min/max in one 1-row aggregate fixes 256 equal-width
     integer bins, the per-bin count is one map-side-combinable grouped
-    count bounded at 256 rows, the cumulative counts come from a
-    BROADCAST SELF-JOIN over that bounded bin table (bin2 <= bin) —
-    constant work, so there is NO WindowExec anywhere in this plan,
-    global or otherwise — and the decile threshold is the LOWER BOUND of
-    the first bin whose cumulative count reaches ceil(q*n/100): a
-    one-bin-granularity inverted CDF, all integer arithmetic (`div` on
-    non-negative operands only), bitwise-reproducible in the DuckDB
-    oracle. Confusion counts are conditional sums against the 5-row
-    broadcast threshold table; rates are basis points with nullif
-    guards. Scale: one score pass (the classifier's own plan), one
-    bounded histogram, one conditional aggregate — nothing super-linear,
-    no global sort."""
+    count bounded at 256 rows, and the decile threshold is the LOWER
+    BOUND of the first bin whose cumulative count reaches
+    ceil(q*n/100): a one-bin-granularity inverted CDF, all integer
+    arithmetic (`//` on non-negative operands only), reproducible in
+    the DuckDB oracle. The 1-row min/max aggregate and the <=512-row
+    (bin, is_pos) histogram are COLLECTED to the driver as bounded
+    planning state (the bloom.py / similarity.py quantizer precedent —
+    kilobytes, independent of corpus size). Because each threshold is a
+    bin lower bound, `score >= thr` is EXACTLY `bin >= b` under floor
+    binning, so thresholds AND the full confusion matrix are lossless
+    suffix-sums over that bounded histogram — the result is a 5-row
+    local relation and no third pass over the corpus exists at all.
+    The expensive scoring lineage is evaluated EXACTLY ONCE: the eager
+    min/max aggregate fills the persisted `scored` cache before the
+    histogram scan, so there is no WindowExec and no broadcast-subquery
+    recompute race (the r7 3x-recompute regression). Scale: one score
+    pass (the classifier's own plan), one bounded histogram scan -
+    nothing super-linear, no global sort, caches unpersisted before
+    return."""
     from pyspark import StorageLevel
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1564,70 +1571,72 @@ def text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, F.col("source").isin(*CURATED_SOURCES)
     ).persist(StorageLevel.MEMORY_AND_DISK)
     weights = train_token_contrast(grams)
-    scored = score_token_contrast(docs, grams, weights).select(
-        "doc_id",
-        F.col("source").isin(*CURATED_SOURCES).alias("is_pos"),
-        "contrast_score",
-    )
-    mm = scored.agg(
-        F.min("contrast_score").alias("lo"),
-        F.max("contrast_score").alias("hi"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    binned = scored.crossJoin(F.broadcast(mm)).select(
-        "lo",
-        "n",
-        F.expr(
-            f"greatest(1L, (hi - lo) div {EVAL_HIST_BINS} + 1)"
-        ).alias("bw"),
-        "contrast_score",
-    )
-    hist = (
-        binned.withColumn("bin", F.expr("(contrast_score - lo) div bw"))
-        .groupBy("bin", "lo", "bw", "n")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    rhs = hist.select(F.col("bin").alias("bin2"), F.col("c").alias("c2"))
-    cum = (
-        hist.join(F.broadcast(rhs), F.col("bin2") <= F.col("bin"))
-        .groupBy("bin", "lo", "bw", "n")
-        .agg(F.sum("c2").alias("cum"))
-    )
-    deciles = ", ".join(str(q) for q in EVAL_DECILES)
-    thr = (
-        cum.select(
-            F.explode(F.expr(f"array({deciles})")).alias("q"),
-            "bin",
-            "lo",
-            "bw",
-            "n",
-            "cum",
-        )
-        .filter(F.expr("cum >= (q * n + 99) div 100"))
-        .groupBy("q")
-        .agg(F.min(F.expr("lo + bin * bw")).alias("thr"))
-    )
-    return (
-        scored.crossJoin(F.broadcast(thr))
-        .groupBy("q", "thr")
-        .agg(
-            F.sum(F.expr("int(contrast_score >= thr AND is_pos)")).alias("tp"),
-            F.sum(F.expr("int(contrast_score >= thr AND NOT is_pos)")).alias("fp"),
-            F.sum(F.expr("int(contrast_score < thr AND is_pos)")).alias("fn"),
-            F.sum(F.expr("int(contrast_score < thr AND NOT is_pos)")).alias("tn"),
-        )
+    scored = (
+        score_token_contrast(docs, grams, weights)
         .select(
-            "q",
-            "thr",
-            "tp",
-            "fp",
-            "fn",
-            "tn",
-            F.expr("(10000 * tp) div nullif(tp + fp, 0)").alias("precision_bp"),
-            F.expr("(10000 * tp) div nullif(tp + fn, 0)").alias("recall_bp"),
+            "doc_id",
+            F.col("source").isin(*CURATED_SOURCES).alias("is_pos"),
+            "contrast_score",
         )
-        .orderBy("q")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Eager 1-row aggregate: computes the scoring chain once and fills the
+    # cache; every later reference is a cache scan.
+    lo, hi, n = scored.agg(
+        F.min("contrast_score"), F.max("contrast_score"), F.count(F.lit(1))
+    ).first()
+    grams.unpersist()
+    out_schema = (
+        "q INT, thr BIGINT, tp BIGINT, fp BIGINT, fn BIGINT, tn BIGINT, "
+        "precision_bp BIGINT, recall_bp BIGINT"
+    )
+    if n == 0 or lo is None:
+        return spark.createDataFrame([], out_schema)
+    bw = max(1, (hi - lo) // EVAL_HIST_BINS + 1)
+    hist = (
+        scored.groupBy(
+            F.expr(f"(contrast_score - {lo}L) div {bw}L").alias("bin")
+        , "is_pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )  # <= 2*EVAL_HIST_BINS rows of driver-side planning state
+    scored.unpersist()
+    # Because each decile threshold is a bin LOWER BOUND, score >= thr is
+    # EXACTLY bin >= b under floor binning - so the confusion matrix is a
+    # lossless suffix-sum over the bounded histogram, not an approximation,
+    # and the third distributed pass over `scored` is unnecessary.
+    pos = {int(r["bin"]): 0 for r in hist}
+    neg = dict(pos)
+    for r in hist:
+        (pos if r["is_pos"] else neg)[int(r["bin"])] += int(r["c"])
+    total_pos = sum(pos.values())
+    total_neg = sum(neg.values())
+    cum, rows = 0, []
+    pending = sorted(EVAL_DECILES)
+    bins = sorted(pos)
+    for i, b in enumerate(bins):
+        cum += pos[b] + neg[b]
+        while pending and cum >= (pending[0] * n + 99) // 100:
+            q = pending.pop(0)
+            # suffix sums: everything in bins >= b scores >= thr
+            tp = sum(pos[b2] for b2 in bins[i:])
+            fp = sum(neg[b2] for b2 in bins[i:])
+            fn = total_pos - tp
+            tn = total_neg - fp
+            rows.append(
+                (
+                    q,
+                    lo + b * bw,
+                    tp,
+                    fp,
+                    fn,
+                    tn,
+                    (10000 * tp) // (tp + fp) if tp + fp else None,
+                    (10000 * tp) // (tp + fn) if tp + fn else None,
+                )
+            )
+    rows.sort(key=lambda r: r[0])
+    return spark.createDataFrame(rows, out_schema)
 
 
 TEXT_CLASSIFIER_EVAL_SQL = f"""
@@ -1697,10 +1706,10 @@ SELECT q, thr,
        CAST(SUM(CASE WHEN contrast_score >= thr AND NOT is_pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
        CAST(SUM(CASE WHEN contrast_score < thr AND is_pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
        CAST(SUM(CASE WHEN contrast_score < thr AND NOT is_pos THEN 1 ELSE 0 END) AS BIGINT) AS tn,
-       (10000 * SUM(CASE WHEN contrast_score >= thr AND is_pos THEN 1 ELSE 0 END))
-         // nullif(SUM(CASE WHEN contrast_score >= thr THEN 1 ELSE 0 END), 0) AS precision_bp,
-       (10000 * SUM(CASE WHEN contrast_score >= thr AND is_pos THEN 1 ELSE 0 END))
-         // nullif(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END), 0) AS recall_bp
+       CAST((10000 * SUM(CASE WHEN contrast_score >= thr AND is_pos THEN 1 ELSE 0 END))
+         // nullif(SUM(CASE WHEN contrast_score >= thr THEN 1 ELSE 0 END), 0) AS BIGINT) AS precision_bp,
+       CAST((10000 * SUM(CASE WHEN contrast_score >= thr AND is_pos THEN 1 ELSE 0 END))
+         // nullif(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END), 0) AS BIGINT) AS recall_bp
 FROM scored CROSS JOIN thr
 GROUP BY q, thr
 ORDER BY q

@@ -574,25 +574,22 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
     missing = tail - set(names)
     assert missing == set(), f"_TAIL names not in registry: {missing}"
     head = set(names[:50])
-    # r6: the entries that have never produced a driver CORRECTNESS row
-    # must sit inside the checked window — the five new round-6 operators
-    # plus sim_ivf_multiprobe (rotated in per VERDICT r5 #7, the last
-    # oracled entry without an independent driver row; the r5 novel set
-    # all got their rows in CORRECTNESS_r05 and has rotated out)
+    # r8: everything in the r6 novel set got its driver row in
+    # CORRECTNESS_r06/r07. The window-priority set is now (a) the one
+    # driver-red query, which must stay checked until green, and (b) the
+    # nine stalest reference-surface rows rotated back in per VERDICT r7
+    # #4 (last driver rows r01-r04) so every SURVEY §2.11 query gets a
+    # fresh row.
     novel = {
-        "text_langid_trained", "text_lm_backoff", "dedup_containment_seeds",
-        "sim_ivfpq_wide_topk", "mm_image_phash", "sim_ivf_multiprobe",
-        "corpus_stratified_predlang", "mm_audio_fingerprint",
-        "ev_value_outliers", "dedup_cluster_best", "sim_radius_search",
-        "text_normalize", "ev_kmv_distinct_users", "text_quality_classifier",
-        "graph_pagerank_trade", "tpch_bloom_prefilter", "ev_cm_top_users",
-        "ev_hist_value_quantiles", "tpch_full_outer_nation_coverage",
-        "t_unpivot_nation_stats", "set_bag_ops", "ev_gapfill_hourly",
-        "ev_json_schema_stats", "ev_click_streaks", "ev_variant_stats",
-        "text_classifier_eval",
+        "text_classifier_eval",  # driver-red r06+r07; HUGEINT oracle cast fixed this round
+        "t5_priority_counts_by_year", "t6p1_top_customer_per_nation",
+        "t6p2_top_nation_by_top_customer", "t7_top_priority_per_band",
+        "t8_median_balance_by_band", "t9_active_customers_by_year",
+        "t10_median_order_total_by_year", "t8_compat_window_median",
+        "geo_clean_pipeline",
     }
     out = novel - head
-    assert out == set(), f"novel operators outside the checked window: {out}"
+    assert out == set(), f"window-priority queries outside the checked window: {out}"
 
 
 def test_corpus_build_tokenizes_once_per_branch(spark):
@@ -1062,3 +1059,32 @@ def test_classifier_eval_sweep_invariants(spark, qs):
     recalls = [r.recall_bp for r in rows]
     assert all(a >= b for a, b in zip(recalls, recalls[1:]))
     assert recalls[0] >= 8500  # q=10 keeps nearly all curated docs
+
+
+def test_oracle_outputs_have_no_engine_divergent_int_types():
+    """Registry-wide oracle TYPE guard. DuckDB types SUM(CASE...)-derived
+    arithmetic as HUGEINT (int128); the driver's value-hash serializes the
+    oracle result through Arrow, where HUGEINT converts lossily/divergently
+    from Spark's LONG — so an uncast aggregate flips the hash while rows,
+    schema, and the type-blind selfcheck all pass (the exact failure mode
+    that kept text_classifier_eval red in driver rounds 6-7). Binding every
+    oracle through DESCRIBE (no execution) and rejecting HUGEINT/UHUGEINT
+    makes the whole class impossible to reintroduce."""
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.data import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
+        )
+    offenders = []
+    for name, sql in entry.oracle_sql().items():
+        for col, typ, *_ in con.execute(f"DESCRIBE {sql}").fetchall():
+            if typ.upper() in ("HUGEINT", "UHUGEINT"):
+                offenders.append(f"{name}.{col}: {typ}")
+    assert offenders == [], (
+        "oracle columns with int128 types (wrap in CAST(... AS BIGINT)): "
+        + ", ".join(offenders)
+    )
