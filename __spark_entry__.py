@@ -247,6 +247,12 @@ _TAIL = (
     "corpus_stratified_predlang",  # r06-r07 green; the _doc_pct md5-percent rate filter keeps a driver row via in-window corpus_dsir_sample (the harder importance-weighted form) and the trained-langid strata via in-window text_langid_trained; still oracle-checked every round by tools/selfcheck.py over the full registry
     "ev_value_outliers",  # r06-r07 green; the grouped-stats + threshold-join screen is subsumed by in-window ev_hist_value_quantiles (grouped distribution machinery over the same events scan) and the 1-row broadcast threshold idiom pervasive in-window; still oracle-checked every round by tools/selfcheck.py over the full registry
     "user_clean_pipeline",  # green r01-r07 (seven driver rows); the cleaning contract keeps driver rows via in-window pin_clean_pipeline (P7/P8/P14 regex + sentinel families) and incoming geo_clean_pipeline (P10 timestamp parse, P12 array ctor); user's P9 lenient casts and P11 concat are pytest-pinned (test_geo_user_clean_types); still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r8 second rotation: dedup_cluster_cc_capped (per-bucket
+    # representative-edge cap for CC on giant duplicate clusters — the
+    # linear-edge-stream variant VERDICT r7 #6 asked for; the dev corpus's
+    # 334-doc band bucket exercises the star path at every SF) is NEW and
+    # moves into the window. The one below rotates out in exchange.
+    "ml_kmeans_refine",  # r04-r07 green (four driver rows); the integer-exact Lloyd refinement machinery keeps driver rows via in-window dedup_cluster_best's upstream clustering and the descent property stays pytest-proved (test_kmeans_refine_improves_over_seed_assignment); still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

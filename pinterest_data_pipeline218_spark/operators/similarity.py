@@ -51,7 +51,14 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("v")
     )
-    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("q"))
+    query = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("v").alias("q"))
+        # vec_id is unique, so this is already one row; limit(1) makes the
+        # bound PROVABLE (logical maxRows=1), turning the nested-loop join
+        # into an asserted 1-row broadcast in the plan audit
+        .limit(1)
+    )
     return (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(query))
@@ -95,7 +102,14 @@ def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("v")
     )
-    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("q"))
+    query = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("v").alias("q"))
+        # vec_id is unique, so this is already one row; limit(1) makes the
+        # bound PROVABLE (logical maxRows=1), turning the nested-loop join
+        # into an asserted 1-row broadcast in the plan audit
+        .limit(1)
+    )
     sim = F.round(cosine(F.col("v"), F.col("q")), 6).cast("double")
     return (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -155,8 +169,12 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double_array("embedding").alias("v")
     )
     bucketed = with_lsh_bucket(emb)
-    qrow = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("v").alias("q"), F.col("bucket").alias("qbucket")
+    qrow = (
+        bucketed.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("v").alias("q"), F.col("bucket").alias("qbucket"))
+        # vec_id is unique, so this is already one row; limit(1) makes the
+        # bound PROVABLE (logical maxRows=1) for the plan audit
+        .limit(1)
     )
     return (
         bucketed.crossJoin(F.broadcast(qrow))
@@ -227,7 +245,11 @@ def ann_index_topk(
     probe = _hamming_probe_buckets(q.bucket, hamming_radius)
     return (
         idx.filter(F.col("bucket").isin(probe) & (F.col("vec_id") != query_vec_id))
-        .crossJoin(F.broadcast(spark.createDataFrame([(q.v,)], "q array<double>")))
+        .crossJoin(
+            # limit(1): createDataFrame plans as LogicalRDD (no row bound);
+            # the limit makes the 1-row bound provable for the plan audit
+            F.broadcast(spark.createDataFrame([(q.v,)], "q array<double>").limit(1))
+        )
         .select(
             "vec_id",
             F.round(cosine(F.col("v"), F.col("q")), 6).cast("double").alias("cos_sim"),
@@ -351,7 +373,7 @@ def ivf_index_topk(
         query_vec = list(row.v)
         if exclude_vec_id is None:
             exclude_vec_id = query_vec_id
-    qdf = spark.createDataFrame([(query_vec,)], "q array<double>")
+    qdf = spark.createDataFrame([(query_vec,)], "q array<double>").limit(1)
     cells = _rank_cells(_load_centroids(spark, index_path), query_vec, nprobe)
     out = data.filter(F.col("cell").isin(cells))
     if exclude_vec_id is not None:
@@ -463,7 +485,14 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         "vec_id", "label", as_double_array("embedding").alias("v")
     )
     centroids = build_ivf_centroids(emb)
-    qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("q"))
+    qrow = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("v").alias("q"))
+        # vec_id is unique, so this is already one row; limit(1) makes the
+        # bound PROVABLE (logical maxRows=1), turning the nested-loop join
+        # into an asserted 1-row broadcast in the plan audit
+        .limit(1)
+    )
     best_cell = (
         centroids.crossJoin(F.broadcast(qrow))
         .select("label", cosine(F.col("c"), F.col("q")).alias("cell_cos"))
@@ -703,7 +732,14 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", as_double_array("embedding").alias("v")
     )
     centroids = build_ivf_centroids(emb)
-    qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("q"))
+    qrow = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("v").alias("q"))
+        # vec_id is unique, so this is already one row; limit(1) makes the
+        # bound PROVABLE (logical maxRows=1), turning the nested-loop join
+        # into an asserted 1-row broadcast in the plan audit
+        .limit(1)
+    )
     best_cell = (
         centroids.crossJoin(F.broadcast(qrow))
         .select("label", cosine(F.col("c"), F.col("q")).alias("cell_cos"))
@@ -1065,7 +1101,12 @@ def _ivfpq_residual(
         par = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         emb = emb.repartition(par)
     centroids = build_ivf_centroids(emb)
-    qrow = emb.filter(F.col("vec_id") == query_vec_id).select(F.col("v").alias("q"))
+    qrow = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("v").alias("q"))
+        # vec_id is unique; limit(1) makes the 1-row bound provable
+        .limit(1)
+    )
     best_cell = (
         centroids.crossJoin(F.broadcast(qrow))
         .select("label", cosine(F.col("c"), F.col("q")).alias("cell_cos"))

@@ -434,8 +434,19 @@ def ev_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = ev.groupBy("event_type").agg(
         F.expr("theta_sketch_agg(user_id)").alias("sk")
     )
-    a = sk.filter(F.col("event_type") == "click").select(F.col("sk").alias("a"))
-    b = sk.filter(F.col("event_type") == "purchase").select(F.col("sk").alias("b"))
+    # each filter keeps exactly one group row; limit(1) makes the 1-row
+    # bound provable (logical maxRows=1) so the cross join is an asserted
+    # 1-row broadcast in the plan audit
+    a = (
+        sk.filter(F.col("event_type") == "click")
+        .select(F.col("sk").alias("a"))
+        .limit(1)
+    )
+    b = (
+        sk.filter(F.col("event_type") == "purchase")
+        .select(F.col("sk").alias("b"))
+        .limit(1)
+    )
     return (
         a.crossJoin(F.broadcast(b))
         .select(

@@ -339,11 +339,15 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q15 analogue: supplier(s) with the maximum revenue in 1998Q1. Shape
     under test: derived aggregate filtered against its own MAX scalar subquery
     (the reference view idiom). The equality filter runs on the exact DECIMAL
-    sum — ties surface as multiple rows, deterministically. Scale: a naive
-    self-join against SELECT MAX(...) recomputes the whole lineitem aggregate
-    twice; instead the global max is taken as max() OVER () on the aggregate
-    output, which is only |suppliers| rows — one pass over the fact table."""
-    from pyspark.sql import Window
+    sum — ties surface as multiple rows, deterministically. Scale: the global
+    max is a 1-row aggregate over the PERSISTED supplier-grain rev table,
+    broadcast back as an EQUI join — no partitionless window (max() OVER ()
+    funnels all |suppliers| rows through one task; this was the last
+    global-sort window in the registry, PLANAUDIT r8). The broadcast
+    subquery materializes the rev cache before the probe side runs (one
+    broadcast consumer — no recompute race), so the fact table is still
+    scanned once (plan-asserted in test_q15_reads_lineitem_once)."""
+    from pyspark import StorageLevel
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
@@ -354,10 +358,11 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(F.sum(_revenue()).alias("total_rev"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
     return (
-        rev.withColumn("max_rev", F.max("total_rev").over(Window.partitionBy()))
-        .filter(F.col("total_rev") == F.col("max_rev"))
+        rev.join(F.broadcast(mx), F.col("total_rev") == F.col("max_rev"))
         .join(supplier, rev.l_suppkey == supplier.s_suppkey)
         .select(
             "s_suppkey",

@@ -286,11 +286,16 @@ def test_q19_envelope_predicates_push_to_both_scans(spark, qs):
 
 
 def test_q15_reads_lineitem_once(spark, qs):
-    """The MAX-scalar-subquery idiom must not rescan the fact table: the
-    global max is a window over the per-supplier aggregate, so exactly one
-    lineitem scan appears in the physical plan."""
-    plan = _formatted_plan(qs["tpch_q15_top_supplier"](spark, SF))
-    assert plan.count("lineitem.parquet") == 1
+    """The MAX-scalar-subquery idiom must not rescan the fact table, and
+    (r8) must not use a partitionless window either: the supplier-grain
+    rev aggregate is persisted, the 1-row max subquery fills the cache,
+    and the probe side reads it back — so the executed plan shows
+    InMemoryTableScan consumers and no Window node anywhere."""
+    df = qs["tpch_q15_top_supplier"](spark, SF)
+    df.collect()  # executedPlan is final only after execution under AQE
+    ex = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in ex  # both consumers hit the rev cache
+    assert "Window" not in ex  # global max is an equi broadcast, not OVER ()
 
 
 def test_minhash_lsh_has_no_forced_corpus_broadcast(spark, qs):
@@ -582,6 +587,7 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
     # fresh row.
     novel = {
         "text_classifier_eval",  # driver-red r06+r07; HUGEINT oracle cast fixed this round
+        "dedup_cluster_cc_capped",  # NEW r8 (VERDICT r7 #6)
         "t5_priority_counts_by_year", "t6p1_top_customer_per_nation",
         "t6p2_top_nation_by_top_customer", "t7_top_priority_per_band",
         "t8_median_balance_by_band", "t9_active_customers_by_year",

@@ -47,11 +47,77 @@ def top_from_bench(n: int) -> list[str]:
     return [k for _, k in sorted(timed, reverse=True)[:n]]
 
 
+def _walk(jnode):
+    """Depth-first walk of a Catalyst tree via py4j."""
+    yield jnode
+    children = jnode.children()
+    for i in range(children.size()):
+        yield from _walk(children.apply(i))
+
+
+def _max_rows(jnode) -> int | None:
+    """Logical-plan maxRows as a Python int (None = unbounded)."""
+    try:
+        opt = jnode.maxRows()
+        return int(opt.get()) if opt.isDefined() else None
+    except Exception:  # noqa: BLE001 — physical nodes lack maxRows
+        return None
+
+
+# A non-equi (cross / nested-loop) join is scale-safe iff Catalyst can PROVE
+# one side tiny: 1-row global aggregates (the scalar-subquery idiom) and the
+# literal few-row local relations (decile/threshold tables) both carry a
+# logical maxRows. 8 covers every such table in the registry while staying
+# far below anything that could make the multiply quadratic.
+BNLJ_BOUND = 8
+
+
+def classify_nonequi_joins(df) -> tuple[int, list[int | None]]:
+    """(global_sort_windows, bounded-side maxRows per non-equi join).
+
+    Walks the OPTIMIZED LOGICAL plan: a Join with no condition (or a
+    non-equi-only condition) plans as BroadcastNestedLoopJoin/Cartesian;
+    for each, report min(maxRows) across its sides — a provable bound
+    turns the bnlj flag into an assertion. Window nodes with an empty
+    partitionSpec are the global-sort scale-killers VERDICT r6 #4 asks to
+    count (zero-or-justified)."""
+    jplan = df._jdf.queryExecution().optimizedPlan()
+    global_windows = 0
+    nonequi_bounds: list[int | None] = []
+    for node in _walk(jplan):
+        cls = node.getClass().getSimpleName()
+        if cls == "Window" and node.partitionSpec().isEmpty():
+            # a partitionless Window over a PROVABLY bounded input (a
+            # limit-ed codebook-seed / planning-state table) sorts <=k
+            # rows on one task — constant work, not the global-sort
+            # scale-killer this counter exists to catch
+            child_rows = _max_rows(node.child())
+            if child_rows is None or child_rows > 4096:
+                global_windows += 1
+        elif cls == "Join":
+            cond = node.condition()
+            has_equi = False
+            if cond.isDefined():
+                cond_str = cond.get().toString()
+                has_equi = "=" in cond_str.replace(">=", "").replace(
+                    "<=", ""
+                ).replace("!=", "")
+            if not has_equi:
+                sides = [
+                    _max_rows(node.left()),
+                    _max_rows(node.right()),
+                ]
+                known = [s for s in sides if s is not None]
+                nonequi_bounds.append(min(known) if known else None)
+    return global_windows, nonequi_bounds
+
+
 def audit(name: str, df, full: bool) -> None:
     plan = formatted_plan(df)
     # codegen stage markers (*(N)) only appear in the simple-string plan;
     # under AQE the formatted pre-execution plan carries no codegen ids
     simple = df._jdf.queryExecution().executedPlan().toString()
+    global_windows, nonequi_bounds = classify_nonequi_joins(df)
     stats = {
         "exchanges": plan.count("Exchange"),
         "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", simple))),
@@ -61,12 +127,23 @@ def audit(name: str, df, full: bool) -> None:
         ),
         "broadcast_joins": plan.count("BroadcastHashJoin"),
         "sort_merge_joins": plan.count("SortMergeJoin"),
+        "global_sort_windows": global_windows,
     }
     flags = []
     if "CartesianProduct" in plan:
         flags.append("CARTESIAN")
     if "BroadcastNestedLoopJoin" in plan:
-        flags.append("bnlj(1-row-idiom-or-investigate)")
+        if nonequi_bounds and all(
+            b is not None and b <= BNLJ_BOUND for b in nonequi_bounds
+        ):
+            mx = max(nonequi_bounds)
+            flags.append(
+                "bnlj(1-row, asserted)"
+                if mx <= 1
+                else f"bnlj({mx}-row, asserted)"
+            )
+        else:
+            flags.append(f"bnlj(INVESTIGATE: side bounds {nonequi_bounds})")
     if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
         flags.append("python-eval")
     line = ", ".join(f"{k}={v}" for k, v in stats.items())
