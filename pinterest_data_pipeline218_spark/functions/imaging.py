@@ -1,13 +1,14 @@
-"""Pure-Python codecs for uncompressed image formats (PPM P6, 24-bit BMP).
+"""Pure-Python codecs for PPM P6, 24-bit BMP, and zlib-compressed PNG.
 
 The multimodal operators treat media as opaque binary columns and run
 decode kernels as Arrow-batched `mapInPandas` functions. This container
-ships no codec library (no PIL), but uncompressed formats need none: a
-PPM or BMP payload is a small header plus raw pixel bytes. These codecs
-make the decode step REAL — header parsing, dimension extraction, pixel
-access, re-encoding — for the formats where that's possible without a
-dependency; compressed formats (JPEG/PNG/...) still fall through to the
-documented codec-boundary stub in operators/multimodal.py.
+ships no codec library (no PIL), but none is needed for these formats:
+PPM/BMP are a small header plus raw pixel bytes, and PNG's DEFLATE
+stream is stdlib zlib — so the decode step is REAL (header grammar, CRC
+verification, scanline filter reconstruction, pixel extraction,
+re-encoding) for all three. Formats that genuinely need an external
+codec (JPEG/WebP/...) still fall through to the documented
+codec-boundary stub in operators/multimodal.py.
 
 All functions are bytes-in/bytes-out with explicit (width, height,
 pixels) tuples — `pixels` is the row-major RGB byte string
@@ -131,15 +132,171 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
     return width, height, bytes(out)
 
 
+# ---------------------------------------------------------- PNG (zlib)
+#
+# A COMPRESSED format decoded with nothing but the standard library:
+# chunk grammar + CRC verification, zlib inflate of the IDAT stream, and
+# the full five-filter scanline reconstruction (None/Sub/Up/Average/
+# Paeth). 8-bit truecolor (type 2) and truecolor+alpha (type 6, alpha
+# dropped) — the shapes a training-data pipeline actually meets; palette/
+# grayscale/interlaced variants raise the typed error. The encoder
+# applies filters CYCLICALLY (row y gets filter y % 5), so a fixture
+# round-trip exercises every unfilter path — any filter-math defect
+# breaks the closed-form oracle, not just a lucky subset.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, pixels: bytes) -> bytes:
+    """8-bit truecolor PNG from row-major RGB bytes; row y is stored with
+    scanline filter y % 5 so decoders must implement all five."""
+    import zlib
+
+    if len(pixels) != width * height * 3:
+        raise ImageFormatError("pixel buffer does not match dimensions")
+    bpp = 3
+    stride = width * bpp
+    raw = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        f = y % 5
+        raw.append(f)
+        for i in range(stride):
+            x = row[i]
+            left = row[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            ul = prior[i - bpp] if i >= bpp else 0
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = x - left
+            elif f == 2:
+                v = x - up
+            elif f == 3:
+                v = x - ((left + up) >> 1)
+            else:
+                v = x - _paeth(left, up, ul)
+            raw.append(v & 0xFF)
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, bytes]:
+    """(width, height, rgb) from an 8-bit truecolor (or truecolor+alpha)
+    PNG: chunk walk with CRC check, zlib inflate, five-filter scanline
+    reconstruction. Anything else (palette, grayscale, 16-bit,
+    interlaced, truncated) raises ImageFormatError."""
+    import zlib
+
+    if data[:8] != _PNG_MAGIC:
+        raise ImageFormatError("not a PNG payload")
+    pos, width = 8, None
+    height = channels = 0
+    saw_iend = False
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(data):
+            raise ImageFormatError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if crc != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
+            raise ImageFormatError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_id, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype_id not in (2, 6) or comp or filt or interlace:
+                raise ImageFormatError(
+                    f"unsupported PNG variant (depth={depth}, type={ctype_id}, "
+                    f"interlace={interlace})"
+                )
+            channels = 3 if ctype_id == 2 else 4
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            saw_iend = True
+            break
+        pos += 12 + length
+    if width is None:
+        raise ImageFormatError("PNG has no IHDR")
+    if not saw_iend:
+        raise ImageFormatError("truncated PNG: no IEND chunk")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ImageFormatError(f"PNG IDAT inflate failed: {exc}") from exc
+    bpp = channels
+    stride = width * bpp
+    if len(raw) != height * (stride + 1):
+        raise ImageFormatError("PNG pixel data does not match dimensions")
+    out = bytearray(height * stride)
+    prior = bytes(stride)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f > 4:
+            raise ImageFormatError(f"bad PNG scanline filter {f}")
+        for i in range(stride):
+            left = line[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            ul = prior[i - bpp] if i >= bpp else 0
+            if f == 1:
+                line[i] = (line[i] + left) & 0xFF
+            elif f == 2:
+                line[i] = (line[i] + up) & 0xFF
+            elif f == 3:
+                line[i] = (line[i] + ((left + up) >> 1)) & 0xFF
+            elif f == 4:
+                line[i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+        out[y * stride : (y + 1) * stride] = line
+        prior = bytes(line)
+    if channels == 4:  # drop alpha to honor the RGB contract
+        rgb = bytearray(width * height * 3)
+        for p in range(width * height):
+            rgb[p * 3 : p * 3 + 3] = out[p * 4 : p * 4 + 3]
+        return width, height, bytes(rgb)
+    return width, height, bytes(out)
+
+
 # ------------------------------------------------------------- dispatch
 
 
 def sniff_format(data: bytes) -> str | None:
-    """'ppm' / 'bmp' for the natively decodable formats, else None."""
+    """'ppm' / 'bmp' / 'png' for the natively decodable formats, else None."""
     if data[:2] == b"P6":
         return "ppm"
     if data[:2] == b"BM":
         return "bmp"
+    if data[:8] == _PNG_MAGIC:
+        return "png"
     return None
 
 
@@ -152,7 +309,9 @@ def decode_any(data: bytes) -> tuple[str, int, int, bytes]:
         return ("ppm", *decode_ppm(data))
     if fmt == "bmp":
         return ("bmp", *decode_bmp(data))
-    raise ImageFormatError("payload is not an uncompressed PPM/BMP image")
+    if fmt == "png":
+        return ("png", *decode_png(data))
+    raise ImageFormatError("payload is not a natively decodable PPM/BMP/PNG image")
 
 
 def encode(fmt: str, width: int, height: int, pixels: bytes) -> bytes:
@@ -160,6 +319,8 @@ def encode(fmt: str, width: int, height: int, pixels: bytes) -> bytes:
         return encode_ppm(width, height, pixels)
     if fmt == "bmp":
         return encode_bmp(width, height, pixels)
+    if fmt == "png":
+        return encode_png(width, height, pixels)
     raise ImageFormatError(f"unsupported encode format {fmt!r}")
 
 

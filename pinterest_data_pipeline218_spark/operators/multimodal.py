@@ -7,14 +7,15 @@ functions over `mapInPandas`, so Python touches columnar batches, never
 rows. Heavy media work is partition-parallel and never collects.
 
 The codec step (`decode_image` / `resize_image`) decodes REAL pixels for
-uncompressed formats (PPM P6, 24-bit BMP) via the dependency-free codecs
-in functions/imaging.py; compressed formats (JPEG/PNG/...) use PIL when
-the environment provides it and raise a clearly marked
-NotImplementedError otherwise (this container has no codec libraries). A
+PPM P6, 24-bit BMP, and zlib-compressed PNG via the dependency-free
+codecs in functions/imaging.py; formats needing an external codec
+(JPEG/WebP/...) use PIL when the environment provides it and raise a
+clearly marked NotImplementedError otherwise (this container has no
+codec libraries). A
 deterministic fake feature extractor keeps the Spark-side plumbing — schema,
 batch shape, partitioning — real and testable either way. Here the payload
 is the utf-8 encoding of `documents.text`, standing in for image bytes;
-`mm_image_decode` generates genuine PPM/BMP payloads instead and decodes
+`mm_image_decode` generates genuine PPM/BMP/PNG payloads instead and decodes
 them pixel-for-pixel.
 """
 
@@ -68,8 +69,8 @@ def decode_image(payload_bytes: bytes) -> tuple[str, int, int, bytes]:
         return imaging.decode_any(payload_bytes)
     if _PILImage is None:
         raise NotImplementedError(
-            "compressed-image decode requires a codec library (e.g. PIL); "
-            "PPM/BMP decode natively"
+            "JPEG/WebP decode requires a codec library (e.g. PIL); "
+            "PPM/BMP/PNG decode natively"
         )
     import io
 
@@ -156,8 +157,8 @@ def resize_image(payload_bytes: bytes, width: int, height: int) -> bytes:
         )
     if _PILImage is None:
         raise NotImplementedError(
-            "compressed-image resize requires a codec library (e.g. PIL); "
-            "PPM/BMP resize natively"
+            "JPEG/WebP resize requires a codec library (e.g. PIL); "
+            "PPM/BMP/PNG resize natively"
         )
     import io
 
@@ -253,7 +254,7 @@ def with_image_payload(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
-                fmt = "bmp" if doc_id % 3 == 0 else "ppm"
+                fmt = ("bmp", "ppm", "png")[doc_id % 3]
                 payloads.append(
                     imaging.encode(fmt, IMG_W, IMG_H, _fixture_pixels(doc_id))
                 )
@@ -302,11 +303,14 @@ def extract_image_features(df: DataFrame) -> DataFrame:
 
 
 def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Generate real PPM/BMP bytes per document, then DECODE them — header
-    parse, BMP bottom-up row + BGR channel unpacking, PPM grammar — and
-    emit per-channel pixel sums. The oracle never decodes: it replays the
-    generative pixel formula arithmetically, so any decoder defect (row
-    order, channel order, padding, header arithmetic) breaks the match."""
+    """Generate real PPM/BMP/PNG bytes per document, then DECODE them —
+    header parse, BMP bottom-up row + BGR channel unpacking, PPM grammar,
+    and for PNG a full COMPRESSED decode (chunk CRCs, stdlib-zlib inflate,
+    all five scanline filters — the fixture encoder cycles them per row)
+    — and emit per-channel pixel sums. The oracle never decodes: it
+    replays the generative pixel formula arithmetically, so any decoder
+    defect (row order, channel order, padding, filter math, header
+    arithmetic) breaks the match."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_image_features(with_image_payload(docs)).orderBy("doc_id")
 
@@ -321,7 +325,7 @@ def _image_decode_sql() -> str:
 
     return f"""
 SELECT doc_id,
-       CASE WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'png' END AS fmt,
        CAST({IMG_W} AS INT) AS width, CAST({IMG_H} AS INT) AS height,
        {ch_sum(0)} AS sum_r, {ch_sum(1)} AS sum_g, {ch_sum(2)} AS sum_b
 FROM documents ORDER BY doc_id
@@ -667,7 +671,7 @@ def extract_image_phash(df: DataFrame) -> DataFrame:
 
 
 def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gated rendering: generate real PPM/BMP payloads per document, decode
+    """Gated rendering: generate real PPM/BMP/PNG payloads per document, decode
     them, emit both perceptual fingerprints. The oracle replays the
     generative pixel formula closed-form (grid coordinates precomputed at
     SQL-build time), never touching a decoder — so container parsing,

@@ -1736,7 +1736,7 @@ def test_imaging_codecs_roundtrip_and_dispatch():
 
     w, h = 5, 3  # odd width => BMP row padding is non-trivial (15 % 4 != 0)
     pixels = bytes((i * 7) % 256 for i in range(w * h * 3))
-    for fmt in ("ppm", "bmp"):
+    for fmt in ("ppm", "bmp", "png"):
         data = imaging.encode(fmt, w, h, pixels)
         assert imaging.sniff_format(data) == fmt
         got_fmt, gw, gh, gpx = imaging.decode_any(data)
@@ -1763,6 +1763,57 @@ def test_imaging_codecs_roundtrip_and_dispatch():
 
     with _pytest.raises(imaging.ImageFormatError):
         imaging.decode_any(b"not an image at all")
+
+
+def test_png_codec_filters_crc_and_variants():
+    """The stdlib-zlib PNG codec: a tall image round-trips through ALL
+    five scanline filters (the encoder assigns filter y % 5, so height
+    >= 5 covers None/Sub/Up/Average/Paeth on pseudo-random pixel data);
+    RGBA (type 6) decodes with alpha dropped to honor the RGB contract;
+    and integrity failures — flipped chunk byte (CRC), truncation (no
+    IEND), palette/grayscale/interlaced headers — all raise the typed
+    ImageFormatError, never garbage pixels."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from pinterest_data_pipeline218_spark.functions import imaging
+
+    w, h = 7, 11  # h >= 5: every filter type appears at least twice
+    pixels = bytes((i * 131 + 17) % 256 for i in range(w * h * 3))
+    enc = imaging.encode_png(w, h, pixels)
+    assert imaging.sniff_format(enc) == "png"
+    assert imaging.decode_png(enc) == (w, h, pixels)
+
+    # RGBA (color type 6): alpha dropped, RGB contract kept
+    rgba = bytes((i * 29) % 256 for i in range(w * h * 4))
+    raw = b"".join(
+        b"\x00" + rgba[y * w * 4 : (y + 1) * w * 4] for y in range(h)
+    )
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    png6 = (
+        imaging._PNG_MAGIC
+        + imaging._png_chunk(b"IHDR", ihdr)
+        + imaging._png_chunk(b"IDAT", _zlib.compress(raw))
+        + imaging._png_chunk(b"IEND", b"")
+    )
+    expect = b"".join(rgba[p * 4 : p * 4 + 3] for p in range(w * h))
+    assert imaging.decode_png(png6) == (w, h, expect)
+
+    corrupted = enc[:23] + bytes([enc[23] ^ 0xFF]) + enc[24:]
+    with _pytest.raises(imaging.ImageFormatError, match="CRC"):
+        imaging.decode_png(corrupted)
+    with _pytest.raises(imaging.ImageFormatError, match="IEND"):
+        imaging.decode_png(enc[:-8])
+    pal_ihdr = _struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)  # palette
+    pal = (
+        imaging._PNG_MAGIC
+        + imaging._png_chunk(b"IHDR", pal_ihdr)
+        + imaging._png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(imaging.ImageFormatError, match="unsupported"):
+        imaging.decode_png(pal)
 
 
 def test_resize_image_native_nearest_neighbor():
@@ -1805,6 +1856,7 @@ def test_image_decode_kernel_matches_python(spark):
     docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
     payloads = {r.doc_id: bytes(r.payload) for r in with_image_payload(docs).collect()}
     assert payloads[0][:2] == b"BM" and payloads[1][:2] == b"P6"
+    assert payloads[2][:8] == b"\x89PNG\r\n\x1a\n"  # real compressed container
     got = {
         r.doc_id: (r.fmt, r.width, r.height, r.sum_r, r.sum_g, r.sum_b)
         for r in extract_image_features(with_image_payload(docs)).collect()
@@ -1812,7 +1864,7 @@ def test_image_decode_kernel_matches_python(spark):
     for i in range(12):
         pix = _fixture_pixels(i)
         sums = [sum(pix[c::3]) for c in range(3)]
-        fmt = "bmp" if i % 3 == 0 else "ppm"
+        fmt = ("bmp", "ppm", "png")[i % 3]
         assert got[i] == (fmt, IMG_W, IMG_H, *sums)
 
 
