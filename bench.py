@@ -97,6 +97,7 @@ HEADLINE = [
     "corpus_merge_increment",
     "sim_ivfpq_topk",
     "dedup_cluster_cc_bounded",
+    "dedup_cluster_cc_capped",
     "corpus_quality_report",
     "mm_image_decode",
     "text_bpe_tokens",
