@@ -21,6 +21,7 @@ from pinterest_data_pipeline218_spark.operators import (
     corpus,
     dedup,
     graph,
+    layout,
     multimodal,
     similarity,
     text_analysis,
@@ -52,6 +53,7 @@ _MODULES = (
     corpus,
     asof,
     clustering,
+    layout,
 )
 
 # The driver's correctness gate checks the first 50 registry entries. These
@@ -253,6 +255,17 @@ _TAIL = (
     # 334-doc band bucket exercises the star path at every SF) is NEW and
     # moves into the window. The one below rotates out in exchange.
     "ml_kmeans_refine",  # r04-r07 green (four driver rows); the integer-exact Lloyd refinement machinery keeps driver rows via in-window dedup_cluster_best's upstream clustering and the descent property stays pytest-proved (test_kmeans_refine_improves_over_seed_assignment); still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r8 third rotation: ev_scd2_band_history (SCD Type-2 validity-interval
+    # dimension build — gaps-and-islands with one reused user_id exchange),
+    # ev_groupingsets_type_hour (explicit GROUPING SETS + GROUPING()
+    # indicators, the set list neither ROLLUP nor CUBE can express), and
+    # corpus_zorder_keys (Morton z-value layout keys; the file-skipping win
+    # is pytest-proved in test_zorder_layout_prunes_files_against_natural_order)
+    # are NEW and move into the window. The three below rotate out in
+    # exchange; each is r07-green and value-redundant with in-window machinery.
+    "ev_variant_stats",  # r06-r07 green; the blob→typed-extraction machinery keeps a driver row via in-window ev_json_schema_stats (same scan, from_json schema path), and the VARIANT-specific parse/type quarantine split is pytest-pinned (test_variant_quarantine_splits_parse_and_type_failures); still oracle-checked every round by tools/selfcheck.py over the full registry
+    "mm_audio_fingerprint",  # r07 green; the Arrow mapInPandas codec plumbing keeps a driver row via in-window mm_image_phash (same batch shape, PPM/pHash kernel), and the WAV kernel + banded self-join are pytest-pinned (test_audio_kernel_null_safe, test_audio_fingerprint_neardup_pairs_on_perturbed_clips); still oracle-checked every round by tools/selfcheck.py over the full registry
+    "sim_ivfpq_wide_topk",  # r07 green; the per-cell ADC probe machinery keeps driver rows via in-window sim_radius_search + sim_ann_lsh and the wide-codebook recall lift is pytest-pinned (test_wide_pq_codes_lift_clustered_recall, test_wide_pq_materialized_index_probe); still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

@@ -1286,6 +1286,132 @@ ORDER BY e.event_id
 """
 
 
+def ev_scd2_band_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build — the temporal attribute history every
+    warehouse keeps for its slowly-changing dimensions: per user, collapse
+    the event stream into validity intervals of a derived attribute (the
+    value band), with `valid_from` = the first event of the run and
+    `valid_to` = the start of the next run (NULL = current). Classic
+    gaps-and-islands: change marker (lag IS DISTINCT FROM) → run id
+    (running sum) → per-run aggregate → valid_to via lead over run ids.
+
+    100 TB shape: every window is partitioned by user_id and both windows
+    plus the groupBy share that key, so Catalyst plans ONE exchange on
+    user_id and reuses it across the lag, the running sum, the aggregate
+    (user_id, grp is a superset key) and the lead — no global sort, no
+    unbounded state, per-user memory bounded by the user's own history."""
+    ev = load_table(spark, sf_dir, "events")
+    band = (
+        F.when(F.col("value") < 20, "low")
+        .when(F.col("value") < 55, "mid")
+        .otherwise("high")
+    )
+    base = ev.select("user_id", "ts", "event_id", band.alias("band"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = base.withColumn(
+        "chg",
+        F.when(~F.lag("band").over(w).eqNullSafe(F.col("band")), 1).otherwise(0),
+    )
+    runs = marked.withColumn(
+        "grp",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    agg = runs.groupBy("user_id", "grp", "band").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("grp")
+    return (
+        agg.select(
+            "user_id",
+            "band",
+            "valid_from",
+            F.lead("valid_from").over(w2).alias("valid_to"),
+            "n_events",
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
+EV_SCD2_SQL = """
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN value < 20 THEN 'low'
+              WHEN value < 55 THEN 'mid'
+              ELSE 'high' END AS band
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN band IS DISTINCT FROM
+                      lag(band) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 THEN 1 ELSE 0 END AS chg
+  FROM base
+), runs AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM marked
+), agg AS (
+  SELECT user_id, grp, band, MIN(ts) AS valid_from, COUNT(*) AS n_events
+  FROM runs GROUP BY user_id, grp, band
+)
+SELECT user_id, band, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY grp) AS valid_to,
+       n_events
+FROM agg
+ORDER BY user_id, valid_from
+"""
+
+
+def ev_groupingsets_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((type, hour), (type), (hour)) — the third
+    member of the grouping-sets family next to ROLLUP (ev_rollup_daily)
+    and CUBE (ev_cube_type_dow): an ARBITRARY set list that neither
+    shorthand can express (no grand-total set here), plus the GROUPING()
+    indicator columns that disambiguate subtotal rows from genuine NULL
+    keys. Catalyst expands the sets into one Expand + aggregate, so
+    map-side partial aggregation still applies — one shuffle, |sets| ×
+    |rows| expanded only at the map side."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", F.hour("ts").cast("long").alias("hr"), "value"
+    )
+    return (
+        base.groupingSets(
+            [["event_type", "hr"], ["event_type"], ["hr"]], "event_type", "hr"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("hr").cast("int").alias("g_hr"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("hr").cast("string"), F.lit("<all>")).alias("hr"),
+            "n_events",
+            "total_value",
+            "g_type",
+            "g_hr",
+        )
+        .orderBy("g_type", "g_hr", "event_type", "hr")
+    )
+
+
+EV_GROUPINGSETS_SQL = """
+SELECT COALESCE(event_type, '<all>') AS event_type,
+       COALESCE(CAST(CAST(date_part('hour', ts) AS BIGINT) AS VARCHAR), '<all>') AS hr,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(GROUPING(event_type) AS INT) AS g_type,
+       CAST(GROUPING(CAST(date_part('hour', ts) AS BIGINT)) AS INT) AS g_hr
+FROM events
+GROUP BY GROUPING SETS (
+  (event_type, CAST(date_part('hour', ts) AS BIGINT)),
+  (event_type),
+  (CAST(date_part('hour', ts) AS BIGINT))
+)
+ORDER BY g_type, g_hr, event_type, hr
+"""
+
+
 QUERIES = {
     "ev_counts_hourly": ev_counts_hourly,
     "ev_stats_by_type": ev_stats_by_type,
@@ -1312,6 +1438,8 @@ QUERIES = {
     "ev_retention_cohorts": ev_retention_cohorts,
     "ev_markov_transitions": ev_markov_transitions,
     "ev_value_outliers": ev_value_outliers,
+    "ev_scd2_band_history": ev_scd2_band_history,
+    "ev_groupingsets_type_hour": ev_groupingsets_type_hour,
 }
 
 ORACLE = {
@@ -1340,4 +1468,6 @@ ORACLE = {
     "ev_retention_cohorts": EV_RETENTION_SQL,
     "ev_markov_transitions": EV_MARKOV_SQL,
     "ev_value_outliers": EV_VALUE_OUTLIERS_SQL,
+    "ev_scd2_band_history": EV_SCD2_SQL,
+    "ev_groupingsets_type_hour": EV_GROUPINGSETS_SQL,
 }

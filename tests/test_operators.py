@@ -2801,3 +2801,73 @@ def test_capped_cc_matches_exact_below_cap_and_bounds_giant_clusters(spark):
     ).collect()
     giant_labels = {r.label for r in labels if r.node < 1000}
     assert giant_labels == {0}  # one cluster, labeled by its min doc_id
+
+
+def test_zorder_layout_prunes_files_against_natural_order(spark, tmp_path):
+    """Z-order layout (operators/layout.py) must deliver its 100 TB
+    promise in miniature: under a predicate box on the NON-layout
+    dimension (n_chars), per-file min/max footers prune files in the
+    z-ordered layout but cannot prune the natural doc_id-sorted layout
+    (every natural file spans the full n_chars range). Also asserts both
+    layouts return the identical matching rows — pruning never changes
+    results, only which files get opened."""
+    from pinterest_data_pipeline218_spark.operators.layout import (
+        _ZX,
+        _ZY,
+        zorder_key,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    keyed = (
+        zorder_key(docs)
+        .withColumn("zx", F.expr(_ZX).cast("long"))
+        .withColumn("zy", F.expr(_ZY).cast("long"))
+    )
+    nat, zo = str(tmp_path / "natural"), str(tmp_path / "zordered")
+    (
+        keyed.repartitionByRange(16, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.parquet(nat)
+    )
+    (
+        keyed.repartitionByRange(16, "zkey")
+        .sortWithinPartitions("zkey")
+        .write.parquet(zo)
+    )
+
+    def file_stats(path):
+        return (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("zx").alias("x0"),
+                F.max("zx").alias("x1"),
+                F.min("zy").alias("y0"),
+                F.max("zy").alias("y1"),
+            )
+        )
+
+    # box selective on x (n_chars in [48, 120]), unconstrained on y — the
+    # worst case for a y-(doc_id-)sorted natural layout
+    xlo, xhi = 48, 120
+
+    def files_hit(path):
+        st = file_stats(path)
+        total = st.count()
+        hit = st.filter((F.col("x1") >= xlo) & (F.col("x0") <= xhi)).count()
+        return hit, total
+
+    z_hit, z_total = files_hit(zo)
+    n_hit, n_total = files_hit(nat)
+    assert z_total >= 8 and n_total >= 8  # the layouts really are multi-file
+    assert n_hit == n_total  # natural layout: min/max prunes nothing
+    assert z_hit < n_hit  # z layout: footer ranges skip files
+
+    # pruning is free: both layouts agree on the matching rows
+    q = lambda p: {
+        r.doc_id
+        for r in spark.read.parquet(p)
+        .filter((F.col("zx") >= xlo) & (F.col("zx") <= xhi))
+        .collect()
+    }
+    assert q(zo) == q(nat)

@@ -1094,3 +1094,47 @@ def test_oracle_outputs_have_no_engine_divergent_int_types():
         "oracle columns with int128 types (wrap in CAST(... AS BIGINT)): "
         + ", ".join(offenders)
     )
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The 100 TB skew story is two-layer: explicit salting for known-hot
+    keys (ev_salted_*), and AQE's skew-join split for the skew nobody
+    predicted. This pins the second layer: a sort-merge join where one key
+    holds ~90% of the rows must show `skew=true` in the FINAL adaptive
+    plan once the skewed-partition thresholds are in range — proof the
+    runtime re-plan actually engages on this build, not just that the
+    config exists."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(120_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.lpad(F.col("id").cast("string"), 64, "x").alias("pad"),
+        )
+        right = spark.range(64).select(
+            F.col("id").alias("k"), F.col("id").alias("dim")
+        )
+        # a GLOBAL aggregate (not groupBy(k)): a downstream consumer that
+        # required hashpartitioning(k) would make AQE decline the split
+        # (it never introduces an extra shuffle unless forced)
+        joined = left.join(right, "k").agg(F.sum(F.length("pad")).alias("b"))
+        joined.collect()
+        ex = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in ex, f"AQE skew split did not engage:\n{ex[:2000]}"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1791,3 +1791,81 @@ def test_composed_incremental_dashboards_share_one_stream(spark, tmp_path):
         assert got, f"{rd.__name__}: empty result"
         assert got == want, f"{rd.__name__}: multi-batch != union"
     sliced.unpersist()
+
+
+def test_stream_stream_left_outer_join_emits_null_side_after_watermark(spark, tmp_path):
+    """Left-outer watermarked stream-stream join — the OTHER half of the
+    symmetric-hash-join contract the inner-join test pins: a purchase with
+    no click in its preceding hour must eventually emit WITH a null click
+    side, but only once the watermark has passed the end of its join
+    window (before that the engine must hold it back — the match could
+    still arrive). Drives two micro-batches: batch 1 carries the real
+    data (null results CANNOT appear yet — watermark still behind), a
+    late heartbeat row then advances the watermark, and batch 2 releases
+    the null-padded row. This is exactly the state-cleanup semantics that
+    keeps the join's state store bounded at 100 TB stream rates."""
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("user", LongType()),
+         StructField("ts", StringType())]
+    )
+    for side in ("click", "purchase"):
+        (tmp_path / side).mkdir()
+
+    def add(side, name, rows):
+        with open(tmp_path / side / name, "w") as f:
+            for i, u, ts in rows:
+                f.write(json.dumps({"id": i, "user": u, "ts": ts}) + "\n")
+
+    def src(side, uc, tc):
+        return (
+            spark.readStream.format("json").schema(schema)
+            .load(str(tmp_path / side))
+            .select(
+                F.col("id").alias(f"{side}_id"),
+                F.col("user").alias(uc),
+                F.to_timestamp("ts").alias(tc),
+            )
+        )
+
+    # batch-1 data: user 7's purchase has a click in window; user 8's does not
+    add("click", "a.jsonl", [(1, 7, "2024-01-01 10:00:00")])
+    add("purchase", "a.jsonl", [
+        (10, 7, "2024-01-01 10:30:00"),   # matches click 1
+        (12, 8, "2024-01-01 10:30:00"),   # no click -> null side, later
+    ])
+
+    clicks = src("click", "c_user", "c_ts").withWatermark("c_ts", "10 minutes")
+    purchases = src("purchase", "p_user", "p_ts").withWatermark("p_ts", "10 minutes")
+    joined = purchases.join(
+        clicks,
+        F.expr("p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"),
+        "leftOuter",
+    ).select("purchase_id", "click_id")
+    q = (
+        joined.writeStream.format("memory").queryName("ssj_louter")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {(r.purchase_id, r.click_id)
+                for r in spark.sql("SELECT * FROM ssj_louter").collect()}
+        assert (10, 1) in got1  # the inner match flows immediately
+        assert (12, None) not in got1  # held back: watermark not past its window
+
+        # late heartbeat advances the event-time watermark far past 10:30+1h
+        add("click", "b.jsonl", [(99, 9, "2024-01-01 15:00:00")])
+        add("purchase", "b.jsonl", [(99, 9, "2024-01-01 15:00:00")])
+        q.processAllAvailable()
+        # watermark updates take effect at the NEXT batch boundary; one more
+        # (empty-input) batch releases the timed-out row deterministically
+        add("purchase", "c.jsonl", [])
+        q.processAllAvailable()
+        got2 = {(r.purchase_id, r.click_id)
+                for r in spark.sql("SELECT * FROM ssj_louter").collect()}
+        assert (12, None) in got2  # null-padded row released by the watermark
+    finally:
+        q.stop()
