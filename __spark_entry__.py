@@ -266,6 +266,11 @@ _TAIL = (
     "ev_variant_stats",  # r06-r07 green; the blob→typed-extraction machinery keeps a driver row via in-window ev_json_schema_stats (same scan, from_json schema path), and the VARIANT-specific parse/type quarantine split is pytest-pinned (test_variant_quarantine_splits_parse_and_type_failures); still oracle-checked every round by tools/selfcheck.py over the full registry
     "mm_audio_fingerprint",  # r07 green; the Arrow mapInPandas codec plumbing keeps a driver row via in-window mm_image_phash (same batch shape, PPM/pHash kernel), and the WAV kernel + banded self-join are pytest-pinned (test_audio_kernel_null_safe, test_audio_fingerprint_neardup_pairs_on_perturbed_clips); still oracle-checked every round by tools/selfcheck.py over the full registry
     "sim_ivfpq_wide_topk",  # r07 green; the per-cell ADC probe machinery keeps driver rows via in-window sim_radius_search + sim_ann_lsh and the wide-codebook recall lift is pytest-pinned (test_wide_pq_codes_lift_clustered_recall, test_wide_pq_materialized_index_probe); still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r8 fourth rotation: graph_reachability_nations (Spark 4 WITH RECURSIVE
+    # — recursive-CTE BFS with min-hop + walk counts over the SF-invariant
+    # nation trade graph) is NEW and moves into the window. The one below
+    # rotates out in exchange.
+    "ev_click_streaks",  # r06-r07 green; its gaps-and-islands lag/run-sum machinery is now in-window VERBATIM via ev_scd2_band_history (same change-marker → run-id → per-run aggregate chain over the same events scan), and the streaming twin is pytest-pinned (test_streak_stream_equals_batch_on_closed_runs); still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

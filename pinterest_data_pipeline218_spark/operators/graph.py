@@ -156,10 +156,93 @@ ORDER BY pr DESC, node LIMIT 50
 """
 
 
+REACH_DEPTH = 3  # fixed BFS horizon: bounds the recursion at any scale
+
+
+def _reach_sql(prologue: str, nat: str, e: str) -> str:
+    """The recursive reach query from ONE generator for both engines (the
+    repo's generator-shared-SQL discipline): the Spark side binds nat/e to
+    DataFrame substitutions, the DuckDB oracle to CTE members in the same
+    WITH RECURSIVE — the recursive member text is character-identical."""
+    return f"""WITH RECURSIVE {prologue}reach(nation, hops) AS (
+  SELECT n_name, 0 FROM {nat} WHERE n_nationkey = 0
+  UNION ALL
+  SELECT e.dst, r.hops + 1
+  FROM reach r JOIN {e} e ON e.src = r.nation
+  WHERE r.hops < {REACH_DEPTH}
+)
+SELECT nation, CAST(MIN(hops) AS BIGINT) AS min_hops,
+       COUNT(*) AS n_walks
+FROM reach GROUP BY nation ORDER BY nation"""
+
+
+def graph_reachability_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE BFS (Spark 4's WITH RECURSIVE — the SQL:1999 surface
+    Spark lacked until 4.0) over the DIRECTED nation-level trade graph:
+    supplier-nation → customer-nation edges derived from lineitem⋈orders⋈
+    (supplier⋈nation)⋈(customer⋈nation). From the seed nation
+    (n_nationkey = 0), every depth-≤{3} reachable nation with its minimum
+    hop count and the number of distinct walks that reach it (UNION ALL
+    recursion with a fixed depth cap — the bounded, cycle-safe form).
+
+    100 TB shape: the only data-scale work is the edge DERIVATION (the
+    lineitem⋈orders equi-join, same shape as trade_edges); the edge list
+    itself is nation×nation — at most 625 rows at ANY scale factor — so
+    the engine-managed recursion iterates over an SF-invariant relation.
+    Each recursion round is one equi-join keyed on src, exactly the
+    unrolled-PageRank round shape, but the looping is Catalyst's
+    UnionLoop instead of hand-unrolled CTEs.
+
+    Reference scope: beyond-reference (the reference has no recursive
+    queries); completes the graph family next to fixed-point PageRank
+    and min-label CC."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    sup_nat = supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("src")
+    )
+    cust_nat = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("dst")
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust_nat), F.col("o_custkey") == F.col("c_custkey"))
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return spark.sql(_reach_sql("", "{nat}", "{e}"), nat=nation, e=edges)
+
+
+GRAPH_REACHABILITY_SQL = _reach_sql(
+    """nat AS (SELECT n_nationkey, n_name FROM nation),
+e AS (
+  SELECT DISTINCT sn.n_name AS src, cn.n_name AS dst
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nat sn ON s_nationkey = sn.n_nationkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nat cn ON c_nationkey = cn.n_nationkey
+  WHERE sn.n_name <> cn.n_name
+),
+""",
+    "nat",
+    "e",
+)
+
+
 QUERIES = {
     "graph_pagerank_trade": graph_pagerank_trade,
+    "graph_reachability_nations": graph_reachability_nations,
 }
 
 ORACLE = {
     "graph_pagerank_trade": GRAPH_PAGERANK_SQL,
+    "graph_reachability_nations": GRAPH_REACHABILITY_SQL,
 }
