@@ -271,6 +271,12 @@ _TAIL = (
     # nation trade graph) is NEW and moves into the window. The one below
     # rotates out in exchange.
     "ev_click_streaks",  # r06-r07 green; its gaps-and-islands lag/run-sum machinery is now in-window VERBATIM via ev_scd2_band_history (same change-marker → run-id → per-run aggregate chain over the same events scan), and the streaming twin is pytest-pinned (test_streak_stream_equals_batch_on_closed_runs); still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r8 fifth rotation: ev_user_value_drift (per-user prior-window running
+    # (n,s,q) anomaly flags — the batch twin of the transformWithStateInPandas
+    # drift monitor, kernel equality pytest-proved in
+    # test_drift_processor_kernel_matches_batch) is NEW and moves into the
+    # window. The one below rotates out in exchange.
+    "corpus_cdc_chunk",  # r04-r07 green (four driver rows); the slice/explode chunk reassembly keeps a driver row via in-window corpus_pack_sequences (same machinery + packing) and the boundary rule's edit-stability stays pytest-pinned (test_cdc_chunks_stable_under_prefix_edit); still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

@@ -1286,6 +1286,84 @@ ORDER BY e.event_id
 """
 
 
+DRIFT_MIN_PRIOR = 5  # flag only after this many prior events for the user
+DRIFT_SIGMAS = 3
+
+
+def ev_user_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user RUNNING-history anomaly flags — the online twin of
+    ev_value_outliers' population screen: an event is flagged when its
+    value deviates more than DRIFT_SIGMAS from the running mean/variance
+    of that user's OWN PRIOR events (exclusive window), after at least
+    DRIFT_MIN_PRIOR observations. The sigma test is division- and
+    sqrt-free by the same squaring identity as ev_value_outliers
+    ((n·v − s)² > k²·(n·q − s²) with s = Σv, q = Σv² over the prior
+    frame), and every quantity is BIGINT cents, so the driver's bitwise
+    value gate applies.
+
+    This is the exact per-event decision the streaming drift monitor
+    (streaming/stateful.py drift_stream, transformWithStateInPandas)
+    makes with (n, s, q) as its per-user ValueState — batch == stream is
+    pytest-proved over arbitrary micro-batch splits.
+
+    100 TB shape: one window partitioned by user_id (running sums, no
+    second pass), state per user is three longs; no global sort, no
+    population join."""
+    return drift_flags(load_table(spark, sf_dir, "events")).orderBy("event_id")
+
+
+def drift_flags(ev: DataFrame) -> DataFrame:
+    """The per-event drift decision, shared verbatim by the gated batch
+    query and the streaming pytest oracle: prior-only running (n, s, q)
+    per user, flag where the squared sigma test clears."""
+    vc = F.expr("CAST(value * 100 AS BIGINT)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    k2 = DRIFT_SIGMAS * DRIFT_SIGMAS
+    return (
+        ev.select("event_id", "user_id", "ts", vc.alias("v"))
+        .select(
+            "event_id",
+            "user_id",
+            "v",
+            F.count(F.lit(1)).over(w).alias("n"),
+            F.sum("v").over(w).alias("s"),
+            F.sum(F.expr("v * v")).over(w).alias("q"),
+        )
+        .filter(
+            F.expr(
+                f"n >= {DRIFT_MIN_PRIOR}"
+                f" AND (n * v - s) * (n * v - s) > {k2}L * (n * q - s * s)"
+            )
+        )
+        .select("event_id", "user_id", F.col("v").alias("value_cents"), "n", "s", "q")
+    )
+
+
+EV_USER_DRIFT_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, ts, CAST(TRUNC(value * 100) AS BIGINT) AS v
+  FROM events
+), r AS (
+  SELECT event_id, user_id, v,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(v) OVER w AS BIGINT) AS s,
+         CAST(SUM(v * v) OVER w AS BIGINT) AS q
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, v AS value_cents, n, s, q
+FROM r
+WHERE n >= {DRIFT_MIN_PRIOR}
+  AND (n * v - s) * (n * v - s) > {DRIFT_SIGMAS * DRIFT_SIGMAS} * (n * q - s * s)
+ORDER BY event_id
+"""
+
+
 def ev_scd2_band_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension build — the temporal attribute history every
     warehouse keeps for its slowly-changing dimensions: per user, collapse
@@ -1440,6 +1518,7 @@ QUERIES = {
     "ev_value_outliers": ev_value_outliers,
     "ev_scd2_band_history": ev_scd2_band_history,
     "ev_groupingsets_type_hour": ev_groupingsets_type_hour,
+    "ev_user_value_drift": ev_user_value_drift,
 }
 
 ORACLE = {
@@ -1470,4 +1549,5 @@ ORACLE = {
     "ev_value_outliers": EV_VALUE_OUTLIERS_SQL,
     "ev_scd2_band_history": EV_SCD2_SQL,
     "ev_groupingsets_type_hour": EV_GROUPINGSETS_SQL,
+    "ev_user_value_drift": EV_USER_DRIFT_SQL,
 }

@@ -27,6 +27,7 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -205,4 +206,94 @@ def streak_stream(events: DataFrame, min_run: int | None = None) -> DataFrame:
         stateStructType=STREAK_STATE_SCHEMA,
         outputMode="append",
         timeoutConf="NoTimeout",
+    )
+
+
+# --------------------------------------------- per-user drift monitoring
+# Third custom stateful operator, and the template for Spark 4's NEW
+# typed-state API (transformWithStateInPandas / StatefulProcessor): the
+# streaming twin of plans/events.ev_user_value_drift. State per user is a
+# single typed ValueState of three BIGINTs (n, s, q) — the prior-only
+# running count / sum / sum-of-squares in integer cents; each incoming
+# event is tested against the PRIOR state with the division-free squared
+# sigma identity, then folded in. Versus applyInPandasWithState, the
+# StatefulProcessor surface gives named typed state variables (RocksDB
+# column families at scale), optional TTL, and timers — this operator
+# uses the minimal profile (one ValueState, no timers, timeMode "none"),
+# establishing the plumbing the richer modes share.
+#
+# Ordering contract: same as sessionize/streak — per-key event-time order
+# across micro-batches; within a batch we sort by (ts, event_id).
+# Batch == stream over arbitrary micro-batch splits is pytest-proved
+# (test_drift_stream_equals_batch).
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+DRIFT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("value_cents", LongType()),
+        StructField("n", LongType()),
+        StructField("s", LongType()),
+        StructField("q", LongType()),
+    ]
+)
+
+
+class DriftProcessor(StatefulProcessor):
+    """Flag events > DRIFT_SIGMAS from the user's own running history."""
+
+    def __init__(self, min_prior: int, sigmas: int):
+        self._min_prior = min_prior
+        self._k2 = sigmas * sigmas
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._stats = handle.getValueState("stats", "n BIGINT, s BIGINT, q BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        st = self._stats.get()
+        n, s, q = (int(st[0]), int(st[1]), int(st[2])) if st is not None else (0, 0, 0)
+        df = pd.concat(list(rows), ignore_index=True).sort_values(["ts", "event_id"])
+        out: list[tuple[int, int, int, int, int, int]] = []
+        for eid, v in zip(df["event_id"], df["v"]):
+            eid, v = int(eid), int(v)
+            if n >= self._min_prior and (n * v - s) ** 2 > self._k2 * (n * q - s * s):
+                out.append((eid, user_id, v, n, s, q))
+            n, s, q = n + 1, s + v, q + v * v
+        self._stats.update((n, s, q))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "event_id": [o[0] for o in out],
+                    "user_id": [o[1] for o in out],
+                    "value_cents": [o[2] for o in out],
+                    "n": [o[3] for o in out],
+                    "s": [o[4] for o in out],
+                    "q": [o[5] for o in out],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def drift_stream(events: DataFrame) -> DataFrame:
+    """events (user_id, event_id, ts, value) → flagged drift events
+    (append-mode), via the Spark 4 typed-state operator. The value→cents
+    cast is the same expression as the batch query's."""
+    from ..plans.events import DRIFT_MIN_PRIOR, DRIFT_SIGMAS
+
+    prepared = events.select(
+        "user_id", "event_id", "ts", F.expr("CAST(value * 100 AS BIGINT)").alias("v")
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=DriftProcessor(DRIFT_MIN_PRIOR, DRIFT_SIGMAS),
+        outputStructType=DRIFT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
     )

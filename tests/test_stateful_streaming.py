@@ -201,3 +201,151 @@ def test_streak_stream_equals_batch_on_closed_runs(spark, tmp_path):
     assert (1, int(t(0).timestamp()), int(t(3).timestamp()), 4) in got
     assert not any(u == 2 for u, *_ in got)
     assert sum(1 for u, *_ in got if u == 3) == 2
+
+
+def test_drift_stream_equals_batch(spark, tmp_path):
+    """transformWithStateInPandas drift monitor (the Spark 4 typed-state
+    API) must flag EXACTLY the events the batch prior-window query flags
+    — including identical (n, s, q) running stats at flag time — when the
+    same per-user-ordered events arrive split across three micro-batches.
+    This pins both the operator semantics and the ValueState carry across
+    batch boundaries.
+
+    ENV GATE: Spark's transformWithState state-server protocol speaks
+    protobuf from the Python side (pyspark/sql/streaming/proto/), and the
+    `protobuf` wheel is not installed in this no-network container — the
+    same artifact-blocked boundary as the Delta sink (COVERAGE.md §2.1).
+    The operator's decision kernel and state carry are proven protocol-free
+    in test_drift_processor_kernel_matches_batch below; this end-to-end
+    wiring test runs wherever protobuf exists."""
+    pytest.importorskip("google.protobuf")
+    import os
+    import time
+
+    from pinterest_data_pipeline218_spark.plans.events import drift_flags
+    from pinterest_data_pipeline218_spark.streaming.stateful import drift_stream
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", StringType()),
+            StructField("event_id", LongType()),
+            StructField("value", StringType()),
+        ]
+    )
+    rows = (
+        load_table(spark, SF, "events")
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "event_id",
+            F.col("value").cast("string").alias("value"),
+        )
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    src = tmp_path / "drift_blobs"
+    src.mkdir()
+    third = (len(rows) + 2) // 3
+    base = time.time() - 100
+    for i in range(3):
+        path = src / f"{i:03d}.jsonl"
+        with open(path, "w") as f:
+            for r in rows[i * third : (i + 1) * third]:
+                f.write(json.dumps(
+                    {"user_id": r.user_id, "ts": r.ts,
+                     "event_id": r.event_id, "value": r.value}) + "\n")
+        os.utime(path, (base + 10 * i, base + 10 * i))
+
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withColumn("value", F.col("value").cast("double"))
+    )
+    q = (
+        drift_stream(stream)
+        .writeStream.format("memory")
+        .queryName("drift_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.event_id, r.user_id, r.value_cents, r.n, r.s, r.q)
+        for r in spark.sql("SELECT * FROM drift_out").collect()
+    }
+    want_src = (
+        load_table(spark, SF, "events")
+        .select("event_id", "user_id", "ts",
+                F.col("value").cast("string").cast("double").alias("value"))
+    )
+    want = {
+        (r.event_id, r.user_id, r.value_cents, r.n, r.s, r.q)
+        for r in drift_flags(want_src).collect()
+    }
+    assert len(want) > 0  # the dataset actually exercises the flag path
+    assert got == want
+
+
+def test_drift_processor_kernel_matches_batch(spark):
+    """Protocol-free proof of the StatefulProcessor drift kernel: drive
+    DriftProcessor.handleInputRows directly with pandas micro-batches and
+    a fake ValueState (the same get/update surface the real handle
+    serves), splitting each user's ordered events across three batches —
+    the flags and their (n, s, q) running stats must equal the batch
+    prior-window query exactly. This is everything the env-gated wiring
+    test checks except the JVM<->Python state transport itself."""
+    import pandas as pd
+
+    from pinterest_data_pipeline218_spark.plans.events import drift_flags
+    from pinterest_data_pipeline218_spark.streaming.stateful import DriftProcessor
+    from pinterest_data_pipeline218_spark.plans.events import (
+        DRIFT_MIN_PRIOR,
+        DRIFT_SIGMAS,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    ev = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_id", "ts",
+                F.expr("CAST(value * 100 AS BIGINT)").alias("v"))
+        .orderBy("user_id", "ts", "event_id")
+        .toPandas()
+    )
+    got = set()
+    for user_id, grp in ev.groupby("user_id"):
+        proc = DriftProcessor(DRIFT_MIN_PRIOR, DRIFT_SIGMAS)
+        proc._stats = FakeValueState()
+        third = (len(grp) + 2) // 3
+        for i in range(3):
+            batch = grp.iloc[i * third : (i + 1) * third]
+            if len(batch) == 0:
+                continue
+            for out in proc.handleInputRows((user_id,), iter([batch]), None):
+                got.update(
+                    (int(r.event_id), int(r.user_id), int(r.value_cents),
+                     int(r.n), int(r.s), int(r.q))
+                    for r in out.itertuples()
+                )
+    want = {
+        (r.event_id, r.user_id, r.value_cents, r.n, r.s, r.q)
+        for r in drift_flags(load_table(spark, SF, "events")).collect()
+    }
+    assert len(want) > 0
+    assert got == want
