@@ -29,7 +29,7 @@ from typing import Any
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..plans.events import SESSION_GAP_SECONDS  # one gap for batch & stream
 
@@ -296,4 +296,89 @@ def drift_stream(events: DataFrame) -> DataFrame:
         outputStructType=DRIFT_SCHEMA,
         outputMode="append",
         timeMode="none",
+    )
+
+
+# ------------------------------------------------ SCD2 interval tracking
+# Fourth custom stateful operator: the streaming twin of
+# plans/events.ev_scd2_band_history. State per user is the OPEN validity
+# interval (band, valid_from, n_events); a band change closes it (emit:
+# closed intervals are immutable facts — append mode) and opens the next.
+# Open intervals stay in state — the stream cannot know valid_to yet —
+# exactly the NULL-valid_to rows of the batch query. Same ordering
+# contract as the other stateful ops.
+
+SCD2_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("band", StringType()),
+        StructField("valid_from", LongType()),  # epoch seconds
+        StructField("valid_to", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+SCD2_STATE_SCHEMA = StructType(
+    [
+        StructField("band", StringType()),
+        StructField("valid_from", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _scd2_fn():
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        open_iv = state.get if state.exists else None  # (band, from, n)
+        closed: list[tuple[str, int, int, int]] = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        ts = rows["ts"].to_numpy().astype("datetime64[s]").astype("int64")
+        for t, band in zip(ts, rows["band"]):
+            t, band = int(t), str(band)
+            if open_iv is None:
+                open_iv = (band, t, 1)
+            elif band == open_iv[0]:
+                open_iv = (open_iv[0], open_iv[1], open_iv[2] + 1)
+            else:
+                closed.append((open_iv[0], open_iv[1], t, open_iv[2]))
+                open_iv = (band, t, 1)
+        if open_iv is not None:
+            state.update(open_iv)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "band": [c[0] for c in closed],
+                    "valid_from": [c[1] for c in closed],
+                    "valid_to": [c[2] for c in closed],
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    return fn
+
+
+def scd2_stream(events: DataFrame) -> DataFrame:
+    """events (user_id, event_id, ts, value) → CLOSED SCD2 validity
+    intervals of the value band (append-mode). The band expression is the
+    batch query's, verbatim; pytest proves closed-interval equality with
+    ev_scd2_band_history's valid_to IS NOT NULL rows over micro-batch
+    splits that land inside runs."""
+    banded = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("value") < 20, "low")
+        .when(F.col("value") < 55, "mid")
+        .otherwise("high")
+        .alias("band"),
+    )
+    return banded.groupBy("user_id").applyInPandasWithState(
+        _scd2_fn(),
+        outputStructType=SCD2_SCHEMA,
+        stateStructType=SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
     )

@@ -349,3 +349,82 @@ def test_drift_processor_kernel_matches_batch(spark):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_scd2_stream_equals_batch_closed_intervals(spark, tmp_path):
+    """The streaming SCD2 tracker must emit EXACTLY the batch query's
+    CLOSED validity intervals (valid_to IS NOT NULL) — including runs that
+    span micro-batch boundaries — when the same per-user-ordered events
+    arrive in three time-sliced files. Open intervals stay in state, which
+    is the streaming rendering of the batch query's NULL valid_to rows."""
+    import os
+    import time
+
+    from pinterest_data_pipeline218_spark.plans.events import ev_scd2_band_history
+    from pinterest_data_pipeline218_spark.streaming.stateful import scd2_stream
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", StringType()),
+            StructField("event_id", LongType()),
+            StructField("value", StringType()),
+        ]
+    )
+    rows = (
+        load_table(spark, SF, "events")
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "event_id",
+            F.col("value").cast("string").alias("value"),
+        )
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    src = tmp_path / "scd2_blobs"
+    src.mkdir()
+    third = (len(rows) + 2) // 3
+    base = time.time() - 100
+    for i in range(3):
+        path = src / f"{i:03d}.jsonl"
+        with open(path, "w") as f:
+            for r in rows[i * third : (i + 1) * third]:
+                f.write(json.dumps(
+                    {"user_id": r.user_id, "ts": r.ts,
+                     "event_id": r.event_id, "value": r.value}) + "\n")
+        os.utime(path, (base + 10 * i, base + 10 * i))
+
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withColumn("value", F.col("value").cast("double"))
+    )
+    q = (
+        scd2_stream(stream)
+        .writeStream.format("memory")
+        .queryName("scd2_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.user_id, r.band, r.valid_from, r.valid_to, r.n_events)
+        for r in spark.sql("SELECT * FROM scd2_out").collect()
+    }
+    batch = ev_scd2_band_history(spark, SF)
+    want = {
+        (r.user_id, r.band, int(r.valid_from.timestamp()),
+         int(r.valid_to.timestamp()), r.n_events)
+        for r in batch.collect()
+        if r.valid_to is not None
+    }
+    assert len(want) > 0
+    assert got == want
