@@ -135,6 +135,11 @@ HEADLINE = [
     "ev_click_streaks",
     "ev_variant_stats",
     "text_classifier_eval",
+    "ev_scd2_band_history",
+    "ev_groupingsets_type_hour",
+    "ev_user_value_drift",
+    "corpus_zorder_keys",
+    "graph_reachability_nations",
 ]
 
 
