@@ -30,6 +30,7 @@ from pinterest_data_pipeline218_spark.plans import (
     analytics_tpch,
     events,
     pin_domain,
+    sequences,
     tpch,
     tpch_extra,
     tpch_more,
@@ -43,6 +44,7 @@ _MODULES = (
     tpch_more,
     tpch_rest,
     events,
+    sequences,
     graph,
     bloom,
     pin_domain,

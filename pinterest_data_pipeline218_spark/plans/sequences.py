@@ -1,0 +1,313 @@
+"""Sequence mining and irregular-time-series smoothing over `events`.
+
+Three operator families a training-data / product-analytics pipeline runs
+that the engine did not yet express:
+
+- **ordered sequence assembly + pattern classification**
+  (`ev_journey_pattern`): per-user journey strings built with a
+  deterministic ORDER BY inside the aggregate, then classified with regex /
+  substring pattern counters — the portable rendering of
+  MATCH_RECOGNIZE-style row-pattern queries (SQL:2016), which neither Spark
+  nor DuckDB ships.
+- **fixed-horizon exponential smoothing** (`ev_ewma_last8`): EWMA over the
+  trailing 8 events per user with halving integer weights — a lag-chain
+  window, no recursion, integer-exact in both engines.
+- **LOCF time-weighted average** (`ev_twa_daily`): the TimescaleDB-style
+  `time_weight('LOCF')` operator — each observation holds its value until
+  the next one (or the end of the day), and the average weights values by
+  held microseconds.
+
+Reference scope: beyond-reference (the reference's analytics are grouped
+counts/medians over cleaned pin/geo/user tables — SURVEY.md §2.11); these
+extend the event-stream family (`plans/events.py`) the way the funnel /
+retention / Markov queries do.
+
+Oracle discipline: value is carried as exact centi-units
+(`CAST(value AS DECIMAL(18,2)) * 100 → BIGINT`), time as `unix_micros` /
+`epoch_us` BIGINT microseconds, every quotient is a truncating integer
+`div` with a `nullif` guard on BOTH sides, and DuckDB-side SUMs are
+CAST(... AS BIGINT) so no HUGEINT reaches the driver hash (the r7 lesson,
+guarded by test_no_oracle_output_is_hugeint).
+
+100 TB shape: all three queries shuffle ONCE on user_id (journey/EWMA) or
+(user_id, day) — a superset key planned as one user_id exchange — with
+per-user state bounded by that user's own history; the pattern counters,
+weight arithmetic and quotients are scan-local expressions after the
+window/aggregate. No global sort until the final presentation ORDER BY.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..data import load_table
+
+# trailing-horizon EWMA: weight of the event k steps back is 2^(7-k) — the
+# most recent event weighs 128, the 8th-most-recent weighs 1
+EWMA_HORIZON = 8
+
+DAY_US = 86_400_000_000
+
+
+def _v_centi() -> F.Column:
+    """value in exact centi-units (the repo's DECIMAL(18,2) discipline)."""
+    return (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+
+
+def ev_journey_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type journey string (initials, ordered by ts then
+    event_id — a deterministic total order) with pattern classifiers:
+
+    - `journey_md5` pins the exact sequence without shipping long strings;
+    - `n_quick_convert` counts click→purchase adjacencies (the
+      replace-and-measure idiom — no regex engine divergence possible);
+    - `starts_signup` / `has_assisted_convert` are anchored-LIKE and
+      regex classifiers (`c[ve]*p`: a click that converts through views
+      or errors).
+
+    Spark builds the ordered string as
+    array_join(transform(array_sort(collect_list(struct(ts, event_id,
+    ch)))...)) — struct sort order = field order, so the sort key is
+    exactly the oracle's `ORDER BY ts, event_id` inside string_agg.
+
+    Scale: one shuffle on user_id with map-side partial collect_list; the
+    per-user journey is bounded by that user's history (the same bound the
+    funnel/Markov queries already carry); classifiers are scan-local after
+    the aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("ch")
+    )
+    j = base.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "ch"))),
+                lambda x: x["ch"],
+            ),
+            "",
+        ).alias("journey"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        j.select(
+            "user_id",
+            "n_events",
+            F.length("journey").cast("long").alias("journey_len"),
+            F.md5("journey").alias("journey_md5"),
+            F.expr(
+                "(length(journey) - length(replace(journey, 'cp', ''))) div 2"
+            ).alias("n_quick_convert"),
+            F.when(F.col("journey").startswith("s"), 1).otherwise(0).alias(
+                "starts_signup"
+            ),
+            F.when(F.col("journey").rlike("c[ve]*p"), 1).otherwise(0).alias(
+                "has_assisted_convert"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+EV_JOURNEY_SQL = """
+WITH j AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS journey,
+         COUNT(*) AS n_events
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST(length(journey) AS BIGINT) AS journey_len,
+       md5(journey) AS journey_md5,
+       CAST((length(journey) - length(replace(journey, 'cp', ''))) // 2 AS BIGINT)
+         AS n_quick_convert,
+       CASE WHEN journey LIKE 's%' THEN 1 ELSE 0 END AS starts_signup,
+       CASE WHEN regexp_matches(journey, 'c[ve]*p') THEN 1 ELSE 0 END
+         AS has_assisted_convert
+FROM j
+ORDER BY user_id
+"""
+
+
+def ev_ewma_last8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of value at the
+    user's LAST event, over a fixed 8-event trailing horizon with halving
+    integer weights (128, 64, …, 1 from newest to oldest). The fixed
+    horizon makes EWMA a lag-chain — a plain window expression, no
+    recursion — and the power-of-two weights keep it integer-exact, so the
+    oracle replays it bitwise.
+
+    ewma_centi = (Σ_k w_k · v_{t-k}) div (Σ_k w_k over PRESENT lags): a
+    user with fewer than 8 events is averaged over the weights that exist
+    (the standard partial-horizon normalization).
+
+    Scale: both windows (the lag chain and the last-row row_number) are
+    partitioned on user_id — one exchange, two sorts; everything else is
+    scan-local arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("user_id", "ts", "event_id", _v_centi().alias("v"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = base.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "v",
+        *[
+            F.lag("v", k).over(w).alias(f"v{k}")
+            for k in range(1, EWMA_HORIZON)
+        ],
+    )
+    num = sum(
+        (
+            F.coalesce(F.col(f"v{k}") if k else F.col("v"), F.lit(0))
+            * F.lit(1 << (EWMA_HORIZON - 1 - k))
+        )
+        for k in range(EWMA_HORIZON)
+    )
+    den = sum(
+        (
+            F.when(
+                (F.col(f"v{k}") if k else F.col("v")).isNotNull(),
+                F.lit(1 << (EWMA_HORIZON - 1 - k)),
+            ).otherwise(F.lit(0))
+        )
+        for k in range(EWMA_HORIZON)
+    )
+    wn = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        lagged.withColumn("num", num.cast("long"))
+        .withColumn("den", den.cast("long"))
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("v").alias("last_value_centi"),
+            F.expr("num div nullif(den, 0)").alias("ewma_centi"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _ewma_sql() -> str:
+    lags = ",\n         ".join(
+        f"lag(v, {k}) OVER w AS v{k}" for k in range(1, EWMA_HORIZON)
+    )
+    terms = ["v * 128"] + [
+        f"COALESCE(v{k}, 0) * {1 << (EWMA_HORIZON - 1 - k)}"
+        for k in range(1, EWMA_HORIZON)
+    ]
+    wterms = ["128"] + [
+        f"CASE WHEN v{k} IS NOT NULL THEN {1 << (EWMA_HORIZON - 1 - k)} ELSE 0 END"
+        for k in range(1, EWMA_HORIZON)
+    ]
+    return f"""
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM events
+), lagged AS (
+  SELECT user_id, ts, event_id, v,
+         {lags},
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       v AS last_value_centi,
+       CAST(({" + ".join(terms)}) // nullif({" + ".join(wterms)}, 0) AS BIGINT)
+         AS ewma_centi
+FROM lagged
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+EV_EWMA_SQL = _ewma_sql()
+
+
+def ev_twa_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted average per (user, day) — the TimescaleDB
+    `time_weight` operator: each event's value holds from its timestamp
+    until the next event of that user-day (or midnight), and the day's
+    average weights values by microseconds held. Irregularly-sampled
+    telemetry averaged this way is NOT the row mean — a value held for 20
+    hours counts 20 hours, however many rows follow it.
+
+    Integer-exact: time in unix_micros/epoch_us BIGINT, value in
+    centi-units; twa_centi = Σ(v·held_us) div Σ(held_us). The held span of
+    the last event ends at the next UTC midnight, so Σ(held_us) — exposed
+    as span_us — is also the observed-coverage metric (first event →
+    midnight).
+
+    Scale: lead() and the aggregate both key on (user_id, day) — one
+    exchange; sums stay within BIGINT (centi-value < 2^16, day span
+    < 2^37 µs, per-group product sum < 2^53 even at billions of rows per
+    user-day)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.to_date("ts").cast("string").alias("day"),
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        F.unix_micros(F.to_date("ts").cast("timestamp")).alias("day_us"),
+        "event_id",
+        _v_centi().alias("v"),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("t_us", "event_id")
+    held = base.withColumn(
+        "held_us",
+        F.coalesce(F.lead("t_us").over(w), F.col("day_us") + F.lit(DAY_US))
+        - F.col("t_us"),
+    )
+    return (
+        held.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("held_us").alias("span_us"),
+            F.expr("sum(v * held_us) div nullif(sum(held_us), 0)").alias(
+                "twa_centi"
+            ),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+EV_TWA_SQL = """
+WITH base AS (
+  SELECT user_id,
+         CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         epoch_us(ts) AS t_us,
+         epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS day_us,
+         event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM events
+), held AS (
+  SELECT *,
+         COALESCE(lead(t_us) OVER (PARTITION BY user_id, day
+                                   ORDER BY t_us, event_id),
+                  day_us + 86400000000) - t_us AS held_us
+  FROM base
+)
+SELECT user_id, day,
+       COUNT(*) AS n_events,
+       CAST(SUM(held_us) AS BIGINT) AS span_us,
+       CAST(SUM(v * held_us) // nullif(SUM(held_us), 0) AS BIGINT) AS twa_centi
+FROM held
+GROUP BY user_id, day
+ORDER BY user_id, day
+"""
+
+
+QUERIES = {
+    "ev_journey_pattern": ev_journey_pattern,
+    "ev_ewma_last8": ev_ewma_last8,
+    "ev_twa_daily": ev_twa_daily,
+}
+
+ORACLE = {
+    "ev_journey_pattern": EV_JOURNEY_SQL,
+    "ev_ewma_last8": EV_EWMA_SQL,
+    "ev_twa_daily": EV_TWA_SQL,
+}

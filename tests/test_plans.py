@@ -1138,3 +1138,106 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sequences_shuffle_on_user_id(spark, qs):
+    """The three sequence/time-series queries (journey, EWMA, TWA) must key
+    every data exchange on user_id — journey aggregates per user, EWMA's
+    two windows share the user_id partition, and TWA's (user_id, day)
+    window/aggregate key is a user_id-led superset (the first hash key is
+    what co-locates against a user_id-bucketed warehouse layout)."""
+    import re
+
+    for name in ("ev_journey_pattern", "ev_ewma_last8", "ev_twa_daily"):
+        plan = (
+            qs[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+        )
+        parts = re.findall(r"hashpartitioning\(([^,)]+)", plan)
+        keys = {p.split("#")[0] for p in parts}
+        assert keys <= {"user_id"}, (name, sorted(keys))
+
+
+def test_journey_md5_pins_independent_recompute(spark, qs):
+    """journey_md5 must equal the md5 of the journey rebuilt OUTSIDE the
+    aggregate pipeline (plain collect + Python sort on (ts, event_id)) —
+    pins that array_sort(struct(ts, event_id, ch)) realizes exactly the
+    ORDER BY ts, event_id string assembly, including the tie rule."""
+    import hashlib
+
+    from pinterest_data_pipeline218_spark.data import load_table
+
+    rows = (
+        load_table(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    uid = rows[0].user_id
+    seq = sorted(
+        ((r.ts, r.event_id, r.event_type[0]) for r in rows if r.user_id == uid)
+    )
+    expect = hashlib.md5("".join(ch for _, _, ch in seq).encode()).hexdigest()
+    got = (
+        qs["ev_journey_pattern"](spark, SF)
+        .filter(F.col("user_id") == uid)
+        .collect()[0]
+    )
+    assert got.journey_md5 == expect
+    assert got.journey_len == len(seq)
+
+
+def test_ewma_matches_hand_rollup_and_stays_in_range(spark, qs):
+    """EWMA over the trailing 8 events, recomputed by hand from the raw
+    rows for every user: integer weights 128..1 newest-to-oldest,
+    truncating div — and as a weighted average of observed values it must
+    sit inside [min, max] of the user's trailing window."""
+    from decimal import Decimal
+
+    from pinterest_data_pipeline218_spark.data import load_table
+
+    rows = (
+        load_table(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        cents = int(
+            (Decimal(str(r.value)).quantize(Decimal("0.01"))) * 100
+        )
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, cents))
+    expect = {}
+    for uid, seq in by_user.items():
+        tail = [v for _, _, v in sorted(seq)][-8:]
+        num = sum(v * (1 << i) for i, v in enumerate(tail))
+        den = sum((1 << i) for i in range(len(tail)))
+        expect[uid] = (num // den, min(tail), max(tail))
+    got = {r.user_id: r.ewma_centi for r in qs["ev_ewma_last8"](spark, SF).collect()}
+    assert set(got) == set(expect)
+    for uid, (e, lo, hi) in expect.items():
+        assert got[uid] == e, uid
+        assert lo <= got[uid] <= hi, uid
+
+
+def test_twa_span_runs_first_event_to_midnight(spark, qs):
+    """LOCF semantics pinned: per (user, day), span_us must equal (next
+    UTC midnight - first event time) — every microsecond from the first
+    observation to midnight is held by exactly one value — and a
+    single-event day's TWA is exactly that value."""
+    got = qs["ev_twa_daily"](spark, SF)
+    from pinterest_data_pipeline218_spark.data import load_table
+
+    firsts = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id", F.to_date("ts").cast("string").alias("day"))
+        .agg(F.min(F.unix_micros(F.col("ts"))).alias("first_us"))
+        .collect()
+    )
+    first_map = {(r.user_id, r.day): r.first_us for r in firsts}
+    import datetime
+
+    for r in got.collect():
+        day0 = datetime.datetime.strptime(r.day, "%Y-%m-%d").replace(
+            tzinfo=datetime.timezone.utc
+        )
+        midnight_us = int(day0.timestamp() * 1_000_000) + 86_400_000_000
+        assert r.span_us == midnight_us - first_map[(r.user_id, r.day)], r
