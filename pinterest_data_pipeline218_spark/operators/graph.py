@@ -196,6 +196,15 @@ def graph_reachability_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference scope: beyond-reference (the reference has no recursive
     queries); completes the graph family next to fixed-point PageRank
     and min-label CC."""
+    nation, edges = _nation_directed_edges(spark, sf_dir)
+    return spark.sql(_reach_sql("", "{nat}", "{e}"), nat=nation, e=edges)
+
+
+def _nation_directed_edges(spark: SparkSession, sf_dir: str):
+    """(nation_df, edges_df): the DIRECTED supplier-nation → customer-nation
+    trade edge list (distinct, self-loops removed) — the SF-invariant
+    (≤ |nations|²-row) graph whose DERIVATION is the data-scale work: one
+    lineitem⋈orders equi-join on orderkey plus broadcast dim joins."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -216,7 +225,7 @@ def graph_reachability_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    return spark.sql(_reach_sql("", "{nat}", "{e}"), nat=nation, e=edges)
+    return nation, edges
 
 
 GRAPH_REACHABILITY_SQL = _reach_sql(
@@ -237,12 +246,90 @@ e AS (
 )
 
 
+def graph_triangle_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle participation over the UNDIRECTED nation trade
+    graph — the standard graph-density / community-cohesion primitive
+    (clustering-coefficient numerator). Edges are canonicalized with
+    least/greatest so each undirected pair exists once as (a < b); the
+    node-iterator join e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) then enumerates every
+    triangle exactly once as a < b < c (the classic ordered-wedge-closure
+    algorithm: wedges from the two lower vertices, closed by the third
+    edge). Each triangle credits all three corners via a 1→3 explode, and
+    the grouped count ranks nations by how densely clustered their trading
+    neighborhoods are.
+
+    100 TB shape: identical posture to graph_reachability_nations — the
+    data-scale work is the edge DERIVATION (lineitem⋈orders keyed on
+    orderkey + broadcast dims); the graph itself is SF-invariant
+    (≤ 625 directed edges), so the triple self-join runs on a kilobyte
+    relation at any scale. On a data-scale graph the same plan holds:
+    both wedge joins are equi-joins keyed on node ids (shuffle on b, then
+    on (a, c)), and the a < b < c ordering halves each join's input — the
+    standard distributed triangle-count layout.
+
+    Reference scope: beyond-reference (the reference has no graph
+    operators); completes the graph family beside fixed-point PageRank,
+    min-label CC, and recursive-CTE BFS."""
+    _, edges = _nation_directed_edges(spark, sf_dir)
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("nation"))
+        .groupBy("nation")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "nation")
+    )
+
+
+GRAPH_TRIANGLE_SQL = """
+WITH de AS (
+  SELECT DISTINCT sn.n_name AS src, cn.n_name AS dst
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  WHERE sn.n_name <> cn.n_name
+),
+ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM de),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ue e1
+  JOIN ue e2 ON e1.b = e2.a
+  JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT nation, COUNT(*) AS n_triangles
+FROM (
+  SELECT x AS nation FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+GROUP BY nation
+ORDER BY n_triangles DESC, nation
+"""
+
+
 QUERIES = {
     "graph_pagerank_trade": graph_pagerank_trade,
     "graph_reachability_nations": graph_reachability_nations,
+    "graph_triangle_nations": graph_triangle_nations,
 }
 
 ORACLE = {
     "graph_pagerank_trade": GRAPH_PAGERANK_SQL,
     "graph_reachability_nations": GRAPH_REACHABILITY_SQL,
+    "graph_triangle_nations": GRAPH_TRIANGLE_SQL,
 }
