@@ -20,9 +20,11 @@ from pinterest_data_pipeline218_spark.operators import (
     clustering,
     corpus,
     dedup,
+    entity,
     graph,
     layout,
     multimodal,
+    ranking,
     similarity,
     text_analysis,
 )
@@ -46,6 +48,8 @@ _MODULES = (
     events,
     sequences,
     graph,
+    ranking,
+    entity,
     bloom,
     pin_domain,
     text_analysis,

@@ -2918,3 +2918,90 @@ def test_triangle_count_matches_bruteforce_model(spark):
     assert cq == {n: 3 for n in "ABCD"}
     _, sq = tri_counts(square)
     assert sq == {}
+
+
+def test_bm25_matches_integer_model_and_ranks_rare_terms_higher(spark):
+    """bm25_scores must equal a hand-coded Python replay of the integer
+    BM25-lite formula on a tiny corpus, and the rarer term must out-score
+    the common one at equal tf/dl (the idf ordering BM25 exists for)."""
+    from pinterest_data_pipeline218_spark.operators.ranking import bm25_scores
+
+    corpus = [
+        (1, "spark join spark filter"),       # tf(spark)=2, tf(join)=1
+        (2, "join scan table row"),           # tf(join)=1
+        (3, "spark window window agg scan"),  # tf(spark)=1, tf(window)=2
+        (4, "row scan agg table"),            # no hits
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.dl, r.n_hit_terms, r.score_milli)
+        for r in bm25_scores(docs, ("spark", "join", "window")).collect()
+    }
+
+    toks = {d: t.split(" ") for d, t in corpus}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) // n
+    terms = ("spark", "join", "window")
+    df = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+    expect = {}
+    for d, tk in toks.items():
+        hits = [t for t in terms if t in tk]
+        if not hits:
+            continue
+        dl = len(tk)
+        sc = 0
+        for t in hits:
+            tf = tk.count(t)
+            idf = (1000 * (2 * n - 2 * df[t] + 1)) // (2 * df[t] + 1)
+            sc += (idf * 22 * tf * avgdl) // (10 * avgdl * tf + 3 * avgdl + 9 * dl)
+        expect[d] = (dl, len(hits), sc)
+    assert got == expect
+
+    # idf ordering: 'window' (df=1) must out-score 'join' (df=2) at the
+    # same tf and dl — compare the single-term contributions directly
+    one = spark.createDataFrame(
+        [(10, "window pad pad pad"), (11, "join pad pad pad")],
+        "doc_id long, text string",
+    )
+    solo = {
+        r.doc_id: r.score_milli
+        for r in bm25_scores(
+            docs.unionByName(one), ("join", "window")
+        ).collect()
+        if r.doc_id in (10, 11)
+    }
+    assert solo[10] > solo[11]
+
+
+def test_fuzzy_pairs_blocking_and_distance_contract(spark):
+    """Blocked record linkage semantics pinned end to end: an edit BEYOND
+    the block key is caught with the exact Levenshtein distance (checked
+    against an independent DP implementation); an edit INSIDE the first
+    16 chars hides the pair (the documented blocking-recall trade); a
+    same-block pair beyond the distance cap is rejected; cross-language
+    twins never pair."""
+    from pinterest_data_pipeline218_spark.operators.entity import fuzzy_pairs
+
+    base = "key agg row scan slow fast table value part hash merge batch line sort"
+    rows = [
+        (1, "en", base),
+        (2, "en", base.replace("slow fast", "fast slow")),      # 8 edits past char 16
+        (3, "en", "KEY" + base[3:]),                            # edit inside block key
+        (4, "en", "completely different text that shares nothing with the base"),
+        (5, "fr", base),                                        # same text, other lang
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {(r.doc_id_a, r.doc_id_b): r.edit_dist for r in fuzzy_pairs(docs).collect()}
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    d12 = lev(rows[0][2][:96], rows[1][2][:96])
+    assert d12 <= 12
+    assert got == {(1, 2): d12}
