@@ -283,6 +283,19 @@ _TAIL = (
     # test_drift_processor_kernel_matches_batch) is NEW and moves into the
     # window. The one below rotates out in exchange.
     "corpus_cdc_chunk",  # r04-r07 green (four driver rows); the slice/explode chunk reassembly keeps a driver row via in-window corpus_pack_sequences (same machinery + packing) and the boundary rule's edit-stability stays pytest-pinned (test_cdc_chunks_stable_under_prefix_edit); still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r8 sixth rotation: six NEW oracled queries enter the window —
+    # ev_journey_pattern / ev_ewma_last8 / ev_twa_daily (sequence mining +
+    # irregular-time-series smoothing), graph_triangle_nations (ordered
+    # wedge-closure triangle counting), corpus_bm25_search (integer BM25-lite
+    # retrieval), text_fuzzy_pairs (blocked Levenshtein record linkage). The
+    # six below rotate out in exchange; every one is r07-green and
+    # value-redundant with machinery that keeps a driver row.
+    "ev_cube_type_dow",  # r05-r07 green; the grouping-sets family keeps a driver row via in-window ev_groupingsets_type_hour (explicit set lists — the general form CUBE is shorthand for, same Expand+aggregate plan over the same events scan) and subtotal consistency stays pytest-pinned (test_cube_subtotals_consistent); still oracle-checked every round by tools/selfcheck.py over the full registry
+    "ev_kmv_distinct_users",  # r06-r07 green; the value-oracled sketch family keeps driver rows via in-window ev_cm_top_users and ev_hist_value_quantiles (same md5-hash + bounded-state machinery), the KMV bound and exact-mode equality stay pytest-pinned (test_kmv_distinct_bound_and_exact_mode) and the streaming assembly proven (test_incremental_kmv_equals_batch); still oracle-checked every round by tools/selfcheck.py over the full registry
+    "ev_funnel_steps",  # r05-r07 green; the per-user ordered-sequence machinery keeps driver rows via in-window ev_journey_pattern (the general ordered-assembly form) and ev_retention_cohorts, the user_id-shuffle posture stays plan-asserted (test_funnel_and_retention_shuffle_on_user_id, test_bucketed_funnel_has_no_user_id_exchange) and the incremental twin proven (test_incremental_funnel_equals_batch); still oracle-checked every round by tools/selfcheck.py over the full registry
+    "ev_markov_transitions",  # r06-r07 green; the lag-pair sequence-mining machinery keeps driver rows via in-window ev_journey_pattern (ordered per-user sequences) and ev_scd2_band_history (the same lag-over-(user_id, ts) chain), and the carry-chain streaming twin stays proven (test_incremental_markov_equals_batch, test_attach_markov_stream_end_to_end); still oracle-checked every round by tools/selfcheck.py over the full registry
+    "ev_gapfill_hourly",  # r06-r07 green; the LOCF hold-semantics family keeps a driver row via in-window ev_twa_daily (LOCF weighting is the strictly harder use of the same carried-value contract), grid/zero-fill invariants stay pytest-pinned (test_gapfill_contiguous_zero_filled_and_locf) and the derived-bounds streaming assembly proven (test_incremental_gapfill_equals_batch); still oracle-checked every round by tools/selfcheck.py over the full registry
+    "graph_pagerank_trade",  # r06-r07 green; the graph family keeps driver rows via in-window graph_reachability_nations (recursive BFS over the same derived trade edges) and graph_triangle_nations (wedge-closure joins), and the fixed-point recurrence stays pinned against an independent Python model (test_pagerank_matches_python_model_and_trade_invariants); still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

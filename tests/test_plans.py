@@ -593,6 +593,12 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
         "t8_median_balance_by_band", "t9_active_customers_by_year",
         "t10_median_order_total_by_year", "t8_compat_window_median",
         "geo_clean_pipeline",
+        # NEW r8 (this session) — no driver row yet, must be in the window
+        "ev_journey_pattern", "ev_ewma_last8", "ev_twa_daily",
+        "graph_triangle_nations", "corpus_bm25_search", "text_fuzzy_pairs",
+        "ev_scd2_band_history", "ev_groupingsets_type_hour",
+        "corpus_zorder_keys", "graph_reachability_nations",
+        "ev_user_value_drift",
     }
     out = novel - head
     assert out == set(), f"window-priority queries outside the checked window: {out}"
