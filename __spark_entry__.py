@@ -296,6 +296,10 @@ _TAIL = (
     "ev_markov_transitions",  # r06-r07 green; the lag-pair sequence-mining machinery keeps driver rows via in-window ev_journey_pattern (ordered per-user sequences) and ev_scd2_band_history (the same lag-over-(user_id, ts) chain), and the carry-chain streaming twin stays proven (test_incremental_markov_equals_batch, test_attach_markov_stream_end_to_end); still oracle-checked every round by tools/selfcheck.py over the full registry
     "ev_gapfill_hourly",  # r06-r07 green; the LOCF hold-semantics family keeps a driver row via in-window ev_twa_daily (LOCF weighting is the strictly harder use of the same carried-value contract), grid/zero-fill invariants stay pytest-pinned (test_gapfill_contiguous_zero_filled_and_locf) and the derived-bounds streaming assembly proven (test_incremental_gapfill_equals_batch); still oracle-checked every round by tools/selfcheck.py over the full registry
     "graph_pagerank_trade",  # r06-r07 green; the graph family keeps driver rows via in-window graph_reachability_nations (recursive BFS over the same derived trade edges) and graph_triangle_nations (wedge-closure joins), and the fixed-point recurrence stays pinned against an independent Python model (test_pagerank_matches_python_model_and_trade_invariants); still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r8 seventh rotation: ev_extremes_by_type (max_by/min_by argmax
+    # aggregation with a total-order key) is NEW and moves into the window.
+    # The one below rotates out in exchange.
+    "ev_sliding_1h_value",  # r07 green; the RANGE-interval frame's single-user_id-exchange posture stays plan-asserted (test_sliding_range_window_single_user_exchange), and the window-frame family keeps driver rows via in-window ev_scd2_band_history (running-sum ROWS frames) and ev_ewma_last8 (lag-chain frames); still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

@@ -1490,6 +1490,61 @@ ORDER BY g_type, g_hr, event_type, hr
 """
 
 
+def ev_extremes_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregation (`max_by`/`min_by`, SQL:2023) — WHICH row
+    holds the extreme, not just the extreme value: per event type, the
+    event that carried the highest / lowest value. One grouped aggregate —
+    no window, no self-join back to the extreme (the two classic
+    alternatives, both strictly more expensive: a rank window sorts every
+    partition; the self-join rescans).
+
+    Both engines leave max_by ties implementation-defined, so the ordering
+    key is made a TOTAL order: ord = v_centi · 2³² + event_id (exact while
+    event_id < 2³² and v_centi < 2²¹ — both hold at any plausible SF of
+    this schema; a wider schema would switch to a struct key). The arg is
+    the event_id; values are re-derived from the centi-encoded key so the
+    output is integer-exact.
+
+    100 TB shape: map-side combinable grouped aggregate on event_type —
+    the cheapest possible plan for this question."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("v"),
+    ).withColumn("ord", F.expr("v * 4294967296 + event_id"))
+    return (
+        base.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max_by("event_id", "ord").alias("peak_event_id"),
+            F.expr("max(ord) div 4294967296").alias("peak_centi"),
+            F.min_by("event_id", "ord").alias("trough_event_id"),
+            F.expr("min(ord) div 4294967296").alias("trough_centi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_EXTREMES_SQL = """
+WITH base AS (
+  SELECT event_type, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM events
+), k AS (
+  SELECT event_type, event_id, v, v * 4294967296 + event_id AS ord
+  FROM base
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       max_by(event_id, ord) AS peak_event_id,
+       CAST(MAX(ord) // 4294967296 AS BIGINT) AS peak_centi,
+       min_by(event_id, ord) AS trough_event_id,
+       CAST(MIN(ord) // 4294967296 AS BIGINT) AS trough_centi
+FROM k GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "ev_counts_hourly": ev_counts_hourly,
     "ev_stats_by_type": ev_stats_by_type,
@@ -1519,6 +1574,7 @@ QUERIES = {
     "ev_scd2_band_history": ev_scd2_band_history,
     "ev_groupingsets_type_hour": ev_groupingsets_type_hour,
     "ev_user_value_drift": ev_user_value_drift,
+    "ev_extremes_by_type": ev_extremes_by_type,
 }
 
 ORACLE = {
@@ -1550,4 +1606,5 @@ ORACLE = {
     "ev_scd2_band_history": EV_SCD2_SQL,
     "ev_groupingsets_type_hour": EV_GROUPINGSETS_SQL,
     "ev_user_value_drift": EV_USER_DRIFT_SQL,
+    "ev_extremes_by_type": EV_EXTREMES_SQL,
 }

@@ -596,6 +596,7 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
         # NEW r8 (this session) — no driver row yet, must be in the window
         "ev_journey_pattern", "ev_ewma_last8", "ev_twa_daily",
         "graph_triangle_nations", "corpus_bm25_search", "text_fuzzy_pairs",
+        "ev_extremes_by_type",
         "ev_scd2_band_history", "ev_groupingsets_type_hour",
         "corpus_zorder_keys", "graph_reachability_nations",
         "ev_user_value_drift",
@@ -1247,3 +1248,31 @@ def test_twa_span_runs_first_event_to_midnight(spark, qs):
         )
         midnight_us = int(day0.timestamp() * 1_000_000) + 86_400_000_000
         assert r.span_us == midnight_us - first_map[(r.user_id, r.day)], r
+
+
+def test_extremes_argmax_matches_python_model(spark, qs):
+    """max_by/min_by with the total-order key must return exactly the
+    Python-model argmax/argmin under (value, event_id) lexicographic
+    order — including that the returned event_id belongs to the returned
+    extreme value."""
+    from decimal import Decimal
+
+    from pinterest_data_pipeline218_spark.data import load_table
+
+    rows = (
+        load_table(spark, SF, "events")
+        .select("event_type", "event_id", "value")
+        .collect()
+    )
+    by_type = {}
+    for r in rows:
+        cents = int(Decimal(str(r.value)).quantize(Decimal("0.01")) * 100)
+        by_type.setdefault(r.event_type, []).append((cents, r.event_id))
+    got = {r.event_type: r for r in qs["ev_extremes_by_type"](spark, SF).collect()}
+    assert set(got) == set(by_type)
+    for t, vs in by_type.items():
+        peak, trough = max(vs), min(vs)
+        g = got[t]
+        assert (g.peak_centi, g.peak_event_id) == peak
+        assert (g.trough_centi, g.trough_event_id) == trough
+        assert g.n_events == len(vs)
