@@ -55,31 +55,14 @@ def _v_centi() -> F.Column:
     return (F.col("value").cast("decimal(18,2)") * 100).cast("long")
 
 
-def ev_journey_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user event-type journey string (initials, ordered by ts then
-    event_id — a deterministic total order) with pattern classifiers:
-
-    - `journey_md5` pins the exact sequence without shipping long strings;
-    - `n_quick_convert` counts click→purchase adjacencies (the
-      replace-and-measure idiom — no regex engine divergence possible);
-    - `starts_signup` / `has_assisted_convert` are anchored-LIKE and
-      regex classifiers (`c[ve]*p`: a click that converts through views
-      or errors).
-
-    Spark builds the ordered string as
-    array_join(transform(array_sort(collect_list(struct(ts, event_id,
-    ch)))...)) — struct sort order = field order, so the sort key is
-    exactly the oracle's `ORDER BY ts, event_id` inside string_agg.
-
-    Scale: one shuffle on user_id with map-side partial collect_list; the
-    per-user journey is bounded by that user's history (the same bound the
-    funnel/Markov queries already carry); classifiers are scan-local after
-    the aggregate."""
-    ev = load_table(spark, sf_dir, "events")
-    base = ev.select(
-        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("ch")
-    )
-    j = base.groupBy("user_id").agg(
+def journey_strings(base: DataFrame) -> DataFrame:
+    """(user_id, journey, n_events): the ordered event-initial string per
+    user from (user_id, ts, event_id, ch) rows. Struct sort order = field
+    order, so array_sort(struct(ts, event_id, ch)) realizes exactly the
+    oracle's `ORDER BY ts, event_id` inside string_agg. Shared verbatim by
+    the batch query and the streaming carry chain
+    (streaming/pipeline.journey_state_batch)."""
+    return base.groupBy("user_id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("ts", "event_id", "ch"))),
@@ -89,6 +72,12 @@ def ev_journey_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("journey"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def journey_finisher(j: DataFrame) -> DataFrame:
+    """Classifiers over assembled (user_id, journey, n_events) rows —
+    shared verbatim by batch and incremental assembly, so stream == batch
+    holds by construction once the carried strings are equal."""
     return (
         j.select(
             "user_id",
@@ -107,6 +96,28 @@ def ev_journey_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def ev_journey_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type journey string (initials, ordered by ts then
+    event_id — a deterministic total order) with pattern classifiers:
+
+    - `journey_md5` pins the exact sequence without shipping long strings;
+    - `n_quick_convert` counts click→purchase adjacencies (the
+      replace-and-measure idiom — no regex engine divergence possible);
+    - `starts_signup` / `has_assisted_convert` are anchored-LIKE and
+      regex classifiers (`c[ve]*p`: a click that converts through views
+      or errors).
+
+    Scale: one shuffle on user_id with map-side partial collect_list; the
+    per-user journey is bounded by that user's history (the same bound the
+    funnel/Markov queries already carry); classifiers are scan-local after
+    the aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("ch")
+    )
+    return journey_finisher(journey_strings(base))
 
 
 EV_JOURNEY_SQL = """

@@ -865,6 +865,93 @@ def incremental_markov(spark: SparkSession, state_dir: str) -> DataFrame:
     return markov_from_counts(merged)
 
 
+def journey_state_batch(
+    batch_df: DataFrame, state_dir: str, batch_id: int, prev_batch_id=None
+):
+    """Append-only ordered-string carry — a new member of the incremental
+    state taxonomy (beside additive counts, min-k, derived bounds, and the
+    Markov carry pair): per user, the event-initial journey string so far.
+
+    Per batch: assemble the batch's OWN ordered fragment per user with the
+    same `journey_strings` combinator the batch query uses, then append it
+    to the carried string via a full-outer merge (carry-only users keep
+    their string; new users start fresh). Shares the carry chains'
+    contract: micro-batches arrive in event-time order per user (ingestion
+    replay order) and batch ids are sequential (foreachBatch guarantee).
+    Replay-idempotent: carry(b) is a pure function of carry(b-1) and batch
+    b, and per-batch dirs are overwritten in place.
+
+    State size: one row per user, string bounded by that user's own
+    history — identical to the batch collect_list bound; the merge is one
+    full-outer equi-join keyed on user_id."""
+    from ..plans.sequences import journey_strings
+
+    prev = batch_id - 1 if prev_batch_id is None else prev_batch_id
+    base = batch_df.select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("ch")
+    )
+    within = journey_strings(base)
+
+    spark = batch_df.sparkSession
+    prev_path = f"{state_dir}/journey_carry/batch_id={prev}"
+    if os.path.isdir(prev_path):
+        p = spark.read.parquet(prev_path).select(
+            "user_id",
+            F.col("journey").alias("p_journey"),
+            F.col("n_events").alias("p_n"),
+        )
+        carry = p.join(within, "user_id", "full_outer").select(
+            "user_id",
+            F.concat(
+                F.coalesce("p_journey", F.lit("")),
+                F.coalesce("journey", F.lit("")),
+            ).alias("journey"),
+            (
+                F.coalesce("p_n", F.lit(0)) + F.coalesce("n_events", F.lit(0))
+            ).alias("n_events"),
+        )
+    else:
+        carry = within
+    carry.write.mode("overwrite").parquet(
+        f"{state_dir}/journey_carry/batch_id={batch_id}"
+    )
+
+
+def attach_journey_stream(stream_ev: DataFrame, state_dir: str, checkpoint: str):
+    """Run the journey carry over an event stream (foreachBatch — batch
+    ids are sequential per query, the prev = bid - 1 contract)."""
+    return (
+        stream_ev.writeStream.foreachBatch(
+            lambda batch_df, bid: journey_state_batch(batch_df, state_dir, bid)
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def incremental_journey(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Assemble journey classifiers from the LATEST carry generation —
+    then EXACTLY the batch finisher (`journey_finisher`), so stream ==
+    batch holds once the carried strings are equal
+    (`test_incremental_journey_equals_batch`)."""
+    from ..plans.sequences import journey_finisher
+
+    root = f"{state_dir}/journey_carry"
+    if not os.path.isdir(root):
+        return spark.sql(
+            "SELECT CAST(NULL AS BIGINT) user_id, CAST(0 AS BIGINT) n_events, "
+            "CAST(0 AS BIGINT) journey_len, CAST(NULL AS STRING) journey_md5, "
+            "CAST(0 AS BIGINT) n_quick_convert, CAST(0 AS INT) starts_signup, "
+            "CAST(0 AS INT) has_assisted_convert"
+        ).limit(0)
+    latest = max(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(root)
+        if d.startswith("batch_id=")
+    )
+    return journey_finisher(spark.read.parquet(f"{root}/batch_id={latest}"))
+
+
 # --------------------------------------------------------------- maintenance
 def compact_sink_output(
     spark: SparkSession, path: str, target_files: int = 8

@@ -1953,3 +1953,71 @@ def test_native_session_window_on_stream_matches_batch(spark, tmp_path):
     want = {t for t in want if t[0] != 9}
     assert len(want) == 3  # two sessions for user 7, one for user 8
     assert got == want
+
+
+def test_incremental_journey_equals_batch(spark, tmp_path):
+    """Append-only ordered-string carry: the incremental journey must
+    EXACTLY equal the batch journey query over the union of batches —
+    including a user spanning batches, a user skipping a whole batch, an
+    empty batch, and an at-least-once replay of a middle batch (carry(b)
+    is recomputed from carry(b-1), so the chain heals)."""
+    import datetime
+
+    import pyspark.sql.functions as SF_
+
+    from pinterest_data_pipeline218_spark.plans.sequences import (
+        journey_finisher,
+        journey_strings,
+    )
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        incremental_journey,
+        journey_state_batch,
+    )
+
+    def t(minute):
+        return datetime.datetime(2026, 3, 3, 10, minute)
+
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+    batches = [
+        [(1, 1, t(0), "signup"), (1, 2, t(1), "click"), (2, 3, t(0), "view")],
+        [(1, 4, t(2), "view"), (1, 5, t(3), "purchase")],  # c[ve]*p spans batches
+        [],                                                 # empty batch
+        [(2, 6, t(9), "click"), (2, 7, t(10), "purchase")], # user 2 skipped one
+    ]
+    state = str(tmp_path / "state")
+    for bid, rows in enumerate(batches):
+        journey_state_batch(spark.createDataFrame(rows, schema), state, bid)
+    journey_state_batch(spark.createDataFrame(batches[1], schema), state, 1)
+
+    got = incremental_journey(spark, state).collect()
+    union = spark.createDataFrame([r for rows in batches for r in rows], schema)
+    want = journey_finisher(
+        journey_strings(
+            union.select(
+                "user_id", "ts", "event_id",
+                SF_.substring("event_type", 1, 1).alias("ch"),
+            )
+        )
+    ).collect()
+    assert got == want
+    by_user = {r.user_id: r for r in got}
+    # hand-pinned: user 1 = s c v p (assisted convert, no adjacent cp);
+    # user 2 = v c p (quick convert)
+    assert by_user[1].starts_signup == 1
+    assert by_user[1].has_assisted_convert == 1
+    assert by_user[1].n_quick_convert == 0
+    assert by_user[2].n_quick_convert == 1
+    assert by_user[2].starts_signup == 0
+
+
+def test_incremental_journey_before_first_batch_is_empty(spark, tmp_path):
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        incremental_journey,
+    )
+
+    df = incremental_journey(spark, str(tmp_path / "never"))
+    assert df.collect() == []
+    assert df.columns == [
+        "user_id", "n_events", "journey_len", "journey_md5",
+        "n_quick_convert", "starts_signup", "has_assisted_convert",
+    ]
