@@ -300,6 +300,13 @@ _TAIL = (
     # aggregation with a total-order key) is NEW and moves into the window.
     # The one below rotates out in exchange.
     "ev_sliding_1h_value",  # r07 green; the RANGE-interval frame's single-user_id-exchange posture stays plan-asserted (test_sliding_range_window_single_user_exchange), and the window-frame family keeps driver rows via in-window ev_scd2_band_history (running-sum ROWS frames) and ev_ewma_last8 (lag-chain frames); still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r8 eighth rotation: ev_outliers_mad (median-absolute-deviation robust
+    # outlier screen — exact grouped medians with the integer doubling
+    # trick) and ev_rolling_7d_users (trailing 7-day distinct actives via
+    # the explode-to-window sliding-DISTINCT idiom) are NEW and move into
+    # the window. The two below rotate out in exchange.
+    "ev_retention_cohorts",  # r05-r07 green; the distinct-(day,user)-reduction machinery keeps a driver row via in-window ev_rolling_7d_users (the strictly harder sliding distinct over the same reduction), the user_id-shuffle posture stays plan-asserted (test_funnel_and_retention_shuffle_on_user_id) and the additive streaming assembly proven (test_incremental_retention_equals_batch); still oracle-checked every round by tools/selfcheck.py over the full registry
+    "sim_ann_lsh",  # green r01-r07 (seven driver rows); the LSH band-bucket machinery keeps driver rows via in-window dedup_cluster_cc_bounded/dedup_cluster_cc_capped (the same signature/band pair generation) and the exact cosine scoring via in-window sim_radius_search; bucket-recall and materialized-index equality stay pytest-pinned (test_ann_results_subset_of_bruteforce_scores, test_ann_index_probe_is_partition_pruned_and_matches_inline); still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

@@ -1545,6 +1545,128 @@ FROM k GROUP BY event_type ORDER BY event_type
 """
 
 
+def ev_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen: median absolute deviation (MAD), the
+    breakdown-resistant counterpart of ev_value_outliers' mean/sigma
+    screen — one far outlier inflates a sigma threshold and hides its
+    peers ("masking"); it barely moves the median. Per type:
+    n_outliers = |v − median| > 3·MAD.
+
+    Integer-exact doubling trick: the median of BIGINTs is k or k+0.5, so
+    2·median is a BIGINT — med2 = round(2·median(v)) and deviations
+    d = |2v − med2| stay integral; mad4 = round(2·median(d)) is 4·MAD in
+    centi-units, and the flag 2d > 3·mad4 is the pure-integer form of
+    |v − median| > 3·MAD. Exact interpolated median on both engines
+    (F.median ≡ QUANTILE_CONT 0.5 — the t8 idiom).
+
+    Scale: two exact grouped medians (the declared t8 median mode) + one
+    conditional count, all keyed on event_type; the deviation relation is
+    persisted so the MAD pass and the flag pass share one materialization;
+    the 5-row med/mad tables broadcast back."""
+    from pyspark import StorageLevel
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("v"),
+    )
+    med = base.groupBy("event_type").agg(
+        F.round(F.median("v") * 2, 0).cast("long").alias("med2")
+    )
+    dev = (
+        base.join(F.broadcast(med), "event_type")
+        .withColumn("d", F.abs(2 * F.col("v") - F.col("med2")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.median("d") * 2, 0).cast("long").alias("mad4")
+    )
+    out = (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("med2").alias("med2_centi"),
+            F.max("mad4").alias("mad4_centi"),
+            F.count(F.when(2 * F.col("d") > 3 * F.col("mad4"), 1)).alias(
+                "n_outliers"
+            ),
+        )
+        .orderBy("event_type")
+    )
+    return out
+
+
+EV_OUTLIERS_MAD_SQL = """
+WITH base AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM events
+), med AS (
+  SELECT event_type, CAST(ROUND(QUANTILE_CONT(v, 0.5) * 2, 0) AS BIGINT) AS med2
+  FROM base GROUP BY event_type
+), dev AS (
+  SELECT b.event_type, v, med2, abs(2 * v - med2) AS d
+  FROM base b JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, CAST(ROUND(QUANTILE_CONT(d, 0.5) * 2, 0) AS BIGINT) AS mad4
+  FROM dev GROUP BY event_type
+)
+SELECT dev.event_type,
+       COUNT(*) AS n_events,
+       MAX(med2) AS med2_centi,
+       MAX(mad4) AS mad4_centi,
+       CAST(COUNT(CASE WHEN 2 * d > 3 * mad4 THEN 1 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+ORDER BY dev.event_type
+"""
+
+
+def ev_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per observed day — the
+    rolling-DAU/WAU metric. Sliding DISTINCT is the window aggregation
+    window frames cannot do (distinct state is not mergeable across frame
+    slides), so the scalable idiom is EXPLODE-TO-WINDOW: reduce events to
+    the DISTINCT (day, user) relation first, fan each activity day out to
+    the ≤7 window days it contributes to (bounded ×7 on the small
+    relation, not on raw events), and run one grouped count-distinct per
+    target day. The oracle states the same semantics declaratively as a
+    range join (day BETWEEN g.day-6 AND g.day) — the plan Spark would need
+    a bucketized range join for; value-equal by construction.
+
+    Scale: the ×7 fan-out applies AFTER the distinct reduction (per-day
+    actives, orders of magnitude below raw events); the final
+    count-distinct is one two-phase aggregate keyed on window day. Output
+    restricted to observed days (partial leading windows included, the
+    standard trailing-metric convention)."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    grid = du.select("day").distinct()
+    contrib = du.select(
+        F.explode(F.sequence("day", F.date_add("day", 6))).alias("wday"),
+        "user_id",
+    )
+    return (
+        contrib.join(grid, contrib.wday == grid.day)
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .orderBy("day")
+    )
+
+
+EV_ROLLING_7D_SQL = """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+grid AS (SELECT DISTINCT day FROM du)
+SELECT CAST(g.day AS VARCHAR) AS day,
+       COUNT(DISTINCT u.user_id) AS users_7d
+FROM grid g
+JOIN du u ON u.day BETWEEN g.day - 6 AND g.day
+GROUP BY g.day
+ORDER BY day
+"""
+
+
 QUERIES = {
     "ev_counts_hourly": ev_counts_hourly,
     "ev_stats_by_type": ev_stats_by_type,
@@ -1575,6 +1697,8 @@ QUERIES = {
     "ev_groupingsets_type_hour": ev_groupingsets_type_hour,
     "ev_user_value_drift": ev_user_value_drift,
     "ev_extremes_by_type": ev_extremes_by_type,
+    "ev_outliers_mad": ev_outliers_mad,
+    "ev_rolling_7d_users": ev_rolling_7d_users,
 }
 
 ORACLE = {
@@ -1607,4 +1731,6 @@ ORACLE = {
     "ev_groupingsets_type_hour": EV_GROUPINGSETS_SQL,
     "ev_user_value_drift": EV_USER_DRIFT_SQL,
     "ev_extremes_by_type": EV_EXTREMES_SQL,
+    "ev_outliers_mad": EV_OUTLIERS_MAD_SQL,
+    "ev_rolling_7d_users": EV_ROLLING_7D_SQL,
 }

@@ -596,7 +596,7 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
         # NEW r8 (this session) — no driver row yet, must be in the window
         "ev_journey_pattern", "ev_ewma_last8", "ev_twa_daily",
         "graph_triangle_nations", "corpus_bm25_search", "text_fuzzy_pairs",
-        "ev_extremes_by_type",
+        "ev_extremes_by_type", "ev_outliers_mad", "ev_rolling_7d_users",
         "ev_scd2_band_history", "ev_groupingsets_type_hour",
         "corpus_zorder_keys", "graph_reachability_nations",
         "ev_user_value_drift",
@@ -1276,3 +1276,67 @@ def test_extremes_argmax_matches_python_model(spark, qs):
         assert (g.peak_centi, g.peak_event_id) == peak
         assert (g.trough_centi, g.trough_event_id) == trough
         assert g.n_events == len(vs)
+
+
+def test_mad_outliers_match_python_model_and_resist_masking(spark, qs):
+    """MAD screen recomputed by hand (statistics.median over the collected
+    centi values, integer doubling trick) must match per type; and the
+    robustness property MAD exists for must hold on a synthetic series:
+    one huge outlier inflates the sigma threshold enough to mask a second,
+    smaller outlier, while the MAD flag catches both."""
+    import statistics
+    from decimal import Decimal
+
+    from pinterest_data_pipeline218_spark.data import load_table
+
+    rows = (
+        load_table(spark, SF, "events").select("event_type", "value").collect()
+    )
+    by_type = {}
+    for r in rows:
+        cents = int(Decimal(str(r.value)).quantize(Decimal("0.01")) * 100)
+        by_type.setdefault(r.event_type, []).append(cents)
+    got = {r.event_type: r for r in qs["ev_outliers_mad"](spark, SF).collect()}
+    assert set(got) == set(by_type)
+    for t, vs in by_type.items():
+        med2 = round(statistics.median(vs) * 2)
+        devs = [abs(2 * v - med2) for v in vs]
+        mad4 = round(statistics.median(devs) * 2)
+        n_out = sum(1 for d in devs if 2 * d > 3 * mad4)
+        g = got[t]
+        assert (g.med2_centi, g.mad4_centi, g.n_outliers, g.n_events) == (
+            med2, mad4, n_out, len(vs)
+        ), t
+
+    # masking: tight cluster + moderate outlier + extreme outlier
+    series = [100] * 50 + [101] * 50 + [300, 100000]
+    mu = sum(series) / len(series)
+    sd = (sum((x - mu) ** 2 for x in series) / len(series)) ** 0.5
+    sigma_flags = sum(1 for x in series if abs(x - mu) > 3 * sd)
+    med2 = round(statistics.median(series) * 2)
+    mad4 = round(statistics.median([abs(2 * x - med2) for x in series]) * 2)
+    mad_flags = sum(1 for x in series if 2 * abs(2 * x - med2) > 3 * mad4)
+    assert sigma_flags < 2 <= mad_flags  # sigma masks the 300; MAD doesn't
+
+
+def test_rolling_7d_users_matches_set_model(spark, qs):
+    """Trailing 7-day distinct actives recomputed with plain Python set
+    arithmetic over the collected (day, user) pairs — pins both the window
+    semantics (day-6 .. day inclusive) and the observed-days-only output."""
+    import datetime
+
+    from pinterest_data_pipeline218_spark.data import load_table
+
+    pairs = {
+        (r.day, r.user_id)
+        for r in load_table(spark, SF, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .collect()
+    }
+    days = sorted({d for d, _ in pairs})
+    expect = {}
+    for g in days:
+        lo = g - datetime.timedelta(days=6)
+        expect[str(g)] = len({u for d, u in pairs if lo <= d <= g})
+    got = {r.day: r.users_7d for r in qs["ev_rolling_7d_users"](spark, SF).collect()}
+    assert got == expect
