@@ -307,6 +307,11 @@ _TAIL = (
     # the window. The two below rotate out in exchange.
     "ev_retention_cohorts",  # r05-r07 green; the distinct-(day,user)-reduction machinery keeps a driver row via in-window ev_rolling_7d_users (the strictly harder sliding distinct over the same reduction), the user_id-shuffle posture stays plan-asserted (test_funnel_and_retention_shuffle_on_user_id) and the additive streaming assembly proven (test_incremental_retention_equals_batch); still oracle-checked every round by tools/selfcheck.py over the full registry
     "sim_ann_lsh",  # green r01-r07 (seven driver rows); the LSH band-bucket machinery keeps driver rows via in-window dedup_cluster_cc_bounded/dedup_cluster_cc_capped (the same signature/band pair generation) and the exact cosine scoring via in-window sim_radius_search; bucket-recall and materialized-index equality stay pytest-pinned (test_ann_results_subset_of_bruteforce_scores, test_ann_index_probe_is_partition_pruned_and_matches_inline); still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r8 ninth rotation: ev_session_copresence_lift (market-basket
+    # association mining: a-priori pair supports + exact milli-lift over
+    # lag-gap session baskets) is NEW and moves into the window. The one
+    # below rotates out in exchange.
+    "t_unpivot_nation_stats",  # r06-r07 green; UNPIVOT lowers to the same Expand + aggregate plan family that keeps a driver row via in-window ev_groupingsets_type_hour (explicit grouping sets — the general Expand form), and the per-metric reshape stays value-covered by the in-window grouped stat aggregates its oracle re-derives; still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

@@ -311,14 +311,138 @@ ORDER BY user_id, day
 """
 
 
+SESSION_GAP_SECONDS = 1800  # same gap the sessionization family declares
+
+
+def ev_session_copresence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over sessions: for every pair of
+    event types, how much more often do they co-occur in one session than
+    independence predicts — lift(a,b) = P(a,b) / (P(a)·P(b)) with the
+    session as the basket. The support counts are classic a-priori
+    1-itemset / 2-itemset counts; lift is emitted in exact milli-units via
+    the repo's fixed-point discipline.
+
+    Pipeline: lag-gap sessionization (the ev_sessions_per_user machinery)
+    → DISTINCT (user, session, type) triples → pair supports via one
+    self-equi-join on the session key with a < b canonicalization →
+    broadcast 1-itemset counts + the 1-row basket total back onto the
+    |types|² pair table. lift_milli = (1000·n_ab·n_total) div (n_a·n_b),
+    computed in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so the product
+    can't overflow at any basket count; the quotient is BIGINT-exact.
+
+    100 TB shape: the sessionization window and the triple distinct key on
+    user_id (one exchange); the pair join keys on (user, session) —
+    per-session fan-out is |distinct types in session|² ≤ 25, a constant;
+    the count tables that join back are |types| rows and 1 row (broadcast,
+    the asserted-1-row idiom)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("ts") - F.lag("ts").over(w)
+            > F.expr(f"INTERVAL {SESSION_GAP_SECONDS} SECONDS"),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    runs = marked.select(
+        "user_id",
+        "event_type",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("grp"),
+    )
+    triples = runs.select("user_id", "grp", "event_type").distinct()
+    tot = (
+        triples.select("user_id", "grp")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_total"))
+    )
+    nt = triples.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = triples.alias("a"), triples.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.grp") == F.col("b.grp"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = nt.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    nb = nt.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.col("n_total").alias("n_sessions"),
+            F.expr(
+                "CAST((1000 * CAST(n_ab AS DECIMAL(38,0)) * n_total)"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("lift_milli"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+EV_COPRESENCE_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {SESSION_GAP_SECONDS} SECONDS
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), runs AS (
+  SELECT user_id, event_type,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM marked
+), triples AS (SELECT DISTINCT user_id, grp, event_type FROM runs),
+tot AS (SELECT COUNT(*) AS n_total FROM (SELECT DISTINCT user_id, grp FROM triples)),
+nt AS (SELECT event_type, COUNT(*) AS n FROM triples GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+  FROM triples a
+  JOIN triples b ON a.user_id = b.user_id AND a.grp = b.grp
+                AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_ab, na.n AS n_a, nb.n AS n_b, tot.n_total AS n_sessions,
+       CAST((1000 * CAST(n_ab AS HUGEINT) * n_total)
+            // (CAST(na.n AS HUGEINT) * nb.n) AS BIGINT) AS lift_milli
+FROM pairs
+JOIN nt na ON na.event_type = type_a
+JOIN nt nb ON nb.event_type = type_b
+CROSS JOIN tot
+ORDER BY type_a, type_b
+"""
+
+
 QUERIES = {
     "ev_journey_pattern": ev_journey_pattern,
     "ev_ewma_last8": ev_ewma_last8,
     "ev_twa_daily": ev_twa_daily,
+    "ev_session_copresence_lift": ev_session_copresence_lift,
 }
 
 ORACLE = {
     "ev_journey_pattern": EV_JOURNEY_SQL,
     "ev_ewma_last8": EV_EWMA_SQL,
     "ev_twa_daily": EV_TWA_SQL,
+    "ev_session_copresence_lift": EV_COPRESENCE_SQL,
 }

@@ -597,6 +597,7 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
         "ev_journey_pattern", "ev_ewma_last8", "ev_twa_daily",
         "graph_triangle_nations", "corpus_bm25_search", "text_fuzzy_pairs",
         "ev_extremes_by_type", "ev_outliers_mad", "ev_rolling_7d_users",
+        "ev_session_copresence_lift",
         "ev_scd2_band_history", "ev_groupingsets_type_hour",
         "corpus_zorder_keys", "graph_reachability_nations",
         "ev_user_value_drift",
@@ -1339,4 +1340,48 @@ def test_rolling_7d_users_matches_set_model(spark, qs):
         lo = g - datetime.timedelta(days=6)
         expect[str(g)] = len({u for d, u in pairs if lo <= d <= g})
     got = {r.day: r.users_7d for r in qs["ev_rolling_7d_users"](spark, SF).collect()}
+    assert got == expect
+
+
+def test_copresence_lift_matches_set_model(spark, qs):
+    """Association supports and exact milli-lift recomputed with Python
+    set arithmetic over independently re-derived session baskets (30-min
+    lag gap), including the pair canonicalization a < b and the
+    integer-division lift."""
+    from pinterest_data_pipeline218_spark.data import load_table
+
+    rows = (
+        load_table(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    baskets = []
+    for uid, seq in by_user.items():
+        seq.sort()
+        cur = {seq[0][2]}
+        last = seq[0][0]
+        for ts, _, t in seq[1:]:
+            if (ts - last).total_seconds() > 1800:
+                baskets.append(cur)
+                cur = set()
+            cur.add(t)
+            last = ts
+        baskets.append(cur)
+    n_total = len(baskets)
+    types = sorted({t for b in baskets for t in b})
+    n1 = {t: sum(1 for b in baskets if t in b) for t in types}
+    expect = {}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            n_ab = sum(1 for b in baskets if ta in b and tb in b)
+            if n_ab:
+                lift = (1000 * n_ab * n_total) // (n1[ta] * n1[tb])
+                expect[(ta, tb)] = (n_ab, n1[ta], n1[tb], n_total, lift)
+    got = {
+        (r.type_a, r.type_b): (r.n_ab, r.n_a, r.n_b, r.n_sessions, r.lift_milli)
+        for r in qs["ev_session_copresence_lift"](spark, SF).collect()
+    }
     assert got == expect
