@@ -140,6 +140,16 @@ HEADLINE = [
     "ev_user_value_drift",
     "corpus_zorder_keys",
     "graph_reachability_nations",
+    "ev_journey_pattern",
+    "ev_ewma_last8",
+    "ev_twa_daily",
+    "ev_session_copresence_lift",
+    "ev_extremes_by_type",
+    "ev_outliers_mad",
+    "ev_rolling_7d_users",
+    "graph_triangle_nations",
+    "corpus_bm25_search",
+    "text_fuzzy_pairs",
 ]
 
 

@@ -2021,3 +2021,74 @@ def test_incremental_journey_before_first_batch_is_empty(spark, tmp_path):
         "user_id", "n_events", "journey_len", "journey_md5",
         "n_quick_convert", "starts_signup", "has_assisted_convert",
     ]
+
+
+def test_attach_journey_stream_end_to_end(spark, tmp_path):
+    """The journey attach wrapper under Structured Streaming's REAL
+    sequential batch ids: three file-triggered micro-batches whose
+    per-user journeys all SPAN batch boundaries must assemble to exactly
+    the batch journey query over the union."""
+    import datetime
+    import json
+    import os
+    import time
+
+    from pinterest_data_pipeline218_spark.plans.sequences import (
+        journey_finisher,
+        journey_strings,
+    )
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        attach_journey_stream,
+        incremental_journey,
+    )
+
+    def t(minute):
+        return datetime.datetime(2026, 3, 3, 10, minute)
+
+    batches = [
+        [(1, 1, t(0), "signup"), (2, 2, t(0), "view")],
+        [(1, 3, t(1), "click")],
+        [(2, 4, t(2), "click"), (1, 5, t(3), "purchase"), (2, 6, t(4), "purchase")],
+    ]
+    src = tmp_path / "blobs"
+    src.mkdir()
+    base = time.time() - 100
+    for i, rows in enumerate(batches):
+        path = src / f"{i:03d}.jsonl"
+        with open(path, "w") as f:
+            for u, eid, ts, ty in rows:
+                f.write(json.dumps({
+                    "user_id": u, "event_id": eid,
+                    "ts": ts.strftime("%Y-%m-%d %H:%M:%S"), "event_type": ty,
+                }) + "\n")
+        os.utime(path, (base + 10 * i, base + 10 * i))
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id long, event_id long, ts string, event_type string")
+        .option("maxFilesPerTrigger", "1").load(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    state = str(tmp_path / "state")
+    q = attach_journey_stream(stream, state, str(tmp_path / "cp"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = incremental_journey(spark, state).collect()
+    union = spark.createDataFrame(
+        [r for rows in batches for r in rows],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    want = journey_finisher(
+        journey_strings(
+            union.select(
+                "user_id", "ts", "event_id",
+                F.substring("event_type", 1, 1).alias("ch"),
+            )
+        )
+    ).collect()
+    assert got == want
+    by_user = {r.user_id: r for r in got}
+    # user 1 = s c p (signup start, adjacent cp); user 2 = v c p
+    assert by_user[1].starts_signup == 1 and by_user[1].n_quick_convert == 1
+    assert by_user[2].n_quick_convert == 1
