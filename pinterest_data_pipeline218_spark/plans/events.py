@@ -1642,6 +1642,15 @@ def ev_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard trailing-metric convention)."""
     ev = load_table(spark, sf_dir, "events")
     du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    return rolling_7d_from_activity(du)
+
+
+def rolling_7d_from_activity(du: DataFrame) -> DataFrame:
+    """The trailing-7-day distinct count from a DISTINCT (day, user_id)
+    activity set — the combinator both the batch query and the streaming
+    assembly (streaming/pipeline.incremental_rolling_7d) share, so
+    stream == batch holds once the accumulated activity sets are equal
+    (the retention-triangle factoring pattern)."""
     grid = du.select("day").distinct()
     contrib = du.select(
         F.explode(F.sequence("day", F.date_add("day", 6))).alias("wday"),

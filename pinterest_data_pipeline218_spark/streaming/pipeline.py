@@ -865,6 +865,60 @@ def incremental_markov(spark: SparkSession, state_dir: str) -> DataFrame:
     return markov_from_counts(merged)
 
 
+def rolling7d_state_batch(
+    batch_df: DataFrame, state_dir: str, batch_id: int = -1
+) -> None:
+    """One micro-batch's contribution to the incremental trailing-7-day
+    distinct-actives metric: the DISTINCT (day, user_id) activity pairs —
+    the same day-granularity reduction the batch query starts from, and
+    the minimal sound state (a distinct count cannot be maintained from
+    anything less than the distinct set; the reduction bounds state at
+    |days| × |users seen that day|, not raw events). Set-union merges;
+    same batch_id=<bid> overwrite-partition idempotence contract as the
+    retention/funnel states."""
+    du = (
+        batch_df.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    )
+    du.write.mode("overwrite").parquet(
+        f"{state_dir}/rolling_activity/batch_id={batch_id}"
+    )
+
+
+def attach_rolling7d_stream(
+    stream_ev: DataFrame, state_dir: str, checkpoint: str
+):
+    """Run the rolling-actives state over an event stream (foreachBatch —
+    a sliding DISTINCT is not a maintainable streaming aggregate, which
+    is exactly why it decomposes into state + assembly)."""
+    return (
+        stream_ev.writeStream.foreachBatch(
+            lambda batch_df, bid: rolling7d_state_batch(batch_df, state_dir, bid)
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def incremental_rolling_7d(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Assemble the trailing-7-day distinct actives from accumulated
+    activity state: re-distinct the unioned (day, user_id) pairs, then
+    EXACTLY the batch combinator (`rolling_7d_from_activity`) — equality
+    with the batch query over the union of processed batches holds by
+    construction (`test_incremental_rolling7d_equals_batch`)."""
+    from ..plans.events import rolling_7d_from_activity
+
+    if not os.path.isdir(f"{state_dir}/rolling_activity"):
+        return spark.sql(
+            "SELECT CAST(NULL AS STRING) day, CAST(0 AS BIGINT) users_7d"
+        ).limit(0)
+    du = (
+        spark.read.parquet(f"{state_dir}/rolling_activity")
+        .select("day", "user_id")
+        .distinct()
+    )
+    return rolling_7d_from_activity(du)
+
+
 def journey_state_batch(
     batch_df: DataFrame, state_dir: str, batch_id: int, prev_batch_id=None
 ):

@@ -2092,3 +2092,58 @@ def test_attach_journey_stream_end_to_end(spark, tmp_path):
     # user 1 = s c p (signup start, adjacent cp); user 2 = v c p
     assert by_user[1].starts_signup == 1 and by_user[1].n_quick_convert == 1
     assert by_user[2].n_quick_convert == 1
+
+
+def test_incremental_rolling7d_equals_batch(spark, tmp_path):
+    """Incremental trailing-7-day distinct actives must EXACTLY equal the
+    batch combinator over the union of batches — including a user active
+    in several batches on the SAME day (distinct must not double-count),
+    activity landing inside an earlier batch's trailing window, an empty
+    batch, and a replayed batch (overwrite-partition idempotence)."""
+    import datetime
+
+    from pinterest_data_pipeline218_spark.plans.events import (
+        rolling_7d_from_activity,
+    )
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        incremental_rolling_7d,
+        rolling7d_state_batch,
+    )
+
+    def d(day, hour=9):
+        return datetime.datetime(2026, 3, day, hour)
+
+    schema = "user_id long, ts timestamp"
+    batches = [
+        [(1, d(1)), (2, d(1)), (1, d(3))],
+        [(1, d(1, 15)), (3, d(8))],   # same-day repeat of user 1 + day 8
+        [],
+        [(2, d(5)), (4, d(12))],      # lands inside day 8's trailing window
+    ]
+    state = str(tmp_path / "state")
+    for bid, rows in enumerate(batches):
+        rolling7d_state_batch(spark.createDataFrame(rows, schema), state, bid)
+    rolling7d_state_batch(spark.createDataFrame(batches[1], schema), state, 1)
+
+    got = incremental_rolling_7d(spark, state).collect()
+    union = spark.createDataFrame([r for rows in batches for r in rows], schema)
+    want = rolling_7d_from_activity(
+        union.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    ).collect()
+    assert got == want
+    by_day = {r.day: r.users_7d for r in got}
+    # hand-pinned: day 8 window [2..8] sees users 1 (day 3), 2 (day 5), 3
+    # (day 8); day 12 window [6..12] sees 3 and 4
+    assert by_day["2026-03-08"] == 3
+    assert by_day["2026-03-12"] == 2
+    assert by_day["2026-03-01"] == 2
+
+
+def test_incremental_rolling7d_before_first_batch_is_empty(spark, tmp_path):
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        incremental_rolling_7d,
+    )
+
+    df = incremental_rolling_7d(spark, str(tmp_path / "never"))
+    assert df.collect() == []
+    assert df.columns == ["day", "users_7d"]
