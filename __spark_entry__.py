@@ -312,6 +312,11 @@ _TAIL = (
     # lag-gap session baskets) is NEW and moves into the window. The one
     # below rotates out in exchange.
     "t_unpivot_nation_stats",  # r06-r07 green; UNPIVOT lowers to the same Expand + aggregate plan family that keeps a driver row via in-window ev_groupingsets_type_hour (explicit grouping sets — the general Expand form), and the per-metric reshape stays value-covered by the in-window grouped stat aggregates its oracle re-derives; still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r8 tenth rotation: ev_division_all_types (relational DIVISION via the
+    # decorrelated set-containment form: grouped count-distinct vs a 1-row
+    # broadcast divisor) is NEW and moves into the window. The one below
+    # rotates out in exchange.
+    "text_normalize",  # r06-r07 green; a pure case-fold/regexp_replace/whitespace chain whose hand-case semantics stay pytest-pinned (test_text_normalize_hand_cases) and whose regex-expression machinery keeps driver rows via the in-window pin_clean_pipeline (P7/P8 regexp families) and geo_clean_pipeline (P10 parse); still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

@@ -150,6 +150,7 @@ HEADLINE = [
     "graph_triangle_nations",
     "corpus_bm25_search",
     "text_fuzzy_pairs",
+    "ev_division_all_types",
 ]
 
 

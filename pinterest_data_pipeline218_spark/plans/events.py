@@ -1676,6 +1676,46 @@ ORDER BY day
 """
 
 
+def ev_division_all_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION (Codd's ÷, the algebra cell none of the join
+    queries cover): users whose activity covers EVERY event type the
+    table contains. The set-containment rendering — per-user distinct
+    type count equals the global distinct type count — is the standard
+    decorrelated form: the divisor is a 1-row global aggregate broadcast
+    back (the asserted-1-row crossJoin idiom), so division costs exactly
+    one grouped count-distinct plus a scan-local filter. The dual
+    NOT-EXISTS(EXCEPT) phrasing would plan as a quadratic anti-join;
+    this is the shape you want at scale.
+
+    Output keeps the qualifying users' per-type evidence (n_events,
+    n_types) so the gate compares more than membership."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    divisor = ev.agg(F.countDistinct("event_type").alias("n_all"))
+    return (
+        per_user.crossJoin(F.broadcast(divisor))
+        .filter(F.col("n_types") == F.col("n_all"))
+        .select("user_id", "n_types", "n_events")
+        .orderBy("user_id")
+    )
+
+
+EV_DIVISION_SQL = """
+WITH per_user AS (
+  SELECT user_id, COUNT(DISTINCT event_type) AS n_types, COUNT(*) AS n_events
+  FROM events GROUP BY user_id
+),
+divisor AS (SELECT COUNT(DISTINCT event_type) AS n_all FROM events)
+SELECT user_id, n_types, n_events
+FROM per_user CROSS JOIN divisor
+WHERE n_types = n_all
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "ev_counts_hourly": ev_counts_hourly,
     "ev_stats_by_type": ev_stats_by_type,
@@ -1708,6 +1748,7 @@ QUERIES = {
     "ev_extremes_by_type": ev_extremes_by_type,
     "ev_outliers_mad": ev_outliers_mad,
     "ev_rolling_7d_users": ev_rolling_7d_users,
+    "ev_division_all_types": ev_division_all_types,
 }
 
 ORACLE = {
@@ -1742,4 +1783,5 @@ ORACLE = {
     "ev_extremes_by_type": EV_EXTREMES_SQL,
     "ev_outliers_mad": EV_OUTLIERS_MAD_SQL,
     "ev_rolling_7d_users": EV_ROLLING_7D_SQL,
+    "ev_division_all_types": EV_DIVISION_SQL,
 }

@@ -597,7 +597,7 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
         "ev_journey_pattern", "ev_ewma_last8", "ev_twa_daily",
         "graph_triangle_nations", "corpus_bm25_search", "text_fuzzy_pairs",
         "ev_extremes_by_type", "ev_outliers_mad", "ev_rolling_7d_users",
-        "ev_session_copresence_lift",
+        "ev_session_copresence_lift", "ev_division_all_types",
         "ev_scd2_band_history", "ev_groupingsets_type_hour",
         "corpus_zorder_keys", "graph_reachability_nations",
         "ev_user_value_drift",
@@ -1385,3 +1385,52 @@ def test_copresence_lift_matches_set_model(spark, qs):
         for r in qs["ev_session_copresence_lift"](spark, SF).collect()
     }
     assert got == expect
+
+
+def test_relational_division_matches_set_model(spark, qs):
+    """Relational division recomputed with Python set arithmetic: exactly
+    the users whose type set equals the global type set qualify — and at
+    sf0.001 (~7 events/user) that is a PROPER subset, so the filter is
+    exercised, not vacuous."""
+    from pinterest_data_pipeline218_spark.data import load_table
+
+    rows = (
+        load_table(spark, SF, "events").select("user_id", "event_type").collect()
+    )
+    types_by_user, counts = {}, {}
+    all_types = set()
+    for r in rows:
+        types_by_user.setdefault(r.user_id, set()).add(r.event_type)
+        counts[r.user_id] = counts.get(r.user_id, 0) + 1
+        all_types.add(r.event_type)
+    expect = {
+        u: (len(ts), counts[u])
+        for u, ts in types_by_user.items()
+        if ts == all_types
+    }
+    got = {
+        r.user_id: (r.n_types, r.n_events)
+        for r in qs["ev_division_all_types"](spark, SF).collect()
+    }
+    assert got == expect
+    # the filter must BITE on a corpus where coverage is a proper subset:
+    # synthetic events dir where user 2 misses 'error'
+    import datetime
+
+    import tempfile, os as _os
+    rows2 = []
+    eid = 0
+    for u, types in ((1, ["click", "view", "purchase", "signup", "error"]),
+                     (2, ["click", "view", "purchase", "signup"]),
+                     (3, ["click"])):
+        for k, ty in enumerate(types):
+            eid += 1
+            rows2.append((eid, datetime.datetime(2026, 3, 1, 9, k), u, ty, 1.0, "{}"))
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows2,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(_os.path.join(tmp, "events.parquet"))
+    small = {r.user_id: r.n_types for r in qs["ev_division_all_types"](spark, tmp).collect()}
+    assert small == {1: 5}  # users 2 and 3 are filtered out
