@@ -266,6 +266,13 @@ def ev_twa_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         _v_centi().alias("v"),
     )
+    return twa_daily_from(base)
+
+
+def twa_daily_from(base: DataFrame) -> DataFrame:
+    """The TWA core over (user_id, day, t_us, day_us, event_id, v) rows —
+    factored so the hypothesis property suite can drive it on generated
+    series (same-value-subdivision invariance)."""
     w = Window.partitionBy("user_id", "day").orderBy("t_us", "event_id")
     held = base.withColumn(
         "held_us",

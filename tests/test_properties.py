@@ -202,3 +202,92 @@ def test_containment_matches_set_model(spark, docs_tokens):
                 ca, cb = 10000 * inter // len(a), 10000 * inter // len(b)
                 want[(i, j)] = (inter, ca, cb, max(ca, cb) >= CONTAINMENT_MIN_BP)
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=86_399_999_999),  # offset µs in day
+            st.integers(min_value=1, max_value=50_000),          # centi value
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    st.data(),
+)
+def test_twa_invariant_under_same_value_subdivision(spark, series, data):
+    """LOCF semantics, property-checked: inserting an extra observation at
+    any instant inside a held span, carrying exactly the value held there,
+    must not change the day's time-weighted average or its span (it splits
+    one rectangle into two of the same height). Model equality is also
+    asserted against plain-Python integer arithmetic."""
+    from pinterest_data_pipeline218_spark.plans.sequences import (
+        DAY_US,
+        twa_daily_from,
+    )
+
+    day_us = 1_767_225_600_000_000  # 2026-01-01 UTC midnight, exact µs
+    series = sorted(series)
+    # pick an insertion instant strictly inside a held span
+    spans = [
+        (t, (series[i + 1][0] if i + 1 < len(series) else DAY_US))
+        for i, (t, _) in enumerate(series)
+    ]
+    i = data.draw(st.integers(min_value=0, max_value=len(series) - 1))
+    lo, hi = spans[i]
+    if hi - lo < 2:
+        return  # no interior instant exists
+    tx = data.draw(st.integers(min_value=lo + 1, max_value=hi - 1))
+    held_v = series[i][1]
+
+    rows = []
+    for eid, (t, v) in enumerate(series):
+        rows.append((1, "2026-01-01", day_us + t, day_us, eid, v))       # original
+        rows.append((2, "2026-01-01", day_us + t, day_us, eid, v))       # subdivided
+    rows.append((2, "2026-01-01", day_us + tx, day_us, 999, held_v))
+    df = spark.createDataFrame(
+        rows, "user_id long, day string, t_us long, day_us long, event_id long, v long"
+    )
+    got = {r.user_id: (r.span_us, r.twa_centi) for r in twa_daily_from(df).collect()}
+    assert got[1] == got[2]
+
+    # python model for user 1
+    num = den = 0
+    for (t, v), (_, nxt) in zip(series, spans):
+        num += v * (nxt - t)
+        den += nxt - t
+    assert got[1] == (den, num // den)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="cvpse", min_size=0, max_size=40), min_size=1, max_size=10
+    )
+)
+def test_journey_classifiers_match_regex_model(spark, journeys):
+    """The journey classifiers (replace-and-measure cp counter, anchored
+    start, c[ve]*p search) vs plain-Python re on arbitrary initial
+    strings — including overlapping 'cpcp' runs and empty journeys."""
+    import re as _re
+
+    from pinterest_data_pipeline218_spark.plans.sequences import journey_finisher
+
+    rows = [(i, j, len(j)) for i, j in enumerate(journeys)]
+    df = spark.createDataFrame(rows, "user_id long, journey string, n_events long")
+    got = {
+        r.user_id: (
+            r.journey_len, r.n_quick_convert, r.starts_signup, r.has_assisted_convert
+        )
+        for r in journey_finisher(df).collect()
+    }
+    for i, j in enumerate(journeys):
+        want = (
+            len(j),
+            (len(j) - len(j.replace("cp", ""))) // 2,
+            1 if j.startswith("s") else 0,
+            1 if _re.search("c[ve]*p", j) else 0,
+        )
+        assert got[i] == want, (i, j)
