@@ -317,6 +317,11 @@ _TAIL = (
     # broadcast divisor) is NEW and moves into the window. The one below
     # rotates out in exchange.
     "text_normalize",  # r06-r07 green; a pure case-fold/regexp_replace/whitespace chain whose hand-case semantics stay pytest-pinned (test_text_normalize_hand_cases) and whose regex-expression machinery keeps driver rows via the in-window pin_clean_pipeline (P7/P8 regexp families) and geo_clean_pipeline (P10 parse); still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r8 eleventh rotation: tpch_lateral_topk (correlated LATERAL subquery
+    # decorrelated by Catalyst into a WindowGroupLimit rank push-down —
+    # plan-asserted by test_lateral_topk_decorrelates_to_window_group_limit)
+    # is NEW and moves into the window. The one below rotates out in exchange.
+    "corpus_dsir_sample",  # r06-r07 green; the _doc_pct md5-percent importance filter keeps driver rows via in-window corpus_build_full (same hash-rate machinery in its sampling stage) and the target-flag plan shape stays pytest-pinned (test_dsir_target_flag_evaluated_below_explode); still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

@@ -491,6 +491,47 @@ ORDER BY op
 """
 
 
+LATERAL_SQL = """
+SELECT n_name, c_custkey, c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, c_acctbal
+  FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+)
+ORDER BY n_name, c_acctbal DESC, c_custkey
+"""
+
+
+def tpch_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery (SQL:1999 lateral derived table, the
+    CROSS APPLY idiom): for each nation, its top-2 customers by balance —
+    the per-outer-row parameterized subquery surface that plain joins
+    can't express directly. The engine story is the point: Catalyst
+    DECORRELATES the per-nation ORDER BY ... LIMIT 2 into a
+    WindowGroupLimit (rank push-down with a map-side partial top-k before
+    the shuffle) + one broadcast join — not a re-executed subquery per
+    outer row, which is what a naive LATERAL implementation (and the
+    oracle's nested-loop reading) would do. Same text runs on DuckDB.
+
+    100 TB shape: partial WindowGroupLimit bounds every map task's output
+    at k rows per group BEFORE the exchange, so the shuffle carries
+    ~|groups|·k rows, and the outer side is a broadcast dim join."""
+    from .. import data as _data
+
+    nation = _data.load_table(spark, sf_dir, "nation")
+    customer = _data.load_table(spark, sf_dir, "customer")
+    return spark.sql(
+        LATERAL_SQL.replace("FROM nation n", "FROM {n} n").replace(
+            "FROM customer", "FROM {c}"
+        ),
+        n=nation,
+        c=customer,
+    )
+
+
 QUERIES = {
     "tpch_q4_semi_join": tpch_q4_semi_join,
     "tpch_q21_sole_returner": tpch_q21_sole_returner,
@@ -503,6 +544,7 @@ QUERIES = {
     "tpch_full_outer_nation_coverage": tpch_full_outer_nation_coverage,
     "t_unpivot_nation_stats": t_unpivot_nation_stats,
     "set_bag_ops": set_bag_ops,
+    "tpch_lateral_topk": tpch_lateral_topk,
 }
 
 ORACLE = {
@@ -517,4 +559,5 @@ ORACLE = {
     "tpch_full_outer_nation_coverage": FULL_OUTER_SQL,
     "t_unpivot_nation_stats": UNPIVOT_SQL,
     "set_bag_ops": SET_BAG_SQL,
+    "tpch_lateral_topk": LATERAL_SQL,
 }

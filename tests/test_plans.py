@@ -597,7 +597,7 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
         "ev_journey_pattern", "ev_ewma_last8", "ev_twa_daily",
         "graph_triangle_nations", "corpus_bm25_search", "text_fuzzy_pairs",
         "ev_extremes_by_type", "ev_outliers_mad", "ev_rolling_7d_users",
-        "ev_session_copresence_lift", "ev_division_all_types",
+        "ev_session_copresence_lift", "ev_division_all_types", "tpch_lateral_topk",
         "ev_scd2_band_history", "ev_groupingsets_type_hour",
         "corpus_zorder_keys", "graph_reachability_nations",
         "ev_user_value_drift",
@@ -1434,3 +1434,36 @@ def test_relational_division_matches_set_model(spark, qs):
     ).write.mode("overwrite").parquet(_os.path.join(tmp, "events.parquet"))
     small = {r.user_id: r.n_types for r in qs["ev_division_all_types"](spark, tmp).collect()}
     assert small == {1: 5}  # users 2 and 3 are filtered out
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark, qs):
+    """The LATERAL docstring's engine claim, plan-asserted: the correlated
+    ORDER BY ... LIMIT 2 must decorrelate into WindowGroupLimit (the
+    map-side partial top-k) + a broadcast join — no nested-loop
+    re-execution per outer row, no CartesianProduct. And the rows must
+    equal the window-rank formulation exactly."""
+    from pinterest_data_pipeline218_spark.data import load_table
+
+    df = qs["tpch_lateral_topk"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    import pyspark.sql.functions as SF_
+    from pyspark.sql import Window as W_
+
+    c = load_table(spark, SF, "customer")
+    n = load_table(spark, SF, "nation")
+    w = W_.partitionBy("c_nationkey").orderBy(
+        SF_.col("c_acctbal").desc(), "c_custkey"
+    )
+    want = (
+        c.withColumn("rn", SF_.row_number().over(w))
+        .filter(SF_.col("rn") <= 2)
+        .join(SF_.broadcast(n), SF_.col("c_nationkey") == SF_.col("n_nationkey"))
+        .select("n_name", "c_custkey", "c_acctbal")
+        .orderBy("n_name", SF_.col("c_acctbal").desc(), "c_custkey")
+        .collect()
+    )
+    assert df.collect() == want
