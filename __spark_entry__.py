@@ -322,6 +322,10 @@ _TAIL = (
     # plan-asserted by test_lateral_topk_decorrelates_to_window_group_limit)
     # is NEW and moves into the window. The one below rotates out in exchange.
     "corpus_dsir_sample",  # r06-r07 green; the _doc_pct md5-percent importance filter keeps driver rows via in-window corpus_build_full (same hash-rate machinery in its sampling stage) and the target-flag plan shape stays pytest-pinned (test_dsir_target_flag_evaluated_below_explode); still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r8 twelfth rotation: ev_locf_fill (last_value IGNORE NULLS — the
+    # SQL:2011 null-treatment window surface, per-row LOCF) is NEW and
+    # moves into the window. The one below rotates out in exchange.
+    "tpch_full_outer_nation_coverage",  # r06-r07 green; both null directions stay pytest-pinned (test_full_outer_exercises_both_null_directions, test_outer_join_keeps_zero_order_customers) and the outer-join machinery keeps driver rows via in-window corpus_build_full (left/anti triage joins); still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

@@ -1716,6 +1716,74 @@ ORDER BY user_id
 """
 
 
+def ev_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF fill via `last_value(... IGNORE NULLS)` — the windowed
+    null-skipping surface (SQL:2011 NULL treatment clause) the engine had
+    not yet exercised: only click events carry the sensor reading (the
+    props field), and every other event inherits the user's most recent
+    observed reading. This is the per-ROW LOCF idiom — the dual of
+    ev_gapfill_hourly's per-GRID-slot carry — and it is one window
+    expression, no grid explode, no self-join.
+
+    Rollup per event type: rows, genuinely observed readings, rows whose
+    reading was FILLED by the carry (null observation, non-null fill),
+    and the exact sum of the filled series (readings are small integers —
+    exact in BIGINT, CAST guarded in the oracle).
+
+    100 TB shape: one window partitioned by user_id (running frame, no
+    global sort) + one map-side-combinable grouped rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    k_obs = F.when(
+        F.col("event_type") == "click",
+        F.from_json("props", "k bigint").getField("k"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = ev.withColumn("k_obs", k_obs).withColumn(
+        "k_fill", F.last("k_obs", ignorenulls=True).over(w)
+    )
+    return (
+        filled.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("k_obs").alias("n_observed"),
+            F.count(
+                F.when(F.col("k_obs").isNull() & F.col("k_fill").isNotNull(), 1)
+            ).alias("n_filled"),
+            F.sum("k_fill").alias("sum_filled"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_LOCF_SQL = """
+WITH base AS (
+  SELECT event_type, user_id, ts, event_id,
+         CASE WHEN event_type = 'click'
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS k_obs
+  FROM events
+), filled AS (
+  SELECT *, last_value(k_obs IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k_fill
+  FROM base
+)
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       COUNT(k_obs) AS n_observed,
+       CAST(COUNT(CASE WHEN k_obs IS NULL AND k_fill IS NOT NULL THEN 1 END)
+            AS BIGINT) AS n_filled,
+       CAST(SUM(k_fill) AS BIGINT) AS sum_filled
+FROM filled
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "ev_counts_hourly": ev_counts_hourly,
     "ev_stats_by_type": ev_stats_by_type,
@@ -1749,6 +1817,7 @@ QUERIES = {
     "ev_outliers_mad": ev_outliers_mad,
     "ev_rolling_7d_users": ev_rolling_7d_users,
     "ev_division_all_types": ev_division_all_types,
+    "ev_locf_fill": ev_locf_fill,
 }
 
 ORACLE = {
@@ -1784,4 +1853,5 @@ ORACLE = {
     "ev_outliers_mad": EV_OUTLIERS_MAD_SQL,
     "ev_rolling_7d_users": EV_ROLLING_7D_SQL,
     "ev_division_all_types": EV_DIVISION_SQL,
+    "ev_locf_fill": EV_LOCF_SQL,
 }

@@ -598,6 +598,7 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
         "graph_triangle_nations", "corpus_bm25_search", "text_fuzzy_pairs",
         "ev_extremes_by_type", "ev_outliers_mad", "ev_rolling_7d_users",
         "ev_session_copresence_lift", "ev_division_all_types", "tpch_lateral_topk",
+        "ev_locf_fill",
         "ev_scd2_band_history", "ev_groupingsets_type_hour",
         "corpus_zorder_keys", "graph_reachability_nations",
         "ev_user_value_drift",
@@ -1467,3 +1468,50 @@ def test_lateral_topk_decorrelates_to_window_group_limit(spark, qs):
         .collect()
     )
     assert df.collect() == want
+
+
+def test_locf_fill_matches_python_model(spark, qs):
+    """last_value(IGNORE NULLS) LOCF recomputed by hand: replay every
+    user's ordered stream carrying the latest click reading forward, and
+    compare all four rollup cells per type — including that rows BEFORE a
+    user's first click stay unfilled."""
+    import json as _json
+
+    from pinterest_data_pipeline218_spark.data import load_table
+
+    rows = (
+        load_table(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "event_type", "props")
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    agg = {}
+    for seq in by_user.values():
+        carry = None
+        for r in sorted(seq, key=lambda x: (x.ts, x.event_id)):
+            obs = None
+            if r.event_type == "click":
+                try:
+                    obs = int(_json.loads(r.props)["k"])
+                except Exception:
+                    obs = None
+            if obs is not None:
+                carry = obs
+            a = agg.setdefault(r.event_type, [0, 0, 0, 0])
+            a[0] += 1
+            if obs is not None:
+                a[1] += 1
+            if obs is None and carry is not None:
+                a[2] += 1
+            if carry is not None:
+                a[3] += carry
+    got = {
+        r.event_type: [r.n_rows, r.n_observed, r.n_filled, r.sum_filled]
+        for r in qs["ev_locf_fill"](spark, SF).collect()
+    }
+    assert got == agg
+    # the fill must genuinely bite AND leave pre-first-click rows null
+    assert any(a[2] > 0 for a in agg.values())
+    assert sum(a[0] for a in agg.values()) > sum(a[1] + a[2] for a in agg.values())
