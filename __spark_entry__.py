@@ -326,6 +326,10 @@ _TAIL = (
     # SQL:2011 null-treatment window surface, per-row LOCF) is NEW and
     # moves into the window. The one below rotates out in exchange.
     "tpch_full_outer_nation_coverage",  # r06-r07 green; both null directions stay pytest-pinned (test_full_outer_exercises_both_null_directions, test_outer_join_keeps_zero_order_customers) and the outer-join machinery keeps driver rows via in-window corpus_build_full (left/anti triage joins); still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r8 thirteenth rotation: ev_session_window_native (the engine-native
+    # F.session_window aggregate under the value gate, >= boundary stated)
+    # is NEW and moves into the window. The one below rotates out in exchange.
+    "text_bpe_tokens",  # r06-r07 green; the trained-merges replay stays pinned against a Python reference incl. the fertility-reduction property (test_bpe_merges_match_python_reference_and_reduce_fertility), and the trained-text-model family keeps driver rows via in-window text_langid_trained, text_lm_backoff and text_classifier_eval; still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

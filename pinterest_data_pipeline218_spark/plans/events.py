@@ -1716,6 +1716,64 @@ ORDER BY user_id
 """
 
 
+def ev_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE `F.session_window` aggregate under the value gate — the
+    operator Structured Streaming uses for event-time sessions, here in
+    its batch rendering: per user, session count, total events, and the
+    largest session's event count. ev_sessions_per_user proves the
+    lag-gap formulation; this query gates the engine-native one (their
+    agreement is pytest-pinned in
+    test_native_session_window_agrees_with_lag_sessionization).
+
+    Boundary semantics, stated exactly: session_window extends a session
+    to ts + gap and a new session starts when the next event lands AT or
+    AFTER that end — so the oracle's lag test is `>= gap` (the lag-gap
+    query ev_sessions_per_user uses the `>` convention; the two differ
+    only on microsecond-exact gap collisions, absent by measure in
+    continuous timestamps).
+
+    100 TB shape: session_window is one aggregate keyed on (user_id,
+    merged window) — Catalyst plans a user_id exchange + sort + merging
+    session aggregation, the same single-exchange posture as the window
+    formulation, and the same operator runs unchanged on a stream with a
+    watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        F.session_window("ts", f"{SESSION_GAP_SECONDS} seconds"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n").alias("n_events"),
+            F.max("n").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EV_SESSION_NATIVE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL {SESSION_GAP_SECONDS} SECONDS
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), runs AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM flagged
+), sess AS (
+  SELECT user_id, grp, COUNT(*) AS n FROM runs GROUP BY user_id, grp
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       MAX(n) AS max_session_events
+FROM sess GROUP BY user_id ORDER BY user_id
+"""
+
+
 def ev_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOCF fill via `last_value(... IGNORE NULLS)` — the windowed
     null-skipping surface (SQL:2011 NULL treatment clause) the engine had
@@ -1818,6 +1876,7 @@ QUERIES = {
     "ev_rolling_7d_users": ev_rolling_7d_users,
     "ev_division_all_types": ev_division_all_types,
     "ev_locf_fill": ev_locf_fill,
+    "ev_session_window_native": ev_session_window_native,
 }
 
 ORACLE = {
@@ -1854,4 +1913,5 @@ ORACLE = {
     "ev_rolling_7d_users": EV_ROLLING_7D_SQL,
     "ev_division_all_types": EV_DIVISION_SQL,
     "ev_locf_fill": EV_LOCF_SQL,
+    "ev_session_window_native": EV_SESSION_NATIVE_SQL,
 }

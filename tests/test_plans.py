@@ -598,7 +598,7 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
         "graph_triangle_nations", "corpus_bm25_search", "text_fuzzy_pairs",
         "ev_extremes_by_type", "ev_outliers_mad", "ev_rolling_7d_users",
         "ev_session_copresence_lift", "ev_division_all_types", "tpch_lateral_topk",
-        "ev_locf_fill",
+        "ev_locf_fill", "ev_session_window_native",
         "ev_scd2_band_history", "ev_groupingsets_type_hour",
         "corpus_zorder_keys", "graph_reachability_nations",
         "ev_user_value_drift",
