@@ -151,6 +151,9 @@ HEADLINE = [
     "corpus_bm25_search",
     "text_fuzzy_pairs",
     "ev_division_all_types",
+    "tpch_lateral_topk",
+    "ev_locf_fill",
+    "ev_session_window_native",
 ]
 
 
