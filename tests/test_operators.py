@@ -2803,6 +2803,45 @@ def test_capped_cc_matches_exact_below_cap_and_bounds_giant_clusters(spark):
     assert giant_labels == {0}  # one cluster, labeled by its min doc_id
 
 
+def test_composed_cap_preserves_exact_pairs_at_gate_scale(spark):
+    """VERDICT r8 #1: the composed consumers (dedup_cluster_best,
+    build_training_corpus's near-dup stage) now run on
+    capped_verified_pairs at CC_COMPOSED_EDGE_CAP=512. The cap is chosen
+    above the max band-bucket size of the correctness-gate SFs, so at gate
+    scale the capped stream must be IDENTICAL to the exact LSH pair stream
+    — i.e. the rewire provably changed nothing at the oracle gate while
+    bounding the edge stream linearly at 100 TB."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.operators.dedup import (
+        CC_COMPOSED_EDGE_CAP,
+        CC_JACCARD_THRESHOLD,
+        _band_table,
+        _lsh_verified_pairs,
+        capped_verified_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    max_bucket = (
+        _band_table(docs)
+        .groupBy("band_idx", "band_key")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert max_bucket <= CC_COMPOSED_EDGE_CAP  # the provable-equality regime
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in _lsh_verified_pairs(spark, SF, CC_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in capped_verified_pairs(spark, SF, CC_JACCARD_THRESHOLD).collect()
+    }
+    assert capped == exact
+
+
 def test_zorder_layout_prunes_files_against_natural_order(spark, tmp_path):
     """Z-order layout (operators/layout.py) must deliver its 100 TB
     promise in miniature: under a predicate box on the NON-layout
