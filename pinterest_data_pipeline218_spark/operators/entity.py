@@ -14,49 +14,96 @@ Christen, public):
    independent of document length;
 3. **decide**: keep pairs with distance ≤ {FUZZY_MAX_DIST}.
 
+**Hot-block defense (VERDICT r8 #2).** A skewed corpus (common boilerplate
+openings, one dominant language) can concentrate records into one block
+and turn the within-block |B|² candidate join quadratic — the sf1 decade
+run measured ~1170× candidate growth from exactly this. Blocks larger
+than {FUZZY_HOT_BLOCK} therefore RE-KEY on a longer prefix
+({FUZZY_LONG_CHARS} chars), and blocks still hot at that length re-key on
+the full compare prefix ({FUZZY_PREFIX_CHARS} chars). At the final level
+co-blocked records are equal over the entire compared prefix, so every
+candidate is an edit-distance-0 match: the remaining quadratic is the
+OUTPUT listing itself, not wasted comparisons. The escalation is a plain
+windowed count + CASE over the scan, identical in both engines, so the
+operator stays oracle-exact.
+
 Recall is the block key's recall (an edit inside the first
 {FUZZY_BLOCK_CHARS} characters hides the pair) — the standard trade;
-multi-pass blocking on other keys is the standard fix and composes as a
-UNION of the same plan shape.
+lengthening only engages on hot blocks, where it additionally hides pairs
+whose edit falls between chars {FUZZY_BLOCK_CHARS}+1..{FUZZY_LONG_CHARS}.
+Multi-pass blocking on other keys is the standard fix for recall and
+composes as a UNION of the same plan shape.
 
 Reference scope: beyond-reference; extends the dedup/linkage family.
 
-100 TB shape: one shuffle on the (lang, block) key; per-bucket work is
-|bucket|² × prefix² with buckets kept tiny by the 16-char key (measured:
-the dev corpus's largest bucket is single-digit). Both engines ship the
-same character-level Levenshtein (the corpus is ASCII; for non-ASCII the
-prefix would be normalized first), so the oracle replays the distance
-bitwise.
+100 TB shape: one shuffle on the final (lang, block-key); the two
+escalation counts are partitioned windows over the same keys (map-side
+combinable sizes, never global). Per-bucket candidate work is bounded by
+{FUZZY_HOT_BLOCK}² except at the final level, where candidates == matched
+pairs by construction. Both engines ship the same character-level
+Levenshtein (the corpus is ASCII; for non-ASCII the prefix would be
+normalized first), so the oracle replays the distance bitwise.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..data import load_table
 
 FUZZY_BLOCK_CHARS = 16
 FUZZY_PREFIX_CHARS = 96
 FUZZY_MAX_DIST = 12
+FUZZY_HOT_BLOCK = 32  # blocks above this size escalate to a longer key
+FUZZY_LONG_CHARS = 48  # first escalation; second is the full compare prefix
 
 
-def fuzzy_pairs(docs: DataFrame) -> DataFrame:
-    """(doc_id_a, doc_id_b, lang, edit_dist): blocked Levenshtein
-    candidate pairs with a < b canonical ordering. `docs` needs
-    (doc_id, lang, text)."""
+def _blocked(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, bkey, pfx): records with their adaptive block key.
+
+    bkey starts as the {FUZZY_BLOCK_CHARS}-char prefix; a windowed count
+    per (lang, key) escalates keys of hot blocks to {FUZZY_LONG_CHARS}
+    chars, then to the full compare prefix. Level tags ('S:'/'L:'/'F:')
+    keep the three keyspaces disjoint so a short key can never collide
+    with a long one."""
+    w_blk = Window.partitionBy("lang", "blk")
     d = docs.select(
         "doc_id",
         "lang",
         F.substring("text", 1, FUZZY_BLOCK_CHARS).alias("blk"),
         F.substring("text", 1, FUZZY_PREFIX_CHARS).alias("pfx"),
     )
+    d = d.withColumn(
+        "k1",
+        F.when(
+            F.count(F.lit(1)).over(w_blk) > FUZZY_HOT_BLOCK,
+            F.concat(F.lit("L:"), F.substring("pfx", 1, FUZZY_LONG_CHARS)),
+        ).otherwise(F.concat(F.lit("S:"), F.col("blk"))),
+    )
+    w_k1 = Window.partitionBy("lang", "k1")
+    return d.withColumn(
+        "bkey",
+        F.when(
+            (F.count(F.lit(1)).over(w_k1) > FUZZY_HOT_BLOCK)
+            & F.col("k1").startswith("L:"),
+            F.concat(F.lit("F:"), F.col("pfx")),
+        ).otherwise(F.col("k1")),
+    ).select("doc_id", "lang", "bkey", "pfx")
+
+
+def fuzzy_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_id_a, doc_id_b, lang, edit_dist): blocked Levenshtein
+    candidate pairs with a < b canonical ordering and the adaptive
+    hot-block key (see module docstring). `docs` needs
+    (doc_id, lang, text)."""
+    d = _blocked(docs)
     a, b = d.alias("a"), d.alias("b")
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -78,16 +125,29 @@ def text_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TEXT_FUZZY_SQL = f"""
-WITH d AS (
+WITH d0 AS (
   SELECT doc_id, lang,
          substr(text, 1, {FUZZY_BLOCK_CHARS}) AS blk,
          substr(text, 1, {FUZZY_PREFIX_CHARS}) AS pfx
   FROM documents
+), d1 AS (
+  SELECT doc_id, lang, pfx,
+         CASE WHEN COUNT(*) OVER (PARTITION BY lang, blk) > {FUZZY_HOT_BLOCK}
+              THEN 'L:' || substr(pfx, 1, {FUZZY_LONG_CHARS})
+              ELSE 'S:' || blk END AS k1
+  FROM d0
+), d AS (
+  SELECT doc_id, lang, pfx,
+         CASE WHEN COUNT(*) OVER (PARTITION BY lang, k1) > {FUZZY_HOT_BLOCK}
+                   AND k1 LIKE 'L:%'
+              THEN 'F:' || pfx
+              ELSE k1 END AS bkey
+  FROM d1
 )
 SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.lang AS lang,
        CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
 FROM d a
-JOIN d b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+JOIN d b ON a.lang = b.lang AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 WHERE levenshtein(a.pfx, b.pfx) <= {FUZZY_MAX_DIST}
 ORDER BY doc_id_a, doc_id_b
 """

@@ -3044,3 +3044,86 @@ def test_fuzzy_pairs_blocking_and_distance_contract(spark):
     d12 = lev(rows[0][2][:96], rows[1][2][:96])
     assert d12 <= 12
     assert got == {(1, 2): d12}
+
+
+def test_fuzzy_pairs_hot_block_bounded_with_unchanged_matches(spark):
+    """VERDICT r8 #2: a planted hot block (many records sharing the
+    16-char block key, splitting into subgroups at char ~20) must
+    (a) escalate to the longer key, bounding the candidate join to
+    within-subgroup pairs instead of |B|²; (b) emit EXACTLY the same
+    matched pairs the naive single-key blocking finds — the subgroups
+    differ by far more than FUZZY_MAX_DIST, so no true match crosses the
+    lengthened key; and (c) at the final escalation level (identical
+    full prefixes) every candidate is a distance-0 match, i.e. the
+    residual quadratic is the output listing itself."""
+    from pinterest_data_pipeline218_spark.operators.entity import (
+        FUZZY_BLOCK_CHARS,
+        FUZZY_HOT_BLOCK,
+        FUZZY_MAX_DIST,
+        _blocked,
+        fuzzy_pairs,
+    )
+
+    shared = "common boilerplate"[:FUZZY_BLOCK_CHARS].ljust(FUZZY_BLOCK_CHARS, "x")
+    assert len(shared) == FUZZY_BLOCK_CHARS
+    n_sub, per_sub = 5, 16  # 80 docs in one 16-char block (hot: > 32)
+    rows = []
+    for s in range(n_sub):
+        # subgroups diverge right after the block key by >> FUZZY_MAX_DIST
+        body = f" subgroup {'QWERTYUIOPASDFGH'[s] * 30} tail {s}"
+        for i in range(per_sub):
+            # within a subgroup: tiny edit (digit swap) => true matches
+            rows.append((s * 100 + i, "en", shared + body + f" v{i % 3}"))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    # (a) candidates bounded: every adaptive block is the subgroup, not
+    # the planted hot block
+    sizes = [
+        r["count"]
+        for r in _blocked(docs).groupBy("bkey").count().collect()
+    ]
+    assert max(sizes) == per_sub <= FUZZY_HOT_BLOCK
+    bounded_cands = sum(n * (n - 1) // 2 for n in sizes)
+    naive_cands = len(rows) * (len(rows) - 1) // 2
+    assert bounded_cands * 4 < naive_cands  # 1200 vs 3160
+
+    # (b) matched pairs identical to the naive single-key blocking
+    naive = docs.select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, FUZZY_BLOCK_CHARS).alias("bkey"),
+        F.substring("text", 1, 96).alias("pfx"),
+    )
+    a, b = naive.alias("a"), naive.alias("b")
+    naive_pairs = {
+        (r.doc_id_a, r.doc_id_b, r.edit_dist)
+        for r in a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.levenshtein("a.pfx", "b.pfx").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+        .collect()
+    }
+    got = {
+        (r.doc_id_a, r.doc_id_b, r.edit_dist)
+        for r in fuzzy_pairs(docs).collect()
+    }
+    assert got == naive_pairs and got  # same matches, and some exist
+
+    # (c) a block hot even at the long key (identical 96-char prefixes)
+    # escalates to the full-prefix level where candidates == matches
+    clones = spark.createDataFrame(
+        [(i, "en", "z" * 200) for i in range(FUZZY_HOT_BLOCK + 8)],
+        "doc_id long, lang string, text string",
+    )
+    keys = {r.bkey[:2] for r in _blocked(clones).collect()}
+    assert keys == {"F:"}
+    n = FUZZY_HOT_BLOCK + 8
+    assert fuzzy_pairs(clones).filter(F.col("edit_dist") == 0).count() == n * (n - 1) // 2
