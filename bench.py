@@ -206,6 +206,12 @@ def main() -> None:
             errors += 1
             results[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
             print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
+        finally:
+            # cache hygiene BETWEEN queries (never between reps, so a
+            # query's own persist still serves its warm runs): queries that
+            # persist planning state (q15's rev, ev_outliers_mad's dev)
+            # must not leave MEMORY_AND_DISK blocks that skew later rows
+            spark.catalog.clearCache()
 
     total = round(sum(v for v in results.values() if isinstance(v, float)), 4)
     out = {

@@ -42,6 +42,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..data import load_table
+from .events import SESSION_GAP_SECONDS
 
 # trailing-horizon EWMA: weight of the event k steps back is 2^(7-k) — the
 # most recent event weighs 128, the 8th-most-recent weighs 1
@@ -206,11 +207,13 @@ def _ewma_sql() -> str:
     lags = ",\n         ".join(
         f"lag(v, {k}) OVER w AS v{k}" for k in range(1, EWMA_HORIZON)
     )
-    terms = ["v * 128"] + [
+    # k=0 guards mirror the Spark side exactly: a NULL events.value at the
+    # last event must contribute 0/0-weight in BOTH engines (ADVICE r8)
+    terms = ["COALESCE(v, 0) * 128"] + [
         f"COALESCE(v{k}, 0) * {1 << (EWMA_HORIZON - 1 - k)}"
         for k in range(1, EWMA_HORIZON)
     ]
-    wterms = ["128"] + [
+    wterms = ["CASE WHEN v IS NOT NULL THEN 128 ELSE 0 END"] + [
         f"CASE WHEN v{k} IS NOT NULL THEN {1 << (EWMA_HORIZON - 1 - k)} ELSE 0 END"
         for k in range(1, EWMA_HORIZON)
     ]
@@ -318,7 +321,9 @@ ORDER BY user_id, day
 """
 
 
-SESSION_GAP_SECONDS = 1800  # same gap the sessionization family declares
+# SESSION_GAP_SECONDS is imported from .events (module header) — the same
+# gap the sessionization family declares, so the copresence baskets can
+# never desynchronize from it.
 
 
 def ev_session_copresence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -48,11 +48,28 @@ def top_from_bench(n: int) -> list[str]:
 
 
 def _walk(jnode):
-    """Depth-first walk of a Catalyst tree via py4j."""
+    """Depth-first walk of a Catalyst tree via py4j, INCLUDING subquery
+    plans (scalar/IN/EXISTS subqueries carry their own joins and windows —
+    string-walking the main tree alone missed them, ADVICE r8)."""
     yield jnode
     children = jnode.children()
     for i in range(children.size()):
         yield from _walk(children.apply(i))
+    try:
+        subs = jnode.subqueries()
+        for i in range(subs.size()):
+            yield from _walk(subs.apply(i))
+    except Exception:  # noqa: BLE001 — physical wrappers without subqueries()
+        pass
+
+
+def _conjuncts(jexpr):
+    """Top-level AND conjuncts of a join condition."""
+    if jexpr.getClass().getSimpleName() == "And":
+        yield from _conjuncts(jexpr.left())
+        yield from _conjuncts(jexpr.right())
+    else:
+        yield jexpr
 
 
 def _max_rows(jnode) -> int | None:
@@ -95,13 +112,18 @@ def classify_nonequi_joins(df) -> tuple[int, list[int | None]]:
             if child_rows is None or child_rows > 4096:
                 global_windows += 1
         elif cls == "Join":
+            # expression-tree check, not string-stripping: a join is equi
+            # iff some TOP-LEVEL conjunct is EqualTo/EqualNullSafe (what
+            # ExtractEquiJoinKeys keys on) — '<=>' counts as equi, and an
+            # '=' buried inside a literal/cast of a non-equi predicate
+            # doesn't (ADVICE r8)
             cond = node.condition()
             has_equi = False
             if cond.isDefined():
-                cond_str = cond.get().toString()
-                has_equi = "=" in cond_str.replace(">=", "").replace(
-                    "<=", ""
-                ).replace("!=", "")
+                has_equi = any(
+                    c.getClass().getSimpleName() in ("EqualTo", "EqualNullSafe")
+                    for c in _conjuncts(cond.get())
+                )
             if not has_equi:
                 sides = [
                     _max_rows(node.left()),

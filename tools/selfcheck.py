@@ -94,6 +94,10 @@ def main():
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:500]}")
             failures.append(name)
             continue
+        finally:
+            # cache hygiene between queries: persisted planning state
+            # (q15's rev, ev_outliers_mad's dev) must not accumulate
+            spark.catalog.clearCache()
         spark_s = time.time() - t0
         if name not in oracles:
             print(f"ok   {name}: rows={len(srows)} (rows-only, no oracle) [{spark_s:.1f}s]")

@@ -13,9 +13,10 @@ Usage:
     SF1_DIR=/tmp/sf1x10 python tools/sf1_spotbench.py
 
 Output: one markdown table in the §2d format, plus a JSON line for the
-round ledger. Per-query wall guard: a query whose sf1 run exceeds
-SPOT_TIMEOUT_S (default 600) is recorded as DNF with the elapsed floor —
-a DNF at 10x IS the finding, not a harness failure.
+round ledger. Per-query wall guard: a watchdog thread cancels all Spark
+jobs once an sf1 run exceeds SPOT_TIMEOUT_S (default 600), so the query
+is recorded as DNF with the elapsed floor and a hung query can never
+block the harness — a DNF at 10x IS the finding, not a harness failure.
 """
 
 from __future__ import annotations
@@ -23,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -55,6 +57,28 @@ def timed(fn, *args) -> float:
     return time.perf_counter() - t0
 
 
+def timed_watchdog(spark, fn, *args, timeout: float) -> tuple[float, bool]:
+    """(seconds, timed_out): run under a watchdog that cancels every Spark
+    job at `timeout` — the cancelled action raises, so a genuinely hung
+    query surfaces as DNF-with-elapsed-floor instead of blocking forever."""
+    done = threading.Event()
+    fired = threading.Event()
+
+    def watchdog() -> None:
+        if not done.wait(timeout):
+            fired.set()
+            spark.sparkContext.cancelAllJobs()
+
+    w = threading.Thread(target=watchdog, daemon=True)
+    t0 = time.perf_counter()
+    w.start()
+    try:
+        force(fn(*args))
+        return time.perf_counter() - t0, fired.is_set()
+    finally:
+        done.set()
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from pinterest_data_pipeline218_spark.session import get_spark
@@ -76,13 +100,12 @@ def main() -> None:
         t01 = min(timed(fn, spark, sf01), timed(fn, spark, sf01))
         t0 = time.perf_counter()
         try:
-            t1 = timed(fn, spark, sf1)
-            if t1 <= SPOT_TIMEOUT_S:
+            t1, dnf = timed_watchdog(spark, fn, spark, sf1, timeout=SPOT_TIMEOUT_S)
+            if not dnf and t1 <= SPOT_TIMEOUT_S:
                 t1 = min(t1, timed(fn, spark, sf1))
-            dnf = False
-        except Exception as exc:  # noqa: BLE001 — a failure at 10x is a finding
+        except Exception as exc:  # noqa: BLE001 — a failure/cancel at 10x is a finding
             t1 = time.perf_counter() - t0
-            print(f"{name} FAILED at sf1 after {t1:.0f}s: {exc}", file=sys.stderr)
+            print(f"{name} DNF at sf1 after {t1:.0f}s: {exc}", file=sys.stderr)
             dnf = True
         ratio = t1 / t01 if t01 else float("inf")
         rows.append((name, t01, t1, ratio, dnf))
