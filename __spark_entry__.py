@@ -69,8 +69,6 @@ _MODULES = (
 # window. Every tailed query remains fully exercised by pytest and
 # tools/selfcheck.py, which cover the complete registry.
 _TAIL = (
-    "mm_fake_features",  # third kernel of the mapInPandas plumbing family; the 1→1 (mm_binary_meta) and 1→N (mm_frame_sample) shapes stay driver-checked. Green r01+r02; tailed to admit text_repetition_score.
-    "text_langid",  # thresholded rendering of the same scan-local stopword-ratio expression checked via text_quality_score. Green r01+r02; tailed to admit text_decontaminate.
     "ev_approx_value_quantiles",  # sketch family (like ev_approx_distinct_users): no oracle by design, pytest-bounded vs exact percentiles
     # r4 rotation: ml_kmeans_refine / dedup_semantic_kmeans / corpus_pack_sequences /
     # corpus_mixture_sample / dedup_cluster_cc_star moved INTO the window (they had
@@ -82,17 +80,7 @@ _TAIL = (
     "tpch_q14_promo_revenue",  # r03-green; conditional-sum-ratio family stays checked via q12 (CASE agg) + q19 (disjunctive filter agg)
     "tpch_q18_large_orders",  # r03-green; group-HAVING semi-join family stays checked via q17 (per-group scalar threshold) + q21
     "tpch_q15_top_supplier",  # r03-green; agg + global-max equality join family stays checked via t6p2-style top-1 + q17
-    "ev_salted_stats",  # oracle-identical to ev_stats_by_type by design (4 green driver rounds on the plain form, r01-r04)
-    "ev_salted_distinct_users",  # salting pytest-proved equal to plain distinct
-    "tpch_q6_revenue",  # scan+filter+agg shape covered by q14/q19
-    "window_showcase",  # composite of window shapes checked via t4/ev_running_total
-    "ev_counts_hourly",  # time-bucket count subsumed by ev_rollup_daily (green r01-class)
-    "tpch_q3_shipping_priority",  # join+top-k shape identical to checked q10 (q10 itself r01-r04 green)
-    "tpch_q5_regional_volume",  # broadcast-chain join agg; families checked via q7 (r01-r04 green) + t4
     "ev_approx_distinct_users",  # no oracle by design (sketches are engine-specific)
-    "tpch_q4_semi_join",  # EXISTS/semi-join family subsumed by checked q21-analog
-    "text_word_frequencies",  # explode→group-count→top-k = first half of tfidf (tfidf r01-r04 green)
-    "dedup_ngram_jaccard",  # same _salted_block_pairs machinery as checked dedup_embedding_neardup; exact-Jaccard scoring checked via minhash-LSH's verify stage (r01-r04 green). Tailed (green r02) to pull ev_errors_near_purchase inside the window — it had zero driver rows ever.
     # r4 second rotation: text_dupspan_remove / corpus_dsir_sample /
     # corpus_token_budget / corpus_cdc_chunk are NEW this round and move into
     # the window; the four below are r03-green and value-redundant.
@@ -330,6 +318,26 @@ _TAIL = (
     # F.session_window aggregate under the value gate, >= boundary stated)
     # is NEW and moves into the window. The one below rotates out in exchange.
     "text_bpe_tokens",  # r06-r07 green; the trained-merges replay stays pinned against a Python reference incl. the fertility-reduction property (test_bpe_merges_match_python_reference_and_reduce_fertility), and the trained-text-model family keeps driver rows via in-window text_langid_trained, text_lm_backoff and text_classifier_eval; still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r9 rotation (VERDICT r8 #3): the 12 stalest registry rows (last
+    # windowed r1-r2, all selfcheck-green at the r8 judging) move back INTO
+    # the window for fresh driver evidence: dedup_ngram_jaccard,
+    # ev_counts_hourly, ev_salted_stats, ev_salted_distinct_users,
+    # mm_fake_features, text_langid, text_word_frequencies, tpch_q3/q4/q5/q6,
+    # window_showcase. The 12 below rotate out in exchange; every one is
+    # r08-green (fresh driver evidence this judging) and value-redundant
+    # with machinery that keeps a driver row.
+    "t5_priority_counts_by_year",  # r08 green (driver rows r01-r08); the BETWEEN range-filter + year-bucket count shape keeps driver rows via in-window t7 (CASE band + grouped count) and incoming tpch_q6_revenue (scan range-filter agg); still oracle-checked every round by tools/selfcheck.py over the full registry
+    "t6p1_top_customer_per_nation",  # r08 green; the RANK-window top-1-per-key + DISTINCT shape stays driver-checked VERBATIM via in-window t7_top_priority_per_band (identical rank/filter/distinct chain over band keys); still oracle-checked every round
+    "t6p2_top_nation_by_top_customer",  # r08 green; composes t6p1's machinery + TakeOrdered top-1 (plan-verified r8); stays via in-window t7 and incoming tpch_q3_shipping_priority (join + order/limit top-k); still oracle-checked every round
+    "t8_compat_window_median",  # r08 green; the aggregate-as-window percentile compat rendering of in-window t8's exact grouped median (same percentile_cont machinery, window vs group declared modes; exactness pinned by test_t8_vs_oracle_exact_median); still oracle-checked every round
+    "t9_active_customers_by_year",  # r08 green; distinct-then-count by year keeps driver rows via in-window ev_rolling_7d_users (the strictly harder sliding distinct reduction) and incoming ev_salted_distinct_users (salted distinct, pytest-proved equal to plain); still oracle-checked every round
+    "set_bag_ops",  # r08 green; INTERSECT ALL / EXCEPT ALL bag multiplicity stays pytest-pinned (test_bag_ops_respect_multiplicity) and the set-op plan family keeps coverage via the same test's qs fixtures; still oracle-checked every round
+    "tpch_q16_supplier_count",  # r08 green; the NOT-IN broadcast anti-join is plan-asserted (test_q16_not_in_runs_as_broadcast_anti_join) and the distinct-agg family keeps driver rows via incoming tpch_q4_semi_join (EXISTS/semi twin) and in-window tpch_q20; still oracle-checked every round
+    "tpch_q19_disjunctive_revenue",  # r08 green; the disjunctive pushdown filter-agg keeps driver rows via incoming tpch_q6_revenue (range filter agg) and in-window tpch_q20 (stacked predicates); still oracle-checked every round
+    "user_oldest_nulls_last",  # r08 green; DESC NULLS LAST top-k ordering stays pytest-pinned (test_desc_nulls_last_excludes_null_ages_from_topk) and every gated query exercises orderBy contracts; still oracle-checked every round
+    "ev_asof_click_before_purchase",  # r08 green; the bucketized as-of join machinery is plan-asserted (test_asof_join_semantics_and_plan, test_range_join_buckets_are_hash_keys) and model-checked (test_asof_join_matches_model); tail twin ev_errors_near_purchase shares the epoch/dtype machinery; still oracle-checked every round
+    "corpus_zorder_keys",  # r08 green; the Morton interleave + file-skipping win stays pytest-proved (test_zorder_layout_prunes_files_against_natural_order, test_zorder_layout_tightens_stats_on_both_dimensions); still oracle-checked every round
+    "ev_cm_top_users",  # r08 green; the value-oracled sketch family keeps an in-window driver row via ev_hist_value_quantiles (same md5-hash bounded-state machinery), count-min error bound pytest-pinned (test_cm_sketch_one_sided_error_and_heavy_hitter) and the streaming assembly proven (test_incremental_cm_equals_batch); still oracle-checked every round
 )
 
 
