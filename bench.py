@@ -20,6 +20,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 RUNS = 3
+# Sub-1.5 s rows sit inside this host's ±30-50% noise band, so 3 reps give
+# an unstable median that forced manual re-adjudication every round
+# (VERDICT r8 #7). Rows whose first-3-rep median lands under FAST_CUTOFF_S
+# get EXTRA_RUNS more reps, and every row reports its IQR next to the
+# median so the 2x gate can be read against measured spread.
+FAST_CUTOFF_S = 1.5
+EXTRA_RUNS = 2
 
 # Headline set: the reference's adapted T4-T11 + cleaning-path equivalents,
 # TPC-H heavies, streaming-analog event queries, and one per scale-operator
@@ -187,6 +194,7 @@ def main() -> None:
     # a partial one (the round-2 lesson: one AnalysisException voided the
     # entire round's performance signal).
     results: dict[str, object] = {}
+    iqrs: dict[str, float] = {}
     errors = 0
     for name in HEADLINE:
         try:
@@ -201,7 +209,14 @@ def main() -> None:
                 t0 = time.perf_counter()
                 force(fn(spark, sf_dir))
                 times.append(time.perf_counter() - t0)
+            if statistics.median(times) < FAST_CUTOFF_S:
+                for _ in range(EXTRA_RUNS):
+                    t0 = time.perf_counter()
+                    force(fn(spark, sf_dir))
+                    times.append(time.perf_counter() - t0)
             results[name] = round(statistics.median(times), 4)
+            qs_ = statistics.quantiles(times, n=4, method="inclusive")
+            iqrs[name] = round(qs_[2] - qs_[0], 4)
         except Exception as exc:  # noqa: BLE001 — degrade, don't die
             errors += 1
             results[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
@@ -219,8 +234,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": results,
+        "iqr": iqrs,
         "sf": sf,
         "runs": RUNS,
+        "fast_cutoff_s": FAST_CUTOFF_S,
+        "fast_extra_runs": EXTRA_RUNS,
     }
     if errors:
         # a sum over FEWER queries is not comparable across rounds — flag it
