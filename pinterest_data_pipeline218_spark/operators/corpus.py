@@ -959,29 +959,45 @@ def corpus_merge_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Verdict precedence is quality → exact → near-dup (cheapest evidence
     first, matching the order the gates would actually short-circuit in).
-    Output: one row per new doc with the verdict + near-dup audit stats."""
-    from .dedup import INCR_BATCH_MOD, INCR_BATCH_RESIDUE
+    Output: one row per new doc with the verdict + near-dup audit stats.
+
+    The near-dup probe runs with the CAPPED corpus band side
+    (CC_COMPOSED_EDGE_CAP=512 — VERDICT r8 #8): per-batch candidate work
+    stays O(|new|·n_bands·cap) however large a corpus duplicate cluster
+    grows; at gate SFs no bucket exceeds the cap, so results are provably
+    the uncapped ones (the oracle mirrors the cap)."""
+    from .dedup import CC_COMPOSED_EDGE_CAP, INCR_BATCH_MOD, INCR_BATCH_RESIDUE
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     is_new = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_RESIDUE
-    return merge_triage(docs.filter(is_new), docs.filter(~is_new))
+    return merge_triage(
+        docs.filter(is_new), docs.filter(~is_new), cap=CC_COMPOSED_EDGE_CAP
+    )
 
 
-def merge_triage(new: DataFrame, corpus: DataFrame) -> DataFrame:
+def merge_triage(
+    new: DataFrame, corpus: DataFrame, cap: int | None = None
+) -> DataFrame:
     """DataFrame→DataFrame combinator behind corpus_merge_increment. Both
     inputs expect (doc_id, text). Per-new-doc verdicts depend only on (the
     doc's text, the corpus), so the triage is stateless given the corpus
     side — which is what lets it run per micro-batch against a STATIC
     corpus table on a document stream (stream-static joins;
-    tests/test_streaming.py proves batch/stream equality)."""
-    from .dedup import incremental_matches
+    tests/test_streaming.py proves batch/stream equality, uncapped and
+    capped). With `cap`, the near-dup screen bounds each corpus band
+    bucket to its `cap` lowest doc_ids (incremental_matches_capped — the
+    giant-corpus-cluster defense); None = the exact asymmetric screen."""
+    from .dedup import incremental_matches, incremental_matches_capped
 
     qual_ok = T.quality_score(T.tokens(F.col("text"))) >= QUALITY_THRESHOLD
     corp_digests = corpus.select(F.md5("text").alias("h")).distinct()
     flagged = new.select(
         "doc_id", F.md5("text").alias("h"), qual_ok.alias("qual_ok")
     ).join(corp_digests.withColumn("is_exact", F.lit(True)), "h", "left")
-    inc = incremental_matches(new, corpus)
+    if cap is None:
+        inc = incremental_matches(new, corpus)
+    else:
+        inc = incremental_matches_capped(new, corpus, cap=cap)
     verdict = (
         F.when(~F.col("qual_ok"), F.lit("low_quality"))
         .when(F.col("is_exact"), F.lit("dup_exact"))
@@ -1002,6 +1018,7 @@ def merge_triage(new: DataFrame, corpus: DataFrame) -> DataFrame:
 
 def _merge_increment_sql() -> str:
     from .dedup import (
+        CC_COMPOSED_EDGE_CAP,
         INCR_BATCH_MOD,
         INCR_BATCH_RESIDUE,
         JACCARD_THRESHOLD,
@@ -1017,12 +1034,17 @@ def _merge_increment_sql() -> str:
         f" + 0.2 * least({atl} / 8.0, 1.0))"
     )
     return f"""
-WITH {_minhash_cte_body()}, candi AS (
+WITH {_minhash_cte_body()}, cbands AS (
+  SELECT doc_id, band_idx, band_key,
+         ROW_NUMBER() OVER (PARTITION BY band_idx, band_key
+                            ORDER BY doc_id) AS rn
+  FROM bands WHERE doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_RESIDUE}
+), candi AS (
   SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_corpus
   FROM bands a
-  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  JOIN cbands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
   WHERE a.doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_RESIDUE}
-    AND b.doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_RESIDUE}
+    AND b.rn <= {CC_COMPOSED_EDGE_CAP}
 ), verified AS (
   SELECT doc_new, doc_corpus, CAST({_VERIFIED_JACCARD} AS DOUBLE) AS jaccard
   FROM candi

@@ -43,6 +43,16 @@ BAND_SIZE = 2  # 4 bands of 2 rows
 JACCARD_THRESHOLD = 0.5
 EMBEDDING_COSINE_THRESHOLD = 0.25
 
+# Cap for the COMPOSED consumers (corpus_build_full, dedup_cluster_best,
+# merge triage, streaming admission): chosen above the max band-bucket size
+# of the correctness-gate SFs (334 at sf0.001, 326 at sf0.01 — measured), so
+# at gate scale every capped stream IS the exact candidate set and composed
+# outputs are provably identical to the uncapped forms; at sf0.1 (5 buckets
+# > 512) and beyond, the representative paths engage and bound the edge
+# streams linearly. 512²/2 exact pairs per small bucket is the worst-case
+# per-bucket work — fixed, not data-dependent. VERDICT r8 #1/#8.
+CC_COMPOSED_EDGE_CAP = 512
+
 # Universal-hash family for MinHash: one md5-derived 28-bit base hash per
 # token, then NUM_HASHES affine transforms (a*h + b) mod p. This is the
 # classic trick that makes the signature O(|tokens|) hash work instead of
@@ -272,6 +282,95 @@ def incremental_matches(new: DataFrame, corpus: DataFrame) -> DataFrame:
         )
         .filter(_first_band_match())
         .select(F.col("a.doc_id").alias("doc_new"), F.col("b.doc_id").alias("doc_corpus"))
+    )
+
+    def hset(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(T.distinct_tokens(F.col("text")), lambda t: T.token_hash(t))
+            ).alias("hs"),
+        )
+
+    x = hset(new).select(F.col("doc_id").alias("doc_new"), F.col("hs").alias("toks_a"))
+    y = hset(corpus).select(
+        F.col("doc_id").alias("doc_corpus"), F.col("hs").alias("toks_b")
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = F.round(
+        inter / (F.size("toks_a") + F.size("toks_b") - inter), 6
+    ).cast("double")
+    verified = (
+        cand.join(x, "doc_new")
+        .join(y, "doc_corpus")
+        .select("doc_new", "doc_corpus", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    newdocs = new.select(F.col("doc_id").alias("doc_new"))
+    return (
+        newdocs.join(verified, "doc_new", "left")
+        .groupBy("doc_new")
+        .agg(
+            F.count("doc_corpus").alias("n_corpus_matches"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+        .select(
+            F.col("doc_new").alias("doc_id"), "n_corpus_matches", "best_jaccard"
+        )
+        .orderBy("doc_id")
+    )
+
+
+def incremental_matches_capped(
+    new: DataFrame, corpus: DataFrame, cap: int = CC_COMPOSED_EDGE_CAP
+) -> DataFrame:
+    """incremental_matches with a CAPPED corpus band side — the streaming
+    twin of the capped-CC rewire (VERDICT r8 #8). A giant duplicate
+    cluster in the CORPUS makes every co-bucketed new doc pair with all
+    |bucket| corpus members, so per-micro-batch candidate work grows with
+    corpus-cluster size; here each corpus band bucket contributes at most
+    its `cap` lowest doc_ids (deterministic representatives), bounding the
+    join at O(|new| · n_bands · cap) regardless of cluster growth.
+
+    Semantics: identical to incremental_matches while every corpus bucket
+    holds <= cap docs (the provable-equality regime — true at the gate
+    SFs, pytest-pinned); above the cap, n_corpus_matches is a LOWER bound
+    counted against representatives and best_jaccard ranges over them —
+    the admission verdict (near-dup existence) keeps its recall because a
+    bucket only exceeds the cap when it IS a near-dup cluster, and its
+    lowest-id members are as matchable as any (the same representative-
+    sampling trade capped_candidate_edges documents).
+
+    Pair dedup is a plain distinct(): the capped candidate stream is
+    bounded linear by construction, so the distinct shuffles
+    O(|new|·n_bands·cap) rows — the first-band trick incremental_matches
+    uses would DROP pairs here (a pair's first matching band may have had
+    its corpus doc truncated out of that bucket while a later band kept
+    it)."""
+    spark = new.sparkSession
+    par = spark.sparkContext.defaultParallelism * 4
+    wb = Window.partitionBy("band_idx", "band_key").orderBy("doc_id")
+    right = (
+        _band_table(corpus)
+        .select("doc_id", "band_idx", "band_key")
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+        .alias("b")
+    )
+    left = (
+        _band_table(new)
+        .select("doc_id", "band_idx", "band_key")
+        .repartition(par)
+        .alias("a")
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_key"])
+        .select(
+            F.col("a.doc_id").alias("doc_new"),
+            F.col("b.doc_id").alias("doc_corpus"),
+        )
+        .distinct()
     )
 
     def hset(df: DataFrame) -> DataFrame:
@@ -733,17 +832,6 @@ def capped_candidate_edges(docs: DataFrame, cap: int = CC_EDGE_CAP) -> DataFrame
         .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
     return exact.union(star).distinct()
-
-
-# Cap for the COMPOSED consumers (corpus_build_full, dedup_cluster_best,
-# streaming merge triage): chosen above the max band-bucket size of the
-# correctness-gate SFs (334 at sf0.001, 326 at sf0.01 — measured), so at
-# gate scale the capped stream IS the exact candidate set and the composed
-# outputs are provably identical to the uncapped forms; at sf0.1 (5 buckets
-# > 512) and beyond, the star path engages and bounds the edge stream
-# linearly. 512²/2 exact pairs per small bucket is the worst-case per-bucket
-# work — fixed, not data-dependent. VERDICT r8 #1.
-CC_COMPOSED_EDGE_CAP = 512
 
 
 def capped_verified_pairs(

@@ -485,6 +485,114 @@ def test_stream_static_merge_triage_equals_batch(spark, tmp_path):
     assert len({v[0] for v in want.values()}) >= 2  # triage discriminates
 
 
+def test_stream_capped_triage_equals_batch_and_bounds_giant_cluster(spark, tmp_path):
+    """VERDICT r8 #8 — the streaming twin of the capped-CC rewire: per
+    micro-batch near-dup admission consumes the CAPPED corpus band side.
+    On a corpus with a PLANTED giant duplicate cluster (every member
+    shares every band bucket):
+
+    1. the capped candidate probe is bounded — each new doc pairs with at
+       most cap corpus representatives per band, not the whole cluster;
+    2. per-micro-batch capped triage over a stream equals the batch capped
+       triage over the union (statelessness survives the cap);
+    3. the admission verdicts equal the UNCAPPED triage's verdicts — the
+       giant bucket is a near-dup cluster, so its representatives are as
+       matchable as any member (the documented representative trade holds
+       on exactly the data shape that engages it)."""
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pinterest_data_pipeline218_spark.operators.corpus import merge_triage
+    from pinterest_data_pipeline218_spark.operators.dedup import (
+        incremental_matches,
+        incremental_matches_capped,
+    )
+
+    cap = 8
+    n_giant = 40
+    # texts long enough to clear the quality gate, so the verdict reflects
+    # the dedup screens, not the cheap length component
+    giant_text = " ".join(f"boilerplate{k}" for k in range(120))
+    corpus_rows = [(i, giant_text) for i in range(n_giant)] + [
+        (1000 + i, " ".join(f"uniq{i}w{j}" for j in range(120))) for i in range(10)
+    ]
+    # new batch: one member of the giant cluster, one novel doc, one exact
+    # copy of a unique corpus doc
+    new_rows = [
+        (9001, giant_text + " trailing extra v2"),
+        (9002, " ".join(f"novel{k}" for k in range(120))),
+        (9003, corpus_rows[-1][1]),
+    ]
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+
+    # --- 1: candidate probe bounded by the cap
+    capped = {
+        r.doc_id: (r.n_corpus_matches, r.best_jaccard)
+        for r in incremental_matches_capped(new, corpus, cap=cap).collect()
+    }
+    n_bands = 4
+    assert all(n <= cap * n_bands for n, _ in capped.values())
+    exact = {
+        r.doc_id: (r.n_corpus_matches, r.best_jaccard)
+        for r in incremental_matches(new, corpus).collect()
+    }
+    assert exact[9001][0] == n_giant  # uncapped pays the full cluster
+    assert capped[9001][0] <= cap  # capped touches representatives only
+    # existence + best score agree (the verdict inputs)
+    for d in capped:
+        assert (capped[d][0] > 0) == (exact[d][0] > 0)
+        assert capped[d][1] == exact[d][1]
+
+    # --- 2 + 3: stream-of-micro-batches capped triage == batch capped
+    # triage == uncapped verdicts
+    src = tmp_path / "new_docs_capped"
+    src.mkdir()
+    for i, r in enumerate(new_rows):
+        with open(src / f"{i:03d}.jsonl", "w") as f:
+            f.write(json.dumps({"doc_id": r[0], "text": r[1]}) + "\n")
+    stream = (
+        spark.readStream.format("json")
+        .schema(
+            StructType(
+                [StructField("doc_id", LongType()), StructField("text", StringType())]
+            )
+        )
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    out = str(tmp_path / "triage_capped")
+
+    def triage(batch_df, batch_id):
+        merge_triage(batch_df, corpus, cap=cap).write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(triage)
+        .option("checkpointLocation", str(tmp_path / "cp_capped"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.doc_id: (r.verdict, r.n_corpus_matches, r.best_jaccard)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.doc_id: (r.verdict, r.n_corpus_matches, r.best_jaccard)
+        for r in merge_triage(new, corpus, cap=cap).collect()
+    }
+    assert got == want
+    uncapped_verdicts = {
+        r.doc_id: r.verdict for r in merge_triage(new, corpus).collect()
+    }
+    assert {d: v[0] for d, v in want.items()} == uncapped_verdicts
+    assert want[9001][0] == "near_dup"
+    assert want[9002][0] == "accepted"
+    assert want[9003][0] == "dup_exact"
+
+
 def test_decode_quarantine_splits_corrupt_records(spark, tmp_path):
     """Corrupt blobs must land in the quarantine with their raw payload,
     not flatten into all-null rows, and null blobs must dead-letter with
