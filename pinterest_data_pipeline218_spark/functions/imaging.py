@@ -1,13 +1,15 @@
-"""Pure-Python codecs for PPM P6, 24-bit BMP, and zlib-compressed PNG.
+"""Pure-Python codecs for PPM P6, 24-bit BMP, and zlib-compressed PNG
+(baseline JPEG lives in functions/jpeg.py and dispatches through here).
 
 The multimodal operators treat media as opaque binary columns and run
 decode kernels as Arrow-batched `mapInPandas` functions. This container
 ships no codec library (no PIL), but none is needed for these formats:
-PPM/BMP are a small header plus raw pixel bytes, and PNG's DEFLATE
-stream is stdlib zlib — so the decode step is REAL (header grammar, CRC
-verification, scanline filter reconstruction, pixel extraction,
-re-encoding) for all three. Formats that genuinely need an external
-codec (JPEG/WebP/...) still fall through to the documented
+PPM/BMP are a small header plus raw pixel bytes, PNG's DEFLATE stream is
+stdlib zlib, and baseline JPEG is Huffman + IDCT (functions/jpeg.py) —
+so the decode step is REAL (header grammar, CRC verification, scanline
+filter reconstruction, entropy decode, pixel extraction, re-encoding)
+for all four. Formats that genuinely need an external codec
+(WebP, progressive JPEG, ...) still fall through to the documented
 codec-boundary stub in operators/multimodal.py.
 
 All functions are bytes-in/bytes-out with explicit (width, height,
@@ -290,20 +292,24 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
 
 
 def sniff_format(data: bytes) -> str | None:
-    """'ppm' / 'bmp' / 'png' for the natively decodable formats, else None."""
+    """'ppm' / 'bmp' / 'png' / 'jpeg' for the natively decodable formats,
+    else None."""
     if data[:2] == b"P6":
         return "ppm"
     if data[:2] == b"BM":
         return "bmp"
     if data[:8] == _PNG_MAGIC:
         return "png"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
 def decode_any(data: bytes) -> tuple[str, int, int, bytes]:
     """(format, width, height, rgb) for a natively decodable payload;
     ImageFormatError for anything else (caller decides whether a codec
-    library fallback exists)."""
+    library fallback exists). JPEG covers baseline sequential only —
+    progressive raises, preserving the documented codec boundary."""
     fmt = sniff_format(data)
     if fmt == "ppm":
         return ("ppm", *decode_ppm(data))
@@ -311,7 +317,13 @@ def decode_any(data: bytes) -> tuple[str, int, int, bytes]:
         return ("bmp", *decode_bmp(data))
     if fmt == "png":
         return ("png", *decode_png(data))
-    raise ImageFormatError("payload is not a natively decodable PPM/BMP/PNG image")
+    if fmt == "jpeg":
+        from .jpeg import decode_jpeg  # numpy import deferred to first use
+
+        return ("jpeg", *decode_jpeg(data))
+    raise ImageFormatError(
+        "payload is not a natively decodable PPM/BMP/PNG/JPEG image"
+    )
 
 
 def encode(fmt: str, width: int, height: int, pixels: bytes) -> bytes:
@@ -321,6 +333,10 @@ def encode(fmt: str, width: int, height: int, pixels: bytes) -> bytes:
         return encode_bmp(width, height, pixels)
     if fmt == "png":
         return encode_png(width, height, pixels)
+    if fmt == "jpeg":
+        from .jpeg import encode_jpeg_baseline
+
+        return encode_jpeg_baseline(width, height, pixels)
     raise ImageFormatError(f"unsupported encode format {fmt!r}")
 
 

@@ -7,16 +7,18 @@ functions over `mapInPandas`, so Python touches columnar batches, never
 rows. Heavy media work is partition-parallel and never collects.
 
 The codec step (`decode_image` / `resize_image`) decodes REAL pixels for
-PPM P6, 24-bit BMP, and zlib-compressed PNG via the dependency-free
-codecs in functions/imaging.py; formats needing an external codec
-(JPEG/WebP/...) use PIL when the environment provides it and raise a
-clearly marked NotImplementedError otherwise (this container has no
-codec libraries). A
+PPM P6, 24-bit BMP, zlib-compressed PNG, and baseline-sequential JPEG
+(Huffman + IDCT) via the dependency-free codecs in functions/imaging.py +
+functions/jpeg.py; formats genuinely needing an external codec
+(WebP, progressive JPEG, ...) use PIL when the environment provides it and
+raise a clearly marked NotImplementedError otherwise (this container has
+no codec libraries). A
 deterministic fake feature extractor keeps the Spark-side plumbing — schema,
 batch shape, partitioning — real and testable either way. Here the payload
 is the utf-8 encoding of `documents.text`, standing in for image bytes;
-`mm_image_decode` generates genuine PPM/BMP/PNG payloads instead and decodes
-them pixel-for-pixel.
+`mm_image_decode` generates genuine PPM/BMP/PNG/JPEG payloads instead and
+decodes them pixel-for-pixel (the JPEG fixture is block-constant gray, the
+shape whose unit-quant round-trip is EXACT, so the oracle stays closed-form).
 """
 
 from __future__ import annotations
@@ -60,17 +62,18 @@ def with_payload(docs: DataFrame) -> DataFrame:
 def decode_image(payload_bytes: bytes) -> tuple[str, int, int, bytes]:
     """Decode an image payload to (format, width, height, row-major RGB).
 
-    Uncompressed formats (PPM P6, 24-bit BMP) decode natively — REAL
-    header parsing and pixel extraction, no dependency (functions/
-    imaging.py). Compressed formats use PIL when the environment provides
-    it; otherwise raise the documented codec-boundary stub error. The
-    Spark-side plumbing (schema/batching) is identical either way."""
+    PPM P6, 24-bit BMP, PNG, and baseline JPEG decode natively — REAL
+    header parsing, entropy decode, and pixel extraction, no dependency
+    (functions/imaging.py + functions/jpeg.py). Remaining compressed
+    formats use PIL when the environment provides it; otherwise raise the
+    documented codec-boundary stub error. The Spark-side plumbing
+    (schema/batching) is identical either way."""
     if imaging.sniff_format(payload_bytes) is not None:
         return imaging.decode_any(payload_bytes)
     if _PILImage is None:
         raise NotImplementedError(
-            "JPEG/WebP decode requires a codec library (e.g. PIL); "
-            "PPM/BMP/PNG decode natively"
+            "WebP (and other exotic-codec) decode requires a codec library "
+            "(e.g. PIL); PPM/BMP/PNG/baseline-JPEG decode natively"
         )
     import io
 
@@ -157,8 +160,8 @@ def resize_image(payload_bytes: bytes, width: int, height: int) -> bytes:
         )
     if _PILImage is None:
         raise NotImplementedError(
-            "JPEG/WebP resize requires a codec library (e.g. PIL); "
-            "PPM/BMP/PNG resize natively"
+            "WebP (and other exotic-codec) resize requires a codec library "
+            "(e.g. PIL); PPM/BMP/PNG/baseline-JPEG resize natively"
         )
     import io
 
@@ -263,6 +266,55 @@ def with_image_payload(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(gen, schema=_IMG_PAYLOAD_SCHEMA)
 
 
+# the JPEG decode fixture: block-constant gray pixels. The DCT of a constant
+# block is DC-only, so with unit quantisation tables the encode->decode
+# round-trip is EXACT (functions/jpeg.py) and the oracle replays the pixel
+# formula closed-form despite the codec being lossy in general. 16x14 gives
+# 4 MCUs (DC prediction across blocks) and a partial bottom block row
+# (MCU padding/crop under test).
+JPEG_W, JPEG_H = 16, 14
+
+
+def _jpeg_fixture_pixels(doc_id: int) -> bytes:
+    out = bytearray()
+    for y in range(JPEG_H):
+        for x in range(JPEG_W):
+            v = (doc_id * 31 + (y // 8) * 2 + (x // 8)) % 256
+            out += bytes((v, v, v))
+    return bytes(out)
+
+
+def with_decode_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): 4-format fixture for the decode query — the
+    with_image_payload trio plus a baseline-JPEG class (grayscale,
+    block-constant — see JPEG_W above for why that shape is oracle-exact)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.jpeg import encode_jpeg_baseline
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                which = doc_id % 4
+                if which == 3:
+                    payloads.append(
+                        encode_jpeg_baseline(
+                            JPEG_W,
+                            JPEG_H,
+                            _jpeg_fixture_pixels(doc_id),
+                            grayscale=True,
+                        )
+                    )
+                else:
+                    fmt = ("bmp", "ppm", "png")[which]
+                    payloads.append(
+                        imaging.encode(fmt, IMG_W, IMG_H, _fixture_pixels(doc_id))
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=_IMG_PAYLOAD_SCHEMA)
+
+
 _IMG_FEAT_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -303,16 +355,19 @@ def extract_image_features(df: DataFrame) -> DataFrame:
 
 
 def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Generate real PPM/BMP/PNG bytes per document, then DECODE them —
+    """Generate real PPM/BMP/PNG/JPEG bytes per document, then DECODE them —
     header parse, BMP bottom-up row + BGR channel unpacking, PPM grammar,
-    and for PNG a full COMPRESSED decode (chunk CRCs, stdlib-zlib inflate,
-    all five scanline filters — the fixture encoder cycles them per row)
-    — and emit per-channel pixel sums. The oracle never decodes: it
-    replays the generative pixel formula arithmetically, so any decoder
-    defect (row order, channel order, padding, filter math, header
-    arithmetic) breaks the match."""
+    for PNG a full COMPRESSED decode (chunk CRCs, stdlib-zlib inflate, all
+    five scanline filters — the fixture encoder cycles them per row), and
+    for JPEG a full baseline entropy decode (DHT Huffman tables, DC
+    prediction, dequant, IDCT, MCU crop) — and emit per-channel pixel
+    sums. The oracle never decodes: it replays the generative pixel
+    formulas arithmetically (the JPEG class is block-constant gray, the
+    shape whose unit-quant round-trip is exact), so any decoder defect
+    (row order, channel order, padding, filter math, Huffman/IDCT math,
+    header arithmetic) breaks the match."""
     docs = load_table(spark, sf_dir, "documents")
-    return extract_image_features(with_image_payload(docs)).orderBy("doc_id")
+    return extract_image_features(with_decode_payload(docs)).orderBy("doc_id")
 
 
 def _image_decode_sql() -> str:
@@ -323,11 +378,22 @@ def _image_decode_sql() -> str:
             "__i -> (doc_id * 31 + __i) % 256)) AS BIGINT)"
         )
 
+    # gray block-constant: every channel sums the same per-pixel value
+    # v(x,y) = (doc_id*31 + (y//8)*2 + (x//8)) % 256 over the 16x14 grid
+    jpeg_sum = (
+        f"CAST(list_sum(list_transform(range(0, {JPEG_W * JPEG_H}), "
+        f"__i -> (doc_id * 31 + ((__i // {JPEG_W}) // 8) * 2 "
+        f"+ ((__i % {JPEG_W}) // 8)) % 256)) AS BIGINT)"
+    )
     return f"""
 SELECT doc_id,
-       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'png' END AS fmt,
-       CAST({IMG_W} AS INT) AS width, CAST({IMG_H} AS INT) AS height,
-       {ch_sum(0)} AS sum_r, {ch_sum(1)} AS sum_g, {ch_sum(2)} AS sum_b
+       CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                       WHEN 2 THEN 'png' ELSE 'jpeg' END AS fmt,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN {JPEG_W} ELSE {IMG_W} END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN {JPEG_H} ELSE {IMG_H} END AS INT) AS height,
+       CASE WHEN doc_id % 4 = 3 THEN {jpeg_sum} ELSE {ch_sum(0)} END AS sum_r,
+       CASE WHEN doc_id % 4 = 3 THEN {jpeg_sum} ELSE {ch_sum(1)} END AS sum_g,
+       CASE WHEN doc_id % 4 = 3 THEN {jpeg_sum} ELSE {ch_sum(2)} END AS sum_b
 FROM documents ORDER BY doc_id
 """
 

@@ -1868,6 +1868,112 @@ def test_image_decode_kernel_matches_python(spark):
         assert got[i] == (fmt, IMG_W, IMG_H, *sums)
 
 
+def test_jpeg_codec_roundtrip_and_boundaries():
+    """functions/jpeg.py (VERDICT r8 #5): baseline JPEG, dependency-free.
+
+    1. block-constant gray images round-trip EXACTLY at unit quant tables
+       (the closed-form-oracle regime mm_image_decode's fixture uses),
+       including a partial bottom MCU row;
+    2. arbitrary RGB at 4:4:4 round-trips within ±2/channel (transform
+       rounding is the only loss);
+    3. 4:2:0 exercises the decoder's multi-block-MCU + chroma-upsample
+       path (constant color: exact);
+    4. restart intervals decode (byte-align, RSTn sequence, DC reset);
+    5. progressive (SOF2) raises the typed codec-boundary error;
+    6. the payload dispatches through imaging.sniff_format/decode_any and
+       the decode_image kernel entrypoint."""
+    import numpy as np
+
+    from pinterest_data_pipeline218_spark.functions import imaging
+    from pinterest_data_pipeline218_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+    from pinterest_data_pipeline218_spark.operators.multimodal import decode_image
+
+    # --- 1: exact gray block-constant, 16x14 (partial bottom MCU row)
+    W, H = 16, 14
+    px = bytearray()
+    for y in range(H):
+        for x in range(W):
+            v = (7 * 31 + (y // 8) * 2 + (x // 8)) % 256
+            px += bytes((v, v, v))
+    data = encode_jpeg_baseline(W, H, bytes(px), grayscale=True)
+    assert data[:3] == b"\xff\xd8\xff" and data[-2:] == b"\xff\xd9"
+    assert decode_jpeg(data) == (W, H, bytes(px))
+
+    # --- 6: dispatch through the sniffer and the kernel entrypoint
+    assert imaging.sniff_format(data) == "jpeg"
+    assert imaging.decode_any(data) == ("jpeg", W, H, bytes(px))
+    assert decode_image(data) == ("jpeg", W, H, bytes(px))
+
+    # --- 2: arbitrary color, non-multiple-of-8 dims, ±2 bound
+    rng = np.random.default_rng(11)
+    W2, H2 = 19, 13
+    orig = rng.integers(0, 256, size=(H2, W2, 3), dtype=np.uint8)
+    w2, h2, rgb2 = decode_jpeg(encode_jpeg_baseline(W2, H2, orig.tobytes()))
+    assert (w2, h2) == (W2, H2)
+    back = np.frombuffer(rgb2, dtype=np.uint8).reshape(H2, W2, 3).astype(int)
+    assert np.abs(back - orig.astype(int)).max() <= 2
+
+    # --- 3: 4:2:0 (2x2 Y blocks per MCU + upsampled chroma), constant color
+    flat = np.tile(np.array([[[200, 30, 90]]], dtype=np.uint8), (H2, W2, 1))
+    w3, h3, rgb3 = decode_jpeg(
+        encode_jpeg_baseline(W2, H2, flat.tobytes(), subsampling="420")
+    )
+    back3 = np.frombuffer(rgb3, dtype=np.uint8).reshape(H2, W2, 3).astype(int)
+    assert (w3, h3) == (W2, H2)
+    assert np.abs(back3 - flat.astype(int)).max() <= 1
+
+    # --- 4: restart intervals on a gradient (10 MCUs, RST every 2)
+    W4, H4 = 40, 16
+    grad = np.fromfunction(
+        lambda y, x, c: (x * 3 + y * 5) % 256, (H4, W4, 3)
+    ).astype(np.uint8)
+    d4 = encode_jpeg_baseline(W4, H4, grad.tobytes(), restart_interval=2)
+    assert b"\xff\xd0" in d4  # RST0 actually emitted
+    w4, h4, rgb4 = decode_jpeg(d4)
+    back4 = np.frombuffer(rgb4, dtype=np.uint8).reshape(H4, W4, 3).astype(int)
+    assert np.abs(back4 - grad.astype(int)).max() <= 2
+
+    # --- 5: progressive stays behind the codec boundary, typed
+    import pytest as _pytest
+
+    sof2 = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    with _pytest.raises(imaging.ImageFormatError, match="baseline"):
+        decode_jpeg(sof2)
+
+
+def test_jpeg_resize_reencodes_natively():
+    """resize_image on a JPEG payload decodes, nearest-neighbor resamples,
+    and re-encodes as JPEG natively (no PIL): block-constant input stays
+    exact through the full cycle."""
+    from pinterest_data_pipeline218_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+    from pinterest_data_pipeline218_spark.operators.multimodal import resize_image
+
+    W, H = 16, 16
+    px = bytearray()
+    for y in range(H):
+        for x in range(W):
+            v = 40 + 50 * (y // 8) + 100 * (x // 8)
+            px += bytes((v, v, v))
+    data = encode_jpeg_baseline(W, H, bytes(px), grayscale=True)
+    out = resize_image(data, 8, 8)
+    w, h, rgb = decode_jpeg(out)
+    assert (w, h) == (8, 8)
+    # nearest-neighbor of a 2x2-block-constant image halved = 4 constant
+    # 4x4 quadrants; re-encode is color (3-comp) but gray in, gray out
+    quads = {(0, 0): 40, (1, 0): 140, (0, 1): 90, (1, 1): 190}
+    for y in range(8):
+        for x in range(8):
+            want = quads[(x // 4, y // 4)]
+            got = rgb[(y * 8 + x) * 3 : (y * 8 + x) * 3 + 3]
+            assert all(abs(b - want) <= 2 for b in got), (x, y, want, got)
+
+
 def test_bpe_merges_match_python_reference_and_reduce_fertility(spark):
     """train_bpe_merges must reproduce a plain-Python greedy BPE trainer
     (pair counts weighted by word frequency, ties to the binary-smallest
