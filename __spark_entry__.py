@@ -31,6 +31,7 @@ from pinterest_data_pipeline218_spark.operators import (
 from pinterest_data_pipeline218_spark.plans import (
     analytics_tpch,
     events,
+    experiments,
     pin_domain,
     sequences,
     tpch,
@@ -47,6 +48,7 @@ _MODULES = (
     tpch_rest,
     events,
     sequences,
+    experiments,
     graph,
     ranking,
     entity,
@@ -160,7 +162,6 @@ _TAIL = (
     "sim_ivfpq_lloyd_topk",  # r05-green; the Lloyd-training dial over the SAME residual probe now in-window twice (residual + wide); training descent stays pytest-asserted (test_lloyd_codebook_refinement_reduces_distortion)
     "dedup_containment",  # r05-green; the exhaustive within-block form — the containment scorer keeps a driver row verbatim via incoming dedup_containment_seeds (same hashed-shingle scoring, the scale candidate generator), score equality pytest-proved on shared pairs
     "text_lm_score",  # r05-green; add-one bigram LM — the gram/count/score join machinery keeps a driver row via incoming text_lm_backoff (same shape + continuation join); the add-one/backoff ranking difference is pytest-pinned
-    "mm_image_decode",  # r05-green; the PPM/BMP pixel-decode kernel keeps a driver row via incoming mm_image_phash (same decoders feeding a strictly harder fingerprint kernel, same closed-form oracle style)
     "corpus_shuffle_shards",  # r05-green; deterministic md5-hash shard/position machinery shared with in-window corpus_hash_sample + corpus_split_assign; contiguity contract stays pytest-proved
     # r6 second rotation: corpus_stratified_predlang (trained-langid
     # stratified sampling) and mm_audio_fingerprint (gradient audio
@@ -195,7 +196,6 @@ _TAIL = (
     "corpus_token_budget",  # r05-green; the per-source planning-aggregate machinery keeps driver rows via in-window corpus_pack_sequences (bucketized running-sum packing, the harder planning form), and the window-frame family via ev_sliding_1h_value; still oracle-checked every round by tools/selfcheck.py over the full registry
     # r6 eleventh rotation: ev_cm_top_users (count-min heavy hitters, the
     # value-oracled counting sketch) is NEW and moves into the window.
-    "corpus_merge_increment",  # r05-green; its triage stages (quality gate, digest dedup, asymmetric LSH screen) each keep an in-window driver row via corpus_build_full, and the per-micro-batch composition stays pytest-proved (test_stream_static_merge_triage_equals_batch); still oracle-checked every round by tools/selfcheck.py over the full registry
     # r6 twelfth rotation: ev_hist_value_quantiles (mergeable fixed-bin
     # histogram quantile, the value-oracled quantile-sketch axis) is NEW
     # and moves into the window.
@@ -338,6 +338,27 @@ _TAIL = (
     "ev_asof_click_before_purchase",  # r08 green; the bucketized as-of join machinery is plan-asserted (test_asof_join_semantics_and_plan, test_range_join_buckets_are_hash_keys) and model-checked (test_asof_join_matches_model); tail twin ev_errors_near_purchase shares the epoch/dtype machinery; still oracle-checked every round
     "corpus_zorder_keys",  # r08 green; the Morton interleave + file-skipping win stays pytest-proved (test_zorder_layout_prunes_files_against_natural_order, test_zorder_layout_tightens_stats_on_both_dimensions); still oracle-checked every round
     "ev_cm_top_users",  # r08 green; the value-oracled sketch family keeps an in-window driver row via ev_hist_value_quantiles (same md5-hash bounded-state machinery), count-min error bound pytest-pinned (test_cm_sketch_one_sided_error_and_heavy_hitter) and the streaming assembly proven (test_incremental_cm_equals_batch); still oracle-checked every round
+    # r9 second rotation: five NEW oracled queries enter the window —
+    # ev_abtest_chi2 (hash-split A/B + chi-square), ev_cusum_excursion
+    # (CUSUM change-point screen), text_ngram_novelty (first-occurrence
+    # n-gram novelty), graph_jaccard_neighbors (common-neighbor Jaccard),
+    # mm_image_resize (decode->resample->re-encode->decode thumbnailing) —
+    # plus corpus_merge_increment rotates BACK in because its near-dup
+    # probe was re-planned onto the capped corpus band side this round (a
+    # plan change warrants a fresh driver row). The six below rotate out
+    # in exchange; every one is r08-green and value-redundant with
+    # machinery that keeps a driver row.
+    "ev_user_value_drift",  # r08 green; the per-user prior-window anomaly kernel stays pytest-pinned against the batch twin (test_drift_processor_kernel_matches_batch, test_drift_stream_equals_batch) and the anomaly-screen family keeps in-window driver rows via ev_outliers_mad and incoming ev_cusum_excursion; still oracle-checked every round by tools/selfcheck.py over the full registry
+    "graph_reachability_nations",  # r08 green; the graph family keeps driver rows via in-window graph_triangle_nations and incoming graph_jaccard_neighbors (same SF-invariant nation edge derivation), and the recursive-CTE machinery is engine-native (Catalyst UnionLoop) with the BFS contract pytest-covered; still oracle-checked every round
+    "ev_division_all_types",  # r08 green; relational division's decorrelated form (grouped count-distinct vs 1-row broadcast divisor) stays pytest-pinned (test_relational_division_matches_set_model) and both idioms keep in-window rows (grouped distinct via ev_rolling_7d_users, 1-row broadcast via incoming ev_abtest_chi2's totals join); still oracle-checked every round
+    "ev_locf_fill",  # r08 green; last_value IGNORE NULLS LOCF stays pytest-pinned (test_locf_fill_matches_python_model) and the LOCF hold-semantics family keeps its in-window driver row via ev_twa_daily (LOCF weighting, the strictly harder use of the carried-value contract); still oracle-checked every round
+    "ev_session_window_native",  # r08 green; the engine-native session aggregate is pytest-agreed with the in-window lag-gap family (test_native_session_window_agrees_with_lag_sessionization, stream twin test_native_session_window_on_stream_matches_batch) and sessions keep an in-window driver row via ev_session_copresence_lift; still oracle-checked every round
+    "ev_extremes_by_type",  # r08 green; max_by/min_by argmax stays pytest-pinned (test_extremes_argmax_matches_python_model) and the min-struct argmax idiom keeps an in-window driver row via incoming ev_cusum_excursion (peak_event_id election); still oracle-checked every round
+    # r9 third rotation: mm_image_decode rotates BACK in — its fixture
+    # gained the baseline-JPEG class this round (VERDICT r8 #5), so the
+    # decode row must re-prove on the new 4-format generator. The one
+    # below rotates out in exchange.
+    "ev_journey_pattern",  # r08 green; the ordered per-user assembly is pytest-pinned against an independent recompute (test_journey_md5_pins_independent_recompute) with property coverage (test_journey_classifiers_match_regex_model) and a streaming twin (test_incremental_journey_equals_batch); the sequence-mining family keeps in-window driver rows via ev_session_copresence_lift, ev_ewma_last8 and ev_twa_daily; still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

@@ -322,14 +322,105 @@ ORDER BY n_triangles DESC, nation
 """
 
 
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural node similarity over the UNDIRECTED nation trade graph:
+    for every nation pair sharing at least one trading partner, the
+    Jaccard similarity of their neighbor sets — |N(a)∩N(b)| over
+    |N(a)∪N(b)| in exact basis points (10⁴·inter div union, the repo's
+    fixed-point discipline). The common-neighbors/Jaccard score is the
+    classic link-prediction & role-equivalence primitive (Liben-Nowell &
+    Kleinberg 2003, public) — the graph-side analogue of the dedup
+    family's set-overlap scoring.
+
+    Shape: wedge-count the intersection (e1(x,a) ⋈ e2(x,b) on the shared
+    endpoint, a < b — one grouped count), broadcast-join per-node degrees
+    for the union via inclusion-exclusion — no neighbor-set
+    materialization, no array ops, so the same plan holds when the graph
+    is data-scale: both joins are equi-joins keyed on node ids, and
+    degrees are a one-pass grouped count.
+
+    100 TB posture: identical to the other nation-graph rows — the
+    data-scale work is the edge derivation (lineitem⋈orders + broadcast
+    dims); the wedge join runs on the SF-invariant ≤625-edge relation.
+
+    Reference scope: beyond-reference; completes the graph family beside
+    PageRank, CC, BFS, and triangles."""
+    _, edges = _nation_directed_edges(spark, sf_dir)
+    # undirected neighbor relation, BOTH directions (x's neighbors)
+    nbr = (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .select(F.col("src").alias("x"), F.col("dst").alias("n"))
+    )
+    deg = nbr.groupBy("x").agg(F.count(F.lit(1)).alias("deg"))
+    e1, e2 = nbr.alias("e1"), nbr.alias("e2")
+    inter = (
+        e1.join(
+            e2,
+            (F.col("e1.x") == F.col("e2.x")) & (F.col("e1.n") < F.col("e2.n")),
+        )
+        .groupBy(F.col("e1.n").alias("a"), F.col("e2.n").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("x").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("x").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        inter.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            F.expr("10000 * n_common div (deg_a + deg_b - n_common)").alias(
+                "jaccard_bp"
+            ),
+        )
+        .orderBy(F.col("jaccard_bp").desc(), "a", "b")
+    )
+
+
+GRAPH_JACCARD_SQL = """
+WITH de AS (
+  SELECT DISTINCT sn.n_name AS src, cn.n_name AS dst
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  WHERE sn.n_name <> cn.n_name
+),
+nbr AS (
+  SELECT DISTINCT src AS x, dst AS n FROM de
+  UNION
+  SELECT DISTINCT dst, src FROM de
+),
+deg AS (SELECT x, COUNT(*) AS deg FROM nbr GROUP BY x),
+inter AS (
+  SELECT e1.n AS a, e2.n AS b, COUNT(*) AS n_common
+  FROM nbr e1 JOIN nbr e2 ON e1.x = e2.x AND e1.n < e2.n
+  GROUP BY e1.n, e2.n
+)
+SELECT a, b, n_common,
+       10000 * n_common // (da.deg + db.deg - n_common) AS jaccard_bp
+FROM inter
+JOIN deg da ON da.x = a
+JOIN deg db ON db.x = b
+ORDER BY jaccard_bp DESC, a, b
+"""
+
+
 QUERIES = {
     "graph_pagerank_trade": graph_pagerank_trade,
     "graph_reachability_nations": graph_reachability_nations,
     "graph_triangle_nations": graph_triangle_nations,
+    "graph_jaccard_neighbors": graph_jaccard_neighbors,
 }
 
 ORACLE = {
     "graph_pagerank_trade": GRAPH_PAGERANK_SQL,
     "graph_reachability_nations": GRAPH_REACHABILITY_SQL,
     "graph_triangle_nations": GRAPH_TRIANGLE_SQL,
+    "graph_jaccard_neighbors": GRAPH_JACCARD_SQL,
 }

@@ -853,8 +853,73 @@ def phash_neardup_pairs(
     )
 
 
+RESIZE_W, RESIZE_H = 4, 3  # thumbnail target for the gated resize query
+
+
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The thumbnailing stage of a multimodal ingest, end to end and gated:
+    generate real PPM/BMP/PNG payloads, run the resize kernel (decode →
+    nearest-neighbor resample → re-encode IN THE SAME CONTAINER), then
+    decode the RESIZED payload and emit its per-channel sums. Every pixel
+    thus passes through two decodes and one encode, so container math,
+    the index-mapping arithmetic, and the re-encode path are all under the
+    value gate. The oracle replays the nearest-neighbor mapping
+    closed-form: resized(x, y) = source(x·W div {RESIZE_W}, y·H div
+    {RESIZE_H}) over the generative pixel formula — no decoding anywhere
+    in the oracle.
+
+    Scale shape: same as mm_image_decode — one Arrow mapInPandas pass,
+    partition-parallel, nothing collects."""
+
+    def resize_then_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                resized = resize_image(bytes(payload), RESIZE_W, RESIZE_H)
+                fmt, w, h, pixels = decode_image(resized)
+                px = np.frombuffer(pixels, dtype=np.uint8).astype(np.int64)
+                sums = px.reshape(-1, 3).sum(axis=0)
+                rows.append((doc_id, fmt, w, h, *map(int, sums)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _IMG_FEAT_SCHEMA.fields]
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = with_image_payload(docs)
+    return payloads.mapInPandas(resize_then_sums, schema=_IMG_FEAT_SCHEMA).orderBy(
+        "doc_id"
+    )
+
+
+def _image_resize_sql() -> str:
+    def ch_sum(c: int) -> str:
+        # nearest-neighbor source index for resized pixel i (row-major over
+        # the RESIZE_W x RESIZE_H grid): sx = (i % W')·W div W', sy = (i //
+        # W')·H div H'; channel c of source pixel (sx, sy) is the
+        # generative formula at flat index (sy·W + sx)·3 + c
+        return (
+            f"CAST(list_sum(list_transform(range(0, {RESIZE_W * RESIZE_H}), "
+            f"__i -> (doc_id * 31 + (((__i // {RESIZE_W}) * {IMG_H} // {RESIZE_H}) "
+            f"* {IMG_W} + ((__i % {RESIZE_W}) * {IMG_W} // {RESIZE_W})) * 3 + {c}) "
+            f"% 256)) AS BIGINT)"
+        )
+
+    return f"""
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'png' END AS fmt,
+       CAST({RESIZE_W} AS INT) AS width, CAST({RESIZE_H} AS INT) AS height,
+       {ch_sum(0)} AS sum_r, {ch_sum(1)} AS sum_g, {ch_sum(2)} AS sum_b
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
+    "mm_image_resize": mm_image_resize,
     "mm_fake_features": mm_fake_features,
     "mm_frame_sample": mm_frame_sample,
     "mm_image_decode": mm_image_decode,
@@ -865,6 +930,7 @@ QUERIES = {
 
 ORACLE = {
     "mm_binary_meta": MM_BINARY_META_SQL,
+    "mm_image_resize": _image_resize_sql(),
     "mm_fake_features": _fake_features_sql(),
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     "mm_image_decode": _image_decode_sql(),

@@ -1716,8 +1716,80 @@ ORDER BY q
 """
 
 
+NOVELTY_NGRAM = 3
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty under ingest order: of a document's
+    distinct {NOVELTY_NGRAM}-gram shingles, how many appear in NO document
+    with a smaller doc_id — the contribution-of-new-text measure a
+    dedup-aware curation pipeline tracks (a re-crawl of yesterday's web
+    scores ~0; memorization studies use exactly this first-occurrence
+    framing). novelty_bp = 10⁴·n_novel div n_grams, integer-exact.
+
+    Scale shape: one explode to (gram_hash, doc_id) grain, one grouped MIN
+    per gram (map-side combinable — the global first-seer table), one join
+    back on the 60-bit gram hash + a grouped count per doc. Exactly the
+    contamination_report/tfidf plan family: gram-grain shuffles keyed on
+    the hash, no windows, no pair joins. Docs shorter than the shingle
+    width emit no row (they have no n-grams — stated contract)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    T.word_shingles(T.tokens(F.col("text")), NOVELTY_NGRAM),
+                    lambda g: T.token_hash(g),
+                )
+            )
+        ).alias("gh"),
+    )
+    first_seen = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first_seen, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("10000 * n_novel div n_grams").alias("novelty_bp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _ngram_novelty_sql() -> str:
+    shingles = T.word_shingles_sql("string_split(text, ' ')", NOVELTY_NGRAM)
+    gh = T.token_hash_sql("g")
+    return f"""
+WITH g2 AS (
+  SELECT DISTINCT doc_id, {gh} AS gh
+  FROM (SELECT doc_id, unnest({shingles}) AS g
+        FROM documents WHERE text IS NOT NULL)
+), first_seen AS (
+  SELECT gh, MIN(doc_id) AS first_doc FROM g2 GROUP BY gh
+)
+SELECT doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(10000 * SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS novelty_bp
+FROM g2 JOIN first_seen USING (gh)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_ngram_novelty": text_ngram_novelty,
     "text_quality_score": text_quality_score,
     "text_langid": text_langid,
     "text_langid_trained": text_langid_trained,
@@ -1739,6 +1811,7 @@ QUERIES = {
 
 ORACLE = {
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_ngram_novelty": _ngram_novelty_sql(),
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_langid_trained": _langid_trained_sql(),

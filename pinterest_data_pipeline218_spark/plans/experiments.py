@@ -1,0 +1,251 @@
+"""Experimentation / monitoring analytics over the `events` table:
+deterministic A/B assignment with a chi-square contingency test, and
+CUSUM-style change-point excursion screening.
+
+Both are the batch forms of jobs a production event pipeline runs
+continuously (experiment readouts, metric-drift pages), expressed in the
+repo's oracle-exact discipline: integer counts, fixed-point rates, and —
+for the one genuinely real-valued statistic (chi²) — a SINGLE SQL
+expression string evaluated by both engines, so the double arithmetic
+shares one expression tree and rounds identically.
+
+Reference scope: beyond-reference (the reference has no statistics
+surface); extends the event-analytics family of plans/events.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..data import load_table
+from ..functions import text as T
+from .sequences import _v_centi
+
+# one shared chi² expression string (see module docstring): 2x2 chi-square
+# N(ad-bc)² / ((a+b)(c+d)(a+c)(b+d)) over BIGINT cells a..d, left-to-right
+# double chain identical in Spark and DuckDB. A zero margin (e.g. EVERY
+# user converted — true on the dense dev events) makes the statistic
+# undefined; nullif yields NULL in both engines instead of an ANSI
+# divide-by-zero error.
+_CHI2_EXPR = (
+    "CAST(n_total AS DOUBLE) * CAST(ad_bc AS DOUBLE) * CAST(ad_bc AS DOUBLE)"
+    " / nullif(CAST(n_control AS DOUBLE), 0.0)"
+    " / nullif(CAST(n_treatment AS DOUBLE), 0.0)"
+    " / nullif(CAST(n_conv AS DOUBLE), 0.0)"
+    " / nullif(CAST(n_noconv AS DOUBLE), 0.0)"
+)
+
+
+def ev_abtest_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B experiment readout: users hash-split into two
+    arms (md5 of user_id, the same engine-portable hash the sampling
+    family uses — assignment is stable across runs and engines),
+    conversion = the user is an ABOVE-AVERAGE purchaser, decided by exact
+    integer cross-multiplication (np·U > P, where np is the user's
+    purchase count and U/P the global user/purchase totals — no division,
+    no SF-tuned constant, both margins populated at any scale); emits the
+    2x2 cell counts, per-arm conversion rates in basis points, and the
+    Pearson chi-square statistic with 1 df.
+
+    Scale shape: ONE distinct-user reduction shuffled on user_id (the
+    purchase count folds into it), a 1-row global total broadcast back
+    (the asserted 1-row crossJoin idiom), then a 2-row aggregate → 1-row
+    contingency assembly. No windows, no joins against the raw event
+    stream. At 100 TB the distinct-user table is the only wide
+    intermediate, and it is the same reduction ev_retention/rolling
+    already run.
+
+    Correctness: cells and rates are integer-exact; chi² is a double but
+    both engines evaluate the IDENTICAL expression string over identical
+    integer cells (module docstring), so the value gate's bitwise compare
+    holds."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("np")
+        )
+    )
+    totals = per_user.agg(
+        F.count(F.lit(1)).alias("u_total"), F.sum("np").alias("p_total")
+    )
+    users = per_user.crossJoin(F.broadcast(totals)).select(
+        F.pmod(T.token_hash(F.col("user_id").cast("string")), F.lit(2)).alias(
+            "arm"
+        ),
+        F.when(
+            F.col("np") * F.col("u_total") > F.col("p_total"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("converted"),
+    )
+    cells = users.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_control"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_treatment"),
+        F.sum(
+            F.when((F.col("arm") == 0) & (F.col("converted") == 1), 1).otherwise(0)
+        ).alias("conv_control"),
+        F.sum(
+            F.when((F.col("arm") == 1) & (F.col("converted") == 1), 1).otherwise(0)
+        ).alias("conv_treatment"),
+    )
+    return cells.select(
+        "n_control",
+        "n_treatment",
+        "conv_control",
+        "conv_treatment",
+        F.expr("10000 * conv_control div nullif(n_control, 0)").alias("cr_control_bp"),
+        F.expr("10000 * conv_treatment div nullif(n_treatment, 0)").alias("cr_treatment_bp"),
+        F.expr(
+            "conv_control * (n_treatment - conv_treatment)"
+            " - (n_control - conv_control) * conv_treatment"
+        ).alias("ad_bc"),
+        "n_total",
+        F.expr("conv_control + conv_treatment").alias("n_conv"),
+        F.expr("n_total - conv_control - conv_treatment").alias("n_noconv"),
+    ).select(
+        "n_control",
+        "n_treatment",
+        "conv_control",
+        "conv_treatment",
+        "cr_control_bp",
+        "cr_treatment_bp",
+        F.expr(_CHI2_EXPR).alias("chi2"),
+    )
+
+
+EV_ABTEST_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS np
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id
+), totals AS (
+  SELECT COUNT(*) AS u_total, CAST(SUM(np) AS BIGINT) AS p_total FROM per_user
+), users AS (
+  SELECT ({T.token_hash_sql("CAST(user_id AS VARCHAR)")}) % 2 AS arm,
+         CASE WHEN np * u_total > p_total THEN 1 ELSE 0 END AS converted
+  FROM per_user CROSS JOIN totals
+), cells AS (
+  SELECT COUNT(*) AS n_total,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treatment,
+         CAST(SUM(CASE WHEN arm = 0 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS conv_control,
+         CAST(SUM(CASE WHEN arm = 1 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS conv_treatment
+  FROM users
+), named AS (
+  SELECT n_control, n_treatment, conv_control, conv_treatment,
+         10000 * conv_control // nullif(n_control, 0) AS cr_control_bp,
+         10000 * conv_treatment // nullif(n_treatment, 0) AS cr_treatment_bp,
+         conv_control * (n_treatment - conv_treatment)
+           - (n_control - conv_control) * conv_treatment AS ad_bc,
+         n_total,
+         conv_control + conv_treatment AS n_conv,
+         n_total - conv_control - conv_treatment AS n_noconv
+  FROM cells
+)
+SELECT n_control, n_treatment, conv_control, conv_treatment,
+       cr_control_bp, cr_treatment_bp,
+       {_CHI2_EXPR} AS chi2
+FROM named
+"""
+
+
+def ev_cusum_excursion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point screen per event type: walk the type's events in
+    time order accumulating the deviation from the type mean; the maximum
+    absolute excursion of that cumulative sum is the classic CUSUM
+    change-point statistic (Page 1954, public) — a level shift mid-stream
+    produces a large excursion even when the overall mean looks normal.
+
+    Integer-exact via mean-clearing scale-up: dev_i = v_i·n − S (value in
+    centi-units, n/S the type's count/sum), so Σ dev = 0 exactly and every
+    cusum prefix is a BIGINT — no float mean, no division at all. Output
+    per type: n_events, the max |cusum| (in centi·n units), and the
+    event_id where it peaks (earliest on ties — min-struct argmax).
+
+    Scale shape: one grouped (n, S) aggregate broadcast back (1 row per
+    type), one window partitioned BY TYPE ordered by (ts, event_id) — a
+    single exchange+sort — then a grouped argmax. The scaled BIGINT
+    (v·n ≤ 2^63) bounds the decade this SF family spans; at true 100 TB
+    per-type row counts the same plan runs with dev in DECIMAL(38,0)
+    (the copresence-lift idiom) — a dtype swap, not a plan change."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("event_type", "ts", "event_id", _v_centi().alias("v"))
+    stats = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("v").alias("s")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = (
+        base.join(F.broadcast(stats), "event_type")
+        .withColumn("cusum", F.sum(F.expr("v * n_events - s")).over(w))
+    )
+    return (
+        cusum.groupBy("event_type")
+        .agg(
+            F.first("n_events").alias("n_events"),
+            F.min(
+                F.struct(
+                    (-F.abs(F.col("cusum"))).alias("neg_exc"),
+                    F.col("event_id").alias("eid"),
+                )
+            ).alias("mn"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            (-F.col("mn.neg_exc")).alias("max_excursion"),
+            F.col("mn.eid").alias("peak_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_CUSUM_SQL = """
+WITH base AS (
+  SELECT event_type, ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM events
+), stats AS (
+  SELECT event_type, COUNT(*) AS n_events, SUM(v) AS s
+  FROM base GROUP BY event_type
+), cu AS (
+  SELECT b.event_type, b.event_id, st.n_events,
+         CAST(SUM(b.v * st.n_events - st.s) OVER (
+           PARTITION BY b.event_type ORDER BY b.ts, b.event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum
+  FROM base b JOIN stats st USING (event_type)
+)
+SELECT event_type,
+       ANY_VALUE(n_events) AS n_events,
+       -((MIN(struct_pack(neg_exc := -ABS(cusum), eid := event_id))).neg_exc)
+         AS max_excursion,
+       (MIN(struct_pack(neg_exc := -ABS(cusum), eid := event_id))).eid
+         AS peak_event_id
+FROM cu
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "ev_abtest_chi2": ev_abtest_chi2,
+    "ev_cusum_excursion": ev_cusum_excursion,
+}
+
+ORACLE = {
+    "ev_abtest_chi2": EV_ABTEST_SQL,
+    "ev_cusum_excursion": EV_CUSUM_SQL,
+}

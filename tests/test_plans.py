@@ -615,29 +615,26 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
     missing = tail - set(names)
     assert missing == set(), f"_TAIL names not in registry: {missing}"
     head = set(names[:50])
-    # r8: everything in the r6 novel set got its driver row in
-    # CORRECTNESS_r06/r07. The window-priority set is now (a) the one
-    # driver-red query, which must stay checked until green, and (b) the
-    # nine stalest reference-surface rows rotated back in per VERDICT r7
-    # #4 (last driver rows r01-r04) so every SURVEY §2.11 query gets a
-    # fresh row.
+    # r9: everything in the r8 novel set got its driver row in
+    # CORRECTNESS_r08 (50/50 green). The window-priority set is now
+    # (a) the queries that are NEW this round (no driver row yet),
+    # (b) the rows whose PLAN changed this round (capped-CC rewire,
+    # fuzzy hot-block defense, JPEG fixture class — a fresh driver row
+    # must re-prove each), and (c) the 12 stalest rows rotated back in
+    # per VERDICT r8 #3 (last driver rows r1-r2).
     novel = {
-        "text_classifier_eval",  # driver-red r06+r07; HUGEINT oracle cast fixed this round
-        "dedup_cluster_cc_capped",  # NEW r8 (VERDICT r7 #6)
-        "t5_priority_counts_by_year", "t6p1_top_customer_per_nation",
-        "t6p2_top_nation_by_top_customer", "t7_top_priority_per_band",
-        "t8_median_balance_by_band", "t9_active_customers_by_year",
-        "t10_median_order_total_by_year", "t8_compat_window_median",
-        "geo_clean_pipeline",
-        # NEW r8 (this session) — no driver row yet, must be in the window
-        "ev_journey_pattern", "ev_ewma_last8", "ev_twa_daily",
-        "graph_triangle_nations", "corpus_bm25_search", "text_fuzzy_pairs",
-        "ev_extremes_by_type", "ev_outliers_mad", "ev_rolling_7d_users",
-        "ev_session_copresence_lift", "ev_division_all_types", "tpch_lateral_topk",
-        "ev_locf_fill", "ev_session_window_native",
-        "ev_scd2_band_history", "ev_groupingsets_type_hour",
-        "corpus_zorder_keys", "graph_reachability_nations",
-        "ev_user_value_drift",
+        # NEW r9 — no driver row yet
+        "ev_abtest_chi2", "ev_cusum_excursion", "text_ngram_novelty",
+        "graph_jaccard_neighbors", "mm_image_resize",
+        # plan changed r9 (VERDICT r8 #1/#2/#5/#8)
+        "dedup_cluster_best", "corpus_build_full", "text_fuzzy_pairs",
+        "corpus_merge_increment", "mm_image_decode",
+        # VERDICT r8 #3 staleness rotation
+        "dedup_ngram_jaccard", "ev_counts_hourly", "ev_salted_stats",
+        "ev_salted_distinct_users", "mm_fake_features", "text_langid",
+        "text_word_frequencies", "tpch_q3_shipping_priority",
+        "tpch_q4_semi_join", "tpch_q5_regional_volume", "tpch_q6_revenue",
+        "window_showcase",
     }
     out = novel - head
     assert out == set(), f"window-priority queries outside the checked window: {out}"
