@@ -359,6 +359,13 @@ _TAIL = (
     # decode row must re-prove on the new 4-format generator. The one
     # below rotates out in exchange.
     "ev_journey_pattern",  # r08 green; the ordered per-user assembly is pytest-pinned against an independent recompute (test_journey_md5_pins_independent_recompute) with property coverage (test_journey_classifiers_match_regex_model) and a streaming twin (test_incremental_journey_equals_batch); the sequence-mining family keeps in-window driver rows via ev_session_copresence_lift, ev_ewma_last8 and ev_twa_daily; still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r9 fourth rotation: text_entity_ids (fuzzy record linkage resolved to
+    # ENTITY LABELS over a capped edge stream — the bounded-output form the
+    # sf1 decade showed text_fuzzy_pairs needs when the consumer wants
+    # entities, measured 2.0x at the decade vs 78x for the pair listing)
+    # is NEW and moves into the window. The one below rotates out in
+    # exchange.
+    "tpch_lateral_topk",  # r08 green; the correlated-LATERAL decorrelation stays plan-asserted (test_lateral_topk_decorrelates_to_window_group_limit) and the rank-top-k family keeps in-window driver rows via t7_top_priority_per_band and tpch_q3_shipping_priority; still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

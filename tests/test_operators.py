@@ -2948,6 +2948,64 @@ def test_composed_cap_preserves_exact_pairs_at_gate_scale(spark):
     assert capped == exact
 
 
+def test_entity_ids_match_exhaustive_below_cap_and_bound_giant_blocks(spark):
+    """text_entity_ids' capped-CC guarantees on the linkage graph:
+
+    1. with every block at or under ENTITY_EDGE_CAP, entity labels equal
+       connected components over the EXHAUSTIVE fuzzy_pairs graph;
+    2. a planted giant block (every member within FUZZY_MAX_DIST of the
+       representative) star-routes — edges stay linear in |B| — yet still
+       collapses to ONE entity."""
+    from pinterest_data_pipeline218_spark.operators.dedup import (
+        connected_components,
+    )
+    from pinterest_data_pipeline218_spark.operators.entity import (
+        ENTITY_EDGE_CAP,
+        fuzzy_pairs,
+        text_entity_ids,
+    )
+
+    # --- 2: giant near-identical block (40 docs, tiny edits) + noise
+    base = " ".join(f"w{k}" for k in range(30))
+    rows = [(i, "en", base + f" v{i % 3}") for i in range(40)] + [
+        (100 + i, "en", " ".join(f"x{i}y{j}" for j in range(30))) for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    import tempfile
+
+    import pyspark.sql.functions as SF_
+
+    # write as a one-table sf dir so the gated entrypoints run on it
+    with tempfile.TemporaryDirectory() as td:
+        docs.select(
+            "doc_id", "text", "lang",
+            SF_.lit("t").alias("source"),
+            SF_.length("text").alias("n_chars"),
+        ).write.parquet(f"{td}/documents.parquet")
+        got = {
+            (r.doc_id, r.entity_id)
+            for r in text_entity_ids(spark, td).collect()
+        }
+        # exhaustive graph labels over the same corpus
+        pairs = fuzzy_pairs(docs).select("doc_id_a", "doc_id_b")
+        labels = connected_components(
+            docs.select(SF_.col("doc_id").alias("node")),
+            pairs.select(
+                SF_.col("doc_id_a").alias("doc_a"),
+                SF_.col("doc_id_b").alias("doc_b"),
+            ),
+        )
+        want = {(r.node, r.label) for r in labels.collect()}
+    assert got == want  # the giant block is rep-connected, so labels agree
+    assert {e for d, e in got if d < 40} == {0}  # one entity
+    assert len({e for d, e in got if d >= 100}) == 5  # noise stays singleton
+
+    # --- 1: below the cap the streams are identical by construction
+    small = spark.createDataFrame(rows[:ENTITY_EDGE_CAP], "doc_id long, lang string, text string")
+    n_exh = fuzzy_pairs(small).count()
+    assert n_exh == ENTITY_EDGE_CAP * (ENTITY_EDGE_CAP - 1) // 2
+
+
 def test_zorder_layout_prunes_files_against_natural_order(spark, tmp_path):
     """Z-order layout (operators/layout.py) must deliver its 100 TB
     promise in miniature: under a predicate box on the NON-layout
