@@ -366,6 +366,11 @@ _TAIL = (
     # is NEW and moves into the window. The one below rotates out in
     # exchange.
     "tpch_lateral_topk",  # r08 green; the correlated-LATERAL decorrelation stays plan-asserted (test_lateral_topk_decorrelates_to_window_group_limit) and the rank-top-k family keeps in-window driver rows via t7_top_priority_per_band and tpch_q3_shipping_priority; still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r9 fifth rotation: ml_semantic_keepers (SemDeDup's bounded decision
+    # output — within-cluster cosine CC over a capped edge stream, measured
+    # 1.3x at the sf1 decade vs 16.6x for the pair-listing form) is NEW and
+    # moves into the window. The one below rotates out in exchange.
+    "dedup_cluster_cc_capped",  # r08 green; the capped candidate-edge machinery now has THREE in-window driver rows consuming it verbatim (dedup_cluster_best, corpus_build_full, corpus_merge_increment — the r9 rewire), below-cap label equality stays pytest-pinned (test_capped_cc_matches_exact_below_cap_and_bounds_giant_clusters, test_composed_cap_preserves_exact_pairs_at_gate_scale); still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

@@ -161,6 +161,14 @@ HEADLINE = [
     "tpch_lateral_topk",
     "ev_locf_fill",
     "ev_session_window_native",
+    # r9 additions
+    "ev_abtest_chi2",
+    "ev_cusum_excursion",
+    "text_ngram_novelty",
+    "graph_jaccard_neighbors",
+    "mm_image_resize",
+    "text_entity_ids",
+    "ml_semantic_keepers",
 ]
 
 

@@ -300,14 +300,148 @@ ORDER BY cluster, vec_a, vec_b
 """
 
 
+SEM_EDGE_CAP = 16  # learned clusters above this emit star edges, not pairs
+
+
+def ml_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's actual DECISION output, bounded: one (vec_id, group_id,
+    group_size, keep) row per vector, where groups are connected components
+    of the within-cluster cosine near-dup graph and the keeper is the
+    group's minimum vec_id. dedup_semantic_kmeans lists the pairs (its
+    contract — measured 16.6× at the sf1 decade because true pairs grow
+    quadratically in duplicate-cluster size); this is the label-consuming
+    twin: learned clusters larger than {SEM_EDGE_CAP} contribute one
+    verified star edge per member (member → cluster-min representative)
+    instead of |cluster|² pairs, so the edge stream is O(cap·n) + O(n)
+    and the output is |vectors| rows — the same per-bucket representative
+    cap capped-CC and text_entity_ids use, with the same documented
+    refinement trade (below the cap, groups provably equal the exhaustive
+    graph's).
+
+    100 TB shape: assignment is a unique-key hash join, the cap bounds
+    within-cluster work however hot a semantic cluster gets, CC is the
+    edges-only min-label loop, and nothing output-bound quadratic
+    survives."""
+    from .dedup import EMBEDDING_COSINE_THRESHOLD, connected_components
+    from ..functions.vectors import cosine_from_norms, dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    assign = ml_kmeans_refine(spark, sf_dir).select("vec_id", "cluster")
+    e = emb.join(assign, "vec_id").withColumn("nrm", l2_norm(F.col("v")))
+    w = Window.partitionBy("cluster")
+    sized = e.withColumn("bn", F.count(F.lit(1)).over(w)).withColumn(
+        "rep", F.min("vec_id").over(w)
+    )
+    small = sized.filter(F.col("bn") <= SEM_EDGE_CAP)
+    a, b = small.alias("a"), small.alias("b")
+    exact = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("doc_a"),
+        F.col("b.vec_id").alias("doc_b"),
+        F.col("a.v").alias("v_a"),
+        F.col("b.v").alias("v_b"),
+        F.col("a.nrm").alias("nrm_a"),
+        F.col("b.nrm").alias("nrm_b"),
+    )
+    reps = e.select(
+        F.col("vec_id").alias("rep"),
+        F.col("v").alias("v_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    star = (
+        sized.filter((F.col("bn") > SEM_EDGE_CAP) & (F.col("vec_id") != F.col("rep")))
+        .join(reps, "rep")
+        .select(
+            F.col("rep").alias("doc_a"),
+            F.col("vec_id").alias("doc_b"),
+            "v_a",
+            F.col("v").alias("v_b"),
+            "nrm_a",
+            F.col("nrm").alias("nrm_b"),
+        )
+    )
+    cos = cosine_from_norms(
+        dot(F.col("v_a"), F.col("v_b")), F.col("nrm_a"), F.col("nrm_b")
+    )
+    pairs = (
+        exact.unionByName(star)
+        .filter(F.round(cos, 6) >= EMBEDDING_COSINE_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    labels = connected_components(nodes, pairs)
+    return (
+        labels.select(
+            F.col("node").alias("vec_id"),
+            F.col("label").alias("group_id"),
+            F.count(F.lit(1)).over(Window.partitionBy("label")).alias("group_size"),
+            (F.col("node") == F.col("label")).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _semantic_keepers_sql() -> str:
+    from .dedup import EMBEDDING_COSINE_THRESHOLD
+    from ..functions.vectors import cosine_sql_duckdb
+
+    cos = cosine_sql_duckdb("pc.v_a", "pc.v_b")
+    return f"""WITH RECURSIVE {_kmeans_ctes()},
+e AS (
+  SELECT e0.vec_id AS vec_id, afinal.cluster AS cluster,
+         embedding::DOUBLE[] AS v
+  FROM embeddings e0 JOIN afinal ON e0.vec_id = afinal.vec_id
+), sized AS (
+  SELECT vec_id, cluster, v,
+         COUNT(*) OVER (PARTITION BY cluster) AS bn,
+         MIN(vec_id) OVER (PARTITION BY cluster) AS rep
+  FROM e
+), cand AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, a.v AS v_a, b.v AS v_b
+  FROM sized a
+  JOIN sized b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE a.bn <= {SEM_EDGE_CAP} AND b.bn <= {SEM_EDGE_CAP}
+  UNION ALL
+  SELECT s.rep, s.vec_id, r.v, s.v
+  FROM sized s JOIN e r ON r.vec_id = s.rep
+  WHERE s.bn > {SEM_EDGE_CAP} AND s.vec_id != s.rep
+), pairs AS (
+  SELECT doc_a, doc_b FROM cand pc
+  WHERE ROUND({cos}, 6) >= {EMBEDDING_COSINE_THRESHOLD}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), reach(node, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT ed.dst, r.label FROM reach r JOIN edges ed ON ed.src = r.node
+  WHERE r.label < ed.dst
+), cc AS (
+  SELECT node AS vec_id, MIN(label) AS group_id FROM reach GROUP BY node
+)
+SELECT vec_id, group_id,
+       COUNT(*) OVER (PARTITION BY group_id) AS group_size,
+       vec_id = group_id AS keep
+FROM cc ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "ml_kmeans_refine": ml_kmeans_refine,
     "dedup_semantic_kmeans": dedup_semantic_kmeans,
     "ml_hard_negatives": ml_hard_negatives,
+    "ml_semantic_keepers": ml_semantic_keepers,
 }
 
 ORACLE = {
     "ml_kmeans_refine": _kmeans_sql(),
     "dedup_semantic_kmeans": _semantic_dedup_sql(),
     "ml_hard_negatives": _hard_negatives_sql(),
+    "ml_semantic_keepers": _semantic_keepers_sql(),
 }
