@@ -280,6 +280,64 @@ FROM cc ORDER BY doc_id
 """
 
 
+def entity_increment(
+    new: DataFrame, registry: DataFrame, cap: int = ENTITY_EDGE_CAP
+) -> DataFrame:
+    """Per-micro-batch entity ASSIGNMENT against a static resolved registry
+    — the streaming twin of text_entity_ids, in the repo's stateless
+    stream-static pattern (each verdict depends only on the new doc's text
+    and the registry, so the combinator runs unchanged per micro-batch
+    under foreachBatch; stream==batch pytest-proved).
+
+    `new` needs (doc_id, lang, text); `registry` needs (doc_id, lang,
+    text, entity_id) — e.g. text_entity_ids joined back to the corpus.
+    A new doc inherits the MINIMUM entity_id among its verified fuzzy
+    matches (deterministic), else founds its own entity (entity_id =
+    its doc_id, matched = false). Online approximation contract: arrivals
+    never re-label the registry, and a doc bridging two existing entities
+    joins the lower one without merging them — the standard incremental
+    entity-resolution trade, stated.
+
+    Scale: the probe is an equi-join on the (lang, 16-char block) key with
+    the REGISTRY side capped to its `cap` lowest doc_ids per block (the
+    incremental_matches_capped move), so per-batch candidate work is
+    O(|new| · cap) however hot a registry block gets."""
+    reg = (
+        registry.select(
+            F.col("doc_id").alias("reg_id"),
+            "lang",
+            F.substring("text", 1, FUZZY_BLOCK_CHARS).alias("blk"),
+            F.substring("text", 1, FUZZY_PREFIX_CHARS).alias("reg_pfx"),
+            "entity_id",
+        )
+        .withColumn("rn", F.row_number().over(Window.partitionBy("lang", "blk").orderBy("reg_id")))
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+    )
+    n = new.select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, FUZZY_BLOCK_CHARS).alias("blk"),
+        F.substring("text", 1, FUZZY_PREFIX_CHARS).alias("pfx"),
+    )
+    matches = (
+        n.join(reg, ["lang", "blk"])
+        .filter(F.levenshtein("pfx", "reg_pfx") <= FUZZY_MAX_DIST)
+        .groupBy("doc_id")
+        .agg(F.min("entity_id").alias("matched_entity"))
+    )
+    return (
+        n.select("doc_id")
+        .join(matches, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("matched_entity", F.col("doc_id")).alias("entity_id"),
+            F.col("matched_entity").isNotNull().alias("matched"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "text_fuzzy_pairs": text_fuzzy_pairs,
     "text_entity_ids": text_entity_ids,

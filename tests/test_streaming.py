@@ -593,6 +593,85 @@ def test_stream_capped_triage_equals_batch_and_bounds_giant_cluster(spark, tmp_p
     assert want[9003][0] == "dup_exact"
 
 
+def test_entity_increment_stream_equals_batch_and_bounds_registry(spark, tmp_path):
+    """entity_increment (the streaming twin of text_entity_ids): per
+    micro-batch assignment against a STATIC resolved registry must equal
+    the batch combinator over the union; a matched doc inherits the MIN
+    matched entity_id, a novel doc founds its own; and a planted hot
+    registry block stays capped (candidates bounded by cap, assignment
+    still correct because the kept representatives are the lowest-id —
+    thus lowest-entity — members)."""
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pinterest_data_pipeline218_spark.operators.entity import (
+        ENTITY_EDGE_CAP,
+        entity_increment,
+    )
+
+    base = " ".join(f"reg{k}" for k in range(30))
+    # registry: one resolved entity of 20 near-identical docs (> cap) +
+    # two singletons
+    reg_rows = [(i, "en", base + f" v{i % 3}", 0) for i in range(20)] + [
+        (100, "en", " ".join(f"solo{j}" for j in range(30)), 100),
+        (200, "fr", base, 200),
+    ]
+    registry = spark.createDataFrame(
+        reg_rows, "doc_id long, lang string, text string, entity_id long"
+    )
+    new_rows = [
+        (900, "en", base + " v9"),       # matches the big entity -> 0
+        (901, "en", " ".join(f"novel{j}" for j in range(30))),  # founds 901
+        (902, "fr", base + " v1"),       # matches only the fr twin -> 200
+    ]
+    new = spark.createDataFrame(new_rows, "doc_id long, lang string, text string")
+
+    want = {
+        (r.doc_id, r.entity_id, r.matched)
+        for r in entity_increment(new, registry).collect()
+    }
+    assert want == {(900, 0, True), (901, 901, False), (902, 200, True)}
+    assert ENTITY_EDGE_CAP < 20  # the big block really is capped
+
+    src = tmp_path / "new_ent"
+    src.mkdir()
+    for i, r in enumerate(new_rows):
+        with open(src / f"{i:03d}.jsonl", "w") as f:
+            f.write(json.dumps({"doc_id": r[0], "lang": r[1], "text": r[2]}) + "\n")
+    stream = (
+        spark.readStream.format("json")
+        .schema(
+            StructType(
+                [
+                    StructField("doc_id", LongType()),
+                    StructField("lang", StringType()),
+                    StructField("text", StringType()),
+                ]
+            )
+        )
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    out = str(tmp_path / "ent_assign")
+
+    def assign(batch_df, batch_id):
+        entity_increment(batch_df, registry).write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(assign)
+        .option("checkpointLocation", str(tmp_path / "cp_ent"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.doc_id, r.entity_id, r.matched)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
+
+
 def test_decode_quarantine_splits_corrupt_records(spark, tmp_path):
     """Corrupt blobs must land in the quarantine with their raw payload,
     not flatten into all-null rows, and null blobs must dead-letter with
