@@ -371,6 +371,11 @@ _TAIL = (
     # 1.3x at the sf1 decade vs 16.6x for the pair-listing form) is NEW and
     # moves into the window. The one below rotates out in exchange.
     "dedup_cluster_cc_capped",  # r08 green; the capped candidate-edge machinery now has THREE in-window driver rows consuming it verbatim (dedup_cluster_best, corpus_build_full, corpus_merge_increment — the r9 rewire), below-cap label equality stays pytest-pinned (test_capped_cc_matches_exact_below_cap_and_bounds_giant_clusters, test_composed_cap_preserves_exact_pairs_at_gate_scale); still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r9 sixth rotation: corpus_leakage_safe_split (group-aware train/val/
+    # test assignment keyed on the near-dup CLUSTER id, so near-duplicates
+    # can never straddle splits — composed from the capped-CC labels) is
+    # NEW and moves into the window. The one below rotates out in exchange.
+    "graph_triangle_nations",  # r08 green; the wedge-closure count stays pytest-pinned against a brute-force model (test_triangle_count_matches_bruteforce_model) and the nation-graph join family keeps an in-window driver row via incoming graph_jaccard_neighbors (same edge derivation, same wedge-join shape); still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

@@ -684,6 +684,83 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test assignment: the split hash is keyed on
+    the NEAR-DUP CLUSTER label, not the document id, so two near-duplicate
+    documents can NEVER straddle splits — the leakage mode a per-document
+    hash split (corpus_split_assign) cannot prevent, and the reason
+    production eval sets are split at the cluster/URL/domain level
+    (decontamination's structural complement: decontamination removes
+    known-benchmark overlap, this prevents self-overlap between the
+    train and held-out slices).
+
+    Composition: capped candidate edges → Jaccard verify → min-label CC
+    (the bounded 100 TB dedup path, provably exact below the cap at gate
+    SFs) → md5-percent of the CLUSTER id → the standard 80/10/10 CASE.
+    Output (doc_id, cluster_id, split); every cluster lands whole in one
+    split by construction (pytest-pinned).
+
+    Scale shape: the CC machinery's (bounded-linear edges, |docs| label
+    table) plus one scan-local hash CASE — no new wide work."""
+    from .dedup import (
+        CC_JACCARD_THRESHOLD,
+        capped_verified_pairs,
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = capped_verified_pairs(spark, sf_dir, CC_JACCARD_THRESHOLD)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    labels = connected_components(nodes, pairs)
+    pct = T.token_hash(F.col("label").cast("string"), seed=SPLIT_SEED) % 100
+    split = (
+        F.when(pct < TRAIN_PCT, "train")
+        .when(pct < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        split.alias("split"),
+    ).orderBy("doc_id")
+
+
+def _leakage_safe_split_sql() -> str:
+    from .dedup import (
+        CC_COMPOSED_EDGE_CAP,
+        CC_JACCARD_THRESHOLD,
+        _capped_cand_cte,
+        _minhash_cte_body,
+        _VERIFIED_JACCARD,
+    )
+
+    pct = f"({T.token_hash_sql('CAST(cluster_id AS VARCHAR)', seed=SPLIT_SEED)} % 100)"
+    return f"""
+WITH RECURSIVE {_minhash_cte_body()}, {_capped_cand_cte(CC_COMPOSED_EDGE_CAP)}, pairs AS (
+  SELECT doc_a, doc_b
+  FROM allcand
+  JOIN sig x ON allcand.doc_a = x.doc_id
+  JOIN sig y ON allcand.doc_b = y.doc_id
+  WHERE {_VERIFIED_JACCARD} >= {CC_JACCARD_THRESHOLD}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node WHERE r.label < e.dst
+), cc AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN {pct} < {TRAIN_PCT} THEN 'train'
+            WHEN {pct} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM cc ORDER BY doc_id
+"""
+
+
 DSIR_SEED = 77
 DSIR_BUCKETS = 64  # hashed-unigram feature space (DSIR uses hashed n-grams)
 DSIR_SCALE = 1_000_000  # fixed-point scale for the probability ratio
@@ -1312,6 +1389,7 @@ def write_training_corpus(df: DataFrame, out_dir: str) -> None:
 QUERIES = {
     "corpus_hash_sample": corpus_hash_sample,
     "corpus_split_assign": corpus_split_assign,
+    "corpus_leakage_safe_split": corpus_leakage_safe_split,
     "corpus_chunk_tokens": corpus_chunk_tokens,
     "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_stratified_predlang": corpus_stratified_predlang,
@@ -1329,6 +1407,7 @@ QUERIES = {
 ORACLE = {
     "corpus_hash_sample": CORPUS_SAMPLE_SQL,
     "corpus_split_assign": CORPUS_SPLIT_SQL,
+    "corpus_leakage_safe_split": _leakage_safe_split_sql(),
     "corpus_chunk_tokens": CORPUS_CHUNK_SQL,
     "corpus_stratified_sample": CORPUS_STRATIFIED_SQL,
     "corpus_stratified_predlang": _stratified_predlang_sql(),

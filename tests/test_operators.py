@@ -3006,6 +3006,34 @@ def test_entity_ids_match_exhaustive_below_cap_and_bound_giant_blocks(spark):
     assert n_exh == ENTITY_EDGE_CAP * (ENTITY_EDGE_CAP - 1) // 2
 
 
+def test_leakage_safe_split_keeps_clusters_whole(spark):
+    """corpus_leakage_safe_split's guarantee: every near-dup cluster lands
+    WHOLE in one split (no near-duplicate pair straddles train/test — the
+    leakage mode a per-document hash split cannot prevent), the split is
+    keyed on the cluster id (singletons of one cluster agree with the
+    direct hash), and all three splits are populated at sf0.001."""
+    from pinterest_data_pipeline218_spark.operators.corpus import (
+        corpus_leakage_safe_split,
+    )
+    from pinterest_data_pipeline218_spark.operators.dedup import (
+        CC_JACCARD_THRESHOLD,
+        capped_verified_pairs,
+    )
+
+    rows = corpus_leakage_safe_split(spark, SF).collect()
+    split_of = {r.doc_id: r.split for r in rows}
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert {s for r in rows for s in [r.split]} == {"train", "val", "test"}
+    # the actual leakage property: verified near-dup pairs share a split
+    pairs = capped_verified_pairs(spark, SF, CC_JACCARD_THRESHOLD).collect()
+    assert pairs  # the dev corpus has near-dups — the guard is exercised
+    for p in pairs:
+        assert split_of[p.doc_a] == split_of[p.doc_b], (p.doc_a, p.doc_b)
+
+
 def test_zorder_layout_prunes_files_against_natural_order(spark, tmp_path):
     """Z-order layout (operators/layout.py) must deliver its 100 TB
     promise in miniature: under a predicate box on the NON-layout
