@@ -32,6 +32,7 @@ from pinterest_data_pipeline218_spark.plans import (
     analytics_tpch,
     events,
     experiments,
+    intervals,
     pin_domain,
     sequences,
     tpch,
@@ -49,6 +50,7 @@ _MODULES = (
     events,
     sequences,
     experiments,
+    intervals,
     graph,
     ranking,
     entity,
@@ -376,6 +378,12 @@ _TAIL = (
     # can never straddle splits — composed from the capped-CC labels) is
     # NEW and moves into the window. The one below rotates out in exchange.
     "graph_triangle_nations",  # r08 green; the wedge-closure count stays pytest-pinned against a brute-force model (test_triangle_count_matches_bruteforce_model) and the nation-graph join family keeps an in-window driver row via incoming graph_jaccard_neighbors (same edge derivation, same wedge-join shape); still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r9 seventh rotation: ev_session_outage_overlap (the interval-overlap
+    # JOIN family — lag-gap session intervals x merged above-average error
+    # windows, bucketized to an hour-grain equi-join, exact integer-us
+    # overlap) is NEW and moves into the window. The one below rotates out
+    # in exchange.
+    "tpch_q20_concentrated_suppliers",  # r05-r08 green (four driver rows); the stacked semi-join + conditional-agg machinery keeps an in-window driver row via tpch_q4_semi_join (rotated in this round) and the correlated-aggregate-threshold family is oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

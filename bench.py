@@ -169,6 +169,8 @@ HEADLINE = [
     "mm_image_resize",
     "text_entity_ids",
     "ml_semantic_keepers",
+    "corpus_leakage_safe_split",
+    "ev_session_outage_overlap",
 ]
 
 

@@ -244,6 +244,75 @@ def test_dynamic_partition_pruning_on_dim_filtered_join(spark, tmp_path):
     assert joined.count() == expected
 
 
+def test_interval_overlap_bucketized_equals_naive_theta_join(spark):
+    """The interval-overlap join's bucketized rewrite must equal the naive
+    θ-join on planted intervals covering the tricky shapes: a session
+    spanning multiple hour buckets, an outage inside a session, a session
+    inside an outage, instant touching at the half-open boundary (o_end ==
+    sess_start must NOT match; o_start == sess_end MUST, overlap_us = 0),
+    and disjoint pairs."""
+    import datetime as dt
+
+    import pyspark.sql.functions as SF_
+
+    from pinterest_data_pipeline218_spark.plans.intervals import _bucketed
+
+    T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return T0 + dt.timedelta(minutes=minutes)
+
+    sess = spark.createDataFrame(
+        [
+            (1, 0, ts(0), ts(200), 5),     # spans 4 hour buckets
+            (2, 0, ts(30), ts(40), 2),     # inside outage B
+            (3, 0, ts(300), ts(310), 2),   # disjoint from everything
+            (4, 0, ts(120), ts(125), 2),   # o_end == sess_start for A? no: see below
+            (5, 0, ts(70), ts(90), 2),     # sess_end == o_start of C -> touch
+        ],
+        "user_id long, sess_id long, sess_start timestamp, sess_end timestamp, n_events long",
+    )
+    outs = spark.createDataFrame(
+        [
+            (10, ts(100), ts(120)),  # A: inside session 1; o_end == s4 start
+            (11, ts(20), ts(60)),    # B: contains session 2, overlaps 1
+            (12, ts(90), ts(95)),    # C: o_start == sess 5 end (touch, 0us)
+        ],
+        "outage_id long, o_start timestamp, o_end timestamp",
+    )
+    sb = _bucketed(sess, "sess_start", "sess_end")
+    ob = _bucketed(outs, "o_start", "o_end")
+    cand = (
+        sb.join(ob, "bucket")
+        .select("user_id", "sess_id", "sess_start", "sess_end", "outage_id",
+                "o_start", "o_end")
+        .distinct()
+    )
+    bucketized = {
+        (r.user_id, r.outage_id)
+        for r in cand.filter(
+            (SF_.col("sess_start") < SF_.col("o_end"))
+            & (SF_.col("o_start") <= SF_.col("sess_end"))
+        ).collect()
+    }
+    naive = {
+        (r.user_id, r.outage_id)
+        for r in sess.crossJoin(outs)
+        .filter(
+            (SF_.col("sess_start") < SF_.col("o_end"))
+            & (SF_.col("o_start") <= SF_.col("sess_end"))
+        )
+        .collect()
+    }
+    assert bucketized == naive
+    assert naive == {
+        (1, 10), (1, 11), (1, 12),  # the long session crosses all three
+        (2, 11),                    # contained
+        (5, 12),                    # touch at o_start == sess_end
+        # (4, 10) absent: o_end == sess_start is half-open -> no match
+    }
+
+
 def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     """Co-located join: both sides bucketed+sorted on the key -> sort-merge
     join straight off the scans, zero Exchange — the layout that removes the
@@ -627,6 +696,7 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
         "ev_abtest_chi2", "ev_cusum_excursion", "text_ngram_novelty",
         "graph_jaccard_neighbors", "mm_image_resize", "text_entity_ids",
         "ml_semantic_keepers", "corpus_leakage_safe_split",
+        "ev_session_outage_overlap",
         # plan changed r9 (VERDICT r8 #1/#2/#5/#8)
         "dedup_cluster_best", "corpus_build_full", "text_fuzzy_pairs",
         "corpus_merge_increment", "mm_image_decode",
