@@ -19,6 +19,7 @@ from pinterest_data_pipeline218_spark.operators import (
     bloom,
     clustering,
     corpus,
+    dataquality,
     dedup,
     entity,
     graph,
@@ -63,6 +64,7 @@ _MODULES = (
     corpus,
     asof,
     clustering,
+    dataquality,
     layout,
 )
 
@@ -384,6 +386,11 @@ _TAIL = (
     # overlap) is NEW and moves into the window. The one below rotates out
     # in exchange.
     "tpch_q20_concentrated_suppliers",  # r05-r08 green (four driver rows); the stacked semi-join + conditional-agg machinery keeps an in-window driver row via tpch_q4_semi_join (rotated in this round) and the correlated-aggregate-threshold family is oracle-checked every round by tools/selfcheck.py over the full registry
+    # r9 eighth rotation: dq_orders_constraints (Deequ-style declarative
+    # data-quality suite — fused single-pass scan checks + anti-join
+    # referential integrity, one row per constraint) is NEW and moves into
+    # the window. The one below rotates out in exchange.
+    "corpus_bm25_search",  # r08 green; the BM25 ranking arithmetic stays pinned against an integer Python model (test_bm25_matches_integer_model_and_ranks_rare_terms_higher) and its plan idioms (tf explode/groupBy with map-side combine, broadcast df/avgdl) are pervasive in-window (text_ngram_novelty's gram aggregate, ev_abtest_chi2's broadcast totals); still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

@@ -171,6 +171,7 @@ HEADLINE = [
     "ml_semantic_keepers",
     "corpus_leakage_safe_split",
     "ev_session_outage_overlap",
+    "dq_orders_constraints",
 ]
 
 

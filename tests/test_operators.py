@@ -3034,6 +3034,54 @@ def test_leakage_safe_split_keeps_clusters_whole(spark):
         assert split_of[p.doc_a] == split_of[p.doc_b], (p.doc_a, p.doc_b)
 
 
+def test_dq_constraints_fire_on_planted_violations(spark, tmp_path):
+    """Every check in the data-quality suite must actually FIRE: a planted
+    orders table with one violation of each kind (null FK, duplicate key,
+    orphan FK, non-positive price, out-of-domain status, out-of-range
+    date) yields exactly the expected violation counts, and the clean
+    driver fixture passes every check."""
+    import datetime as dt
+
+    from pinterest_data_pipeline218_spark.operators.dataquality import (
+        dq_orders_constraints,
+    )
+
+    ok = dt.datetime(2024, 1, 5)
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 100.0, ok, "1-URGENT"),
+            (2, None, "F", 50.0, ok, "2-HIGH"),          # null custkey
+            (2, 10, "P", 75.0, ok, "3-MEDIUM"),          # duplicate orderkey
+            (3, 99, "O", 20.0, ok, "4-NOT SPECIFIED"),   # orphan custkey
+            (4, 10, "O", -5.0, ok, "5-LOW"),             # non-positive price
+            (5, 10, "X", 30.0, ok, "1-URGENT"),          # bad status
+            (6, 10, "O", 40.0, dt.datetime(1980, 1, 1), "2-HIGH"),  # bad date
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    customer = spark.createDataFrame(
+        [(10, "Customer#10", 100.0, 0)],
+        "c_custkey long, c_name string, c_acctbal double, c_nationkey long",
+    )
+    td = str(tmp_path / "dq")
+    orders.write.parquet(f"{td}/orders.parquet")
+    customer.write.parquet(f"{td}/customer.parquet")
+    got = {r.check_name: (r.n_violations, r["pass"]) for r in
+           dq_orders_constraints(spark, td).collect()}
+    assert got == {
+        "fk_custkey_customer": (1, False),
+        "not_null_custkey": (1, False),
+        "orderdate_in_range": (1, False),
+        "positive_totalprice": (1, False),
+        "status_in_domain": (1, False),
+        "unique_orderkey": (1, False),
+    }
+    clean = {r.check_name: r["pass"] for r in
+             dq_orders_constraints(spark, SF).collect()}
+    assert all(clean.values()) and len(clean) == 6
+
+
 def test_zorder_layout_prunes_files_against_natural_order(spark, tmp_path):
     """Z-order layout (operators/layout.py) must deliver its 100 TB
     promise in miniature: under a predicate box on the NON-layout

@@ -696,7 +696,7 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
         "ev_abtest_chi2", "ev_cusum_excursion", "text_ngram_novelty",
         "graph_jaccard_neighbors", "mm_image_resize", "text_entity_ids",
         "ml_semantic_keepers", "corpus_leakage_safe_split",
-        "ev_session_outage_overlap",
+        "ev_session_outage_overlap", "dq_orders_constraints",
         # plan changed r9 (VERDICT r8 #1/#2/#5/#8)
         "dedup_cluster_best", "corpus_build_full", "text_fuzzy_pairs",
         "corpus_merge_increment", "mm_image_decode",
