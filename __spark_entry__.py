@@ -27,6 +27,7 @@ from pinterest_data_pipeline218_spark.operators import (
     multimodal,
     ranking,
     similarity,
+    spatial,
     text_analysis,
 )
 from pinterest_data_pipeline218_spark.plans import (
@@ -60,6 +61,7 @@ _MODULES = (
     text_analysis,
     dedup,
     similarity,
+    spatial,
     multimodal,
     corpus,
     asof,
@@ -391,6 +393,12 @@ _TAIL = (
     # referential integrity, one row per constraint) is NEW and moves into
     # the window. The one below rotates out in exchange.
     "corpus_bm25_search",  # r08 green; the BM25 ranking arithmetic stays pinned against an integer Python model (test_bm25_matches_integer_model_and_ranks_rare_terms_higher) and its plan idioms (tf explode/groupBy with map-side combine, broadcast df/avgdl) are pervasive in-window (text_ngram_novelty's gram aggregate, ev_abtest_chi2's broadcast totals); still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r9 ninth rotation: geo_nearby_pairs (the SPATIAL radius-join family —
+    # grid-cell bucketing + 3x3 probe explode turns the distance theta-join
+    # into an equi-join; integer deci-degree distances, naive-theta-join
+    # oracle) is NEW and moves into the window. The one below rotates out
+    # in exchange.
+    "ev_outliers_mad",  # r08 green; the MAD screen stays pytest-pinned against a Python model incl. the masking case (test_mad_outliers_match_python_model_and_resist_masking), its exact-grouped-median doubling machinery keeps in-window driver rows via t8/t10, and the anomaly-screen family via incoming ev_cusum_excursion; still oracle-checked every round by tools/selfcheck.py over the full registry
 )
 
 

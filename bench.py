@@ -172,6 +172,7 @@ HEADLINE = [
     "corpus_leakage_safe_split",
     "ev_session_outage_overlap",
     "dq_orders_constraints",
+    "geo_nearby_pairs",
 ]
 
 

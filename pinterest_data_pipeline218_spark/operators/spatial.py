@@ -1,0 +1,115 @@
+"""Spatial radius join over point data — the grid-cell (a.k.a. geohash /
+Sedona) pattern: bucket points onto a cell grid sized to the search
+radius, explode the probe side to its 3x3 cell neighborhood, equi-join on
+the cell, verify the exact distance predicate on candidates only.
+
+Why this is the 100 TB shape: the naive radius join is a θ-join
+(dist(a, b) <= R) that plans as a cross product; with cell size >= R,
+every true pair's endpoints sit in adjacent cells, so a 9-cell probe
+explode turns it into a plain equi-join whose candidates are bounded by
+cell co-occupancy — the same candidates-bounded-by-bucket argument the
+LSH, as-of, and interval-overlap families use. Each pair is matched
+EXACTLY once (through the build side's unique own-cell), so no distinct
+is needed.
+
+Coordinates here are the deterministic deci-degree lattice the geo
+cleaning fixture derives from customer keys (plans/pin_domain.py), kept
+as INTEGER deci-degrees so the squared Euclidean distance is exact
+BIGINT arithmetic and the DuckDB oracle can replay the join NAIVELY —
+the θ-join cross-checks the grid rewrite value-for-value every round.
+Flat-space treatment (no meridian wraparound, no haversine): correct for
+the fixture's bounded extent, and the stated trade at planet scale —
+trig-free distance also keeps both engines bitwise-identical (sin/cos
+are libm-dependent; integer squares are not).
+
+Reference scope: beyond-reference (the reference's geo data is only
+cleaned, never joined); extends the join families (equi, semi/anti,
+as-of, range, interval-overlap) with the spatial axis.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..data import load_table
+
+GEO_RADIUS_DD = 5  # search radius in deci-degrees (0.5°); also the cell size
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pid, lat_dd, lon_dd): the geo fixture's integer deci-degree lattice
+    (same derivation as plans/pin_domain._raw_geo, pre-shift — constant
+    shifts cancel in coordinate differences)."""
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return c.select(
+        k.alias("pid"),
+        (k % 1800).cast("long").alias("lat_dd"),
+        (k % 3600).cast("long").alias("lon_dd"),
+    )
+
+
+def geo_nearby_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All point pairs within GEO_RADIUS_DD (squared Euclidean in integer
+    deci-degrees), found via the grid-cell equi-join: (pid_a, pid_b,
+    dist2) with a < b canonical ordering, ordered for the gate."""
+    pts = _points(spark, sf_dir)
+    r = GEO_RADIUS_DD
+    cell = lambda c: F.expr(f"{c} div {r}")  # noqa: E731
+    build = pts.select(
+        F.col("pid").alias("pid_b"),
+        F.col("lat_dd").alias("lat_b"),
+        F.col("lon_dd").alias("lon_b"),
+        cell("lat_dd").alias("cx"),
+        cell("lon_dd").alias("cy"),
+    )
+    probe = (
+        pts.select(
+            F.col("pid").alias("pid_a"),
+            F.col("lat_dd").alias("lat_a"),
+            F.col("lon_dd").alias("lon_a"),
+            cell("lat_dd").alias("cx0"),
+            cell("lon_dd").alias("cy0"),
+        )
+        .withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "pid_a", "lat_a", "lon_a",
+            (F.col("cx0") + F.col("dx")).alias("cx"),
+            (F.col("cy0") + F.col("dy")).alias("cy"),
+        )
+    )
+    dist2 = (
+        (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b"))
+        + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b"))
+    )
+    return (
+        probe.join(build, ["cx", "cy"])
+        .filter(F.col("pid_a") < F.col("pid_b"))
+        .select("pid_a", "pid_b", dist2.alias("dist2"))
+        .filter(F.col("dist2") <= r * r)
+        .orderBy("pid_a", "pid_b")
+    )
+
+
+GEO_NEARBY_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey AS pid,
+         CAST(c_custkey % 1800 AS BIGINT) AS lat_dd,
+         CAST(c_custkey % 3600 AS BIGINT) AS lon_dd
+  FROM customer
+)
+SELECT a.pid AS pid_a, b.pid AS pid_b,
+       (a.lat_dd - b.lat_dd) * (a.lat_dd - b.lat_dd)
+         + (a.lon_dd - b.lon_dd) * (a.lon_dd - b.lon_dd) AS dist2
+FROM pts a JOIN pts b ON a.pid < b.pid
+WHERE (a.lat_dd - b.lat_dd) * (a.lat_dd - b.lat_dd)
+        + (a.lon_dd - b.lon_dd) * (a.lon_dd - b.lon_dd)
+      <= {GEO_RADIUS_DD * GEO_RADIUS_DD}
+ORDER BY pid_a, pid_b
+"""
+
+
+QUERIES = {"geo_nearby_pairs": geo_nearby_pairs}
+ORACLE = {"geo_nearby_pairs": GEO_NEARBY_SQL}

@@ -313,6 +313,55 @@ def test_interval_overlap_bucketized_equals_naive_theta_join(spark):
     }
 
 
+def test_spatial_grid_join_finds_cross_cell_pairs_exactly_once(spark, tmp_path):
+    """The grid radius join must equal the naive θ-join on planted points
+    covering the failure modes of cell bucketing: a pair straddling a cell
+    boundary (each point in a different cell, within R), a pair in the
+    SAME cell beyond R (candidate generated, predicate rejects), identical
+    points (dist 0), and a diagonal corner-adjacent pair — and every true
+    pair must appear EXACTLY once (the own-cell match argument, no
+    distinct in the plan)."""
+    import pyspark.sql.functions as SF_
+
+    from pinterest_data_pipeline218_spark.operators.spatial import (
+        GEO_RADIUS_DD,
+        geo_nearby_pairs,
+    )
+
+    r = GEO_RADIUS_DD  # 5
+    # plant customers whose (k % 1800, k % 3600) lattice coords realize
+    # the scenarios; k < 1800 so coords are just (k, k)... instead plant
+    # via direct keys chosen for their (lat, lon) images:
+    #   4 & 6: same cell (0), dist² = 8 <= 25
+    #   4 & 9: cross-boundary (cells 0 and 1), dist² = 50 > 25 -> rejected
+    #   4 & 7: dist² = 18 <= 25, cells 0 and 1 -> cross-cell HIT
+    #   11 & 11+3600=3611: identical coords, dist 0
+    #   2 & 2: only one row each — no self pairs
+    keys = [2, 4, 6, 7, 9, 11, 3611]
+    cust = spark.createDataFrame(
+        [(k, f"c{k}", 0.0, 0) for k in keys],
+        "c_custkey long, c_name string, c_acctbal double, c_nationkey long",
+    )
+    td = str(tmp_path / "geo")
+    cust.write.parquet(f"{td}/customer.parquet")
+    rows = geo_nearby_pairs(spark, td).collect()
+    got = {(x.pid_a, x.pid_b): x.dist2 for x in rows}
+    assert len(got) == len(rows)  # exactly-once: no duplicate pairs
+    # naive reference over the same lattice
+    import itertools
+
+    pts = {k: (k % 1800, k % 3600) for k in keys}
+    want = {}
+    for a, b in itertools.combinations(sorted(keys), 2):
+        d2 = (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
+        if d2 <= r * r:
+            want[(a, b)] = d2
+    assert got == want
+    assert got[(4, 7)] == 18  # the cross-cell pair was found
+    assert (4, 9) not in got  # same-ish area but beyond R
+    assert got[(11, 3611)] == 0  # identical coordinates
+
+
 def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     """Co-located join: both sides bucketed+sorted on the key -> sort-merge
     join straight off the scans, zero Exchange — the layout that removes the
@@ -697,6 +746,7 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
         "graph_jaccard_neighbors", "mm_image_resize", "text_entity_ids",
         "ml_semantic_keepers", "corpus_leakage_safe_split",
         "ev_session_outage_overlap", "dq_orders_constraints",
+        "geo_nearby_pairs",
         # plan changed r9 (VERDICT r8 #1/#2/#5/#8)
         "dedup_cluster_best", "corpus_build_full", "text_fuzzy_pairs",
         "corpus_merge_increment", "mm_image_decode",
