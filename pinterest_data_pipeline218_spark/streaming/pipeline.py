@@ -1006,6 +1006,125 @@ def incremental_journey(spark: SparkSession, state_dir: str) -> DataFrame:
     return journey_finisher(spark.read.parquet(f"{root}/batch_id={latest}"))
 
 
+# ----------------------------------------------- incremental data quality
+def dq_state_batch(
+    batch_orders: DataFrame, customer: DataFrame, state_dir: str, batch_id: int = -1
+) -> None:
+    """One micro-batch's contribution to the continuous data-quality
+    monitor (the streaming twin of operators/dataquality.py's suite).
+    Decomposition: the scan checks (null FK, range, domain, date) and the
+    referential-integrity anti join vs the STATIC parent are SUMMABLE
+    counters — one row per batch under ``counters/batch_id=<bid>``; key
+    UNIQUENESS is not additive (a duplicate can straddle batches), so each
+    batch lands its per-key counts under ``keys/batch_id=<bid>`` and the
+    assembly takes total-minus-distinct across ALL state — exactly the
+    digest-set move the quality dashboard uses for cross-batch exact
+    dups. Idempotent on batch id (overwrite per partition — the
+    at-least-once foreachBatch discipline)."""
+    from ..operators.dataquality import ORDER_STATUSES
+
+    o = batch_orders
+    in_domain = F.col("o_orderstatus").isin(*ORDER_STATUSES)
+    orphans = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .join(
+            customer.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("fk_custkey_customer"))
+    )
+    counters = o.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("not_null_custkey"),
+        F.sum(
+            F.when(F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") <= 0), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("positive_totalprice"),
+        F.sum(F.when(~F.coalesce(in_domain, F.lit(False)), 1).otherwise(0))
+        .cast("long")
+        .alias("status_in_domain"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("2100-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("orderdate_in_range"),
+    ).crossJoin(F.broadcast(orphans))
+    counters.write.mode("overwrite").parquet(
+        f"{state_dir}/counters/batch_id={batch_id}"
+    )
+    keys = o.groupBy("o_orderkey").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    keys.write.mode("overwrite").parquet(f"{state_dir}/keys/batch_id={batch_id}")
+
+
+def attach_dq_stream(
+    stream_orders: DataFrame, customer: DataFrame, state_dir: str, checkpoint: str
+):
+    """Run the data-quality monitor over an orders stream (foreachBatch —
+    the multi-aggregate suite decomposes into mergeable state)."""
+    return (
+        stream_orders.writeStream.foreachBatch(
+            lambda batch_df, bid: dq_state_batch(batch_df, customer, state_dir, bid)
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def incremental_dq(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Assemble the constraint suite from accumulated state — EXACTLY
+    dq_orders_constraints' schema and (pytest-proved) its values over the
+    union of all processed batches, including cross-batch duplicate keys
+    no per-batch check can see. Before the first batch: the all-pass
+    zero report."""
+    if not (
+        os.path.isdir(f"{state_dir}/counters") and os.path.isdir(f"{state_dir}/keys")
+    ):
+        names = [
+            "fk_custkey_customer", "not_null_custkey", "orderdate_in_range",
+            "positive_totalprice", "status_in_domain", "unique_orderkey",
+        ]
+        return spark.createDataFrame(
+            [(n, 0, True) for n in names],
+            "check_name string, n_violations long, pass boolean",
+        )
+    c = spark.read.parquet(f"{state_dir}/counters").agg(
+        F.sum("not_null_custkey").cast("long").alias("not_null_custkey"),
+        F.sum("positive_totalprice").cast("long").alias("positive_totalprice"),
+        F.sum("status_in_domain").cast("long").alias("status_in_domain"),
+        F.sum("orderdate_in_range").cast("long").alias("orderdate_in_range"),
+        F.sum("fk_custkey_customer").cast("long").alias("fk_custkey_customer"),
+    )
+    k = spark.read.parquet(f"{state_dir}/keys").agg(
+        (F.sum("n") - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("unique_orderkey")
+    )
+    wide = c.crossJoin(F.broadcast(k))
+    long = wide.selectExpr(
+        "stack(6, "
+        "'fk_custkey_customer', fk_custkey_customer, "
+        "'not_null_custkey', not_null_custkey, "
+        "'orderdate_in_range', orderdate_in_range, "
+        "'positive_totalprice', positive_totalprice, "
+        "'status_in_domain', status_in_domain, "
+        "'unique_orderkey', unique_orderkey"
+        ") AS (check_name, n_violations)"
+    )
+    return long.select(
+        "check_name",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("pass"),
+    ).orderBy("check_name")
+
+
 # --------------------------------------------------------------- maintenance
 def compact_sink_output(
     spark: SparkSession, path: str, target_files: int = 8

@@ -672,6 +672,128 @@ def test_entity_increment_stream_equals_batch_and_bounds_registry(spark, tmp_pat
     assert got == want
 
 
+def test_incremental_dq_equals_batch_and_sees_cross_batch_dups(spark, tmp_path):
+    """The streaming data-quality monitor must equal the batch constraint
+    suite over the union of its micro-batches — including a duplicate
+    order key that STRADDLES two batches (invisible to any per-batch
+    uniqueness check; caught by the accumulated key counts), plus one
+    planted violation of each additive kind spread across batches. Also:
+    the empty-state assembly is the all-pass zero report, and a replayed
+    batch id does not double-count (the idempotence contract)."""
+    import datetime as dt
+    import json
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from pinterest_data_pipeline218_spark.operators.dataquality import (
+        dq_orders_constraints,
+    )
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        attach_dq_stream,
+        dq_state_batch,
+        incremental_dq,
+    )
+
+    state = str(tmp_path / "dq_state")
+    # empty state -> all-pass zero report
+    empty = {r.check_name: (r.n_violations, r["pass"])
+             for r in incremental_dq(spark, state).collect()}
+    assert len(empty) == 6 and all(v == (0, True) for v in empty.values())
+
+    ok = "2024-01-05T00:00:00"
+    batches = [
+        [  # batch 0: clean rows + the FIRST copy of orderkey 7
+            (1, 10, "O", 100.0, ok, "1-URGENT"),
+            (7, 10, "F", 50.0, ok, "2-HIGH"),
+        ],
+        [  # batch 1: the SECOND copy of 7 (cross-batch dup) + null FK + bad price
+            (7, 10, "P", 60.0, ok, "3-MEDIUM"),
+            (2, None, "O", 30.0, ok, "4-NOT SPECIFIED"),
+            (3, 10, "O", -1.0, ok, "5-LOW"),
+        ],
+        [  # batch 2: orphan FK + bad status + bad date
+            (4, 99, "O", 20.0, ok, "1-URGENT"),
+            (5, 10, "X", 25.0, ok, "2-HIGH"),
+            (6, 10, "O", 35.0, "1980-01-01T00:00:00", "3-MEDIUM"),
+        ],
+    ]
+    customer = spark.createDataFrame(
+        [(10, "Customer#10", 100.0, 0)],
+        "c_custkey long, c_name string, c_acctbal double, c_nationkey long",
+    )
+    src = tmp_path / "orders_stream"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        with open(src / f"{i:03d}.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps({
+                    "o_orderkey": r[0], "o_custkey": r[1], "o_orderstatus": r[2],
+                    "o_totalprice": r[3], "o_orderdate": r[4],
+                    "o_orderpriority": r[5],
+                }) + "\n")
+    schema = StructType([
+        StructField("o_orderkey", LongType()),
+        StructField("o_custkey", LongType()),
+        StructField("o_orderstatus", StringType()),
+        StructField("o_totalprice", DoubleType()),
+        StructField("o_orderdate", TimestampType()),
+        StructField("o_orderpriority", StringType()),
+    ])
+    stream = (
+        spark.readStream.format("json").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(str(src))
+    )
+    q = attach_dq_stream(stream, customer, state, str(tmp_path / "cp_dq"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.check_name: (r.n_violations, r["pass"])
+           for r in incremental_dq(spark, state).collect()}
+    # batch suite over the union, through the gated entrypoint
+    union_rows = [
+        (r[0], r[1], r[2], r[3], dt.datetime.fromisoformat(r[4]), r[5])
+        for rows in batches for r in rows
+    ]
+    td = str(tmp_path / "union_sf")
+    spark.createDataFrame(union_rows, schema).write.parquet(f"{td}/orders.parquet")
+    customer.write.parquet(f"{td}/customer.parquet")
+    want = {r.check_name: (r.n_violations, r["pass"])
+            for r in dq_orders_constraints(spark, td).collect()}
+    assert got == want
+    assert got["unique_orderkey"] == (1, False)  # the cross-batch dup
+    assert sum(v for v, _ in got.values()) == 6  # one violation per kind
+
+    # idempotence: drive the state writer DIRECTLY with known batch ids
+    # (the stream may group files into batches however it likes — sums are
+    # grouping-invariant, which got==want above already proves), then
+    # replay one batch id and assert the assembly is unchanged
+    state2 = str(tmp_path / "dq_state_manual")
+    dfs = [
+        spark.createDataFrame(
+            [(r[0], r[1], r[2], r[3], dt.datetime.fromisoformat(r[4]), r[5])
+             for r in rows],
+            schema,
+        )
+        for rows in batches
+    ]
+    for i, df in enumerate(dfs):
+        dq_state_batch(df, customer, state2, batch_id=i)
+    base = {r.check_name: (r.n_violations, r["pass"])
+            for r in incremental_dq(spark, state2).collect()}
+    assert base == want
+    dq_state_batch(dfs[1], customer, state2, batch_id=1)  # at-least-once replay
+    again = {r.check_name: (r.n_violations, r["pass"])
+             for r in incremental_dq(spark, state2).collect()}
+    assert again == base
+
+
 def test_decode_quarantine_splits_corrupt_records(spark, tmp_path):
     """Corrupt blobs must land in the quarantine with their raw payload,
     not flatten into all-null rows, and null blobs must dead-letter with
