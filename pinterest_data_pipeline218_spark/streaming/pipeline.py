@@ -1006,6 +1006,30 @@ def incremental_journey(spark: SparkSession, state_dir: str) -> DataFrame:
     return journey_finisher(spark.read.parquet(f"{root}/batch_id={latest}"))
 
 
+# -------------------------------------------------- observed ETL metrics
+def with_etl_metrics(df: DataFrame, name: str = "etl_metrics") -> DataFrame:
+    """Attach Spark's native `observe()` metrics to a decoded event
+    DataFrame — the engine-side observability a production pipeline pages
+    on, computed FOR FREE inside the existing job (no second pass, no
+    collect): row count, null-user rows, error-type rows, and the exact
+    DECIMAL value sum. On batch, read them through `pyspark.sql.
+    Observation`; on a stream, the same metrics surface per micro-batch in
+    `StreamingQueryProgress.observedMetrics[name]` — both pytest-proved
+    equal to independently-computed aggregates. `name` must be unique per
+    query; pass an Observation object instead of a string on batch."""
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias(
+            "n_null_user"
+        ),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_error_rows"
+        ),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+    )
+
+
 # ----------------------------------------------- incremental data quality
 def dq_state_batch(
     batch_orders: DataFrame, customer: DataFrame, state_dir: str, batch_id: int = -1

@@ -794,6 +794,104 @@ def test_incremental_dq_equals_batch_and_sees_cross_batch_dups(spark, tmp_path):
     assert again == base
 
 
+def test_observed_etl_metrics_batch_and_stream(spark, tmp_path):
+    """with_etl_metrics: Spark's observe() must report, with NO extra pass
+    over the data, exactly the aggregates an independent groupBy computes
+    — on batch via Observation, and per micro-batch via
+    StreamingQueryProgress.observedMetrics (summed across batches ==
+    batch totals, since every metric is additive)."""
+    import json
+
+    from pyspark.sql import Observation
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.streaming.pipeline import with_etl_metrics
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    want = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias("n_null_user"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_error_rows"
+        ),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+    ).first()
+
+    obs = Observation("batch_etl")
+    with_etl_metrics(ev, obs).write.mode("overwrite").format("noop").save()
+    got = obs.get
+    assert got["n_rows"] == want["n_rows"]
+    assert got["n_null_user"] == want["n_null_user"]
+    assert got["n_error_rows"] == want["n_error_rows"]
+    assert got["sum_value"] == want["sum_value"]
+
+    # stream: three micro-batches; per-batch observed metrics sum to the
+    # batch totals of the streamed subset
+    rows = ev.limit(9).collect()
+    src = tmp_path / "obs_events"
+    src.mkdir()
+    for i in range(3):
+        with open(src / f"{i:03d}.jsonl", "w") as f:
+            for r in rows[i * 3 : i * 3 + 3]:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": r.event_id,
+                            "ts": r.ts.isoformat(),
+                            "user_id": r.user_id,
+                            "event_type": r.event_type,
+                            "value": r.value,
+                            "props": r.props,
+                        }
+                    )
+                    + "\n"
+                )
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("json").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(str(src))
+    )
+    observed = with_etl_metrics(stream, "stream_etl")
+    q = (
+        observed.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "cp_obs"))
+        .start()
+    )
+    q.processAllAvailable()
+    progress = [json.loads(p.json) for p in q.recentProgress]
+    q.stop()
+    seen = [
+        p["observedMetrics"]["stream_etl"]
+        for p in progress
+        if p.get("observedMetrics", {}).get("stream_etl")
+        and p["numInputRows"] > 0
+    ]
+    assert seen  # metrics actually surfaced in progress events
+    streamed = spark.createDataFrame(rows, ev.schema)
+    subset_want = streamed.agg(
+        F.count(F.lit(1)), F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    ).first()
+    assert sum(m["n_rows"] for m in seen) == subset_want[0]
+    assert sum(m["n_error_rows"] for m in seen) == subset_want[1]
+
+
 def test_decode_quarantine_splits_corrupt_records(spark, tmp_path):
     """Corrupt blobs must land in the quarantine with their raw payload,
     not flatten into all-null rows, and null blobs must dead-letter with
