@@ -227,11 +227,16 @@ def main() -> None:
                     force(fn(spark, sf_dir))
                     times.append(time.perf_counter() - t0)
             results[name] = round(statistics.median(times), 4)
-            qs_ = statistics.quantiles(times, n=4, method="inclusive")
+            # spread from WARM reps only: the first timed rep of a slow row
+            # still pays residual JIT tiering, so with just 3 reps the IQR
+            # mostly measured warm-up, not steady-state (ADVICE r9)
+            warm = times[1:] if len(times) > 2 else times
+            qs_ = statistics.quantiles(warm, n=4, method="inclusive")
             iqrs[name] = round(qs_[2] - qs_[0], 4)
         except Exception as exc:  # noqa: BLE001 — degrade, don't die
             errors += 1
             results[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+            iqrs[name] = None  # keep 'queries'/'iqr' key sets aligned
             print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
         finally:
             # cache hygiene BETWEEN queries (never between reps, so a
@@ -241,23 +246,39 @@ def main() -> None:
             spark.catalog.clearCache()
 
     total = round(sum(v for v in results.values() if isinstance(v, float)), 4)
+    # Key order matters: the driver captures only the LAST ~2000 chars of
+    # stdout, so the per-query medians ('queries') and the headline scalars
+    # must sit at the END of the printed dict. Round 9 put 'iqr' after
+    # 'queries' and the tail captured the iqr map instead of the medians,
+    # voiding the round's perf signal (VERDICT r9 #1). 'iqr' goes FIRST so
+    # it is the thing that gets truncated; BENCH.json carries the full dict.
     out = {
-        "metric": "sum_median_sec_per_query",
-        "value": total,
-        "unit": "sec",
-        "queries": results,
-        "iqr": iqrs,
-        "sf": sf,
         "runs": RUNS,
         "fast_cutoff_s": FAST_CUTOFF_S,
         "fast_extra_runs": EXTRA_RUNS,
+        "iqr": iqrs,
+        "queries": results,
+        "metric": "sum_median_sec_per_query",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
     }
     if errors:
         # a sum over FEWER queries is not comparable across rounds — flag it
         # loudly so consumers can't read a failure-shrunk total as a speedup
         out["errors"] = errors
         out["partial"] = True
-    print(json.dumps(out))
+    # belt: full machine-readable artifact next to this script, immune to
+    # any stdout truncation
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"),
+            "w",
+        ) as fh:
+            json.dump(out, fh, indent=1)
+    except OSError as exc:
+        print(f"BENCH WARN: could not write BENCH.json: {exc}", file=sys.stderr)
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

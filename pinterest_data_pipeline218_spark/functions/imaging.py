@@ -5,11 +5,12 @@ The multimodal operators treat media as opaque binary columns and run
 decode kernels as Arrow-batched `mapInPandas` functions. This container
 ships no codec library (no PIL), but none is needed for these formats:
 PPM/BMP are a small header plus raw pixel bytes, PNG's DEFLATE stream is
-stdlib zlib, and baseline JPEG is Huffman + IDCT (functions/jpeg.py) —
+stdlib zlib, and JPEG (baseline AND progressive) is Huffman + IDCT
+(functions/jpeg.py) —
 so the decode step is REAL (header grammar, CRC verification, scanline
 filter reconstruction, entropy decode, pixel extraction, re-encoding)
 for all four. Formats that genuinely need an external codec
-(WebP, progressive JPEG, ...) still fall through to the documented
+(WebP, ...) still fall through to the documented
 codec-boundary stub in operators/multimodal.py.
 
 All functions are bytes-in/bytes-out with explicit (width, height,
@@ -308,8 +309,9 @@ def sniff_format(data: bytes) -> str | None:
 def decode_any(data: bytes) -> tuple[str, int, int, bytes]:
     """(format, width, height, rgb) for a natively decodable payload;
     ImageFormatError for anything else (caller decides whether a codec
-    library fallback exists). JPEG covers baseline sequential only —
-    progressive raises, preserving the documented codec boundary."""
+    library fallback exists). JPEG covers both Huffman profiles
+    (baseline sequential + progressive, r10); arithmetic/lossless/
+    hierarchical JPEG raises, preserving the documented codec boundary."""
     fmt = sniff_format(data)
     if fmt == "ppm":
         return ("ppm", *decode_ppm(data))

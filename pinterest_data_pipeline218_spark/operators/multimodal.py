@@ -7,10 +7,11 @@ functions over `mapInPandas`, so Python touches columnar batches, never
 rows. Heavy media work is partition-parallel and never collects.
 
 The codec step (`decode_image` / `resize_image`) decodes REAL pixels for
-PPM P6, 24-bit BMP, zlib-compressed PNG, and baseline-sequential JPEG
-(Huffman + IDCT) via the dependency-free codecs in functions/imaging.py +
-functions/jpeg.py; formats genuinely needing an external codec
-(WebP, progressive JPEG, ...) use PIL when the environment provides it and
+PPM P6, 24-bit BMP, zlib-compressed PNG, and JPEG in both Huffman
+profiles — baseline-sequential AND progressive (SOF2, r10) — via the
+dependency-free codecs in functions/imaging.py + functions/jpeg.py;
+formats genuinely needing an external codec
+(WebP, ...) use PIL when the environment provides it and
 raise a clearly marked NotImplementedError otherwise (this container has
 no codec libraries). A
 deterministic fake feature extractor keeps the Spark-side plumbing — schema,
@@ -62,7 +63,8 @@ def with_payload(docs: DataFrame) -> DataFrame:
 def decode_image(payload_bytes: bytes) -> tuple[str, int, int, bytes]:
     """Decode an image payload to (format, width, height, row-major RGB).
 
-    PPM P6, 24-bit BMP, PNG, and baseline JPEG decode natively — REAL
+    PPM P6, 24-bit BMP, PNG, and baseline/progressive JPEG decode
+    natively — REAL
     header parsing, entropy decode, and pixel extraction, no dependency
     (functions/imaging.py + functions/jpeg.py). Remaining compressed
     formats use PIL when the environment provides it; otherwise raise the
@@ -73,7 +75,7 @@ def decode_image(payload_bytes: bytes) -> tuple[str, int, int, bytes]:
     if _PILImage is None:
         raise NotImplementedError(
             "WebP (and other exotic-codec) decode requires a codec library "
-            "(e.g. PIL); PPM/BMP/PNG/baseline-JPEG decode natively"
+            "(e.g. PIL); PPM/BMP/PNG/JPEG (both profiles) decode natively"
         )
     import io
 
@@ -161,7 +163,7 @@ def resize_image(payload_bytes: bytes, width: int, height: int) -> bytes:
     if _PILImage is None:
         raise NotImplementedError(
             "WebP (and other exotic-codec) resize requires a codec library "
-            "(e.g. PIL); PPM/BMP/PNG/baseline-JPEG resize natively"
+            "(e.g. PIL); PPM/BMP/PNG/JPEG (both profiles) resize natively"
         )
     import io
 
@@ -285,20 +287,24 @@ def _jpeg_fixture_pixels(doc_id: int) -> bytes:
 
 
 def with_decode_payload(docs: DataFrame) -> DataFrame:
-    """(doc_id, payload): 4-format fixture for the decode query — the
-    with_image_payload trio plus a baseline-JPEG class (grayscale,
-    block-constant — see JPEG_W above for why that shape is oracle-exact)."""
+    """(doc_id, payload): 5-format fixture for the decode query — the
+    with_image_payload trio plus a baseline-JPEG class and (r10) a
+    PROGRESSIVE-JPEG class (both grayscale block-constant — see JPEG_W
+    above for why that shape is oracle-exact; the progressive payload
+    exercises the full SOF2 scan script: successive approximation,
+    spectral bands, EOB runs, refinement)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.jpeg import encode_jpeg_baseline
+        from ..functions.jpeg import encode_jpeg_baseline, encode_jpeg_progressive
 
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
-                which = doc_id % 4
-                if which == 3:
+                which = doc_id % 5
+                if which >= 3:
+                    enc = encode_jpeg_baseline if which == 3 else encode_jpeg_progressive
                     payloads.append(
-                        encode_jpeg_baseline(
+                        enc(
                             JPEG_W,
                             JPEG_H,
                             _jpeg_fixture_pixels(doc_id),
@@ -364,8 +370,10 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     header parse, BMP bottom-up row + BGR channel unpacking, PPM grammar,
     for PNG a full COMPRESSED decode (chunk CRCs, stdlib-zlib inflate, all
     five scanline filters — the fixture encoder cycles them per row), and
-    for JPEG a full baseline entropy decode (DHT Huffman tables, DC
-    prediction, dequant, IDCT, MCU crop) — and emit per-channel pixel
+    for JPEG a full entropy decode (DHT Huffman tables, DC prediction,
+    dequant, IDCT, MCU crop) in BOTH profiles — one baseline-sequential
+    class and one progressive class (SOF2 successive-approximation +
+    spectral-selection scan script, r10) — and emit per-channel pixel
     sums. The oracle never decodes: it replays the generative pixel
     formulas arithmetically (the JPEG class is block-constant gray, the
     shape whose unit-quant round-trip is exact), so any decoder defect
@@ -392,13 +400,13 @@ def _image_decode_sql() -> str:
     )
     return f"""
 SELECT doc_id,
-       CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+       CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
                        WHEN 2 THEN 'png' ELSE 'jpeg' END AS fmt,
-       CAST(CASE WHEN doc_id % 4 = 3 THEN {JPEG_W} ELSE {IMG_W} END AS INT) AS width,
-       CAST(CASE WHEN doc_id % 4 = 3 THEN {JPEG_H} ELSE {IMG_H} END AS INT) AS height,
-       CASE WHEN doc_id % 4 = 3 THEN {jpeg_sum} ELSE {ch_sum(0)} END AS sum_r,
-       CASE WHEN doc_id % 4 = 3 THEN {jpeg_sum} ELSE {ch_sum(1)} END AS sum_g,
-       CASE WHEN doc_id % 4 = 3 THEN {jpeg_sum} ELSE {ch_sum(2)} END AS sum_b
+       CAST(CASE WHEN doc_id % 5 >= 3 THEN {JPEG_W} ELSE {IMG_W} END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 5 >= 3 THEN {JPEG_H} ELSE {IMG_H} END AS INT) AS height,
+       CASE WHEN doc_id % 5 >= 3 THEN {jpeg_sum} ELSE {ch_sum(0)} END AS sum_r,
+       CASE WHEN doc_id % 5 >= 3 THEN {jpeg_sum} ELSE {ch_sum(1)} END AS sum_g,
+       CASE WHEN doc_id % 5 >= 3 THEN {jpeg_sum} ELSE {ch_sum(2)} END AS sum_b
 FROM documents ORDER BY doc_id
 """
 

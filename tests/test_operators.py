@@ -1879,9 +1879,15 @@ def test_jpeg_codec_roundtrip_and_boundaries():
     3. 4:2:0 exercises the decoder's multi-block-MCU + chroma-upsample
        path (constant color: exact);
     4. restart intervals decode (byte-align, RSTn sequence, DC reset);
-    5. progressive (SOF2) raises the typed codec-boundary error;
+    5. progressive (SOF2, r10): the full scan script — DC/AC first at
+       Al=1, spectral bands, EOB runs, then refinement back to full
+       precision — round-trips block-constant images EXACTLY and decodes
+       arbitrary images byte-identically to the baseline decode of the
+       same pixels; arithmetic-coded SOF9 stays a typed boundary;
     6. the payload dispatches through imaging.sniff_format/decode_any and
-       the decode_image kernel entrypoint."""
+       the decode_image kernel entrypoint;
+    7. truncated/garbage payloads raise ImageFormatError at EVERY cut
+       point — never IndexError/struct.error/KeyError (ADVICE r9)."""
     import numpy as np
 
     from pinterest_data_pipeline218_spark.functions import imaging
@@ -1936,12 +1942,40 @@ def test_jpeg_codec_roundtrip_and_boundaries():
     back4 = np.frombuffer(rgb4, dtype=np.uint8).reshape(H4, W4, 3).astype(int)
     assert np.abs(back4 - grad.astype(int)).max() <= 2
 
-    # --- 5: progressive stays behind the codec boundary, typed
+    # --- 5: progressive (r10) — exact on block-constant, baseline-equal
+    # on arbitrary pixels, at 4:4:4 and 4:2:0
+    from pinterest_data_pipeline218_spark.functions.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    dprog = encode_jpeg_progressive(W, H, bytes(px), grayscale=True)
+    assert b"\xff\xc2" in dprog  # really SOF2
+    assert decode_jpeg(dprog) == (W, H, bytes(px))
+    for sub in ("444", "420"):
+        pb = decode_jpeg(encode_jpeg_baseline(W2, H2, orig.tobytes(), subsampling=sub))
+        pp = decode_jpeg(
+            encode_jpeg_progressive(W2, H2, orig.tobytes(), subsampling=sub)
+        )
+        assert pb == pp, f"progressive decode != baseline decode at {sub}"
+
     import pytest as _pytest
 
-    sof2 = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    # arithmetic-coded SOF9 stays behind the codec boundary, typed
+    sof9 = b"\xff\xd8\xff\xc9\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
     with _pytest.raises(imaging.ImageFormatError, match="baseline"):
-        decode_jpeg(sof2)
+        decode_jpeg(sof9)
+
+    # --- 7: the typed-error contract under truncation (ADVICE r9): every
+    # prefix of a real payload must raise ImageFormatError, nothing rawer
+    for cut in range(0, len(dprog), 5):
+        with _pytest.raises(imaging.ImageFormatError):
+            decode_jpeg(dprog[:cut])
+    for cut in range(0, len(d4), 7):
+        with _pytest.raises(imaging.ImageFormatError):
+            decode_jpeg(d4[:cut])
+    for bad in (b"", b"\xff", b"\xff\xd8\xff\xc4\x00\x05\x00\x01\x02"):
+        with _pytest.raises(imaging.ImageFormatError):
+            decode_jpeg(bad)
 
 
 def test_jpeg_resize_reencodes_natively():
