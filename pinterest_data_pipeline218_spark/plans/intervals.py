@@ -62,41 +62,98 @@ def outage_windows(ev: DataFrame) -> DataFrame:
     gaps-and-islands, o_end exclusive (last hot minute + 1 min).
 
     Scale: one (minute) aggregate (map-side combinable), a 1-row total
-    broadcast back, and a window over the hot-minute relation — which is
-    bounded by the time span, not the event count."""
+    broadcast back, and DAY-PARTITIONED island windows over the
+    hot-minute relation (<= 1440 rows per partition by construction);
+    cross-midnight chains merge through a <=2-per-day boundary set
+    resolved driver-side — no partitionless window anywhere (r10)."""
     mins = (
         ev.filter(F.col("event_type") == "error")
         .groupBy(F.date_trunc("minute", F.col("ts")).alias("mn"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    totals = mins.agg(
-        F.count(F.lit(1)).alias("n_minutes"), F.sum("c").alias("total")
+    # the 1-row total resolves at PLANNING time (2 scalars of driver
+    # state): a broadcast-subquery formulation would re-derive `mins` on
+    # both sides of the crossJoin within every job that consumes `hot`,
+    # and this function's boundary-merge collect plus the returned plan
+    # would each pay that twice (r10)
+    n_minutes, total = mins.agg(
+        F.count(F.lit(1)), F.sum("c")
+    ).first()
+    hot = mins.filter(
+        F.col("c") * F.lit(n_minutes) > F.lit(total if total is not None else 0)
+    ).select("mn")
+    # DAY-PARTITIONED gaps-and-islands (r10, VERDICT r9 #4 — this was the
+    # registry's only partitionless-window pair): each day's hot minutes
+    # aggregate to ONE sorted position array (<=1440 ints) and the island
+    # runs fall out of index-aware higher-order filters — no Window node
+    # at all, one exchange. The <=2-per-day islands that TOUCH a midnight
+    # are chain-merged driver-side (bounded planning state — 2 rows/day
+    # even at a multi-decade span, handles arbitrarily long full-day
+    # chains) and unioned back with the untouched interior islands. The
+    # result is provably equal to the global-sort islands: islands can
+    # only connect at midnights, and interval-touch merging of the
+    # boundary set realizes exactly those connections (pinned by the
+    # planted cross-midnight pytest + the unchanged global-window oracle).
+    islands = (
+        hot.groupBy(F.to_date("mn").alias("day"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.hour("mn") * 60 + F.minute("mn"))
+            ).alias("ps")
+        )
+        .select(
+            "day",
+            F.explode(
+                F.arrays_zip(
+                    # index args are clamped: ANSI element_at throws on 0 /
+                    # past-end, and OR does not short-circuit; the clamped
+                    # probe compares x against itself (+1 != x) exactly
+                    # when the unclamped index would be out of range
+                    F.expr(
+                        "filter(ps, (x, i) -> "
+                        "x != element_at(ps, greatest(i, 1)) + 1)"
+                    ).alias("s_pos"),
+                    F.expr(
+                        "filter(ps, (x, i) -> "
+                        "element_at(ps, least(i + 2, size(ps))) != x + 1)"
+                    ).alias("e_pos"),
+                )
+            ).alias("run"),
+        )
+        .select(
+            F.expr(
+                "CAST(day AS TIMESTAMP) + make_interval(0, 0, 0, 0, 0, run.s_pos, 0)"
+            ).alias("i_start"),
+            F.expr(
+                "CAST(day AS TIMESTAMP) + make_interval(0, 0, 0, 0, 0, run.e_pos + 1, 0)"
+            ).alias("i_end"),
+            (F.col("run.s_pos") == 0).alias("at_head"),
+            (F.col("run.e_pos") == 1439).alias("at_tail"),
+        )
     )
-    hot = (
-        mins.crossJoin(F.broadcast(totals))
-        .filter(F.col("c") * F.col("n_minutes") > F.col("total"))
-        .select("mn")
+    interior = islands.filter(
+        ~F.col("at_head") & ~F.col("at_tail")
+    ).select("i_start", "i_end")
+    bnd = sorted(
+        (r.i_start, r.i_end)
+        for r in islands.filter(F.col("at_head") | F.col("at_tail"))
+        .select("i_start", "i_end")
+        .collect()
+    )  # <= 2 islands/day of span: bounded driver-side planning state
+    merged: list[tuple] = []
+    for s, e in bnd:
+        if merged and merged[-1][1] == s:  # touch exactly at a midnight
+            merged[-1] = (merged[-1][0], e)
+        else:
+            merged.append((s, e))
+    spark = ev.sparkSession
+    merged_df = spark.createDataFrame(
+        merged, "i_start timestamp, i_end timestamp"
     )
-    w = Window.orderBy("mn")
-    # the hot-minute relation is span-bounded (<= minutes in the corpus's
-    # time range), so the single-partition island window is constant-sized
-    # state, not a data-scale global sort; at a multi-year span, partition
-    # by day first (same plan family as ev_gapfill_hourly)
-    islands = hot.withColumn(
-        "new_island",
-        F.when(
-            (F.col("mn") - F.lag("mn").over(w)) > F.expr("INTERVAL 1 MINUTE"),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    ).withColumn(
-        "outage_id",
-        F.sum("new_island").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    return islands.groupBy("outage_id").agg(
-        F.min("mn").alias("o_start"),
-        (F.max("mn") + F.expr("INTERVAL 1 MINUTE")).alias("o_end"),
+    return interior.unionByName(merged_df).select(
+        F.unix_micros(F.col("i_start")).alias("outage_id"),
+        F.col("i_start").alias("o_start"),
+        F.col("i_end").alias("o_end"),
     )
 
 

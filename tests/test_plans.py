@@ -244,6 +244,124 @@ def test_dynamic_partition_pruning_on_dim_filtered_join(spark, tmp_path):
     assert joined.count() == expected
 
 
+def test_outage_islands_day_partitioned_merge_cross_midnight(spark, qs, tmp_path):
+    """The r10 day-partitioned outage derivation must equal the global
+    gaps-and-islands the oracle still states declaratively — in
+    particular across midnights, where the day partition splits an island
+    and the bounded driver-side chain merge must reconnect it. Planted
+    regimes: an interior island, an island CROSSING midnight (hot
+    23:58-00:01), a boundary island with no partner on the far side, and
+    a lone hot minute. The sf0.001 driver fixture yields zero outage
+    overlaps (ADVICE r9 — vacuously green), so this planted mini-
+    selfcheck is the non-vacuous gate for the derivation. Also asserts
+    the returned plan has NO partitionless Window (VERDICT r9 #4)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from pinterest_data_pipeline218_spark.plans.intervals import outage_windows
+
+    rows = []
+    eid = [0]
+
+    def err(day, hh, mm, n):
+        for k in range(n):
+            eid[0] += 1
+            rows.append(
+                {
+                    "event_id": eid[0],
+                    "ts": pd.Timestamp(f"2024-02-0{day} {hh:02d}:{mm:02d}:00")
+                    + pd.Timedelta(seconds=k),
+                    "user_id": 99,
+                    "event_type": "error",
+                    "value": 1.0,
+                }
+            )
+
+    # hot minutes get 3 errors each (10 hot), cold minutes 1 (30 cold):
+    # total=60, n_minutes=40 -> hot iff 3*40 > 60 (yes), cold 1*40 < 60
+    err(1, 10, 0, 3)  # interior island day1 10:00-10:02
+    err(1, 10, 1, 3)
+    err(1, 10, 2, 3)
+    err(1, 23, 58, 3)  # island crossing midnight: day1 23:58 - day2 00:01
+    err(1, 23, 59, 3)
+    err(2, 0, 0, 3)
+    err(2, 0, 1, 3)
+    err(3, 0, 0, 3)  # boundary start, NO partner on day2's tail
+    err(3, 0, 1, 3)
+    err(3, 12, 30, 3)  # lone hot minute
+    for k in range(30):  # cold background spread over day 4
+        err(4, 6 + k // 10, (3 * k) % 60, 1)
+    # sessions: user 1 spans the midnight outage; user 2 sits in day4 cold
+    for i, mins in enumerate([0, 10, 20]):
+        rows.append(
+            {
+                "event_id": 10_000 + i,
+                "ts": pd.Timestamp("2024-02-01 23:50:00")
+                + pd.Timedelta(minutes=mins),
+                "user_id": 1,
+                "event_type": "click",
+                "value": 1.0,
+            }
+        )
+    rows.append(
+        {
+            "event_id": 10_010,
+            "ts": pd.Timestamp("2024-02-04 06:00:30"),
+            "user_id": 2,
+            "event_type": "click",
+            "value": 1.0,
+        }
+    )
+    pdf = pd.DataFrame(rows)
+    pdf["props"] = "{}"
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path, index=False)
+
+    from pinterest_data_pipeline218_spark.data import load_table
+
+    outs = sorted(
+        (r.o_start, r.o_end)
+        for r in outage_windows(load_table(spark, str(tmp_path), "events")).collect()
+    )
+    TS = pd.Timestamp
+    assert outs == [
+        (TS("2024-02-01 10:00"), TS("2024-02-01 10:03")),
+        (TS("2024-02-01 23:58"), TS("2024-02-02 00:02")),  # merged across midnight
+        (TS("2024-02-03 00:00"), TS("2024-02-03 00:02")),  # unpartnered boundary
+        (TS("2024-02-03 12:30"), TS("2024-02-03 12:31")),
+    ], outs
+
+    df = qs["ev_session_outage_overlap"](spark, str(tmp_path))
+    got = sorted(
+        (r.user_id, r.n_outages, r.overlap_us) for r in df.collect()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    oracle = sorted(
+        (int(u), int(n), int(o))
+        for u, _, _, n, o in con.sql(
+            entrymod.oracle_sql()["ev_session_outage_overlap"]
+        ).fetchall()
+    )
+    assert got == oracle and len(got) > 0, (got, oracle)
+
+    # the whole point: zero partitionless windows left in the plan
+    jplan = df._jdf.queryExecution().optimizedPlan()
+
+    def walk(node):
+        yield node
+        for i in range(node.children().length()):
+            yield from walk(node.children().apply(i))
+
+    bad = [
+        n
+        for n in walk(jplan)
+        if n.getClass().getSimpleName() == "Window" and n.partitionSpec().isEmpty()
+    ]
+    assert not bad, "partitionless Window survived the day-partition rewrite"
+
+
 def test_interval_overlap_bucketized_equals_naive_theta_join(spark):
     """The interval-overlap join's bucketized rewrite must equal the naive
     θ-join on planted intervals covering the tricky shapes: a session
@@ -1400,6 +1518,84 @@ def test_ewma_matches_hand_rollup_and_stays_in_range(spark, qs):
     for uid, (e, lo, hi) in expect.items():
         assert got[uid] == e, uid
         assert lo <= got[uid] <= hi, uid
+
+
+def test_ewma_null_guard_load_bearing(spark, qs, tmp_path):
+    """The EWMA NULL guards (COALESCE over absent-or-NULL lags, den over
+    PRESENT lags only) mirrored into both engines in r8 were untested by
+    the driver gate — no fixture row has a NULL events.value (VERDICT r9
+    #3; /root/testdata is driver-owned, so the planted rows live in a tmp
+    events table here). This is a mini-selfcheck: the Spark query AND the
+    DuckDB oracle run on the SAME planted parquet and must agree exactly;
+    reverting either engine's guard breaks this test.
+
+    Planted regimes: a dense-tail user with a NULL inside the 8-lag
+    horizon, a user whose LAST value is NULL (the k=0 guard), an all-NULL
+    user (den=0 -> NULL ewma via the nullif guard), and a short-history
+    user with a NULL mid-tail."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    rows = []
+
+    def ev(uid, i, val):
+        rows.append(
+            {
+                "event_id": uid * 1000 + i,
+                "ts": pd.Timestamp("2023-03-01") + pd.Timedelta(minutes=i),
+                "user_id": uid,
+                "event_type": "click",
+                "value": val,
+            }
+        )
+
+    for i in range(12):  # user 1: NULL at position 10 (inside the tail)
+        ev(1, i, None if i == 10 else float(i + 1))
+    for i in range(5):  # user 2: LAST value NULL (k=0 guard)
+        ev(2, i, None if i == 4 else float(10 * (i + 1)))
+    for i in range(3):  # user 3: all NULL -> den 0 -> ewma NULL
+        ev(3, i, None)
+    for i in range(4):  # user 4: short history, NULL mid-tail
+        ev(4, i, None if i == 1 else 2.5 * (i + 1))
+    pdf = pd.DataFrame(rows)
+    pdf["props"] = "{}"
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path, index=False)
+
+    got = {
+        r.user_id: (r.last_value_centi, r.ewma_centi)
+        for r in qs["ev_ewma_last8"](spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    oracle = {
+        int(u): (None if lv is None else int(lv), None if e is None else int(e))
+        for u, lv, e in con.sql(
+            entrymod.oracle_sql()["ev_ewma_last8"]
+        ).fetchall()
+    }
+    assert got == oracle, (got, oracle)
+
+    # independent hand rollup: weights 128..1 newest->oldest over PRESENT
+    # values only
+    def hand(vals):
+        tail = vals[-8:]
+        num = den = 0
+        for i, v in enumerate(reversed(tail)):  # i=0 newest
+            if v is not None:
+                num += int(v * 100) * (128 >> i)
+                den += 128 >> i
+        return num // den if den else None
+
+    expect = {
+        1: (1200, hand([3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0, None, 12.0][2:])),
+        2: (None, hand([10.0, 20.0, 30.0, 40.0, None])),
+        3: (None, None),
+        4: (1000, hand([2.5, None, 7.5, 10.0])),
+    }
+    assert got == expect, (got, expect)
 
 
 def test_twa_span_runs_first_event_to_midnight(spark, qs):
