@@ -173,6 +173,38 @@ HEADLINE = [
     "ev_session_outage_overlap",
     "dq_orders_constraints",
     "geo_nearby_pairs",
+    # r10: the remaining gated queries (VERDICT r9 #5 — HEADLINE now covers
+    # the WHOLE registry; a tests/test_bench_headline_covers_registry guard
+    # keeps it that way)
+    "corpus_mixture_sample",
+    "corpus_pack_sequences",
+    "corpus_split_assign",
+    "dedup_cluster_cc",
+    "dedup_cluster_cc_star",
+    "dedup_compact_corpus",
+    "dedup_embedding_neardup",
+    "dedup_incremental_lsh",
+    "dedup_ngram_jaccard",
+    "ev_approx_distinct_users",
+    "ev_approx_value_quantiles",
+    "ev_cube_type_dow",
+    "ev_json_extract_sum",
+    "ev_salted_stats",
+    "ev_stats_by_type",
+    "ev_theta_user_overlap",
+    "mm_fake_features",
+    "mm_frame_sample",
+    "sim_ivf_multiprobe",
+    "t8_compat_window_median",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality_score",
+    "tpch_q21_sole_returner",
+    "tpch_q22_anti_join",
+    "tpch_q8_market_share",
+    "user_oldest_nulls_last",
+    # NEW r10
+    "geo_nearby_newbatch",
 ]
 
 

@@ -93,6 +93,89 @@ def geo_nearby_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def geo_nearby_increment(
+    new_pts: DataFrame, registry: DataFrame, radius_dd: int = GEO_RADIUS_DD
+) -> DataFrame:
+    """Per-micro-batch spatial radius join of NEW points against a STATIC
+    point registry — the streaming twin of geo_nearby_pairs (VERDICT r9
+    #7), in the repo's stateless stream-static pattern (each output pair
+    depends only on the new point and the registry, so the combinator
+    runs unchanged per micro-batch under foreachBatch; stream==batch
+    pytest-proved).
+
+    Both inputs need (pid, lat_dd, lon_dd); ids are disjoint by contract
+    (arrivals never pair with each other — same online trade
+    entity_increment states). Output: (pid_new, pid_reg, dist2) for every
+    registry point within radius.
+
+    Scale: the probe (new) side explodes to its 3x3 cell neighborhood and
+    equi-joins the registry on its OWN cell, so per-batch work is
+    O(|new| · registry cell occupancy) — candidates bounded by cell
+    co-occupancy exactly as in the batch operator, never |new| × |registry|."""
+    r = radius_dd
+    cell = lambda c: F.expr(f"{c} div {r}")  # noqa: E731
+    build = registry.select(
+        F.col("pid").alias("pid_reg"),
+        F.col("lat_dd").alias("lat_b"),
+        F.col("lon_dd").alias("lon_b"),
+        cell("lat_dd").alias("cx"),
+        cell("lon_dd").alias("cy"),
+    )
+    probe = (
+        new_pts.select(
+            F.col("pid").alias("pid_new"),
+            F.col("lat_dd").alias("lat_a"),
+            F.col("lon_dd").alias("lon_a"),
+            cell("lat_dd").alias("cx0"),
+            cell("lon_dd").alias("cy0"),
+        )
+        .withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "pid_new", "lat_a", "lon_a",
+            (F.col("cx0") + F.col("dx")).alias("cx"),
+            (F.col("cy0") + F.col("dy")).alias("cy"),
+        )
+    )
+    dist2 = (
+        (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b"))
+        + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b"))
+    )
+    return (
+        probe.join(build, ["cx", "cy"])
+        .select("pid_new", "pid_reg", dist2.alias("dist2"))
+        .filter(F.col("dist2") <= r * r)
+        .orderBy("pid_new", "pid_reg")
+    )
+
+
+def geo_nearby_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gated batch rendering of geo_nearby_increment: customers whose
+    key ends in 0 play the arriving batch, the rest the static registry —
+    the oracle replays the join as the naive θ-join between the two sets."""
+    pts = _points(spark, sf_dir)
+    is_new = F.col("pid") % 10 == 0
+    return geo_nearby_increment(pts.filter(is_new), pts.filter(~is_new))
+
+
+GEO_NEARBY_NEWBATCH_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey AS pid,
+         CAST(c_custkey % 1800 AS BIGINT) AS lat_dd,
+         CAST(c_custkey % 3600 AS BIGINT) AS lon_dd
+  FROM customer
+)
+SELECT a.pid AS pid_new, b.pid AS pid_reg,
+       (a.lat_dd - b.lat_dd) * (a.lat_dd - b.lat_dd)
+         + (a.lon_dd - b.lon_dd) * (a.lon_dd - b.lon_dd) AS dist2
+FROM pts a JOIN pts b ON a.pid % 10 = 0 AND b.pid % 10 != 0
+WHERE (a.lat_dd - b.lat_dd) * (a.lat_dd - b.lat_dd)
+        + (a.lon_dd - b.lon_dd) * (a.lon_dd - b.lon_dd)
+      <= {GEO_RADIUS_DD * GEO_RADIUS_DD}
+ORDER BY pid_new, pid_reg
+"""
+
+
 GEO_NEARBY_SQL = f"""
 WITH pts AS (
   SELECT c_custkey AS pid,
@@ -111,5 +194,11 @@ ORDER BY pid_a, pid_b
 """
 
 
-QUERIES = {"geo_nearby_pairs": geo_nearby_pairs}
-ORACLE = {"geo_nearby_pairs": GEO_NEARBY_SQL}
+QUERIES = {
+    "geo_nearby_pairs": geo_nearby_pairs,
+    "geo_nearby_newbatch": geo_nearby_newbatch,
+}
+ORACLE = {
+    "geo_nearby_pairs": GEO_NEARBY_SQL,
+    "geo_nearby_newbatch": GEO_NEARBY_NEWBATCH_SQL,
+}

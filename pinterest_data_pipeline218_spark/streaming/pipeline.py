@@ -218,6 +218,67 @@ def dedup_stream(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(subset)
 
 
+def stream_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    lts: str,
+    rts: str,
+    tolerance: str = "1 hour",
+    right_ts_as: str = "asof_ts",
+    watermark: str = "2 hours",
+    emit_window: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream AS-OF join (VERDICT r9 #8): for each left
+    row, the greatest right `rts` <= `lts` within `tolerance` on the same
+    `key`; left rows with no in-tolerance right keep NULL — exactly
+    operators/asof.asof_join(direction='backward', tolerance_us=...), the
+    one temporal-join family member that had no streaming rendering.
+
+    Streaming plan (two chained stateful operators, Spark >= 3.5's
+    multiple-stateful-operator support): a LEFT-OUTER time-interval
+    stream-stream join surfaces every in-tolerance candidate (state
+    bounded by watermark + the join's time-range condition), then an
+    event-time-windowed MAX per left row elects the nearest candidate and
+    emits once the watermark closes the left row's `emit_window` — which
+    is also what makes LATE rights (inside the watermark) land correctly:
+    the election only finalizes after no earlier candidate can arrive.
+    The batch union+carry-forward plan (one unbounded window) is not
+    streaming-expressible; candidates-then-elect is its bounded-state
+    equivalent, value-equal because max(rts in [lts - tol, lts]) IS the
+    backward-nearest match.
+
+    Contract: left rows must be unique on `left.columns` (they are the
+    GROUP key of the election); both ts columns must share a dtype
+    (operators/asof's DTYPE CONTRACT)."""
+    # The election groups on the left row INCLUDING its exact event time,
+    # but only ONE event-time column may survive into a stateful operator
+    # — the window() derived from lts carries the watermark, so the
+    # grouped lts value is re-derived through an integer-exact
+    # micros roundtrip that strips the event-time tag.
+    lcols = [
+        F.timestamp_micros(F.unix_micros(F.col(c))).alias(c) if c == lts else F.col(c)
+        for c in left.columns
+    ]
+    lw = left.withWatermark(lts, watermark)
+    rw = right.select(
+        F.col(key).alias("__rkey"), F.col(rts).alias("__rts")
+    ).withWatermark("__rts", watermark)
+    joined = lw.join(
+        rw,
+        F.expr(
+            f"{key} = __rkey AND "
+            f"__rts BETWEEN {lts} - INTERVAL {tolerance} AND {lts}"
+        ),
+        "leftOuter",
+    )
+    return (
+        joined.groupBy(F.window(F.col(lts), emit_window).alias("__w"), *lcols)
+        .agg(F.max("__rts").alias(right_ts_as))
+        .drop("__w")
+    )
+
+
 def windowed_counts(
     df: DataFrame,
     ts_col: str,

@@ -862,6 +862,19 @@ def test_dsir_target_flag_evaluated_below_explode(spark):
         assert not ("lambdafunction" in line and "md5" in line), line
 
 
+def test_bench_headline_covers_registry(qs):
+    """VERDICT r9 #5: the committed BASELINE table must cover the whole
+    registry — bench.py's HEADLINE is exactly the gated-query set, no
+    dangling names, no duplicates."""
+    import bench
+
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)), "duplicate rows"
+    assert set(bench.HEADLINE) == set(qs), {
+        "missing": sorted(set(qs) - set(bench.HEADLINE)),
+        "dangling": sorted(set(bench.HEADLINE) - set(qs)),
+    }
+
+
 def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
     """_TAIL hygiene: every tailed name must exist in the registry (a typo
     silently leaves the intended query in the head and pushes something

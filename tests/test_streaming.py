@@ -593,6 +593,99 @@ def test_stream_capped_triage_equals_batch_and_bounds_giant_cluster(spark, tmp_p
     assert want[9003][0] == "dup_exact"
 
 
+def test_geo_nearby_increment_stream_equals_batch(spark, tmp_path):
+    """geo_nearby_increment (the streaming twin of geo_nearby_pairs,
+    VERDICT r9 #7): per-micro-batch radius join of arriving points
+    against a static registry must equal the batch combinator over the
+    union of batches; cross-cell pairs (points in adjacent grid cells)
+    must be found, and the candidate set stays bounded by cell
+    co-occupancy (plan has an equi-join on the cell keys, no cross
+    product)."""
+    import json
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from pinterest_data_pipeline218_spark.operators.spatial import (
+        GEO_RADIUS_DD,
+        geo_nearby_increment,
+    )
+
+    r = GEO_RADIUS_DD
+    # registry: two clusters + an isolated point; coordinates chosen so
+    # some true pairs straddle a cell boundary (cell size == r)
+    reg_rows = [(1, 0, 0), (2, r - 1, 0), (3, r, r - 1), (4, 100, 100)]
+    registry = spark.createDataFrame(
+        reg_rows, "pid long, lat_dd long, lon_dd long"
+    )
+    new_rows = [
+        (900, 1, 1),        # near cluster 1 (pids 1, 2; 3 across the cell edge)
+        (901, 101, 101),    # near the isolated point
+        (902, 50, 50),      # matches nothing
+    ]
+    new = spark.createDataFrame(new_rows, "pid long, lat_dd long, lon_dd long")
+
+    want = {
+        (r_.pid_new, r_.pid_reg, r_.dist2)
+        for r_ in geo_nearby_increment(new, registry).collect()
+    }
+    naive = {
+        (n[0], g[0], (n[1] - g[1]) ** 2 + (n[2] - g[2]) ** 2)
+        for n in new_rows
+        for g in reg_rows
+        if (n[1] - g[1]) ** 2 + (n[2] - g[2]) ** 2 <= r * r
+    }
+    assert want == naive and (900, 3, (r - 1) ** 2 + (r - 2) ** 2) in want
+
+    # no cross product: the radius join must be an equi-join on the cells
+    plan = (
+        geo_nearby_increment(new, registry)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+
+    src = tmp_path / "new_pts"
+    src.mkdir()
+    for i, row in enumerate(new_rows):
+        with open(src / f"{i:03d}.jsonl", "w") as f:
+            f.write(
+                json.dumps({"pid": row[0], "lat_dd": row[1], "lon_dd": row[2]})
+                + "\n"
+            )
+    stream = (
+        spark.readStream.format("json")
+        .schema(
+            StructType(
+                [
+                    StructField("pid", LongType()),
+                    StructField("lat_dd", LongType()),
+                    StructField("lon_dd", LongType()),
+                ]
+            )
+        )
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    out = str(tmp_path / "geo_pairs")
+
+    def pair(batch_df, batch_id):
+        geo_nearby_increment(batch_df, registry).write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(pair)
+        .option("checkpointLocation", str(tmp_path / "cp_geo"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r_.pid_new, r_.pid_reg, r_.dist2)
+        for r_ in spark.read.parquet(out).collect()
+    }
+    assert got == want
+
+
 def test_entity_increment_stream_equals_batch_and_bounds_registry(spark, tmp_path):
     """entity_increment (the streaming twin of text_entity_ids): per
     micro-batch assignment against a STATIC resolved registry must equal
@@ -2198,6 +2291,121 @@ def test_composed_incremental_dashboards_share_one_stream(spark, tmp_path):
         assert got, f"{rd.__name__}: empty result"
         assert got == want, f"{rd.__name__}: multi-batch != union"
     sliced.unpersist()
+
+
+def test_stream_asof_join_equals_batch_with_late_data(spark, tmp_path):
+    """stream_asof_join (VERDICT r9 #8) must equal the batch
+    asof_join(backward, tolerance) on closed windows: per purchase, the
+    NEAREST prior click within 1 hour, NULL when none. Three cases drive
+    the election: multiple in-tolerance candidates (nearest wins), no
+    candidate (NULL survives the left-outer + max), and a LATE click —
+    arriving in a later micro-batch but inside the watermark — that must
+    still win its purchase's election (the candidates-then-elect design's
+    whole point: nothing finalizes until the watermark closes the row's
+    window). A final heartbeat batch advances the watermark so every real
+    window closes."""
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pinterest_data_pipeline218_spark.operators.asof import asof_join
+    from pinterest_data_pipeline218_spark.streaming.pipeline import stream_asof_join
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("user", LongType()),
+         StructField("ts", StringType())]
+    )
+    for side in ("click", "purchase"):
+        (tmp_path / side).mkdir()
+
+    def add(side, name, rows):
+        with open(tmp_path / side / name, "w") as f:
+            for i, u, ts in rows:
+                f.write(json.dumps({"id": i, "user": u, "ts": ts}) + "\n")
+
+    clicks_b1 = [
+        (1, 7, "2024-01-01 10:00:00"),
+        (2, 7, "2024-01-01 10:20:00"),   # nearer to purchase 10 -> must win
+        (3, 8, "2024-01-01 08:00:00"),   # out of tolerance for purchase 12
+    ]
+    purchases_b1 = [
+        (10, 7, "2024-01-01 10:30:00"),  # candidates 1,2 -> elects 2
+        (12, 8, "2024-01-01 10:30:00"),  # none in window -> NULL
+        (13, 9, "2024-01-01 10:40:00"),  # its click arrives LATE (batch 2)
+    ]
+    late_click = [(4, 9, "2024-01-01 10:25:00")]  # late but inside watermark
+    heartbeat_ts = "2024-01-01 20:00:00"
+
+    add("click", "a.jsonl", clicks_b1)
+    add("purchase", "a.jsonl", purchases_b1)
+
+    def src(side):
+        return (
+            spark.readStream.format("json").schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(str(tmp_path / side))
+            .select(
+                F.col("id").alias(f"{side}_id"),
+                F.col("user").alias("user_id") if side == "purchase" else F.col("user").alias("c_user"),
+                F.to_timestamp("ts").alias("p_ts" if side == "purchase" else "c_ts"),
+            )
+        )
+
+    purchases = src("purchase").select(
+        "purchase_id", F.col("user_id"), "p_ts"
+    )
+    clicks = src("click").select(F.col("c_user").alias("user_id"), "c_ts")
+    out = stream_asof_join(
+        purchases.withColumnRenamed("user_id", "uid"),
+        clicks.withColumnRenamed("user_id", "uid"),
+        key="uid",
+        lts="p_ts",
+        rts="c_ts",
+        tolerance="1 hour",
+        watermark="8 hours",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("asof_out")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        add("click", "b.jsonl", late_click)  # the late arrival
+        q.processAllAvailable()
+        # heartbeat on both sides pushes the watermark past every window...
+        add("click", "z.jsonl", [(99, 99, heartbeat_ts)])
+        add("purchase", "z.jsonl", [(99, 99, heartbeat_ts)])
+        q.processAllAvailable()
+        # ...and one more (empty) batch finalizes state deterministically
+        add("purchase", "zz.jsonl", [])
+        q.processAllAvailable()
+        got = {
+            (r.purchase_id, r.asof_ts)
+            for r in spark.sql("SELECT * FROM asof_out").collect()
+            if r.purchase_id != 99
+        }
+    finally:
+        q.stop()
+
+    # batch truth: asof_join with the same tolerance over ALL the rows
+    all_p = spark.createDataFrame(
+        [(i, u, ts) for i, u, ts in purchases_b1],
+        "purchase_id long, uid long, ts string",
+    ).select("purchase_id", "uid", F.to_timestamp("ts").alias("ts"))
+    all_c = spark.createDataFrame(
+        [(None, u, ts) for _, u, ts in clicks_b1 + late_click],
+        "x long, uid long, ts string",
+    ).select("uid", F.to_timestamp("ts").alias("ts"))
+    batch = asof_join(
+        all_p, all_c, key="uid", ts="ts",
+        right_ts_as="asof_ts", tolerance_us=3_600_000_000,
+    )
+    want = {(r.purchase_id, r.asof_ts) for r in batch.collect()}
+    assert got == want, (sorted(got), sorted(want))
+    by_id = dict(got)
+    assert by_id[10].minute == 20   # nearest candidate won
+    assert by_id[12] is None        # out-of-tolerance stayed NULL
+    assert by_id[13] is not None and by_id[13].minute == 25  # late click landed
 
 
 def test_stream_stream_left_outer_join_emits_null_side_after_watermark(spark, tmp_path):
