@@ -35,6 +35,7 @@ from pinterest_data_pipeline218_spark.plans import (
     events,
     experiments,
     intervals,
+    orderstats,
     pin_domain,
     sequences,
     tpch,
@@ -52,6 +53,7 @@ _MODULES = (
     events,
     sequences,
     experiments,
+    orderstats,
     intervals,
     graph,
     ranking,

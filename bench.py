@@ -205,6 +205,14 @@ HEADLINE = [
     "user_oldest_nulls_last",
     # NEW r10
     "geo_nearby_newbatch",
+    "ev_quantiles_disc",
+    "ev_mode_value",
+    "ev_trend_slope",
+    "ev_seasonal_dow",
+    "corpus_sliding_chunks",
+    "corpus_reservoir_sample",
+    "corpus_hilbert_keys",
+    "text_blocklist_gate",
 ]
 
 

@@ -25,7 +25,7 @@ All three are oracle-paired: the doc-id hash is the repo's md5-derived
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..data import load_table
 from ..functions import text as T
@@ -136,6 +136,115 @@ SELECT doc_id,
                                   chunk_idx * {CHUNK_TOKENS} + {CHUNK_TOKENS}), ' ') AS chunk_text
 FROM f
 ORDER BY doc_id, chunk_idx
+"""
+
+
+SLIDE_TOKENS = 32  # sliding-window chunk size...
+SLIDE_STRIDE = 24  # ...advanced by this many tokens (8-token overlap)
+RESERVOIR_K = 16  # per-stratum sample size
+
+
+def corpus_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERLAPPING training/RAG chunks: windows of SLIDE_TOKENS tokens
+    advanced by SLIDE_STRIDE (so consecutive chunks share
+    SLIDE_TOKENS − SLIDE_STRIDE tokens of context — the retrieval-chunking
+    shape, where a fact straddling a hard boundary would be unfindable;
+    corpus_chunk_tokens is the disjoint special case stride == size).
+    Window count is pure integer arithmetic:
+    1 + max(0, ceil((n − W)/S)) — both engines agree exactly; the last
+    window is ragged, never empty.
+
+    Scale: explode(sequence) fan-out pipelined into the scan (fan-out
+    factor ≈ n/S per doc — output-proportional, no shuffle until the
+    gate's orderBy)."""
+    W, S = SLIDE_TOKENS, SLIDE_STRIDE
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("toks")).withColumn(
+        "n_win",
+        F.expr(
+            f"1 + greatest(0, (size(toks) - {W} + {S - 1}) div {S})"
+        ),
+    )
+    out = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("n_win") - 1).cast("int"))
+        ).alias("win_idx"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("win_idx") * S + 1, W)
+    return out.select(
+        "doc_id",
+        F.col("win_idx").cast("int").alias("win_idx"),
+        (F.col("win_idx") * S + 1).cast("int").alias("start_tok"),
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    ).orderBy("doc_id", "win_idx")
+
+
+CORPUS_SLIDING_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE text IS NOT NULL
+), f AS (
+  SELECT doc_id, toks,
+         unnest(range(0, 1 + greatest(0,
+             (len(toks) - {SLIDE_TOKENS} + {SLIDE_STRIDE - 1}) // {SLIDE_STRIDE}
+         ))) AS win_idx
+  FROM t
+)
+SELECT doc_id,
+       CAST(win_idx AS INT) AS win_idx,
+       CAST(win_idx * {SLIDE_STRIDE} + 1 AS INT) AS start_tok,
+       CAST(len(list_slice(toks, win_idx * {SLIDE_STRIDE} + 1,
+                           win_idx * {SLIDE_STRIDE} + {SLIDE_TOKENS})) AS INT) AS n_tokens,
+       array_to_string(list_slice(toks, win_idx * {SLIDE_STRIDE} + 1,
+                                  win_idx * {SLIDE_STRIDE} + {SLIDE_TOKENS}), ' ') AS chunk_text
+FROM f
+ORDER BY doc_id, win_idx
+"""
+
+
+def corpus_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample WITHOUT replacement per stratum: exactly
+    min(RESERVOIR_K, |stratum|) docs per source, elected by ascending
+    deterministic hash rank (ties broken by doc_id) — the distributed
+    equivalent of per-group reservoir sampling, reproducible across runs
+    and engines (a true random reservoir can't be oracle-checked; rank-
+    by-keyed-hash is the standard derandomization, same family as
+    corpus_hash_sample's percentile filter but with an EXACT group size
+    guarantee, which rate-based sampling cannot give).
+
+    Scale: one window pass partitioned by source (one exchange); the
+    rank filter keeps ≤ K rows per stratum — bounded output however
+    skewed the strata."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("ord", "doc_id")
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            T.token_hash(F.col("doc_id").cast("string"), seed=77).alias("ord"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .select("source", "doc_id", F.col("rk").cast("int").alias("rk"))
+        .orderBy("source", "rk")
+    )
+
+
+CORPUS_RESERVOIR_SQL = f"""
+WITH h AS (
+  SELECT source, doc_id,
+         {T.token_hash_sql('CAST(doc_id AS VARCHAR)', seed=77)} AS ord
+  FROM documents
+), r AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY ord, doc_id) AS rk
+  FROM h
+)
+SELECT source, doc_id, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= {RESERVOIR_K}
+ORDER BY source, rk
 """
 
 
@@ -1402,6 +1511,8 @@ QUERIES = {
     "corpus_merge_increment": corpus_merge_increment,
     "corpus_quality_report": corpus_quality_report,
     "corpus_shuffle_shards": corpus_shuffle_shards,
+    "corpus_sliding_chunks": corpus_sliding_chunks,
+    "corpus_reservoir_sample": corpus_reservoir_sample,
 }
 
 ORACLE = {
@@ -1420,4 +1531,6 @@ ORACLE = {
     "corpus_merge_increment": _merge_increment_sql(),
     "corpus_quality_report": _quality_report_sql(),
     "corpus_shuffle_shards": CORPUS_SHUFFLE_SQL,
+    "corpus_sliding_chunks": CORPUS_SLIDING_SQL,
+    "corpus_reservoir_sample": CORPUS_RESERVOIR_SQL,
 }

@@ -104,10 +104,67 @@ ORDER BY zkey, doc_id
 """
 
 
+HBITS = 16  # bits per dimension; 2 dims -> 32-bit Hilbert distance
+
+
+def hilbert_sql(src: str, x_expr: str, y_expr: str, bits: int = HBITS) -> str:
+    """The 2-D Hilbert distance (Wikipedia xy2d, one level per CTE) as a
+    chained-CTE SQL text — ONE generator for both engines, like
+    z_interleave_sql. Per level s = 2^i: the quadrant digit
+    (3·rx + ry − 2·rx·ry — the arithmetic form of (3rx)^ry, because `^`
+    is POWER in DuckDB) is appended to d, then the frame is conditionally
+    reflected/transposed for the next level. Intermediate x/y go negative
+    by design (the reference algorithm's rotation does too); `&` on
+    signed BIGINT is two's-complement in both engines, so the texts
+    evaluate identically. The Hilbert curve's draw over Morton: EVERY
+    consecutive key step is grid-adjacent (no Morton jumps), so
+    range-partitioned files get strictly tighter per-dimension bounds —
+    the layout Delta Lake exposes as Liquid Clustering
+    (pytest-pinned adjacency: test_hilbert_keys_walk_the_grid)."""
+    parts = [
+        f"s{bits} AS (SELECT doc_id, CAST({x_expr} AS BIGINT) AS hx, "
+        f"CAST({y_expr} AS BIGINT) AS hy, CAST({x_expr} AS BIGINT) AS x, "
+        f"CAST({y_expr} AS BIGINT) AS y, CAST(0 AS BIGINT) AS d FROM {src})"
+    ]
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        dn = f"d + {s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry})"
+        xn = f"CASE WHEN {ry} = 1 THEN x WHEN {rx} = 1 THEN {s - 1} - y ELSE y END"
+        yn = f"CASE WHEN {ry} = 1 THEN y WHEN {rx} = 1 THEN {s - 1} - x ELSE x END"
+        parts.append(
+            f"s{i} AS (SELECT doc_id, hx, hy, {xn} AS x, {yn} AS y, {dn} AS d "
+            f"FROM s{i + 1})"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT doc_id, hx, hy, d AS hkey FROM s0 ORDER BY hkey, doc_id"
+    )
+
+
+def corpus_hilbert_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated query: the Hilbert layout key over `documents` on the SAME
+    two dimensions as corpus_zorder_keys (clipped length × id-residue),
+    in layout order — the space-filling-curve upgrade of the z layout.
+
+    100 TB shape: identical to the z path — the key is a scan-local
+    projection (16 chained SELECTs of integer CASE arithmetic, all fused
+    into one whole-stage-codegen span, no shuffle, no UDF); a layout
+    write is one repartitionByRange on hkey."""
+    docs = load_table(spark, sf_dir, "documents")
+    return spark.sql(hilbert_sql("{src}", _ZX, _ZY), src=docs)
+
+
+CORPUS_HILBERT_SQL = hilbert_sql("documents", _ZX, _ZY)
+
+
 QUERIES = {
     "corpus_zorder_keys": corpus_zorder_keys,
+    "corpus_hilbert_keys": corpus_hilbert_keys,
 }
 
 ORACLE = {
     "corpus_zorder_keys": CORPUS_ZORDER_SQL,
+    "corpus_hilbert_keys": CORPUS_HILBERT_SQL,
 }

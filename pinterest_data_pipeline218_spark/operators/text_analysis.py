@@ -1787,6 +1787,79 @@ ORDER BY doc_id
 """
 
 
+
+
+# blocklist safety gate: category -> (regex over the token stream, max hits
+# before the doc is blocked). Word-boundary alternations only — the regex
+# subset Java regex (Spark) and RE2 (DuckDB) treat identically.
+BLOCKLIST = (
+    ("perf", r"\b(slow|fast)\b", 5),
+    ("infra", r"\b(spark|stream)\b", 5),
+    ("sqlw", r"\b(join|merge|sort)\b", 8),
+)
+
+
+def text_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-category blocklist screen — the safety/content-policy filter
+    stage of a corpus pipeline (PII regexes, banned phrases, boilerplate
+    markers): per document, the hit count of every category's pattern and
+    the gate verdict, with block_reason naming the FIRST category (in
+    declaration order) whose count exceeds its threshold ('clean'
+    otherwise). The category counts stay in the output so downstream
+    triage can audit near-threshold docs — a bare boolean hides why.
+
+    Scale: pure scan-local regexp_count expressions (one pass, no
+    shuffle, whole-stage codegen — multi-pattern matching at 100 TB is
+    embarrassingly parallel; an Aho-Corasick kernel would only matter at
+    thousands of patterns, and would live behind the same column
+    contract)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    out = docs.select(
+        "doc_id",
+        *[
+            F.regexp_count(F.col("text"), F.lit(pat)).cast("long").alias(f"n_{cat}")
+            for cat, pat, _ in BLOCKLIST
+        ],
+    )
+    blocked = None
+    reason = None
+    for cat, _, thr in BLOCKLIST:
+        over = F.col(f"n_{cat}") > thr
+        blocked = over if blocked is None else (blocked | over)
+    for cat, _, thr in reversed(BLOCKLIST):
+        hit = F.when(F.col(f"n_{cat}") > thr, F.lit(cat))
+        reason = hit.otherwise(F.lit("clean")) if reason is None else hit.otherwise(reason)
+    return out.select(
+        "doc_id",
+        *[f"n_{cat}" for cat, _, _ in BLOCKLIST],
+        blocked.alias("blocked"),
+        reason.alias("block_reason"),
+    ).orderBy("doc_id")
+
+
+def _blocklist_sql() -> str:
+    counts = ",\n         ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{cat}"
+        for cat, pat, _ in BLOCKLIST
+    )
+    blocked = " OR ".join(f"n_{cat} > {thr}" for cat, _, thr in BLOCKLIST)
+    reason = "CASE " + " ".join(
+        f"WHEN n_{cat} > {thr} THEN '{cat}'" for cat, _, thr in BLOCKLIST
+    ) + " ELSE 'clean' END"
+    cols = ", ".join(f"n_{cat}" for cat, _, _ in BLOCKLIST)
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         {counts}
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, {cols},
+       ({blocked}) AS blocked,
+       {reason} AS block_reason
+FROM c ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_ngram_novelty": text_ngram_novelty,
@@ -1807,6 +1880,7 @@ QUERIES = {
     "text_lm_backoff": text_lm_backoff,
     "text_quality_classifier": text_quality_classifier,
     "text_classifier_eval": text_classifier_eval,
+    "text_blocklist_gate": text_blocklist_gate,
 }
 
 ORACLE = {
@@ -1829,4 +1903,5 @@ ORACLE = {
     "text_lm_backoff": _lm_backoff_sql(),
     "text_quality_classifier": TEXT_QUALITY_CLASSIFIER_SQL,
     "text_classifier_eval": TEXT_CLASSIFIER_EVAL_SQL,
+    "text_blocklist_gate": _blocklist_sql(),
 }

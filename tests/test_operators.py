@@ -3116,6 +3116,62 @@ def test_dq_constraints_fire_on_planted_violations(spark, tmp_path):
     assert all(clean.values()) and len(clean) == 6
 
 
+def test_hilbert_keys_walk_the_grid(spark):
+    """corpus_hilbert_keys' curve really is Hilbert, not Morton-with-a-
+    different-name: over a full 16x16 grid, EVERY pair of consecutive
+    keys must be grid-ADJACENT (Manhattan distance exactly 1) — the
+    locality property Morton violates at every power-of-two boundary
+    (checked: the z curve on the same grid has jumps), and the reason a
+    Hilbert range maps to a tighter bounding box. Also pins the SQL
+    algebra against an independent Python xy2d."""
+    import pyspark.sql.functions as SF_
+
+    from pinterest_data_pipeline218_spark.operators.layout import (
+        hilbert_sql,
+        z_interleave_sql,
+    )
+
+    grid = spark.createDataFrame(
+        [(x * 16 + y, x, y) for x in range(16) for y in range(16)],
+        "doc_id long, gx long, gy long",
+    )
+    rows = spark.sql(hilbert_sql("{src}", "gx", "gy", bits=4), src=grid).collect()
+    walk = [(r.hx, r.hy) for r in rows]  # already ordered by hkey
+    assert len(walk) == 256
+    assert all(
+        abs(a[0] - b[0]) + abs(a[1] - b[1]) == 1 for a, b in zip(walk, walk[1:])
+    ), "consecutive Hilbert keys must be grid-adjacent"
+    assert {r.hkey for r in rows} == set(range(256))  # a bijection onto 0..255
+
+    def xy2d(bits, x, y):  # independent reference (Wikipedia xy2d)
+        d = 0
+        for i in range(bits - 1, -1, -1):
+            s = 1 << i
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+        return d
+
+    assert all(r.hkey == xy2d(4, r.hx, r.hy) for r in rows)
+
+    # contrast: the Morton walk on the same grid is NOT everywhere adjacent
+    zrows = (
+        grid.select(
+            "gx", "gy", SF_.expr(z_interleave_sql("gx", "gy", bits=4)).alias("zk")
+        )
+        .orderBy("zk")
+        .collect()
+    )
+    zwalk = [(r.gx, r.gy) for r in zrows]
+    assert any(
+        abs(a[0] - b[0]) + abs(a[1] - b[1]) > 1 for a, b in zip(zwalk, zwalk[1:])
+    ), "sanity: Morton should jump where Hilbert does not"
+
+
 def test_zorder_layout_prunes_files_against_natural_order(spark, tmp_path):
     """Z-order layout (operators/layout.py) must deliver its 100 TB
     promise in miniature: under a predicate box on the NON-layout
