@@ -213,6 +213,7 @@ HEADLINE = [
     "corpus_reservoir_sample",
     "corpus_hilbert_keys",
     "text_blocklist_gate",
+    "graph_cheapest_route",
 ]
 
 

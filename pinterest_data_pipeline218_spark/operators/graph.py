@@ -246,6 +246,86 @@ e AS (
 )
 
 
+ROUTE_DEPTH = 3  # relaxation rounds == max path length (Bellman-Ford bound)
+
+
+def _route_sql(prologue: str, nat: str, e: str) -> str:
+    """Weighted single-source cheapest path from ONE generator for both
+    engines (the _reach_sql discipline): bounded Bellman-Ford as a
+    recursive CTE — every walk of <= ROUTE_DEPTH hops from the seed
+    accumulates its integer cost, and the grouped MIN per destination is
+    the cheapest-route relaxation. Edge cost = the DIRECTED pair's
+    distinct supplier count (scarcer supply lanes cost more is the usual
+    framing inverted — here busier lanes cost more, but any deterministic
+    integer works; the operator under test is weighted relaxation, which
+    unweighted BFS hops cannot express: the min-COST route is often NOT
+    the min-HOP route, pinned by test_cheapest_route_beats_direct_edge)."""
+    return f"""WITH RECURSIVE {prologue}walk(nation, cost, hops) AS (
+  SELECT n_name, CAST(0 AS BIGINT), 0 FROM {nat} WHERE n_nationkey = 0
+  UNION ALL
+  SELECT e.dst, w.cost + e.cost, w.hops + 1
+  FROM walk w JOIN {e} e ON e.src = w.nation
+  WHERE w.hops < {ROUTE_DEPTH}
+)
+SELECT nation, CAST(MIN(cost) AS BIGINT) AS min_cost
+FROM walk WHERE hops > 0 GROUP BY nation ORDER BY nation"""
+
+
+def graph_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest path (bounded Bellman-Ford) over
+    the directed nation trade graph: from the seed nation, the cheapest
+    total-cost route to every nation reachable in <= ROUTE_DEPTH hops,
+    where an edge's cost is its distinct supplier count. Completes the
+    graph family's weighted axis next to unweighted BFS reachability,
+    fixed-point PageRank, min-label CC, and triangle counting.
+
+    100 TB shape: same posture as graph_reachability_nations — the
+    data-scale work is the WEIGHTED edge derivation (lineitem⋈orders
+    keyed on orderkey + broadcast dims + one grouped count-distinct);
+    the recursion iterates on the SF-invariant <= |nations|² relation."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup_nat = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("src"))
+    cust_nat = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("dst"))
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust_nat), F.col("o_custkey") == F.col("c_custkey"))
+        .select("src", "dst", "l_suppkey")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count_distinct("l_suppkey").alias("cost"))
+    )
+    return spark.sql(_route_sql("", "{nat}", "{e}"), nat=nation, e=edges)
+
+
+GRAPH_ROUTE_SQL = _route_sql(
+    """nat AS (SELECT n_nationkey, n_name FROM nation),
+e AS (
+  SELECT sn.n_name AS src, cn.n_name AS dst,
+         CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS cost
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nat sn ON s_nationkey = sn.n_nationkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nat cn ON c_nationkey = cn.n_nationkey
+  WHERE sn.n_name <> cn.n_name
+  GROUP BY 1, 2
+),
+""",
+    "nat",
+    "e",
+)
+
+
 def graph_triangle_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation triangle participation over the UNDIRECTED nation trade
     graph — the standard graph-density / community-cohesion primitive
@@ -416,6 +496,7 @@ QUERIES = {
     "graph_reachability_nations": graph_reachability_nations,
     "graph_triangle_nations": graph_triangle_nations,
     "graph_jaccard_neighbors": graph_jaccard_neighbors,
+    "graph_cheapest_route": graph_cheapest_route,
 }
 
 ORACLE = {
@@ -423,4 +504,5 @@ ORACLE = {
     "graph_reachability_nations": GRAPH_REACHABILITY_SQL,
     "graph_triangle_nations": GRAPH_TRIANGLE_SQL,
     "graph_jaccard_neighbors": GRAPH_JACCARD_SQL,
+    "graph_cheapest_route": GRAPH_ROUTE_SQL,
 }

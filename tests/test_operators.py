@@ -3242,6 +3242,38 @@ def test_zorder_layout_prunes_files_against_natural_order(spark, tmp_path):
     assert q(zo) == q(nat)
 
 
+def test_cheapest_route_beats_direct_edge(spark):
+    """The weighted relaxation really is weighted: on a planted graph
+    where the direct seed->A edge costs 10 but seed->B->A costs 1+2, the
+    cheapest route to A must be 3 (two hops beat one — unweighted BFS
+    would answer the direct edge), unreachable-within-depth nodes must
+    not appear, and the seed's own 0-cost row is excluded."""
+    from pinterest_data_pipeline218_spark.operators.graph import _route_sql
+
+    nat = spark.createDataFrame(
+        [(0, "SEED"), (1, "A"), (2, "B"), (3, "FAR")],
+        "n_nationkey long, n_name string",
+    )
+    e = spark.createDataFrame(
+        [
+            ("SEED", "A", 10),
+            ("SEED", "B", 1),
+            ("B", "A", 2),
+            # FAR is 4 hops away -> outside ROUTE_DEPTH=3
+            ("A", "X1", 1), ("X1", "X2", 1), ("X2", "FAR", 1),
+        ],
+        "src string, dst string, cost long",
+    )
+    got = {
+        r.nation: r.min_cost
+        for r in spark.sql(_route_sql("", "{nat}", "{e}"), nat=nat, e=e).collect()
+    }
+    assert got["A"] == 3  # 1 + 2 via B, not the direct 10
+    assert got["B"] == 1
+    assert "FAR" not in got  # beyond the relaxation horizon
+    assert "SEED" not in got  # hops > 0 excludes the trivial self row
+
+
 def test_triangle_count_matches_bruteforce_model(spark):
     """graph_triangle_nations' ordered wedge-closure join must agree with
     a brute-force itertools enumeration over the SAME undirected edge set
