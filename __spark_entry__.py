@@ -85,32 +85,17 @@ _TAIL = (
     # never produced a driver CORRECTNESS row — VERDICT r3 #2); the six entries below
     # are driver-checked green in CORRECTNESS_r03 and value-redundant, so they rotate
     # out in exchange.
-    "sim_ivf_topk",  # nprobe=1 rendering of the quantizer machinery now driver-checked via sim_ivf_index_probe (r03-green on this exact plan)
-    "set_customer_overlap",  # r03-green since r01; INTERSECT/EXCEPT rendering over the same customer scans
-    "tpch_q14_promo_revenue",  # r03-green; conditional-sum-ratio family stays checked via q12 (CASE agg) + q19 (disjunctive filter agg)
-    "tpch_q18_large_orders",  # r03-green; group-HAVING semi-join family stays checked via q17 (per-group scalar threshold) + q21
-    "tpch_q15_top_supplier",  # r03-green; agg + global-max equality join family stays checked via t6p2-style top-1 + q17
     "ev_approx_distinct_users",  # no oracle by design (sketches are engine-specific)
     # r4 second rotation: text_dupspan_remove / corpus_dsir_sample /
     # corpus_token_budget / corpus_cdc_chunk are NEW this round and move into
     # the window; the four below are r03-green and value-redundant.
-    "tpch_q12_priority_classes",  # r03-green; CASE-conditional agg stays checked via t11 (CASE bands) + q19 (disjunctive filter agg)
-    "dedup_incremental_lsh",  # r03-green; same signature/band machinery as in-window dedup_minhash_lsh; the asymmetric new-vs-corpus join is pytest-proved (test_incremental_lsh_flags_known_dup_and_novel_docs)
-    "text_token_stats",  # r03-green; scan-local size/array_distinct exprs subsumed by in-window text_quality_score (token filters) + corpus_pack_sequences (size/slice); ttr is the same exact-quotient idiom
     # r4 third rotation: sim_pq_topk / ml_hard_negatives are NEW and move in.
-    "dedup_cluster_cc",  # r03-green; label contract value-identical to in-window dedup_cluster_cc_star (same min-label CC over the same LSH pairs, different round structure — the difference is pytest-proved, test_cc_star_matches_union_find_on_random_graphs)
-    "dedup_embedding_neardup",  # r03-green; same salted-block self-join + norm-precomputed cosine machinery now in-window via dedup_semantic_kmeans and ml_hard_negatives; static-label blocking is the degenerate case of the learned-cluster block
     # r4 fourth rotation: text_subword_tokens / corpus_merge_increment are NEW
     # and move in.
-    "text_fingerprint",  # r03-green; order-insensitive md5 digest = the dedup_exact digest machinery (in-window) over sorted distinct tokens
-    "corpus_chunk_tokens",  # r03-green; slice/explode chunk fan-out stays in-window via corpus_pack_sequences (same machinery + packing) and reassembly via corpus_cdc_chunk
     "ev_theta_user_overlap",  # sketch family (like ev_approx_distinct_users): no oracle by design, pytest bounds all four estimates vs exact set arithmetic
     # r4 fifth rotation: sim_ivfpq_topk is NEW and moves in.
-    "mm_frame_sample",  # r03-green; 1→N Generate shape of the same Arrow mapInPandas plumbing as in-window mm_binary_meta (1→1); kernel equality pytest-proved (test_multimodal_kernels_null_safe, test_fake_features_match_python)
     # r4 sixth rotation: dedup_cluster_cc_bounded is NEW and moves in.
-    "ev_sessions_per_user",  # r03-green; lag-gap sessionization equality vs the native session_window is pytest-proved (test_native_session_window_agrees_with_lag_sessionization) and the window machinery stays checked via ev_running_total
     # r4 seventh rotation: corpus_quality_report is NEW and moves in.
-    "ev_errors_near_purchase",  # r03-green (first checked that round); shares the epoch/dtype machinery with in-window ev_asof_click_before_purchase, and the bucketized hash-key join shape is plan-asserted (test_range_join_buckets_are_hash_keys)
     # r5 rotation (VERDICT r4 #2): the 12 oracled entries that had NEVER had
     # an independent driver row move INTO the window — the TPC-H completion
     # set (q2/q8/q9/q11/q20), corpus_build_full, ev_cube_type_dow,
@@ -400,7 +385,47 @@ _TAIL = (
     # into an equi-join; integer deci-degree distances, naive-theta-join
     # oracle) is NEW and moves into the window. The one below rotates out
     # in exchange.
-    "ev_outliers_mad",  # r08 green; the MAD screen stays pytest-pinned against a Python model incl. the masking case (test_mad_outliers_match_python_model_and_resist_masking), its exact-grouped-median doubling machinery keeps in-window driver rows via t8/t10, and the anomaly-screen family via incoming ev_cusum_excursion; still oracle-checked every round by tools/selfcheck.py over the full registry
+    # r10 rotation (VERDICT r9 #9): the window takes (a) the 11 NEW oracled
+    # queries of this round (orderstats x4, corpus sliding/reservoir/hilbert,
+    # text_blocklist_gate, graph_cheapest_route, geo_nearby_newbatch — plus
+    # ev_ewma_last8 stays in-window with its NULL guard now load-bearing),
+    # (b) the 4 rows whose PLAN or FIXTURE changed this round and need a
+    # fresh driver row (tpch_q15_top_supplier planning-literal rewrite,
+    # ev_outliers_mad planning-literal rewrite, ev_session_outage_overlap
+    # day-partitioned islands, mm_image_decode 5th progressive-JPEG fixture
+    # class), and (c) the 14 STALEST rows (all last windowed r3 — returning
+    # for fresh driver evidence). The 26 below rotate out in exchange; every
+    # one is r09-green (fresh driver evidence last round) and value-redundant
+    # with machinery that keeps or regains a driver row; all remain
+    # oracle-checked every round by tools/selfcheck.py over the full registry.
+    "text_fuzzy_pairs",  # r09 green; the blocked-Levenshtein pair machinery keeps rows via the returning dedup_incremental_lsh family and its bounded twin text_entity_ids was r09-gated; hot-block defense stays pytest-pinned
+    "text_entity_ids",  # r09 green; capped-edge entity labels stay pytest-pinned (entity_increment stream==batch) and the capped-CC machinery keeps in-window rows via the returning dedup_cluster_cc
+    "tpch_bloom_prefilter",  # r09 green; the runtime-filter semi-join family keeps an in-window row via the returning tpch_q12/q14 conditional-agg set and bloom false-positive bounds stay pytest-pinned
+    "pin_clean_pipeline",  # r09 green (driver rows r01-r09); the P7/P8/P14 cleaning families stay pytest-pinned (hypothesis k/M expansion property) and the cleaning contract keeps driver smoke via entry()'s t4 flagship chain
+    "geo_clean_pipeline",  # r09 green; P10 timestamp parse + P12 array ctor stay pytest-pinned (test_geo_user_clean_types) with the cleaning family's machinery r09-proven
+    "text_ngram_novelty",  # r09 green; the gram-grain first-seer join keeps in-window rows via the returning text_token_stats/text_fingerprint gram machinery
+    "text_langid",  # r09 green; the heuristic langid keeps its trained twin's machinery pytest-pinned and the rate-filter family in-window via corpus_reservoir_sample's hash ranks
+    "text_langid_trained",  # r09 green; trained n-gram scoring stays pytest-pinned (accuracy floor test) and the trained-model family keeps rows via in-window text_blocklist_gate's scan-local expression shape
+    "text_word_frequencies",  # r09 green; the histogram-profiling aggregate (A3) keeps in-window rows via the returning text_token_stats and ev_hist_value_quantiles
+    "text_lm_backoff",  # r09 green; the backoff LM scoring chain stays pytest-pinned against a Python model and shares its gram aggregates with the returning text_token_stats
+    "text_classifier_eval",  # r09 green; the calibration sweep's train/score lineage stays pytest-pinned and its bounded-histogram collect pattern is now ALSO exercised in-window by tpch_q15/ev_outliers_mad's planning-literal rewrites
+    "dedup_cluster_cc_bounded",  # r09 green; bounded-CC label equality below cap stays pytest-pinned and the CC family keeps in-window rows via the returning dedup_cluster_cc
+    "dedup_ngram_jaccard",  # r09 green; n-gram Jaccard pair machinery keeps in-window rows via the returning dedup_incremental_lsh (same signature/band path)
+    "dedup_containment_seeds",  # r09 green; the sub-quadratic seed candidate generator stays pytest-pinned (equality to block-bounded containment) and the containment family keeps its decade adjudication in BASELINE
+    "dedup_cluster_best",  # r09 green; best-of-cluster election consumes the capped-CC labels whose exactness-below-cap is pytest-pinned; the argmax idiom keeps in-window rows via ev_quantiles_disc/ev_mode_value
+    "sim_radius_search",  # r09 green; the range-predicate cosine scan keeps in-window rows via the returning sim_ivf_topk (same quantizer/scoring machinery)
+    "geo_nearby_pairs",  # r09 green; the grid-cell radius join keeps an in-window row via geo_nearby_newbatch (the same join, stream-static split) and the cross-cell exactness pytest
+    "mm_image_resize",  # r09 green; decode->resample->re-encode keeps in-window rows via mm_image_decode (now with the 5-class fixture incl. progressive JPEG) and the closed-form index-mapping oracle stays pytest-pinned
+    "mm_fake_features",  # r09 green; the Arrow mapInPandas plumbing keeps in-window rows via mm_image_decode and the returning mm_frame_sample/mm_binary_meta kernels
+    "mm_image_phash",  # r09 green; the 64-bit Hamming pairing keeps its machinery pytest-pinned (perturbed-clip pairs) and the fingerprint family in-window via the returning text_fingerprint
+    "corpus_leakage_safe_split",  # r09 green; cluster-keyed split assignment stays pytest-pinned (near-dups never straddle splits) and the hash-split family keeps in-window rows via corpus_reservoir_sample
+    "corpus_pack_sequences",  # r09 green; bucketized running-sum packing keeps in-window rows via the returning corpus_chunk_tokens and the new corpus_sliding_chunks (same slice/explode machinery)
+    "corpus_build_full",  # r09 green; the composed pipeline's stages each keep an in-window row (returning dedup_cluster_cc for the capped-CC stage, corpus_chunk/sliding for chunking, text_blocklist_gate for gating); decade ratio adjudicated in BASELINE
+    "corpus_merge_increment",  # r09 green; the capped corpus band probe stays pytest-pinned (incremental_matches_capped) and the merge-triage joins keep in-window rows via the returning dedup_incremental_lsh
+    "ml_semantic_keepers",  # r09 green; the bounded SemDeDup decision output stays pytest-pinned and the within-cluster cosine machinery keeps rows via the returning dedup_embedding_neardup
+    "dq_orders_constraints",  # r09 green; the fused constraint-suite scan + FK anti join keep in-window rows via the returning set_customer_overlap (set ops) and tpch core; the streaming DQ monitor stays pytest-pinned
+    "ev_twa_daily",  # r09 green (rows r8-r9); LOCF time-weighting stays pytest-pinned (same-value-subdivision invariance property) and the carried-value family keeps an in-window row via ev_ewma_last8 (guard newly load-bearing)
+    "ev_session_copresence_lift",  # r09 green; the a-priori pair-support machinery keeps in-window rows via the returning ev_sessions_per_user (same lag-gap baskets) and graph_jaccard_neighbors (pair supports)
 )
 
 

@@ -214,6 +214,8 @@ HEADLINE = [
     "corpus_hilbert_keys",
     "text_blocklist_gate",
     "graph_cheapest_route",
+    "dq_benford_totalprice",
+    "dq_documents_profile",
 ]
 
 

@@ -137,5 +137,186 @@ ORDER BY check_name
 """
 
 
-QUERIES = {"dq_orders_constraints": dq_orders_constraints}
-ORACLE = {"dq_orders_constraints": DQ_ORDERS_SQL}
+# Benford first-digit milli-probabilities log10(1 + 1/d) — public constants
+BENFORD_MILLI = (301, 176, 125, 97, 79, 67, 58, 51, 46)
+
+
+def dq_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen over o_totalprice — the classic forensic /
+    data-quality test for fabricated or truncated numeric columns: the
+    leading significant digit of naturally-occurring multi-scale amounts
+    follows P(d) = log10(1 + 1/d), and a generator bug (or fraud) shows
+    up as a digit histogram far from that curve. One row per digit 1-9:
+    observed count, observed milli-frequency (exact integer div), the
+    Benford expectation, and the absolute deviation in milli-units —
+    integer throughout (the irrational expectations enter as fixed
+    public milli-constants, so both engines agree bitwise; no logs at
+    query time). The verdict column flags digits off by > 50 milli.
+
+    Leading digit without floats: digit = first character of the
+    DECIMAL-formatted absolute amount (amounts >= 0.01; zero/null rows
+    are excluded and reported via n_events in dq_orders_constraints'
+    completeness checks instead).
+
+    Scale: one scan, one 9-group aggregate — map-side combinable."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(
+        F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") > 0)
+    ).select(
+        F.substring(
+            F.regexp_replace(
+                F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+                r"[0.]",
+                "",
+            ),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    tot = base.groupBy("digit").agg(F.count(F.lit(1)).alias("cnt"))
+    n = tot.agg(F.sum("cnt").alias("n"))
+    exp = spark.createDataFrame(
+        [(d + 1, m) for d, m in enumerate(BENFORD_MILLI)],
+        "digit int, expected_milli long",
+    )
+    return (
+        tot.join(F.broadcast(exp), "digit", "full_outer")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.expr("(1000 * coalesce(cnt, 0)) div n").alias("observed_milli"),
+            "expected_milli",
+            F.expr(
+                "abs((1000 * coalesce(cnt, 0)) div n - expected_milli)"
+            ).alias("dev_milli"),
+        )
+        .withColumn("suspicious", F.col("dev_milli") > 50)
+        .orderBy("digit")
+    )
+
+
+DQ_BENFORD_SQL = f"""
+WITH base AS (
+  SELECT CAST(substr(regexp_replace(
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+           '[0.]', ''), 1, 1) AS INT) AS digit
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+), tot AS (
+  SELECT digit, COUNT(*) AS cnt FROM base GROUP BY digit
+), n AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM tot
+), exp AS (
+  SELECT * FROM (VALUES {", ".join(f"({d + 1}, {m})" for d, m in enumerate(BENFORD_MILLI))})
+         AS t(digit, expected_milli)
+)
+SELECT e.digit,
+       CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt,
+       (1000 * COALESCE(cnt, 0)) // n AS observed_milli,
+       CAST(expected_milli AS BIGINT) AS expected_milli,
+       abs((1000 * COALESCE(cnt, 0)) // n - expected_milli) AS dev_milli,
+       abs((1000 * COALESCE(cnt, 0)) // n - expected_milli) > 50 AS suspicious
+FROM tot t FULL OUTER JOIN exp e ON t.digit = e.digit CROSS JOIN n
+ORDER BY e.digit
+"""
+
+
+def dq_documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile report over `documents` — the OTHER half of the
+    Deequ pattern next to dq_orders_constraints' pass/fail suite: per
+    column, completeness (non-null count), approximate-free exact
+    distinct count, and for the numeric column min/max — the statistics
+    a profiler computes BEFORE anyone writes constraints. One row per
+    column, assembled by stack() from ONE fused aggregate pass (adding a
+    profiled column adds expressions, not passes).
+
+    Scale: a single scan-aggregate; the distinct counts are the only
+    shuffling sub-aggregates and all share the pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("doc_id").cast("long").alias("c_doc_id"),
+        F.countDistinct("doc_id").cast("long").alias("d_doc_id"),
+        F.count("text").cast("long").alias("c_text"),
+        F.countDistinct("text").cast("long").alias("d_text"),
+        F.count("lang").cast("long").alias("c_lang"),
+        F.countDistinct("lang").cast("long").alias("d_lang"),
+        F.count("source").cast("long").alias("c_source"),
+        F.countDistinct("source").cast("long").alias("d_source"),
+        F.count("n_chars").cast("long").alias("c_n_chars"),
+        F.countDistinct("n_chars").cast("long").alias("d_n_chars"),
+        F.min("n_chars").cast("long").alias("min_n_chars"),
+        F.max("n_chars").cast("long").alias("max_n_chars"),
+    )
+    long = agg.selectExpr(
+        "n_rows",
+        "min_n_chars",
+        "max_n_chars",
+        "stack(5, "
+        "'doc_id', c_doc_id, d_doc_id, "
+        "'lang', c_lang, d_lang, "
+        "'n_chars', c_n_chars, d_n_chars, "
+        "'source', c_source, d_source, "
+        "'text', c_text, d_text"
+        ") AS (column_name, n_complete, n_distinct)",
+    )
+    return long.select(
+        "column_name",
+        "n_complete",
+        "n_distinct",
+        "n_rows",
+        (F.col("n_complete") == F.col("n_rows")).alias("complete"),
+        F.when(F.col("column_name") == "n_chars", F.col("min_n_chars")).alias(
+            "min_value"
+        ),
+        F.when(F.col("column_name") == "n_chars", F.col("max_n_chars")).alias(
+            "max_value"
+        ),
+    ).orderBy("column_name")
+
+
+DQ_PROFILE_SQL = """
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(doc_id) AS BIGINT) AS c_doc_id,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d_doc_id,
+         CAST(COUNT(text) AS BIGINT) AS c_text,
+         CAST(COUNT(DISTINCT text) AS BIGINT) AS d_text,
+         CAST(COUNT(lang) AS BIGINT) AS c_lang,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS d_lang,
+         CAST(COUNT(source) AS BIGINT) AS c_source,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS d_source,
+         CAST(COUNT(n_chars) AS BIGINT) AS c_n_chars,
+         CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS d_n_chars,
+         CAST(MIN(n_chars) AS BIGINT) AS min_n_chars,
+         CAST(MAX(n_chars) AS BIGINT) AS max_n_chars
+  FROM documents
+)
+SELECT column_name, n_complete, n_distinct, n_rows,
+       n_complete = n_rows AS complete,
+       CASE WHEN column_name = 'n_chars' THEN min_n_chars END AS min_value,
+       CASE WHEN column_name = 'n_chars' THEN max_n_chars END AS max_value
+FROM (
+  SELECT 'doc_id' AS column_name, c_doc_id AS n_complete, d_doc_id AS n_distinct, n_rows, min_n_chars, max_n_chars FROM agg
+  UNION ALL SELECT 'lang', c_lang, d_lang, n_rows, min_n_chars, max_n_chars FROM agg
+  UNION ALL SELECT 'n_chars', c_n_chars, d_n_chars, n_rows, min_n_chars, max_n_chars FROM agg
+  UNION ALL SELECT 'source', c_source, d_source, n_rows, min_n_chars, max_n_chars FROM agg
+  UNION ALL SELECT 'text', c_text, d_text, n_rows, min_n_chars, max_n_chars FROM agg
+)
+ORDER BY column_name
+"""
+
+
+QUERIES = {
+    "dq_orders_constraints": dq_orders_constraints,
+    "dq_benford_totalprice": dq_benford_totalprice,
+    "dq_documents_profile": dq_documents_profile,
+}
+ORACLE = {
+    "dq_orders_constraints": DQ_ORDERS_SQL,
+    "dq_benford_totalprice": DQ_BENFORD_SQL,
+    "dq_documents_profile": DQ_PROFILE_SQL,
+}

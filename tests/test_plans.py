@@ -570,9 +570,12 @@ def test_q15_reads_lineitem_once(spark, qs):
     )
     assert "Window" not in plan  # global max is a literal filter, not OVER ()
     assert "InMemoryTableScan" not in plan  # no cache dependence
-    df.collect()
-    storage = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    assert len(storage) == 0, "q15 must not leave persisted blocks behind"
+    # no NEW storage blocks (delta, not absolute: other tests' session-scoped
+    # cached fixtures legitimately live in the shared session)
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    qs["tpch_q15_top_supplier"](spark, SF).collect()
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after == before, "q15 must not leave persisted blocks behind"
 
 
 def test_outliers_mad_leaves_no_cache(spark, qs):
@@ -586,9 +589,10 @@ def test_outliers_mad_leaves_no_cache(spark, qs):
         "events must appear in exactly one scan node"
     )
     assert "InMemoryTableScan" not in plan
-    df.collect()
-    storage = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    assert len(storage) == 0, "MAD screen must not leave persisted blocks"
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    qs["ev_outliers_mad"](spark, SF).collect()
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after == before, "MAD screen must not leave persisted blocks"
 
 
 def test_minhash_lsh_has_no_forced_corpus_broadcast(spark, qs):
@@ -885,29 +889,29 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
     missing = tail - set(names)
     assert missing == set(), f"_TAIL names not in registry: {missing}"
     head = set(names[:50])
-    # r9: everything in the r8 novel set got its driver row in
-    # CORRECTNESS_r08 (50/50 green). The window-priority set is now
+    # r10: everything in the r9 novel set got its driver row in
+    # CORRECTNESS_r09 (50/50 green). The window-priority set is now
     # (a) the queries that are NEW this round (no driver row yet),
-    # (b) the rows whose PLAN changed this round (capped-CC rewire,
-    # fuzzy hot-block defense, JPEG fixture class — a fresh driver row
-    # must re-prove each), and (c) the 12 stalest rows rotated back in
-    # per VERDICT r8 #3 (last driver rows r1-r2).
+    # (b) the rows whose PLAN or FIXTURE changed this round (a fresh
+    # driver row must re-prove each), and (c) the 14 stalest rows (last
+    # windowed r3) rotated back in per VERDICT r9 #9.
     novel = {
-        # NEW r9 — no driver row yet
-        "ev_abtest_chi2", "ev_cusum_excursion", "text_ngram_novelty",
-        "graph_jaccard_neighbors", "mm_image_resize", "text_entity_ids",
-        "ml_semantic_keepers", "corpus_leakage_safe_split",
-        "ev_session_outage_overlap", "dq_orders_constraints",
-        "geo_nearby_pairs",
-        # plan changed r9 (VERDICT r8 #1/#2/#5/#8)
-        "dedup_cluster_best", "corpus_build_full", "text_fuzzy_pairs",
-        "corpus_merge_increment", "mm_image_decode",
-        # VERDICT r8 #3 staleness rotation
-        "dedup_ngram_jaccard", "ev_counts_hourly", "ev_salted_stats",
-        "ev_salted_distinct_users", "mm_fake_features", "text_langid",
-        "text_word_frequencies", "tpch_q3_shipping_priority",
-        "tpch_q4_semi_join", "tpch_q5_regional_volume", "tpch_q6_revenue",
-        "window_showcase",
+        # NEW r10 — no driver row yet
+        "ev_quantiles_disc", "ev_mode_value", "ev_trend_slope",
+        "ev_seasonal_dow", "graph_cheapest_route", "text_blocklist_gate",
+        "geo_nearby_newbatch", "corpus_sliding_chunks",
+        "corpus_reservoir_sample", "corpus_hilbert_keys",
+        "dq_benford_totalprice", "dq_documents_profile",
+        # plan/fixture changed r10 (VERDICT r9 #2/#4/#6 + the ewma guard)
+        "tpch_q15_top_supplier", "ev_outliers_mad",
+        "ev_session_outage_overlap", "mm_image_decode", "ev_ewma_last8",
+        # VERDICT r9 #9 staleness rotation (all last windowed r3)
+        "corpus_chunk_tokens", "dedup_cluster_cc", "dedup_embedding_neardup",
+        "dedup_incremental_lsh", "ev_errors_near_purchase",
+        "ev_sessions_per_user", "mm_frame_sample", "set_customer_overlap",
+        "sim_ivf_topk", "text_fingerprint", "text_token_stats",
+        "tpch_q12_priority_classes", "tpch_q14_promo_revenue",
+        "tpch_q18_large_orders",
     }
     out = novel - head
     assert out == set(), f"window-priority queries outside the checked window: {out}"
