@@ -228,12 +228,15 @@ def stream_asof_join(
     right_ts_as: str = "asof_ts",
     watermark: str = "2 hours",
     emit_window: str = "10 minutes",
+    direction: str = "backward",
 ) -> DataFrame:
     """Watermarked stream-stream AS-OF join (VERDICT r9 #8): for each left
-    row, the greatest right `rts` <= `lts` within `tolerance` on the same
-    `key`; left rows with no in-tolerance right keep NULL — exactly
-    operators/asof.asof_join(direction='backward', tolerance_us=...), the
-    one temporal-join family member that had no streaming rendering.
+    row, the greatest right `rts` <= `lts` (direction='backward', the
+    default) or the smallest right `rts` >= `lts` ('forward') within
+    `tolerance` on the same `key`; left rows with no in-tolerance right
+    keep NULL — exactly operators/asof.asof_join(direction=...,
+    tolerance_us=...), the one temporal-join family member that had no
+    streaming rendering.
 
     Streaming plan (two chained stateful operators, Spark >= 3.5's
     multiple-stateful-operator support): a LEFT-OUTER time-interval
@@ -251,6 +254,8 @@ def stream_asof_join(
     Contract: left rows must be unique on `left.columns` (they are the
     GROUP key of the election); both ts columns must share a dtype
     (operators/asof's DTYPE CONTRACT)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     # The election groups on the left row INCLUDING its exact event time,
     # but only ONE event-time column may survive into a stateful operator
     # — the window() derived from lts carries the watermark, so the
@@ -264,17 +269,20 @@ def stream_asof_join(
     rw = right.select(
         F.col(key).alias("__rkey"), F.col(rts).alias("__rts")
     ).withWatermark("__rts", watermark)
+    if direction == "backward":
+        cond = f"__rts BETWEEN {lts} - INTERVAL {tolerance} AND {lts}"
+        elect = F.max("__rts")  # nearest prior = greatest in-window rts
+    else:
+        cond = f"__rts BETWEEN {lts} AND {lts} + INTERVAL {tolerance}"
+        elect = F.min("__rts")  # nearest later = smallest in-window rts
     joined = lw.join(
         rw,
-        F.expr(
-            f"{key} = __rkey AND "
-            f"__rts BETWEEN {lts} - INTERVAL {tolerance} AND {lts}"
-        ),
+        F.expr(f"{key} = __rkey AND {cond}"),
         "leftOuter",
     )
     return (
         joined.groupBy(F.window(F.col(lts), emit_window).alias("__w"), *lcols)
-        .agg(F.max("__rts").alias(right_ts_as))
+        .agg(elect.alias(right_ts_as))
         .drop("__w")
     )
 

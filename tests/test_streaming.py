@@ -2408,6 +2408,104 @@ def test_stream_asof_join_equals_batch_with_late_data(spark, tmp_path):
     assert by_id[13] is not None and by_id[13].minute == 25  # late click landed
 
 
+def test_stream_asof_join_forward_direction(spark, tmp_path):
+    """direction='forward' (r10): per left row the SMALLEST right ts >= its
+    own within tolerance — the 'next event after' rendering (e.g. first
+    error after each deploy). Planted: two later candidates (nearest
+    wins), an earlier-only candidate (must NOT match backward-style), and
+    a no-candidate row; equals the batch asof_join(direction='forward')."""
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pinterest_data_pipeline218_spark.operators.asof import asof_join
+    from pinterest_data_pipeline218_spark.streaming.pipeline import stream_asof_join
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("user", LongType()),
+         StructField("ts", StringType())]
+    )
+    for side in ("l", "r"):
+        (tmp_path / side).mkdir()
+
+    def add(side, name, rows):
+        with open(tmp_path / side / name, "w") as f:
+            for i, u, ts in rows:
+                f.write(json.dumps({"id": i, "user": u, "ts": ts}) + "\n")
+
+    lrows = [
+        (1, 7, "2024-01-01 10:00:00"),  # candidates at 10:05 and 10:40 -> 10:05
+        (2, 8, "2024-01-01 10:00:00"),  # only an EARLIER right -> NULL
+        (3, 9, "2024-01-01 10:00:00"),  # nothing -> NULL
+    ]
+    rrows = [
+        (0, 7, "2024-01-01 10:05:00"),
+        (0, 7, "2024-01-01 10:40:00"),
+        (0, 8, "2024-01-01 09:50:00"),
+    ]
+    add("l", "a.jsonl", lrows)
+    add("r", "a.jsonl", rrows)
+    add("l", "z.jsonl", [(99, 99, "2024-01-01 20:00:00")])  # heartbeat
+    add("r", "z.jsonl", [(99, 99, "2024-01-01 20:00:00")])
+
+    def src(side, idc, tsc):
+        return (
+            spark.readStream.format("json").schema(schema)
+            .load(str(tmp_path / side))
+            .select(
+                F.col("id").alias(idc),
+                F.col("user").alias("uid"),
+                F.to_timestamp("ts").alias(tsc),
+            )
+        )
+
+    out = stream_asof_join(
+        src("l", "left_id", "l_ts"),
+        src("r", "right_id", "r_ts").select("uid", "r_ts"),
+        key="uid",
+        lts="l_ts",
+        rts="r_ts",
+        tolerance="30 minutes",
+        direction="forward",
+        watermark="8 hours",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("asof_fwd")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        add("l", "zz.jsonl", [])
+        q.processAllAvailable()
+        got = {
+            (r.left_id, r.asof_ts)
+            for r in spark.sql("SELECT * FROM asof_fwd").collect()
+            if r.left_id != 99
+        }
+    finally:
+        q.stop()
+
+    batch_l = spark.createDataFrame(
+        lrows, "left_id long, uid long, ts string"
+    ).select("left_id", "uid", F.to_timestamp("ts").alias("ts"))
+    batch_r = spark.createDataFrame(
+        [(u, ts) for _, u, ts in rrows], "uid long, ts string"
+    ).select("uid", F.to_timestamp("ts").alias("ts"))
+    want = {
+        (r.left_id, r.asof_ts)
+        for r in asof_join(
+            batch_l, batch_r, key="uid", ts="ts",
+            right_ts_as="asof_ts", direction="forward",
+            tolerance_us=1_800_000_000,
+        ).collect()
+    }
+    assert got == want, (sorted(got), sorted(want))
+    by_id = dict(got)
+    assert by_id[1].minute == 5   # nearest LATER candidate, not 10:40
+    assert by_id[2] is None       # earlier-only right must not match
+    assert by_id[3] is None
+
+
 def test_stream_stream_left_outer_join_emits_null_side_after_watermark(spark, tmp_path):
     """Left-outer watermarked stream-stream join — the OTHER half of the
     symmetric-hash-join contract the inner-join test pins: a purchase with
