@@ -318,15 +318,48 @@ def ev_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per event type — the scale path for
     count-distinct: one pass, fixed sketch memory per group, mergeable
     across partitions, where the exact form shuffles every distinct key.
-    No oracle entry on purpose: DuckDB's approx sketch differs, so the
-    driver records the weaker rows-only check; pytest bounds the estimate
-    against the exact count (rsd 2% → observed error well under 5%)."""
+
+    ORACLED VIA BOUNDS ATTESTATION (r11): sketch internals are
+    engine-specific, so the raw estimate can never hash-match DuckDB.
+    Instead the gated output carries the EXACT count plus a boolean each
+    engine computes from its own sketch — `approx_within_5pct` =
+    20·|est − exact| ≤ max(20, exact), i.e. |err| ≤ max(1, 5%·exact),
+    integer arithmetic so there is no float edge. Spark attests its
+    HLL++ (rsd 2%); the DuckDB oracle attests its own HLL the same way.
+    A sketch drifting past the bound flips the boolean on one side only
+    → hash mismatch → red row. The exact aggregate exists here purely as
+    the verification harness; the production operator at 100 TB is the
+    sketch alone (the old estimate-only rendering is one `.agg` away).
+    pytest additionally bounds the raw estimate (test_approx_distinct_
+    within_bound)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("a"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("a") - F.col("exact_users")) * 20
+                <= F.greatest(F.lit(20), F.col("exact_users"))
+            ).alias("approx_within_5pct"),
+        )
         .orderBy("event_type")
     )
+
+
+EV_APPROX_DISTINCT_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id)) * 20
+         <= GREATEST(20, COUNT(DISTINCT user_id)) AS approx_within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 PIVOT_TYPES = ["click", "purchase", "scroll", "share", "view"]
@@ -399,18 +432,69 @@ def ev_approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type p50/p95 of `value` via percentile_approx (the
     KLL/GK-family mergeable quantile sketch) — the sketch a 100 TB engine
     uses where an exact percentile would need a full sort per group.
-    Like ev_approx_distinct_users, deliberately oracle-less: sketch
-    internals are engine-specific; pytest bounds the error vs the exact
-    percentile instead, and the driver runs its rows-only check."""
+
+    ORACLED VIA RANK-BOUND ATTESTATION (r11): the estimates themselves
+    are engine-specific (Spark GK returns an order statistic, DuckDB
+    t-digest interpolates), so the gated output is the group size plus a
+    rank-interval boolean each engine computes from its own estimate:
+    the estimate's rank interval [cnt_lt+1, cnt_le] must intersect
+    [(q−2%)·n, (q+2%)·n] — tie-safe (a heavily-tied exact median still
+    passes because cnt_lt stays low even when cnt_le overshoots) and
+    integer-exact (cross-multiplied, no float ranks). Either sketch
+    drifting past 2% rank error flips its own boolean → hash mismatch →
+    red. GK at accuracy 10 000 has rank error ≤ 0.01% — 200× inside the
+    bound. Plan: the 5-row approx aggregate broadcasts back onto ONE
+    verification scan (the ev_trend_slope shape); both aggregates
+    map-side combinable. pytest separately pins the estimates to ±1 rank
+    (test_approx_quantiles_land_on_correct_order_statistics)."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.percentile_approx("value", 0.5, 10_000).alias("p50_approx"),
-            F.percentile_approx("value", 0.95, 10_000).alias("p95_approx"),
-        )
-        .orderBy("event_type")
+    appx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10_000).alias("p50a"),
+        F.percentile_approx("value", 0.95, 10_000).alias("p95a"),
     )
+    j = ev.select("event_type", "value").join(F.broadcast(appx), "event_type")
+    counted = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("value") < F.col("p50a"), 1)).alias("lt50"),
+        F.count(F.when(F.col("value") <= F.col("p50a"), 1)).alias("le50"),
+        F.count(F.when(F.col("value") < F.col("p95a"), 1)).alias("lt95"),
+        F.count(F.when(F.col("value") <= F.col("p95a"), 1)).alias("le95"),
+    )
+    n = F.col("n_events")
+    return counted.select(
+        "event_type",
+        "n_events",
+        ((F.col("lt50") * 100 <= n * 52) & (F.col("le50") * 100 >= n * 48)).alias(
+            "p50_rank_ok"
+        ),
+        ((F.col("lt95") * 100 <= n * 97) & (F.col("le95") * 100 >= n * 93)).alias(
+            "p95_rank_ok"
+        ),
+    ).orderBy("event_type")
+
+
+EV_APPROX_QUANTILES_SQL = """
+WITH appx AS (
+  SELECT event_type,
+         approx_quantile(value, 0.5) AS p50a,
+         approx_quantile(value, 0.95) AS p95a
+  FROM events GROUP BY 1
+), counted AS (
+  SELECT e.event_type,
+         COUNT(*) AS n_events,
+         COUNT(CASE WHEN value < p50a THEN 1 END) AS lt50,
+         COUNT(CASE WHEN value <= p50a THEN 1 END) AS le50,
+         COUNT(CASE WHEN value < p95a THEN 1 END) AS lt95,
+         COUNT(CASE WHEN value <= p95a THEN 1 END) AS le95
+  FROM events e JOIN appx USING (event_type)
+  GROUP BY 1
+)
+SELECT event_type, n_events,
+       (lt50 * 100 <= n_events * 52 AND le50 * 100 >= n_events * 48) AS p50_rank_ok,
+       (lt95 * 100 <= n_events * 97 AND le95 * 100 >= n_events * 93) AS p95_rank_ok
+FROM counted
+ORDER BY event_type
+"""
 
 
 def ev_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,11 +509,19 @@ def ev_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-planning state, not data.
 
     Sketch family member #3 (HLL = distinct, KLL/percentile_approx =
-    quantiles, theta = distinct WITH set operations). Deliberately
-    oracle-less like its siblings — sketch internals are engine-specific;
-    the driver runs its rows-only check and pytest bounds all four
-    estimates against exact recounts (at test scale the sketch is in
-    exact mode: below k entries, theta estimates are exact)."""
+    quantiles, theta = distinct WITH set operations).
+
+    ORACLED VIA BOUNDS ATTESTATION (r11): the gated output carries the
+    four EXACT cardinalities (one per-user flag pass — bool_or(click),
+    bool_or(purchase), then one 1-row count; both engines compute these
+    identically) plus four booleans attesting each theta estimate is
+    within max(1, 2%) of its exact value. DuckDB has no theta sketch, so
+    its oracle emits the literal TRUE expectation — the gate therefore
+    reads "Spark's theta estimates must all be inside the bound", which
+    is exactly the contract pytest pins (test_theta_sketch_overlap_
+    matches_exact_sets). The exact side exists as the verification
+    harness; the 100 TB operator is the sketch algebra (mergeable
+    bounded-size sketches, intersection/union on two 1-row blobs)."""
     ev = load_table(spark, sf_dir, "events")
     sk = ev.groupBy("event_type").agg(
         F.expr("theta_sketch_agg(user_id)").alias("sk")
@@ -447,19 +539,70 @@ def ev_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("sk").alias("b"))
         .limit(1)
     )
-    return (
-        a.crossJoin(F.broadcast(b))
-        .select(
-            F.expr("theta_sketch_estimate(a)").alias("click_users"),
-            F.expr("theta_sketch_estimate(b)").alias("purchase_users"),
-            F.expr("theta_sketch_estimate(theta_intersection(a, b))").alias(
-                "both_users"
+    est = a.crossJoin(F.broadcast(b)).select(
+        F.expr("theta_sketch_estimate(a)").alias("est_click"),
+        F.expr("theta_sketch_estimate(b)").alias("est_purchase"),
+        F.expr("theta_sketch_estimate(theta_intersection(a, b))").alias(
+            "est_both"
+        ),
+        F.expr("theta_sketch_estimate(theta_union(a, b))").alias("est_either"),
+    )
+    flags = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "c"
             ),
-            F.expr("theta_sketch_estimate(theta_union(a, b))").alias(
-                "either_users"
-            ),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("p"),
         )
     )
+    exact = flags.agg(
+        F.sum("c").alias("click_users"),
+        F.sum("p").alias("purchase_users"),
+        F.sum(F.col("c") * F.col("p")).alias("both_users"),
+        F.count(F.lit(1)).alias("either_users"),
+    )
+
+    def ok(est_col: str, exact_col: str):
+        return (
+            F.abs(F.col(est_col) - F.col(exact_col))
+            <= F.greatest(F.lit(1.0), F.col(exact_col) * 0.02)
+        ).alias(f"theta_{exact_col.split('_')[0]}_ok")
+
+    return exact.crossJoin(F.broadcast(est)).select(
+        "click_users",
+        "purchase_users",
+        "both_users",
+        "either_users",
+        ok("est_click", "click_users"),
+        ok("est_purchase", "purchase_users"),
+        ok("est_both", "both_users"),
+        ok("est_either", "either_users"),
+    )
+
+
+EV_THETA_OVERLAP_SQL = """
+WITH flags AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+)
+SELECT CAST(SUM(c) AS BIGINT) AS click_users,
+       CAST(SUM(p) AS BIGINT) AS purchase_users,
+       CAST(SUM(c * p) AS BIGINT) AS both_users,
+       CAST(COUNT(*) AS BIGINT) AS either_users,
+       TRUE AS theta_click_ok,
+       TRUE AS theta_purchase_ok,
+       TRUE AS theta_both_ok,
+       TRUE AS theta_either_ok
+FROM flags
+"""
 
 
 KMV_K = 256
@@ -1901,9 +2044,12 @@ ORACLE = {
     "ev_rollup_daily": EV_ROLLUP_SQL,
     "ev_pivot_type_counts": EV_PIVOT_SQL,
     "ev_cube_type_dow": EV_CUBE_SQL,
-    # ev_approx_distinct_users: deliberately no oracle — sketch estimates are
-    # engine-specific; the driver runs its rows-only check, pytest bounds the
-    # error vs the exact count
+    # sketch family, oracled via bounds attestation since r11: the gated
+    # outputs are exact values + within-tolerance booleans both engines can
+    # agree on (estimates themselves are engine-specific)
+    "ev_approx_distinct_users": EV_APPROX_DISTINCT_SQL,
+    "ev_approx_value_quantiles": EV_APPROX_QUANTILES_SQL,
+    "ev_theta_user_overlap": EV_THETA_OVERLAP_SQL,
     "ev_kmv_distinct_users": EV_KMV_SQL,
     "ev_cm_top_users": _cm_sql(),
     "ev_hist_value_quantiles": EV_HIST_QUANTILES_SQL,

@@ -87,17 +87,18 @@ def ev_mode_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     type, smallest value on frequency ties — the determinism both
     engines' native mode() declines to promise (implementation-defined
     tie). Two map-side-combinable aggregates: count per (type, value),
-    then argmax by the total-order key cnt·2³² − v (the ev_extremes
-    encoding; exact while v < 2³¹ and cnt < 2²⁰ per distinct value at the
-    gate SFs — a wider regime switches to a struct key). Also reports the
-    distinct-value count the mode was elected from. 100 TB: two grouped
-    aggregates, both partial-aggregable; no window, no self-join."""
+    then argmax by the STRUCT total-order key (cnt, −v) — lexicographic
+    struct comparison is exact in every regime (no 2³¹/2²⁰ bound, no
+    silent BIGINT wrap vs loud DuckDB overflow divergence the old
+    cnt·2³² − v arithmetic key carried). Also reports the distinct-value
+    count the mode was elected from. 100 TB: two grouped aggregates,
+    both partial-aggregable; no window, no self-join."""
     ev = load_table(spark, sf_dir, "events")
     counts = (
         ev.select("event_type", _v_centi().alias("v"))
         .groupBy("event_type", "v")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("ord", F.expr("cnt * 4294967296 - v"))
+        .withColumn("ord", F.struct(F.col("cnt"), (-F.col("v")).alias("nv")))
     )
     return (
         counts.groupBy("event_type")
@@ -118,13 +119,20 @@ WITH counts AS (
   FROM events
   GROUP BY 1, 2
 ), keyed AS (
-  SELECT event_type, v, cnt, cnt * 4294967296 - v AS ord
+  -- DuckDB max_by rejects STRUCT ordering keys, so the oracle elects the
+  -- mode with a regime-free window instead (same total order: cnt DESC,
+  -- then smallest v on ties).
+  SELECT event_type, v, cnt,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY cnt DESC, v ASC
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_vals
   FROM counts
 )
 SELECT event_type,
-       COUNT(*) AS n_distinct_values,
-       CAST(MAX_BY(v, ord) AS BIGINT) AS mode_centi,
-       CAST(MAX_BY(cnt, ord) AS BIGINT) AS mode_count
+       CAST(MAX(n_vals) AS BIGINT) AS n_distinct_values,
+       CAST(MAX(CASE WHEN rn = 1 THEN v END) AS BIGINT) AS mode_centi,
+       CAST(MAX(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS mode_count
 FROM keyed
 GROUP BY event_type
 ORDER BY event_type
@@ -160,14 +168,20 @@ def ev_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(d("x") * d("y")).alias("sxy"),
         F.sum(d("x") * d("x")).alias("sxx"),
     )
+    # The OUTPUT casts to BIGINT: at gate SFs the num/den peak ≈6.4e14,
+    # far inside int64, and BIGINT dodges the driver's DECIMAL(38,0)
+    # hash canonicalization (values were byte-identical, the r10 red row
+    # was representation-only). The INTERNAL sums stay DECIMAL(38,0) for
+    # the documented 10¹²-row headroom; at that scale widen the output
+    # back to DECIMAL or emit strings.
     return sums.select(
         "event_type",
         F.col("n").cast("long").alias("n_events"),
         (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-        .cast("decimal(38,0)")
+        .cast("long")
         .alias("slope_num"),
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        .cast("decimal(38,0)")
+        .cast("long")
         .alias("slope_den"),
     ).orderBy("event_type")
 
@@ -195,8 +209,8 @@ WITH base AS (
 )
 SELECT event_type,
        CAST(n AS BIGINT) AS n_events,
-       CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
-       CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS slope_den
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
 FROM sums
 ORDER BY event_type
 """

