@@ -65,23 +65,26 @@ def outage_windows(ev: DataFrame) -> DataFrame:
     broadcast back, and DAY-PARTITIONED island windows over the
     hot-minute relation (<= 1440 rows per partition by construction);
     cross-midnight chains merge through a <=2-per-day boundary set
-    resolved driver-side — no partitionless window anywhere (r10)."""
-    mins = (
-        ev.filter(F.col("event_type") == "error")
-        .groupBy(F.date_trunc("minute", F.col("ts")).alias("mn"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    # the 1-row total resolves at PLANNING time (2 scalars of driver
-    # state): a broadcast-subquery formulation would re-derive `mins` on
-    # both sides of the crossJoin within every job that consumes `hot`,
-    # and this function's boundary-merge collect plus the returned plan
-    # would each pay that twice (r10)
-    n_minutes, total = mins.agg(
-        F.count(F.lit(1)), F.sum("c")
-    ).first()
-    hot = mins.filter(
-        F.col("c") * F.lit(n_minutes) > F.lit(total if total is not None else 0)
-    ).select("mn")
+    resolved driver-side — no partitionless window anywhere (r10).
+
+    r11 (ADVICE r10): the two PLANNING jobs (the 1-row totals and the
+    boundary-island collect) share one transient persist of the
+    minute-aggregate relation — the totals job fills the cache off the
+    events scan, the boundary job reads the cache, and the persist is
+    dropped (blocking) before the plan is returned. Per execution the
+    raw events scan runs twice (planning + the returned plan's interior
+    islands), not three times. Plan construction is EAGER by design —
+    failures and the two bounded collects surface when the DataFrame is
+    built, the documented price of the planning-literal pattern
+    (ev_outliers_mad, tpch_q15)."""
+
+    def _minute_agg() -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == "error")
+            .groupBy(F.date_trunc("minute", F.col("ts")).alias("mn"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
     # DAY-PARTITIONED gaps-and-islands (r10, VERDICT r9 #4 — this was the
     # registry's only partitionless-window pair): each day's hot minutes
     # aggregate to ONE sorted position array (<=1440 ints) and the island
@@ -94,52 +97,68 @@ def outage_windows(ev: DataFrame) -> DataFrame:
     # only connect at midnights, and interval-touch merging of the
     # boundary set realizes exactly those connections (pinned by the
     # planted cross-midnight pytest + the unchanged global-window oracle).
-    islands = (
-        hot.groupBy(F.to_date("mn").alias("day"))
-        .agg(
-            F.array_sort(
-                F.collect_list(F.hour("mn") * 60 + F.minute("mn"))
-            ).alias("ps")
+    def _islands(mins: DataFrame, n_minutes: int, total) -> DataFrame:
+        hot = mins.filter(
+            F.col("c") * F.lit(n_minutes)
+            > F.lit(total if total is not None else 0)
+        ).select("mn")
+        return (
+            hot.groupBy(F.to_date("mn").alias("day"))
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.hour("mn") * 60 + F.minute("mn"))
+                ).alias("ps")
+            )
+            .select(
+                "day",
+                F.explode(
+                    F.arrays_zip(
+                        # index args are clamped: ANSI element_at throws on
+                        # 0 / past-end, and OR does not short-circuit; the
+                        # clamped probe compares x against itself (+1 != x)
+                        # exactly when the unclamped index would be out of
+                        # range
+                        F.expr(
+                            "filter(ps, (x, i) -> "
+                            "x != element_at(ps, greatest(i, 1)) + 1)"
+                        ).alias("s_pos"),
+                        F.expr(
+                            "filter(ps, (x, i) -> "
+                            "element_at(ps, least(i + 2, size(ps))) != x + 1)"
+                        ).alias("e_pos"),
+                    )
+                ).alias("run"),
+            )
+            .select(
+                F.expr(
+                    "CAST(day AS TIMESTAMP) + make_interval(0, 0, 0, 0, 0, run.s_pos, 0)"
+                ).alias("i_start"),
+                F.expr(
+                    "CAST(day AS TIMESTAMP) + make_interval(0, 0, 0, 0, 0, run.e_pos + 1, 0)"
+                ).alias("i_end"),
+                (F.col("run.s_pos") == 0).alias("at_head"),
+                (F.col("run.e_pos") == 1439).alias("at_tail"),
+            )
         )
-        .select(
-            "day",
-            F.explode(
-                F.arrays_zip(
-                    # index args are clamped: ANSI element_at throws on 0 /
-                    # past-end, and OR does not short-circuit; the clamped
-                    # probe compares x against itself (+1 != x) exactly
-                    # when the unclamped index would be out of range
-                    F.expr(
-                        "filter(ps, (x, i) -> "
-                        "x != element_at(ps, greatest(i, 1)) + 1)"
-                    ).alias("s_pos"),
-                    F.expr(
-                        "filter(ps, (x, i) -> "
-                        "element_at(ps, least(i + 2, size(ps))) != x + 1)"
-                    ).alias("e_pos"),
-                )
-            ).alias("run"),
-        )
-        .select(
-            F.expr(
-                "CAST(day AS TIMESTAMP) + make_interval(0, 0, 0, 0, 0, run.s_pos, 0)"
-            ).alias("i_start"),
-            F.expr(
-                "CAST(day AS TIMESTAMP) + make_interval(0, 0, 0, 0, 0, run.e_pos + 1, 0)"
-            ).alias("i_end"),
-            (F.col("run.s_pos") == 0).alias("at_head"),
-            (F.col("run.e_pos") == 1439).alias("at_tail"),
-        )
-    )
-    interior = islands.filter(
+
+    cached = _minute_agg().persist()
+    try:
+        n_minutes, total = cached.agg(
+            F.count(F.lit(1)), F.sum("c")
+        ).first()  # 2 scalars of driver state; fills the cache
+        bnd = sorted(
+            (r.i_start, r.i_end)
+            for r in _islands(cached, n_minutes, total)
+            .filter(F.col("at_head") | F.col("at_tail"))
+            .select("i_start", "i_end")
+            .collect()
+        )  # <= 2 islands/day of span: bounded driver-side planning state;
+        # cache read — no second events scan at planning time
+    finally:
+        cached.unpersist(blocking=True)
+    interior = _islands(_minute_agg(), n_minutes, total).filter(
         ~F.col("at_head") & ~F.col("at_tail")
     ).select("i_start", "i_end")
-    bnd = sorted(
-        (r.i_start, r.i_end)
-        for r in islands.filter(F.col("at_head") | F.col("at_tail"))
-        .select("i_start", "i_end")
-        .collect()
-    )  # <= 2 islands/day of span: bounded driver-side planning state
     merged: list[tuple] = []
     for s, e in bnd:
         if merged and merged[-1][1] == s:  # touch exactly at a midnight

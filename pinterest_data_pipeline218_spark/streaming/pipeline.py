@@ -252,36 +252,54 @@ def stream_asof_join(
     backward-nearest match.
 
     Contract: left rows must be unique on `left.columns` (they are the
-    GROUP key of the election); both ts columns must share a dtype
-    (operators/asof's DTYPE CONTRACT)."""
+    GROUP key of the election — duplicates would collapse into one output
+    row; not runtime-guardable on an unbounded stream without extra
+    state, so it stays a documented precondition); both ts columns must
+    share a dtype (operators/asof's DTYPE CONTRACT).
+
+    Identifier hygiene (ADVICE r10): `key`/`lts` are interpolated into
+    SQL expressions backtick-quoted, so column names needing quoting
+    (spaces, dots) bind correctly; the reserved working columns
+    (__rkey/__rts/__w and the output column) are rejected early if the
+    inputs already carry them, instead of silently misbinding."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    reserved = {"__rkey", "__rts", "__w", right_ts_as}
+    clash = sorted(reserved & set(left.columns) | reserved & set(right.columns))
+    if clash:
+        raise ValueError(
+            f"input columns collide with stream_asof_join working columns: {clash}"
+        )
+
+    def _bq(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
     # The election groups on the left row INCLUDING its exact event time,
     # but only ONE event-time column may survive into a stateful operator
     # — the window() derived from lts carries the watermark, so the
     # grouped lts value is re-derived through an integer-exact
     # micros roundtrip that strips the event-time tag.
     lcols = [
-        F.timestamp_micros(F.unix_micros(F.col(c))).alias(c) if c == lts else F.col(c)
+        F.timestamp_micros(F.unix_micros(F.col(_bq(c)))).alias(c) if c == lts
+        else F.col(_bq(c))
         for c in left.columns
     ]
     lw = left.withWatermark(lts, watermark)
     rw = right.select(
-        F.col(key).alias("__rkey"), F.col(rts).alias("__rts")
+        F.col(_bq(key)).alias("__rkey"), F.col(_bq(rts)).alias("__rts")
     ).withWatermark("__rts", watermark)
     if direction == "backward":
-        cond = f"__rts BETWEEN {lts} - INTERVAL {tolerance} AND {lts}"
+        cond = f"__rts BETWEEN {_bq(lts)} - INTERVAL {tolerance} AND {_bq(lts)}"
         elect = F.max("__rts")  # nearest prior = greatest in-window rts
     else:
-        cond = f"__rts BETWEEN {lts} AND {lts} + INTERVAL {tolerance}"
+        cond = f"__rts BETWEEN {_bq(lts)} AND {_bq(lts)} + INTERVAL {tolerance}"
         elect = F.min("__rts")  # nearest later = smallest in-window rts
     joined = lw.join(
         rw,
-        F.expr(f"{key} = __rkey AND {cond}"),
+        F.expr(f"{_bq(key)} = __rkey AND {cond}"),
         "leftOuter",
     )
     return (
-        joined.groupBy(F.window(F.col(lts), emit_window).alias("__w"), *lcols)
+        joined.groupBy(F.window(F.col(_bq(lts)), emit_window).alias("__w"), *lcols)
         .agg(elect.alias(right_ts_as))
         .drop("__w")
     )

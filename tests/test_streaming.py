@@ -2506,6 +2506,48 @@ def test_stream_asof_join_forward_direction(spark, tmp_path):
     assert by_id[3] is None
 
 
+def test_stream_asof_join_identifier_hygiene(spark):
+    """ADVICE r10: (a) inputs already carrying the reserved working
+    columns (__rkey/__rts/__w or the output column) are rejected EARLY
+    with a clear error, not silently misbound; (b) key/ts column names
+    that need quoting (dots) bind correctly because the interpolated
+    identifiers are backquoted. Batch inputs — withWatermark/window are
+    plan-identical; the streaming semantics are pinned by the
+    equals-batch tests above."""
+    import pytest as _pytest
+
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        stream_asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 7, "2024-01-01 10:00:00")], "id long, `k.ey` long, ts string"
+    ).select("id", "`k.ey`", F.to_timestamp("ts").alias("t.s"))
+    right = spark.createDataFrame(
+        [(7, "2024-01-01 09:55:00")], "`k.ey` long, ts string"
+    ).select("`k.ey`", F.to_timestamp("ts").alias("rts"))
+
+    # (a) reserved-column clash raises before any plan is built
+    with _pytest.raises(ValueError, match="__rts"):
+        stream_asof_join(
+            left.withColumn("__rts", F.lit(1)), right,
+            key="k.ey", lts="t.s", rts="rts",
+        )
+    with _pytest.raises(ValueError, match="asof_ts"):
+        stream_asof_join(
+            left.withColumn("asof_ts", F.lit(1)), right,
+            key="k.ey", lts="t.s", rts="rts",
+        )
+
+    # (b) dotted key/ts names resolve (pre-fix: AnalysisException on the
+    # unquoted `k.ey` reference inside F.expr)
+    got = stream_asof_join(
+        left, right, key="k.ey", lts="t.s", rts="rts",
+        tolerance="30 minutes",
+    ).collect()
+    assert len(got) == 1 and got[0].asof_ts.minute == 55, got
+
+
 def test_stream_stream_left_outer_join_emits_null_side_after_watermark(spark, tmp_path):
     """Left-outer watermarked stream-stream join — the OTHER half of the
     symmetric-hash-join contract the inner-join test pins: a purchase with
