@@ -60,11 +60,17 @@ def decode_ppm(data: bytes) -> tuple[int, int, bytes]:
             pos += 1
         if start == pos:
             raise ImageFormatError("truncated PPM header")
-        tokens.append(int(data[start:pos]))
+        tok = data[start:pos]
+        if not tok.isdigit():  # fuzz-found (r11): a corrupt header token
+            # must raise the TYPED error, not int()'s bare ValueError
+            raise ImageFormatError(f"bad PPM header token {tok!r}")
+        tokens.append(int(tok))
     pos += 1  # single whitespace byte after maxval, then raw pixels
     width, height, maxval = tokens
     if maxval != 255:
         raise ImageFormatError(f"unsupported PPM maxval {maxval}")
+    if width <= 0 or height <= 0 or width * height > 1 << 26:
+        raise ImageFormatError(f"implausible PPM dimensions {width}x{height}")
     need = width * height * 3
     pixels = data[pos : pos + need]
     if len(pixels) != need:
@@ -110,6 +116,9 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
     bottom-up (positive height) and top-down (negative height) layouts."""
     if data[:2] != b"BM":
         raise ImageFormatError("not a BMP payload")
+    if len(data) < _BMP_HEADER.size + _DIB_HEADER.size:  # fuzz-found (r11):
+        # unpack_from raises bare struct.error on a truncated header
+        raise ImageFormatError("truncated BMP header")
     _, _, _, _, offset = _BMP_HEADER.unpack_from(data, 0)
     (dib_size, width, height, _planes, bpp, compression, *_rest) = _DIB_HEADER.unpack_from(
         data, _BMP_HEADER.size
@@ -120,6 +129,9 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
         )
     top_down = height < 0
     height = abs(height)
+    if width <= 0 or height == 0 or width * height > 1 << 26:
+        # corrupt dims must raise, not allocate a multi-GiB buffer
+        raise ImageFormatError(f"implausible BMP dimensions {width}x{height}")
     stride = width * 3 + ((-(width * 3)) % 4)
     out = bytearray(width * height * 3)
     for y in range(height):

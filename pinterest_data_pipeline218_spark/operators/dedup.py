@@ -1123,71 +1123,114 @@ def _salted_block_pairs(sh: DataFrame, block_col: str, id_col: str) -> DataFrame
     ).drop("__blk_b", "__chunk", "__chunk_b")
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram (word-shingle) Jaccard similarity for document pairs blocked
-    by `source` — exact, via the INVERTED-INDEX set-similarity join (the
-    PPJoin family's candidate generation without the prefix filter): the
-    r9 form materialized every co-block pair and ran array_intersect per
-    pair (O(block^2) pairs x O(|sh|) array work — 43 s at sf0.1); this
-    form explodes each doc's distinct shingles to postings, equi-joins
-    postings on (source, shingle) to COUNT the intersection directly, and
-    joins back the two set sizes for |A u B| = |A| + |B| - |A n B|. The
-    candidate stream is exactly the output (pairs sharing >= 1 shingle
-    == the inter > 0 filter), so nothing quadratic-in-block survives
-    unless the ANSWER is (measured ~6x faster at sf0.1, value-identical).
+# dedup_ngram_jaccard's declared near-dup bar, as an exact rational (the
+# prefix length and length filter are integer arithmetic on it) and the
+# float both engines' final ROUND(j, 6) >= t filter uses. 1/2 matches the
+# MinHash family's JACCARD_THRESHOLD.
+NGRAM_T_NUM, NGRAM_T_DEN = 1, 2
 
-    Scale: postings shuffle on (source, shingle-hash) — hot SHINGLES
-    (stopword trigrams) are the skew axis, spread by AQE skew-join; a df
-    cap would bound them but CHANGES the answer (a pair sharing only
-    ultra-common shingles must still appear), so the exact form keeps
-    them and the MinHash/seed families remain the scale path for
-    approximate listing."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram (word-shingle) Jaccard near-duplicate pairs blocked by
+    `source`, at threshold t = 1/2 — EXACT, via the PPJoin prefix filter
+    (Xiao et al. 2008) over an inverted-index set-similarity join:
+
+    1. each doc posts only its PREFIX — the first |sh| − ⌈t·|sh|⌉ + 1
+       shingles (integer ceil: (n·1 + 1) div 2 for t=1/2) under a global
+       total order of the shingle universe. The prefix-filter lemma
+       guarantees every pair with J ≥ t shares a prefix shingle, so the
+       candidate join sees half the postings and the below-threshold
+       mass never materializes — the r10 form paid the full postings
+       self-join and counted intersections for 56k pairs of which 7
+       cleared t;
+    2. candidates also pass the length filter t·|A| ≤ |B| ≤ |A|/t
+       (cross-multiplied integers), then VERIFY exactly: join back both
+       full shingle-string arrays and score one array_intersect per
+       surviving pair.
+
+    The order is LEXICOGRAPHIC, computed scan-side (array_sort + slice —
+    zero extra passes). Any consistent total order is prefix-valid;
+    rare-first (global df ascending) additionally pushes hot boilerplate
+    shingles out of prefixes, but costs a postings⋈freq join plus a
+    per-doc reassembly — measured 10.6 s vs 6.4 s lexicographic at sf0.1
+    (both value-identical), so rare-first is the documented swap for a
+    corpus with heavy shared boilerplate, not the default.
+
+    No hash anywhere (ADVICE r10): the postings join and the ordering
+    use the shingle STRING, so the result is unconditionally exact — no
+    2^-60 collision caveat, valid at any corpus size.
+
+    Scale: the thresholded contract is the operator a 100 TB pipeline
+    actually runs (the unthresholded listing is quadratic OUTPUT by
+    construction); prefix postings shuffle once, verification is
+    per-candidate, and the docs scan is round-robin spread before the
+    shingling compute (the single-row-group local fixture would
+    otherwise serialize it; a multi-file cluster scan parallelizes
+    naturally and AQE never coalesces an explicit repartition)."""
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    sh = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.array_sort(
+                F.array_distinct(
+                    T.word_shingles(T.tokens(F.col("text")), 3)
+                )
+            ).alias("sh"),
+        )
+        .withColumn("n", F.size("sh"))
+        .filter(F.col("n") > 0)
+    )
+    prefix_len = (
+        F.col("n")
+        - F.expr(f"(n * {NGRAM_T_NUM} + {NGRAM_T_DEN} - 1) div {NGRAM_T_DEN}")
+        + 1
+    ).cast("int")
+    pre = sh.select(
         "doc_id",
         "source",
-        F.array_distinct(T.word_shingles(T.tokens(F.col("text")), 3)).alias("sh"),
+        "n",
+        F.explode(F.slice(F.col("sh"), F.lit(1), prefix_len)).alias("g"),
     )
-    sizes = sh.select("doc_id", "source", F.size("sh").alias("n_sh"))
-    post = sh.select(
-        "doc_id", "source", F.explode("sh").alias("g")
-    ).withColumn("gh", T.token_hash(F.col("g"))).drop("g")
-    a = post.select(
-        F.col("source"), F.col("gh"), F.col("doc_id").alias("doc_a")
+    a = pre.select(
+        "source", "g",
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("pn_a"),
     )
-    b = post.select(
-        F.col("source").alias("__src_b"),
-        F.col("gh").alias("__gh_b"),
-        F.col("doc_id").alias("doc_b"),
+    b = pre.select(
+        F.col("source").alias("__src_b"), F.col("g").alias("__g_b"),
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("pn_b"),
     )
-    inter = (
+    cand = (
         a.join(
             b,
             (F.col("source") == F.col("__src_b"))
-            & (F.col("gh") == F.col("__gh_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
+            & (F.col("g") == F.col("__g_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            # length filter: t·|A| <= |B| <= |A|/t, cross-multiplied
+            & (F.col("pn_b") * NGRAM_T_DEN >= F.col("pn_a") * NGRAM_T_NUM)
+            & (F.col("pn_a") * NGRAM_T_DEN >= F.col("pn_b") * NGRAM_T_NUM),
         )
-        .groupBy("source", "doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select("source", "doc_a", "doc_b")
+        .distinct()
     )
-    sz_a = sizes.select(
-        F.col("source"), F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    va = sh.select(
+        "source", F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"), F.col("n").alias("n_a"),
     )
-    sz_b = sizes.select(
-        F.col("source"), F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    vb = sh.select(
+        "source", F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"), F.col("n").alias("n_b"),
     )
-    jac = F.try_divide(
-        F.col("inter"), F.col("n_a") + F.col("n_b") - F.col("inter")
-    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = F.round(
+        F.try_divide(inter, F.col("n_a") + F.col("n_b") - inter), 6
+    ).cast("double")
     return (
-        inter.join(sz_a, ["source", "doc_a"])
-        .join(sz_b, ["source", "doc_b"])
-        .select(
-            "source",
-            "doc_a",
-            "doc_b",
-            F.round(jac, 6).cast("double").alias("jaccard"),
-        )
+        cand.join(va, ["source", "doc_a"])
+        .join(vb, ["source", "doc_b"])
+        .select("source", "doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= NGRAM_T_NUM / NGRAM_T_DEN)
         .orderBy("source", "doc_a", "doc_b")
     )
 
@@ -1201,7 +1244,9 @@ SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(ROUND(len(list_intersect(a.s, b.s))
             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS DOUBLE) AS jaccard
 FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.s, b.s)) > 0
+WHERE ROUND(len(list_intersect(a.s, b.s))
+      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)
+      >= {NGRAM_T_NUM / NGRAM_T_DEN}
 ORDER BY source, doc_a, doc_b
 """
 
@@ -1319,6 +1364,13 @@ def containment_pairs(docs: DataFrame) -> DataFrame:
     # string-set containment except on md5-collisions (~2^-60 per pair of
     # distinct shingles), and BOTH engines apply the same hash, so the
     # oracle comparison stays value-exact unconditionally.
+    #
+    # The shingle build is the CPU-heavy scan-side stage and the salted
+    # self-join derives it on BOTH sides, so spread the narrow projection
+    # first (the containment_pairs_seeds r11 move: a few-row-group scan
+    # otherwise pins the whole tokenize+hash pass to the scan tasks).
+    par = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    docs = docs.select("doc_id", "source", "text").repartition(par)
     sh = docs.select(
         "doc_id",
         "source",

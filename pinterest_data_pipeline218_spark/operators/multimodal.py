@@ -354,7 +354,18 @@ def extract_image_features(df: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 if payload is None:
                     continue  # NULL payload decodes to no row
-                fmt, w, h, pixels = decode_image(bytes(payload))
+                try:
+                    fmt, w, h, pixels = decode_image(bytes(payload))
+                except (imaging.ImageFormatError, NotImplementedError):
+                    continue  # corrupt or codec-less payload: quarantine-
+                    # drop, never a job-killing exception (the codecs
+                    # promise the typed error for ANY malformed byte
+                    # stream — fuzz-pinned by
+                    # test_decode_kernel_survives_fuzzed_payloads; the
+                    # gate's fixed row count catches silent over-dropping;
+                    # NotImplementedError is the documented WebP-without-
+                    # PIL boundary — at crawl scale an undecodable blob is
+                    # a quarantine row, not a job death)
                 px = np.frombuffer(pixels, dtype=np.uint8).astype(np.int64)
                 sums = px.reshape(-1, 3).sum(axis=0)
                 rows.append((doc_id, fmt, w, h, *map(int, sums)))
@@ -869,16 +880,61 @@ def phash_neardup_pairs(
 RESIZE_W, RESIZE_H = 4, 3  # thumbnail target for the gated resize query
 
 
+def with_resize_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): the 5-class fixture for the RESIZE query (r11,
+    VERDICT r10 #8) — with_image_payload's gradient PPM/BMP/PNG trio plus
+    a baseline-JPEG and a progressive-JPEG class. The JPEG classes are
+    WHOLE-IMAGE-constant gray ((doc_id·31) % 256): a nearest-neighbor
+    resample of a constant image is constant, and a constant image
+    re-encodes EXACTLY at unit quant tables (every block DC-only), so the
+    full decode→resample→re-encode→decode cycle stays closed-form for
+    the oracle even though the re-encode is lossy in general. (The decode
+    fixture's per-8×8-block pixels would land resized values across JPEG
+    block boundaries, making the re-encode lossy and un-oracle-able; the
+    gradient content keeps stressing the resample arithmetic via the
+    three uncompressed classes.)"""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.jpeg import encode_jpeg_baseline, encode_jpeg_progressive
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                which = doc_id % 5
+                if which >= 3:
+                    enc = encode_jpeg_baseline if which == 3 else encode_jpeg_progressive
+                    v = (doc_id * 31) % 256
+                    payloads.append(
+                        enc(
+                            JPEG_W,
+                            JPEG_H,
+                            bytes([v]) * (JPEG_W * JPEG_H * 3),
+                            grayscale=True,
+                        )
+                    )
+                else:
+                    fmt = ("bmp", "ppm", "png")[which]
+                    payloads.append(
+                        imaging.encode(fmt, IMG_W, IMG_H, _fixture_pixels(doc_id))
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=_IMG_PAYLOAD_SCHEMA)
+
+
 def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The thumbnailing stage of a multimodal ingest, end to end and gated:
-    generate real PPM/BMP/PNG payloads, run the resize kernel (decode →
+    generate real PPM/BMP/PNG/JPEG payloads (all five fixture classes —
+    the JPEG pair constant-gray so the lossy re-encode stays closed-form;
+    see with_resize_payload), run the resize kernel (decode →
     nearest-neighbor resample → re-encode IN THE SAME CONTAINER), then
     decode the RESIZED payload and emit its per-channel sums. Every pixel
-    thus passes through two decodes and one encode, so container math,
-    the index-mapping arithmetic, and the re-encode path are all under the
+    thus passes through two decodes and one encode — including the full
+    progressive-JPEG (SOF2) decode on class 4 — so container math, the
+    index-mapping arithmetic, and the re-encode path are all under the
     value gate. The oracle replays the nearest-neighbor mapping
     closed-form: resized(x, y) = source(x·W div {RESIZE_W}, y·H div
-    {RESIZE_H}) over the generative pixel formula — no decoding anywhere
+    {RESIZE_H}) over the generative pixel formulas — no decoding anywhere
     in the oracle.
 
     Scale shape: same as mm_image_decode — one Arrow mapInPandas pass,
@@ -892,8 +948,12 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                resized = resize_image(bytes(payload), RESIZE_W, RESIZE_H)
-                fmt, w, h, pixels = decode_image(resized)
+                try:
+                    resized = resize_image(bytes(payload), RESIZE_W, RESIZE_H)
+                    fmt, w, h, pixels = decode_image(resized)
+                except (imaging.ImageFormatError, NotImplementedError):
+                    continue  # corrupt / codec-less payload:
+                    # quarantine-drop (see extract_image_features)
                 px = np.frombuffer(pixels, dtype=np.uint8).astype(np.int64)
                 sums = px.reshape(-1, 3).sum(axis=0)
                 rows.append((doc_id, fmt, w, h, *map(int, sums)))
@@ -902,7 +962,7 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     docs = load_table(spark, sf_dir, "documents")
-    payloads = with_image_payload(docs)
+    payloads = with_resize_payload(docs)
     return payloads.mapInPandas(resize_then_sums, schema=_IMG_FEAT_SCHEMA).orderBy(
         "doc_id"
     )
@@ -921,11 +981,17 @@ def _image_resize_sql() -> str:
             f"% 256)) AS BIGINT)"
         )
 
+    # the constant-gray JPEG classes resize to a constant thumbnail:
+    # every channel sums to |thumb| x (doc_id*31 % 256), exactly
+    jpeg_sum = f"CAST({RESIZE_W * RESIZE_H} * ((doc_id * 31) % 256) AS BIGINT)"
     return f"""
 SELECT doc_id,
-       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'png' END AS fmt,
+       CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                       WHEN 2 THEN 'png' ELSE 'jpeg' END AS fmt,
        CAST({RESIZE_W} AS INT) AS width, CAST({RESIZE_H} AS INT) AS height,
-       {ch_sum(0)} AS sum_r, {ch_sum(1)} AS sum_g, {ch_sum(2)} AS sum_b
+       CASE WHEN doc_id % 5 >= 3 THEN {jpeg_sum} ELSE {ch_sum(0)} END AS sum_r,
+       CASE WHEN doc_id % 5 >= 3 THEN {jpeg_sum} ELSE {ch_sum(1)} END AS sum_g,
+       CASE WHEN doc_id % 5 >= 3 THEN {jpeg_sum} ELSE {ch_sum(2)} END AS sum_b
 FROM documents ORDER BY doc_id
 """
 

@@ -2026,6 +2026,136 @@ def test_jpeg_resize_reencodes_natively():
             assert all(abs(b - want) <= 2 for b in got), (x, y, want, got)
 
 
+def test_decode_kernel_survives_fuzzed_payloads(spark):
+    """VERDICT r10 #7: the codec boundary under fuzz, end to end. Mutated
+    payloads — truncations, bit flips, splices, random bytes — must (a)
+    raise ONLY ImageFormatError from decode_any/decode_jpeg (never
+    IndexError/struct.error/KeyError/zlib.error), and (b) flow through
+    the Arrow mapInPandas kernel as quarantine-dropped rows, never a
+    job-killing exception, while intact payloads in the same batch still
+    decode."""
+    import random
+
+    from pinterest_data_pipeline218_spark.functions import imaging
+    from pinterest_data_pipeline218_spark.functions.jpeg import (
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+    from pinterest_data_pipeline218_spark.operators.multimodal import (
+        IMG_H,
+        IMG_W,
+        JPEG_H,
+        JPEG_W,
+        _fixture_pixels,
+        _jpeg_fixture_pixels,
+        extract_image_features,
+    )
+
+    rng = random.Random(11)
+    intact = [
+        imaging.encode("bmp", IMG_W, IMG_H, _fixture_pixels(0)),
+        imaging.encode("ppm", IMG_W, IMG_H, _fixture_pixels(1)),
+        imaging.encode("png", IMG_W, IMG_H, _fixture_pixels(2)),
+        encode_jpeg_baseline(JPEG_W, JPEG_H, _jpeg_fixture_pixels(3), grayscale=True),
+        encode_jpeg_progressive(
+            JPEG_W, JPEG_H, _jpeg_fixture_pixels(4), grayscale=True
+        ),
+    ]
+
+    def mutate(data: bytes) -> bytes:
+        kind = rng.randrange(4)
+        b = bytearray(data)
+        if kind == 0:  # truncate
+            return bytes(b[: rng.randrange(len(b))])
+        if kind == 1:  # bit flips
+            for _ in range(rng.randint(1, 8)):
+                i = rng.randrange(len(b))
+                b[i] ^= 1 << rng.randrange(8)
+            return bytes(b)
+        if kind == 2:  # splice two payloads
+            other = intact[rng.randrange(len(intact))]
+            cut = rng.randrange(min(len(b), len(other)))
+            return bytes(b[:cut]) + other[cut:]
+        return bytes(rng.randrange(256) for _ in range(rng.randrange(64)))
+
+    # (a) direct: 300 mutations, only the typed error (or a valid decode —
+    # some mutations keep the payload well-formed, e.g. pixel-region flips)
+    mutants = [mutate(intact[i % len(intact)]) for i in range(300)]
+    for m in mutants:
+        try:
+            imaging.decode_any(m)
+        except imaging.ImageFormatError:
+            pass  # the contract
+        except NotImplementedError:
+            pass  # mutated magic bytes may sniff as a stubbed format
+        # anything else (IndexError/struct.error/KeyError/...) propagates
+        # and fails the test
+
+    # (b) the kernel: intact + corrupt payloads in one DataFrame — the job
+    # must complete with the corrupt rows dropped and intact rows decoded
+    rows = [(i, intact[i]) for i in range(len(intact))]
+    hard_corrupt = []
+    for m in mutants:
+        try:
+            imaging.decode_any(m)
+        except Exception:
+            hard_corrupt.append(m)
+    rows += [(100 + i, m) for i, m in enumerate(hard_corrupt[:20])]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id for r in extract_image_features(df).collect()}
+    assert set(range(len(intact))) <= got, got
+    assert all(d < 100 for d in got), "corrupt payloads must drop"
+
+
+def test_resize_covers_all_five_fixture_classes(spark):
+    """VERDICT r10 #8: mm_image_resize exercises every fixture class —
+    bmp/ppm/png/baseline-JPEG/progressive-JPEG — under the value gate
+    (class coverage asserted on the gated query), and the progressive
+    profile specifically round-trips GRADIENT content through the full
+    decode→resample→re-encode→decode cycle within the codec's ±2
+    transform-rounding bound."""
+    import numpy as np
+
+    from pinterest_data_pipeline218_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from pinterest_data_pipeline218_spark.operators.multimodal import (
+        RESIZE_H,
+        RESIZE_W,
+        mm_image_resize,
+        resize_image,
+    )
+
+    rows = mm_image_resize(spark, SF).collect()
+    by_class = {}
+    for r in rows:
+        by_class.setdefault(r.doc_id % 5, []).append(r)
+    assert set(by_class.keys()) == {0, 1, 2, 3, 4}, sorted(by_class)
+    for r in rows:
+        assert (r.width, r.height) == (RESIZE_W, RESIZE_H)
+        assert r.fmt == {0: "bmp", 1: "ppm", 2: "png"}.get(r.doc_id % 5, "jpeg")
+
+    # progressive + gradient content through the resize cycle: nearest-
+    # neighbor of the source, then one lossy re-encode (±2/channel)
+    W, H = 19, 13
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 256, size=(H, W, 3), dtype=np.uint8)
+    payload = encode_jpeg_progressive(W, H, src.tobytes())
+    w2, h2 = 7, 5
+    out_w, out_h, rgb = decode_jpeg(resize_image(payload, w2, h2))
+    assert (out_w, out_h) == (w2, h2)
+    got = np.frombuffer(rgb, dtype=np.uint8).reshape(h2, w2, 3).astype(int)
+    # expected: resample the DECODED source (itself ±2 from src), so the
+    # total bound is two transform roundings
+    dw, dh, dpx = decode_jpeg(payload)
+    dec = np.frombuffer(dpx, dtype=np.uint8).reshape(H, W, 3).astype(int)
+    want = np.array(
+        [[dec[y * H // h2, x * W // w2] for x in range(w2)] for y in range(h2)]
+    )
+    assert np.abs(got - want).max() <= 2, np.abs(got - want).max()
+
+
 def test_bpe_merges_match_python_reference_and_reduce_fertility(spark):
     """train_bpe_merges must reproduce a plain-Python greedy BPE trainer
     (pair counts weighted by word frequency, ties to the binary-smallest
@@ -2180,6 +2310,67 @@ def test_wide_pq_codes_lift_clustered_recall(spark, tmp_path):
     emb.unpersist()
     assert wide > narrow, (narrow, wide)
     assert wide >= 0.60, (narrow, wide)  # study: ~0.45 @ 4-bit on this regime
+
+
+def test_ngram_jaccard_ppjoin_matches_exhaustive_model(spark, tmp_path):
+    """The r11 PPJoin prefix-filtered dedup_ngram_jaccard must equal the
+    exhaustive all-pairs Jaccard at the declared threshold, on a planted
+    corpus engineered to stress the filter: clone groups mutated to
+    straddle t=1/2, plus docs sharing ONLY a hot phrase (hot shingles
+    sort to the suffixes, so the prefix join never sees them — exactly
+    the pairs the filter must prune without losing any true pair)."""
+    import random
+
+    from pinterest_data_pipeline218_spark.operators.dedup import (
+        NGRAM_T_DEN,
+        NGRAM_T_NUM,
+        dedup_ngram_jaccard,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    hot = "alpha beta gamma delta epsilon"  # shared by every doc
+    rows, did = [], 0
+    for _ in range(8):  # clone groups with 0-4 token mutations
+        base = [rng.choice(vocab) for _ in range(rng.randint(8, 20))]
+        for _ in range(rng.randint(1, 3)):
+            doc = list(base)
+            for _ in range(rng.randint(0, 4)):
+                doc[rng.randrange(len(doc))] = rng.choice(vocab)
+            did += 1
+            rows.append((did, "s", hot + " " + " ".join(doc)))
+    for _ in range(10):  # unrelated docs sharing only the hot phrase
+        did += 1
+        rows.append(
+            (did, "s", hot + " " + " ".join(rng.choice(vocab) for _ in range(12)))
+        )
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    def shingles(text):
+        toks = text.split(" ")
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    t = NGRAM_T_NUM / NGRAM_T_DEN
+    expected = {}
+    for i, (ida, _, ta) in enumerate(rows):
+        for idb, _, tb in rows[i + 1:]:
+            sa, sb = shingles(ta), shingles(tb)
+            j = round(len(sa & sb) / len(sa | sb), 6)
+            if j >= t:
+                expected[(min(ida, idb), max(ida, idb))] = j
+    assert expected, "fixture must plant pairs above the threshold"
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    }
+    assert got.keys() == expected.keys(), (
+        sorted(expected.keys() - got.keys()),
+        sorted(got.keys() - expected.keys()),
+    )
+    for k, j in expected.items():
+        assert abs(got[k] - j) < 1e-9, (k, got[k], j)
 
 
 def test_seed_containment_finds_engulfment_banding_misses(spark, tmp_path):
