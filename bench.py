@@ -223,6 +223,40 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def assemble_output(
+    results: dict, iqrs: dict, errors: int, sf: float
+) -> dict:
+    """Assemble the printed/persisted bench dict. Pure — unit-tested by
+    test_bench_output_contract so the r9 regression class (VERDICT r9 #1)
+    cannot recur.
+
+    Key order matters: the driver captures only the LAST ~2000 chars of
+    stdout, so the per-query medians ('queries') and the headline scalars
+    must sit at the END of the printed dict. Round 9 put 'iqr' after
+    'queries' and the tail captured the iqr map instead of the medians,
+    voiding the round's perf signal. 'iqr' goes FIRST so it is the thing
+    that gets truncated; BENCH.json carries the full dict. Errored rows
+    keep the 'queries'/'iqr' key sets aligned via iqr=None."""
+    total = round(sum(v for v in results.values() if isinstance(v, float)), 4)
+    out = {
+        "runs": RUNS,
+        "fast_cutoff_s": FAST_CUTOFF_S,
+        "fast_extra_runs": EXTRA_RUNS,
+        "iqr": iqrs,
+        "queries": results,
+        "metric": "sum_median_sec_per_query",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+    }
+    if errors:
+        # a sum over FEWER queries is not comparable across rounds — flag it
+        # loudly so consumers can't read a failure-shrunk total as a speedup
+        out["errors"] = errors
+        out["partial"] = True
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -288,29 +322,7 @@ def main() -> None:
             # must not leave MEMORY_AND_DISK blocks that skew later rows
             spark.catalog.clearCache()
 
-    total = round(sum(v for v in results.values() if isinstance(v, float)), 4)
-    # Key order matters: the driver captures only the LAST ~2000 chars of
-    # stdout, so the per-query medians ('queries') and the headline scalars
-    # must sit at the END of the printed dict. Round 9 put 'iqr' after
-    # 'queries' and the tail captured the iqr map instead of the medians,
-    # voiding the round's perf signal (VERDICT r9 #1). 'iqr' goes FIRST so
-    # it is the thing that gets truncated; BENCH.json carries the full dict.
-    out = {
-        "runs": RUNS,
-        "fast_cutoff_s": FAST_CUTOFF_S,
-        "fast_extra_runs": EXTRA_RUNS,
-        "iqr": iqrs,
-        "queries": results,
-        "metric": "sum_median_sec_per_query",
-        "value": total,
-        "unit": "sec",
-        "sf": sf,
-    }
-    if errors:
-        # a sum over FEWER queries is not comparable across rounds — flag it
-        # loudly so consumers can't read a failure-shrunk total as a speedup
-        out["errors"] = errors
-        out["partial"] = True
+    out = assemble_output(results, iqrs, errors, sf)
     # belt: full machine-readable artifact next to this script, immune to
     # any stdout truncation
     try:

@@ -87,7 +87,15 @@ def _with_signature(docs: DataFrame) -> DataFrame:
     transforms per seed — all scan-local column expressions. `source` rides
     along when present (the ngram-jaccard block key); minimal inputs
     (doc_id, text) — e.g. a micro-batch of streamed docs — work without
-    it."""
+    it.
+
+    Deliberately NOT pre-spread (unlike the r11 containment/ngram
+    repartition move): measured at sf0.1, a round-robin repartition of
+    the projection before the signature build does not improve any
+    consumer (dedup_minhash_lsh 4.7→5.7 s, cluster_cc flat) — the
+    signature is evaluated once per doc and the downstream band joins
+    dominate, so the extra exchange only adds cost (and latency on the
+    streaming micro-batch consumers)."""
     carry = ["doc_id"] + (["source"] if "source" in docs.columns else [])
     out = docs.select(
         *carry, T.distinct_tokens(F.col("text")).alias("dtoks")

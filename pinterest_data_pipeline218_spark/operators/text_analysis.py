@@ -1732,8 +1732,20 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     back on the 60-bit gram hash + a grouped count per doc. Exactly the
     contamination_report/tfidf plan family: gram-grain shuffles keyed on
     the hash, no windows, no pair joins. Docs shorter than the shingle
-    width emit no row (they have no n-grams — stated contract)."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    width emit no row (they have no n-grams — stated contract).
+
+    The shingle+hash build evaluates in the scan stage and this plan
+    derives `grams` TWICE (first-seer aggregate + the join back), so the
+    narrow projection is round-robin spread first (r11, the
+    _with_signature move: a few-split scan otherwise runs the CPU-heavy
+    gram pass serially, twice — measured 7.4 s → 1.6 s at sf0.1)."""
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .repartition(par)
+    )
     grams = docs.select(
         "doc_id",
         F.explode(

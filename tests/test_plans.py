@@ -881,6 +881,37 @@ def test_bench_headline_covers_registry(qs):
     }
 
 
+def test_bench_output_contract():
+    """VERDICT r10 #9: the bench artifact's tail must parse as MEDIANS.
+    Pins the assemble_output contract so the r9 regression class (iqr map
+    captured instead of medians) cannot recur: (a) 'iqr' precedes
+    'queries' which precedes the headline scalars in key order, so stdout
+    truncation eats iqr first; (b) an errored row keeps the queries/iqr
+    key sets aligned via iqr=None and flags the partial total; (c) the
+    driver-style last-2000-chars tail of the serialized dict contains the
+    medians and the headline value."""
+    import json as _json
+
+    import bench
+
+    results = {f"q{i}": round(0.1 * i, 4) for i in range(60)}
+    iqrs = {f"q{i}": 0.01 for i in range(60)}
+    results["q_bad"] = {"err": "AnalysisException: boom"}
+    iqrs["q_bad"] = None
+    out = bench.assemble_output(results, iqrs, errors=1, sf=0.1)
+
+    keys = list(out)
+    assert keys.index("iqr") < keys.index("queries") < keys.index("value")
+    assert out["queries"].keys() == out["iqr"].keys()
+    assert out["iqr"]["q_bad"] is None
+    assert out["partial"] is True and out["errors"] == 1
+    assert out["value"] == round(sum(0.1 * i for i in range(60)), 4)
+
+    tail = _json.dumps(out, separators=(",", ":"))[-2000:]
+    assert '"q59":5.9' in tail, "medians must survive tail truncation"
+    assert '"value":' in tail and '"metric":' in tail
+
+
 def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
     """_TAIL hygiene: every tailed name must exist in the registry (a typo
     silently leaves the intended query in the head and pushes something
