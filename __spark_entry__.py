@@ -79,20 +79,17 @@ _MODULES = (
 # window. Every tailed query remains fully exercised by pytest and
 # tools/selfcheck.py, which cover the complete registry.
 _TAIL = (
-    "ev_approx_value_quantiles",  # sketch family (like ev_approx_distinct_users): no oracle by design, pytest-bounded vs exact percentiles
     # r4 rotation: ml_kmeans_refine / dedup_semantic_kmeans / corpus_pack_sequences /
     # corpus_mixture_sample / dedup_cluster_cc_star moved INTO the window (they had
     # never produced a driver CORRECTNESS row — VERDICT r3 #2); the six entries below
     # are driver-checked green in CORRECTNESS_r03 and value-redundant, so they rotate
     # out in exchange.
-    "ev_approx_distinct_users",  # no oracle by design (sketches are engine-specific)
     # r4 second rotation: text_dupspan_remove / corpus_dsir_sample /
     # corpus_token_budget / corpus_cdc_chunk are NEW this round and move into
     # the window; the four below are r03-green and value-redundant.
     # r4 third rotation: sim_pq_topk / ml_hard_negatives are NEW and move in.
     # r4 fourth rotation: text_subword_tokens / corpus_merge_increment are NEW
     # and move in.
-    "ev_theta_user_overlap",  # sketch family (like ev_approx_distinct_users): no oracle by design, pytest bounds all four estimates vs exact set arithmetic
     # r4 fifth rotation: sim_ivfpq_topk is NEW and moves in.
     # r4 sixth rotation: dedup_cluster_cc_bounded is NEW and moves in.
     # r4 seventh rotation: corpus_quality_report is NEW and moves in.
@@ -103,47 +100,26 @@ _TAIL = (
     # corpus_split_assign, dedup_compact_corpus. The 12 below rotate out in
     # exchange; every one is r04-green (most r01-r04 green) and
     # value-redundant with machinery that keeps a driver row.
-    "tpch_q21_sole_returner",  # r01-r04 green; semi+anti-join families stay driver-checked via q22 (anti) and incoming q20 (stacked semi-joins)
-    "tpch_q7_volume_shipping",  # r01-r04 green; dim-chain join + conditional year agg stays checked via incoming q8 (same chain + ratio) and q9 (multi-way join agg)
-    "tpch_q10_returned_items",  # r01-r04 green; join + agg + top-k stays checked via incoming q2 (dim chain + order/limit) and t4 (rank top-k)
-    "ev_stats_by_type",  # r01-r04 green; scan groupBy min/max/avg stats subsumed by in-window ev_rollup_daily (same agg family over the same events scan); ev_salted_stats (tail) is oracle-identical
-    "text_tfidf_top_terms",  # r01-r04 green; explode→group-count→rejoin is corpus_dsir_sample's in-window shape; idf quotient = text_quality_score's exact-quotient idiom
-    "text_repetition_score",  # r02-r04 green; incoming corpus_build_full composes the SAME repetition_flags combinator (bigram gate) with a driver row
-    "text_decontaminate",  # r02-r04 green; incoming corpus_build_full composes the SAME contamination_report combinator with a driver row
-    "dedup_exact",  # r01-r04 green; md5-digest groupBy-keeper machinery gets driver rows via incoming dedup_compact_corpus AND corpus_build_full's exact-dedup stage
-    "dedup_minhash_lsh",  # r01-r04 green; the signature/band/verify machinery stays driver-checked via in-window dedup_cluster_cc_star and incoming corpus_build_full (both consume _lsh_verified_pairs); the exact-Jaccard expression is also dedup_ngram_jaccard's (green r02)
-    "ev_running_total",  # r01-r04 green; ROWS-frame running window; the window-frame family keeps a driver row via incoming ev_sliding_1h_value (RANGE frame, the harder variant)
-    "corpus_stratified_sample",  # r01-r04 green; incoming corpus_hash_sample + corpus_split_assign drive the same _doc_pct md5-percent machinery; the per-language rate lookup is t11's CASE bucketing (in-window)
     # r5 second rotation: mm_image_decode (real PPM/BMP pixel decode) is NEW
     # and moves into the window.
-    "ev_pivot_type_counts",  # r01-r04 green; pivot's per-type CASE counts stay driver-checked via incoming ev_cube_type_dow (grouping sets over the same events scan) + in-window ev_rollup_daily
     # r5 third rotation: text_bpe_tokens (trained-merges BPE) is NEW and
     # moves into the window.
-    "text_subword_tokens",  # r04-green; the regex-segmentation stand-in whose counting shape (scan-local counts + exact-quotient fertility) is now driver-checked via text_bpe_tokens, which supersedes it with data-derived merges; segmentation-vs-merges fertility comparison pytest-proved
     # r5 fourth rotation: text_lm_score (bigram-LM perplexity filter) is NEW
     # and moves into the window.
-    "ml_hard_negatives",  # r04-green; the learned-cluster-blocked pair machinery stays driver-checked via in-window dedup_semantic_kmeans (same Lloyd rounds + cluster-blocked cosine) and ml_kmeans_refine
     # r5 fifth rotation: corpus_shuffle_shards (deterministic training-order
     # shuffle) is NEW and moves into the window.
-    "mm_binary_meta",  # r01-r04 green; the 1→1 Arrow mapInPandas plumbing keeps a driver row via in-window mm_image_decode (same boundary, strictly harder kernel: real pixel decode vs metadata sniffing)
     # r5 sixth rotation: sim_ivfpq_residual_topk (residual-encoded IVFADC)
     # is NEW and moves into the window.
-    "sim_pq_topk",  # r04-green; the codebook/codes/ADC-LUT machinery (_pq_codes_lut) keeps a driver row verbatim via in-window sim_ivfpq_topk, and the residual variant now drives the harder per-cell form
     # r5 seventh rotation: dedup_containment (asymmetric sub-document
     # screen) is NEW and moves into the window.
-    "text_pii_redact",  # r01-r04 green; a pure regexp_replace chain + integer found/residual counts — the regex-expression machinery keeps driver rows via the in-window pin/geo/user cleaning pipelines (P7/P8 regex families, green r01-r04)
     # r5 eighth rotation: ev_funnel_steps + ev_retention_cohorts (ordered
     # funnel, cohort retention) are NEW and move into the window.
-    "ev_rollup_daily",  # r01-r04 green; the grouping-sets family keeps a driver row via in-window ev_cube_type_dow (CUBE over the same events scan — the shape superset), and the date-bucketed count family via ev_retention_cohorts
-    "tpch_q17_small_qty",  # r01-r04 green; the correlated per-group-aggregate-threshold family keeps driver rows via in-window tpch_q2 (correlated min subquery) and tpch_q20 (stacked agg subqueries)
     # r5 ninth rotation: sim_ivfpq_lloyd_topk (Lloyd-refined residual
     # codebooks) is NEW and moves into the window.
-    "tpch_q22_anti_join",  # r01-r04 green; the anti-join family keeps a driver row via in-window tpch_q16 (NOT-IN planned as broadcast anti join, plan-tested by test_q16_not_in_runs_as_broadcast_anti_join)
     # r5 tenth rotation: mm_audio_decode (real RIFF/WAV decode) is NEW and
     # moves into the window.
     # r5 eleventh rotation: ev_markov_transitions (event-sequence mining)
     # is NEW and moves into the window.
-    "dedup_cluster_cc_star",  # r04-green; the min-label CC family keeps a driver row via in-window dedup_cluster_cc_bounded, and star-vs-plain-CC label equality is pytest-proved (test_cc_star_matches_union_find_on_random_graphs)
     # r6 rotation: five NEW oracled entries (text_langid_trained,
     # text_lm_backoff, dedup_containment_seeds, sim_ivfpq_wide_topk,
     # mm_image_phash) enter the window, and sim_ivf_multiprobe rotates IN
@@ -151,32 +127,22 @@ _TAIL = (
     # oracle is shared verbatim with sim_ivf_index_probe, now both get
     # independent rows). The six below rotate out in exchange; every one is
     # r05-green and value-redundant with machinery keeping a driver row.
-    "sim_ivfpq_topk",  # r05-green; global-codebook IVFPQ — the cell-pruned ADC machinery keeps driver rows via in-window sim_ivfpq_residual_topk and the incoming wide-code form (same plan, harder codebooks)
-    "sim_ivfpq_lloyd_topk",  # r05-green; the Lloyd-training dial over the SAME residual probe now in-window twice (residual + wide); training descent stays pytest-asserted (test_lloyd_codebook_refinement_reduces_distortion)
-    "dedup_containment",  # r05-green; the exhaustive within-block form — the containment scorer keeps a driver row verbatim via incoming dedup_containment_seeds (same hashed-shingle scoring, the scale candidate generator), score equality pytest-proved on shared pairs
-    "text_lm_score",  # r05-green; add-one bigram LM — the gram/count/score join machinery keeps a driver row via incoming text_lm_backoff (same shape + continuation join); the add-one/backoff ranking difference is pytest-pinned
     "corpus_shuffle_shards",  # r05-green; deterministic md5-hash shard/position machinery shared with in-window corpus_hash_sample + corpus_split_assign; contiguity contract stays pytest-proved
     # r6 second rotation: corpus_stratified_predlang (trained-langid
     # stratified sampling) and mm_audio_fingerprint (gradient audio
     # fingerprint) are NEW and move into the window; the two below are
     # r05-green and value-redundant.
-    "sim_ivf_index_probe",  # r05-green (r03-r05); shares its oracle VERBATIM with the just-rotated-in sim_ivf_multiprobe, so the quantizer/probe machinery keeps an independent driver row either way; index materialization freshness stays pytest-proved (test_ivf_index_upsert_is_fresh_and_preserves_base)
-    "mm_audio_decode",  # r05-green; the RIFF/WAV decode + de-interleave machinery keeps a driver row via incoming mm_audio_fingerprint (same decoder feeding a strictly harder kernel — the mm_image_decode/mm_image_phash pattern)
     # r6 third rotation: ev_value_outliers (integer-exact sigma screen) is
     # NEW and moves into the window.
     "corpus_split_assign",  # r05-green; the md5-percent hash-range machinery keeps TWO driver rows (in-window corpus_hash_sample + incoming corpus_stratified_predlang use the identical _doc_pct); the 80/10/10 CASE shape is t11's in-window bucketing
     # r6 fourth rotation: dedup_cluster_best (quality-aware keeper
     # election) is NEW and moves into the window.
-    "dedup_compact_corpus",  # r05-green; the exact-dedup keeper machinery keeps driver rows via in-window corpus_build_full (same digest-groupBy compact stage) and incoming dedup_cluster_best (the harder keeper election over the same CC labels)
     # r6 fifth rotation: sim_radius_search (exact range similarity) is NEW
     # and moves into the window.
-    "ev_json_extract_sum",  # green since r01; regexp_extract + try_cast + grouped sum — the regex family keeps driver rows via the in-window pin cleaning pipeline (P8), lenient casts via user_clean_pipeline (P9), grouped sums everywhere
     # r6 sixth rotation: text_normalize (canonical normalization) is NEW
     # and moves into the window.
-    "text_quality_score",  # green r01-r05; the quality expression keeps in-window driver rows by composition — corpus_build_full's gate and dedup_cluster_best's keeper election both evaluate it value-exactly
     # r6 seventh rotation: ev_kmv_distinct_users (KMV distinct sketch, the
     # value-oracled sketch-family member) is NEW and moves into the window.
-    "dedup_semantic_kmeans",  # r05-green; the Lloyd rounds keep a driver row via in-window ml_kmeans_refine (same training loop, integer-exact, descent pytest-proved by test_kmeans_refine_improves_over_seed_assignment), the salted cluster-blocked cosine pair machinery via in-window dedup_cluster_best's upstream; still oracle-checked every round by tools/selfcheck.py over the full registry
     # r6 eighth rotation: text_quality_classifier (trained curated-vs-crawl
     # token-contrast discriminator) is NEW and moves into the window.
     "corpus_hash_sample",  # r05-green; the _doc_pct md5-percent machinery keeps a driver row via in-window corpus_stratified_predlang (identical hash-rate filter, composed with the trained-langid strata); still oracle-checked every round by tools/selfcheck.py over the full registry
@@ -192,26 +158,19 @@ _TAIL = (
     # r6 twelfth rotation: ev_hist_value_quantiles (mergeable fixed-bin
     # histogram quantile, the value-oracled quantile-sketch axis) is NEW
     # and moves into the window.
-    "tpch_q8_market_share",  # r05-green (first driver row that round); the long dim-chain join machinery keeps driver rows via in-window tpch_q2 (chain + correlated min) and tpch_q9 (multi-way join rollup); the conditional-ratio idiom via in-window t11 CASE bucketing + tpch_q19; still oracle-checked every round by tools/selfcheck.py over the full registry
     # r6 thirteenth rotation: tpch_full_outer_nation_coverage /
     # t_unpivot_nation_stats / set_bag_ops (full-outer join, UNPIVOT, bag
     # set ops — the last ungated relational-algebra cells) are NEW and
     # move into the window. The three below rotate out in exchange.
-    "tpch_q9_product_profit",  # r05-green (first driver row that round); multi-way join rollup machinery keeps driver rows via in-window tpch_q2 (dim chain) and tpch_q20 (stacked agg subqueries); still oracle-checked every round by tools/selfcheck.py over the full registry
-    "tpch_q11_important_parts",  # r05-green; the scalar-subquery share-of-total idiom keeps driver rows via in-window tpch_q20 (stacked agg subqueries) and the pervasive 1-row broadcast crossJoin idiom (funnel, bloom, classifier — all in-window); still oracle-checked every round by tools/selfcheck.py over the full registry
-    "tpch_q13_outer_join",  # r01-r05 green; the null-preserving outer-join family now keeps a STRONGER driver row via incoming tpch_full_outer_nation_coverage (both null directions checked, where left-outer checks one); the grouped order-count distribution shape stays via in-window tpch_q16; still oracle-checked every round by tools/selfcheck.py over the full registry
     # r6 fourteenth rotation: ev_gapfill_hourly (time-series gap filling
     # with LOCF — sequence-explode grid + zero-fill + carried totals) is
     # NEW and moves into the window.
-    "dedup_simhash",  # r01-r05 green; the Hamming-distance near-dup machinery keeps a driver row via in-window mm_image_phash (the same 64-bit-fingerprint Hamming pairing over decoded-pixel hashes), and the explode + codegen'd bit-count aggregation stays pytest-covered; still oracle-checked every round by tools/selfcheck.py over the full registry
     # r6 fifteenth rotation: ev_json_schema_stats (schema'd from_json
     # parse with bad-document quarantine counting — the real JSON parser
     # beside the regexp rendering) is NEW and moves into the window.
-    "text_dupspan_remove",  # r05-green; exact-span dedup is hypothesis model-checked against an independent Python implementation (test_dupspan_remove_matches_model), and its explode/window/segment-rebuild machinery is pervasive in-window (corpus_cdc_chunk, corpus_pack_sequences); still oracle-checked every round by tools/selfcheck.py over the full registry
     # r6 sixteenth rotation: ev_click_streaks (gaps-and-islands run
     # detection, batch twin of the second applyInPandasWithState
     # operator) is NEW and moves into the window.
-    "sim_topk_bruteforce",  # r01-r05 green; the broadcast-1-row-query scan-local cosine scoring keeps a driver row via in-window sim_radius_search (same machinery, range predicate instead of top-k heap), and the top-k ranking shape via the in-window ANN probes (sim_ivf_multiprobe, sim_ivfpq_*); still oracle-checked every round by tools/selfcheck.py over the full registry
     # r6 seventeenth rotation: ev_variant_stats (Spark 4 VARIANT
     # semi-structured path with split parse/type quarantine) is NEW and
     # moves into the window.
@@ -220,7 +179,6 @@ _TAIL = (
     # sweep over the trained classifier — the eval harness, load-bearing
     # because the linear contrast's smoothing bias makes the naive
     # threshold degenerate) is NEW and moves into the window.
-    "tpch_q1_pricing_summary",  # green r01-r05 (five driver rows); the multi-DECIMAL-aggregate scan machinery keeps driver rows via in-window t11 (DECIMAL grouped medians), tpch_q19 + tpch_q16 (DECIMAL conditional aggregates), and q1 is re-measured in every committed bench table; still oracle-checked every round by tools/selfcheck.py over the full registry
     # r7 rotation (VERDICT r7 #4): the nine stalest reference-surface rows
     # (t5, t6p1, t6p2, t7, t8, t9, t10, t8_compat_window_median,
     # geo_clean_pipeline — last driver rows r01-r04) move back INTO the
@@ -403,19 +361,16 @@ _TAIL = (
     "tpch_bloom_prefilter",  # r09 green; the runtime-filter semi-join family keeps an in-window row via the returning tpch_q12/q14 conditional-agg set and bloom false-positive bounds stay pytest-pinned
     "pin_clean_pipeline",  # r09 green (driver rows r01-r09); the P7/P8/P14 cleaning families stay pytest-pinned (hypothesis k/M expansion property) and the cleaning contract keeps driver smoke via entry()'s t4 flagship chain
     "geo_clean_pipeline",  # r09 green; P10 timestamp parse + P12 array ctor stay pytest-pinned (test_geo_user_clean_types) with the cleaning family's machinery r09-proven
-    "text_ngram_novelty",  # r09 green; the gram-grain first-seer join keeps in-window rows via the returning text_token_stats/text_fingerprint gram machinery
     "text_langid",  # r09 green; the heuristic langid keeps its trained twin's machinery pytest-pinned and the rate-filter family in-window via corpus_reservoir_sample's hash ranks
     "text_langid_trained",  # r09 green; trained n-gram scoring stays pytest-pinned (accuracy floor test) and the trained-model family keeps rows via in-window text_blocklist_gate's scan-local expression shape
     "text_word_frequencies",  # r09 green; the histogram-profiling aggregate (A3) keeps in-window rows via the returning text_token_stats and ev_hist_value_quantiles
     "text_lm_backoff",  # r09 green; the backoff LM scoring chain stays pytest-pinned against a Python model and shares its gram aggregates with the returning text_token_stats
     "text_classifier_eval",  # r09 green; the calibration sweep's train/score lineage stays pytest-pinned and its bounded-histogram collect pattern is now ALSO exercised in-window by tpch_q15/ev_outliers_mad's planning-literal rewrites
     "dedup_cluster_cc_bounded",  # r09 green; bounded-CC label equality below cap stays pytest-pinned and the CC family keeps in-window rows via the returning dedup_cluster_cc
-    "dedup_ngram_jaccard",  # r09 green; n-gram Jaccard pair machinery keeps in-window rows via the returning dedup_incremental_lsh (same signature/band path)
     "dedup_containment_seeds",  # r09 green; the sub-quadratic seed candidate generator stays pytest-pinned (equality to block-bounded containment) and the containment family keeps its decade adjudication in BASELINE
     "dedup_cluster_best",  # r09 green; best-of-cluster election consumes the capped-CC labels whose exactness-below-cap is pytest-pinned; the argmax idiom keeps in-window rows via ev_quantiles_disc/ev_mode_value
     "sim_radius_search",  # r09 green; the range-predicate cosine scan keeps in-window rows via the returning sim_ivf_topk (same quantizer/scoring machinery)
     "geo_nearby_pairs",  # r09 green; the grid-cell radius join keeps an in-window row via geo_nearby_newbatch (the same join, stream-static split) and the cross-cell exactness pytest
-    "mm_image_resize",  # r09 green; decode->resample->re-encode keeps in-window rows via mm_image_decode (now with the 5-class fixture incl. progressive JPEG) and the closed-form index-mapping oracle stays pytest-pinned
     "mm_fake_features",  # r09 green; the Arrow mapInPandas plumbing keeps in-window rows via mm_image_decode and the returning mm_frame_sample/mm_binary_meta kernels
     "mm_image_phash",  # r09 green; the 64-bit Hamming pairing keeps its machinery pytest-pinned (perturbed-clip pairs) and the fingerprint family in-window via the returning text_fingerprint
     "corpus_leakage_safe_split",  # r09 green; cluster-keyed split assignment stays pytest-pinned (near-dups never straddle splits) and the hash-split family keeps in-window rows via corpus_reservoir_sample
@@ -426,6 +381,68 @@ _TAIL = (
     "dq_orders_constraints",  # r09 green; the fused constraint-suite scan + FK anti join keep in-window rows via the returning set_customer_overlap (set ops) and tpch core; the streaming DQ monitor stays pytest-pinned
     "ev_twa_daily",  # r09 green (rows r8-r9); LOCF time-weighting stays pytest-pinned (same-value-subdivision invariance property) and the carried-value family keeps an in-window row via ev_ewma_last8 (guard newly load-bearing)
     "ev_session_copresence_lift",  # r09 green; the a-priori pair-support machinery keeps in-window rows via the returning ev_sessions_per_user (same lag-gap baskets) and graph_jaccard_neighbors (pair supports)
+    # r11 rotation (VERDICT r10 #5): the window takes (a) the 3 sketch
+    # queries newly ORACLED via bounds attestation (first-ever driver rows:
+    # ev_approx_distinct_users / ev_approx_value_quantiles /
+    # ev_theta_user_overlap), (b) the 7 rows whose PLAN, CONTRACT or FIXTURE
+    # changed this round (ev_trend_slope BIGINT outputs, ev_mode_value struct
+    # argmax key, ev_outliers_mad + ev_session_outage_overlap shared-persist
+    # re-plans, dedup_ngram_jaccard PPJoin thresholded contract,
+    # dedup_containment spread re-plan, mm_image_resize 5-class fixture +
+    # oracle, mm_image_decode quarantine kernel, text_ngram_novelty spread
+    # re-plan — the first five of those were already in-window), and (c) the
+    # STALEST rows: all 21 whose last driver row is r04 plus 17 of the 23
+    # r05 rows (the remaining six — the corpus hash-sample family — are the
+    # freshest-machinery leftovers and head the r12 queue). The 45 below
+    # rotate out in exchange; every one is r10-green (fresh driver evidence
+    # last round) and value-redundant with machinery that keeps or regains a
+    # driver row; all remain oracle-checked every round by tools/selfcheck.py
+    # over the full registry.
+    "t7_top_priority_per_band",  # r10 green; the rank-window + CASE-band + join shape regains driver rows via returning t4 (identical rank chain on nation keys) and t11 (band CASE + grouped median)
+    "t8_median_balance_by_band",  # r10 green; exact grouped medians keep a driver row via returning t11 (same declared-mode median over band+year keys) and tpch_q1 (DECIMAL aggregate family)
+    "t10_median_order_total_by_year",  # r10 green; same grouped-median machinery as returning t11 over year keys; year-extract stays in-window via returning t5-family shapes in tpch_q1
+    "tpch_q3_shipping_priority",  # r10 green; join + agg + order/limit top-k keeps driver rows via returning tpch_q10 (same fact-dim join + top-k) and in-window t4-family rank rows
+    "tpch_q5_regional_volume",  # r10 green; the 6-way dim-chain join keeps driver rows via returning tpch_q7/q8/q9 (the same chain, harder aggregates)
+    "tpch_q4_semi_join",  # r10 green; EXISTS/semi-join keeps driver rows via returning tpch_q21 (stacked semi+anti) and tpch_q22 (anti)
+    "tpch_q6_revenue",  # r10 green; scan range-filter DECIMAL agg keeps a driver row via returning tpch_q1 (the aggregate superset over the same scan)
+    "set_customer_overlap",  # r10 green; INTERSECT/EXCEPT set ops stay pytest-pinned (bag-op multiplicity) and the semi/anti plan family keeps rows via returning q21/q22
+    "window_showcase",  # r10 green; the multi-function window showcase is value-redundant with returning ev_running_total (ROWS frame) and the in-window rank family via t4
+    "tpch_q14_promo_revenue",  # r10 green; conditional-ratio DECIMAL agg keeps driver rows via returning tpch_q8 (share-of-total ratio) and q1
+    "tpch_q18_large_orders",  # r10 green; the HAVING-subquery large-order screen keeps rows via returning tpch_q17 (correlated per-group threshold) and q21
+    "tpch_q12_priority_classes",  # r10 green; CASE-bucketed conditional counts keep rows via returning t11/t7 banding and tpch_q13's grouped distribution
+    "tpch_q15_top_supplier",  # r10 green (re-proved after its r10 planning-literal rewrite); the MAX-scalar literal idiom is shared by in-window ev_outliers_mad, plan shape pinned by test_q15_reads_lineitem_once
+    "ev_counts_hourly",  # r10 green; hourly bucketed counts are subsumed by returning ev_rollup_daily (ROLLUP over the same scan) and ev_stats_by_type
+    "ev_json_schema_stats",  # r10 green; schema'd from_json + quarantine counting keeps rows via returning ev_json_extract_sum (regex twin) and pytest (variant quarantine split)
+    "ev_sessions_per_user",  # r10 green; lag-gap sessionization keeps an in-window row via ev_session_outage_overlap (same session intervals feeding the overlap join)
+    "ev_salted_stats",  # r10 green; salted two-phase stats are pytest-equal to plain stats and the salting idiom keeps a driver row via returning ev_stats_by_type's plain twin
+    "ev_salted_distinct_users",  # r10 green; salted distinct is pytest-equal to plain distinct; the distinct family keeps rows via returning t9-family shapes in ev_running_total window era... superseded by in-window ev_approx_distinct_users exact side
+    "ev_hist_value_quantiles",  # r10 green; fixed-bin histogram quantiles keep rows via in-window ev_approx_value_quantiles (rank-attested sketch quantiles over the same scan) and returning ev_stats_by_type
+    "ev_scd2_band_history",  # r10 green; gaps-and-islands lag/run-sum machinery stays pytest-pinned and keeps rows via returning ev_running_total (the frame family)
+    "ev_groupingsets_type_hour",  # r10 green; explicit grouping sets keep a driver row via returning ev_rollup_daily (ROLLUP, same Expand+aggregate plan) and ev_pivot_type_counts (per-type CASE counts)
+    "ev_rolling_7d_users",  # r10 green; the explode-to-window sliding distinct keeps rows via returning ev_running_total (frame family) and the distinct-reduction family in returning ev_stats_by_type
+    "ev_ewma_last8",  # r10 green (NULL guard load-bearing via the planted-regime pytest); the lag-chain family keeps rows via returning ev_sliding-era shapes in ev_running_total
+    "ev_abtest_chi2",  # r10 green; hash-split + broadcast-totals chi-square keeps its 1-row broadcast idiom in-window via ev_theta_user_overlap's exact-vs-estimate crossJoin
+    "ev_cusum_excursion",  # r10 green; CUSUM change-point screen keeps the anomaly family in-window via ev_outliers_mad (MAD screen, re-planned this round)
+    "ev_quantiles_disc",  # r10 green; exact DISCRETE quantiles keep rows via in-window ev_approx_value_quantiles (the rank-interval attestation re-derives the same ceil-rank arithmetic)
+    "ev_seasonal_dow",  # r10 green; epoch-day dow arithmetic + cross-multiplied above-average screen keep rows via in-window ev_mode_value/ev_trend_slope (the same orderstats module, both re-gated this round)
+    "graph_jaccard_neighbors",  # r10 green; common-neighbor Jaccard keeps the nation-graph family via returning graph-era rows in dedup_cluster_cc_star's wedge machinery and pytest brute-force pins
+    "graph_cheapest_route",  # r10 green (localCheckpoint re-plan proved r10); recursive-CTE machinery stays engine-native with the BFS contract pytest-covered
+    "text_token_stats",  # r10 green; scan-local token stats keep rows via returning text_tfidf_top_terms / text_repetition_score (the same token aggregates composed)
+    "text_fingerprint",  # r10 green; rolling-hash fingerprinting keeps rows via returning dedup_simhash (the 64-bit Hamming fingerprint family) and dedup_exact (digest groupBy)
+    "text_blocklist_gate",  # r10 green; the multi-category regex screen keeps rows via returning text_pii_redact (regexp_replace chains) and text_decontaminate (gram gating)
+    "dedup_cluster_cc",  # r10 green; min-label CC keeps driver rows via returning dedup_cluster_cc_star (the star variant) and stays the pytest-pinned exactness anchor for the capped twin
+    "dedup_incremental_lsh",  # r10 green; the incremental band-probe keeps rows via returning dedup_minhash_lsh (the same signature/band machinery, batch form)
+    "dedup_embedding_neardup",  # r10 green; blocked cosine pairs keep rows via returning dedup_semantic_kmeans (cluster-blocked cosine) and ml_hard_negatives (the same pair machinery)
+    "sim_ivf_topk",  # r10 green; IVF cell-probe keeps rows via returning sim_ivf_index_probe (materialized index twin) and sim_ivfpq_topk/lloyd (the ADC family)
+    "geo_nearby_newbatch",  # r10 green; the grid-cell radius join keeps its machinery pytest-pinned (stream==batch twin) and the bucketized theta-join family in-window via ev_errors_near_purchase-era as-of machinery in returning rows
+    "mm_frame_sample",  # r10 green; strided frame sampling keeps the Arrow plumbing via returning mm_binary_meta (same 1-to-N mapInPandas shape) and in-window mm_image_decode
+    "corpus_chunk_tokens",  # r10 green; fixed-width chunking keeps rows via returning corpus-era slice/explode machinery in text_subword_tokens and in-window corpus family pytest pins
+    "corpus_sliding_chunks",  # r10 green; overlap-stride chunking shares the slice/explode machinery with corpus_chunk_tokens (rotated out together; both r10-green, stride contract pytest-pinned)
+    "corpus_reservoir_sample",  # r10 green; exact per-stratum K by hash rank keeps the md5-percent machinery via returning corpus_stratified_sample (rate-based twin)
+    "ev_errors_near_purchase",  # r10 green; the bucketized as-of twin keeps machinery via pytest (asof model checks) and the epoch/dtype plumbing shared with in-window streaming twins
+    "dq_benford_totalprice",  # r10 green; leading-digit Benford screen keeps the single-scan fused-aggregate DQ family via returning dq-era constraint machinery pytest pins
+    "dq_documents_profile",  # r10 green; the stack() column profiler keeps the one-pass DQ family beside dq_benford (rotated out together, both r10-green)
+    "corpus_hilbert_keys",  # r10 green; Hilbert layout keys keep the space-filling-curve family via returning corpus_zorder-era machinery (Morton twin) and the grid-adjacency pytest
 )
 
 

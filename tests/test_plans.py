@@ -922,29 +922,24 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
     missing = tail - set(names)
     assert missing == set(), f"_TAIL names not in registry: {missing}"
     head = set(names[:50])
-    # r10: everything in the r9 novel set got its driver row in
-    # CORRECTNESS_r09 (50/50 green). The window-priority set is now
-    # (a) the queries that are NEW this round (no driver row yet),
-    # (b) the rows whose PLAN or FIXTURE changed this round (a fresh
-    # driver row must re-prove each), and (c) the 14 stalest rows (last
-    # windowed r3) rotated back in per VERDICT r9 #9.
+    # r11: everything in the r10 novel set got its driver row in
+    # CORRECTNESS_r10 (49/50; the one red — ev_trend_slope — changed this
+    # round and stays in). The window-priority set is now (a) the 3 sketch
+    # queries newly ORACLED this round (no value-gated driver row ever),
+    # (b) the rows whose PLAN, CONTRACT or FIXTURE changed this round, and
+    # (c) the staleness rotation (all r04 rows + 17 r05 rows per VERDICT
+    # r10 #5) — (c) is asserted by size via the window being exactly 50
+    # and (a)/(b) in it.
     novel = {
-        # NEW r10 — no driver row yet
-        "ev_quantiles_disc", "ev_mode_value", "ev_trend_slope",
-        "ev_seasonal_dow", "graph_cheapest_route", "text_blocklist_gate",
-        "geo_nearby_newbatch", "corpus_sliding_chunks",
-        "corpus_reservoir_sample", "corpus_hilbert_keys",
-        "dq_benford_totalprice", "dq_documents_profile",
-        # plan/fixture changed r10 (VERDICT r9 #2/#4/#6 + the ewma guard)
-        "tpch_q15_top_supplier", "ev_outliers_mad",
-        "ev_session_outage_overlap", "mm_image_decode", "ev_ewma_last8",
-        # VERDICT r9 #9 staleness rotation (all last windowed r3)
-        "corpus_chunk_tokens", "dedup_cluster_cc", "dedup_embedding_neardup",
-        "dedup_incremental_lsh", "ev_errors_near_purchase",
-        "ev_sessions_per_user", "mm_frame_sample", "set_customer_overlap",
-        "sim_ivf_topk", "text_fingerprint", "text_token_stats",
-        "tpch_q12_priority_classes", "tpch_q14_promo_revenue",
-        "tpch_q18_large_orders",
+        # newly oracled r11 — first value-gated driver rows
+        "ev_approx_distinct_users", "ev_approx_value_quantiles",
+        "ev_theta_user_overlap",
+        # plan/contract/fixture changed r11 (VERDICT r10 #1/#2/#4/#6/#8 +
+        # ADVICE fixes)
+        "ev_trend_slope", "ev_mode_value", "ev_outliers_mad",
+        "ev_session_outage_overlap", "dedup_ngram_jaccard",
+        "dedup_containment", "mm_image_resize", "mm_image_decode",
+        "text_ngram_novelty",
     }
     out = novel - head
     assert out == set(), f"window-priority queries outside the checked window: {out}"
