@@ -443,6 +443,13 @@ _TAIL = (
     "dq_benford_totalprice",  # r10 green; leading-digit Benford screen keeps the single-scan fused-aggregate DQ family via returning dq-era constraint machinery pytest pins
     "dq_documents_profile",  # r10 green; the stack() column profiler keeps the one-pass DQ family beside dq_benford (rotated out together, both r10-green)
     "corpus_hilbert_keys",  # r10 green; Hilbert layout keys keep the space-filling-curve family via returning corpus_zorder-era machinery (Morton twin) and the grid-adjacency pytest
+    # r11 second rotation: dq_events_drift (integer cross-multiplied
+    # distribution-drift monitor) and ev_value_ntiles (the NTILE window
+    # surface) are NEW this round and move into the window; the two r05
+    # rows below return to the r12 staleness queue in exchange (their
+    # machinery keeps in-window rows via the sim family members that stay).
+    "sim_ivfpq_topk",  # r05-green; the global-codebook ADC probe keeps an in-window row via sim_ivfpq_lloyd_topk (same per-cell plan, trained codebooks); still oracle-checked every round by tools/selfcheck.py
+    "sim_topk_bruteforce",  # r05-green; the broadcast-1-row-query scan-local cosine keeps in-window rows via sim_ivf_index_probe and the IVFPQ probes; still oracle-checked every round by tools/selfcheck.py
 )
 
 

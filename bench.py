@@ -216,6 +216,9 @@ HEADLINE = [
     "graph_cheapest_route",
     "dq_benford_totalprice",
     "dq_documents_profile",
+    # NEW r11
+    "dq_events_drift",
+    "ev_value_ntiles",
 ]
 
 

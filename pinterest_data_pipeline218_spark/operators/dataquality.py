@@ -310,13 +310,112 @@ ORDER BY column_name
 """
 
 
+DRIFT_BIN_CENTI = 2500  # 25.00-unit value bins (events value spans ~0-500)
+DRIFT_N_BINS = 20
+DRIFT_SHIFT_PCT_X100 = 2  # flag a bin whose share moved > 2 percentage points
+
+
+def dq_events_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (r11) — the data-quality check a training
+    pipeline runs between ingest snapshots: per (event_type, value bin),
+    compare the bin's SHARE of events between the first and second half of
+    the time range and flag bins whose share moved by more than
+    {DRIFT_SHIFT_PCT_X100} percentage points. The drift predicate is pure
+    integer cross-multiplication (|n1·N2 − n2·N1| · 100 >
+    {DRIFT_SHIFT_PCT_X100}·N1·N2 — the ev_abtest/cusum idiom), so there is
+    no float divergence between engines; a PSI/KL rendering would need
+    ln() and is deliberately avoided. Bins are fixed-width
+    ({DRIFT_BIN_CENTI} centi-units, clamped to {DRIFT_N_BINS}) —
+    mergeable across partitions AND snapshots, unlike quantile bins.
+
+    Plan: the half boundary is the midpoint of one 1-row (min, max)
+    aggregate broadcast back (crossJoin of planning-sized state); then ONE
+    grouped count per (type, bin, half) pivoted by half, plus a per-type
+    total window-free rollup re-joined. Both aggregates map-side
+    combinable; no windows, no per-row Python. 100 TB: (type × 20 bins)
+    output, a fixed-size dashboard relation."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    binned = ev.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.least(
+            F.expr(
+                f"cast(cast(value as decimal(18,2)) * 100 as bigint)"
+                f" div {DRIFT_BIN_CENTI}"
+            ),
+            F.lit(DRIFT_N_BINS - 1),
+        ).alias("bin"),
+        (F.unix_micros("ts") * 2 < F.col("t0") + F.col("t1")).alias("first_half"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.count(F.when(F.col("first_half"), 1)).alias("n_first"),
+        F.count(F.when(~F.col("first_half"), 1)).alias("n_second"),
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("n_first").alias("tot_first"),
+        F.sum("n_second").alias("tot_second"),
+    )
+    shifted = (
+        F.abs(
+            F.col("n_first") * F.col("tot_second")
+            - F.col("n_second") * F.col("tot_first")
+        )
+        * 100
+        > F.lit(DRIFT_SHIFT_PCT_X100) * F.col("tot_first") * F.col("tot_second")
+    )
+    return (
+        cells.join(totals, "event_type")
+        .select(
+            "event_type",
+            "bin",
+            "n_first",
+            "n_second",
+            shifted.alias("shifted"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+DQ_DRIFT_SQL = f"""
+WITH span AS (
+  SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1 FROM events
+), binned AS (
+  SELECT event_type,
+         LEAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+               // {DRIFT_BIN_CENTI}, {DRIFT_N_BINS - 1}) AS bin,
+         epoch_us(ts) * 2 < t0 + t1 AS first_half
+  FROM events, span
+), cells AS (
+  SELECT event_type, bin,
+         COUNT(CASE WHEN first_half THEN 1 END) AS n_first,
+         COUNT(CASE WHEN NOT first_half THEN 1 END) AS n_second
+  FROM binned GROUP BY 1, 2
+), totals AS (
+  SELECT event_type, SUM(n_first) AS tot_first, SUM(n_second) AS tot_second
+  FROM cells GROUP BY 1
+)
+SELECT c.event_type, c.bin,
+       CAST(n_first AS BIGINT) AS n_first,
+       CAST(n_second AS BIGINT) AS n_second,
+       ABS(n_first * tot_second - n_second * tot_first) * 100
+         > {DRIFT_SHIFT_PCT_X100} * tot_first * tot_second AS shifted
+FROM cells c JOIN totals t USING (event_type)
+ORDER BY event_type, bin
+"""
+
+
 QUERIES = {
     "dq_orders_constraints": dq_orders_constraints,
     "dq_benford_totalprice": dq_benford_totalprice,
     "dq_documents_profile": dq_documents_profile,
+    "dq_events_drift": dq_events_drift,
 }
 ORACLE = {
     "dq_orders_constraints": DQ_ORDERS_SQL,
     "dq_benford_totalprice": DQ_BENFORD_SQL,
     "dq_documents_profile": DQ_PROFILE_SQL,
+    "dq_events_drift": DQ_DRIFT_SQL,
 }

@@ -281,11 +281,62 @@ ORDER BY event_type, dow
 """
 
 
+def ev_value_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value DECILES via NTILE(10) (r11) — the last window-function
+    surface member (RANK/ROW_NUMBER/LAG/LEAD/frames are covered elsewhere):
+    per (event_type, decile), the bucket's row count and its min/max
+    centi-value. NTILE's floor-distribution semantics (bucket sizes differ
+    by <= 1, assigned in ORDER) are identical in both engines GIVEN a total
+    order, so ties break on event_id.
+
+    Scale posture, stated plainly: NTILE is a declared-exact full sort per
+    partition — with |event_type| partitions that is the one shape that
+    does not scale past a partition's sort budget; the 100 TB path for
+    decile BOUNDARIES is ev_quantiles_disc / ev_hist_value_quantiles /
+    ev_approx_value_quantiles (all gated), and this query is the exact
+    window-surface rendering kept at dashboard grain (5 types × 10 rows
+    out)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("event_type", "event_id", _v_centi().alias("v"))
+    w = Window.partitionBy("event_type").orderBy("v", "event_id")
+    return (
+        base.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("v").alias("min_centi"),
+            F.max("v").alias("max_centi"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
+EV_NTILE_SQL = """
+WITH base AS (
+  SELECT event_type, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM events
+), tiled AS (
+  SELECT event_type, v,
+         NTILE(10) OVER (PARTITION BY event_type ORDER BY v, event_id) AS decile
+  FROM base
+)
+SELECT event_type, CAST(decile AS INT) AS decile,
+       COUNT(*) AS n_events,
+       CAST(MIN(v) AS BIGINT) AS min_centi,
+       CAST(MAX(v) AS BIGINT) AS max_centi
+FROM tiled
+GROUP BY event_type, decile
+ORDER BY event_type, decile
+"""
+
+
 QUERIES = {
     "ev_quantiles_disc": ev_quantiles_disc,
     "ev_mode_value": ev_mode_value,
     "ev_trend_slope": ev_trend_slope,
     "ev_seasonal_dow": ev_seasonal_dow,
+    "ev_value_ntiles": ev_value_ntiles,
 }
 
 ORACLE = {
@@ -293,4 +344,5 @@ ORACLE = {
     "ev_mode_value": EV_MODE_SQL,
     "ev_trend_slope": EV_TREND_SQL,
     "ev_seasonal_dow": EV_SEASONAL_SQL,
+    "ev_value_ntiles": EV_NTILE_SQL,
 }

@@ -3277,6 +3277,72 @@ def test_leakage_safe_split_keeps_clusters_whole(spark):
         assert split_of[p.doc_a] == split_of[p.doc_b], (p.doc_a, p.doc_b)
 
 
+def test_events_drift_flags_planted_shift(spark, tmp_path):
+    """dq_events_drift (r11) on a planted two-half distribution: a bin
+    whose share moves well past the 2-percentage-point bar is flagged, a
+    stable bin is not, and the counts split exactly at the midpoint."""
+    import datetime as dt
+
+    from pinterest_data_pipeline218_spark.operators.dataquality import (
+        dq_events_drift,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # first half (ts < midpoint): 100 events in bin 0 (v=10), 100 in bin 1
+    # (v=30); second half: 160 in bin 0, 40 in bin 1 — bin shares move
+    # 50%→80% / 50%→20%, far past 2pp
+    for n, v, half in ((100, 10.0, 0), (100, 30.0, 0), (160, 10.0, 1), (40, 30.0, 1)):
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, t0 + dt.timedelta(hours=1 + 10 * half), 1, "click", v, "{}")
+            )
+    # pin the span: one event at t0 and one at t0+20h (both bin 19, stable)
+    rows.append((eid + 1, t0, 1, "click", 499.0, "{}"))
+    rows.append((eid + 2, t0 + dt.timedelta(hours=20), 1, "click", 499.0, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r.bin: r for r in dq_events_drift(spark, str(tmp_path)).collect()}
+    assert got[0].n_first == 100 and got[0].n_second == 160
+    assert got[0].shifted is True and got[1].shifted is True
+    assert got[19].n_first == 1 and got[19].n_second == 1
+    assert got[19].shifted is False  # share moved < 2pp
+
+
+def test_value_ntiles_bucket_sizes_and_boundaries(spark):
+    """ev_value_ntiles: per type, exactly 10 deciles whose sizes differ by
+    at most 1 (NTILE's floor distribution), sizes sum to the partition
+    count, and min/max boundaries are non-decreasing across deciles."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.plans.orderstats import (
+        ev_value_ntiles,
+    )
+
+    rows = ev_value_ntiles(spark, SF).collect()
+    totals = {
+        r.event_type: r.n
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert by_type.keys() == totals.keys()
+    for t, ds in by_type.items():
+        assert [d.decile for d in sorted(ds, key=lambda d: d.decile)] == list(
+            range(1, 11)
+        )
+        sizes = [d.n_events for d in ds]
+        assert sum(sizes) == totals[t]
+        assert max(sizes) - min(sizes) <= 1, (t, sizes)
+        ordered = sorted(ds, key=lambda d: d.decile)
+        for a, b in zip(ordered, ordered[1:]):
+            assert a.min_centi <= a.max_centi <= b.min_centi, (t, a, b)
+
+
 def test_dq_constraints_fire_on_planted_violations(spark, tmp_path):
     """Every check in the data-quality suite must actually FIRE: a planted
     orders table with one violation of each kind (null FK, duplicate key,

@@ -931,6 +931,8 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
     # r10 #5) — (c) is asserted by size via the window being exactly 50
     # and (a)/(b) in it.
     novel = {
+        # NEW r11 — no driver row yet
+        "dq_events_drift", "ev_value_ntiles",
         # newly oracled r11 — first value-gated driver rows
         "ev_approx_distinct_users", "ev_approx_value_quantiles",
         "ev_theta_user_overlap",
