@@ -919,7 +919,15 @@ def with_resize_payload(docs: DataFrame) -> DataFrame:
                     )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=_IMG_PAYLOAD_SCHEMA)
+    # Unlike with_decode_payload (kernel work ~0.6 s — a shuffle costs more
+    # than it spreads), the resize consumer's downstream cycle is ~4 s of
+    # pure-Python codec work per sf0.1 pass, and the shuffle here ships ONLY
+    # doc_ids (8 bytes/row), so spreading wins decisively: measured
+    # 4.8 → 1.6 s at sf0.1 (r11).
+    par = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return docs.select("doc_id").repartition(par).mapInPandas(
+        gen, schema=_IMG_PAYLOAD_SCHEMA
+    )
 
 
 def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
