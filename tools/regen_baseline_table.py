@@ -1,0 +1,90 @@
+"""Regenerate BASELINE.md's committed per-query table from BENCH.json.
+
+Keeps each row's human `notes` column (carried forward by query name from
+the existing table), emits rows in bench HEADLINE order, and replaces only
+the table block (the first markdown table after the '| query | sf |'
+header). New queries get the note passed in NEW_NOTES (edit before
+running). Usage: python tools/regen_baseline_table.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+NEW_NOTES = {
+    "dq_events_drift": "r11: two-half bin-share drift, integer cross-multiplied flag",
+    "ev_value_ntiles": "r11: NTILE(10) deciles, event_id tiebreak",
+}
+
+NOTE_OVERRIDES = {
+    "dedup_ngram_jaccard": "r11: PPJoin prefix filter, thresholded t=1/2, exact string verify",
+    "dedup_containment": "r11: spread shingle build (was serial on the few-split scan)",
+    "text_ngram_novelty": "r11: spread gram build (derived twice in-plan)",
+    "mm_image_resize": "r11: 5-class fixture (progressive JPEG under the gate) + spread kernel",
+    "ev_outliers_mad": "r11: planning jobs share a transient persist (2 scans/exec)",
+    "ev_session_outage_overlap": "r11: planning jobs share a transient persist",
+    "ev_trend_slope": "r11: BIGINT outputs (DECIMAL internals)",
+    "ev_mode_value": "r11: struct argmax key (regime-free)",
+    "ev_approx_distinct_users": "r11: bounds-attested oracle (exact + 5% boolean)",
+    "ev_approx_value_quantiles": "r11: rank-interval attestation (2% ranks)",
+    "ev_theta_user_overlap": "r11: exact set arithmetic + 2% attestations",
+}
+
+
+def main() -> None:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench = json.load(open(os.path.join(root, "BENCH.json")))
+    queries, iqrs = bench["queries"], bench["iqr"]
+    md_path = os.path.join(root, "BASELINE.md")
+    src = open(md_path).read()
+
+    # harvest existing notes
+    notes: dict[str, str] = {}
+    for m in re.finditer(
+        r"^\| ([a-z0-9_]+) \| [0-9.]+ \| [0-9.]+ \| [0-9.-]+ \| (.*) \|$",
+        src,
+        re.M,
+    ):
+        notes[m.group(1)] = m.group(2)
+    notes.update(NEW_NOTES)
+    notes.update(NOTE_OVERRIDES)
+
+    import bench as benchmod  # noqa: PLC0415
+
+    rows = []
+    missing_notes = []
+    for name in benchmod.HEADLINE:
+        v = queries.get(name)
+        if not isinstance(v, (int, float)):
+            rows.append(f"| {name} | 0.1 | ERR | - | {queries.get(name)} |")
+            continue
+        iq = iqrs.get(name)
+        note = notes.get(name)
+        if note is None:
+            missing_notes.append(name)
+            note = ""
+        rows.append(f"| {name} | 0.1 | {v} | {iq} | {note} |")
+    if missing_notes:
+        print("WARNING no note for:", missing_notes)
+
+    table = (
+        "| query | sf | sec/query | iqr | notes |\n|---|---|---|---|---|\n"
+        + "\n".join(rows)
+    )
+    # replace the first committed table block
+    pat = re.compile(
+        r"\| query \| sf \| sec/query \| iqr \| notes \|\n\|---\|---\|---\|---\|---\|\n(\|.*\n)+"
+    )
+    new, n = pat.subn(table + "\n", src, count=1)
+    assert n == 1, "committed table block not found"
+    open(md_path, "w").write(new)
+    print(f"table regenerated: {len(rows)} rows, total {bench['value']}s")
+
+
+if __name__ == "__main__":
+    main()
