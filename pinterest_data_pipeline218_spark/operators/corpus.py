@@ -291,6 +291,13 @@ def build_training_corpus(
     otherwise re-read the full corpus from object storage and re-split
     every document). Without this, a 4-gate build paid 4 corpus-wide
     tokenization passes — measured ~6x the sum of its parts at sf0.1."""
+    # Deliberately NOT pre-spread (unlike the r11 containment/novelty
+    # repartition move): measured at sf0.1, a round-robin repartition of
+    # docs before the shared projection REGRESSES the build 10.4 → 18.7 s —
+    # tokens() here is a plain whitespace split (cheap, unlike the
+    # md5-shingle builds that won from spreading), the projection is
+    # persisted (filled once), and the repartition only inserts extra wide
+    # shuffles into every downstream gate subtree.
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     proj = ["doc_id", "text", T.tokens(F.col("text")).alias("toks")]
     if classifier_gate:
