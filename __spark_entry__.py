@@ -444,12 +444,15 @@ _TAIL = (
     "dq_documents_profile",  # r10 green; the stack() column profiler keeps the one-pass DQ family beside dq_benford (rotated out together, both r10-green)
     "corpus_hilbert_keys",  # r10 green; Hilbert layout keys keep the space-filling-curve family via returning corpus_zorder-era machinery (Morton twin) and the grid-adjacency pytest
     # r11 second rotation: dq_events_drift (integer cross-multiplied
-    # distribution-drift monitor) and ev_value_ntiles (the NTILE window
-    # surface) are NEW this round and move into the window; the two r05
-    # rows below return to the r12 staleness queue in exchange (their
-    # machinery keeps in-window rows via the sim family members that stay).
+    # distribution-drift monitor), ev_value_ntiles (the NTILE window
+    # surface) and ev_hll_daily_rollup (materialized daily HLL sketches +
+    # lossless weekly union, bounds-attested) are NEW this round and move
+    # into the window; the three r05 rows below return to the r12
+    # staleness queue in exchange (their machinery keeps in-window rows
+    # via family members that stay).
     "sim_ivfpq_topk",  # r05-green; the global-codebook ADC probe keeps an in-window row via sim_ivfpq_lloyd_topk (same per-cell plan, trained codebooks); still oracle-checked every round by tools/selfcheck.py
     "sim_topk_bruteforce",  # r05-green; the broadcast-1-row-query scan-local cosine keeps in-window rows via sim_ivf_index_probe and the IVFPQ probes; still oracle-checked every round by tools/selfcheck.py
+    "ev_json_extract_sum",  # r05-green (green since r01); regexp_extract + try_cast + grouped sum — the regex family keeps in-window rows via text_pii_redact and the cleaning-era machinery; still oracle-checked every round by tools/selfcheck.py
 )
 
 

@@ -219,6 +219,7 @@ HEADLINE = [
     # NEW r11
     "dq_events_drift",
     "ev_value_ntiles",
+    "ev_hll_daily_rollup",
 ]
 
 

@@ -362,6 +362,79 @@ ORDER BY event_type
 """
 
 
+def ev_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-sketch rollup (r11) — THE 100 TB distinct-count
+    pattern: per (event_type, day) an HLL SKETCH is materialized (what a
+    production system writes to its metrics store, one bounded blob per
+    partition instead of the raw keys), and weekly distinct users come
+    from hll_union_agg over the stored daily sketches — never from
+    re-scanning raw data. DataSketches HLL union at equal lgConfigK is
+    LOSSLESS (register-wise max), so the two-level estimate is
+    bit-identical to a direct single-pass sketch of the union —
+    pytest-pinned (test_hll_daily_rollup_union_is_lossless).
+
+    ORACLED VIA BOUNDS ATTESTATION like its r11 sketch siblings: the
+    gated output is the exact weekly distinct count plus a boolean
+    attesting the union estimate lands within max(1, 5%·exact)
+    (lgK=14 → rsd 0.8%, 6× inside the bound); the DuckDB oracle attests
+    its own per-week HLL the same way. Week = epoch-day div 7
+    (convention-free integer arithmetic, like ev_seasonal_dow's dow).
+
+    Plan: one grouped sketch-agg (map-side mergeable like every
+    DataSketches aggregate), one union-agg over |days| sketch rows, one
+    exact count-distinct as the verification harness. At 100 TB the
+    exact side disappears and the daily sketch table IS the input."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        "user_id",
+    )
+    daily = base.groupBy(
+        "event_type", F.expr("day div 7").alias("week"), "day"
+    ).agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+    weekly = daily.groupBy("event_type", "week").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = base.groupBy(
+        "event_type", F.expr("day div 7").alias("week")
+    ).agg(F.countDistinct("user_id").alias("exact_weekly_users"))
+    return (
+        exact.join(weekly, ["event_type", "week"])
+        .select(
+            "event_type",
+            "week",
+            "n_days",
+            "exact_weekly_users",
+            (
+                F.abs(F.col("est") - F.col("exact_weekly_users")) * 20
+                <= F.greatest(F.lit(20), F.col("exact_weekly_users"))
+            ).alias("union_within_5pct"),
+        )
+        .orderBy("event_type", "week")
+    )
+
+
+EV_HLL_ROLLUP_SQL = """
+WITH base AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         user_id
+  FROM events
+)
+SELECT event_type,
+       CAST(day // 7 AS BIGINT) AS week,
+       COUNT(DISTINCT day) AS n_days,
+       COUNT(DISTINCT user_id) AS exact_weekly_users,
+       ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id)) * 20
+         <= GREATEST(20, COUNT(DISTINCT user_id)) AS union_within_5pct
+FROM base
+GROUP BY event_type, day // 7
+ORDER BY event_type, week
+"""
+
+
 PIVOT_TYPES = ["click", "purchase", "scroll", "share", "view"]
 
 
@@ -2024,6 +2097,7 @@ QUERIES = {
     "ev_pivot_type_counts": ev_pivot_type_counts,
     "ev_cube_type_dow": ev_cube_type_dow,
     "ev_approx_distinct_users": ev_approx_distinct_users,
+    "ev_hll_daily_rollup": ev_hll_daily_rollup,
     "ev_kmv_distinct_users": ev_kmv_distinct_users,
     "ev_cm_top_users": ev_cm_top_users,
     "ev_hist_value_quantiles": ev_hist_value_quantiles,
@@ -2066,6 +2140,7 @@ ORACLE = {
     "ev_approx_distinct_users": EV_APPROX_DISTINCT_SQL,
     "ev_approx_value_quantiles": EV_APPROX_QUANTILES_SQL,
     "ev_theta_user_overlap": EV_THETA_OVERLAP_SQL,
+    "ev_hll_daily_rollup": EV_HLL_ROLLUP_SQL,
     "ev_kmv_distinct_users": EV_KMV_SQL,
     "ev_cm_top_users": _cm_sql(),
     "ev_hist_value_quantiles": EV_HIST_QUANTILES_SQL,

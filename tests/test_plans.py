@@ -696,6 +696,37 @@ def test_approx_distinct_within_bound(spark, qs):
         assert rows[t].approx_within_5pct is True, (t, rows[t])
 
 
+def test_hll_daily_rollup_union_is_lossless(spark, qs):
+    """The materialized-sketch property ev_hll_daily_rollup is built on:
+    DataSketches HLL union at equal lgConfigK is register-wise max, so
+    the union of per-day sketches estimates EXACTLY what one direct
+    sketch over the whole week estimates — and the gated attestations
+    are all TRUE against the exact weekly counts."""
+    from pinterest_data_pipeline218_spark.data import load_table
+
+    ev = load_table(spark, SF, "events")
+    base = ev.selectExpr(
+        "event_type",
+        "unix_micros(ts) div 86400000000 AS day",
+        "user_id",
+    )
+    two_level = (
+        base.groupBy("event_type", F.expr("day div 7").alias("week"), "day")
+        .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+        .groupBy("event_type", "week")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+    )
+    direct = base.groupBy("event_type", F.expr("day div 7").alias("week")).agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias("d")
+    )
+    joined = two_level.join(direct, ["event_type", "week"]).collect()
+    assert joined and all(r.est == r.d for r in joined), [
+        (r.event_type, r.week, r.est, r.d) for r in joined if r.est != r.d
+    ]
+    rows = qs["ev_hll_daily_rollup"](spark, SF).collect()
+    assert rows and all(r.union_within_5pct is True for r in rows)
+
+
 def test_kmv_distinct_bound_and_exact_mode(spark, qs):
     """KMV at k=256 (rsd ~= 1/sqrt(k-2) ~= 6.3%): every per-type estimate
     within 20% of the exact distinct count (3 sigma) on real data; and on
@@ -932,7 +963,7 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
     # and (a)/(b) in it.
     novel = {
         # NEW r11 — no driver row yet
-        "dq_events_drift", "ev_value_ntiles",
+        "dq_events_drift", "ev_value_ntiles", "ev_hll_daily_rollup",
         # newly oracled r11 — first value-gated driver rows
         "ev_approx_distinct_users", "ev_approx_value_quantiles",
         "ev_theta_user_overlap",
