@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 NEW_NOTES = {
     "dq_events_drift": "r11: two-half bin-share drift, integer cross-multiplied flag",
     "ev_value_ntiles": "r11: NTILE(10) deciles, event_id tiebreak",
+    "ev_hll_daily_rollup": "r11: materialized daily HLL sketches, lossless weekly union, bounds-attested",
 }
 
 NOTE_OVERRIDES = {
