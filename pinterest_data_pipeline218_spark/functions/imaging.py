@@ -305,8 +305,8 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
 
 
 def sniff_format(data: bytes) -> str | None:
-    """'ppm' / 'bmp' / 'png' / 'jpeg' for the natively decodable formats,
-    else None."""
+    """'ppm' / 'bmp' / 'png' / 'jpeg' / 'gif' for the natively decodable
+    formats, else None."""
     if data[:2] == b"P6":
         return "ppm"
     if data[:2] == b"BM":
@@ -315,6 +315,8 @@ def sniff_format(data: bytes) -> str | None:
         return "png"
     if data[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -322,7 +324,8 @@ def decode_any(data: bytes) -> tuple[str, int, int, bytes]:
     """(format, width, height, rgb) for a natively decodable payload;
     ImageFormatError for anything else (caller decides whether a codec
     library fallback exists). JPEG covers both Huffman profiles
-    (baseline sequential + progressive, r10); arithmetic/lossless/
+    (baseline sequential + progressive, r10); GIF covers 87a/89a incl.
+    interlace and local palettes (first frame, r11); arithmetic/lossless/
     hierarchical JPEG raises, preserving the documented codec boundary."""
     fmt = sniff_format(data)
     if fmt == "ppm":
@@ -335,8 +338,12 @@ def decode_any(data: bytes) -> tuple[str, int, int, bytes]:
         from .jpeg import decode_jpeg  # numpy import deferred to first use
 
         return ("jpeg", *decode_jpeg(data))
+    if fmt == "gif":
+        from .gif import decode_gif
+
+        return ("gif", *decode_gif(data))
     raise ImageFormatError(
-        "payload is not a natively decodable PPM/BMP/PNG/JPEG image"
+        "payload is not a natively decodable PPM/BMP/PNG/JPEG/GIF image"
     )
 
 
@@ -351,6 +358,10 @@ def encode(fmt: str, width: int, height: int, pixels: bytes) -> bytes:
         from .jpeg import encode_jpeg_baseline
 
         return encode_jpeg_baseline(width, height, pixels)
+    if fmt == "gif":
+        from .gif import encode_gif
+
+        return encode_gif(width, height, pixels)
     raise ImageFormatError(f"unsupported encode format {fmt!r}")
 
 

@@ -286,13 +286,26 @@ def _jpeg_fixture_pixels(doc_id: int) -> bytes:
     return bytes(out)
 
 
+def _gif_fixture_pixels(doc_id: int) -> bytes:
+    """Gray per-PIXEL gradient: pixel p = ((doc_id*31 + p) % 256,)*3 —
+    ≤256 distinct colors by construction (GIF is palettized), and the
+    decoded buffer is a closed-form function of (doc_id, p)."""
+    out = bytearray()
+    for p in range(IMG_W * IMG_H):
+        v = (doc_id * 31 + p) % 256
+        out += bytes((v, v, v))
+    return bytes(out)
+
+
 def with_decode_payload(docs: DataFrame) -> DataFrame:
-    """(doc_id, payload): 5-format fixture for the decode query — the
-    with_image_payload trio plus a baseline-JPEG class and (r10) a
+    """(doc_id, payload): 6-format fixture for the decode query — the
+    with_image_payload trio plus a baseline-JPEG class, (r10) a
     PROGRESSIVE-JPEG class (both grayscale block-constant — see JPEG_W
     above for why that shape is oracle-exact; the progressive payload
     exercises the full SOF2 scan script: successive approximation,
-    spectral bands, EOB runs, refinement)."""
+    spectral bands, EOB runs, refinement), and (r11) a GIF class —
+    palettized gray gradient through the full LZW entropy decode
+    (functions/gif.py)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.jpeg import encode_jpeg_baseline, encode_jpeg_progressive
@@ -300,8 +313,8 @@ def with_decode_payload(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
-                which = doc_id % 5
-                if which >= 3:
+                which = doc_id % 6
+                if which in (3, 4):
                     enc = encode_jpeg_baseline if which == 3 else encode_jpeg_progressive
                     payloads.append(
                         enc(
@@ -309,6 +322,12 @@ def with_decode_payload(docs: DataFrame) -> DataFrame:
                             JPEG_H,
                             _jpeg_fixture_pixels(doc_id),
                             grayscale=True,
+                        )
+                    )
+                elif which == 5:
+                    payloads.append(
+                        imaging.encode(
+                            "gif", IMG_W, IMG_H, _gif_fixture_pixels(doc_id)
                         )
                     )
                 else:
@@ -384,12 +403,15 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     for JPEG a full entropy decode (DHT Huffman tables, DC prediction,
     dequant, IDCT, MCU crop) in BOTH profiles — one baseline-sequential
     class and one progressive class (SOF2 successive-approximation +
-    spectral-selection scan script, r10) — and emit per-channel pixel
+    spectral-selection scan script, r10) — and for GIF (r11, the sixth
+    class) a full LZW decode (variable code width, dictionary resets,
+    sub-block stream, palette lookup) — and emit per-channel pixel
     sums. The oracle never decodes: it replays the generative pixel
-    formulas arithmetically (the JPEG class is block-constant gray, the
-    shape whose unit-quant round-trip is exact), so any decoder defect
-    (row order, channel order, padding, filter math, Huffman/IDCT math,
-    header arithmetic) breaks the match."""
+    formulas arithmetically (the JPEG classes are block-constant gray,
+    the shape whose unit-quant round-trip is exact; the GIF class is a
+    palettized gray gradient), so any decoder defect (row order, channel
+    order, padding, filter math, Huffman/LZW/IDCT math, header
+    arithmetic) breaks the match."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_image_features(with_decode_payload(docs)).orderBy("doc_id")
 
@@ -409,15 +431,30 @@ def _image_decode_sql() -> str:
         f"__i -> (doc_id * 31 + ((__i // {JPEG_W}) // 8) * 2 "
         f"+ ((__i % {JPEG_W}) // 8)) % 256)) AS BIGINT)"
     )
+    # the GIF class (r11) is a gray per-PIXEL gradient: pixel p carries
+    # (doc_id*31 + p) % 256 on every channel
+    gif_sum = (
+        f"CAST(list_sum(list_transform(range(0, {IMG_W * IMG_H}), "
+        f"__p -> (doc_id * 31 + __p) % 256)) AS BIGINT)"
+    )
+
+    def pick(c: int) -> str:
+        return (
+            f"CASE WHEN doc_id % 6 IN (3, 4) THEN {jpeg_sum} "
+            f"WHEN doc_id % 6 = 5 THEN {gif_sum} "
+            f"ELSE {ch_sum(c)} END"
+        )
+
     return f"""
 SELECT doc_id,
-       CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
-                       WHEN 2 THEN 'png' ELSE 'jpeg' END AS fmt,
-       CAST(CASE WHEN doc_id % 5 >= 3 THEN {JPEG_W} ELSE {IMG_W} END AS INT) AS width,
-       CAST(CASE WHEN doc_id % 5 >= 3 THEN {JPEG_H} ELSE {IMG_H} END AS INT) AS height,
-       CASE WHEN doc_id % 5 >= 3 THEN {jpeg_sum} ELSE {ch_sum(0)} END AS sum_r,
-       CASE WHEN doc_id % 5 >= 3 THEN {jpeg_sum} ELSE {ch_sum(1)} END AS sum_g,
-       CASE WHEN doc_id % 5 >= 3 THEN {jpeg_sum} ELSE {ch_sum(2)} END AS sum_b
+       CASE doc_id % 6 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                       WHEN 2 THEN 'png' WHEN 5 THEN 'gif'
+                       ELSE 'jpeg' END AS fmt,
+       CAST(CASE WHEN doc_id % 6 IN (3, 4) THEN {JPEG_W} ELSE {IMG_W} END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 6 IN (3, 4) THEN {JPEG_H} ELSE {IMG_H} END AS INT) AS height,
+       {pick(0)} AS sum_r,
+       {pick(1)} AS sum_g,
+       {pick(2)} AS sum_b
 FROM documents ORDER BY doc_id
 """
 

@@ -1996,6 +1996,106 @@ def test_jpeg_codec_roundtrip_and_boundaries():
             decode_jpeg(bad)
 
 
+def test_gif_codec_roundtrip_interlace_compose_and_boundaries():
+    """functions/gif.py (r11): full LZW + container GIF codec.
+
+    1. encode→decode is EXACT for palettized content, including a big
+       noisy image that overflows the 4096-entry LZW dictionary (reset
+       path) and a run-heavy image (the KwKwK code case);
+    2. an INTERLACED stream (hand-assembled with the codec's own LZW over
+       pass-ordered rows) de-interlaces to the original;
+    3. a smaller first frame composites at its offset over the background
+       color, and a LOCAL color table overrides the global one;
+    4. extensions (GCE/comment) are walked and skipped;
+    5. dispatch via sniff_format/decode_any/encode;
+    6. >256 distinct colors refuses to encode; truncations at every cut
+       point raise ImageFormatError, never IndexError/struct.error."""
+    import random
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from pinterest_data_pipeline218_spark.functions import imaging
+    from pinterest_data_pipeline218_spark.functions.gif import (
+        _lzw_compress,
+        _write_subblocks,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = random.Random(11)
+
+    # --- 1a: noisy 64x80 image over a 256-gray palette (LZW dict reset)
+    W, H = 64, 80
+    px = bytearray()
+    for _ in range(W * H):
+        v = rng.randrange(256)
+        px += bytes((v, v, v))
+    data = encode_gif(W, H, bytes(px))
+    assert decode_gif(data) == (W, H, bytes(px))
+    # --- 1b: run-heavy content (KwKwK) round-trips too
+    runs = bytearray()
+    for i in range(W * H):
+        v = (i // 97) % 7
+        runs += bytes((v * 30, v * 30, v * 30))
+    assert decode_gif(encode_gif(W, H, bytes(runs)))[2] == bytes(runs)
+
+    # --- 5: dispatch
+    assert imaging.sniff_format(data) == "gif"
+    assert imaging.decode_any(data) == ("gif", W, H, bytes(px))
+    assert imaging.decode_any(imaging.encode("gif", W, H, bytes(px)))[3] == bytes(px)
+
+    # --- 2: interlaced stream, hand-assembled
+    iw, ih = 9, 13
+    idx = bytes(rng.randrange(4) for _ in range(iw * ih))
+    pal = b"".join(bytes((c * 60, c * 60, c * 60)) for c in range(4))
+    rows = [idx[y * iw : (y + 1) * iw] for y in range(ih)]
+    order = [y for off, step in ((0, 8), (4, 8), (2, 4), (1, 2)) for y in range(off, ih, step)]
+    inter = b"".join(rows[y] for y in order)
+    gif = bytearray()
+    gif += b"GIF89a" + _struct.pack("<HH", iw, ih) + bytes((0x80 | 1, 0, 0)) + pal
+    gif += b"\x2c" + _struct.pack("<HHHH", 0, 0, iw, ih) + bytes((0x40,))  # interlaced
+    gif += bytes((2,)) + _write_subblocks(_lzw_compress(inter, 2)) + b"\x3b"
+    w2, h2, rgb2 = decode_gif(bytes(gif))
+    want = b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+    assert (w2, h2, rgb2) == (iw, ih, want)
+
+    # --- 3 + 4: 2x2 frame at offset (1,1) on a 4x3 screen, LOCAL palette,
+    # bg color from the GLOBAL palette, a GCE and a comment to skip
+    gpal = bytes((9, 9, 9)) + bytes((200, 0, 0))  # bg index 1 = red
+    lpal = bytes((0, 0, 250)) + bytes((0, 250, 0))
+    frame = bytes((0, 1, 1, 0))
+    gif = bytearray()
+    gif += b"GIF89a" + _struct.pack("<HH", 4, 3) + bytes((0x80, 1, 0)) + gpal
+    gif += b"\x21\xf9" + _write_subblocks(b"\x00\x00\x00\x00")  # GCE
+    gif += b"\x21\xfe" + _write_subblocks(b"hi")  # comment
+    gif += b"\x2c" + _struct.pack("<HHHH", 1, 1, 2, 2) + bytes((0x80,)) + lpal
+    gif += bytes((2,)) + _write_subblocks(_lzw_compress(frame, 2)) + b"\x3b"
+    w3, h3, rgb3 = decode_gif(bytes(gif))
+    assert (w3, h3) == (4, 3)
+    at = lambda x, y: rgb3[(y * 4 + x) * 3 : (y * 4 + x) * 3 + 3]  # noqa: E731
+    assert at(0, 0) == bytes((200, 0, 0))  # background
+    assert at(1, 1) == bytes((0, 0, 250)) and at(2, 1) == bytes((0, 250, 0))
+    assert at(1, 2) == bytes((0, 250, 0)) and at(2, 2) == bytes((0, 0, 250))
+
+    # --- 6: boundaries
+    toomany = bytes(
+        b for i in range(300) for b in ((i >> 8) & 0xFF, i & 0xFF, 0)
+    )
+    with _pytest.raises(imaging.ImageFormatError, match="256"):
+        encode_gif(300, 1, toomany)
+    # every cut INSIDE the frame data raises; the one tolerated prefix is
+    # "everything but the 0x3B trailer" (the frame is complete — the same
+    # lenient-tail stance as the codec's missing-EOI tolerance)
+    for cut in range(0, len(data) - 1):
+        with _pytest.raises(imaging.ImageFormatError):
+            decode_gif(data[:cut])
+    assert decode_gif(data[:-1]) == (W, H, bytes(px))
+    for bad in (b"GIF89a", b"GIF87a\x00"):
+        with _pytest.raises(imaging.ImageFormatError):
+            decode_gif(bad)
+
+
 def test_jpeg_resize_reencodes_natively():
     """resize_image on a JPEG payload decodes, nearest-neighbor resamples,
     and re-encodes as JPEG natively (no PIL): block-constant input stays
@@ -2047,6 +2147,7 @@ def test_decode_kernel_survives_fuzzed_payloads(spark):
         JPEG_H,
         JPEG_W,
         _fixture_pixels,
+        _gif_fixture_pixels,
         _jpeg_fixture_pixels,
         extract_image_features,
     )
@@ -2060,6 +2161,7 @@ def test_decode_kernel_survives_fuzzed_payloads(spark):
         encode_jpeg_progressive(
             JPEG_W, JPEG_H, _jpeg_fixture_pixels(4), grayscale=True
         ),
+        imaging.encode("gif", IMG_W, IMG_H, _gif_fixture_pixels(5)),
     ]
 
     def mutate(data: bytes) -> bytes:
