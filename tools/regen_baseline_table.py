@@ -34,6 +34,7 @@ NOTE_OVERRIDES = {
     "ev_approx_distinct_users": "r11: bounds-attested oracle (exact + 5% boolean)",
     "ev_approx_value_quantiles": "r11: rank-interval attestation (2% ranks)",
     "ev_theta_user_overlap": "r11: exact set arithmetic + 2% attestations",
+    "mm_image_decode": "r11: 6-class fixture (adds palettized GIF / full LZW decode)",
 }
 
 
