@@ -2078,6 +2078,17 @@ def test_gif_codec_roundtrip_interlace_compose_and_boundaries():
     assert at(1, 1) == bytes((0, 0, 250)) and at(2, 1) == bytes((0, 250, 0))
     assert at(1, 2) == bytes((0, 250, 0)) and at(2, 2) == bytes((0, 0, 250))
 
+    # --- resize path: decode -> nearest-neighbor -> re-encode IN GIF
+    # (nearest-neighbor only selects existing pixels, so the palette can
+    # never grow past the source's — re-encode always legal)
+    from pinterest_data_pipeline218_spark.operators.multimodal import resize_image
+
+    small = resize_image(data, 16, 10)
+    fmt_s, ws, hs, rgbs = imaging.decode_any(small)
+    assert (fmt_s, ws, hs) == ("gif", 16, 10)
+    want_small = imaging.resize_nearest(W, H, bytes(px), 16, 10)
+    assert rgbs == want_small
+
     # --- 6: boundaries
     toomany = bytes(
         b for i in range(300) for b in ((i >> 8) & 0xFF, i & 0xFF, 0)
