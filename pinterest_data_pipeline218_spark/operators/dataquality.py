@@ -341,19 +341,48 @@ def dq_events_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     binned = ev.crossJoin(F.broadcast(span)).select(
         "event_type",
-        F.least(
-            F.expr(
-                f"cast(cast(value as decimal(18,2)) * 100 as bigint)"
-                f" div {DRIFT_BIN_CENTI}"
-            ),
-            F.lit(DRIFT_N_BINS - 1),
-        ).alias("bin"),
+        drift_bin().alias("bin"),
         (F.unix_micros("ts") * 2 < F.col("t0") + F.col("t1")).alias("first_half"),
     )
     cells = binned.groupBy("event_type", "bin").agg(
         F.count(F.when(F.col("first_half"), 1)).alias("n_first"),
         F.count(F.when(~F.col("first_half"), 1)).alias("n_second"),
     )
+    return drift_report(cells)
+
+
+def drift_bin() -> F.Column:
+    """The fixed-width bin of the `value` column every drift surface
+    shares (mergeable across partitions AND snapshots, unlike quantile
+    bins) — integer `div`, no float division anywhere."""
+    return F.least(
+        F.expr(
+            f"cast(cast(value as decimal(18,2)) * 100 as bigint)"
+            f" div {DRIFT_BIN_CENTI}"
+        ),
+        F.lit(DRIFT_N_BINS - 1).cast("bigint"),
+    )
+
+
+def drift_cells(df: DataFrame, side: str) -> DataFrame:
+    """(event_type, bin, n) for one snapshot — the purely ADDITIVE drift
+    state (cell counts sum across micro-batches / partitions), bounded at
+    |types| × {DRIFT_N_BINS} rows. `side` only names the count column."""
+    return (
+        df.select("event_type", drift_bin().alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias(side))
+    )
+
+
+def drift_report(cells: DataFrame) -> DataFrame:
+    """The shared drift FINISHER: joint (event_type, bin, n_first,
+    n_second) cells → per-type totals → the integer cross-multiplied
+    >2pp share-shift flag. Consumed verbatim by the gated
+    dq_events_drift (single-pass conditional-count cells) and by the
+    streaming baseline-vs-accumulated assembly
+    (incremental_events_drift) — so stream == batch equality is exact by
+    construction, not approximately."""
     totals = cells.groupBy("event_type").agg(
         F.sum("n_first").alias("tot_first"),
         F.sum("n_second").alias("tot_second"),

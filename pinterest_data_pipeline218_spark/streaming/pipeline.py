@@ -789,6 +789,73 @@ def incremental_cm_top_users(
     return cm_finish(counters, key_counts, key_col, top_n=top_n)
 
 
+def drift_state_batch(
+    batch_df: DataFrame, state_dir: str, batch_id: int = -1
+) -> None:
+    """One micro-batch's drift-cell contribution — the purely ADDITIVE
+    state (per-(type, bin) counts sum across batches), bounded at
+    |types| × DRIFT_N_BINS rows per batch. Same batch_id
+    overwrite-partition idempotence contract as the other incremental
+    dashboards (a replayed batch overwrites itself, never double-counts)."""
+    from ..operators.dataquality import drift_cells
+
+    drift_cells(batch_df, "n").write.mode("overwrite").parquet(
+        f"{state_dir}/drift/batch_id={batch_id}"
+    )
+
+
+def incremental_events_drift(
+    spark: SparkSession, baseline: DataFrame, state_dir: str
+) -> DataFrame:
+    """Streaming drift monitor: compare a FIXED baseline snapshot against
+    the accumulating stream. Merge the per-batch cells by addition (cell
+    counts are additive), full-outer join against the baseline's cells
+    (zero-filling either side — a bin seen in only one snapshot still
+    drifts), then EXACTLY the batch finisher `drift_report` — so stream
+    == batch equality is exact and pytest-proved
+    (`test_incremental_drift_equals_batch`). Baseline = n_first,
+    accumulated stream = n_second, matching dq_events_drift's
+    first/second-half column contract."""
+    from ..operators.dataquality import drift_cells, drift_report
+
+    base_cells = drift_cells(baseline, "n_first")
+    if not os.path.isdir(f"{state_dir}/drift"):
+        cur = base_cells.select(
+            "event_type", "bin", F.lit(0).cast("bigint").alias("n_second")
+        ).limit(0)
+    else:
+        cur = (
+            spark.read.parquet(f"{state_dir}/drift")
+            .groupBy("event_type", "bin")
+            .agg(F.sum("n").alias("n_second"))
+        )
+    cells = (
+        base_cells.join(cur, ["event_type", "bin"], "full_outer")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("n_first", F.lit(0)).alias("n_first"),
+            F.coalesce("n_second", F.lit(0)).alias("n_second"),
+        )
+    )
+    return drift_report(cells)
+
+
+def attach_drift_stream(
+    stream_ev: DataFrame, state_dir: str, checkpoint: str
+):
+    """Wire the drift-cell accumulator onto an events stream via
+    foreachBatch (the sink-side assembly every incremental dashboard here
+    uses); read the monitor at any time with incremental_events_drift."""
+    return (
+        stream_ev.writeStream.foreachBatch(
+            lambda df, bid: drift_state_batch(df, state_dir, bid)
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def gapfill_state_batch(
     batch_df: DataFrame, state_dir: str, batch_id: int = -1
 ) -> None:

@@ -1925,6 +1925,66 @@ def test_incremental_hist_quantiles_equals_batch(spark, tmp_path):
     assert by["view"] == (9900, 10000)
 
 
+def test_incremental_drift_equals_batch(spark, tmp_path):
+    """The r11 drift monitor's streaming twin: accumulating per-batch
+    ADDITIVE drift cells against a fixed baseline must EXACTLY equal the
+    batch finisher over (baseline, union-of-batches) — including bins
+    present in only one snapshot (zero-filled on the other side), a
+    planted >2pp share shift that must flag, and a replayed batch
+    (overwrite-partition idempotence)."""
+    from pinterest_data_pipeline218_spark.operators.dataquality import (
+        drift_cells,
+        drift_report,
+    )
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        drift_state_batch,
+        incremental_events_drift,
+    )
+
+    # baseline: 50/50 split between bins 0 (v=10) and 1 (v=30), plus a
+    # bin-19 value the stream never produces (one-sided cell)
+    base_rows = (
+        [("click", 10.0)] * 50 + [("click", 30.0)] * 50 + [("click", 499.0)]
+    )
+    baseline = spark.createDataFrame(base_rows, "event_type string, value double")
+    # stream: 80/20 split (shift >2pp on both bins) + a bin-2 value the
+    # baseline never produced
+    batches = [
+        [("click", 10.0)] * 50 + [("click", 30.0)] * 10,
+        [("click", 10.0)] * 30 + [("click", 30.0)] * 10 + [("click", 60.0)],
+    ]
+    state = str(tmp_path / "state")
+    for bid, rows in enumerate(batches):
+        drift_state_batch(
+            spark.createDataFrame(rows, "event_type string, value double"),
+            state, bid,
+        )
+    drift_state_batch(
+        spark.createDataFrame(batches[1], "event_type string, value double"),
+        state, 1,
+    )  # replay must not double-count
+
+    got = incremental_events_drift(spark, baseline, state).collect()
+    union = spark.createDataFrame(
+        [r for rows in batches for r in rows], "event_type string, value double"
+    )
+    joint = (
+        drift_cells(baseline, "n_first")
+        .join(drift_cells(union, "n_second"), ["event_type", "bin"], "full_outer")
+        .selectExpr(
+            "event_type", "bin",
+            "coalesce(n_first, 0) AS n_first",
+            "coalesce(n_second, 0) AS n_second",
+        )
+    )
+    want = drift_report(joint).collect()
+    assert got == want
+    by = {r.bin: r for r in got}
+    assert by[0].shifted is True and by[1].shifted is True  # planted shift
+    assert by[19].n_second == 0 and by[2].n_first == 0  # one-sided cells
+    assert by[0].n_second == 80  # replay did not double-count
+
+
 def test_incremental_hist_before_first_batch_is_empty(spark, tmp_path):
     from pinterest_data_pipeline218_spark.streaming.pipeline import (
         incremental_hist_quantiles,
@@ -2199,6 +2259,70 @@ def test_attach_markov_stream_end_to_end(spark, tmp_path):
     # click->purchase (0->2, carried through batch 1)
     cells = {(r.from_type, r.to_type): r.n for r in got}
     assert cells == {("view", "click"): 1, ("click", "purchase"): 2}
+
+
+def test_attach_drift_stream_end_to_end(spark, tmp_path):
+    """attach_drift_stream drives drift_state_batch with Structured
+    Streaming's real batch ids: file-triggered micro-batches accumulate
+    drift cells, and the monitor read afterward equals the batch
+    finisher over (baseline, union) — with the planted shift flagged."""
+    import json
+    import os
+    import time
+
+    from pinterest_data_pipeline218_spark.operators.dataquality import (
+        drift_cells,
+        drift_report,
+    )
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        attach_drift_stream,
+        incremental_events_drift,
+    )
+
+    baseline = spark.createDataFrame(
+        [("click", 10.0)] * 50 + [("click", 30.0)] * 50,
+        "event_type string, value double",
+    )
+    batches = [
+        [("click", 10.0)] * 40 + [("click", 30.0)] * 5,
+        [("click", 10.0)] * 40 + [("click", 30.0)] * 5,
+    ]
+    src = tmp_path / "blobs"
+    src.mkdir()
+    base = time.time() - 100
+    for i, rows in enumerate(batches):
+        path = src / f"{i:03d}.jsonl"
+        with open(path, "w") as f:
+            for ty, v in rows:
+                f.write(json.dumps({"event_type": ty, "value": v}) + "\n")
+        os.utime(path, (base + 10 * i, base + 10 * i))
+    stream = (
+        spark.readStream.format("json")
+        .schema("event_type string, value double")
+        .option("maxFilesPerTrigger", "1").load(str(src))
+    )
+    state = str(tmp_path / "state")
+    q = attach_drift_stream(stream, state, str(tmp_path / "cp"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = incremental_events_drift(spark, baseline, state).collect()
+    union = spark.createDataFrame(
+        [r for rows in batches for r in rows], "event_type string, value double"
+    )
+    joint = (
+        drift_cells(baseline, "n_first")
+        .join(drift_cells(union, "n_second"), ["event_type", "bin"], "full_outer")
+        .selectExpr(
+            "event_type", "bin",
+            "coalesce(n_first, 0) AS n_first",
+            "coalesce(n_second, 0) AS n_second",
+        )
+    )
+    assert got == drift_report(joint).collect()
+    by = {r.bin: r for r in got}
+    assert by[0].shifted is True  # 50% -> 89% share
+    assert (by[0].n_second, by[1].n_second) == (80, 10)
 
 
 def test_composed_incremental_dashboards_share_one_stream(spark, tmp_path):
