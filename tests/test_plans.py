@@ -978,6 +978,36 @@ def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
     assert out == set(), f"window-priority queries outside the checked window: {out}"
 
 
+def test_ledger_covers_registry_and_row_verdict_matches_driver(qs):
+    """VERDICT r11 #2: tools/ledger.py makes the staleness computation
+    mechanical. Pins (a) every registry name has at least one driver
+    CORRECTNESS row in the ledger (182/182 were windowed by r11), (b) the
+    per-row green verdict mirrors the driver's (rows+schema must match,
+    hash_match None = the weaker rows-only check still counts as green,
+    hash_match False = red), and (c) the latest-round-wins merge."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from tools.ledger import _row_green, load_ledger
+
+    ledger = load_ledger()
+    missing = set(qs) - set(ledger)
+    assert missing == set(), f"registry names never windowed: {missing}"
+    for name in qs:
+        ent = ledger[name]
+        assert ent["round"] >= 1
+        assert ent["round"] == max(r for r, _ in ent["rounds"])
+
+    assert _row_green({"rows_match": True, "schema_match": True,
+                       "hash_match": True})
+    assert _row_green({"rows_match": True, "schema_match": True,
+                       "hash_match": None})
+    assert not _row_green({"rows_match": True, "schema_match": True,
+                           "hash_match": False})
+    assert not _row_green({"rows_match": False, "schema_match": True,
+                           "hash_match": True})
+
+
 def test_corpus_build_tokenizes_once_per_branch(spark):
     """Single-pass tokenization guard: in the multi-gate corpus build every
     gate (quality, repetition, decontamination) and the chunker must read

@@ -1,0 +1,126 @@
+"""Staleness ledger: per-query latest driver CORRECTNESS round.
+
+Joins the live registry (``__spark_entry__.queries()``) against every
+committed ``CORRECTNESS_r*.json`` and prints, per query, the most recent
+driver round that produced a row for it and whether that row was green.
+This is the computation the window-rotation comments in
+``__spark_entry__.py`` cite: the 50-slot driver window should always take
+(a) rows whose plan/contract/fixture changed this round, then (b) the
+stalest remaining rows, so no green ages more than a few rounds.
+
+Usage:
+    python tools/ledger.py            # full table, stalest first
+    python tools/ledger.py --max N    # only rows whose latest round <= N
+    python tools/ledger.py --summary  # round -> count histogram only
+    python tools/ledger.py --window   # current first-50 window + their ages
+
+Exit status is 0 always — this is a reporting tool, not a gate (the gate
+is the driver's own CORRECTNESS run plus tools/selfcheck.py).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _row_green(v: dict) -> bool:
+    # Mirrors the driver's per-row verdict: rows + schema must match, and the
+    # value hash must match when the driver computed one (hash_match is None
+    # for the weaker rows-only check on oracle-less entries).
+    return bool(
+        v.get("rows_match")
+        and v.get("schema_match")
+        and v.get("hash_match") in (True, None)
+    )
+
+
+def load_ledger(repo: str = REPO) -> dict[str, dict]:
+    """name -> {round, green, rounds: [(round, green), ...]} from all
+    CORRECTNESS_r*.json files, latest round winning."""
+    ledger: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as f:
+            data = json.load(f)
+        if not isinstance(data, dict):
+            continue
+        for name, v in data.items():
+            if not isinstance(v, dict):
+                continue
+            green = _row_green(v)
+            ent = ledger.setdefault(name, {"rounds": []})
+            ent["rounds"].append((rnd, green))
+            ent["round"] = rnd
+            ent["green"] = green
+    return ledger
+
+
+def registry_names() -> list[str]:
+    import __spark_entry__ as entrymod
+
+    return list(entrymod.queries())
+
+
+def main(argv: list[str]) -> int:
+    max_round = None
+    summary = "--summary" in argv
+    window = "--window" in argv
+    if "--max" in argv:
+        max_round = int(argv[argv.index("--max") + 1])
+
+    ledger = load_ledger()
+    names = registry_names()
+
+    rows = []
+    for name in names:
+        ent = ledger.get(name)
+        rnd = ent["round"] if ent else 0  # 0 = never windowed
+        green = ent["green"] if ent else None
+        rows.append((rnd, name, green, len(ent["rounds"]) if ent else 0))
+
+    stale_names = {name for name in ledger if name not in set(names)}
+    if stale_names:
+        print(f"# WARNING: {len(stale_names)} ledger names not in registry "
+              f"(renamed/retired): {sorted(stale_names)}")
+
+    if summary:
+        hist: dict[int, int] = {}
+        for rnd, _, _, _ in rows:
+            hist[rnd] = hist.get(rnd, 0) + 1
+        for rnd in sorted(hist):
+            label = f"r{rnd:02d}" if rnd else "never"
+            print(f"{label}\t{hist[rnd]}")
+        return 0
+
+    if window:
+        print("# current first-50 driver window (name, latest round, green)")
+        for rnd, name, green, n in sorted(
+            ((r, nm, g, n) for r, nm, g, n in rows if nm in set(names[:50])),
+            key=lambda t: (t[0], t[1]),
+        ):
+            print(f"r{rnd:02d}\t{'green' if green else 'RED' if green is False else 'never'}\t{name}")
+        return 0
+
+    rows.sort(key=lambda t: (t[0], t[1]))  # stalest first
+    for rnd, name, green, n in rows:
+        if max_round is not None and rnd > max_round:
+            continue
+        label = f"r{rnd:02d}" if rnd else "never"
+        status = "green" if green else ("RED" if green is False else "never")
+        print(f"{label}\t{status}\t{n}x\t{name}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
