@@ -185,6 +185,14 @@ def encode_gif(width: int, height: int, pixels: bytes) -> bytes:
     image's distinct colors in ascending RGB order (deterministic);
     > 256 distinct colors raises (GIF is a palettized format — quantize
     upstream)."""
+    # The module's typed-error contract holds at the ENCODER boundary too
+    # (ADVICE r11): width/height > 65535 would escape as struct.error from
+    # struct.pack("<HH", ...), and a 0x0 input would encode a payload
+    # decode_gif rejects as implausible. Mirror the decoder's guard.
+    if not (1 <= width <= 0xFFFF and 1 <= height <= 0xFFFF):
+        raise ImageFormatError(
+            f"GIF dimensions must be in [1, 65535], got {width}x{height}"
+        )
     if len(pixels) != width * height * 3:
         raise ImageFormatError(
             f"pixel buffer is {len(pixels)} bytes, want {width * height * 3}"

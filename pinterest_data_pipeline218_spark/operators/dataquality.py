@@ -354,13 +354,21 @@ def dq_events_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def drift_bin() -> F.Column:
     """The fixed-width bin of the `value` column every drift surface
     shares (mergeable across partitions AND snapshots, unlike quantile
-    bins) — integer `div`, no float division anywhere."""
-    return F.least(
-        F.expr(
-            f"cast(cast(value as decimal(18,2)) * 100 as bigint)"
-            f" div {DRIFT_BIN_CENTI}"
+    bins) — integer `div`, no float division anywhere. Clamped to
+    [0, DRIFT_N_BINS-1] on BOTH ends: without the GREATEST a negative
+    `value` yields a negative bin, where Spark's `div` (truncate toward
+    zero) and DuckDB's `//` (floor) disagree (-0.5 → bin 0 vs bin -1) —
+    and drift_cells is the reusable streaming-state primitive, fed
+    arbitrary batch data, not just the non-negative events fixture."""
+    return F.greatest(
+        F.least(
+            F.expr(
+                f"cast(cast(value as decimal(18,2)) * 100 as bigint)"
+                f" div {DRIFT_BIN_CENTI}"
+            ),
+            F.lit(DRIFT_N_BINS - 1).cast("bigint"),
         ),
-        F.lit(DRIFT_N_BINS - 1).cast("bigint"),
+        F.lit(0).cast("bigint"),
     )
 
 
@@ -413,8 +421,8 @@ WITH span AS (
   SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1 FROM events
 ), binned AS (
   SELECT event_type,
-         LEAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-               // {DRIFT_BIN_CENTI}, {DRIFT_N_BINS - 1}) AS bin,
+         GREATEST(LEAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+               // {DRIFT_BIN_CENTI}, {DRIFT_N_BINS - 1}), 0) AS bin,
          epoch_us(ts) * 2 < t0 + t1 AS first_half
   FROM events, span
 ), cells AS (

@@ -1154,7 +1154,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. candidates also pass the length filter t·|A| ≤ |B| ≤ |A|/t
        (cross-multiplied integers), then VERIFY exactly: join back both
        full shingle-string arrays and score one array_intersect per
-       surviving pair.
+       surviving pair. The threshold gate is the exact rational
+       inter·den ≥ union·num (ADVICE r11) — never the rounded float, so
+       the admitted set is precisely the J ≥ t set the prefix-filter
+       lemma covers, at any corpus size.
 
     The order is LEXICOGRAPHIC, computed scan-side (array_sort + slice —
     zero extra passes). Any consistent total order is prefix-valid;
@@ -1230,15 +1233,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.col("doc_id").alias("doc_b"),
         F.col("sh").alias("sh_b"), F.col("n").alias("n_b"),
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = F.round(
-        F.try_divide(inter, F.col("n_a") + F.col("n_b") - inter), 6
-    ).cast("double")
+    # Threshold on the EXACT RATIONAL inter·den ≥ union·num, not the
+    # rounded float (ADVICE r11): the prefix filter only guarantees recall
+    # for true J ≥ t, so a pair with J ∈ [t − 5e-7, t) — which ROUND(j,6)
+    # would admit — must be excluded by the gate in BOTH engines, or the
+    # oracle's exhaustive scan could keep a pair the prefix filter prunes.
+    # The displayed jaccard column stays the rounded double.
     return (
         cand.join(va, ["source", "doc_a"])
         .join(vb, ["source", "doc_b"])
-        .select("source", "doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= NGRAM_T_NUM / NGRAM_T_DEN)
+        .withColumn("__i", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("__u", F.col("n_a") + F.col("n_b") - F.col("__i"))
+        .filter(F.col("__i") * NGRAM_T_DEN >= F.col("__u") * NGRAM_T_NUM)
+        .select(
+            "source",
+            "doc_a",
+            "doc_b",
+            F.round(F.try_divide(F.col("__i"), F.col("__u")), 6)
+            .cast("double")
+            .alias("jaccard"),
+        )
         .orderBy("source", "doc_a", "doc_b")
     )
 
@@ -1252,9 +1266,8 @@ SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(ROUND(len(list_intersect(a.s, b.s))
             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS DOUBLE) AS jaccard
 FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE ROUND(len(list_intersect(a.s, b.s))
-      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)
-      >= {NGRAM_T_NUM / NGRAM_T_DEN}
+WHERE len(list_intersect(a.s, b.s)) * {NGRAM_T_DEN}
+      >= len(list_distinct(list_concat(a.s, b.s))) * {NGRAM_T_NUM}
 ORDER BY source, doc_a, doc_b
 """
 

@@ -588,7 +588,12 @@ def ev_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     four EXACT cardinalities (one per-user flag pass — bool_or(click),
     bool_or(purchase), then one 1-row count; both engines compute these
     identically) plus four booleans attesting each theta estimate is
-    within max(1, 2%) of its exact value. DuckDB has no theta sketch, so
+    within max(1, 2%) of its exact value — except the intersection, which
+    attests within max(1, 2% of EITHER_USERS), because theta intersection
+    error scales with the union cardinality (the relative-error guarantee
+    is on the union-sized sample the intersection is estimated from), so
+    a 2%-of-exact bound on a small overlap inside a big union would flip
+    red on a healthy sketch at larger SFs. DuckDB has no theta sketch, so
     its oracle emits the literal TRUE expectation — the gate therefore
     reads "Spark's theta estimates must all be inside the bound", which
     is exactly the contract pytest pins (test_theta_sketch_overlap_
@@ -639,10 +644,17 @@ def ev_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("either_users"),
     )
 
-    def ok(est_col: str, exact_col: str):
+    def ok(est_col: str, exact_col: str, scale_col: str | None = None):
+        # Theta INTERSECTION error scales with the UNION cardinality, not
+        # the intersection (ADVICE r11): a small true overlap inside a big
+        # union can carry absolute error ~2% of the union while the sketch
+        # is perfectly healthy. So est_both attests against either_users;
+        # the three sketches whose error tracks their own cardinality
+        # attest against themselves.
+        scale = F.col(scale_col or exact_col)
         return (
             F.abs(F.col(est_col) - F.col(exact_col))
-            <= F.greatest(F.lit(1.0), F.col(exact_col) * 0.02)
+            <= F.greatest(F.lit(1.0), scale * 0.02)
         ).alias(f"theta_{exact_col.split('_')[0]}_ok")
 
     return exact.crossJoin(F.broadcast(est)).select(
@@ -652,7 +664,7 @@ def ev_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "either_users",
         ok("est_click", "click_users"),
         ok("est_purchase", "purchase_users"),
-        ok("est_both", "both_users"),
+        ok("est_both", "both_users", scale_col="either_users"),
         ok("est_either", "either_users"),
     )
 

@@ -1104,7 +1104,9 @@ def test_theta_sketch_overlap_matches_exact_sets(spark):
         users.setdefault(r.event_type, set()).add(r.user_id)
     c, p = users["click"], users["purchase"]
     # the r11 bounds-attested schema: exact cardinalities are exact, and
-    # every theta attestation (|est − exact| ≤ max(1, 2%·exact)) is TRUE
+    # every theta attestation is TRUE (|est − exact| ≤ max(1, 2%·exact);
+    # the intersection attests vs 2%·either_users — its error scales with
+    # the union, ADVICE r11)
     for got, want in [
         (row.click_users, len(c)),
         (row.purchase_users, len(p)),
@@ -2095,6 +2097,11 @@ def test_gif_codec_roundtrip_interlace_compose_and_boundaries():
     )
     with _pytest.raises(imaging.ImageFormatError, match="256"):
         encode_gif(300, 1, toomany)
+    # encoder dimension guard (ADVICE r11): oversize must raise the TYPED
+    # error, not struct.error; 0x0 must not encode an undecodable payload
+    for w, h, n in ((0, 0, 0), (65536, 1, 65536), (1, 70000, 70000)):
+        with _pytest.raises(imaging.ImageFormatError, match="65535"):
+            encode_gif(w, h, b"\x00\x00\x00" * n)
     # every cut INSIDE the frame data raises; the one tolerated prefix is
     # "everything but the 0x3B trailer" (the frame is complete — the same
     # lenient-tail stance as the codec's missing-EOI tolerance)
@@ -2465,13 +2472,14 @@ def test_ngram_jaccard_ppjoin_matches_exhaustive_model(spark, tmp_path):
         toks = text.split(" ")
         return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
 
-    t = NGRAM_T_NUM / NGRAM_T_DEN
     expected = {}
     for i, (ida, _, ta) in enumerate(rows):
         for idb, _, tb in rows[i + 1:]:
             sa, sb = shingles(ta), shingles(tb)
-            j = round(len(sa & sb) / len(sa | sb), 6)
-            if j >= t:
+            # the r12 contract: EXACT rational gate inter·den >= union·num
+            # (never the rounded float — ADVICE r11)
+            if len(sa & sb) * NGRAM_T_DEN >= len(sa | sb) * NGRAM_T_NUM:
+                j = round(len(sa & sb) / len(sa | sb), 6)
                 expected[(min(ida, idb), max(ida, idb))] = j
     assert expected, "fixture must plant pairs above the threshold"
     got = {
@@ -3423,6 +3431,28 @@ def test_events_drift_flags_planted_shift(spark, tmp_path):
     assert got[0].shifted is True and got[1].shifted is True
     assert got[19].n_first == 1 and got[19].n_second == 1
     assert got[19].shifted is False  # share moved < 2pp
+
+
+def test_drift_bin_clamps_negative_values_to_bin_zero(spark):
+    """ADVICE r11: drift_bin's domain must be [0, DRIFT_N_BINS-1] for ANY
+    input sign — a negative `value` used to produce a negative bin, where
+    Spark's `div` (truncate toward zero) and DuckDB's `//` (floor)
+    disagree (-0.5 → 0 vs -1). drift_cells is the reusable streaming-state
+    primitive, so it must be sign-safe even though the events fixture is
+    non-negative."""
+    from pinterest_data_pipeline218_spark.operators.dataquality import (
+        DRIFT_N_BINS,
+        drift_cells,
+    )
+
+    df = spark.createDataFrame(
+        [("a", -0.5), ("a", -731.25), ("a", 0.0), ("a", 30.0), ("a", 1e6)],
+        "event_type string, value double",
+    )
+    got = {r.bin: r.n for r in drift_cells(df, "n").collect()}
+    assert min(got) == 0 and max(got) == DRIFT_N_BINS - 1
+    assert got[0] == 3  # both negatives AND the true 0.0 land in bin 0
+    assert got[1] == 1  # 30.0 → bin 1 (25-unit bins), untouched by the clamp
 
 
 def test_value_ntiles_bucket_sizes_and_boundaries(spark):

@@ -45,10 +45,14 @@ def main() -> None:
     md_path = os.path.join(root, "BASELINE.md")
     src = open(md_path).read()
 
-    # harvest existing notes
+    # harvest existing notes — the sec/iqr fields must also accept the
+    # non-numeric renderings this tool itself emits (sec 'ERR', iqr '-' or
+    # 'None'), or an errored/None row's note is silently dropped on the
+    # NEXT regeneration (ADVICE r11)
     notes: dict[str, str] = {}
     for m in re.finditer(
-        r"^\| ([a-z0-9_]+) \| [0-9.]+ \| [0-9.]+ \| [0-9.-]+ \| (.*) \|$",
+        r"^\| ([a-z0-9_]+) \| [0-9.]+ \| (?:[0-9.]+|ERR) \|"
+        r" (?:[0-9.-]+|None) \| (.*) \|$",
         src,
         re.M,
     ):
