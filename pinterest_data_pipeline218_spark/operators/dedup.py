@@ -1366,25 +1366,70 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to dedup_ngram_jaccard — shuffle on (block key,
     salt chunk), hot blocks spread over BLOCK_SALT tasks
-    (_salted_block_pairs), shingle sets built once scan-side and carried
-    through the join; the per-pair work is two set-size expressions and
-    integer divisions (no floats). At corpus scale the blocking key is the
-    LSH band bucket instead of `source` — the same swap the minhash
-    pipeline documents."""
+    (_salted_block_pairs), hashed shingle sets screen the quadratic stage
+    and surviving pairs verify EXACTLY on the string sets (r12 — scores
+    carry no hash step, so the output is unconditionally exact at any
+    corpus size). At corpus scale the blocking key is the LSH band bucket
+    instead of `source` — the same swap the minhash pipeline documents."""
     return containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _cont_shingle_strings(docs: DataFrame, *keys: str) -> DataFrame:
+    """(keys..., shs): the exact STRING shingle set per document — the
+    verify-side input every containment scorer reads post-r12. Scores
+    computed from these sets are unconditionally exact (no hash step
+    anywhere in a score), retiring the 2^-60 md5-collision caveat the
+    r5–r11 hashed-scoring forms documented (VERDICT r11 #3 — the same
+    move dedup_ngram_jaccard's PPJoin verify made in r11)."""
+    return docs.select(
+        *keys,
+        F.array_distinct(
+            T.word_shingles(T.tokens(F.col("text")), CONTAINMENT_N)
+        ).alias("shs"),
+    )
+
+
+def _cont_hashed(shs_df: DataFrame) -> DataFrame:
+    """The 60-bit hashed rendering of the string shingle set, used ONLY
+    for candidate screening: 8-byte longs keep the quadratic/pair stage
+    ~2x cheaper than variable-length strings (measured r11), and a
+    string-overlapping pair ALWAYS shares a hash (hashing is a function),
+    so the screen is lossless for the exact contract. `shs` is dropped —
+    the screen must never ship string arrays through a pair join."""
+    return shs_df.withColumn(
+        "sh", F.transform("shs", lambda g: T.token_hash(g))
+    ).drop("shs")
+
+
+def _cont_score_exact(sized: DataFrame, order_keys: list[str]) -> DataFrame:
+    """Shared containment finisher over (.., n_sh_a, n_sh_b, n_common):
+    basis-point integer divisions + the sub-duplicate flag."""
+    ca = F.expr("(10000L * n_common) div n_sh_a")
+    cb = F.expr("(10000L * n_common) div n_sh_b")
+    drop = [c for c in ("n_sh_a", "n_sh_b") if c in sized.columns]
+    return (
+        sized.withColumn("cont_a_bp", ca)
+        .withColumn("cont_b_bp", cb)
+        .withColumn(
+            "subdup", F.greatest(ca, cb) >= CONTAINMENT_MIN_BP
+        )
+        .drop(*drop)
+        .orderBy(*order_keys)
+    )
 
 
 def containment_pairs(docs: DataFrame) -> DataFrame:
     """DataFrame→DataFrame combinator behind dedup_containment; expects
     (doc_id, source, text)."""
-    # Shingles are HASHED to 60-bit bigints scan-side (the dedup family's
-    # md5 token_hash, engine-neutral), so the O(block²) per-pair work
-    # intersects fixed-width longs instead of variable-length strings —
-    # measured ~2x on the pair stage, and the 8-byte elements are the form
-    # a 100 TB pair stream must ship anyway. Hash-set containment ==
-    # string-set containment except on md5-collisions (~2^-60 per pair of
-    # distinct shingles), and BOTH engines apply the same hash, so the
-    # oracle comparison stays value-exact unconditionally.
+    # Two-stage shape (the PPJoin discipline, ported here per VERDICT r11
+    # #3): the O(block²) SCREEN intersects 60-bit hashed shingles (8-byte
+    # longs, ~2x cheaper than strings, and lossless — a string overlap
+    # always implies a hash overlap), then the surviving pairs join back
+    # their STRING shingle sets and score exactly. Verification is
+    # per-survivor (= per output row, since the contract lists every
+    # overlapping pair), so the exactness upgrade costs one extra
+    # hash-join per side of the output stream, not a second quadratic
+    # stage.
     #
     # The shingle build is the CPU-heavy scan-side stage and the salted
     # self-join derives it on BOTH sides, so spread the narrow projection
@@ -1392,44 +1437,46 @@ def containment_pairs(docs: DataFrame) -> DataFrame:
     # otherwise pins the whole tokenize+hash pass to the scan tasks).
     par = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     docs = docs.select("doc_id", "source", "text").repartition(par)
-    sh = docs.select(
-        "doc_id",
-        "source",
-        F.array_distinct(
-            F.transform(
-                T.word_shingles(T.tokens(F.col("text")), CONTAINMENT_N),
-                lambda g: T.token_hash(g),
-            )
-        ).alias("sh"),
-    )
-    pairs = _salted_block_pairs(sh, "source", "doc_id")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    sized = pairs.filter(inter > 0).select(
+    base = _cont_shingle_strings(docs, "doc_id", "source")
+    pairs = _salted_block_pairs(_cont_hashed(base), "source", "doc_id")
+    screen = pairs.filter(
+        F.size(F.array_intersect("sh_a", "sh_b")) > 0
+    ).select(
         "source",
         F.col("doc_id_a").alias("doc_a"),
         F.col("doc_id_b").alias("doc_b"),
-        F.size("sh_a").alias("n_sh_a"),
-        F.size("sh_b").alias("n_sh_b"),
-        inter.alias("n_common"),
     )
-    ca = F.expr("(10000L * n_common) div n_sh_a")
-    cb = F.expr("(10000L * n_common) div n_sh_b")
-    return sized.select(
-        "source",
-        "doc_a",
-        "doc_b",
-        "n_common",
-        ca.alias("cont_a_bp"),
-        cb.alias("cont_b_bp"),
-        (F.greatest(ca, cb) >= CONTAINMENT_MIN_BP).alias("subdup"),
-    ).orderBy("source", "doc_a", "doc_b")
+    va = base.select(
+        "source", F.col("doc_id").alias("doc_a"), F.col("shs").alias("str_a")
+    )
+    vb = base.select(
+        "source", F.col("doc_id").alias("doc_b"), F.col("shs").alias("str_b")
+    )
+    n_common = F.size(F.array_intersect("str_a", "str_b"))
+    sized = (
+        screen.join(va, ["source", "doc_a"])
+        .join(vb, ["source", "doc_b"])
+        .select(
+            "source",
+            "doc_a",
+            "doc_b",
+            F.size("str_a").alias("n_sh_a"),
+            F.size("str_b").alias("n_sh_b"),
+            n_common.alias("n_common"),
+        )
+        .filter(F.col("n_common") > 0)
+    )
+    return _cont_score_exact(sized, ["source", "doc_a", "doc_b"]).select(
+        "source", "doc_a", "doc_b", "n_common",
+        "cont_a_bp", "cont_b_bp", "subdup",
+    )
 
 
 _CSH = T.word_shingles_sql("string_split(text, ' ')", CONTAINMENT_N)
 _CSH_HASHED = f"list_transform({_CSH}, __g -> {T.token_hash_sql('__g')})"
 DEDUP_CONTAINMENT_SQL = f"""
 WITH sh AS (
-  SELECT doc_id, source, list_distinct({_CSH_HASHED}) AS s FROM documents
+  SELECT doc_id, source, list_distinct({_CSH}) AS s FROM documents
 ), sized AS (
   SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
          len(a.s) AS n_sh_a, len(b.s) AS n_sh_b,
@@ -1477,40 +1524,25 @@ def containment_pairs_lsh(docs: DataFrame) -> DataFrame:
         .filter(_first_band_match())
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
-    sh = docs.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                T.word_shingles(T.tokens(F.col("text")), CONTAINMENT_N),
-                lambda g: T.token_hash(g),
-            )
-        ).alias("sh"),
-    )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    sh = _cont_shingle_strings(docs, "doc_id")
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("str_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("str_b"))
+    n_common = F.size(F.array_intersect("str_a", "str_b"))
     sized = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
-        .filter(inter > 0)
         .select(
             "doc_a",
             "doc_b",
-            F.size("sh_a").alias("n_sh_a"),
-            F.size("sh_b").alias("n_sh_b"),
-            inter.alias("n_common"),
+            F.size("str_a").alias("n_sh_a"),
+            F.size("str_b").alias("n_sh_b"),
+            n_common.alias("n_common"),
         )
+        .filter(F.col("n_common") > 0)
     )
-    ca = F.expr("(10000L * n_common) div n_sh_a")
-    cb = F.expr("(10000L * n_common) div n_sh_b")
-    return sized.select(
-        "doc_a",
-        "doc_b",
-        "n_common",
-        ca.alias("cont_a_bp"),
-        cb.alias("cont_b_bp"),
-        (F.greatest(ca, cb) >= CONTAINMENT_MIN_BP).alias("subdup"),
-    ).orderBy("doc_a", "doc_b")
+    return _cont_score_exact(sized, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "n_common", "cont_a_bp", "cont_b_bp", "subdup"
+    )
 
 
 def dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1627,9 +1659,10 @@ def containment_pairs_seeds(
     miss B is ≤ (1-τ)^k — at τ=0.8, k=8 that is 2.6e-6, so engulfment is
     caught regardless of how LARGE B is (the case Jaccard banding dilutes
     away: a 20-shingle quote inside a 500-shingle page has j≈0.04 but
-    cont≈1.0). Candidates are then scored by the exact hashed-shingle
-    containment expressions shared with containment_pairs / _lsh, so
-    scores are equal on every pair any generator emits (pytest-proved).
+    cont≈1.0). Candidates are then scored EXACTLY over the string shingle
+    sets (the shared _cont_score_exact stage, r12 — no hash anywhere in a
+    score), so scores are equal on every pair any generator emits
+    (pytest-proved).
 
     Scale shape: seeds are n·k rows; postings are the distinct-shingle
     volume (the same explode the minhash signature pass already pays); the
@@ -1650,15 +1683,11 @@ def containment_pairs_seeds(
     own keys)."""
     par = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     docs = docs.select("doc_id", "text").repartition(par)
-    sh = docs.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                T.word_shingles(T.tokens(F.col("text")), CONTAINMENT_N),
-                lambda g: T.token_hash(g),
-            )
-        ).alias("sh"),
-    )
+    base = _cont_shingle_strings(docs, "doc_id")
+    # candidate generation is hash-ORDER-dependent by design (bottom-k of
+    # the hash-sorted shingles = a uniform random k-subset), identical in
+    # both engines; SCORES are exact over the string sets (r12)
+    sh = _cont_hashed(base)
     seeds = sh.select(
         "doc_id",
         F.explode(F.slice(F.array_sort("sh"), 1, seed_k)).alias("h"),
@@ -1683,31 +1712,24 @@ def containment_pairs_seeds(
         )
         .distinct()
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    a = base.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("str_a"))
+    b = base.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("str_b"))
+    n_common = F.size(F.array_intersect("str_a", "str_b"))
     sized = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
-        .filter(inter > 0)
         .select(
             "doc_a",
             "doc_b",
-            F.size("sh_a").alias("n_sh_a"),
-            F.size("sh_b").alias("n_sh_b"),
-            inter.alias("n_common"),
+            F.size("str_a").alias("n_sh_a"),
+            F.size("str_b").alias("n_sh_b"),
+            n_common.alias("n_common"),
         )
+        .filter(F.col("n_common") > 0)
     )
-    ca = F.expr("(10000L * n_common) div n_sh_a")
-    cb = F.expr("(10000L * n_common) div n_sh_b")
-    return sized.select(
-        "doc_a",
-        "doc_b",
-        "n_common",
-        ca.alias("cont_a_bp"),
-        cb.alias("cont_b_bp"),
-        (F.greatest(ca, cb) >= CONTAINMENT_MIN_BP).alias("subdup"),
-    ).orderBy("doc_a", "doc_b")
+    return _cont_score_exact(sized, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "n_common", "cont_a_bp", "cont_b_bp", "subdup"
+    )
 
 
 def dedup_containment_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1737,18 +1759,9 @@ def containment_increment(
     cont_corpus_bp, subdup); stream-static equality is pytest-proved
     (`test_stream_containment_increment_equals_batch`)."""
 
-    def shingled(df: DataFrame) -> DataFrame:
-        return df.select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(
-                    T.word_shingles(T.tokens(F.col("text")), CONTAINMENT_N),
-                    lambda g: T.token_hash(g),
-                )
-            ).alias("sh"),
-        )
-
-    sh_new, sh_corpus = shingled(new_docs), shingled(corpus)
+    base_new = _cont_shingle_strings(new_docs, "doc_id")
+    base_corpus = _cont_shingle_strings(corpus, "doc_id")
+    sh_new, sh_corpus = _cont_hashed(base_new), _cont_hashed(base_corpus)
 
     def seeds_of(sh: DataFrame) -> DataFrame:
         return sh.select(
@@ -1779,36 +1792,42 @@ def containment_increment(
         )
     )
     cand = fwd.unionAll(rev).distinct()
-    a = sh_new.select(F.col("doc_id").alias("doc_new"), F.col("sh").alias("sh_a"))
-    b = sh_corpus.select(F.col("doc_id").alias("doc_corpus"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    a = base_new.select(
+        F.col("doc_id").alias("doc_new"), F.col("shs").alias("str_a")
+    )
+    b = base_corpus.select(
+        F.col("doc_id").alias("doc_corpus"), F.col("shs").alias("str_b")
+    )
+    n_common = F.size(F.array_intersect("str_a", "str_b"))
     sized = (
         cand.join(a, "doc_new")
         .join(b, "doc_corpus")
-        .filter(inter > 0)
         .select(
             "doc_new",
             "doc_corpus",
-            F.size("sh_a").alias("n_sh_a"),
-            F.size("sh_b").alias("n_sh_b"),
-            inter.alias("n_common"),
+            F.size("str_a").alias("n_sh_a"),
+            F.size("str_b").alias("n_sh_b"),
+            n_common.alias("n_common"),
+        )
+        .filter(F.col("n_common") > 0)
+    )
+    return (
+        _cont_score_exact(sized, ["doc_new", "doc_corpus"])
+        .withColumnsRenamed(
+            {"cont_a_bp": "cont_new_bp", "cont_b_bp": "cont_corpus_bp"}
+        )
+        .select(
+            "doc_new", "doc_corpus", "n_common",
+            "cont_new_bp", "cont_corpus_bp", "subdup",
         )
     )
-    ca = F.expr("(10000L * n_common) div n_sh_a")
-    cb = F.expr("(10000L * n_common) div n_sh_b")
-    return sized.select(
-        "doc_new",
-        "doc_corpus",
-        "n_common",
-        ca.alias("cont_new_bp"),
-        cb.alias("cont_corpus_bp"),
-        (F.greatest(ca, cb) >= CONTAINMENT_MIN_BP).alias("subdup"),
-    ).orderBy("doc_new", "doc_corpus")
 
 
 DEDUP_CONTAINMENT_SEEDS_SQL = f"""
 WITH sh AS (
   SELECT doc_id, list_distinct({_CSH_HASHED}) AS s FROM documents
+), shs AS (
+  SELECT doc_id, list_distinct({_CSH}) AS s FROM documents
 ), seeds AS (
   SELECT doc_id, unnest(list_sort(s)[1:{CONTAINMENT_SEED_K}]) AS h FROM sh
 ), postings AS (
@@ -1819,9 +1838,11 @@ WITH sh AS (
   FROM seeds se JOIN postings p USING (h)
   WHERE se.doc_id != p.p_doc
 ), sized AS (
+  -- candidates are hash-order-dependent by design (bottom-k seeds);
+  -- SCORES are exact over the string shingle sets (r12)
   SELECT c.doc_a, c.doc_b, len(a.s) AS n_sh_a, len(b.s) AS n_sh_b,
          len(list_intersect(a.s, b.s)) AS n_common
-  FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id
+  FROM cand c JOIN shs a ON c.doc_a = a.doc_id JOIN shs b ON c.doc_b = b.doc_id
   WHERE len(list_intersect(a.s, b.s)) > 0
 )
 SELECT doc_a, doc_b, n_common,
