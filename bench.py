@@ -227,8 +227,37 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+# Contention guard (VERDICT r11 #4): this shared host carries transient
+# background load; a rep that collides with it reads 2-4x steady state.
+# When a row's WARM reps spread past this band, the row is re-run once and
+# both medians are recorded — the committed number is the min (contention
+# only ever inflates), so one coherent bench run suffices per round instead
+# of the 3-4 full runs r11 burned cross-referencing inflated rows.
+CONTENTION_SPREAD_X = 1.9
+CONTENTION_MIN_ABS_S = 0.25  # ignore sub-250ms jitter on fast rows
+
+
+def flag_contended(times_by_name: dict[str, list[float]]) -> list[str]:
+    """Names whose warm reps spread past the noise band (max/min >
+    CONTENTION_SPREAD_X with absolute spread > CONTENTION_MIN_ABS_S) —
+    the signature of a transient background-load hit on SOME reps. Pure;
+    unit-tested by test_bench_contention_guard. A row ALL of whose reps
+    were inflated is invisible to any within-run statistic — that case
+    still needs the cross-run comparison BASELINE.md documents."""
+    out = []
+    for name, times in times_by_name.items():
+        warm = times[1:] if len(times) > 2 else times
+        if not warm:
+            continue
+        lo, hi = min(warm), max(warm)
+        if lo > 0 and hi / lo > CONTENTION_SPREAD_X and hi - lo > CONTENTION_MIN_ABS_S:
+            out.append(name)
+    return out
+
+
 def assemble_output(
-    results: dict, iqrs: dict, errors: int, sf: float
+    results: dict, iqrs: dict, errors: int, sf: float,
+    contended: dict | None = None,
 ) -> dict:
     """Assemble the printed/persisted bench dict. Pure — unit-tested by
     test_bench_output_contract so the r9 regression class (VERDICT r9 #1)
@@ -246,6 +275,9 @@ def assemble_output(
         "runs": RUNS,
         "fast_cutoff_s": FAST_CUTOFF_S,
         "fast_extra_runs": EXTRA_RUNS,
+        # truncation-safe ordering: contended & iqr are diagnostics, so they
+        # go FIRST (the driver keeps only the last ~2000 chars of stdout)
+        "contended": contended or {},
         "iqr": iqrs,
         "queries": results,
         "metric": "sum_median_sec_per_query",
@@ -286,34 +318,40 @@ def main() -> None:
     # entry, never kill the harness — a missing bench artifact is worse than
     # a partial one (the round-2 lesson: one AnalysisException voided the
     # entire round's performance signal).
-    results: dict[str, object] = {}
-    iqrs: dict[str, float] = {}
-    errors = 0
-    for name in HEADLINE:
-        try:
-            fn = qs[name]
-            # one untimed warm-up per query: the first execution of a large
-            # fused stage pays whole-stage-codegen compilation + JIT tiering
-            # (measured 5-6x on the minhash pipeline), which is one-time
-            # cost, not steady-state throughput
+    def time_query(fn) -> tuple[float, float, list[float]]:
+        """(median, warm-iqr, raw reps) under the full timing protocol:
+        one untimed warm-up (the first execution of a large fused stage
+        pays whole-stage-codegen compilation + JIT tiering — measured
+        5-6x on the minhash pipeline, one-time cost, not throughput),
+        RUNS timed reps, EXTRA_RUNS more for sub-cutoff rows. Spread from
+        WARM reps only: the first timed rep of a slow row still pays
+        residual JIT tiering, so with just 3 reps the IQR mostly measured
+        warm-up, not steady-state (ADVICE r9)."""
+        force(fn(spark, sf_dir))
+        times = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
             force(fn(spark, sf_dir))
-            times = []
-            for _ in range(RUNS):
+            times.append(time.perf_counter() - t0)
+        if statistics.median(times) < FAST_CUTOFF_S:
+            for _ in range(EXTRA_RUNS):
                 t0 = time.perf_counter()
                 force(fn(spark, sf_dir))
                 times.append(time.perf_counter() - t0)
-            if statistics.median(times) < FAST_CUTOFF_S:
-                for _ in range(EXTRA_RUNS):
-                    t0 = time.perf_counter()
-                    force(fn(spark, sf_dir))
-                    times.append(time.perf_counter() - t0)
-            results[name] = round(statistics.median(times), 4)
-            # spread from WARM reps only: the first timed rep of a slow row
-            # still pays residual JIT tiering, so with just 3 reps the IQR
-            # mostly measured warm-up, not steady-state (ADVICE r9)
-            warm = times[1:] if len(times) > 2 else times
-            qs_ = statistics.quantiles(warm, n=4, method="inclusive")
-            iqrs[name] = round(qs_[2] - qs_[0], 4)
+        warm = times[1:] if len(times) > 2 else times
+        qs_ = statistics.quantiles(warm, n=4, method="inclusive")
+        return statistics.median(times), qs_[2] - qs_[0], times
+
+    results: dict[str, object] = {}
+    iqrs: dict[str, float] = {}
+    times_by_name: dict[str, list[float]] = {}
+    errors = 0
+    for name in HEADLINE:
+        try:
+            med, iqr, times = time_query(qs[name])
+            results[name] = round(med, 4)
+            iqrs[name] = round(iqr, 4)
+            times_by_name[name] = times
         except Exception as exc:  # noqa: BLE001 — degrade, don't die
             errors += 1
             results[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
@@ -326,7 +364,29 @@ def main() -> None:
             # must not leave MEMORY_AND_DISK blocks that skew later rows
             spark.catalog.clearCache()
 
-    out = assemble_output(results, iqrs, errors, sf)
+    # contention guard: re-run ONLY the flagged rows once, record both
+    # medians, commit the min (VERDICT r11 #4)
+    contended: dict[str, dict] = {}
+    for name in flag_contended(times_by_name):
+        try:
+            med2, iqr2, _ = time_query(qs[name])
+            first = results[name]
+            contended[name] = {
+                "first": first, "rerun": round(med2, 4),
+            }
+            if med2 < first:
+                results[name] = round(med2, 4)
+                iqrs[name] = round(iqr2, 4)
+            print(
+                f"BENCH CONTENTION {name}: first={first} rerun={med2:.4f}",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            print(f"BENCH CONTENTION RERUN ERROR {name}: {exc}", file=sys.stderr)
+        finally:
+            spark.catalog.clearCache()
+
+    out = assemble_output(results, iqrs, errors, sf, contended=contended)
     # belt: full machine-readable artifact next to this script, immune to
     # any stdout truncation
     try:

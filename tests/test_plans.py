@@ -943,6 +943,39 @@ def test_bench_output_contract():
     assert '"value":' in tail and '"metric":' in tail
 
 
+def test_bench_contention_guard():
+    """VERDICT r11 #4: the contention guard over a synthetic timing set.
+    A row whose warm reps spread past the noise band (max/min > 1.9x AND
+    > 250ms absolute) is flagged for a single re-run; tight rows and fast
+    jittery rows are not. The flagged row's recorded value is the MIN of
+    the two medians (contention only inflates), and both medians land in
+    the 'contended' diagnostic, ordered before 'queries' so stdout
+    truncation can never eat the medians."""
+    import bench
+
+    flagged = bench.flag_contended({
+        # warm reps = times[1:]: rep collided with background load → flag
+        "hit": [2.0, 1.0, 2.4, 1.05],
+        # tight spread → clean
+        "clean": [2.0, 1.9, 2.0, 1.95],
+        # big RATIO but sub-250ms absolute (fast row jitter) → clean
+        "fast_jitter": [0.05, 0.04, 0.09, 0.041],
+        # first rep (JIT tail) excluded from the warm window → clean
+        "jit_tail": [6.0, 2.0, 2.1, 2.05],
+        # 2-rep row: no warm trim, spread past both bars → flag
+        "two_reps": [1.0, 2.2],
+    })
+    assert flagged == ["hit", "two_reps"]
+
+    out = bench.assemble_output(
+        {"hit": 1.02}, {"hit": 0.02}, errors=0, sf=0.1,
+        contended={"hit": {"first": 2.1, "rerun": 1.02}},
+    )
+    keys = list(out)
+    assert keys.index("contended") < keys.index("iqr") < keys.index("queries")
+    assert out["contended"]["hit"] == {"first": 2.1, "rerun": 1.02}
+
+
 def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
     """_TAIL hygiene: every tailed name must exist in the registry (a typo
     silently leaves the intended query in the head and pushes something
