@@ -362,6 +362,39 @@ ORDER BY event_type
 """
 
 
+HLL_LGK = 14
+
+
+def hll_daily_sketches(ev: DataFrame) -> DataFrame:
+    """(event_type, week, day, sk): the materialized daily HLL sketch
+    table — shared VERBATIM by the gated batch rollup and the streaming
+    per-micro-batch upsert (`streaming.pipeline.hll_state_batch`), which
+    is what makes stream == batch sketch equality exact by construction:
+    DataSketches HLL union at equal lgConfigK is a lossless register-wise
+    max, so per-batch partial sketches union to exactly the sketch one
+    pass over the union would build."""
+    return (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            "user_id",
+        )
+        .groupBy("event_type", F.expr("day div 7").alias("week"), "day")
+        .agg(F.expr(f"hll_sketch_agg(user_id, {HLL_LGK})").alias("sk"))
+    )
+
+
+def hll_weekly_rollup(daily: DataFrame) -> DataFrame:
+    """(event_type, week, est, n_days) from a daily sketch table — the
+    read-side weekly union shared by the batch query and the streaming
+    assembly. Never re-scans raw data: input is one bounded blob per
+    (type, week, day)."""
+    return daily.groupBy("event_type", "week").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
 def ev_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-sketch rollup (r11) — THE 100 TB distinct-count
     pattern: per (event_type, day) an HLL SKETCH is materialized (what a
@@ -385,17 +418,12 @@ def ev_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact count-distinct as the verification harness. At 100 TB the
     exact side disappears and the daily sketch table IS the input."""
     ev = load_table(spark, sf_dir, "events")
+    daily = hll_daily_sketches(ev)
+    weekly = hll_weekly_rollup(daily)
     base = ev.select(
         "event_type",
         F.expr("unix_micros(ts) div 86400000000").alias("day"),
         "user_id",
-    )
-    daily = base.groupBy(
-        "event_type", F.expr("day div 7").alias("week"), "day"
-    ).agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
-    weekly = daily.groupBy("event_type", "week").agg(
-        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
-        F.count(F.lit(1)).alias("n_days"),
     )
     exact = base.groupBy(
         "event_type", F.expr("day div 7").alias("week")

@@ -856,6 +856,59 @@ def attach_drift_stream(
     )
 
 
+def hll_state_batch(
+    batch_df: DataFrame, state_dir: str, batch_id: int = -1
+) -> None:
+    """One micro-batch's daily HLL sketch contribution (VERDICT r11 #5 —
+    the unbounded half of the materialized-sketch pattern): per
+    (event_type, week, day) one bounded sketch blob for THIS batch's
+    rows, written under batch_id=N so a replayed batch overwrites itself
+    (the drift twin's overwrite-partition idempotence contract). State is
+    MERGEABLE rather than additive: read-side hll_union_agg is a lossless
+    register-wise max at equal lgConfigK, so partial sketches union to
+    exactly the single-pass sketch — stream == batch holds bit-identical,
+    not approximately."""
+    from ..plans.events import hll_daily_sketches
+
+    hll_daily_sketches(batch_df).write.mode("overwrite").parquet(
+        f"{state_dir}/hll/batch_id={batch_id}"
+    )
+
+
+def incremental_hll_weekly(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Weekly distinct-user estimates from the accumulated per-batch
+    daily sketches: union the batch partials into the daily sketch table
+    (lossless), then EXACTLY the batch read-side `hll_weekly_rollup` —
+    never a raw-data re-scan. Returns (event_type, week, est, n_days);
+    equality with the batch rollup over the union of batches is
+    pytest-proved (`test_incremental_hll_equals_batch`)."""
+    from ..plans.events import hll_weekly_rollup
+
+    if not os.path.isdir(f"{state_dir}/hll"):
+        return spark.createDataFrame(
+            [], "event_type string, week bigint, est bigint, n_days bigint"
+        )
+    daily = (
+        spark.read.parquet(f"{state_dir}/hll")
+        .groupBy("event_type", "week", "day")
+        .agg(F.expr("hll_union_agg(sk)").alias("sk"))
+    )
+    return hll_weekly_rollup(daily).orderBy("event_type", "week")
+
+
+def attach_hll_stream(stream_ev: DataFrame, state_dir: str, checkpoint: str):
+    """Wire the daily-sketch accumulator onto an events stream via
+    foreachBatch; read the weekly rollup at any time with
+    incremental_hll_weekly."""
+    return (
+        stream_ev.writeStream.foreachBatch(
+            lambda df, bid: hll_state_batch(df, state_dir, bid)
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def gapfill_state_batch(
     batch_df: DataFrame, state_dir: str, batch_id: int = -1
 ) -> None:

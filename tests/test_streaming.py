@@ -1985,6 +1985,119 @@ def test_incremental_drift_equals_batch(spark, tmp_path):
     assert by[0].n_second == 80  # replay did not double-count
 
 
+def test_incremental_hll_equals_batch(spark, tmp_path):
+    """The materialized-sketch pattern's streaming twin (VERDICT r11 #5):
+    per-batch daily HLL sketch partials unioned read-side must equal the
+    batch rollup over the union of batches BIT-IDENTICALLY (lossless
+    register-wise max at equal lgConfigK) — including a user seen in BOTH
+    batches on the same day (mergeable-not-additive: union counts them
+    once where summed counts would double), a replayed batch
+    (overwrite-partition idempotence), and the week grouping."""
+    import datetime as dt
+
+    from pinterest_data_pipeline218_spark.plans.events import (
+        hll_daily_sketches,
+        hll_weekly_rollup,
+    )
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        hll_state_batch,
+        incremental_hll_weekly,
+    )
+
+    d0 = dt.datetime(2024, 1, 1, 12)
+    sch = "event_type string, ts timestamp, user_id long"
+    # users 1-40 in batch 0; users 21-60 in batch 1 (overlap 21-40, same
+    # day) + day-9 rows landing in the NEXT week bucket
+    batches = [
+        [("click", d0, u) for u in range(1, 41)],
+        [("click", d0, u) for u in range(21, 61)]
+        + [("click", d0 + dt.timedelta(days=9), u) for u in range(1, 6)],
+    ]
+    state = str(tmp_path / "state")
+    for bid, rows in enumerate(batches):
+        hll_state_batch(spark.createDataFrame(rows, sch), state, bid)
+    hll_state_batch(spark.createDataFrame(batches[1], sch), state, 1)  # replay
+
+    got = incremental_hll_weekly(spark, state).collect()
+    union = spark.createDataFrame(
+        [r for rows in batches for r in rows], sch
+    )
+    want = (
+        hll_weekly_rollup(hll_daily_sketches(union))
+        .orderBy("event_type", "week")
+        .collect()
+    )
+    assert got == want  # bit-identical estimates, not approximately
+    assert len(got) == 2  # two week buckets
+    # sparse-mode HLL at this cardinality is exact: overlap counted ONCE
+    assert got[0].est == 60 and got[0].n_days == 1
+    assert got[1].est == 5
+
+    empty = incremental_hll_weekly(spark, str(tmp_path / "never"))
+    assert empty.collect() == []
+    assert empty.columns == ["event_type", "week", "est", "n_days"]
+
+
+def test_attach_hll_stream_end_to_end(spark, tmp_path):
+    """attach_hll_stream drives hll_state_batch with Structured
+    Streaming's real batch ids: file-triggered micro-batches accumulate
+    daily sketch partials, and the weekly read-side equals the batch
+    rollup over the union."""
+    import json
+    import os
+    import time
+
+    from pinterest_data_pipeline218_spark.plans.events import (
+        hll_daily_sketches,
+        hll_weekly_rollup,
+    )
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        attach_hll_stream,
+        incremental_hll_weekly,
+    )
+
+    sch = "event_type string, ts timestamp, user_id long"
+    batches = [
+        [("click", "2024-01-01T10:00:00", u) for u in range(1, 31)],
+        [("click", "2024-01-01T11:00:00", u) for u in range(11, 41)]
+        + [("view", "2024-01-02T09:00:00", u) for u in range(1, 4)],
+    ]
+    src = tmp_path / "blobs"
+    src.mkdir()
+    base = time.time() - 100
+    for i, rows in enumerate(batches):
+        path = src / f"{i:03d}.jsonl"
+        with open(path, "w") as f:
+            for ty, ts, u in rows:
+                f.write(json.dumps({"event_type": ty, "ts": ts, "user_id": u}) + "\n")
+        os.utime(path, (base + 10 * i, base + 10 * i))
+    stream = (
+        spark.readStream.format("json")
+        .schema(sch)
+        .option("maxFilesPerTrigger", "1").load(str(src))
+    )
+    state = str(tmp_path / "state")
+    q = attach_hll_stream(stream, state, str(tmp_path / "cp"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = incremental_hll_weekly(spark, state).collect()
+    union = spark.createDataFrame(
+        [(ty, __import__("datetime").datetime.fromisoformat(ts), u)
+         for rows in batches for ty, ts, u in rows],
+        sch,
+    )
+    want = (
+        hll_weekly_rollup(hll_daily_sketches(union))
+        .orderBy("event_type", "week")
+        .collect()
+    )
+    assert got == want
+    by = {r.event_type: r for r in got}
+    assert by["click"].est == 40 and by["click"].n_days == 1
+    assert by["view"].est == 3
+
+
 def test_incremental_hist_before_first_batch_is_empty(spark, tmp_path):
     from pinterest_data_pipeline218_spark.streaming.pipeline import (
         incremental_hist_quantiles,
