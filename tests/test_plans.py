@@ -943,6 +943,35 @@ def test_bench_output_contract():
     assert '"value":' in tail and '"metric":' in tail
 
 
+def test_compat_mode_equals_dataframe_mode(spark):
+    """VERDICT r11 #8: the nine declared queries (T4-T11 + t6p2) must
+    return byte-identical canonicalized outputs in BOTH modes — the
+    DataFrame plans and their SQL rendering executed BY SPARK over temp
+    views (the reference's own consumption shape). Until now this held
+    only transitively (both modes oracled against DuckDB in different
+    rounds); this pins it directly so a Spark upgrade that shifts either
+    mode's semantics fails loudly. The single dialect shim is
+    QUANTILE_CONT(x, 0.5) → MEDIAN(x) (both exact interpolating
+    medians)."""
+    import re
+
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.plans import analytics_tpch as AT
+
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, SF, t).createOrReplaceTempView(t)
+    assert len(AT.QUERIES) == 9
+    for name, fn in AT.QUERIES.items():
+        sql = re.sub(
+            r"QUANTILE_CONT\((\w+), 0\.5\)", r"MEDIAN(\1)", AT.ORACLE[name]
+        )
+        got = fn(spark, SF)
+        want = spark.sql(sql)
+        assert got.columns == want.columns, name
+        canon = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+        assert canon(got) == canon(want), name
+
+
 def test_bench_contention_guard():
     """VERDICT r11 #4: the contention guard over a synthetic timing set.
     A row whose warm reps spread past the noise band (max/min > 1.9x AND
