@@ -1005,39 +1005,42 @@ def test_bench_contention_guard():
     assert out["contended"]["hit"] == {"first": 2.1, "rerun": 1.02}
 
 
-def test_registry_tail_names_resolve_and_window_holds_novel_ops(qs):
-    """_TAIL hygiene: every tailed name must exist in the registry (a typo
-    silently leaves the intended query in the head and pushes something
-    else out of the driver's 50-slot window), and the operators that have
-    never produced a driver CORRECTNESS row must sit inside the window."""
+def test_registry_window_names_resolve_and_rotation_is_ledger_mechanical(qs):
+    """_WINDOW hygiene (r12 design): every window name must exist in the
+    registry (a typo silently pushes something else out of the driver's
+    50-slot gate), the window must be exactly the first 50 of BOTH
+    registries, and — the r12 rotation contract (VERDICT r11 #1/#2) —
+    window membership must be mechanical from tools/ledger.py: every row
+    whose latest driver round predates r08 is in the window, as is every
+    query whose plan or oracle changed since its last driver row."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from tools.ledger import load_ledger
+
     names = list(qs)
-    tail = set(entry._TAIL)
-    missing = tail - set(names)
-    assert missing == set(), f"_TAIL names not in registry: {missing}"
-    head = set(names[:50])
-    # r11: everything in the r10 novel set got its driver row in
-    # CORRECTNESS_r10 (49/50; the one red — ev_trend_slope — changed this
-    # round and stays in). The window-priority set is now (a) the 3 sketch
-    # queries newly ORACLED this round (no value-gated driver row ever),
-    # (b) the rows whose PLAN, CONTRACT or FIXTURE changed this round, and
-    # (c) the staleness rotation (all r04 rows + 17 r05 rows per VERDICT
-    # r10 #5) — (c) is asserted by size via the window being exactly 50
-    # and (a)/(b) in it.
-    novel = {
-        # NEW r11 — no driver row yet
-        "dq_events_drift", "ev_value_ntiles", "ev_hll_daily_rollup",
-        # newly oracled r11 — first value-gated driver rows
-        "ev_approx_distinct_users", "ev_approx_value_quantiles",
-        "ev_theta_user_overlap",
-        # plan/contract/fixture changed r11 (VERDICT r10 #1/#2/#4/#6/#8 +
-        # ADVICE fixes)
-        "ev_trend_slope", "ev_mode_value", "ev_outliers_mad",
-        "ev_session_outage_overlap", "dedup_ngram_jaccard",
-        "dedup_containment", "mm_image_resize", "mm_image_decode",
-        "text_ngram_novelty",
+    window = list(entry._WINDOW)
+    assert len(window) == 50 and len(set(window)) == 50
+    missing = set(window) - set(names)
+    assert missing == set(), f"_WINDOW names not in registry: {missing}"
+    assert names[:50] == window
+    assert list(entry.oracle_sql())[:50] == window
+
+    ledger = load_ledger()
+    # NEW queries (no driver row yet) must be windowed; for everything
+    # else the staleness queue drains oldest-first.
+    new_unwindowed = {n for n in names if n not in ledger}
+    stale = {n for n, e in ledger.items() if e["round"] < 8 and n in set(names)}
+    out = (stale | new_unwindowed) - set(window)
+    assert out == set(), f"stale/new queries outside the checked window: {out}"
+    # changed since last driver row (r11-judge..r12 commits) — must re-gate
+    changed = {
+        "dedup_ngram_jaccard", "dedup_containment", "dedup_containment_seeds",
+        "dq_events_drift", "ev_theta_user_overlap", "ev_hll_daily_rollup",
+        "mm_image_decode", "mm_image_resize",
     }
-    out = novel - head
-    assert out == set(), f"window-priority queries outside the checked window: {out}"
+    out = changed - set(window)
+    assert out == set(), f"changed queries outside the checked window: {out}"
 
 
 def test_ledger_covers_registry_and_row_verdict_matches_driver(qs):
