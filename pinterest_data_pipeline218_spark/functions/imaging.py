@@ -9,8 +9,9 @@ stdlib zlib, and JPEG (baseline AND progressive) is Huffman + IDCT
 (functions/jpeg.py) —
 so the decode step is REAL (header grammar, CRC verification, scanline
 filter reconstruction, entropy decode, pixel extraction, re-encoding)
-for all four. Formats that genuinely need an external codec
-(WebP, ...) still fall through to the documented
+for all four, and WebP lossless (VP8L) is prefix codes + transforms
+(functions/webp.py, r12). Formats that genuinely need an external codec
+(lossy VP8 WebP, AVIF, ...) still fall through to the documented
 codec-boundary stub in operators/multimodal.py.
 
 All functions are bytes-in/bytes-out with explicit (width, height,
@@ -305,8 +306,10 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
 
 
 def sniff_format(data: bytes) -> str | None:
-    """'ppm' / 'bmp' / 'png' / 'jpeg' / 'gif' for the natively decodable
-    formats, else None."""
+    """'ppm' / 'bmp' / 'png' / 'jpeg' / 'gif' / 'webp' for the natively
+    decodable formats, else None. WebP is claimed only when the RIFF
+    container carries a VP8L (lossless) chunk — lossy VP8 payloads return
+    None and fall to the documented codec boundary."""
     if data[:2] == b"P6":
         return "ppm"
     if data[:2] == b"BM":
@@ -317,6 +320,11 @@ def sniff_format(data: bytes) -> str | None:
         return "jpeg"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from .webp import has_vp8l
+
+        if has_vp8l(data):
+            return "webp"
     return None
 
 
@@ -325,8 +333,9 @@ def decode_any(data: bytes) -> tuple[str, int, int, bytes]:
     ImageFormatError for anything else (caller decides whether a codec
     library fallback exists). JPEG covers both Huffman profiles
     (baseline sequential + progressive, r10); GIF covers 87a/89a incl.
-    interlace and local palettes (first frame, r11); arithmetic/lossless/
-    hierarchical JPEG raises, preserving the documented codec boundary."""
+    interlace and local palettes (first frame, r11); WebP covers the full
+    VP8L lossless bitstream (r12); arithmetic/lossless/hierarchical JPEG
+    and lossy-VP8 WebP raise, preserving the documented codec boundary."""
     fmt = sniff_format(data)
     if fmt == "ppm":
         return ("ppm", *decode_ppm(data))
@@ -342,8 +351,12 @@ def decode_any(data: bytes) -> tuple[str, int, int, bytes]:
         from .gif import decode_gif
 
         return ("gif", *decode_gif(data))
+    if fmt == "webp":
+        from .webp import decode_webp
+
+        return ("webp", *decode_webp(data))
     raise ImageFormatError(
-        "payload is not a natively decodable PPM/BMP/PNG/JPEG/GIF image"
+        "payload is not a natively decodable PPM/BMP/PNG/JPEG/GIF/WebP-lossless image"
     )
 
 
@@ -362,6 +375,10 @@ def encode(fmt: str, width: int, height: int, pixels: bytes) -> bytes:
         from .gif import encode_gif
 
         return encode_gif(width, height, pixels)
+    if fmt == "webp":
+        from .webp import encode_webp
+
+        return encode_webp(width, height, pixels)
     raise ImageFormatError(f"unsupported encode format {fmt!r}")
 
 

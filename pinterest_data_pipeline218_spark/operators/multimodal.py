@@ -74,8 +74,9 @@ def decode_image(payload_bytes: bytes) -> tuple[str, int, int, bytes]:
         return imaging.decode_any(payload_bytes)
     if _PILImage is None:
         raise NotImplementedError(
-            "WebP (and other exotic-codec) decode requires a codec library "
-            "(e.g. PIL); PPM/BMP/PNG/JPEG (both profiles) decode natively"
+            "lossy-VP8 WebP (and other exotic-codec) decode requires a codec "
+            "library (e.g. PIL); PPM/BMP/PNG/JPEG (both profiles)/GIF/"
+            "WebP-lossless decode natively"
         )
     import io
 
@@ -162,8 +163,9 @@ def resize_image(payload_bytes: bytes, width: int, height: int) -> bytes:
         )
     if _PILImage is None:
         raise NotImplementedError(
-            "WebP (and other exotic-codec) resize requires a codec library "
-            "(e.g. PIL); PPM/BMP/PNG/JPEG (both profiles) resize natively"
+            "lossy-VP8 WebP (and other exotic-codec) resize requires a codec "
+            "library (e.g. PIL); PPM/BMP/PNG/JPEG (both profiles)/GIF/"
+            "WebP-lossless resize natively"
         )
     import io
 
@@ -298,22 +300,28 @@ def _gif_fixture_pixels(doc_id: int) -> bytes:
 
 
 def with_decode_payload(docs: DataFrame) -> DataFrame:
-    """(doc_id, payload): 6-format fixture for the decode query — the
+    """(doc_id, payload): 7-format fixture for the decode query — the
     with_image_payload trio plus a baseline-JPEG class, (r10) a
     PROGRESSIVE-JPEG class (both grayscale block-constant — see JPEG_W
     above for why that shape is oracle-exact; the progressive payload
     exercises the full SOF2 scan script: successive approximation,
-    spectral bands, EOB runs, refinement), and (r11) a GIF class —
+    spectral bands, EOB runs, refinement), (r11) a GIF class —
     palettized gray gradient through the full LZW entropy decode
-    (functions/gif.py)."""
+    (functions/gif.py) — and (r12) a WebP-lossless class: the gradient
+    pixels through the VP8L decode (functions/webp.py), alternating the
+    encoder's two profiles per doc so BOTH the color-indexing-transform
+    path and the subtract-green + color-cache + LZ77 path sit under the
+    value gate (lossless either way, so the oracle formula is shared
+    with the PPM/BMP/PNG trio)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.jpeg import encode_jpeg_baseline, encode_jpeg_progressive
+        from ..functions.webp import encode_webp
 
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
-                which = doc_id % 6
+                which = doc_id % 7
                 if which in (3, 4):
                     enc = encode_jpeg_baseline if which == 3 else encode_jpeg_progressive
                     payloads.append(
@@ -328,6 +336,13 @@ def with_decode_payload(docs: DataFrame) -> DataFrame:
                     payloads.append(
                         imaging.encode(
                             "gif", IMG_W, IMG_H, _gif_fixture_pixels(doc_id)
+                        )
+                    )
+                elif which == 6:
+                    mode = "palette" if doc_id % 2 == 0 else "truecolor"
+                    payloads.append(
+                        encode_webp(
+                            IMG_W, IMG_H, _fixture_pixels(doc_id), mode=mode
                         )
                     )
                 else:
@@ -405,13 +420,18 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     class and one progressive class (SOF2 successive-approximation +
     spectral-selection scan script, r10) — and for GIF (r11, the sixth
     class) a full LZW decode (variable code width, dictionary resets,
-    sub-block stream, palette lookup) — and emit per-channel pixel
+    sub-block stream, palette lookup), and for WebP lossless (r12, the
+    seventh class) a full VP8L decode — canonical prefix codes, the
+    color-indexing transform with delta-coded palette on even docs, the
+    subtract-green transform + color cache + LZ77 backward references on
+    odd docs (functions/webp.py) — and emit per-channel pixel
     sums. The oracle never decodes: it replays the generative pixel
     formulas arithmetically (the JPEG classes are block-constant gray,
     the shape whose unit-quant round-trip is exact; the GIF class is a
-    palettized gray gradient), so any decoder defect (row order, channel
-    order, padding, filter math, Huffman/LZW/IDCT math, header
-    arithmetic) breaks the match."""
+    palettized gray gradient; the WebP class is lossless over the same
+    gradient as the uncompressed trio), so any decoder defect (row order,
+    channel order, padding, filter math, Huffman/LZW/IDCT/VP8L math,
+    header arithmetic) breaks the match."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_image_features(with_decode_payload(docs)).orderBy("doc_id")
 
@@ -439,19 +459,22 @@ def _image_decode_sql() -> str:
     )
 
     def pick(c: int) -> str:
+        # the WebP class (r12, doc_id%7=6) is LOSSLESS over the same
+        # gradient as the PPM/BMP/PNG trio, so it shares ch_sum
         return (
-            f"CASE WHEN doc_id % 6 IN (3, 4) THEN {jpeg_sum} "
-            f"WHEN doc_id % 6 = 5 THEN {gif_sum} "
+            f"CASE WHEN doc_id % 7 IN (3, 4) THEN {jpeg_sum} "
+            f"WHEN doc_id % 7 = 5 THEN {gif_sum} "
             f"ELSE {ch_sum(c)} END"
         )
 
     return f"""
 SELECT doc_id,
-       CASE doc_id % 6 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+       CASE doc_id % 7 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
                        WHEN 2 THEN 'png' WHEN 5 THEN 'gif'
+                       WHEN 6 THEN 'webp'
                        ELSE 'jpeg' END AS fmt,
-       CAST(CASE WHEN doc_id % 6 IN (3, 4) THEN {JPEG_W} ELSE {IMG_W} END AS INT) AS width,
-       CAST(CASE WHEN doc_id % 6 IN (3, 4) THEN {JPEG_H} ELSE {IMG_H} END AS INT) AS height,
+       CAST(CASE WHEN doc_id % 7 IN (3, 4) THEN {JPEG_W} ELSE {IMG_W} END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 7 IN (3, 4) THEN {JPEG_H} ELSE {IMG_H} END AS INT) AS height,
        {pick(0)} AS sum_r,
        {pick(1)} AS sum_g,
        {pick(2)} AS sum_b
@@ -918,27 +941,37 @@ RESIZE_W, RESIZE_H = 4, 3  # thumbnail target for the gated resize query
 
 
 def with_resize_payload(docs: DataFrame) -> DataFrame:
-    """(doc_id, payload): the 5-class fixture for the RESIZE query (r11,
-    VERDICT r10 #8) — with_image_payload's gradient PPM/BMP/PNG trio plus
-    a baseline-JPEG and a progressive-JPEG class. The JPEG classes are
-    WHOLE-IMAGE-constant gray ((doc_id·31) % 256): a nearest-neighbor
-    resample of a constant image is constant, and a constant image
-    re-encodes EXACTLY at unit quant tables (every block DC-only), so the
-    full decode→resample→re-encode→decode cycle stays closed-form for
-    the oracle even though the re-encode is lossy in general. (The decode
-    fixture's per-8×8-block pixels would land resized values across JPEG
-    block boundaries, making the re-encode lossy and un-oracle-able; the
+    """(doc_id, payload): the 6-class fixture for the RESIZE query (r11,
+    VERDICT r10 #8; WebP class r12) — with_image_payload's gradient
+    PPM/BMP/PNG trio plus a baseline-JPEG and a progressive-JPEG class,
+    plus a WebP-lossless class over the SAME gradient (VP8L is lossless,
+    so unlike JPEG it needs no constant-gray concession: the full
+    decode→resample→re-encode-as-WebP→decode cycle is exact — and the
+    4×3 thumbnail re-encode lands ≤16 distinct colors, putting the
+    palette BUNDLING path (2 px/byte) under the value gate). The JPEG
+    classes are WHOLE-IMAGE-constant gray ((doc_id·31) % 256): a
+    nearest-neighbor resample of a constant image is constant, and a
+    constant image re-encodes EXACTLY at unit quant tables (every block
+    DC-only), so the cycle stays closed-form for the oracle even though
+    the re-encode is lossy in general. (The decode fixture's
+    per-8×8-block pixels would land resized values across JPEG block
+    boundaries, making the re-encode lossy and un-oracle-able; the
     gradient content keeps stressing the resample arithmetic via the
-    three uncompressed classes.)"""
+    three uncompressed classes and WebP.)"""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.jpeg import encode_jpeg_baseline, encode_jpeg_progressive
+        from ..functions.webp import encode_webp
 
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
-                which = doc_id % 5
-                if which >= 3:
+                which = doc_id % 6
+                if which == 5:
+                    payloads.append(
+                        encode_webp(IMG_W, IMG_H, _fixture_pixels(doc_id))
+                    )
+                elif which >= 3:
                     enc = encode_jpeg_baseline if which == 3 else encode_jpeg_progressive
                     v = (doc_id * 31) % 256
                     payloads.append(
@@ -969,7 +1002,7 @@ def with_resize_payload(docs: DataFrame) -> DataFrame:
 
 def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The thumbnailing stage of a multimodal ingest, end to end and gated:
-    generate real PPM/BMP/PNG/JPEG payloads (all five fixture classes —
+    generate real PPM/BMP/PNG/JPEG/WebP payloads (all six fixture classes —
     the JPEG pair constant-gray so the lossy re-encode stays closed-form;
     see with_resize_payload), run the resize kernel (decode →
     nearest-neighbor resample → re-encode IN THE SAME CONTAINER), then
@@ -1027,16 +1060,19 @@ def _image_resize_sql() -> str:
         )
 
     # the constant-gray JPEG classes resize to a constant thumbnail:
-    # every channel sums to |thumb| x (doc_id*31 % 256), exactly
+    # every channel sums to |thumb| x (doc_id*31 % 256), exactly; the
+    # WebP class (r12, doc_id%6=5) is lossless over the gradient, so it
+    # shares ch_sum with the uncompressed trio
     jpeg_sum = f"CAST({RESIZE_W * RESIZE_H} * ((doc_id * 31) % 256) AS BIGINT)"
     return f"""
 SELECT doc_id,
-       CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
-                       WHEN 2 THEN 'png' ELSE 'jpeg' END AS fmt,
+       CASE doc_id % 6 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                       WHEN 2 THEN 'png' WHEN 5 THEN 'webp'
+                       ELSE 'jpeg' END AS fmt,
        CAST({RESIZE_W} AS INT) AS width, CAST({RESIZE_H} AS INT) AS height,
-       CASE WHEN doc_id % 5 >= 3 THEN {jpeg_sum} ELSE {ch_sum(0)} END AS sum_r,
-       CASE WHEN doc_id % 5 >= 3 THEN {jpeg_sum} ELSE {ch_sum(1)} END AS sum_g,
-       CASE WHEN doc_id % 5 >= 3 THEN {jpeg_sum} ELSE {ch_sum(2)} END AS sum_b
+       CASE WHEN doc_id % 6 IN (3, 4) THEN {jpeg_sum} ELSE {ch_sum(0)} END AS sum_r,
+       CASE WHEN doc_id % 6 IN (3, 4) THEN {jpeg_sum} ELSE {ch_sum(1)} END AS sum_g,
+       CASE WHEN doc_id % 6 IN (3, 4) THEN {jpeg_sum} ELSE {ch_sum(2)} END AS sum_b
 FROM documents ORDER BY doc_id
 """
 

@@ -2170,6 +2170,8 @@ def test_decode_kernel_survives_fuzzed_payloads(spark):
         extract_image_features,
     )
 
+    from pinterest_data_pipeline218_spark.functions.webp import encode_webp
+
     rng = random.Random(11)
     intact = [
         imaging.encode("bmp", IMG_W, IMG_H, _fixture_pixels(0)),
@@ -2180,6 +2182,8 @@ def test_decode_kernel_survives_fuzzed_payloads(spark):
             JPEG_W, JPEG_H, _jpeg_fixture_pixels(4), grayscale=True
         ),
         imaging.encode("gif", IMG_W, IMG_H, _gif_fixture_pixels(5)),
+        encode_webp(IMG_W, IMG_H, _fixture_pixels(6), mode="palette"),
+        encode_webp(IMG_W, IMG_H, _fixture_pixels(7), mode="truecolor"),
     ]
 
     def mutate(data: bytes) -> bytes:
@@ -2227,13 +2231,13 @@ def test_decode_kernel_survives_fuzzed_payloads(spark):
     assert all(d < 100 for d in got), "corrupt payloads must drop"
 
 
-def test_resize_covers_all_five_fixture_classes(spark):
-    """VERDICT r10 #8: mm_image_resize exercises every fixture class —
-    bmp/ppm/png/baseline-JPEG/progressive-JPEG — under the value gate
-    (class coverage asserted on the gated query), and the progressive
-    profile specifically round-trips GRADIENT content through the full
-    decode→resample→re-encode→decode cycle within the codec's ±2
-    transform-rounding bound."""
+def test_resize_covers_all_six_fixture_classes(spark):
+    """VERDICT r10 #8 (+ WebP r12): mm_image_resize exercises every
+    fixture class — bmp/ppm/png/baseline-JPEG/progressive-JPEG/
+    WebP-lossless — under the value gate (class coverage asserted on the
+    gated query), and the progressive profile specifically round-trips
+    GRADIENT content through the full decode→resample→re-encode→decode
+    cycle within the codec's ±2 transform-rounding bound."""
     import numpy as np
 
     from pinterest_data_pipeline218_spark.functions.jpeg import (
@@ -2250,11 +2254,13 @@ def test_resize_covers_all_five_fixture_classes(spark):
     rows = mm_image_resize(spark, SF).collect()
     by_class = {}
     for r in rows:
-        by_class.setdefault(r.doc_id % 5, []).append(r)
-    assert set(by_class.keys()) == {0, 1, 2, 3, 4}, sorted(by_class)
+        by_class.setdefault(r.doc_id % 6, []).append(r)
+    assert set(by_class.keys()) == {0, 1, 2, 3, 4, 5}, sorted(by_class)
     for r in rows:
         assert (r.width, r.height) == (RESIZE_W, RESIZE_H)
-        assert r.fmt == {0: "bmp", 1: "ppm", 2: "png"}.get(r.doc_id % 5, "jpeg")
+        assert r.fmt == {0: "bmp", 1: "ppm", 2: "png", 5: "webp"}.get(
+            r.doc_id % 6, "jpeg"
+        )
 
     # progressive + gradient content through the resize cycle: nearest-
     # neighbor of the source, then one lossy re-encode (±2/channel)
@@ -2274,6 +2280,298 @@ def test_resize_covers_all_five_fixture_classes(spark):
         [[dec[y * H // h2, x * W // w2] for x in range(w2)] for y in range(h2)]
     )
     assert np.abs(got - want).max() <= 2, np.abs(got - want).max()
+
+
+def test_webp_codec_roundtrip_transforms_and_boundaries():
+    """functions/webp.py (r12): VP8L lossless WebP codec.
+
+    1. encode→decode is EXACT in both encoder profiles: palette
+       (color-indexing transform incl. pixel BUNDLING at 2/4/16 colors)
+       and truecolor (subtract-green + color cache + run LZ77), plus
+       'auto' dispatch and degenerate shapes (1x1, single row/column,
+       constant image, >256-color random);
+    2. the pixel-algebra primitives are pinned against independent hand
+       arithmetic (Average2 floor, ClampAddSubtractFull/Half incl. the
+       C truncate-toward-zero division, Select's tie rule, the signed
+       ColorTransformDelta);
+    3. HAND-BUILT streams cover the decoder paths the encoder never
+       emits: a predictor transform exercising all 14 modes, a color
+       transform with nonzero g2r/g2b/r2b elements, META prefix codes
+       (4 groups selected via an entropy image — the pixel section is
+       zero bits, so a group-indexing bug cannot cancel out), and a
+       normal code serialized WITH 17/18 zero-repeats and the
+       max_symbol shortcut;
+    4. dispatch: sniff_format claims VP8L payloads only — a lossy VP8
+       RIFF sniffs None (the documented codec boundary) and decode_webp
+       raises the typed error on it;
+    5. boundaries: encoder validates dimensions (1..16384) and buffer
+       length with ImageFormatError; palette mode refuses >256 colors;
+       truncation at every byte raises ONLY the typed error."""
+    import random
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from pinterest_data_pipeline218_spark.functions import imaging
+    from pinterest_data_pipeline218_spark.functions import webp as W
+
+    rng = random.Random(11)
+
+    def rt(w, h, px, mode):
+        blob = W.encode_webp(w, h, px, mode=mode)
+        got = W.decode_webp(blob)
+        assert got == (w, h, px), (mode, w, h)
+        return blob
+
+    # --- 1: round-trips across profiles and bundling widths
+    grad = bytes((31 + i) % 256 for i in range(8 * 6 * 3))
+    rt(8, 6, grad, "palette")
+    rt(8, 6, grad, "truecolor")
+    for ncol, w, h in ((2, 13, 5), (4, 9, 7), (16, 10, 6), (256, 16, 16)):
+        px = bytes(
+            b
+            for i in range(w * h)
+            for b in ((i * 37) % ncol, (((i * 41) % ncol) * 5) % 256, (i * 7) % ncol)
+        )
+        rt(w, h, px, "palette")
+    rnd = bytes(rng.randrange(256) for _ in range(33 * 21 * 3))
+    rt(33, 21, rnd, "truecolor")
+    rt(1, 1, b"\x07\x08\x09", "auto")
+    rt(40, 1, bytes(range(120)), "auto")
+    rt(1, 40, bytes(range(120)), "auto")
+    rt(20, 20, bytes([7, 250, 3]) * 400, "auto")  # constant: long runs
+    # auto dispatches to truecolor above 256 colors
+    many = bytes(rng.randrange(256) for _ in range(30 * 30 * 3))
+    blob = rt(30, 30, many, "auto")
+    assert imaging.decode_any(blob)[0] == "webp"
+
+    # --- 2: pixel algebra against hand arithmetic
+    a = 0xFF10FF01
+    b2 = 0xFF0301FF
+    # per channel floor averages: (0xFF+0xFF)/2=0xFF, (0x10+0x03)/2=0x09,
+    # (0xFF+0x01)/2=0x80, (0x01+0xFF)/2=0x80
+    assert W._avg2(a, b2) == 0xFF098080
+    # full clamp: l+t-tl per channel, clamped
+    assert W._clamp_add_sub_full(0x00FF0000, 0x00FF0000, 0x00000000) == 0x00FF0000
+    assert W._clamp_add_sub_full(0x00100000, 0x00100000, 0x00300000) == 0
+    # half clamp C-truncation: ave=(l+t)>>1 per ch; ave + trunc((ave-tl)/2)
+    # l=t=0x04 -> ave=4; tl=0x0B -> d=-7, trunc(-7/2)=-3 -> 1
+    assert W._clamp_add_sub_half(0x04040404, 0x04040404, 0x0B0B0B0B) == 0x01010101
+    # select: p = L+T-TL; pL=sum|p-L|, pT=sum|p-T|; strict < keeps T on tie
+    assert W._select(0x00000010, 0x00000020, 0x00000018) == 0x00000020  # tie -> T
+    assert W._select(0x00000010, 0x00000020, 0x0000001F) == 0x00000010
+    # signed delta: t=0xFF (-1), c=0x40 (64) -> (-64)>>5 = -2
+    assert W._cdelta(0xFF, 0x40) == -2
+    assert W._cdelta(0x20, 0xC0) == (0x20 * (0xC0 - 256)) >> 5
+
+    def build_vp8l(w, h, body):
+        bw = W._BitWriter()
+        bw.write(0x2F, 8)
+        bw.write(w - 1, 14)
+        bw.write(h - 1, 14)
+        bw.write(0, 1)
+        bw.write(0, 3)
+        body(bw)
+        stream = bw.finish()
+        chunk = b"VP8L" + _struct.pack("<I", len(stream)) + stream
+        if len(stream) & 1:
+            chunk += b"\x00"
+        return b"RIFF" + _struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    def rgb_of(argb_pixels):
+        out = bytearray()
+        for px in argb_pixels:
+            out += bytes(((px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF))
+        return bytes(out)
+
+    # --- 3a: predictor transform, all 14 modes (16x16, 4px blocks -> 16
+    # blocks; modes 0..13 plus two repeats). Forward residuals mirror the
+    # inverse exactly because reconstruction is lossless.
+    pw, ph, size_bits = 16, 16, 2
+    bw_blocks = (pw + 3) >> 2
+    modes = list(range(14)) + [7, 1]
+    pixels = [
+        0xFF000000
+        | (rng.randrange(256) << 16)
+        | (rng.randrange(256) << 8)
+        | rng.randrange(256)
+        for _ in range(pw * ph)
+    ]
+    residuals = [0] * len(pixels)
+    for y in range(ph):
+        for x in range(pw):
+            i = y * pw + x
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = pixels[i - 1]
+            elif x == 0:
+                pred = pixels[i - pw]
+            else:
+                pred = W._predict(
+                    modes[(y >> size_bits) * bw_blocks + (x >> size_bits)],
+                    pixels,
+                    i,
+                    pw,
+                )
+            residuals[i] = W._sub_px(pixels[i], pred)
+
+    def pred_body(bw):
+        bw.write(1, 1)
+        bw.write(0, 2)  # predictor transform
+        bw.write(size_bits - 2, 3)
+        W._write_coded_image(
+            bw, [0xFF000000 | (m << 8) for m in modes], level0=False
+        )
+        bw.write(0, 1)  # no more transforms
+        W._write_coded_image(bw, residuals, level0=True)
+
+    assert W.decode_webp(build_vp8l(pw, ph, pred_body)) == (pw, ph, rgb_of(pixels))
+
+    # --- 3b: color transform with nonzero elements per block
+    cw, ch_, csb = 8, 8, 2
+    cbw = (cw + 3) >> 2
+    ctes = [(0x10, 0xF0, 0x08), (0xE8, 0x20, 0xFC), (0x00, 0x00, 0x00), (0x7F, 0x81, 0x40)]
+    cpix = [
+        0xFF000000
+        | (rng.randrange(256) << 16)
+        | (rng.randrange(256) << 8)
+        | rng.randrange(256)
+        for _ in range(cw * ch_)
+    ]
+    fwd = [0] * len(cpix)
+    for y in range(ch_):
+        for x in range(cw):
+            i = y * cw + x
+            g2r, g2b, r2b = ctes[(y >> csb) * cbw + (x >> csb)]
+            px = cpix[i]
+            g = (px >> 8) & 0xFF
+            r = (px >> 16) & 0xFF
+            b_ = px & 0xFF
+            r2 = (r - W._cdelta(g2r, g)) & 0xFF
+            b3 = (b_ - W._cdelta(g2b, g) - W._cdelta(r2b, r)) & 0xFF
+            fwd[i] = (px & 0xFF00FF00) | (r2 << 16) | b3
+
+    def color_body(bw):
+        bw.write(1, 1)
+        bw.write(1, 2)  # color transform
+        bw.write(csb - 2, 3)
+        W._write_coded_image(
+            bw,
+            [
+                0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+                for g2r, g2b, r2b in ctes
+            ],
+            level0=False,
+        )
+        bw.write(0, 1)
+        W._write_coded_image(bw, fwd, level0=True)
+
+    assert W.decode_webp(build_vp8l(cw, ch_, color_body)) == (cw, ch_, rgb_of(cpix))
+
+    # --- 3c: meta prefix codes. 8x8, hbits=2 -> 2x2 entropy image, 4
+    # groups; every group's five codes are 1-symbol (0-bit), so the pixel
+    # section reads NOTHING and the output is per-block constant colors
+    # determined solely by the entropy-image group lookup.
+    def simple1(bw, sym):
+        bw.write(1, 1)  # simple code
+        bw.write(0, 1)  # one symbol
+        first8 = 1 if sym > 1 else 0
+        bw.write(first8, 1)
+        bw.write(sym, 8 if first8 else 1)
+
+    def meta_body(bw):
+        bw.write(0, 1)  # no transforms
+        bw.write(0, 1)  # no color cache
+        bw.write(1, 1)  # meta prefix codes
+        bw.write(0, 3)  # hbits = 2
+        W._write_coded_image(
+            bw, [0xFF000000 | (k << 8) for k in range(4)], level0=False
+        )
+        for k in range(4):
+            simple1(bw, 20 + k)  # green
+            simple1(bw, 30 + k)  # red
+            simple1(bw, 40 + k)  # blue
+            simple1(bw, 250 + k)  # alpha
+            simple1(bw, 0)  # distance
+
+    got = W.decode_webp(build_vp8l(8, 8, meta_body))
+    expect = []
+    for y in range(8):
+        for x in range(8):
+            k = (y >> 2) * 2 + (x >> 2)
+            expect.append((30 + k << 16) | (20 + k << 8) | (40 + k) | 0xFF000000)
+    assert got == (8, 8, rgb_of(expect))
+
+    # --- 3d: normal code with 17/18 zero-repeats and the max_symbol
+    # shortcut. Green code = {0: len1, 255: len1} written as: sym0 len 1,
+    # repeat-17 (10 zeros), repeat-18 (138 zeros), repeat-18 (106 zeros),
+    # sym255 len 1 — five reads, max_symbol = 5.
+    def repeats_body(bw):
+        bw.write(0, 1)  # no transforms
+        bw.write(0, 1)  # no cache
+        bw.write(0, 1)  # no meta
+        # green: normal code
+        bw.write(0, 1)  # not simple
+        bw.write(0, 4)  # num_code_lengths = 4 -> order [17, 18, 0, 1]
+        for v in (2, 2, 0, 1):  # clcl: len(17)=2, len(18)=2, len(0)=0, len(1)=1
+            bw.write(v, 3)
+        bw.write(1, 1)  # use max_symbol
+        bw.write(3, 3)  # length_nbits = 2 + 2*3 = 8
+        bw.write(3, 8)  # max_symbol = 2 + 3 = 5
+        # canonical cl codes: sym1 -> 0 (len1), sym17 -> 10, sym18 -> 11
+        bw.write_code_msb(0, 1)  # cl 1 -> green sym 0 has len 1
+        bw.write_code_msb(0b10, 2)  # cl 17
+        bw.write(7, 3)  # 3 + 7 = 10 zeros (syms 1..10)
+        bw.write_code_msb(0b11, 2)  # cl 18
+        bw.write(127, 7)  # 11 + 127 = 138 zeros (syms 11..148)
+        bw.write_code_msb(0b11, 2)  # cl 18
+        bw.write(95, 7)  # 11 + 95 = 106 zeros (syms 149..254)
+        bw.write_code_msb(0, 1)  # cl 1 -> green sym 255 has len 1
+        simple1(bw, 33)  # red
+        simple1(bw, 44)  # blue
+        simple1(bw, 255)  # alpha
+        simple1(bw, 0)  # distance
+        for i in range(16):  # greens alternate 0 / 255: 1 bit each
+            bw.write_code_msb(i & 1, 1)
+
+    got = W.decode_webp(build_vp8l(4, 4, repeats_body))
+    expect = [
+        0xFF000000 | (33 << 16) | ((255 if i & 1 else 0) << 8) | 44
+        for i in range(16)
+    ]
+    assert got == (4, 4, rgb_of(expect))
+
+    # --- 4: dispatch and the lossy boundary
+    lossless = W.encode_webp(8, 6, grad)
+    assert imaging.sniff_format(lossless) == "webp"
+    lossy = (
+        b"RIFF"
+        + _struct.pack("<I", 4 + 8 + 10)
+        + b"WEBP"
+        + b"VP8 "
+        + _struct.pack("<I", 10)
+        + b"\x00" * 10
+    )
+    assert imaging.sniff_format(lossy) is None  # falls to the codec boundary
+    with _pytest.raises(imaging.ImageFormatError):
+        W.decode_webp(lossy)
+
+    # --- 5: boundaries, typed errors only
+    for bad in ((0, 5), (5, 0), (20000, 5), (5, 20000)):
+        with _pytest.raises(imaging.ImageFormatError):
+            W.encode_webp(bad[0], bad[1], b"")
+    with _pytest.raises(imaging.ImageFormatError):
+        W.encode_webp(4, 4, b"\x00" * 10)  # wrong buffer length
+    with _pytest.raises(imaging.ImageFormatError):
+        W.encode_webp(30, 30, many, mode="palette")  # >256 colors
+    with _pytest.raises(imaging.ImageFormatError):
+        W.encode_webp(8, 6, grad, mode="bogus")
+    for cut in range(len(lossless)):
+        try:
+            W.decode_webp(lossless[:cut])
+        except imaging.ImageFormatError:
+            pass  # the contract: typed error, never IndexError/struct.error
 
 
 def test_bpe_merges_match_python_reference_and_reduce_fertility(spark):
