@@ -133,11 +133,11 @@ _WINDOW = (
     "ev_hll_daily_rollup",  # batch side refactored into shared streaming-twin helpers
     "mm_image_decode",  # r12: WebP/VP8L fixture class joins the codec gate
     "mm_image_resize",  # r12: WebP path in the resize round-trip
-    # (c) new this round / next-stalest r08 fill:
-    "t5_priority_counts_by_year",
-    "t6p1_top_customer_per_nation",
-    "t6p2_top_nation_by_top_customer",
-    "t8_compat_window_median",
+    # (c) new this round:
+    "corpus_source_cap",  # r12 NEW: RefinedWeb-style per-domain cap
+    "corpus_filter_cascade",  # r12 NEW: first-failing-reason quality cascade
+    "ev_winsorized_stats",  # r12 NEW: exact-percentile winsorized robust stats
+    "sim_knn_classify",  # r12 NEW: k-NN majority-vote labeling over embeddings
 )
 
 

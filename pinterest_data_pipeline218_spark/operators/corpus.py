@@ -1502,6 +1502,142 @@ def write_training_corpus(df: DataFrame, out_dir: str) -> None:
     df.write.mode("overwrite").partitionBy("split").parquet(out_dir)
 
 
+# ------------------------------------------------------- per-source cap
+
+SOURCE_CAP_K = 8  # max documents kept per source
+
+
+def _quality_sql() -> str:
+    sw = T.stopword_ratio_sql("string_split(text, ' ')")
+    atl = T.avg_token_len_sql("string_split(text, ' ')")
+    return (
+        f"(0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)"
+        f" + 0.3 * (1.0 - {sw})"
+        f" + 0.2 * least({atl} / 8.0, 1.0))"
+    )
+
+
+def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (r12): keep the SOURCE_CAP_K best documents
+    of every source by quality score — the RefinedWeb/C4-style per-domain
+    cap that stops a single hot domain (content farms, boilerplate mirrors)
+    from dominating the training mixture. Ranking is on the fixed-point
+    quality (ppm, the dedup_cluster_best idiom: both engines truncate the
+    same double toward zero), tie-broken by doc_id, so the kept set is
+    deterministic and engine-independent.
+
+    Scale shape: one scan computes q_ppm scan-local, then a single
+    hash-exchange on `source` feeds the rank window; output is bounded at
+    K·|sources| regardless of corpus size. A pathologically hot domain
+    skews its window partition — at 100 TB the standard fix is a
+    per-partition pre-top-K (keep K best per task, then rank the
+    K·n_tasks survivors), which composes from the same pieces; AQE skew
+    splitting covers the moderate case."""
+    docs = load_table(spark, sf_dir, "documents")
+    q_ppm = (T.quality_score(T.tokens(F.col("text"))) * 1_000_000).cast("long")
+    w = Window.partitionBy("source").orderBy(F.desc("q_ppm"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source", q_ppm.alias("q_ppm"))
+        .withColumn("q_rank", F.row_number().over(w))
+        .filter(F.col("q_rank") <= SOURCE_CAP_K)
+        .orderBy("source", "q_rank")
+    )
+
+
+CORPUS_SOURCE_CAP_SQL = f"""
+WITH q AS (
+  SELECT doc_id, source,
+         CAST(TRUNC({{quality}} * 1000000) AS BIGINT) AS q_ppm
+  FROM documents
+), r AS (
+  SELECT doc_id, source, q_ppm,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY q_ppm DESC, doc_id) AS INT) AS q_rank
+  FROM q
+)
+SELECT doc_id, source, q_ppm, q_rank FROM r
+WHERE q_rank <= {SOURCE_CAP_K}
+ORDER BY source, q_rank
+"""
+
+
+# --------------------------------------------------------- filter cascade
+
+CASCADE_MIN_TOKENS = 20  # Gopher-style document length gates
+CASCADE_MAX_TOKENS = 90
+CASCADE_TTR_PCT = 55  # distinct/total token ratio below this % = repetitive
+
+
+def corpus_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter cascade with FIRST-FAILING reason codes (r12): the
+    CCNet/RefinedWeb-style rule chain — length gates → language gate →
+    heuristic quality gate → repetition gate — evaluated as one scan-local
+    CASE so every document gets exactly one decision ('keep' or the first
+    reason that rejected it). The gated output is the per-(source,
+    decision) funnel report (doc and token counts): the dashboard a
+    curation team actually reads, and a value gate on every per-doc
+    decision (any CASE flip moves a count). The length/repetition gates
+    are pure integers; the repetition gate is integer cross-multiplied
+    (n_distinct·100 < n_tokens·TTR_PCT); the quality gate reuses the
+    SHARED bit-deterministic double expression every corpus pipeline
+    filters on (functions/text.py quality_score).
+
+    Scale shape: one pass, zero joins — a scan-local CASE feeding a
+    partial-aggregable groupBy over ~|sources|·6 cells. This is the
+    flat-decade shape: at 100 TB it is bounded by the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    d = docs.select(
+        "source",
+        "lang",
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_dist"),
+        T.quality_score(toks).alias("q"),
+    )
+    decision = (
+        F.when(F.col("n_toks") < CASCADE_MIN_TOKENS, "too_short")
+        .when(F.col("n_toks") > CASCADE_MAX_TOKENS, "too_long")
+        .when(F.col("lang") != "en", "non_english")
+        .when(F.col("q") < QUALITY_THRESHOLD, "low_quality")
+        .when(
+            F.col("n_dist") * 100 < F.col("n_toks") * CASCADE_TTR_PCT, "repetitive"
+        )
+        .otherwise("keep")
+    )
+    return (
+        d.select("source", decision.alias("decision"), "n_toks")
+        .groupBy("source", "decision")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("tot_tokens"),
+        )
+        .orderBy("source", "decision")
+    )
+
+
+CORPUS_FILTER_CASCADE_SQL = f"""
+WITH d AS (
+  SELECT source,
+         CASE
+           WHEN len(string_split(text, ' ')) < {CASCADE_MIN_TOKENS} THEN 'too_short'
+           WHEN len(string_split(text, ' ')) > {CASCADE_MAX_TOKENS} THEN 'too_long'
+           WHEN lang != 'en' THEN 'non_english'
+           WHEN {{quality}} < {QUALITY_THRESHOLD} THEN 'low_quality'
+           WHEN len(list_distinct(string_split(text, ' '))) * 100
+                < len(string_split(text, ' ')) * {CASCADE_TTR_PCT} THEN 'repetitive'
+           ELSE 'keep'
+         END AS decision,
+         len(string_split(text, ' ')) AS n_toks
+  FROM documents
+)
+SELECT source, decision,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS tot_tokens
+FROM d GROUP BY source, decision
+ORDER BY source, decision
+"""
+
+
 QUERIES = {
     "corpus_hash_sample": corpus_hash_sample,
     "corpus_split_assign": corpus_split_assign,
@@ -1520,6 +1656,8 @@ QUERIES = {
     "corpus_shuffle_shards": corpus_shuffle_shards,
     "corpus_sliding_chunks": corpus_sliding_chunks,
     "corpus_reservoir_sample": corpus_reservoir_sample,
+    "corpus_source_cap": corpus_source_cap,
+    "corpus_filter_cascade": corpus_filter_cascade,
 }
 
 ORACLE = {
@@ -1540,4 +1678,8 @@ ORACLE = {
     "corpus_shuffle_shards": CORPUS_SHUFFLE_SQL,
     "corpus_sliding_chunks": CORPUS_SLIDING_SQL,
     "corpus_reservoir_sample": CORPUS_RESERVOIR_SQL,
+    "corpus_source_cap": CORPUS_SOURCE_CAP_SQL.format(quality=_quality_sql()),
+    "corpus_filter_cascade": CORPUS_FILTER_CASCADE_SQL.format(
+        quality=_quality_sql()
+    ),
 }

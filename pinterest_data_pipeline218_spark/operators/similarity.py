@@ -1314,6 +1314,124 @@ LIMIT {TOP_K}
 """
 
 
+# ----------------------------------------------------------- kNN classify
+
+KNN_K = 5  # neighbors per query
+KNN_QUERY_MOD = 10  # every 10th vector is a query (label withheld)
+KNN_QUERY_BATCH = 1024  # labeling-batch bound (ordered, deterministic)
+
+
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote labeling over the embedding table (r12): every
+    KNN_QUERY_MOD-th vector is treated as an unlabeled query and receives
+    the majority label of its KNN_K nearest base vectors by cosine
+    (frequency ties broken to the smallest label; score ties to the
+    smallest neighbor id) — the semi-supervised label-propagation /
+    auto-labeling primitive of a training-data pipeline, and the exact
+    counterpart the IVF probes approximate.
+
+    Plan shape: the query batch is a BROADCAST side against one scan of
+    the base vectors, and it is bounded BY CONTRACT — an ordered
+    limit(KNN_QUERY_BATCH) (deterministic: smallest query ids first, and
+    a no-op at every gate SF, whose query counts sit far below the
+    bound) that also makes the bound Catalyst-PROVABLE (logical maxRows),
+    so the audit can assert the nested-loop product is |batch|·n —
+    linear in the base, never quadratic. Per-vector norms are
+    precomputed scan-side so the per-pair expression is the small
+    unrolled dot product (functions/vectors.py — measured faster than
+    the fold on pairwise joins), and top-k per query is a rank window
+    over the bounded candidate stream. Majority election is the
+    ev_mode_value STRUCT argmax (total-order key, no arithmetic
+    encoding). 100 TB: exact scoring of a bounded labeling batch is the
+    exactness anchor; the IVF/PQ family in this module is the scale path
+    for unbounded query volumes."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine_from_norms, dot_unrolled, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v"), "label"
+    )
+    queries = (
+        emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+        .orderBy("q_id")
+        .limit(KNN_QUERY_BATCH)
+        .withColumn("qnorm", l2_norm(F.col("qv")))
+    )
+    base = (
+        emb.filter(F.col("vec_id") % KNN_QUERY_MOD != 0)
+        .select(
+            F.col("vec_id").alias("nbr_id"),
+            F.col("v").alias("bv"),
+            F.col("label").alias("nbr_label"),
+        )
+        .withColumn("bnorm", l2_norm(F.col("bv")))
+    )
+    scored = base.join(F.broadcast(queries)).select(
+        "q_id",
+        "nbr_id",
+        "nbr_label",
+        F.round(
+            cosine_from_norms(
+                dot_unrolled(F.col("qv"), F.col("bv")),
+                F.col("qnorm"),
+                F.col("bnorm"),
+            ),
+            6,
+        ).alias("cos6"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos6"), F.asc("nbr_id"))
+    topk = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KNN_K
+    )
+    votes = topk.groupBy("q_id", "nbr_label").agg(F.count(F.lit(1)).alias("votes"))
+    return (
+        votes.groupBy("q_id")
+        .agg(
+            F.max(
+                F.struct(F.col("votes"), (-F.col("nbr_label")).alias("neg_label"))
+            ).alias("s")
+        )
+        .select(
+            F.col("q_id").alias("vec_id"),
+            (-F.col("s.neg_label")).cast("int").alias("pred_label"),
+            F.col("s.votes").alias("votes"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_KNN_COS = cosine_sql_duckdb("qv", "bv")
+SIM_KNN_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % {KNN_QUERY_MOD} = 0
+      ORDER BY q_id LIMIT {KNN_QUERY_BATCH}),
+b AS (SELECT vec_id AS nbr_id, v AS bv, label AS nbr_label
+      FROM e WHERE vec_id % {KNN_QUERY_MOD} != 0),
+p AS (
+  SELECT q_id, nbr_id, nbr_label,
+         CAST(ROUND({_KNN_COS}, 6) AS DOUBLE) AS cos6
+  FROM q CROSS JOIN b
+), r AS (
+  SELECT q_id, nbr_label,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, nbr_id) AS rn
+  FROM p
+), v AS (
+  SELECT q_id, nbr_label, COUNT(*) AS votes
+  FROM r WHERE rn <= {KNN_K} GROUP BY q_id, nbr_label
+), el AS (
+  SELECT q_id, nbr_label, votes,
+         ROW_NUMBER() OVER (
+           PARTITION BY q_id ORDER BY votes DESC, nbr_label ASC) AS pr
+  FROM v
+)
+SELECT q_id AS vec_id, CAST(nbr_label AS INT) AS pred_label,
+       CAST(votes AS BIGINT) AS votes
+FROM el WHERE pr = 1 ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_radius_search": sim_radius_search,
@@ -1326,6 +1444,7 @@ QUERIES = {
     "sim_ivfpq_residual_topk": sim_ivfpq_residual_topk,
     "sim_ivfpq_lloyd_topk": sim_ivfpq_lloyd_topk,
     "sim_ivfpq_wide_topk": sim_ivfpq_wide_topk,
+    "sim_knn_classify": sim_knn_classify,
 }
 
 ORACLE = {
@@ -1341,4 +1460,5 @@ ORACLE = {
     "sim_ivfpq_residual_topk": _ivfpq_residual_sql(),
     "sim_ivfpq_lloyd_topk": _ivfpq_residual_sql(PQ_LLOYD_ROUNDS),
     "sim_ivfpq_wide_topk": _ivfpq_residual_sql(pq_k=PQ_K_WIDE),
+    "sim_knn_classify": SIM_KNN_SQL,
 }

@@ -331,12 +331,105 @@ ORDER BY event_type, decile
 """
 
 
+WINSOR_LO_PCT = 5  # winsorization percentiles (discrete, ceil-rank rule)
+WINSOR_HI_PCT = 95
+
+
+def ev_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per event type (r12): clamp every
+    centi-value into its type's exact discrete [p5, p95] band, then report
+    raw vs winsorized sums and how many observations each tail clamped —
+    the standard metric-pipeline defense against fat-tailed outliers,
+    complementing the MAD screen (which FLAGS outliers) by producing the
+    robust AGGREGATE itself. Percentiles use ev_quantiles_disc's stated
+    ceil-rank rule ((q·n + 99) div 100, an observed value), so the clamp
+    thresholds are engine-independent integers and every output column is
+    exact integer arithmetic.
+
+    Plan: the quantiles_disc window pass (ONE exchange + sort on
+    event_type) yields the two thresholds as a |event_type|-row aggregate,
+    which broadcast-joins back to the scan for the clamped re-aggregation
+    — no second shuffle of event rows, both aggregates partial-
+    aggregable. 100 TB: at scale the exact-percentile pass is the
+    expensive exactness anchor; swapping it for the mergeable histogram
+    sketch (ev_hist_value_quantiles) changes only the threshold rows."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("event_type", _v_centi().alias("v"))
+    w = Window.partitionBy("event_type")
+    ranked = base.select(
+        "event_type",
+        "v",
+        F.row_number().over(w.orderBy("v")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    thresholds = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"({WINSOR_LO_PCT} * n + 99) div 100"),
+                F.col("v"),
+            )
+        ).alias("p_lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"({WINSOR_HI_PCT} * n + 99) div 100"),
+                F.col("v"),
+            )
+        ).alias("p_hi"),
+    )
+    clamped = base.join(F.broadcast(thresholds), "event_type")
+    wins = F.greatest(F.col("p_lo"), F.least(F.col("p_hi"), F.col("v")))
+    return (
+        clamped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").alias("raw_sum_centi"),
+            F.sum(wins).alias("wins_sum_centi"),
+            F.sum((F.col("v") < F.col("p_lo")).cast("long")).alias("n_clamped_lo"),
+            F.sum((F.col("v") > F.col("p_hi")).cast("long")).alias("n_clamped_hi"),
+            F.max("p_lo").alias("p_lo_centi"),
+            F.max("p_hi").alias("p_hi_centi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_WINSORIZED_SQL = f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM events
+), ranked AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+), t AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = ({WINSOR_LO_PCT} * n + 99) // 100 THEN v END) AS p_lo,
+         MAX(CASE WHEN rn = ({WINSOR_HI_PCT} * n + 99) // 100 THEN v END) AS p_hi
+  FROM ranked GROUP BY event_type
+)
+SELECT base.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(v) AS BIGINT) AS raw_sum_centi,
+       CAST(SUM(GREATEST(p_lo, LEAST(p_hi, v))) AS BIGINT) AS wins_sum_centi,
+       CAST(SUM(CASE WHEN v < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+       CAST(SUM(CASE WHEN v > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+       MAX(p_lo) AS p_lo_centi,
+       MAX(p_hi) AS p_hi_centi
+FROM base JOIN t USING (event_type)
+GROUP BY base.event_type
+ORDER BY base.event_type
+"""
+
+
 QUERIES = {
     "ev_quantiles_disc": ev_quantiles_disc,
     "ev_mode_value": ev_mode_value,
     "ev_trend_slope": ev_trend_slope,
     "ev_seasonal_dow": ev_seasonal_dow,
     "ev_value_ntiles": ev_value_ntiles,
+    "ev_winsorized_stats": ev_winsorized_stats,
 }
 
 ORACLE = {
@@ -345,4 +438,5 @@ ORACLE = {
     "ev_trend_slope": EV_TREND_SQL,
     "ev_seasonal_dow": EV_SEASONAL_SQL,
     "ev_value_ntiles": EV_NTILE_SQL,
+    "ev_winsorized_stats": EV_WINSORIZED_SQL,
 }

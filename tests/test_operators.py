@@ -2282,6 +2282,138 @@ def test_resize_covers_all_six_fixture_classes(spark):
     assert np.abs(got - want).max() <= 2, np.abs(got - want).max()
 
 
+def _quality_model(text: str) -> float:
+    """Python replica of functions/text.py quality_score — identical IEEE
+    double operations in identical left-associated order."""
+    toks = text.split(" ")
+    n = len(toks)
+    sw = sum(1 for t in toks if t in ("a", "the")) / n
+    atl = sum(len(t) for t in toks) / n
+    return 0.5 * min(n / 100.0, 1.0) + 0.3 * (1.0 - sw) + 0.2 * min(atl / 8.0, 1.0)
+
+
+def test_source_cap_keeps_quality_top_k_per_source(spark):
+    """corpus_source_cap (r12) against an independent Python re-ranking:
+    exactly min(K, |source|) rows per source, ranks contiguous from 1,
+    and the kept doc_ids are the quality-ppm-top ones under the stated
+    (q_ppm DESC, doc_id ASC) order."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.operators.corpus import (
+        SOURCE_CAP_K,
+        corpus_source_cap,
+    )
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    by_source = {}
+    for r in docs:
+        q_ppm = int(_quality_model(r.text) * 1_000_000)  # trunc toward zero
+        by_source.setdefault(r.source, []).append((-q_ppm, r.doc_id))
+    want = {}
+    for src, rows in by_source.items():
+        rows.sort()
+        for rank, (neg_q, doc_id) in enumerate(rows[:SOURCE_CAP_K], start=1):
+            want[(src, rank)] = (doc_id, -neg_q)
+    got = corpus_source_cap(spark, SF).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert want[(r.source, r.q_rank)] == (r.doc_id, r.q_ppm), (
+            r.source,
+            r.q_rank,
+        )
+    per_src = {}
+    for r in got:
+        per_src.setdefault(r.source, []).append(r.q_rank)
+    for src, ranks in per_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) == min(SOURCE_CAP_K, len(by_source[src]))
+
+
+def test_filter_cascade_first_failing_reason_partitions_corpus(spark):
+    """corpus_filter_cascade (r12): the per-(source, decision) funnel must
+    equal an independent Python replay of the FIRST-FAILING rule chain
+    (length → language → quality → repetition), and the decision classes
+    must partition the corpus (counts sum to |documents|). The model
+    asserts the ordering property directly: documents failing several
+    gates are counted under the earliest."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.operators.corpus import (
+        CASCADE_MAX_TOKENS,
+        CASCADE_MIN_TOKENS,
+        CASCADE_TTR_PCT,
+        QUALITY_THRESHOLD,
+        corpus_filter_cascade,
+    )
+
+    docs = load_table(spark, SF, "documents").select(
+        "source", "lang", "text"
+    ).collect()
+    model = {}
+    multi_gate_docs = 0
+    for r in docs:
+        toks = r.text.split(" ")
+        n, nd = len(toks), len(set(toks))
+        fails = [
+            n < CASCADE_MIN_TOKENS,
+            n > CASCADE_MAX_TOKENS,
+            r.lang != "en",
+            _quality_model(r.text) < QUALITY_THRESHOLD,
+            nd * 100 < n * CASCADE_TTR_PCT,
+        ]
+        multi_gate_docs += sum(fails) > 1
+        names = ("too_short", "too_long", "non_english", "low_quality", "repetitive")
+        decision = next(
+            (name for name, f in zip(names, fails) if f), "keep"
+        )
+        key = (r.source, decision)
+        cnt, tok = model.get(key, (0, 0))
+        model[key] = (cnt + 1, tok + n)
+    got = corpus_filter_cascade(spark, SF).collect()
+    assert {(r.source, r.decision): (r.n_docs, r.tot_tokens) for r in got} == model
+    assert sum(r.n_docs for r in got) == len(docs)
+    # the fixture corpus must actually exercise the ordering (docs that
+    # fail >1 gate), or the first-failing property is vacuous here
+    assert multi_gate_docs > 0
+
+
+def test_knn_classify_matches_numpy_model(spark):
+    """sim_knn_classify (r12) against a NumPy model: exact cosine (scores
+    rounded to 6 before ranking, ties by neighbor id), top-KNN_K, majority
+    vote with frequency ties to the smallest label."""
+    import numpy as np
+
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.operators.similarity import (
+        KNN_K,
+        KNN_QUERY_MOD,
+        sim_knn_classify,
+    )
+
+    rows = load_table(spark, SF, "embeddings").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    labels = np.array([r.label for r in rows])
+    is_q = ids % KNN_QUERY_MOD == 0
+    want = {}
+    for qi in np.flatnonzero(is_q):
+        sims = []
+        for bi in np.flatnonzero(~is_q):
+            cos = float(V[qi] @ V[bi]) / (
+                float(np.sqrt(V[qi] @ V[qi])) * float(np.sqrt(V[bi] @ V[bi]))
+            )
+            sims.append((-round(cos, 6), ids[bi], labels[bi]))
+        sims.sort()
+        votes = {}
+        for _, _, lab in sims[:KNN_K]:
+            votes[lab] = votes.get(lab, 0) + 1
+        pred = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+        want[int(ids[qi])] = (int(pred[0]), pred[1])
+    got = sim_knn_classify(spark, SF).collect()
+    assert {r.vec_id: (r.pred_label, r.votes) for r in got} == want
+    assert len(got) == int(is_q.sum())
+
+
 def test_webp_codec_roundtrip_transforms_and_boundaries():
     """functions/webp.py (r12): VP8L lossless WebP codec.
 

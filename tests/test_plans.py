@@ -1005,6 +1005,58 @@ def test_bench_contention_guard():
     assert out["contended"]["hit"] == {"first": 2.1, "rerun": 1.02}
 
 
+def test_winsorized_stats_matches_python_model(spark):
+    """ev_winsorized_stats (r12) against an independent Python model:
+    exact ceil-rank discrete percentiles per type, clamp, and the four
+    integer aggregates — including that the thresholds themselves are
+    OBSERVED values and the clamp counts exclude values equal to the
+    thresholds (strict inequalities)."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.plans.orderstats import (
+        WINSOR_HI_PCT,
+        WINSOR_LO_PCT,
+        ev_winsorized_stats,
+    )
+
+    rows = load_table(spark, SF, "events").select("event_type", "value").collect()
+    by_type = {}
+    for r in rows:
+        cents = int(round(r.value * 100))  # values are 2-decimal doubles
+        by_type.setdefault(r.event_type, []).append(cents)
+    model = {}
+    for t, vs in by_type.items():
+        vs.sort()
+        n = len(vs)
+        p_lo = vs[(WINSOR_LO_PCT * n + 99) // 100 - 1]
+        p_hi = vs[(WINSOR_HI_PCT * n + 99) // 100 - 1]
+        model[t] = (
+            n,
+            sum(vs),
+            sum(max(p_lo, min(p_hi, v)) for v in vs),
+            sum(1 for v in vs if v < p_lo),
+            sum(1 for v in vs if v > p_hi),
+            p_lo,
+            p_hi,
+        )
+    got = ev_winsorized_stats(spark, SF).collect()
+    assert len(got) == len(model)
+    for r in got:
+        assert model[r.event_type] == (
+            r.n_events,
+            r.raw_sum_centi,
+            r.wins_sum_centi,
+            r.n_clamped_lo,
+            r.n_clamped_hi,
+            r.p_lo_centi,
+            r.p_hi_centi,
+        ), r.event_type
+        # the thresholds are observed values and the winsorized sum is
+        # bracketed by the clamp arithmetic
+        assert r.p_lo_centi in by_type[r.event_type]
+        assert r.p_hi_centi in by_type[r.event_type]
+        assert r.n_clamped_lo + r.n_clamped_hi < r.n_events
+
+
 def test_registry_window_names_resolve_and_rotation_is_ledger_mechanical(qs):
     """_WINDOW hygiene (r12 design): every window name must exist in the
     registry (a typo silently pushes something else out of the driver's
@@ -1056,9 +1108,13 @@ def test_ledger_covers_registry_and_row_verdict_matches_driver(qs):
     from tools.ledger import _row_green, load_ledger
 
     ledger = load_ledger()
-    missing = set(qs) - set(ledger)
+    # names without any driver row are legitimate ONLY while they await
+    # their first row — i.e. they must sit inside the current window
+    missing = set(qs) - set(ledger) - set(entry._WINDOW)
     assert missing == set(), f"registry names never windowed: {missing}"
     for name in qs:
+        if name not in ledger:
+            continue  # new this round, checked above
         ent = ledger[name]
         assert ent["round"] >= 1
         assert ent["round"] == max(r for r, _ in ent["rounds"])

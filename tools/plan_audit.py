@@ -87,6 +87,12 @@ def _max_rows(jnode) -> int | None:
 # logical maxRows. 8 covers every such table in the registry while staying
 # far below anything that could make the multiply quadratic.
 BNLJ_BOUND = 8
+# A provable bound in (8, 4096] is the BOUNDED-BATCH class (r12): a
+# contract-limited broadcast batch (e.g. sim_knn_classify's ordered
+# limit(KNN_QUERY_BATCH) labeling batch) against a scan — |batch|·n work,
+# linear in the big side. Asserted distinctly so the scalar idiom's tight
+# bound stays meaningful; anything unprovable remains INVESTIGATE.
+BNLJ_BATCH_BOUND = 4096
 
 
 def classify_nonequi_joins(df) -> tuple[int, list[int | None]]:
@@ -163,6 +169,12 @@ def audit(name: str, df, full: bool) -> None:
                 "bnlj(1-row, asserted)"
                 if mx <= 1
                 else f"bnlj({mx}-row, asserted)"
+            )
+        elif nonequi_bounds and all(
+            b is not None and b <= BNLJ_BATCH_BOUND for b in nonequi_bounds
+        ):
+            flags.append(
+                f"bnlj(bounded-batch {max(nonequi_bounds)}, asserted)"
             )
         else:
             flags.append(f"bnlj(INVESTIGATE: side bounds {nonequi_bounds})")
