@@ -1584,8 +1584,20 @@ def corpus_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one pass, zero joins — a scan-local CASE feeding a
     partial-aggregable groupBy over ~|sources|·6 cells. This is the
-    flat-decade shape: at 100 TB it is bounded by the scan."""
-    docs = load_table(spark, sf_dir, "documents")
+    flat-decade shape: at 100 TB it is bounded by the scan. The cells are
+    purely ADDITIVE across disjoint document batches (decisions are
+    per-doc, no cross-doc state), so the streaming twin
+    (streaming/pipeline.py cascade_state_batch / incremental_filter_cascade)
+    merges per-batch cells by plain summation into EXACTLY this report."""
+    return cascade_cells(load_table(spark, sf_dir, "documents")).orderBy(
+        "source", "decision"
+    )
+
+
+def cascade_cells(docs: DataFrame) -> DataFrame:
+    """Per-(source, decision) funnel cells for a document batch — the
+    shared kernel of the gated corpus_filter_cascade and its streaming
+    twin. Additive: n_docs/tot_tokens sum across batches."""
     toks = T.tokens(F.col("text"))
     d = docs.select(
         "source",
@@ -1611,7 +1623,6 @@ def corpus_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_toks").alias("tot_tokens"),
         )
-        .orderBy("source", "decision")
     )
 
 

@@ -1461,3 +1461,56 @@ def purge_keys(spark: SparkSession, path: str, key_col: str, keys) -> int:
     kept.write.mode("overwrite").parquet(tmp)
     _finish_swap(path, tmp, old)
     return before - spark.read.parquet(path).count()
+
+
+def cascade_state_batch(
+    batch_docs: DataFrame, state_dir: str, batch_id: int = -1
+) -> None:
+    """One micro-batch's filter-cascade funnel contribution (r12): the
+    per-(source, decision) cells for THIS batch's documents, written
+    under batch_id=N (the overwrite-partition idempotence contract — a
+    replayed batch overwrites itself, never double-counts). State is
+    purely ADDITIVE and bounded at |sources| x 6 rows per batch: the
+    cascade decision is per-document scan-local, so disjoint batches
+    contribute independent cells."""
+    from ..operators.corpus import cascade_cells
+
+    cascade_cells(batch_docs).write.mode("overwrite").parquet(
+        f"{state_dir}/cascade/batch_id={batch_id}"
+    )
+
+
+def incremental_filter_cascade(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Assemble the curation funnel report from accumulated per-batch
+    cells: merge by plain summation, then the batch query's ordering —
+    EXACTLY corpus_filter_cascade over the union of batches
+    (`test_incremental_cascade_equals_batch`). The live twin of the
+    gated funnel dashboard: as crawl shards land, the keep/reject
+    breakdown stays current without re-scanning the corpus."""
+    if not os.path.isdir(f"{state_dir}/cascade"):
+        return spark.sql(
+            "SELECT CAST(NULL AS STRING) source, CAST(NULL AS STRING) decision, "
+            "CAST(0 AS BIGINT) n_docs, CAST(0 AS BIGINT) tot_tokens"
+        ).limit(0)
+    return (
+        spark.read.parquet(f"{state_dir}/cascade")
+        .groupBy("source", "decision")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("tot_tokens").alias("tot_tokens"),
+        )
+        .orderBy("source", "decision")
+    )
+
+
+def attach_cascade_stream(stream_docs: DataFrame, state_dir: str, checkpoint: str):
+    """Wire the cascade-cell accumulator onto a document stream via
+    foreachBatch (the dashboard-family contract); read the funnel at any
+    time with incremental_filter_cascade."""
+    return (
+        stream_docs.writeStream.foreachBatch(
+            lambda df, bid: cascade_state_batch(df, state_dir, bid)
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -3139,3 +3139,102 @@ def test_incremental_rolling7d_before_first_batch_is_empty(spark, tmp_path):
     df = incremental_rolling_7d(spark, str(tmp_path / "never"))
     assert df.collect() == []
     assert df.columns == ["day", "users_7d"]
+
+
+def test_incremental_cascade_equals_batch(spark, tmp_path):
+    """The curation-funnel streaming twin (r12): per-batch cascade cells
+    merged by summation must equal corpus_filter_cascade's kernel over
+    the union of batches EXACTLY — cells are additive because the
+    decision is per-document scan-local. Covers a (source, decision)
+    cell fed by BOTH batches (summation), cells unique to one batch
+    (no zero-fill needed), and a replayed batch (overwrite-partition
+    idempotence)."""
+    from pinterest_data_pipeline218_spark.operators.corpus import cascade_cells
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        cascade_state_batch,
+        incremental_filter_cascade,
+    )
+
+    sch = "source string, lang string, text string"
+    keep_text = "the " + " ".join(f"aaaaaaaaaa{i}" for i in range(40))  # 41 toks
+    short_text = "just three tokens"
+    rep_text = " ".join(["dup"] * 50)
+    batches = [
+        # srcA contributes keep + too_short; srcB non_english
+        [("srcA", "en", keep_text), ("srcA", "en", short_text),
+         ("srcB", "fr", keep_text)],
+        # srcA keep AGAIN (summation in the same cell) + repetitive
+        [("srcA", "en", keep_text), ("srcA", "en", rep_text),
+         ("srcB", "fr", short_text)],
+    ]
+    state = str(tmp_path / "state")
+    for bid, rows in enumerate(batches):
+        cascade_state_batch(spark.createDataFrame(rows, sch), state, bid)
+    cascade_state_batch(spark.createDataFrame(batches[1], sch), state, 1)  # replay
+
+    got = incremental_filter_cascade(spark, state).collect()
+    union = spark.createDataFrame([r for rows in batches for r in rows], sch)
+    want = cascade_cells(union).orderBy("source", "decision").collect()
+    assert got == want
+    cells = {(r.source, r.decision): r.n_docs for r in got}
+    assert cells[("srcA", "keep")] == 2  # summed across batches, not replayed
+    assert cells[("srcA", "too_short")] == 1
+    assert cells[("srcA", "repetitive")] == 1
+    # the short FRENCH doc lands too_short, not non_english — the length
+    # gate precedes the language gate (first-failing order, observable
+    # through the twin as well)
+    assert cells[("srcB", "non_english")] == 1
+    assert cells[("srcB", "too_short")] == 1
+
+    empty = incremental_filter_cascade(spark, str(tmp_path / "never"))
+    assert empty.collect() == []
+    assert empty.columns == ["source", "decision", "n_docs", "tot_tokens"]
+
+
+def test_attach_cascade_stream_end_to_end(spark, tmp_path):
+    """attach_cascade_stream drives cascade_state_batch with Structured
+    Streaming's real batch ids: file-triggered document micro-batches
+    accumulate funnel cells, and the read-side equals the batch kernel
+    over the union."""
+    import json
+    import os
+    import time
+
+    from pinterest_data_pipeline218_spark.operators.corpus import cascade_cells
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        attach_cascade_stream,
+        incremental_filter_cascade,
+    )
+
+    sch = "source string, lang string, text string"
+    keep_text = "the " + " ".join(f"bbbbbbbbbb{i}" for i in range(40))
+    batches = [
+        [("srcA", "en", keep_text), ("srcB", "de", keep_text)],
+        [("srcA", "en", "too short"), ("srcA", "en", keep_text)],
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    base = time.time() - 100
+    for i, rows in enumerate(batches):
+        path = src / f"{i:03d}.jsonl"
+        with open(path, "w") as f:
+            for s, lg, tx in rows:
+                f.write(json.dumps({"source": s, "lang": lg, "text": tx}) + "\n")
+        os.utime(path, (base + 10 * i, base + 10 * i))
+    stream = (
+        spark.readStream.format("json")
+        .schema(sch)
+        .option("maxFilesPerTrigger", "1").load(str(src))
+    )
+    state = str(tmp_path / "state")
+    q = attach_cascade_stream(stream, state, str(tmp_path / "cp"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = incremental_filter_cascade(spark, state).collect()
+    union = spark.createDataFrame([r for rows in batches for r in rows], sch)
+    want = cascade_cells(union).orderBy("source", "decision").collect()
+    assert got == want
+    cells = {(r.source, r.decision): r.n_docs for r in got}
+    assert cells[("srcA", "keep")] == 2 and cells[("srcA", "too_short")] == 1
+    assert cells[("srcB", "non_english")] == 1
