@@ -176,6 +176,11 @@ HEADLINE = [
     # r10: the remaining gated queries (VERDICT r9 #5 — HEADLINE now covers
     # the WHOLE registry; a tests/test_bench_headline_covers_registry guard
     # keeps it that way)
+    # r12 additions
+    "corpus_source_cap",
+    "corpus_filter_cascade",
+    "ev_winsorized_stats",
+    "sim_knn_classify",
     "corpus_mixture_sample",
     "corpus_pack_sequences",
     "corpus_split_assign",

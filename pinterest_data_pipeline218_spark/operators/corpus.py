@@ -1531,17 +1531,36 @@ def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     K·|sources| regardless of corpus size. A pathologically hot domain
     skews its window partition — at 100 TB the standard fix is a
     per-partition pre-top-K (keep K best per task, then rank the
-    K·n_tasks survivors), which composes from the same pieces; AQE skew
-    splitting covers the moderate case."""
-    docs = load_table(spark, sf_dir, "documents")
+    K·n_tasks survivors), which composes from the same pieces: the
+    streaming twin (streaming/pipeline.py source_cap_state_batch /
+    incremental_source_cap) IS that composition across micro-batches —
+    per-batch top-Ks are lossless for the global cap because batches
+    partition the corpus, so re-ranking their union equals this query."""
+    return source_cap_rank(_scored_docs(load_table(spark, sf_dir, "documents"))).orderBy(
+        "source", "q_rank"
+    )
+
+
+def _scored_docs(docs: DataFrame) -> DataFrame:
     q_ppm = (T.quality_score(T.tokens(F.col("text"))) * 1_000_000).cast("long")
+    return docs.select("doc_id", "source", q_ppm.alias("q_ppm"))
+
+
+def source_cap_rank(scored: DataFrame) -> DataFrame:
+    """The cap's rank-and-keep stage over already-scored (doc_id, source,
+    q_ppm) rows — shared verbatim by the gated query and the streaming
+    twin's read-side re-rank."""
     w = Window.partitionBy("source").orderBy(F.desc("q_ppm"), F.asc("doc_id"))
     return (
-        docs.select("doc_id", "source", q_ppm.alias("q_ppm"))
-        .withColumn("q_rank", F.row_number().over(w))
+        scored.withColumn("q_rank", F.row_number().over(w))
         .filter(F.col("q_rank") <= SOURCE_CAP_K)
-        .orderBy("source", "q_rank")
     )
+
+
+def source_cap_candidates(docs: DataFrame) -> DataFrame:
+    """A document batch's per-source top-K survivors (the streaming twin's
+    bounded per-batch state: K·|sources| rows however large the batch)."""
+    return source_cap_rank(_scored_docs(docs)).select("doc_id", "source", "q_ppm")
 
 
 CORPUS_SOURCE_CAP_SQL = f"""

@@ -1514,3 +1514,55 @@ def attach_cascade_stream(stream_docs: DataFrame, state_dir: str, checkpoint: st
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def source_cap_state_batch(
+    batch_docs: DataFrame, state_dir: str, batch_id: int = -1
+) -> None:
+    """One micro-batch's per-source cap candidates (r12): THIS batch's
+    quality-top-K per source, written under batch_id=N (overwrite-
+    partition idempotence). State is MERGEABLE by re-ranking rather than
+    additive: because batches partition the corpus, the global top-K per
+    source is a subset of the union of per-batch top-Ks (any row in the
+    global top-K is in the top-K of its own batch a fortiori), so keeping
+    K rows per (source, batch) is lossless for the cap — bounded at
+    K x |sources| per batch regardless of batch size."""
+    from ..operators.corpus import source_cap_candidates
+
+    source_cap_candidates(batch_docs).write.mode("overwrite").parquet(
+        f"{state_dir}/source_cap/batch_id={batch_id}"
+    )
+
+
+def incremental_source_cap(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Assemble the capped per-source keeper set from accumulated
+    per-batch candidates: re-rank the union of survivors with EXACTLY
+    the batch query's window (q_ppm DESC, doc_id ASC) and keep K — equal
+    to corpus_source_cap over the union of batches by the subset
+    argument above (`test_incremental_source_cap_equals_batch`)."""
+    from ..operators.corpus import source_cap_rank
+
+    if not os.path.isdir(f"{state_dir}/source_cap"):
+        return spark.sql(
+            "SELECT CAST(NULL AS BIGINT) doc_id, CAST(NULL AS STRING) source, "
+            "CAST(0 AS BIGINT) q_ppm, CAST(0 AS INT) q_rank"
+        ).limit(0)
+    survivors = spark.read.parquet(f"{state_dir}/source_cap").select(
+        "doc_id", "source", "q_ppm"
+    )
+    return source_cap_rank(survivors).orderBy("source", "q_rank")
+
+
+def attach_source_cap_stream(
+    stream_docs: DataFrame, state_dir: str, checkpoint: str
+):
+    """Wire the per-batch cap-candidate accumulator onto a document
+    stream via foreachBatch; read the live keeper set at any time with
+    incremental_source_cap."""
+    return (
+        stream_docs.writeStream.foreachBatch(
+            lambda df, bid: source_cap_state_batch(df, state_dir, bid)
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

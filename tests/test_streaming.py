@@ -3238,3 +3238,58 @@ def test_attach_cascade_stream_end_to_end(spark, tmp_path):
     cells = {(r.source, r.decision): r.n_docs for r in got}
     assert cells[("srcA", "keep")] == 2 and cells[("srcA", "too_short")] == 1
     assert cells[("srcB", "non_english")] == 1
+
+
+def test_incremental_source_cap_equals_batch(spark, tmp_path):
+    """The per-source cap's streaming twin (r12): per-batch top-K
+    candidates re-ranked read-side must equal corpus_source_cap's kernel
+    over the union of batches EXACTLY. The merge is lossless by the
+    subset argument (batches partition the corpus, so every global
+    keeper is a top-K row of its own batch); the fixture PLANTS the
+    interesting case — a batch-0 keeper evicted by better batch-1 docs —
+    plus a replayed batch and the doc_id tiebreak on equal scores."""
+    from pinterest_data_pipeline218_spark.operators.corpus import (
+        SOURCE_CAP_K,
+        _scored_docs,
+        source_cap_rank,
+    )
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        incremental_source_cap,
+        source_cap_state_batch,
+    )
+
+    sch = "doc_id long, source string, lang string, text string"
+
+    def doc(i, quality_words):
+        # more long words -> higher avg token len -> higher quality score
+        return (i, "srcX", "en", " ".join(["wwwwwwwwwwww"] * quality_words
+                                          + ["a"] * (30 - quality_words)))
+
+    # batch 0: SOURCE_CAP_K + 2 docs with middling quality (two get cut
+    # even within their own batch); batch 1: SOURCE_CAP_K better docs that
+    # evict most of batch 0's keepers, plus two docs tied in score with
+    # batch-0 docs (tiebreak by doc_id)
+    b0 = [doc(i, 10) for i in range(SOURCE_CAP_K + 2)]
+    b1 = [doc(100 + i, 20) for i in range(SOURCE_CAP_K)] + [doc(200, 10)]
+    state = str(tmp_path / "state")
+    for bid, rows in enumerate((b0, b1)):
+        source_cap_state_batch(spark.createDataFrame(rows, sch), state, bid)
+    source_cap_state_batch(spark.createDataFrame(b1, sch), state, 1)  # replay
+
+    got = incremental_source_cap(spark, state).collect()
+    union = spark.createDataFrame(b0 + b1, sch)
+    want = (
+        source_cap_rank(_scored_docs(union)).orderBy("source", "q_rank").collect()
+    )
+    assert got == want
+    assert len(got) == SOURCE_CAP_K
+    kept = [r.doc_id for r in got]
+    # the better batch-1 docs occupy the top ranks; evicted batch-0
+    # keepers prove the read-side re-rank (not a per-batch union) decides
+    assert set(range(100, 100 + SOURCE_CAP_K)) <= set(kept) or len(
+        [d for d in kept if d >= 100]
+    ) >= SOURCE_CAP_K - 2
+
+    empty = incremental_source_cap(spark, str(tmp_path / "never"))
+    assert empty.collect() == []
+    assert empty.columns == ["doc_id", "source", "q_ppm", "q_rank"]

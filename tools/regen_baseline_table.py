@@ -17,24 +17,27 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NEW_NOTES = {
-    "dq_events_drift": "r11: two-half bin-share drift, integer cross-multiplied flag",
-    "ev_value_ntiles": "r11: NTILE(10) deciles, event_id tiebreak",
-    "ev_hll_daily_rollup": "r11: materialized daily HLL sketches, lossless weekly union, bounds-attested",
+    "corpus_source_cap": "r12: RefinedWeb-style per-source quality-top-K cap (ppm rank window)",
+    "corpus_filter_cascade": "r12: first-failing-reason curation funnel, scan-local CASE, additive cells",
+    "ev_winsorized_stats": "r12: exact-percentile winsorization, broadcast threshold planning agg",
+    "sim_knn_classify": "r12: kNN majority-vote labeling, bounded broadcast batch (provable bnlj)",
 }
 
 NOTE_OVERRIDES = {
-    "dedup_ngram_jaccard": "r11: PPJoin prefix filter, thresholded t=1/2, exact string verify",
-    "dedup_containment": "r11: spread shingle build (was serial on the few-split scan)",
+    "dedup_ngram_jaccard": "r12: exact-rational threshold gate (was ROUND(j,6)); PPJoin prefix filter",
+    "dedup_containment": "r12: exact string-set verify (hash screen lossless, 2^-60 caveat retired)",
+    "dedup_containment_seeds": "r12: exact string-set verify on the seeds form too",
     "text_ngram_novelty": "r11: spread gram build (derived twice in-plan)",
-    "mm_image_resize": "r11: 5-class fixture (progressive JPEG under the gate) + spread kernel",
+    "mm_image_resize": "r12: 6-class fixture (WebP thumbnail re-encode exercises VP8L bundling)",
     "ev_outliers_mad": "r11: planning jobs share a transient persist (2 scans/exec)",
     "ev_session_outage_overlap": "r11: planning jobs share a transient persist",
     "ev_trend_slope": "r11: BIGINT outputs (DECIMAL internals)",
     "ev_mode_value": "r11: struct argmax key (regime-free)",
     "ev_approx_distinct_users": "r11: bounds-attested oracle (exact + 5% boolean)",
     "ev_approx_value_quantiles": "r11: rank-interval attestation (2% ranks)",
-    "ev_theta_user_overlap": "r11: exact set arithmetic + 2% attestations",
-    "mm_image_decode": "r11: 6-class fixture (adds palettized GIF / full LZW decode)",
+    "ev_theta_user_overlap": "r12: intersection attestation bounded vs either_users",
+    "mm_image_decode": "r12: 7-class fixture (adds WebP lossless / full VP8L decode, both profiles)",
+    "dq_events_drift": "r12: drift_bin sign-safe clamp; two-half bin-share drift",
 }
 
 
