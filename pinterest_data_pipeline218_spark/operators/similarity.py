@@ -1359,6 +1359,12 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(KNN_QUERY_BATCH)
         .withColumn("qnorm", l2_norm(F.col("qv")))
     )
+    # Round-robin spread of the narrow base projection before the pair
+    # stage: the |batch|·n scoring otherwise runs on the scan's task
+    # count — ONE task on a single-row-group dev table (the
+    # sim_ivfpq_wide / mm_image_resize discipline). Interleaved A/B at
+    # sf0.1: 5.9 → 1.2 s; the shuffle ships only (id, vec, label) rows.
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     base = (
         emb.filter(F.col("vec_id") % KNN_QUERY_MOD != 0)
         .select(
@@ -1366,6 +1372,7 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("bv"),
             F.col("label").alias("nbr_label"),
         )
+        .repartition(par)
         .withColumn("bnorm", l2_norm(F.col("bv")))
     )
     scored = base.join(F.broadcast(queries)).select(
