@@ -352,12 +352,19 @@ def with_decode_payload(docs: DataFrame) -> DataFrame:
                     )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    # No forced repartition: on real data the scan has many splits and the
-    # kernel parallelizes naturally; the dev fixture's single-file scan
-    # serializes it onto one task, but forcing a shuffle to fix a fixture
-    # artifact costs more than the ~0.6 s of kernel work it spreads
-    # (measured 2.4 s -> 3.0 s at sf0.1).
-    return docs.select("doc_id").mapInPandas(gen, schema=_IMG_PAYLOAD_SCHEMA)
+    # r12: the spread decision REVERSED with measurement. Through r11 the
+    # kernel carried ~0.6 s of codec work at sf0.1 and a forced shuffle
+    # cost more than it spread (2.4 -> 3.0 s, the negative result this
+    # comment used to record). The 7-class fixture roughly TRIPLED the
+    # per-pass codec work (WebP/VP8L encode joins JPEG/GIF), and the same
+    # interleaved A/B now measures 4.9 -> 1.35 s in favor of spreading
+    # the doc_id-only projection (8 bytes/row) across the cores — the
+    # with_resize_payload discipline. On a many-file cluster scan the
+    # repartition stays a cheap no-op-ish exchange over ids.
+    par = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return docs.select("doc_id").repartition(par).mapInPandas(
+        gen, schema=_IMG_PAYLOAD_SCHEMA
+    )
 
 
 _IMG_FEAT_SCHEMA = StructType(
