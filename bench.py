@@ -248,7 +248,7 @@ def flag_contended(times_by_name: dict[str, list[float]]) -> list[str]:
     the signature of a transient background-load hit on SOME reps. Pure;
     unit-tested by test_bench_contention_guard. A row ALL of whose reps
     were inflated is invisible to any within-run statistic — that case
-    still needs the cross-run comparison BASELINE.md documents."""
+    is caught by the vs-committed guard below."""
     out = []
     for name, times in times_by_name.items():
         warm = times[1:] if len(times) > 2 else times
@@ -256,6 +256,48 @@ def flag_contended(times_by_name: dict[str, list[float]]) -> list[str]:
             continue
         lo, hi = min(warm), max(warm)
         if lo > 0 and hi / lo > CONTENTION_SPREAD_X and hi - lo > CONTENTION_MIN_ABS_S:
+            out.append(name)
+    return out
+
+
+# Second guard (r12): a contention stretch that inflates EVERY warm rep of a
+# row uniformly leaves the spread inside the band — invisible to
+# flag_contended (r12's text_repetition_score: 2.24 s committed-run vs
+# 0.64/0.64/0.84 in three code-identical runs). The committed BASELINE.md
+# table is the cross-run reference the manual adjudication used, so use it
+# mechanically: rows far above their committed median get one re-run too.
+# A row that genuinely got slower (contract change) just pays one extra rep
+# set and the re-run confirms the new steady state.
+BASELINE_INFLATION_X = 2.0
+
+
+def load_committed_medians(md_path: str, sf: float) -> dict[str, float]:
+    """Parse BASELINE.md's committed per-query table for the given sf.
+    Missing file or foreign sf -> empty dict (guard disabled)."""
+    if abs(sf - 0.1) > 1e-9 or not os.path.exists(md_path):
+        return {}
+    rows = re.findall(r"\| (\w+) \| 0\.1 \| ([0-9.]+) \|", open(md_path).read())
+    return {k: float(v) for k, v in rows}
+
+
+def flag_vs_committed(
+    results: dict[str, object], committed: dict[str, float],
+    already: set[str] | frozenset = frozenset(),
+) -> list[str]:
+    """Names whose run median exceeds BASELINE_INFLATION_X x their
+    committed median (absolute excess > CONTENTION_MIN_ABS_S), excluding
+    rows the spread guard already re-ran. Pure; unit-tested by
+    test_bench_vs_committed_guard."""
+    out = []
+    for name, med in results.items():
+        base = committed.get(name)
+        if name in already or base is None or base <= 0:
+            continue
+        if (
+            isinstance(med, float)
+            and med / base > BASELINE_INFLATION_X
+            and med - base > CONTENTION_MIN_ABS_S
+        ):
             out.append(name)
     return out
 
@@ -388,6 +430,29 @@ def main() -> None:
             )
         except Exception as exc:  # noqa: BLE001
             print(f"BENCH CONTENTION RERUN ERROR {name}: {exc}", file=sys.stderr)
+        finally:
+            spark.catalog.clearCache()
+
+    # second pass (r12): uniformly-inflated rows — spread inside the band
+    # but far above their COMMITTED median — get one re-run too
+    committed = load_committed_medians(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md"), sf
+    )
+    for name in flag_vs_committed(results, committed, already=set(contended)):
+        try:
+            med2, iqr2, _ = time_query(qs[name])
+            first = results[name]
+            contended[name] = {"first": first, "rerun": round(med2, 4)}
+            if med2 < first:
+                results[name] = round(med2, 4)
+                iqrs[name] = round(iqr2, 4)
+            print(
+                f"BENCH VS-COMMITTED {name}: first={first} rerun={med2:.4f} "
+                f"committed={committed[name]}",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            print(f"BENCH VS-COMMITTED RERUN ERROR {name}: {exc}", file=sys.stderr)
         finally:
             spark.catalog.clearCache()
 

@@ -1005,6 +1005,39 @@ def test_bench_contention_guard():
     assert out["contended"]["hit"] == {"first": 2.1, "rerun": 1.02}
 
 
+def test_bench_vs_committed_guard():
+    """r12: the UNIFORM-inflation guard. A stretch that inflates every
+    warm rep leaves the spread inside the band (invisible to
+    flag_contended — the committed-run text_repetition_score case), so
+    rows > 2x their COMMITTED BASELINE median (and > 250ms absolute
+    excess) get one re-run: flagged mechanically, skipping rows the
+    spread guard already re-ran, errored rows, and rows without a
+    committed reference. The real BASELINE.md parses and contains the
+    full registry at sf0.1; a foreign sf disables the guard."""
+    import bench
+
+    committed = {"slow": 0.8, "legit": 0.8, "fast": 0.05, "rerun_done": 0.8}
+    flagged = bench.flag_vs_committed(
+        {
+            "slow": 2.3,              # 2.9x committed, +1.5s -> flag
+            "legit": 1.2,             # 1.5x -> clean
+            "fast": 0.2,              # 4x but sub-250ms excess -> clean
+            "rerun_done": 5.0,        # already re-run by the spread guard
+            "new_row": 3.0,           # no committed reference -> clean
+            "errored": {"err": "x"},  # non-float -> clean
+        },
+        committed,
+        already={"rerun_done"},
+    )
+    assert flagged == ["slow"]
+
+    real = bench.load_committed_medians("BASELINE.md", 0.1)
+    assert len(real) >= 180 and all(v > 0 for v in real.values())
+    assert "t4_top_priority_per_nation" in real
+    assert bench.load_committed_medians("BASELINE.md", 0.01) == {}
+    assert bench.load_committed_medians("/nonexistent.md", 0.1) == {}
+
+
 def test_winsorized_stats_matches_python_model(spark):
     """ev_winsorized_stats (r12) against an independent Python model:
     exact ceil-rank discrete percentiles per type, clamp, and the four
