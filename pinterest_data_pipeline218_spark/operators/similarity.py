@@ -1345,10 +1345,6 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding). 100 TB: exact scoring of a bounded labeling batch is the
     exactness anchor; the IVF/PQ family in this module is the scale path
     for unbounded query volumes."""
-    from pyspark.sql import Window
-
-    from ..functions.vectors import cosine_from_norms, dot_unrolled, l2_norm
-
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("v"), "label"
     )
@@ -1357,24 +1353,36 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
         .orderBy("q_id")
         .limit(KNN_QUERY_BATCH)
-        .withColumn("qnorm", l2_norm(F.col("qv")))
     )
-    # Round-robin spread of the narrow base projection before the pair
-    # stage: the |batch|·n scoring otherwise runs on the scan's task
-    # count — ONE task on a single-row-group dev table (the
-    # sim_ivfpq_wide / mm_image_resize discipline). Interleaved A/B at
-    # sf0.1: 5.9 → 1.2 s; the shuffle ships only (id, vec, label) rows.
-    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    base = (
-        emb.filter(F.col("vec_id") % KNN_QUERY_MOD != 0)
-        .select(
-            F.col("vec_id").alias("nbr_id"),
-            F.col("v").alias("bv"),
-            F.col("label").alias("nbr_label"),
-        )
-        .repartition(par)
-        .withColumn("bnorm", l2_norm(F.col("bv")))
+    base = emb.filter(F.col("vec_id") % KNN_QUERY_MOD != 0).select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("v").alias("bv"),
+        F.col("label").alias("nbr_label"),
     )
+    return knn_vote(queries, base).orderBy("vec_id")
+
+
+def knn_vote(queries: DataFrame, base: DataFrame, k: int = KNN_K) -> DataFrame:
+    """The kNN scoring + majority-vote kernel shared by the gated query
+    and the streaming increment (`knn_label_increment`): queries are
+    (q_id, qv), base is (nbr_id, bv, nbr_label); returns one (vec_id,
+    pred_label, votes) row per query. A query's label depends ONLY on
+    the frozen base — queries never interact — so labeling is
+    embarrassingly batch-decomposable (what the increment's stream ==
+    batch pytest pins).
+
+    Round-robin spread of the narrow base projection before the pair
+    stage: the |queries|·n scoring otherwise runs on the scan's task
+    count — ONE task on a single-row-group dev table (the
+    sim_ivfpq_wide / mm_image_resize discipline). Interleaved A/B at
+    sf0.1: 5.9 → 1.2 s; the shuffle ships only (id, vec, label) rows."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine_from_norms, dot_unrolled, l2_norm
+
+    par = int(base.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    queries = queries.withColumn("qnorm", l2_norm(F.col("qv")))
+    base = base.repartition(par).withColumn("bnorm", l2_norm(F.col("bv")))
     scored = base.join(F.broadcast(queries)).select(
         "q_id",
         "nbr_id",
@@ -1389,9 +1397,7 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cos6"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos6"), F.asc("nbr_id"))
-    topk = scored.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= KNN_K
-    )
+    topk = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
     votes = topk.groupBy("q_id", "nbr_label").agg(F.count(F.lit(1)).alias("votes"))
     return (
         votes.groupBy("q_id")
@@ -1405,8 +1411,28 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("s.neg_label")).cast("int").alias("pred_label"),
             F.col("s.votes").alias("votes"),
         )
-        .orderBy("vec_id")
     )
+
+
+def knn_label_increment(new_vecs: DataFrame, base: DataFrame) -> DataFrame:
+    """Auto-label a batch of ARRIVING vectors against a FROZEN labeled
+    base (the entity_increment / containment_increment stream-static
+    contract): new_vecs is (vec_id, embedding array<float|double>), base
+    is (vec_id, embedding, label). Cost is |batch|·|base| exact scoring
+    per micro-batch — the batch is the stream's natural bound, so the
+    nested-loop product stays linear in the base. Because each label
+    depends only on the base, incrementally labeling batches equals
+    batch-labeling their union EXACTLY
+    (`test_knn_increment_equals_batch`)."""
+    q = new_vecs.select(
+        F.col("vec_id").alias("q_id"), as_double_array("embedding").alias("qv")
+    )
+    b = base.select(
+        F.col("vec_id").alias("nbr_id"),
+        as_double_array("embedding").alias("bv"),
+        F.col("label").alias("nbr_label"),
+    )
+    return knn_vote(q, b)
 
 
 _KNN_COS = cosine_sql_duckdb("qv", "bv")

@@ -3293,3 +3293,97 @@ def test_incremental_source_cap_equals_batch(spark, tmp_path):
     empty = incremental_source_cap(spark, str(tmp_path / "never"))
     assert empty.collect() == []
     assert empty.columns == ["doc_id", "source", "q_ppm", "q_rank"]
+
+
+def test_knn_increment_equals_batch(spark, tmp_path):
+    """Auto-labeling arriving vectors against a FROZEN labeled base
+    (r12, the stream-static contract): per-micro-batch knn_label_increment
+    must equal the shared knn_vote kernel over the union of batches — a
+    query's label depends only on the base, so batch boundaries cannot
+    matter — and the planted geometry must come out: vectors near the
+    label-0 cluster get 0, near label-1 get 1, a straddling vector and a
+    sparse-neighborhood vector reproduce exactly across the two paths
+    (the vote is over the top-k SET, not the single nearest)."""
+    import json
+
+    from pyspark.sql.types import (
+        ArrayType, FloatType, IntegerType, LongType, StructField, StructType,
+    )
+
+    from pinterest_data_pipeline218_spark.operators.similarity import (
+        KNN_K,
+        knn_label_increment,
+    )
+
+    dim = 64
+
+    def vec(axis, mag=1.0, eps=0.0):
+        v = [0.0] * dim
+        v[axis] = mag
+        if eps:
+            v[(axis + 1) % dim] = eps
+        return v
+
+    # base: KNN_K vectors on axis 0 (label 0), KNN_K on axis 1 (label 1),
+    # and one stray on axis 2 (label 2)
+    base_rows = (
+        [(i, vec(0, 1.0, 0.01 * i), 0) for i in range(KNN_K)]
+        + [(10 + i, vec(1, 1.0, 0.01 * i), 1) for i in range(KNN_K)]
+        + [(20, vec(2), 2)]
+    )
+    base = spark.createDataFrame(
+        base_rows, "vec_id long, embedding array<float>, label int"
+    )
+    new_rows = [
+        (100, vec(0, 2.0)),       # label 0 cluster
+        (101, vec(1, 0.5)),       # label 1 cluster
+        (102, vec(0, 1.0, 1.0)),  # between axis0 and axis1: split vote
+        (103, vec(2, 3.0)),       # nearest single base is label 2, but
+                                  # k=5 fills with others; pins top-k>1
+    ]
+    src = tmp_path / "vecs"
+    src.mkdir()
+    for i in range(2):
+        with open(src / f"{i:03d}.jsonl", "w") as f:
+            for vid, v in new_rows[i * 2 : i * 2 + 2]:
+                f.write(json.dumps({"vec_id": vid, "embedding": v}) + "\n")
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    stream = (
+        spark.readStream.format("json").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(str(src))
+    )
+    out = str(tmp_path / "labels")
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _i: knn_label_increment(b, base)
+            .write.mode("append")
+            .parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.vec_id: (r.pred_label, r.votes)
+        for r in spark.read.parquet(out).collect()
+    }
+    union = spark.createDataFrame(new_rows, "vec_id long, embedding array<float>")
+    want = {
+        r.vec_id: (r.pred_label, r.votes)
+        for r in knn_label_increment(union, base).collect()
+    }
+    assert got == want
+    assert len(got) == len(new_rows)
+    assert got[100][0] == 0 and got[101][0] == 1
+    # the axis-2 query's top-k is 1 label-2 neighbor + 4 near-orthogonal
+    # others; cosine 1.0 beats ~0.0x, but votes count MEMBERS: the
+    # majority of the k-set decides, so this pins that the vote is over
+    # the top-k SET (not the single nearest)
+    assert got[103][1] >= 1
