@@ -291,3 +291,28 @@ def test_journey_classifiers_match_regex_model(spark, journeys):
             1 if _re.search("c[ve]*p", j) else 0,
         )
         assert got[i] == want, (i, j)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 12),
+    st.integers(1, 10),
+    st.binary(min_size=0, max_size=0).flatmap(lambda _: st.randoms(use_true_random=False)),
+    st.sampled_from(["palette", "truecolor", "auto"]),
+)
+def test_webp_roundtrip_property(w, h, rng, mode):
+    """VP8L encode→decode is the identity for ANY RGB image in every
+    encoder profile (r12). Small random images always fit the palette
+    constraint (w·h ≤ 120 < 256 distinct colors), so all three modes are
+    exercised across shapes incl. single-row/column and images with heavy
+    value repetition (runs + cache hits)."""
+    from pinterest_data_pipeline218_spark.functions.webp import (
+        decode_webp,
+        encode_webp,
+    )
+
+    n = w * h * 3
+    # bias toward repetition so runs/cache-hit paths fire often
+    palette_bytes = bytes(rng.randrange(256) for _ in range(12))
+    px = bytes(palette_bytes[rng.randrange(len(palette_bytes))] for _ in range(n))
+    assert decode_webp(encode_webp(w, h, px, mode=mode)) == (w, h, px)
