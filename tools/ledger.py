@@ -13,6 +13,11 @@ Usage:
     python tools/ledger.py --max N    # only rows whose latest round <= N
     python tools/ledger.py --summary  # round -> count histogram only
     python tools/ledger.py --window   # current first-50 window + their ages
+    python tools/ledger.py --next     # suggested NEXT-round window skeleton:
+                                      # never-windowed first, then stalest, 50
+                                      # names total — paste into _WINDOW and
+                                      # add this round's plan/oracle CHANGES
+                                      # by hand (the ledger cannot see diffs)
 
 Exit status is 0 always — this is a reporting tool, not a gate (the gate
 is the driver's own CORRECTNESS run plus tools/selfcheck.py).
@@ -101,6 +106,15 @@ def main(argv: list[str]) -> int:
         for rnd in sorted(hist):
             label = f"r{rnd:02d}" if rnd else "never"
             print(f"{label}\t{hist[rnd]}")
+        return 0
+
+    if "--next" in argv:
+        ranked = sorted(rows, key=lambda t: (t[0], t[1]))
+        print("# suggested next-round _WINDOW skeleton (never-windowed first,")
+        print("# then stalest; ADD plan/oracle changes of the round by hand):")
+        for rnd, name, green, _ in ranked[:50]:
+            age = "never" if rnd == 0 else f"last driver row r{rnd:02d}"
+            print(f'    "{name}",  # {age}')
         return 0
 
     if window:
