@@ -2414,6 +2414,38 @@ def test_knn_classify_matches_numpy_model(spark):
     assert len(got) == int(is_q.sum())
 
 
+def test_knn_classify_accuracy_floor_on_clustered_fixture(spark, tmp_path):
+    """The labeling must be USEFUL, not just deterministic: on the
+    mixture-of-Gaussians fixture (10 well-separated clusters, σ=0.15 —
+    the recall study's realistic regime) the withheld query labels are
+    recovered with ≥95% accuracy, far above the ~10% majority-class
+    floor. Guards against a regression that stays self-consistent with
+    its own oracle but destroys the semantics (e.g. a sign flip in the
+    vote key or a distance/similarity mixup — both would still pass the
+    cross-engine gate, since the oracle mirrors the expression)."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tools")
+    from recall_study import make_clustered_fixture
+
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.operators.similarity import (
+        KNN_QUERY_MOD,
+        sim_knn_classify,
+    )
+
+    fixture = make_clustered_fixture(str(tmp_path / "clustered"))
+    truth = {
+        r.vec_id: r.label
+        for r in load_table(spark, fixture, "embeddings").collect()
+        if r.vec_id % KNN_QUERY_MOD == 0
+    }
+    preds = {r.vec_id: r.pred_label for r in sim_knn_classify(spark, fixture).collect()}
+    assert set(preds) == set(truth)
+    acc = sum(preds[i] == truth[i] for i in truth) / len(truth)
+    assert acc >= 0.95, acc
+
+
 def test_webp_codec_roundtrip_transforms_and_boundaries():
     """functions/webp.py (r12): VP8L lossless WebP codec.
 
