@@ -119,5 +119,98 @@ LIMIT {BM25_TOP_K}
 """
 
 
+RRF_K = 60  # the standard Reciprocal Rank Fusion damping constant
+RRF_POOL = 50  # per-leg candidate pool depth
+RRF_TOP_K = 20
+RRF_SCALE = 1_000_000  # fixed-point: rrf contribution = SCALE div (K + rank)
+
+
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (r12, gates in the r13 window — the r12 window is
+    full by the rotation contract): fuse the LEXICAL ranker
+    (corpus_bm25_search's integer BM25-lite over the fixed 3-term query)
+    with the VECTOR ranker (exact cosine against the sim family's fixed
+    query vector, docs joined to their embeddings on doc_id = vec_id) by
+    Reciprocal Rank Fusion — score = Σ_legs SCALE div (60 + rank), the
+    Cormack/Clarke/Büttcher formula in fixed point so every output column
+    is an exact integer. A document missing from a leg's pool (no term
+    hit / no embedding — the dev tables embed only a doc prefix)
+    contributes 0 from that leg, which is RRF's point: the fusion
+    degrades gracefully per leg instead of requiring both.
+
+    This is the modern RAG retrieval stack's first stage, composed
+    entirely from already-gated machinery (bm25_scores + the
+    vectors.py cosine discipline).
+
+    100 TB shape: each leg is its own gated query's plan (BM25: doc_id/
+    term-keyed map-side-combinable aggregates; cosine: scan-local scoring
+    against a 1-row broadcast query); the fusion joins two ≤RRF_POOL-row
+    ranked lists — bounded planning-sized state — then TakeOrdered."""
+    import pyspark.sql.functions as F  # noqa: F811 — keep local symmetry
+    from pyspark.sql import Window
+
+    from ..functions.vectors import as_double_array, cosine
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lex = bm25_scores(docs, BM25_QUERY_TERMS)
+    # pool cut FIRST via orderBy().limit() — fuses to TakeOrdered, no
+    # global sort — then rank the provably ≤RRF_POOL-row pool with a
+    # partitionless window the plan audit classifies as bounded planning
+    # state (maxRows from the limit), not a global-sort scale-killer
+    w_lex = Window.orderBy(F.col("score_milli").desc(), F.col("doc_id"))
+    lex_pool = (
+        lex.orderBy(F.col("score_milli").desc(), "doc_id")
+        .limit(RRF_POOL)
+        .withColumn("lex_rank", F.row_number().over(w_lex))
+        .select("doc_id", "lex_rank")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    from .similarity import QUERY_VEC_ID
+
+    qrow = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("v").alias("q"))
+        .limit(1)  # provable 1-row bound (the sim_topk idiom)
+    )
+    vec_scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("v"), F.col("q")), 6).alias("cos6"),
+        )
+    )
+    w_vec = Window.orderBy(F.col("cos6").desc(), F.col("doc_id"))
+    vec_pool = (
+        vec_scored.orderBy(F.col("cos6").desc(), "doc_id")
+        .limit(RRF_POOL)
+        .withColumn("vec_rank", F.row_number().over(w_vec))
+        .select("doc_id", "vec_rank")
+    )
+
+    fused = (
+        lex_pool.join(vec_pool, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).cast("int").alias("lex_rank"),
+            F.coalesce("vec_rank", F.lit(0)).cast("int").alias("vec_rank"),
+            (
+                F.when(
+                    F.col("lex_rank").isNotNull(),
+                    F.expr(f"{RRF_SCALE} div ({RRF_K} + lex_rank)"),
+                ).otherwise(F.lit(0))
+                + F.when(
+                    F.col("vec_rank").isNotNull(),
+                    F.expr(f"{RRF_SCALE} div ({RRF_K} + vec_rank)"),
+                ).otherwise(F.lit(0))
+            ).alias("rrf_ppm"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_ppm").desc(), "doc_id").limit(RRF_TOP_K)
+
+
 QUERIES = {"corpus_bm25_search": corpus_bm25_search}
 ORACLE = {"corpus_bm25_search": CORPUS_BM25_SQL}

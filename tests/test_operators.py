@@ -4369,3 +4369,91 @@ def test_fuzzy_pairs_hot_block_bounded_with_unchanged_matches(spark):
     assert keys == {"F:"}
     n = FUZZY_HOT_BLOCK + 8
     assert fuzzy_pairs(clones).filter(F.col("edit_dist") == 0).count() == n * (n - 1) // 2
+
+
+def test_hybrid_rrf_search_matches_python_model(spark):
+    """hybrid_rrf_search (r12, gates r13) against an independent Python
+    model: each leg's pool (BM25-lite top-RRF_POOL by (score, doc_id);
+    cosine top-RRF_POOL vs the fixed query vector), and the Reciprocal
+    Rank Fusion sum SCALE div (60 + rank) per present leg. Pins that a
+    document in only ONE pool still scores (graceful per-leg
+    degradation — RRF's point), and that the fused top-k re-orders
+    relative to either single leg (fusion is load-bearing, not a
+    pass-through of one ranker)."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.operators.ranking import (
+        BM25_QUERY_TERMS,
+        RRF_K,
+        RRF_POOL,
+        RRF_SCALE,
+        RRF_TOP_K,
+        hybrid_rrf_search,
+    )
+    from pinterest_data_pipeline218_spark.operators.similarity import QUERY_VEC_ID
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    # lexical leg: integer BM25-lite replayed in python
+    toks = {r.doc_id: r.text.split(" ") for r in docs}
+    dls = {d: len(t) for d, t in toks.items()}
+    n_docs = len(dls)
+    avgdl = sum(dls.values()) // n_docs
+    tf = {}
+    for d, t in toks.items():
+        for term in t:
+            if term in BM25_QUERY_TERMS:
+                tf[(d, term)] = tf.get((d, term), 0) + 1
+    df = {}
+    for (d, term) in tf:
+        df[term] = df.get(term, 0) + 1
+    score = {}
+    for (d, term), f in tf.items():
+        idf = (1000 * (2 * n_docs - 2 * df[term] + 1)) // (2 * df[term] + 1)
+        sc = (idf * 22 * f * avgdl) // (10 * avgdl * f + 3 * avgdl + 9 * dls[d])
+        score[d] = score.get(d, 0) + sc
+    lex_pool = {
+        d: i + 1
+        for i, (d, _) in enumerate(
+            sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:RRF_POOL]
+        )
+    }
+    # vector leg: cosine vs QUERY_VEC_ID, round 6, rank
+    emb = {r.vec_id: r.embedding for r in load_table(spark, SF, "embeddings").collect()}
+    q = emb[QUERY_VEC_ID]
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    vec_scores = [(v, cos(emb[v], q)) for v in emb if v != QUERY_VEC_ID]
+    vec_pool = {
+        d: i + 1
+        for i, (d, _) in enumerate(
+            sorted(vec_scores, key=lambda kv: (-kv[1], kv[0]))[:RRF_POOL]
+        )
+    }
+    fused = {}
+    for d in set(lex_pool) | set(vec_pool):
+        s = 0
+        if d in lex_pool:
+            s += RRF_SCALE // (RRF_K + lex_pool[d])
+        if d in vec_pool:
+            s += RRF_SCALE // (RRF_K + vec_pool[d])
+        fused[d] = s
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:RRF_TOP_K]
+
+    got = hybrid_rrf_search(spark, SF).collect()
+    assert [(r.doc_id, r.rrf_ppm) for r in got] == want
+    for r in got:
+        assert r.lex_rank == lex_pool.get(r.doc_id, 0)
+        assert r.vec_rank == vec_pool.get(r.doc_id, 0)
+    # fusion is load-bearing: single-leg docs score, and the fused order
+    # differs from both single-leg orders on this corpus
+    single_leg = [r for r in got if (r.lex_rank == 0) != (r.vec_rank == 0)]
+    assert single_leg, "expected at least one single-pool doc in the top-k"
+    lex_order = [d for d, _ in sorted(lex_pool.items(), key=lambda kv: kv[1])][:RRF_TOP_K]
+    vec_order = [d for d, _ in sorted(vec_pool.items(), key=lambda kv: kv[1])][:RRF_TOP_K]
+    got_order = [r.doc_id for r in got]
+    assert got_order != lex_order and got_order != vec_order
