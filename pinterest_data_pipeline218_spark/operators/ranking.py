@@ -212,5 +212,78 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf_ppm").desc(), "doc_id").limit(RRF_TOP_K)
 
 
+# Oracle for hybrid_rrf_search, staged with the operator (r12) and
+# validated by test_hybrid_rrf_oracle_agrees_cross_engine so the r13
+# window registration is a two-line dict change. The vector leg inlines
+# the vectors.py cosine discipline (sequential fold, CASE zero guard).
+def _hybrid_rrf_sql() -> str:
+    from ..functions.vectors import cosine_sql_duckdb
+    from .similarity import QUERY_VEC_ID
+
+    cosexpr = cosine_sql_duckdb("e.v", "q.q")
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+dls AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) // COUNT(*) AS BIGINT) AS avgdl
+  FROM dls
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN {BM25_QUERY_TERMS!r}
+  GROUP BY doc_id, term
+),
+dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         (((1000 * (2*s.n_docs - 2*f.df + 1)) // (2*f.df + 1))
+          * 22 * t.tf * s.avgdl)
+         // (10*s.avgdl*t.tf + 3*s.avgdl + 9*d.dl) AS sc
+  FROM tf t
+  JOIN dls d USING (doc_id)
+  CROSS JOIN stats s
+  JOIN dfs f USING (term)
+),
+lex AS (
+  SELECT doc_id, CAST(SUM(sc) AS BIGINT) AS score_milli
+  FROM scored GROUP BY doc_id
+),
+lex_pool AS (
+  SELECT doc_id, CAST(rn AS INT) AS lex_rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY score_milli DESC, doc_id) AS rn
+    FROM lex
+  ) WHERE rn <= {RRF_POOL}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT embedding::DOUBLE[] AS q FROM embeddings
+      WHERE vec_id = {QUERY_VEC_ID}),
+vecsc AS (
+  SELECT e.vec_id AS doc_id, CAST(ROUND({cosexpr}, 6) AS DOUBLE) AS cos6
+  FROM e CROSS JOIN q
+  WHERE e.vec_id != {QUERY_VEC_ID}
+),
+vec_pool AS (
+  SELECT doc_id, CAST(rn AS INT) AS vec_rank FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos6 DESC, doc_id) AS rn
+    FROM vecsc
+  ) WHERE rn <= {RRF_POOL}
+)
+SELECT doc_id,
+       CAST(COALESCE(l.lex_rank, 0) AS INT) AS lex_rank,
+       CAST(COALESCE(v.vec_rank, 0) AS INT) AS vec_rank,
+       CAST(
+         (CASE WHEN l.lex_rank IS NOT NULL
+               THEN {RRF_SCALE} // ({RRF_K} + l.lex_rank) ELSE 0 END)
+         + (CASE WHEN v.vec_rank IS NOT NULL
+                 THEN {RRF_SCALE} // ({RRF_K} + v.vec_rank) ELSE 0 END)
+       AS BIGINT) AS rrf_ppm
+FROM lex_pool l FULL OUTER JOIN vec_pool v USING (doc_id)
+ORDER BY rrf_ppm DESC, doc_id
+LIMIT {RRF_TOP_K}
+"""
+
+
 QUERIES = {"corpus_bm25_search": corpus_bm25_search}
 ORACLE = {"corpus_bm25_search": CORPUS_BM25_SQL}

@@ -4457,3 +4457,31 @@ def test_hybrid_rrf_search_matches_python_model(spark):
     vec_order = [d for d, _ in sorted(vec_pool.items(), key=lambda kv: kv[1])][:RRF_TOP_K]
     got_order = [r.doc_id for r in got]
     assert got_order != lex_order and got_order != vec_order
+
+
+def test_hybrid_rrf_oracle_agrees_cross_engine(spark):
+    """The staged DuckDB oracle for hybrid_rrf_search (r12, gates r13)
+    already agrees with the Spark plan on rows, schema, and exact values
+    — the same bar selfcheck will apply once the query enters the r13
+    window."""
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.operators.ranking import (
+        _hybrid_rrf_sql,
+        hybrid_rrf_search,
+    )
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    want = [
+        (int(a), int(b), int(c), int(d))
+        for a, b, c, d in con.sql(_hybrid_rrf_sql()).fetchall()
+    ]
+    got = [
+        (r.doc_id, r.lex_rank, r.vec_rank, r.rrf_ppm)
+        for r in hybrid_rrf_search(spark, SF).collect()
+    ]
+    assert got == want and len(got) > 0
