@@ -445,6 +445,141 @@ ORDER BY type_a, type_b
 """
 
 
+# ------------------------------------------------- multi-touch attribution
+
+ATTR_LOOKBACK_DAYS = 7  # credit touches within this many days before a purchase
+ATTR_TOUCH_TYPES = ("click", "view")
+ATTR_CREDIT_BP = 10_000  # one conversion = 10000 basis points of credit
+
+
+def ev_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution (r12, gates in the r13 window —
+    the r12 window is full by the rotation contract): every purchase
+    credits the SAME user's click/view touches inside the
+    ATTR_LOOKBACK_DAYS window before it, under the three standard models
+    at once — FIRST-touch and LAST-touch counts, and LINEAR credit where
+    the conversion's 10000 bp are split evenly (integer div) with the
+    remainder assigned to the LAST touch (the one nearest the purchase),
+    so per-conversion credit sums to exactly 10000 bp and every output
+    column is an exact integer. Funnel's first-touch column is the
+    degenerate case; this is the general marketing/growth-analytics form.
+
+    Scale shape: the purchase↔touch interval join is bucketized to
+    epoch-day grain — purchases explode to their LOOKBACK+1 candidate
+    days (bounded fan-out on the smaller side), the join is an equi-join
+    on (user_id, day), and the exact interval filter runs on the
+    bounded candidates (the ev_session_outage_overlap / geo-grid
+    discipline; candidates per purchase ≈ touch density × lookback, a
+    constant as users scale). Per-conversion ranking windows key on
+    purchase id; the final rollup is a 2-row partial-aggregable groupBy."""
+    from ..operators.asof import _epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "user_id",
+        "event_id",
+        _epoch_us(ev, "ts").alias("us"),
+    ).withColumn("day", F.expr("us div 86400000000"))
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("p_id"),
+        F.col("us").alias("p_us"),
+        F.explode(
+            F.sequence(
+                F.col("day") - ATTR_LOOKBACK_DAYS, F.col("day")
+            )
+        ).alias("day"),
+    )
+    touches = base.filter(F.col("event_type").isin(*ATTR_TOUCH_TYPES)).select(
+        "user_id",
+        "day",
+        F.col("event_type").alias("touch_type"),
+        F.col("event_id").alias("t_id"),
+        F.col("us").alias("t_us"),
+    )
+    cand = purchases.join(touches, ["user_id", "day"]).filter(
+        (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - ATTR_LOOKBACK_DAYS * DAY_US)
+    )
+    w = Window.partitionBy("p_id").orderBy("t_us", "t_id")
+    ranked = cand.select(
+        "p_id", "touch_type", "t_us", "t_id"
+    ).withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("p_id"))
+    )
+    credited = ranked.select(
+        "touch_type",
+        (F.col("rn") == 1).cast("long").alias("is_first"),
+        (F.col("rn") == F.col("n")).cast("long").alias("is_last"),
+        (
+            F.expr(f"{ATTR_CREDIT_BP} div n")
+            + F.when(
+                F.col("rn") == F.col("n"), F.expr(f"{ATTR_CREDIT_BP} % n")
+            ).otherwise(F.lit(0))
+        ).alias("credit_bp"),
+    )
+    return (
+        credited.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("is_first").alias("n_first_touch"),
+            F.sum("is_last").alias("n_last_touch"),
+            F.sum("credit_bp").alias("linear_credit_bp"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+def _attribution_sql() -> str:
+    """Staged DuckDB oracle (validated by
+    test_attribution_oracle_agrees_cross_engine; registered r13). The
+    oracle replays the interval join NAIVELY (user_id theta-join), so the
+    bucketized rewrite is value-verified — the intervals.py pattern."""
+    types = ", ".join(f"'{t}'" for t in ATTR_TOUCH_TYPES)
+    return f"""
+WITH base AS (
+  SELECT event_type, user_id, event_id, epoch_us(ts) AS us FROM events
+),
+p AS (
+  SELECT user_id, event_id AS p_id, us AS p_us FROM base
+  WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, event_type AS touch_type, event_id AS t_id, us AS t_us
+  FROM base WHERE event_type IN ({types})
+),
+cand AS (
+  SELECT p.p_id, t.touch_type, t.t_us, t.t_id
+  FROM p JOIN t USING (user_id)
+  WHERE t.t_us < p.p_us
+    AND t.t_us >= p.p_us - {ATTR_LOOKBACK_DAYS} * {DAY_US}
+),
+ranked AS (
+  SELECT p_id, touch_type,
+         ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t_us, t_id) AS rn,
+         COUNT(*) OVER (PARTITION BY p_id) AS n
+  FROM cand
+),
+credited AS (
+  SELECT touch_type,
+         CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_first,
+         CASE WHEN rn = n THEN 1 ELSE 0 END AS is_last,
+         ({ATTR_CREDIT_BP} // n)
+           + CASE WHEN rn = n THEN {ATTR_CREDIT_BP} % n ELSE 0 END AS credit_bp
+  FROM ranked
+)
+SELECT touch_type,
+       COUNT(*) AS n_touches,
+       CAST(SUM(is_first) AS BIGINT) AS n_first_touch,
+       CAST(SUM(is_last) AS BIGINT) AS n_last_touch,
+       CAST(SUM(credit_bp) AS BIGINT) AS linear_credit_bp
+FROM credited
+GROUP BY touch_type
+ORDER BY touch_type
+"""
+
+
 QUERIES = {
     "ev_journey_pattern": ev_journey_pattern,
     "ev_ewma_last8": ev_ewma_last8,

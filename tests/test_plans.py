@@ -2148,3 +2148,84 @@ def test_locf_fill_matches_python_model(spark, qs):
     # the fill must genuinely bite AND leave pre-first-click rows null
     assert any(a[2] > 0 for a in agg.values())
     assert sum(a[0] for a in agg.values()) > sum(a[1] + a[2] for a in agg.values())
+
+
+def test_attribution_multitouch_matches_python_model(spark):
+    """ev_attribution_multitouch (r12, gates r13) against an independent
+    Python replay of the interval join + all three credit models, incl.
+    the integer remainder rule (per-conversion credit sums to exactly
+    10000 bp, remainder to the LAST touch)."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.operators.asof import _epoch_us
+    from pinterest_data_pipeline218_spark.plans.sequences import (
+        ATTR_CREDIT_BP,
+        ATTR_LOOKBACK_DAYS,
+        ATTR_TOUCH_TYPES,
+        DAY_US,
+        ev_attribution_multitouch,
+    )
+
+    ev = load_table(spark, SF, "events")
+    rows = ev.select(
+        "event_type", "user_id", "event_id", _epoch_us(ev, "ts").alias("us")
+    ).collect()
+    purchases = [(r.user_id, r.event_id, r.us) for r in rows if r.event_type == "purchase"]
+    touches = [
+        (r.user_id, r.event_type, r.event_id, r.us)
+        for r in rows
+        if r.event_type in ATTR_TOUCH_TYPES
+    ]
+    model = {}
+    total_credit = 0
+    n_credited_conversions = 0
+    for u, p_id, p_us in purchases:
+        window = sorted(
+            (t_us, t_id, ty)
+            for (tu, ty, t_id, t_us) in touches
+            if tu == u and p_us - ATTR_LOOKBACK_DAYS * DAY_US <= t_us < p_us
+        )
+        n = len(window)
+        if not n:
+            continue
+        n_credited_conversions += 1
+        for i, (t_us, t_id, ty) in enumerate(window):
+            rn = i + 1
+            credit = ATTR_CREDIT_BP // n + (ATTR_CREDIT_BP % n if rn == n else 0)
+            total_credit += credit
+            cur = model.get(ty, [0, 0, 0, 0])
+            cur[0] += 1
+            cur[1] += rn == 1
+            cur[2] += rn == n
+            cur[3] += credit
+            model[ty] = cur
+    # the remainder rule conserves credit exactly
+    assert total_credit == n_credited_conversions * ATTR_CREDIT_BP
+
+    got = {
+        r.touch_type: [r.n_touches, r.n_first_touch, r.n_last_touch, r.linear_credit_bp]
+        for r in ev_attribution_multitouch(spark, SF).collect()
+    }
+    assert got == model
+    assert set(got) == set(ATTR_TOUCH_TYPES)  # both channels active at SF
+
+
+def test_attribution_oracle_agrees_cross_engine(spark):
+    """The staged DuckDB oracle (the NAIVE theta-join replay that
+    value-verifies the bucketized rewrite) already meets selfcheck's bar
+    against the Spark plan."""
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.plans.sequences import (
+        _attribution_sql,
+        ev_attribution_multitouch,
+    )
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    want = [tuple(map(lambda x: x if isinstance(x, str) else int(x), row))
+            for row in con.sql(_attribution_sql()).fetchall()]
+    got = [
+        (r.touch_type, r.n_touches, r.n_first_touch, r.n_last_touch, r.linear_credit_bp)
+        for r in ev_attribution_multitouch(spark, SF).collect()
+    ]
+    assert got == want and len(got) > 0
