@@ -156,6 +156,112 @@ ORDER BY pr DESC, node LIMIT 50
 """
 
 
+LP_ROUNDS = 3  # synchronous label-propagation rounds (unrolled, like PageRank)
+
+
+def label_propagation(edges: DataFrame, rounds: int = LP_ROUNDS) -> DataFrame:
+    """(node, community): DETERMINISTIC synchronous label propagation —
+    the classic community-detection heuristic (Raghavan et al. 2007,
+    public) with its one nondeterminism removed: label_0(v) = v's own id,
+    and label_{t+1}(v) = the most frequent label among v's neighbors at
+    t, frequency ties broken to the LEXICOGRAPHICALLY SMALLEST label (the
+    min-struct argmax, ev_mode_value's idiom on a string key via
+    (-cnt, lbl) minimization). Synchronous rounds + total-order ties make
+    the result a pure function of the edge set — replayable by the
+    oracle as chained CTEs, no RNG, no visit order.
+
+    Same scale shape as pagerank(): the edge list is persisted
+    src-partitioned once (every round re-reads blocks, not the upstream
+    join), each round is one join + two partial-aggregable groupBys keyed
+    on node ids, and localCheckpoint breaks per-round lineage."""
+    from pyspark import StorageLevel
+
+    e = edges.select("src", "dst").distinct()
+    par = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e = e.repartition(par, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    labels = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(rounds):
+        contrib = e.join(
+            labels.select(F.col("node").alias("dst"), F.col("lbl").alias("nlbl")),
+            "dst",
+        )
+        counts = contrib.groupBy("src", "nlbl").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            counts.groupBy("src")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("neg"), F.col("nlbl").alias("l"))
+                ).alias("s")
+            )
+            .select(F.col("src").alias("node"), F.col("s.l").alias("lbl"))
+            .localCheckpoint()  # lineage break per round (the CC idiom)
+        )
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the symmetric trade graph (r12, gates in
+    the r13 window — the r12 window is full by the rotation contract):
+    3 deterministic label-propagation rounds, then per-community rollup —
+    (community, n_members, min member) ordered by size — the
+    counterparty-cluster report. The rollup keeps the gated output
+    community-grain (bounded by the community count) while the full
+    (node, community) assignment stays pytest-pinned against an
+    independent Python model."""
+    labels = label_propagation(trade_edges(spark, sf_dir))
+    return (
+        labels.groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("node").alias("first_member"),
+        )
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(50)
+    )
+
+
+def _lp_round_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT src AS node, lbl FROM (
+    SELECT e.src, p.lbl,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.src ORDER BY COUNT(*) DESC, p.lbl ASC) AS rk
+    FROM e JOIN {prev} p ON e.dst = p.node
+    GROUP BY e.src, p.lbl
+  ) WHERE rk = 1
+)"""
+
+
+def _label_propagation_sql() -> str:
+    """Staged DuckDB oracle (validated by
+    test_label_propagation_oracle_agrees_cross_engine; registered r13):
+    the same 3 rounds as chained CTEs over the same derived edges."""
+    rounds = ",\n".join(
+        _lp_round_sql(f"l{i}", f"l{i + 1}") for i in range(LP_ROUNDS)
+    )
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS s,
+                  'C' || CAST(o_custkey AS VARCHAR) AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (
+  SELECT s AS src, c AS dst FROM pairs
+  UNION ALL
+  SELECT c AS src, s AS dst FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+{rounds}
+SELECT lbl AS community, COUNT(*) AS n_members, MIN(node) AS first_member
+FROM l{LP_ROUNDS}
+GROUP BY lbl
+ORDER BY n_members DESC, community
+LIMIT 50
+"""
+
+
 REACH_DEPTH = 3  # fixed BFS horizon: bounds the recursion at any scale
 
 

@@ -4485,3 +4485,70 @@ def test_hybrid_rrf_oracle_agrees_cross_engine(spark):
         for r in hybrid_rrf_search(spark, SF).collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_label_propagation_matches_python_model_and_ties_deterministic(spark):
+    """label_propagation (r12, gates r13) against an independent Python
+    replay: synchronous rounds, neighbor-label frequency argmax with the
+    lexicographically-smallest tie rule. Run on a HAND graph whose
+    structure forces both a genuine majority flip and a frequency tie
+    (two neighbor labels at equal count — the nondeterminism the
+    algorithm is notorious for, pinned shut here), then on the real
+    trade graph at SF where the full node assignment must match the
+    model exactly."""
+    from pinterest_data_pipeline218_spark.operators.graph import (
+        LP_ROUNDS,
+        label_propagation,
+        trade_edges,
+    )
+
+    def model(edge_list, rounds):
+        nodes = sorted({s for s, _ in edge_list})
+        nbrs = {}
+        for s, d in set(edge_list):
+            nbrs.setdefault(s, []).append(d)
+        lbl = {v: v for v in nodes}
+        for _ in range(rounds):
+            nxt = {}
+            for v in nodes:
+                counts = {}
+                for u in nbrs[v]:
+                    counts[lbl[u]] = counts.get(lbl[u], 0) + 1
+                nxt[v] = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            lbl = nxt
+        return lbl
+
+    # two triangles bridged by one edge; node f has a 1-1 neighbor-label
+    # tie in round 1 (neighbors e and the bridge) -> smallest label wins
+    und = [("a","b"),("b","c"),("a","c"),("d","e"),("e","f"),("d","f"),("c","d")]
+    edge_list = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {r.node: r.community for r in label_propagation(df).collect()}
+    assert got == model(edge_list, LP_ROUNDS)
+
+    edges = trade_edges(spark, SF)
+    real = [(r.src, r.dst) for r in edges.collect()]
+    got_real = {r.node: r.community for r in label_propagation(edges).collect()}
+    assert got_real == model(real, LP_ROUNDS)
+    assert len(set(got_real.values())) > 1  # nontrivial community structure
+
+
+def test_label_propagation_oracle_agrees_cross_engine(spark):
+    """The staged DuckDB oracle (chained-CTE round replay) already meets
+    selfcheck's bar against the Spark plan."""
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.operators.graph import (
+        _label_propagation_sql,
+        graph_label_propagation,
+    )
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    want = [(c, int(n), m) for c, n, m in con.sql(_label_propagation_sql()).fetchall()]
+    got = [
+        (r.community, r.n_members, r.first_member)
+        for r in graph_label_propagation(spark, SF).collect()
+    ]
+    assert got == want and len(got) > 0
