@@ -444,6 +444,95 @@ ORDER BY event_type, bin
 """
 
 
+PROFILE_DRIFT_COLS = ("lang", "n_chars", "source", "text")
+PROFILE_SHIFT_PCT_X100 = 500  # distinct-share shift > 5pp flags drift
+
+
+def profile_drift_cells(docs: DataFrame) -> DataFrame:
+    """Per-column two-half profile cells over a documents-shaped frame —
+    the kernel of dq_profile_drift (r12, gates r13). Halves split by
+    doc_id parity (deterministic, engine-neutral); per column per half:
+    non-null count and exact distinct count, all from ONE fused
+    conditional-aggregate pass (adding a column adds expressions, not
+    passes). The drift verdict compares DISTINCT SHARES (distinct/rows)
+    between halves by integer cross-multiplication — the drift_report
+    idiom at profile grain: a column whose value diversity collapses or
+    explodes between cohorts (schema rot, a constant-filled backfill, an
+    id column turning categorical) flags without any float division."""
+    exprs = []
+    for c in PROFILE_DRIFT_COLS:
+        for h in (0, 1):
+            cond = F.when(F.col("doc_id") % 2 == h, F.col(c))
+            exprs.append(F.count(cond).cast("long").alias(f"c_{c}_{h}"))
+            exprs.append(F.countDistinct(cond).cast("long").alias(f"d_{c}_{h}"))
+    agg = docs.agg(*exprs)
+    stack_args = ", ".join(
+        f"'{c}', c_{c}_0, d_{c}_0, c_{c}_1, d_{c}_1" for c in PROFILE_DRIFT_COLS
+    )
+    long = agg.selectExpr(
+        f"stack({len(PROFILE_DRIFT_COLS)}, {stack_args}) AS "
+        "(column_name, n_first, d_first, n_second, d_second)"
+    )
+    shifted = (
+        F.abs(
+            F.col("d_first") * F.col("n_second")
+            - F.col("d_second") * F.col("n_first")
+        )
+        * 10_000
+        > F.lit(PROFILE_SHIFT_PCT_X100) * F.col("n_first") * F.col("n_second")
+    )
+    return long.select(
+        "column_name",
+        "n_first",
+        "d_first",
+        "n_second",
+        "d_second",
+        shifted.alias("share_shifted"),
+    ).orderBy("column_name")
+
+
+def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated rendering (r13): two-cohort column-profile drift over the
+    documents table."""
+    return profile_drift_cells(load_table(spark, sf_dir, "documents"))
+
+
+def _profile_drift_sql() -> str:
+    """Staged DuckDB oracle (validated by
+    test_profile_drift_oracle_agrees_cross_engine; registered r13)."""
+    cols = []
+    for c in PROFILE_DRIFT_COLS:
+        for h in (0, 1):
+            cols.append(
+                f"CAST(COUNT({c}) FILTER (WHERE doc_id % 2 = {h}) AS BIGINT)"
+                f" AS c_{c}_{h}"
+            )
+            cols.append(
+                f"CAST(COUNT(DISTINCT {c}) FILTER (WHERE doc_id % 2 = {h})"
+                f" AS BIGINT) AS d_{c}_{h}"
+            )
+    sel = ",\n         ".join(cols)
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT '{c}' AS column_name, c_{c}_0 AS n_first, d_{c}_0 AS d_first,"
+        f" c_{c}_1 AS n_second, d_{c}_1 AS d_second FROM agg"
+        for c in PROFILE_DRIFT_COLS
+    )
+    return f"""
+WITH agg AS (
+  SELECT {sel}
+  FROM documents
+),
+long AS (
+{unions}
+)
+SELECT column_name, n_first, d_first, n_second, d_second,
+       ABS(d_first * n_second - d_second * n_first) * 10000
+         > {PROFILE_SHIFT_PCT_X100} * n_first * n_second AS share_shifted
+FROM long
+ORDER BY column_name
+"""
+
+
 QUERIES = {
     "dq_orders_constraints": dq_orders_constraints,
     "dq_benford_totalprice": dq_benford_totalprice,

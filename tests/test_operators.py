@@ -4552,3 +4552,96 @@ def test_label_propagation_oracle_agrees_cross_engine(spark):
         for r in graph_label_propagation(spark, SF).collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_profile_drift_matches_model_and_flags_planted_collapse(spark):
+    """profile_drift_cells (r12, gates r13): the two-half profile must
+    match a Python replay on the real table, and a PLANTED diversity
+    collapse (one cohort's column constant-filled — the backfill-rot
+    failure mode) must flag share_shifted on exactly that column."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.operators.dataquality import (
+        PROFILE_DRIFT_COLS,
+        PROFILE_SHIFT_PCT_X100,
+        dq_profile_drift,
+        profile_drift_cells,
+    )
+
+    rows = load_table(spark, SF, "documents").collect()
+
+    def model(recs):
+        out = {}
+        for c in PROFILE_DRIFT_COLS:
+            halves = {0: [], 1: []}
+            for r in recs:
+                v = r[c]
+                if v is not None:
+                    halves[r["doc_id"] % 2].append(v)
+            n1, n2 = len(halves[0]), len(halves[1])
+            d1, d2 = len(set(halves[0])), len(set(halves[1]))
+            flag = abs(d1 * n2 - d2 * n1) * 10_000 > PROFILE_SHIFT_PCT_X100 * n1 * n2
+            out[c] = (n1, d1, n2, d2, flag)
+        return out
+
+    want = model([r.asDict() for r in rows])
+    got = {
+        r.column_name: (r.n_first, r.d_first, r.n_second, r.d_second, r.share_shifted)
+        for r in dq_profile_drift(spark, SF).collect()
+    }
+    assert got == want
+
+    # planted collapse: second cohort's lang constant-filled
+    planted = [
+        (r.doc_id, r.text, "xx" if r.doc_id % 2 == 1 else r.lang, r.source, r.n_chars)
+        for r in rows
+    ]
+    pdf = spark.createDataFrame(
+        planted, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    # lang collapses 5 -> 1 distinct in cohort 1, but both shares are tiny
+    # (5/250 vs 1/250 is < 5pp of share), so the first plant checks model
+    # agreement on a perturbed frame rather than a flag:
+    want_planted = model(
+        [dict(doc_id=a, text=b, lang=c, source=d, n_chars=e) for a, b, c, d, e in planted]
+    )
+    got_planted = {
+        r.column_name: (r.n_first, r.d_first, r.n_second, r.d_second, r.share_shifted)
+        for r in profile_drift_cells(pdf).collect()
+    }
+    assert got_planted == want_planted
+    # a collapse big enough to cross 5pp of share: constant-fill TEXT
+    planted2 = [
+        (r.doc_id, "boilerplate" if r.doc_id % 2 == 1 else r.text, r.lang, r.source, r.n_chars)
+        for r in rows
+    ]
+    pdf2 = spark.createDataFrame(
+        planted2, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    flags2 = {
+        r.column_name: r.share_shifted for r in profile_drift_cells(pdf2).collect()
+    }
+    assert flags2["text"] is True
+    assert flags2["lang"] is False and flags2["source"] is False
+
+
+def test_profile_drift_oracle_agrees_cross_engine(spark):
+    """The staged DuckDB oracle already meets selfcheck's bar against the
+    Spark plan."""
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.operators.dataquality import (
+        _profile_drift_sql,
+        dq_profile_drift,
+    )
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    want = [
+        (c, int(a), int(b), int(d), int(e), bool(f))
+        for c, a, b, d, e, f in con.sql(_profile_drift_sql()).fetchall()
+    ]
+    got = [
+        (r.column_name, r.n_first, r.d_first, r.n_second, r.d_second, r.share_shifted)
+        for r in dq_profile_drift(spark, SF).collect()
+    ]
+    assert got == want and len(got) == 4
