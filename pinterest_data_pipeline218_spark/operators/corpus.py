@@ -1668,6 +1668,88 @@ ORDER BY source, decision
 """
 
 
+# --------------------------------------------------- span corruption plan
+
+MASK_SEED = 131
+MASK_PCT = 15  # T5-style corruption rate: ~15% of token positions masked
+
+
+def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption PLANNING (r12, gates in the r13
+    window — the r12 window is full by the rotation contract): decide,
+    deterministically and engine-neutrally, which token spans of each
+    document get masked for seq2seq denoising training. Position p of
+    doc d is masked iff md5(seed:d:p) % 100 < MASK_PCT — a reproducible
+    hash-Bernoulli that no RNG/partition layout can perturb (the
+    corpus_hash_sample discipline at token grain) — and contiguous
+    masked positions assemble into spans via gaps-and-islands
+    (p − row_number), yielding the exact (doc_id, span_idx, start_pos,
+    span_len) layout a sentinel-token writer consumes. Geometric-ish
+    span lengths emerge from run statistics of the Bernoulli mask rather
+    than a second length draw, keeping the whole plan one expression
+    family.
+
+    Scale shape: posexplode → scan-local hash filter (drops 85% of
+    positions before any shuffle) → one doc_id-keyed window + one
+    grouped aggregate; output rows ≈ docs × corrupted-span count."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.tokens(F.col("text")).alias("toks")
+    )
+    pos = docs.select("doc_id", F.posexplode("toks").alias("p", "tok")).select(
+        "doc_id", "p"
+    )
+    key = F.concat(
+        F.col("doc_id").cast("string"), F.lit(":"), F.col("p").cast("string")
+    )
+    masked = pos.filter(T.token_hash(key, seed=MASK_SEED) % 100 < MASK_PCT)
+    w = Window.partitionBy("doc_id").orderBy("p")
+    spans = (
+        masked.withColumn("grp", F.col("p") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("p").cast("long").alias("start_pos"),
+            F.count(F.lit(1)).alias("span_len"),
+        )
+    )
+    wi = Window.partitionBy("doc_id").orderBy("start_pos")
+    return (
+        spans.withColumn("span_idx", F.row_number().over(wi).cast("int"))
+        .select("doc_id", "span_idx", "start_pos", "span_len")
+        .orderBy("doc_id", "span_idx")
+    )
+
+
+def _span_corruption_sql() -> str:
+    """Staged DuckDB oracle (validated by
+    test_span_corruption_oracle_agrees_cross_engine; registered r13)."""
+    hk = T.token_hash_sql(
+        "(CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR))", seed=MASK_SEED
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (SELECT doc_id, unnest(range(0, len(t))) AS p FROM toks),
+masked AS (
+  SELECT doc_id, p FROM pos WHERE {hk} % 100 < {MASK_PCT}
+),
+isl AS (
+  SELECT doc_id, p,
+         p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM masked
+),
+spans AS (
+  SELECT doc_id, grp, CAST(MIN(p) AS BIGINT) AS start_pos,
+         COUNT(*) AS span_len
+  FROM isl GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY doc_id ORDER BY start_pos) AS INT) AS span_idx,
+       start_pos, span_len
+FROM spans
+ORDER BY doc_id, span_idx
+"""
+
+
 QUERIES = {
     "corpus_hash_sample": corpus_hash_sample,
     "corpus_split_assign": corpus_split_assign,

@@ -4645,3 +4645,73 @@ def test_profile_drift_oracle_agrees_cross_engine(spark):
         for r in dq_profile_drift(spark, SF).collect()
     ]
     assert got == want and len(got) == 4
+
+
+def test_span_corruption_matches_python_model(spark):
+    """corpus_span_corruption (r12, gates r13) against an independent
+    Python replay of the hash-Bernoulli mask + gaps-and-islands span
+    assembly — incl. that the corpus actually yields multi-token spans
+    (run statistics, the geometric-ish length source) and a corruption
+    rate near MASK_PCT."""
+    import hashlib
+
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.operators.corpus import (
+        MASK_PCT,
+        MASK_SEED,
+        corpus_span_corruption,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    want = []
+    n_positions = 0
+    n_masked = 0
+    for r in sorted(docs, key=lambda x: x.doc_id):
+        n = len(r.text.split(" "))
+        n_positions += n
+        masked = [
+            p
+            for p in range(n)
+            if int(
+                hashlib.md5(f"{MASK_SEED}:{r.doc_id}:{p}".encode()).hexdigest()[:15],
+                16,
+            )
+            % 100
+            < MASK_PCT
+        ]
+        n_masked += len(masked)
+        spans = []
+        for p in masked:
+            if spans and spans[-1][0] + spans[-1][1] == p:
+                spans[-1][1] += 1
+            else:
+                spans.append([p, 1])
+        for i, (start, ln) in enumerate(spans, start=1):
+            want.append((r.doc_id, i, start, ln))
+    got = [
+        (r.doc_id, r.span_idx, r.start_pos, r.span_len)
+        for r in corpus_span_corruption(spark, SF).collect()
+    ]
+    assert got == want
+    assert any(ln > 1 for _, _, _, ln in got)  # multi-token spans occur
+    rate = n_masked / n_positions
+    assert abs(rate - MASK_PCT / 100) < 0.03, rate
+
+
+def test_span_corruption_oracle_agrees_cross_engine(spark):
+    """The staged DuckDB oracle already meets selfcheck's bar."""
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.operators.corpus import (
+        _span_corruption_sql,
+        corpus_span_corruption,
+    )
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    want = [(int(a), int(b), int(c), int(d)) for a, b, c, d in con.sql(_span_corruption_sql()).fetchall()]
+    got = [
+        (r.doc_id, r.span_idx, r.start_pos, r.span_len)
+        for r in corpus_span_corruption(spark, SF).collect()
+    ]
+    assert got == want and len(got) > 100
