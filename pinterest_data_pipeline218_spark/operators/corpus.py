@@ -1770,6 +1770,7 @@ QUERIES = {
     "corpus_reservoir_sample": corpus_reservoir_sample,
     "corpus_source_cap": corpus_source_cap,
     "corpus_filter_cascade": corpus_filter_cascade,
+    "corpus_span_corruption": corpus_span_corruption,
 }
 
 ORACLE = {
@@ -1794,4 +1795,5 @@ ORACLE = {
     "corpus_filter_cascade": CORPUS_FILTER_CASCADE_SQL.format(
         quality=_quality_sql()
     ),
+    "corpus_span_corruption": _span_corruption_sql(),
 }

@@ -538,10 +538,12 @@ QUERIES = {
     "dq_benford_totalprice": dq_benford_totalprice,
     "dq_documents_profile": dq_documents_profile,
     "dq_events_drift": dq_events_drift,
+    "dq_profile_drift": dq_profile_drift,
 }
 ORACLE = {
     "dq_orders_constraints": DQ_ORDERS_SQL,
     "dq_benford_totalprice": DQ_BENFORD_SQL,
     "dq_documents_profile": DQ_PROFILE_SQL,
     "dq_events_drift": DQ_DRIFT_SQL,
+    "dq_profile_drift": _profile_drift_sql(),
 }

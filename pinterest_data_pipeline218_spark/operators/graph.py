@@ -609,6 +609,7 @@ QUERIES = {
     "graph_triangle_nations": graph_triangle_nations,
     "graph_jaccard_neighbors": graph_jaccard_neighbors,
     "graph_cheapest_route": graph_cheapest_route,
+    "graph_label_propagation": graph_label_propagation,
 }
 
 ORACLE = {
@@ -617,4 +618,5 @@ ORACLE = {
     "graph_triangle_nations": GRAPH_TRIANGLE_SQL,
     "graph_jaccard_neighbors": GRAPH_JACCARD_SQL,
     "graph_cheapest_route": GRAPH_ROUTE_SQL,
+    "graph_label_propagation": _label_propagation_sql(),
 }

@@ -285,5 +285,11 @@ LIMIT {RRF_TOP_K}
 """
 
 
-QUERIES = {"corpus_bm25_search": corpus_bm25_search}
-ORACLE = {"corpus_bm25_search": CORPUS_BM25_SQL}
+QUERIES = {
+    "corpus_bm25_search": corpus_bm25_search,
+    "hybrid_rrf_search": hybrid_rrf_search,
+}
+ORACLE = {
+    "corpus_bm25_search": CORPUS_BM25_SQL,
+    "hybrid_rrf_search": _hybrid_rrf_sql(),
+}

@@ -585,6 +585,7 @@ QUERIES = {
     "ev_ewma_last8": ev_ewma_last8,
     "ev_twa_daily": ev_twa_daily,
     "ev_session_copresence_lift": ev_session_copresence_lift,
+    "ev_attribution_multitouch": ev_attribution_multitouch,
 }
 
 ORACLE = {
@@ -592,4 +593,5 @@ ORACLE = {
     "ev_ewma_last8": EV_EWMA_SQL,
     "ev_twa_daily": EV_TWA_SQL,
     "ev_session_copresence_lift": EV_COPRESENCE_SQL,
+    "ev_attribution_multitouch": _attribution_sql(),
 }
