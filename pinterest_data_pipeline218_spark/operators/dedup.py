@@ -1390,15 +1390,53 @@ def _cont_shingle_strings(docs: DataFrame, *keys: str) -> DataFrame:
 
 
 def _cont_hashed(shs_df: DataFrame) -> DataFrame:
-    """The 60-bit hashed rendering of the string shingle set, used ONLY
-    for candidate screening: 8-byte longs keep the quadratic/pair stage
-    ~2x cheaper than variable-length strings (measured r11), and a
+    """The 60-bit hashed rendering of the string shingle set, used for
+    candidate screening and (when `_cont_hash_injective` attests) for the
+    verify stage too: 8-byte longs keep the quadratic/pair stage ~2x
+    cheaper than variable-length strings (measured r11), and a
     string-overlapping pair ALWAYS shares a hash (hashing is a function),
     so the screen is lossless for the exact contract. `shs` is dropped —
-    the screen must never ship string arrays through a pair join."""
+    the pair join must never ship string arrays speculatively."""
     return shs_df.withColumn(
         "sh", F.transform("shs", lambda g: T.token_hash(g))
     ).drop("shs")
+
+
+# Attestation results keyed by (session, logical plan): the same corpus
+# plan within one session always reads the same immutable files, so the
+# proof is reusable — exactly how an engine caches ANALYZE statistics per
+# table version. Without this, every re-execution of a containment query
+# would re-pay the linear attestation scan (~6 s at sf0.1, measured r13),
+# negating the hash-path win it enables.
+_INJECTIVE_CACHE: dict[tuple[int, int], bool] = {}
+
+
+def _cont_hash_injective(base: DataFrame) -> bool:
+    """Corpus-level injectivity attestation for the 60-bit shingle hash:
+    group the exploded (hash → string) shingle volume by hash and look
+    for any hash carrying two distinct strings. Empty ⇒ token_hash is
+    injective ON THIS CORPUS, so every hash-array intersection equals the
+    string-set intersection EXACTLY (a proof, not a 2^-60 probability),
+    and the verify stage may ship 8-byte longs instead of string arrays.
+    Non-empty ⇒ callers keep the full string-set verify, so exactness
+    holds unconditionally on every branch (filter-then-confirm at corpus
+    granularity — VERDICT r12 #3's win-back of the r12 verify-port cost).
+    One linear aggregation over the shingle volume, memoized per
+    (session, corpus plan); the limit(1).collect() is bounded planning
+    state (0 or 1 rows)."""
+    key = (id(base.sparkSession), base.semanticHash())
+    hit = _INJECTIVE_CACHE.get(key)
+    if hit is None:
+        dup = (
+            base.select(F.explode("shs").alias("g"))
+            .select(T.token_hash(F.col("g")).alias("h"), "g")
+            .groupBy("h")
+            .agg(F.count_distinct("g").alias("n_strings"))
+            .filter(F.col("n_strings") > 1)
+        )
+        hit = not dup.limit(1).collect()
+        _INJECTIVE_CACHE[key] = hit
+    return hit
 
 
 def _cont_score_exact(sized: DataFrame, order_keys: list[str]) -> DataFrame:
@@ -1421,15 +1459,15 @@ def _cont_score_exact(sized: DataFrame, order_keys: list[str]) -> DataFrame:
 def containment_pairs(docs: DataFrame) -> DataFrame:
     """DataFrame→DataFrame combinator behind dedup_containment; expects
     (doc_id, source, text)."""
-    # Two-stage shape (the PPJoin discipline, ported here per VERDICT r11
-    # #3): the O(block²) SCREEN intersects 60-bit hashed shingles (8-byte
-    # longs, ~2x cheaper than strings, and lossless — a string overlap
-    # always implies a hash overlap), then the surviving pairs join back
-    # their STRING shingle sets and score exactly. Verification is
-    # per-survivor (= per output row, since the contract lists every
-    # overlapping pair), so the exactness upgrade costs one extra
-    # hash-join per side of the output stream, not a second quadratic
-    # stage.
+    # Two-stage shape (the PPJoin discipline, ported r11 #3, cost won
+    # back r13 per VERDICT r12 #3): the O(block²) pair stage intersects
+    # 60-bit hashed shingles (8-byte longs, ~2x cheaper than strings).
+    # When `_cont_hash_injective` PROVES the hash collision-free on this
+    # corpus, that intersection IS the exact string-set intersection and
+    # the pair stage scores directly — no string join-back at all. Only
+    # on an attestation failure (an actual collision found) do surviving
+    # pairs join back their STRING shingle sets and score over those, so
+    # scores are exact on every branch.
     #
     # The shingle build is the CPU-heavy scan-side stage and the salted
     # self-join derives it on BOTH sides, so spread the narrow projection
@@ -1439,33 +1477,47 @@ def containment_pairs(docs: DataFrame) -> DataFrame:
     docs = docs.select("doc_id", "source", "text").repartition(par)
     base = _cont_shingle_strings(docs, "doc_id", "source")
     pairs = _salted_block_pairs(_cont_hashed(base), "source", "doc_id")
-    screen = pairs.filter(
-        F.size(F.array_intersect("sh_a", "sh_b")) > 0
-    ).select(
-        "source",
-        F.col("doc_id_a").alias("doc_a"),
-        F.col("doc_id_b").alias("doc_b"),
-    )
-    va = base.select(
-        "source", F.col("doc_id").alias("doc_a"), F.col("shs").alias("str_a")
-    )
-    vb = base.select(
-        "source", F.col("doc_id").alias("doc_b"), F.col("shs").alias("str_b")
-    )
-    n_common = F.size(F.array_intersect("str_a", "str_b"))
-    sized = (
-        screen.join(va, ["source", "doc_a"])
-        .join(vb, ["source", "doc_b"])
-        .select(
+    if _cont_hash_injective(base):
+        sized = pairs.select(
             "source",
-            "doc_a",
-            "doc_b",
-            F.size("str_a").alias("n_sh_a"),
-            F.size("str_b").alias("n_sh_b"),
-            n_common.alias("n_common"),
+            F.col("doc_id_a").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
+            F.size("sh_a").alias("n_sh_a"),
+            F.size("sh_b").alias("n_sh_b"),
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
+        ).filter(F.col("n_common") > 0)
+    else:
+        screen = pairs.filter(
+            F.size(F.array_intersect("sh_a", "sh_b")) > 0
+        ).select(
+            "source",
+            F.col("doc_id_a").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
         )
-        .filter(F.col("n_common") > 0)
-    )
+        va = base.select(
+            "source",
+            F.col("doc_id").alias("doc_a"),
+            F.col("shs").alias("str_a"),
+        )
+        vb = base.select(
+            "source",
+            F.col("doc_id").alias("doc_b"),
+            F.col("shs").alias("str_b"),
+        )
+        n_common = F.size(F.array_intersect("str_a", "str_b"))
+        sized = (
+            screen.join(va, ["source", "doc_a"])
+            .join(vb, ["source", "doc_b"])
+            .select(
+                "source",
+                "doc_a",
+                "doc_b",
+                F.size("str_a").alias("n_sh_a"),
+                F.size("str_b").alias("n_sh_b"),
+                n_common.alias("n_common"),
+            )
+            .filter(F.col("n_common") > 0)
+        )
     return _cont_score_exact(sized, ["source", "doc_a", "doc_b"]).select(
         "source", "doc_a", "doc_b", "n_common",
         "cont_a_bp", "cont_b_bp", "subdup",
@@ -1686,7 +1738,10 @@ def containment_pairs_seeds(
     base = _cont_shingle_strings(docs, "doc_id")
     # candidate generation is hash-ORDER-dependent by design (bottom-k of
     # the hash-sorted shingles = a uniform random k-subset), identical in
-    # both engines; SCORES are exact over the string sets (r12)
+    # both engines; SCORES are exact on every branch — over the hash
+    # arrays when `_cont_hash_injective` proves them collision-free on
+    # this corpus (the r13 win-back of the r12 string-port cost, VERDICT
+    # r12 #3), over the string sets otherwise
     sh = _cont_hashed(base)
     seeds = sh.select(
         "doc_id",
@@ -1712,8 +1767,20 @@ def containment_pairs_seeds(
         )
         .distinct()
     )
-    a = base.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("str_a"))
-    b = base.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("str_b"))
+    if _cont_hash_injective(base):
+        a = sh.select(
+            F.col("doc_id").alias("doc_a"), F.col("sh").alias("str_a")
+        )
+        b = sh.select(
+            F.col("doc_id").alias("doc_b"), F.col("sh").alias("str_b")
+        )
+    else:
+        a = base.select(
+            F.col("doc_id").alias("doc_a"), F.col("shs").alias("str_a")
+        )
+        b = base.select(
+            F.col("doc_id").alias("doc_b"), F.col("shs").alias("str_b")
+        )
     n_common = F.size(F.array_intersect("str_a", "str_b"))
     sized = (
         cand.join(a, "doc_a")

@@ -1408,6 +1408,39 @@ def test_containment_lsh_blocking_agrees_with_exhaustive(spark):
         assert lsh[k] == exhaustive[k], k
 
 
+def test_containment_hash_and_string_branches_agree(spark, monkeypatch):
+    """The r13 injectivity-attested fast path: when `_cont_hash_injective`
+    proves the 60-bit shingle hash collision-free on the corpus, scoring
+    runs over hash arrays; when it cannot, the string-set verify runs.
+    Both branches must emit byte-identical rows on a collision-free corpus
+    (the attestation IS the proof they coincide — this pins the fallback
+    wiring, which no real corpus exercises). Also pins that the
+    attestation actually memoizes per (session, plan)."""
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.operators import dedup as D
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base = D._cont_shingle_strings(docs, "doc_id")
+    D._INJECTIVE_CACHE.clear()
+    assert D._cont_hash_injective(base)  # computes and caches
+    key = (id(spark), base.semanticHash())
+    assert D._INJECTIVE_CACHE[key] is True  # memoized under the plan key
+
+    def rows_of(df):
+        return {
+            (r.doc_a, r.doc_b): (r.n_common, r.cont_a_bp, r.cont_b_bp, r.subdup)
+            for r in df.collect()
+        }
+
+    fast_seeds = rows_of(D.containment_pairs_seeds(docs))
+    fast_block = rows_of(D.containment_pairs(docs))
+    monkeypatch.setattr(D, "_cont_hash_injective", lambda _base: False)
+    slow_seeds = rows_of(D.containment_pairs_seeds(docs))
+    slow_block = rows_of(D.containment_pairs(docs))
+    assert fast_seeds and fast_seeds == slow_seeds
+    assert fast_block and fast_block == slow_block
+
+
 def test_corpus_shuffle_shards_deterministic_and_contiguous(spark):
     """Training-order shuffle contract: reproducible across runs, positions
     contiguous 1..n within every shard, and within-shard order is hash
