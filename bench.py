@@ -273,10 +273,19 @@ BASELINE_INFLATION_X = 2.0
 
 def load_committed_medians(md_path: str, sf: float) -> dict[str, float]:
     """Parse BASELINE.md's committed per-query table for the given sf.
-    Missing file or foreign sf -> empty dict (guard disabled)."""
+    Missing file or foreign sf -> empty dict (guard disabled). A file
+    that EXISTS but parses to zero rows is a format drift — warn loudly
+    instead of silently disabling the vs-committed guard (ADVICE r12)."""
     if abs(sf - 0.1) > 1e-9 or not os.path.exists(md_path):
         return {}
-    rows = re.findall(r"\| (\w+) \| 0\.1 \| ([0-9.]+) \|", open(md_path).read())
+    with open(md_path) as fh:
+        rows = re.findall(r"\| (\w+) \| 0\.1 \| ([0-9.]+) \|", fh.read())
+    if not rows:
+        print(
+            f"BENCH WARNING: {md_path} exists but no '| name | 0.1 | median |' "
+            "rows parsed — table format drifted? vs-committed guard DISABLED",
+            file=sys.stderr,
+        )
     return {k: float(v) for k, v in rows}
 
 

@@ -2479,6 +2479,28 @@ def test_knn_classify_accuracy_floor_on_clustered_fixture(spark, tmp_path):
     assert acc >= 0.95, acc
 
 
+def test_webp_dist_map_matches_spec_plane_code_table():
+    """The 120-entry LZ77 2D distance map must equal the spec's plane-code
+    table (libwebp kCodeToPlaneCodes): domain dx in [-7,8], dy in [0,7] —
+    exactly what the plane-code byte (dy<<4)|(8-dx) encodes — ordered by
+    squared distance, |dx|, positive-dx-first. The r12 generator truncated
+    a wider candidate set and diverged for codes 97-120 (ADVICE r12);
+    these tail pins hold the spec alignment."""
+    from pinterest_data_pipeline218_spark.functions.webp import _DIST_MAP
+
+    assert len(_DIST_MAP) == len(set(_DIST_MAP)) == 120
+    assert all(-7 <= x <= 8 and 0 <= y <= 7 for x, y in _DIST_MAP)
+    assert all(y > 0 or x > 0 for x, y in _DIST_MAP)
+    assert _DIST_MAP[:4] == ((0, 1), (1, 0), (1, 1), (-1, 1))
+    # the tail entries the r12 truncation got wrong:
+    assert _DIST_MAP[96] == (8, 0)
+    assert _DIST_MAP[97:101] == ((4, 7), (-4, 7), (7, 4), (-7, 4))
+    assert _DIST_MAP[119] == (8, 7)
+    # every entry is representable as a plane-code byte and distinct
+    planes = {(y << 4) | (8 - x) for x, y in _DIST_MAP}
+    assert len(planes) == 120 and all(p <= 0x7F for p in planes)
+
+
 def test_webp_codec_roundtrip_transforms_and_boundaries():
     """functions/webp.py (r12): VP8L lossless WebP codec.
 
