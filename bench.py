@@ -176,6 +176,12 @@ HEADLINE = [
     # r10: the remaining gated queries (VERDICT r9 #5 — HEADLINE now covers
     # the WHOLE registry; a tests/test_bench_headline_covers_registry guard
     # keeps it that way)
+    # r13 additions
+    "hybrid_rrf_search",
+    "ev_attribution_multitouch",
+    "graph_label_propagation",
+    "dq_profile_drift",
+    "corpus_span_corruption",
     # r12 additions
     "corpus_source_cap",
     "corpus_filter_cascade",
