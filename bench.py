@@ -177,6 +177,7 @@ HEADLINE = [
     # the WHOLE registry; a tests/test_bench_headline_covers_registry guard
     # keeps it that way)
     # r13 additions
+    "sim_ivf_increment",
     "hybrid_rrf_search",
     "ev_attribution_multitouch",
     "graph_label_propagation",

@@ -1465,6 +1465,164 @@ FROM el WHERE pr = 1 ORDER BY vec_id
 """
 
 
+# ---------------------------------------- IVF index maintenance (r13)
+# A 100 TB retrieval corpus grows between index rebuilds; the freshness
+# path assigns ARRIVING vectors to the frozen coarse quantizer's cells
+# and tracks how well they still fit it. The staleness metric is the
+# per-cell drop between training-time fit (mean cosine of the cell's
+# BASE members to their centroid — the quantizer's distortion on the
+# data it was built from) and arrival-time fit (mean cosine of newly
+# assigned vectors to that same frozen centroid): a growing drop is the
+# rebuild-cadence signal IVF systems alert on. VERDICT r12 #5.
+
+IVF_INCR_MOD = 5  # vec_id % 5 == 0 plays the "arriving" 20% in the gate
+
+
+def _cos_ppm(v, c):
+    """Cosine similarity in exact parts-per-million: FLOOR of the double
+    product — deterministic across engines (no round-half ties), and the
+    resulting BIGINTs sum exactly, so per-cell means are reproducible
+    regardless of aggregation order."""
+    return F.floor(cosine(v, c) * F.lit(1000000.0)).cast("long")
+
+
+def ivf_assign_cells(new_emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell, cos_ppm): nearest-frozen-centroid assignment for a
+    batch of arriving vectors. The |cells|-row quantizer broadcasts; the
+    argmax is a vec_id-partitioned window (never a global sort); ties
+    break to the lowest cell id in both engines. Expects new_emb with
+    (vec_id, v) and cents with (label, c)."""
+    from pyspark.sql import Window
+
+    scored = new_emb.crossJoin(
+        F.broadcast(cents.select(F.col("label").alias("cell"), "c"))
+    ).select("vec_id", "cell", cosine(F.col("v"), F.col("c")).alias("cs"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "cell",
+            F.floor(F.col("cs") * F.lit(1000000.0)).cast("long").alias("cos_ppm"),
+        )
+    )
+
+
+def ivf_staleness_report(base_sc: DataFrame, new_sc: DataFrame) -> DataFrame:
+    """Per-cell staleness from per-row (cell, cos_ppm) fits: training-side
+    means vs arrival-side means, and their drop. Cells no new vector
+    landed in keep n_new=0 with NULL arrival stats (left join — the index
+    defines the cell universe). Means are FLOOR(double quotient of exact
+    BIGINT sums): identical floor semantics in both engines (Spark `div`
+    truncates while DuckDB `//` floors, so neither is used on the
+    possibly-negative sums)."""
+
+    def mean_ppm(s, n):
+        return F.floor(s.cast("double") / n).cast("long")
+
+    base_agg = base_sc.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_base"), F.sum("cos_ppm").alias("s_base")
+    )
+    new_agg = new_sc.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_new"), F.sum("cos_ppm").alias("s_new")
+    )
+    base_mean = mean_ppm(F.col("s_base"), F.col("n_base"))
+    new_mean = mean_ppm(F.col("s_new"), F.col("n_new"))
+    return (
+        base_agg.join(new_agg, "cell", "left")
+        .select(
+            "cell",
+            "n_base",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            base_mean.alias("base_mean_cos_ppm"),
+            new_mean.alias("new_mean_cos_ppm"),
+            (base_mean - new_mean).alias("staleness_ppm"),
+        )
+        .orderBy("cell")
+    )
+
+
+def sim_ivf_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated batch rendering of IVF index maintenance: freeze a coarse
+    quantizer on the BASE 80% of the embeddings (vec_id % 5 != 0), assign
+    the ARRIVING 20% to its cells, and report per-cell staleness. The
+    streaming twin (`streaming/pipeline.py attach_ivf_assign_stream` +
+    `incremental_ivf_staleness`) accumulates the same assignments
+    per-micro-batch with overwrite-partition idempotence; equality is
+    pytest-proved (`test_incremental_ivf_staleness_equals_batch`)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    base = emb.filter(F.col("vec_id") % IVF_INCR_MOD != 0)
+    new = emb.filter(F.col("vec_id") % IVF_INCR_MOD == 0)
+    cents = build_ivf_centroids(base)
+    base_sc = base.join(F.broadcast(cents), "label").select(
+        F.col("label").alias("cell"),
+        _cos_ppm(F.col("v"), F.col("c")).alias("cos_ppm"),
+    )
+    new_sc = ivf_assign_cells(new.select("vec_id", "v"), cents).select(
+        "cell", "cos_ppm"
+    )
+    return ivf_staleness_report(base_sc, new_sc)
+
+
+def _ivf_increment_sql() -> str:
+    """DuckDB replay: same TRUNC-quantized centroid build over the base
+    split, same FLOOR-ppm cosine fits, same window argmax assignment,
+    same FLOOR-of-double-quotient means."""
+    base_cos = cosine_sql_duckdb("b.v", "c.c")
+    new_cos = cosine_sql_duckdb("n.v", "c.c")
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+base AS (SELECT * FROM e WHERE vec_id % {IVF_INCR_MOD} != 0),
+newv AS (SELECT * FROM e WHERE vec_id % {IVF_INCR_MOD} = 0),
+comps AS (
+  SELECT label, u.pos AS pos, u.qv AS qv FROM (
+    SELECT label, unnest(list_transform(range(1, len(v)+1),
+           __i -> {{'pos': __i, 'qv': CAST(TRUNC(v[__i] * {QUANT}) AS BIGINT)}})) AS u
+    FROM base
+  )
+),
+centroids AS (
+  SELECT label, list(CAST(s AS DOUBLE) ORDER BY pos) AS c
+  FROM (SELECT label, pos, SUM(qv) AS s FROM comps GROUP BY label, pos)
+  GROUP BY label
+),
+base_sc AS (
+  SELECT b.label AS cell,
+         CAST(FLOOR({base_cos} * 1000000) AS BIGINT) AS cos_ppm
+  FROM base b JOIN centroids c USING (label)
+),
+base_agg AS (
+  SELECT cell, COUNT(*) AS n_base, SUM(cos_ppm) AS s_base
+  FROM base_sc GROUP BY cell
+),
+scored AS (
+  SELECT n.vec_id, c.label AS cell,
+         CAST(FLOOR({new_cos} * 1000000) AS BIGINT) AS cos_ppm,
+         ROW_NUMBER() OVER (
+           PARTITION BY n.vec_id ORDER BY {new_cos} DESC, c.label ASC) AS rn
+  FROM newv n CROSS JOIN centroids c
+),
+new_agg AS (
+  SELECT cell, COUNT(*) AS n_new, SUM(cos_ppm) AS s_new
+  FROM scored WHERE rn = 1 GROUP BY cell
+)
+SELECT b.cell AS cell, b.n_base AS n_base,
+       CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+       CAST(FLOOR(CAST(b.s_base AS DOUBLE) / b.n_base) AS BIGINT)
+         AS base_mean_cos_ppm,
+       CAST(FLOOR(CAST(n.s_new AS DOUBLE) / n.n_new) AS BIGINT)
+         AS new_mean_cos_ppm,
+       CAST(FLOOR(CAST(b.s_base AS DOUBLE) / b.n_base) AS BIGINT)
+         - CAST(FLOOR(CAST(n.s_new AS DOUBLE) / n.n_new) AS BIGINT)
+         AS staleness_ppm
+FROM base_agg b LEFT JOIN new_agg n USING (cell)
+ORDER BY cell
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_radius_search": sim_radius_search,
@@ -1478,6 +1636,7 @@ QUERIES = {
     "sim_ivfpq_lloyd_topk": sim_ivfpq_lloyd_topk,
     "sim_ivfpq_wide_topk": sim_ivfpq_wide_topk,
     "sim_knn_classify": sim_knn_classify,
+    "sim_ivf_increment": sim_ivf_increment,
 }
 
 ORACLE = {
@@ -1494,4 +1653,5 @@ ORACLE = {
     "sim_ivfpq_lloyd_topk": _ivfpq_residual_sql(PQ_LLOYD_ROUNDS),
     "sim_ivfpq_wide_topk": _ivfpq_residual_sql(pq_k=PQ_K_WIDE),
     "sim_knn_classify": SIM_KNN_SQL,
+    "sim_ivf_increment": _ivf_increment_sql(),
 }

@@ -1566,3 +1566,80 @@ def attach_source_cap_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+# ------------------------------------------- IVF index maintenance (r13)
+
+
+def ivf_assign_state_batch(
+    batch_df: DataFrame, index_path: str, state_dir: str, batch_id: int = -1
+) -> None:
+    """One micro-batch of ARRIVING vectors assigned to the FROZEN coarse
+    quantizer persisted at ``{index_path}/centroids`` (the materialized
+    IVF index of operators/similarity.write_ivf_index): per-vector
+    nearest-cell argmax plus the exact ppm cosine fit, written under a
+    ``batch_id=`` partition with mode("overwrite") — the idempotence
+    contract every incremental_* dashboard shares, so a replayed batch
+    REPLACES its own partition instead of double-counting. Expects
+    (vec_id, embedding array<float>). VERDICT r12 #5."""
+    from ..functions.vectors import as_double_array
+    from ..operators.similarity import ivf_assign_cells
+
+    spark = batch_df.sparkSession
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    new_emb = batch_df.select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    ivf_assign_cells(new_emb, cents).write.mode("overwrite").parquet(
+        f"{state_dir}/ivf_assign/batch_id={batch_id}"
+    )
+
+
+def attach_ivf_assign_stream(
+    stream_vec: DataFrame, index_path: str, state_dir: str, checkpoint: str
+) -> StreamingQuery:
+    """Wire frozen-quantizer cell assignment onto an arriving-vector
+    stream via foreachBatch; read the live staleness report at any time
+    with incremental_ivf_staleness."""
+    return (
+        stream_vec.writeStream.foreachBatch(
+            lambda df, bid: ivf_assign_state_batch(
+                df, index_path, state_dir, bid
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def incremental_ivf_staleness(
+    spark: SparkSession, index_path: str, state_dir: str
+) -> DataFrame:
+    """Per-cell staleness of the frozen quantizer vs accumulated
+    arrivals: training-side fits recomputed from the materialized index
+    itself (``{index_path}/data`` joined back to its own centroids — the
+    quantizer's distortion on the data it was built from), arrival-side
+    fits from the accumulated per-batch assignments. Exactly the batch
+    `ivf_staleness_report` over the union of batches — per-vector ppm
+    fits are batch-independent (the quantizer is frozen) and the BIGINT
+    sums are associative, so batch boundaries cannot matter
+    (`test_incremental_ivf_staleness_equals_batch`). A rising
+    staleness_ppm is the rebuild-cadence alert."""
+    from ..operators.similarity import _cos_ppm, ivf_staleness_report
+
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    base_sc = (
+        spark.read.parquet(f"{index_path}/data")
+        .join(F.broadcast(cents), "label")
+        .select(
+            F.col("label").alias("cell"),
+            _cos_ppm(F.col("v"), F.col("c")).alias("cos_ppm"),
+        )
+    )
+    if os.path.isdir(f"{state_dir}/ivf_assign"):
+        new_sc = spark.read.parquet(f"{state_dir}/ivf_assign").select(
+            "cell", "cos_ppm"
+        )
+    else:
+        new_sc = spark.createDataFrame([], "cell int, cos_ppm long")
+    return ivf_staleness_report(base_sc, new_sc)

@@ -3387,3 +3387,126 @@ def test_knn_increment_equals_batch(spark, tmp_path):
     # majority of the k-set decides, so this pins that the vote is over
     # the top-k SET (not the single nearest)
     assert got[103][1] >= 1
+
+
+def test_incremental_ivf_staleness_equals_batch(spark, tmp_path):
+    """IVF index maintenance (r13, VERDICT r12 #5): arriving vectors are
+    assigned per-micro-batch to the FROZEN coarse quantizer and the
+    staleness report over the accumulated assignments must equal the
+    batch ivf_staleness_report over the union of batches (frozen
+    quantizer => per-vector fits are batch-independent; BIGINT ppm sums
+    are associative). Also pins replay idempotence (a re-run batch_id
+    REPLACES its partition, never double-counts) and the metric's
+    meaning: off-centroid arrivals push staleness_ppm positive, a cell
+    with no arrivals keeps n_new=0 with NULL arrival stats."""
+    import json
+
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+
+    from pinterest_data_pipeline218_spark.functions.vectors import (
+        as_double_array,
+    )
+    from pinterest_data_pipeline218_spark.operators.similarity import (
+        _cos_ppm,
+        ivf_assign_cells,
+        ivf_staleness_report,
+        write_ivf_index,
+    )
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        attach_ivf_assign_stream,
+        incremental_ivf_staleness,
+        ivf_assign_state_batch,
+    )
+
+    dim = 8
+
+    def vec(axis, mag=1.0, eps=0.0):
+        v = [0.0] * dim
+        v[axis] = mag
+        if eps:
+            v[(axis + 1) % dim] = eps
+        return v
+
+    # two tight training cells on axes 0 and 1, plus an axis-2 cell that
+    # receives no arrivals
+    base_rows = (
+        [(i, vec(0, 1.0, 0.02 * i), 0) for i in range(4)]
+        + [(10 + i, vec(1, 1.0, 0.02 * i), 1) for i in range(4)]
+        + [(20, vec(2), 2), (21, vec(2, 1.0, 0.01), 2)]
+    )
+    base = spark.createDataFrame(
+        base_rows, "vec_id long, embedding array<float>, label int"
+    ).select("vec_id", "label", as_double_array("embedding").alias("v"))
+    index_path = str(tmp_path / "ivf")
+    write_ivf_index(base, index_path)
+
+    # arrivals: two fit cell 0 tightly, two land in cell 1 OFF-centroid
+    # (strong cross-component) so cell 1's staleness must be positive
+    new_rows = [
+        (100, vec(0, 2.0)),
+        (101, vec(0, 1.0, 0.01)),
+        (102, vec(1, 1.0, 0.9)),
+        (103, vec(1, 0.5, 0.45)),
+    ]
+    src = tmp_path / "vecs"
+    src.mkdir()
+    for i in range(2):
+        with open(src / f"{i:03d}.jsonl", "w") as f:
+            for vid, v in new_rows[i * 2 : i * 2 + 2]:
+                f.write(json.dumps({"vec_id": vid, "embedding": v}) + "\n")
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    stream = (
+        spark.readStream.format("json").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(str(src))
+    )
+    state_dir = str(tmp_path / "state")
+    q = attach_ivf_assign_stream(
+        stream, index_path, state_dir, str(tmp_path / "cp")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    def rows_of(df):
+        return {
+            r.cell: (
+                r.n_base, r.n_new, r.base_mean_cos_ppm,
+                r.new_mean_cos_ppm, r.staleness_ppm,
+            )
+            for r in df.collect()
+        }
+
+    got = rows_of(incremental_ivf_staleness(spark, index_path, state_dir))
+
+    # batch twin over the union of arrivals, same frozen quantizer
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    base_sc = base.join(cents, "label").select(
+        F.col("label").alias("cell"),
+        _cos_ppm(F.col("v"), F.col("c")).alias("cos_ppm"),
+    )
+    union = spark.createDataFrame(
+        new_rows, "vec_id long, embedding array<float>"
+    ).select("vec_id", as_double_array("embedding").alias("v"))
+    new_sc = ivf_assign_cells(union, cents).select("cell", "cos_ppm")
+    want = rows_of(ivf_staleness_report(base_sc, new_sc))
+    assert got == want
+    assert set(got) == {0, 1, 2}
+
+    # metric semantics: tight arrivals ~ training fit; off-centroid
+    # arrivals degrade it; the never-hit cell reports n_new=0, NULLs
+    assert got[0][1] == 2 and abs(got[0][4]) < 3000
+    assert got[1][1] == 2 and got[1][4] > 10000
+    assert got[2][1] == 0 and got[2][3] is None and got[2][4] is None
+
+    # replay idempotence: re-running a batch_id replaces its partition
+    first_batch = spark.createDataFrame(
+        new_rows[:2], "vec_id long, embedding array<float>"
+    )
+    ivf_assign_state_batch(first_batch, index_path, state_dir, batch_id=0)
+    assert rows_of(incremental_ivf_staleness(spark, index_path, state_dir)) == want
