@@ -146,37 +146,48 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     term-keyed map-side-combinable aggregates; cosine: scan-local scoring
     against a 1-row broadcast query); the fusion joins two ≤RRF_POOL-row
     ranked lists — bounded planning-sized state — then TakeOrdered."""
-    import pyspark.sql.functions as F  # noqa: F811 — keep local symmetry
-    from pyspark.sql import Window
-
-    from ..functions.vectors import as_double_array, cosine
+    from .similarity import QUERY_VEC_ID
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    lex = bm25_scores(docs, BM25_QUERY_TERMS)
-    # pool cut FIRST via orderBy().limit() — fuses to TakeOrdered, no
-    # global sort — then rank the provably ≤RRF_POOL-row pool with a
-    # partitionless window the plan audit classifies as bounded planning
-    # state (maxRows from the limit), not a global-sort scale-killer
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hybrid_rrf(docs, emb, BM25_QUERY_TERMS, QUERY_VEC_ID)
+
+
+def rrf_lex_pool(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """(doc_id, lex_rank): the lexical leg's ranked candidate pool.
+    Pool cut FIRST via orderBy().limit() — fuses to TakeOrdered, no
+    global sort — then rank the provably ≤RRF_POOL-row pool with a
+    partitionless window the plan audit classifies as bounded planning
+    state (maxRows from the limit), not a global-sort scale-killer."""
+    from pyspark.sql import Window
+
+    lex = bm25_scores(docs, terms)
     w_lex = Window.orderBy(F.col("score_milli").desc(), F.col("doc_id"))
-    lex_pool = (
+    return (
         lex.orderBy(F.col("score_milli").desc(), "doc_id")
         .limit(RRF_POOL)
         .withColumn("lex_rank", F.row_number().over(w_lex))
         .select("doc_id", "lex_rank")
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("v")
-    )
-    from .similarity import QUERY_VEC_ID
 
+def rrf_vec_pool(emb: DataFrame, query_vec_id: int) -> DataFrame:
+    """(doc_id, vec_rank): the vector leg's ranked candidate pool —
+    exact cosine against the 1-row broadcast query (the sim_topk idiom),
+    same TakeOrdered pool cut + bounded window as the lexical leg.
+    ``emb`` expects (vec_id, embedding array<float>)."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import as_double_array, cosine
+
+    vecs = emb.select("vec_id", as_double_array("embedding").alias("v"))
     qrow = (
-        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        vecs.filter(F.col("vec_id") == query_vec_id)
         .select(F.col("v").alias("q"))
-        .limit(1)  # provable 1-row bound (the sim_topk idiom)
+        .limit(1)  # provable 1-row bound
     )
     vec_scored = (
-        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        vecs.filter(F.col("vec_id") != query_vec_id)
         .crossJoin(F.broadcast(qrow))
         .select(
             F.col("vec_id").alias("doc_id"),
@@ -184,13 +195,17 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w_vec = Window.orderBy(F.col("cos6").desc(), F.col("doc_id"))
-    vec_pool = (
+    return (
         vec_scored.orderBy(F.col("cos6").desc(), "doc_id")
         .limit(RRF_POOL)
         .withColumn("vec_rank", F.row_number().over(w_vec))
         .select("doc_id", "vec_rank")
     )
 
+
+def rrf_fuse_pools(lex_pool: DataFrame, vec_pool: DataFrame) -> DataFrame:
+    """Reciprocal Rank Fusion of two ranked pools: score =
+    Σ_legs SCALE div (K + rank), missing legs contribute 0."""
     fused = (
         lex_pool.join(vec_pool, "doc_id", "full_outer")
         .select(
@@ -210,6 +225,19 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.col("rrf_ppm").desc(), "doc_id").limit(RRF_TOP_K)
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: tuple[str, ...],
+    query_vec_id: int,
+) -> DataFrame:
+    """DataFrame→DataFrame combinator behind hybrid_rrf_search,
+    parameterized on the query so the recall study (tools/
+    recall_study.py, `test_hybrid_rrf_fused_beats_each_leg`) can drive
+    fixture queries through the exact gated plan."""
+    return rrf_fuse_pools(rrf_lex_pool(docs, terms), rrf_vec_pool(emb, query_vec_id))
 
 
 # Oracle for hybrid_rrf_search, staged with the operator (r12) and

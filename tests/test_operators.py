@@ -3,6 +3,7 @@ brute-force, MinHash-LSH candidate recall vs true Jaccard, multimodal
 kernels vs plain-Python reference."""
 
 import pyspark.sql.functions as F
+import pytest
 
 SF = "/root/testdata/sf0.001"
 
@@ -4770,3 +4771,49 @@ def test_span_corruption_oracle_agrees_cross_engine(spark):
         for r in corpus_span_corruption(spark, SF).collect()
     ]
     assert got == want and len(got) > 100
+
+
+@pytest.mark.parametrize("noise", [0.15, 0.5])
+def test_hybrid_rrf_fused_beats_each_leg(spark, noise):
+    """The fusion claim itself — "hybrid beats either leg" — measured,
+    not prose: recall@RRF_TOP_K of the fused retriever must be at least
+    each leg's alone and strictly better than both on a corpus where
+    lexical and semantic relevance are disjointly planted. Runs the
+    EXACT gated combinators (rrf_lex_pool / rrf_vec_pool /
+    rrf_fuse_pools) at two semantic-noise regimes. The fixture lives in
+    tools/recall_study.py so BASELINE.md §2c reports the same numbers."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from tools.recall_study import hybrid_relevance_fixture
+
+    from pinterest_data_pipeline218_spark.operators.ranking import (
+        RRF_TOP_K,
+        hybrid_rrf,
+        rrf_lex_pool,
+        rrf_vec_pool,
+    )
+
+    doc_rows, emb_rows, terms, relevant = hybrid_relevance_fixture(noise)
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<float>")
+
+    def recall(ids):
+        return len(set(ids) & relevant) / len(relevant)
+
+    lex_ids = [
+        r.doc_id
+        for r in rrf_lex_pool(docs, terms).orderBy("lex_rank").limit(RRF_TOP_K).collect()
+    ]
+    vec_ids = [
+        r.doc_id
+        for r in rrf_vec_pool(emb, 0).orderBy("vec_rank").limit(RRF_TOP_K).collect()
+    ]
+    fused_ids = [r.doc_id for r in hybrid_rrf(docs, emb, terms, 0).collect()]
+
+    r_lex, r_vec, r_fused = recall(lex_ids), recall(vec_ids), recall(fused_ids)
+    # each leg is blind to half of R by construction
+    assert r_lex <= 0.6 and r_vec <= 0.75, (r_lex, r_vec)
+    assert r_fused >= max(r_lex, r_vec)
+    assert r_fused > r_lex and r_fused > r_vec, (r_lex, r_vec, r_fused)
+    assert r_fused >= 0.85, r_fused

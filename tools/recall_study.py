@@ -54,6 +54,87 @@ def make_clustered_fixture(out_dir: str) -> str:
     return out_dir
 
 
+def hybrid_relevance_fixture(noise: float, seed: int = 11):
+    """Planted-relevance corpus for the hybrid-RRF recall attestation
+    (VERDICT r12 #6): 16 RELEVANT docs split into 8 lexical-only (contain
+    the query terms, random embeddings — the vector leg cannot see them)
+    and 8 semantic-only (paraphrase text without the terms, embeddings
+    near the query vector — the lexical leg cannot see them), plus 83
+    distractors with neither signal. Doc 0 is the query document (terms
+    + centroid embedding). Each leg can retrieve at most half of R by
+    construction; only the fusion can approach full recall. ``noise``
+    is the semantic cluster's sigma — the second regime checks the claim
+    survives a looser embedding geometry. Shared with
+    test_hybrid_rrf_fused_beats_each_leg, which PINS fused >= max(leg)."""
+    rs = np.random.RandomState(seed)
+    dim, n = 64, 100
+    terms = ("quantum", "flux", "lattice")
+    filler = [f"w{i}" for i in range(50)]
+    para = [f"p{i}" for i in range(20)]  # paraphrase vocab, no terms
+    center = rs.normal(0.0, 1.0, dim)
+
+    def rand_text(k=30):
+        return " ".join(rs.choice(filler, k))
+
+    docs, embs = [], []
+    for i in range(n):
+        if i == 0:  # the query document
+            text = " ".join(terms) + " " + rand_text(10)
+            v = center.copy()
+        elif 1 <= i <= 8:  # lexical-only relevant
+            text = " ".join(rs.choice(list(terms), 3)) + " " + rand_text(20)
+            v = rs.normal(0.0, 1.0, dim)  # embedding carries no signal
+        elif 9 <= i <= 16:  # semantic-only relevant
+            text = " ".join(rs.choice(para, 30))  # no query terms
+            v = center + rs.normal(0.0, noise, dim)
+        else:  # distractor
+            text = rand_text(30)
+            v = rs.normal(0.0, 1.0, dim)
+        docs.append((i, text))
+        embs.append((i, [float(x) for x in v.astype(np.float32)]))
+    relevant = set(range(1, 17))
+    return docs, embs, terms, relevant
+
+
+def hybrid_study(spark) -> list[tuple[str, str, float]]:
+    """recall@RRF_TOP_K of each retrieval leg alone vs the RRF fusion on
+    the planted-relevance fixture, at a tight and a loose semantic-noise
+    regime. Feeds BASELINE.md §2c."""
+    from pinterest_data_pipeline218_spark.operators.ranking import (
+        RRF_TOP_K,
+        hybrid_rrf,
+        rrf_lex_pool,
+        rrf_vec_pool,
+    )
+
+    out = []
+    for regime, noise in (("tight (sigma 0.15)", 0.15), ("loose (sigma 0.5)", 0.5)):
+        doc_rows, emb_rows, terms, relevant = hybrid_relevance_fixture(noise)
+        docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+        emb = spark.createDataFrame(
+            emb_rows, "vec_id long, embedding array<float>"
+        )
+
+        def recall(ids):
+            return len(set(ids) & relevant) / len(relevant)
+
+        lex = [
+            r.doc_id
+            for r in rrf_lex_pool(docs, terms)
+            .orderBy("lex_rank").limit(RRF_TOP_K).collect()
+        ]
+        vec = [
+            r.doc_id
+            for r in rrf_vec_pool(emb, 0)
+            .orderBy("vec_rank").limit(RRF_TOP_K).collect()
+        ]
+        fused = [r.doc_id for r in hybrid_rrf(docs, emb, terms, 0).collect()]
+        out.append((regime, "BM25 leg alone", recall(lex)))
+        out.append((regime, "cosine leg alone", recall(vec)))
+        out.append((regime, "RRF fused", recall(fused)))
+    return out
+
+
 def _truth(mat: np.ndarray, qid: int) -> set[int]:
     q = mat[qid]
     sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q) + 1e-300)
@@ -196,6 +277,12 @@ def main():
         print("|---|---|---|---|")
         for fam, dial, rec, cost in study(spark, d, tag):
             print(f"| {fam} | {dial} | {rec:.3f} | {cost} |", flush=True)
+
+    print("\n### hybrid RRF (planted-relevance fixture, recall@20)", flush=True)
+    print("| regime | retriever | recall@20 |")
+    print("|---|---|---|")
+    for regime, retr, rec in hybrid_study(spark):
+        print(f"| {regime} | {retr} | {rec:.3f} |", flush=True)
 
 
 if __name__ == "__main__":
