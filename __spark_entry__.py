@@ -73,71 +73,76 @@ _MODULES = (
 )
 
 # The driver's correctness gate checks the FIRST 50 registry entries. Window
-# selection is mechanical as of r12: `python tools/ledger.py` joins the registry
-# against every CORRECTNESS_r*.json and prints each query's latest driver round;
-# the window below is (a) every row whose latest driver round is oldest —
-# ledger @ r12 start: 9 rows last gated r05, 29 rows last gated r07, nothing
-# older survives this rotation — plus (b) every query whose plan or oracle
-# MATERIALLY CHANGED since its last driver row (changes must re-gate), plus
-# (c) queries NEW this round. Everything not in the window keeps full coverage
-# via pytest and tools/selfcheck.py, which run the COMPLETE registry; window
-# rotation trades driver-row freshness, never test coverage. The pre-r12
-# per-row tail rationale log lives in git history (see `git log __spark_entry__.py`).
+# selection is mechanical (r12 contract): `python tools/ledger.py` joins the
+# registry against every CORRECTNESS_r*.json and prints each query's latest
+# driver round; the window below is (a) the staleness queue oldest-first —
+# ledger @ r13 start: 24 rows last gated r08 (ALL windowed, including the
+# five SURVEY §2.11 declared queries VERDICT r12 #2 named) and 24 rows last
+# gated r09, of which 18 fit; the 6 deferred r09 rows (corpus_merge_increment,
+# dedup_cluster_best, dedup_cluster_cc_bounded, ev_twa_daily, mm_fake_features,
+# text_langid_trained) are the r14 carry, still inside the 4-round rotation
+# contract now ENFORCED by test_ledger_no_row_older_than_rotation_contract —
+# plus (b) every query whose plan or oracle MATERIALLY CHANGED since its last
+# driver row (changes must re-gate), plus (c) queries NEW this round.
+# Everything not in the window keeps full coverage via pytest and
+# tools/selfcheck.py, which run the COMPLETE registry; window rotation trades
+# driver-row freshness, never test coverage. Per-round tail rationale lives
+# in git history (see `git log __spark_entry__.py`).
 _WINDOW = (
-    # (a) ledger r05 rows — stalest in the registry, all selfcheck-green at r11 judge time:
-    "corpus_hash_sample",
-    "corpus_mixture_sample",
-    "corpus_quality_report",
-    "corpus_shuffle_shards",
-    "corpus_split_assign",
-    "corpus_token_budget",
-    "ev_json_extract_sum",
-    "sim_ivfpq_topk",
-    "sim_topk_bruteforce",
-    # (a) ledger r07 rows — the rest of the staleness queue, rotated in per VERDICT r11 #1:
-    "corpus_cdc_chunk",
-    "corpus_dsir_sample",
-    "corpus_stratified_predlang",
-    "ev_click_streaks",
-    "ev_cube_type_dow",
-    "ev_funnel_steps",
-    "ev_gapfill_hourly",
-    "ev_kmv_distinct_users",
-    "ev_markov_transitions",
-    "ev_retention_cohorts",
-    "ev_sliding_1h_value",
-    "ev_value_outliers",
-    "ev_variant_stats",
-    "graph_pagerank_trade",
-    "ml_kmeans_refine",
-    "mm_audio_fingerprint",
-    "sim_ann_lsh",
-    "sim_ivf_multiprobe",
-    "sim_ivfpq_residual_topk",
-    "sim_ivfpq_wide_topk",
-    "t11_median_order_total_by_band_year",
-    "t4_top_priority_per_nation",
-    "t_unpivot_nation_stats",
-    "text_bpe_tokens",
-    "text_normalize",
-    "text_quality_classifier",
-    "tpch_full_outer_nation_coverage",
-    "tpch_q2_min_cost_supplier",
-    "user_clean_pipeline",
-    # (b) changed since their last driver row — must re-gate:
-    "dedup_ngram_jaccard",  # exact-rational threshold gate (r11 ADVICE)
-    "dedup_containment",  # exact string-set verify stage (VERDICT r11 #3)
-    "dedup_containment_seeds",  # same verify-stage port
-    "dq_events_drift",  # drift_bin sign-safe clamp (r11 ADVICE)
-    "ev_theta_user_overlap",  # intersection attestation re-bounded (r11 ADVICE)
-    "ev_hll_daily_rollup",  # batch side refactored into shared streaming-twin helpers
-    "mm_image_decode",  # r12: WebP/VP8L fixture class joins the codec gate
-    "mm_image_resize",  # r12: WebP path in the resize round-trip
     # (c) new this round:
-    "corpus_source_cap",  # r12 NEW: RefinedWeb-style per-domain cap
-    "corpus_filter_cascade",  # r12 NEW: first-failing-reason quality cascade
-    "ev_winsorized_stats",  # r12 NEW: exact-percentile winsorized robust stats
-    "sim_knn_classify",  # r12 NEW: k-NN majority-vote labeling over embeddings
+    "hybrid_rrf_search",  # r13 NEW: BM25 + cosine Reciprocal Rank Fusion
+    "ev_attribution_multitouch",  # r13 NEW: multi-touch conversion attribution
+    "graph_label_propagation",  # r13 NEW: community detection over trade graph
+    "dq_profile_drift",  # r13 NEW: two-cohort column-profile drift
+    "corpus_span_corruption",  # r13 NEW: T5-style span-corruption planning
+    "sim_ivf_increment",  # r13 NEW: frozen-quantizer assignment + staleness
+    # (b) changed since their last driver row — must re-gate:
+    "dedup_containment",  # r13: injectivity-attested hash-path verify
+    "dedup_containment_seeds",  # same rewire (VERDICT r12 #3)
+    # (a) the staleness queue, oldest-first — all 24 r08 rows:
+    "corpus_bm25_search",
+    "corpus_zorder_keys",
+    "dedup_cluster_cc_capped",
+    "ev_asof_click_before_purchase",
+    "ev_cm_top_users",
+    "ev_division_all_types",
+    "ev_extremes_by_type",
+    "ev_journey_pattern",
+    "ev_locf_fill",
+    "ev_session_window_native",
+    "ev_user_value_drift",
+    "graph_reachability_nations",
+    "graph_triangle_nations",
+    "set_bag_ops",
+    "t5_priority_counts_by_year",
+    "t6p1_top_customer_per_nation",
+    "t6p2_top_nation_by_top_customer",
+    "t8_compat_window_median",
+    "t9_active_customers_by_year",
+    "tpch_lateral_topk",
+    "tpch_q16_supplier_count",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_concentrated_suppliers",
+    "user_oldest_nulls_last",
+    # (a) 18 of the 24 r09 rows (the declared pin/geo pipelines first):
+    "pin_clean_pipeline",
+    "geo_clean_pipeline",
+    "corpus_build_full",
+    "corpus_leakage_safe_split",
+    "corpus_pack_sequences",
+    "dq_orders_constraints",
+    "ev_session_copresence_lift",
+    "geo_nearby_pairs",
+    "ml_semantic_keepers",
+    "mm_image_phash",
+    "sim_radius_search",
+    "text_classifier_eval",
+    "text_entity_ids",
+    "text_fuzzy_pairs",
+    "text_langid",
+    "text_lm_backoff",
+    "text_word_frequencies",
+    "tpch_bloom_prefilter",
 )
 
 

@@ -1476,6 +1476,13 @@ FROM el WHERE pr = 1 ORDER BY vec_id
 # rebuild-cadence signal IVF systems alert on. VERDICT r12 #5.
 
 IVF_INCR_MOD = 5  # vec_id % 5 == 0 plays the "arriving" 20% in the gate
+# The broadcast quantizer must fit an executor by IVF's own design (every
+# assignment scores against all cells); the ordered limit makes that
+# contract Catalyst-PROVABLE (logical maxRows), so the assignment's
+# non-equi join is plan-audit-asserted bounded-batch instead of an
+# unprovable cross join. A no-op below the cap; deterministic
+# (lowest-label-first) if a pathological quantizer ever exceeded it.
+IVF_CELL_CAP = 1024
 
 
 def _cos_ppm(v, c):
@@ -1488,15 +1495,22 @@ def _cos_ppm(v, c):
 
 def ivf_assign_cells(new_emb: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, cell, cos_ppm): nearest-frozen-centroid assignment for a
-    batch of arriving vectors. The |cells|-row quantizer broadcasts; the
-    argmax is a vec_id-partitioned window (never a global sort); ties
-    break to the lowest cell id in both engines. Expects new_emb with
-    (vec_id, v) and cents with (label, c)."""
+    batch of arriving vectors. The quantizer broadcasts under the
+    IVF_CELL_CAP ordered limit (Catalyst-provable bounded-batch join —
+    |batch|·|cells| work, linear in the batch); the argmax is a
+    vec_id-partitioned window (never a global sort); ties break to the
+    lowest cell id in both engines. Expects new_emb with (vec_id, v) and
+    cents with (label, c)."""
     from pyspark.sql import Window
 
-    scored = new_emb.crossJoin(
-        F.broadcast(cents.select(F.col("label").alias("cell"), "c"))
-    ).select("vec_id", "cell", cosine(F.col("v"), F.col("c")).alias("cs"))
+    capped = (
+        cents.select(F.col("label").alias("cell"), "c")
+        .orderBy("cell")
+        .limit(IVF_CELL_CAP)
+    )
+    scored = new_emb.crossJoin(F.broadcast(capped)).select(
+        "vec_id", "cell", cosine(F.col("v"), F.col("c")).alias("cs")
+    )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cell"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -1115,17 +1115,41 @@ def test_registry_window_names_resolve_and_rotation_is_ledger_mechanical(qs):
     # NEW queries (no driver row yet) must be windowed; for everything
     # else the staleness queue drains oldest-first.
     new_unwindowed = {n for n in names if n not in ledger}
-    stale = {n for n, e in ledger.items() if e["round"] < 8 and n in set(names)}
+    stale = {n for n, e in ledger.items() if e["round"] < 9 and n in set(names)}
     out = (stale | new_unwindowed) - set(window)
     assert out == set(), f"stale/new queries outside the checked window: {out}"
-    # changed since last driver row (r11-judge..r12 commits) — must re-gate
-    changed = {
-        "dedup_ngram_jaccard", "dedup_containment", "dedup_containment_seeds",
-        "dq_events_drift", "ev_theta_user_overlap", "ev_hll_daily_rollup",
-        "mm_image_decode", "mm_image_resize",
-    }
+    # changed since last driver row (r12-judge..r13 commits) — must re-gate
+    changed = {"dedup_containment", "dedup_containment_seeds"}
     out = changed - set(window)
     assert out == set(), f"changed queries outside the checked window: {out}"
+
+
+def test_ledger_no_row_older_than_rotation_contract(qs):
+    """VERDICT r12 #8: the staleness policy, self-enforcing. Every
+    registry query with a driver CORRECTNESS row must have been gated
+    within the last ROTATION_N rounds — OR sit in the current window
+    (about to be re-gated at this round's end). The current build round
+    is max(ledger round) + 1 (this round's own CORRECTNESS file lands
+    only after the build). Skipping a rotation turns this red."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from tools.ledger import load_ledger
+
+    ROTATION_N = 4
+    ledger = load_ledger()
+    current_round = max(e["round"] for e in ledger.values()) + 1
+    cutoff = current_round - ROTATION_N
+    window = set(entry._WINDOW)
+    aged = {
+        n: ledger[n]["round"]
+        for n in qs
+        if n in ledger and ledger[n]["round"] < cutoff and n not in window
+    }
+    assert aged == {}, (
+        f"rows older than the {ROTATION_N}-round rotation contract and "
+        f"not in the current window: {aged}"
+    )
 
 
 def test_ledger_covers_registry_and_row_verdict_matches_driver(qs):
