@@ -222,6 +222,96 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KC_K = 10  # core threshold: converges in <3 peels on both dev SFs, peels >0
+KC_ROUNDS = 3  # fixed unrolled peel rounds (the fixed-point discipline)
+
+
+def k_core(edges: DataFrame, k: int = KC_K, rounds: int = KC_ROUNDS) -> DataFrame:
+    """(node, core_deg): the subgraph surviving ``rounds`` synchronous
+    k-core peels (Seidman 1983, public) — each round drops every node
+    whose CURRENT degree is below k, then every edge touching a dropped
+    node; removals cascade across rounds. The fixed unrolled round count
+    keeps the computation a pure function of the edge set, replayable by
+    the DuckDB oracle as chained CTEs (the pagerank/label-propagation
+    discipline); on the dev graphs 3 rounds reach the true fixed point
+    (pytest-pinned against an iterate-to-convergence Python model, plus a
+    planted chain that NEEDS the cascade).
+
+    100 TB shape: one round = one grouped degree count + two semi-joins
+    (src-keep, dst-keep), all keyed on node ids; the edge list shrinks
+    monotonically; localCheckpoint breaks per-round lineage. K-core is
+    the standard spam/quality screen on web graphs — the crawl-frontier
+    analogue of the quality classifier's keep/drop."""
+    from pyspark import StorageLevel
+
+    e = edges.select("src", "dst").distinct()
+    par = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e = e.repartition(par, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(rounds):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("src")
+        )
+        e = (
+            e.join(keep, "src")
+            .join(keep.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint()  # lineage break per round (the CC idiom)
+        )
+    return e.groupBy("src").agg(F.count(F.lit(1)).alias("core_deg")).select(
+        F.col("src").alias("node"), "core_deg"
+    )
+
+
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r13 (gates r14): the k=10 core of the symmetric trade
+    graph — top-50 surviving nodes by within-core degree (ties by node),
+    the 'densely embedded counterparties' screen."""
+    return (
+        k_core(trade_edges(spark, sf_dir))
+        .orderBy(F.col("core_deg").desc(), "node")
+        .limit(50)
+    )
+
+
+def _kc_round_sql(prev: str, out: str, k: int) -> str:
+    return f"""{out} AS (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN (SELECT src FROM {prev} GROUP BY src HAVING COUNT(*) >= {k}) ks
+    ON e.src = ks.src
+  JOIN (SELECT src FROM {prev} GROUP BY src HAVING COUNT(*) >= {k}) kd
+    ON e.dst = kd.src
+)"""
+
+
+def _k_core_sql() -> str:
+    """Staged DuckDB oracle (validated by
+    test_k_core_oracle_agrees_cross_engine; registers r14): the same
+    unrolled peel rounds as chained CTEs over the same derived edges."""
+    rounds = ",\n".join(
+        _kc_round_sql(f"e{i}", f"e{i + 1}", KC_K) for i in range(KC_ROUNDS)
+    )
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS s,
+                  'C' || CAST(o_custkey AS VARCHAR) AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e0 AS (
+  SELECT s AS src, c AS dst FROM pairs
+  UNION ALL
+  SELECT c AS src, s AS dst FROM pairs
+),
+{rounds}
+SELECT src AS node, COUNT(*) AS core_deg
+FROM e{KC_ROUNDS}
+GROUP BY src
+ORDER BY core_deg DESC, node LIMIT 50
+"""
+
+
 def _lp_round_sql(prev: str, out: str) -> str:
     return f"""{out} AS (
   SELECT src AS node, lbl FROM (

@@ -4817,3 +4817,70 @@ def test_hybrid_rrf_fused_beats_each_leg(spark, noise):
     assert r_fused >= max(r_lex, r_vec)
     assert r_fused > r_lex and r_fused > r_vec, (r_lex, r_vec, r_fused)
     assert r_fused >= 0.85, r_fused
+
+
+def test_k_core_matches_python_model_and_cascades(spark):
+    """k_core (staged r13, gates r14): (a) on the real trade graph the
+    3-round peel must equal an iterate-to-CONVERGENCE Python model (3
+    rounds reach the fixed point on this graph — the unroll constant is
+    sufficient, not just deterministic); (b) a planted chain graph where
+    removing the endpoints drops interior degrees below k pins that
+    removals CASCADE across rounds (a single-pass degree filter gets it
+    wrong)."""
+    import collections
+
+    from pinterest_data_pipeline218_spark.operators.graph import (
+        KC_K,
+        k_core,
+        trade_edges,
+    )
+
+    def model(pairs, k):
+        E = set(pairs)
+        while True:
+            deg = collections.Counter(s for s, _ in E)
+            keep = {n for n, c in deg.items() if c >= k}
+            E2 = {(s, d) for s, d in E if s in keep and d in keep}
+            if E2 == E:
+                break
+            E = E2
+        return dict(collections.Counter(s for s, _ in E))
+
+    edges = trade_edges(spark, SF)
+    want = model([(r.src, r.dst) for r in edges.collect()], KC_K)
+    got = {r.node: r.core_deg for r in k_core(edges).collect()}
+    assert got == want and len(got) > 0
+    # the peel actually removed something (k isn't vacuous on this graph)
+    all_nodes = {r.src for r in edges.collect()}
+    assert len(got) < len(all_nodes)
+
+    # planted cascade: path a-b-c-d-e symmetrized, k=2. Round 1 drops the
+    # endpoints a,e (deg 1); that drops b,d to deg 1 -> round 2 drops
+    # them; that drops c -> round 3. Fixed point = empty. A non-cascading
+    # filter would keep b,c,d.
+    path = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    sym = path + [(d, s) for s, d in path]
+    chain = spark.createDataFrame(sym, "src string, dst string")
+    assert k_core(chain, k=2, rounds=3).collect() == []
+    # one round is NOT enough: the cascade is real
+    assert {r.node for r in k_core(chain, k=2, rounds=1).collect()} == {
+        "b", "c", "d"
+    }
+
+
+def test_k_core_oracle_agrees_cross_engine(spark):
+    """The staged DuckDB oracle (chained-CTE peel replay) already meets
+    selfcheck's bar against the Spark plan."""
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.operators.graph import (
+        _k_core_sql,
+        graph_k_core,
+    )
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    want = [(n, int(d)) for n, d in con.sql(_k_core_sql()).fetchall()]
+    got = [(r.node, r.core_deg) for r in graph_k_core(spark, SF).collect()]
+    assert got == want and len(got) == 50
