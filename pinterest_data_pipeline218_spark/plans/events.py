@@ -2122,6 +2122,145 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------- CUSUM change-points (r13)
+# Page's CUSUM (1954, public) detects sustained level shifts a fixed
+# sigma-threshold misses (many small same-direction deviations). The
+# recursive textbook form S_t = max(0, S_{t-1} + dev_t) is not a plain
+# window — but it has a closed form over cumulative windows:
+#     S_t = cum_t - min_{0<=s<=t} cum_s      (upward shifts)
+#     T_t = max_{0<=s<=t} cum_s - cum_t      (downward shifts)
+# with cum_t = Σ_{s<=t} (x_s - target) and the VIRTUAL cum_0 = 0 included
+# in the extremum (LEAST/GREATEST with 0 — dropping it shifts every value
+# by the first deviation; caught by the recursion-replay pytest). Both
+# engines compute these as
+# running sum + running extremum windows PARTITIONED BY event_type (never
+# global), and everything stays BIGINT cents, so the driver's bitwise
+# gate applies. Threshold h = one target-day's total (CUSUM_H_PCT=100):
+# flags 6/150 type-days at sf0.01, 127/150 on the noisier sf0.001.
+CUSUM_H_PCT = 100
+
+
+def cusum_daily_agg(ev: DataFrame) -> DataFrame:
+    """(event_type, day, v_cents): the per-type daily value totals the
+    monitor reads — one map-side-combinable aggregate, ADDITIVE across
+    micro-batches (the incremental twin's state cells)."""
+    return (
+        ev.select(
+            "event_type",
+            F.to_date("ts").cast("string").alias("day"),
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+                "vc"
+            ),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("vc").alias("v_cents"))
+    )
+
+
+def cusum_flag(daily: DataFrame) -> DataFrame:
+    """(event_type, day, v_cents, s_up, s_dn, direction) for flagged
+    days, from the (event_type, day, v_cents) daily table: one tiny
+    per-type stats join, two cumulative windows. Shared verbatim by the
+    batch query and the streaming twin's read side."""
+    from pyspark.sql import Window
+
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("v_cents").alias("tot")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = (
+        daily.join(F.broadcast(stats), "event_type")
+        .withColumn("target", F.expr("tot div nd"))
+        .withColumn("cum", F.sum(F.col("v_cents") - F.col("target")).over(w))
+        .withColumn(
+            "s_up", F.col("cum") - F.least(F.min("cum").over(w), F.lit(0))
+        )
+        .withColumn(
+            "s_dn", F.greatest(F.max("cum").over(w), F.lit(0)) - F.col("cum")
+        )
+        .withColumn("h", F.expr(f"({CUSUM_H_PCT} * target) div 100"))
+    )
+    return (
+        c.filter((F.col("s_up") > F.col("h")) | (F.col("s_dn") > F.col("h")))
+        .select(
+            "event_type",
+            "day",
+            "v_cents",
+            "s_up",
+            "s_dn",
+            F.when(
+                (F.col("s_up") > F.col("h")) & (F.col("s_dn") > F.col("h")),
+                F.lit("both"),
+            )
+            .when(F.col("s_up") > F.col("h"), F.lit("up"))
+            .otherwise(F.lit("down"))
+            .alias("direction"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def cusum_daily(ev: DataFrame) -> DataFrame:
+    """Batch composition: daily totals → flagged change-point days."""
+    return cusum_flag(cusum_daily_agg(ev))
+
+
+def ev_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r13 (gates r14): CUSUM change-point days per event type —
+    the sustained-shift monitor beside ev_value_outliers' point-anomaly
+    sigma screen and dq_events_drift's cohort drift. Streaming twin:
+    `streaming/pipeline.py incremental_cusum` (additive daily cells +
+    this exact finisher)."""
+    return cusum_daily(load_table(spark, sf_dir, "events"))
+
+
+def _changepoint_sql() -> str:
+    """Staged DuckDB oracle (validated by
+    test_changepoint_oracle_agrees_cross_engine; registers r14): same
+    cumulative-window closed form. `//` floors while Spark's div
+    truncates — all divided quantities here (tot, target product) are
+    non-negative on this data contract, where the two coincide; the
+    windows are type-partitioned in both engines."""
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v_cents
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS nd, SUM(v_cents) AS tot
+  FROM daily GROUP BY event_type
+),
+c AS (
+  SELECT d.event_type, d.day, d.v_cents,
+         s.tot // s.nd AS target,
+         SUM(d.v_cents - s.tot // s.nd) OVER (
+           PARTITION BY d.event_type ORDER BY d.day
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM daily d JOIN stats s USING (event_type)
+),
+sc AS (
+  SELECT *,
+         cum - LEAST(MIN(cum) OVER (PARTITION BY event_type ORDER BY day
+                                    ROWS UNBOUNDED PRECEDING), 0) AS s_up,
+         GREATEST(MAX(cum) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING), 0) - cum AS s_dn,
+         ({CUSUM_H_PCT} * target) // 100 AS h
+  FROM c
+)
+SELECT event_type, day, v_cents, s_up, s_dn,
+       CASE WHEN s_up > h AND s_dn > h THEN 'both'
+            WHEN s_up > h THEN 'up' ELSE 'down' END AS direction
+FROM sc
+WHERE s_up > h OR s_dn > h
+ORDER BY event_type, day
+"""
+
+
 QUERIES = {
     "ev_counts_hourly": ev_counts_hourly,
     "ev_stats_by_type": ev_stats_by_type,

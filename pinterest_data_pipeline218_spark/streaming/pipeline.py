@@ -1643,3 +1643,56 @@ def incremental_ivf_staleness(
     else:
         new_sc = spark.createDataFrame([], "cell int, cos_ppm long")
     return ivf_staleness_report(base_sc, new_sc)
+
+
+# --------------------------------------------- CUSUM change-points (r13)
+
+
+def cusum_state_batch(
+    batch_df: DataFrame, state_dir: str, batch_id: int = -1
+) -> None:
+    """One micro-batch's per-(event_type, day) value-cent sums — ADDITIVE
+    state (cents add per cell), written under a batch_id= partition with
+    the overwrite idempotence contract of the dashboard family."""
+    from ..plans.events import cusum_daily_agg
+
+    cusum_daily_agg(batch_df).write.mode("overwrite").parquet(
+        f"{state_dir}/cusum/batch_id={batch_id}"
+    )
+
+
+def attach_cusum_stream(
+    stream_ev: DataFrame, state_dir: str, checkpoint: str
+) -> StreamingQuery:
+    """Wire the daily-cell accumulator onto an events stream via
+    foreachBatch; read the live change-point report at any time with
+    incremental_cusum."""
+    return (
+        stream_ev.writeStream.foreachBatch(
+            lambda df, bid: cusum_state_batch(df, state_dir, bid)
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def incremental_cusum(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Assemble the flagged change-point days from accumulated per-batch
+    daily cells: sum the cells, then EXACTLY the batch `cusum_flag`
+    finisher. Late/out-of-order batches only ADD into (type, day) cells —
+    the cumulative windows re-run over the assembled table, so batch
+    boundaries cannot matter (`test_incremental_cusum_equals_batch`)."""
+    from ..plans.events import cusum_flag
+
+    if not os.path.isdir(f"{state_dir}/cusum"):
+        return spark.createDataFrame(
+            [],
+            "event_type string, day string, v_cents long, s_up long, "
+            "s_dn long, direction string",
+        )
+    daily = (
+        spark.read.parquet(f"{state_dir}/cusum")
+        .groupBy("event_type", "day")
+        .agg(F.sum("v_cents").alias("v_cents"))
+    )
+    return cusum_flag(daily)

@@ -2253,3 +2253,93 @@ def test_attribution_oracle_agrees_cross_engine(spark):
         for r in ev_attribution_multitouch(spark, SF).collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_cusum_closed_form_matches_recursion_and_flags_planted_shift(spark):
+    """cusum_daily (staged r13, gates r14): (a) the cumulative-window
+    closed form S_t = cum_t - min(cum) equals the textbook recursion
+    S_t = max(0, S_{t-1} + dev_t) computed independently in Python over
+    the same daily series; (b) a PLANTED sustained level shift (daily
+    totals 100 -> 180 cents halfway) flags BOTH regimes against the
+    series mean — 'down' days in the low first half, 'up' days after the
+    step (the two-sided monitor sees a step as two sustained deviations)
+    — while a stationary series flags nothing."""
+    import datetime
+
+    from pinterest_data_pipeline218_spark.plans.events import cusum_daily
+
+    base_day = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # shifted type: 20 days at 1.00/day, then 20 days at 1.80/day
+    for d in range(40):
+        val = 1.0 if d < 20 else 1.8
+        rows.append((eid, base_day + datetime.timedelta(days=d), 1, "shift", val, "{}"))
+        eid += 1
+    # stationary type: 40 days alternating 0.99 / 1.01 (mean 1.00)
+    for d in range(40):
+        val = 0.99 if d % 2 == 0 else 1.01
+        rows.append((eid, base_day + datetime.timedelta(days=d), 1, "flat", val, "{}"))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = cusum_daily(ev).collect()
+    flagged = {(r.event_type, r.day): r for r in got}
+    assert all(t == "shift" for t, _ in flagged), flagged
+    ups = [r for r in got if r.direction in ("up", "both")]
+    downs = [r for r in got if r.direction in ("down", "both")]
+    assert ups and downs
+    assert all(r.day >= "2024-01-21" for r in ups)  # up only after the step
+    assert min(r.day for r in downs) <= "2024-01-20"  # down starts early;
+    # the down statistic legitimately LINGERS past the step (CUSUM decays
+    # at the post-step deviation rate) — the recursion replay below is
+    # the exact spec for every flagged day
+
+    # independent recursion replay on the shifted series
+    def day_str(d):
+        return f"2024-01-{d + 1:02d}" if d < 31 else f"2024-02-{d - 30:02d}"
+
+    daily = [100 if d < 20 else 180 for d in range(40)]
+    target = sum(daily) // 40
+    h = target  # CUSUM_H_PCT = 100
+    s_up, s_dn, want = 0, 0, {}
+    for d, x in enumerate(daily):
+        s_up = max(0, s_up + (x - target))
+        s_dn = max(0, s_dn + (target - x))
+        if s_up > h or s_dn > h:
+            direction = (
+                "both" if s_up > h and s_dn > h else "up" if s_up > h else "down"
+            )
+            want[day_str(d)] = (s_up, s_dn, direction)
+    assert {
+        r.day: (r.s_up, r.s_dn, r.direction) for r in got
+    } == want and len(want) > 0
+
+
+def test_changepoint_oracle_agrees_cross_engine(spark):
+    """The staged DuckDB oracle already meets selfcheck's bar against the
+    Spark plan on the real events table."""
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.plans.events import (
+        _changepoint_sql,
+        ev_changepoint_cusum,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = [tuple(r) for r in con.sql(_changepoint_sql()).fetchall()]
+    got = [
+        (r.event_type, r.day, r.v_cents, r.s_up, r.s_dn, r.direction)
+        for r in ev_changepoint_cusum(spark, sf).collect()
+    ]
+    assert got == [
+        (t, d, int(v), int(u), int(n), dr) for t, d, v, u, n, dr in want
+    ]
+    assert len(got) > 0

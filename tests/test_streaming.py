@@ -3510,3 +3510,116 @@ def test_incremental_ivf_staleness_equals_batch(spark, tmp_path):
     )
     ivf_assign_state_batch(first_batch, index_path, state_dir, batch_id=0)
     assert rows_of(incremental_ivf_staleness(spark, index_path, state_dir)) == want
+
+
+def test_incremental_cusum_equals_batch(spark, tmp_path):
+    """CUSUM change-point monitor (staged r13): per-batch additive daily
+    cells + the exact batch finisher must equal ev_changepoint_cusum's
+    kernel over the union of batches — including a LATE batch that adds
+    into an already-seen (type, day) cell — and replay idempotence."""
+    import datetime
+    import json
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from pinterest_data_pipeline218_spark.plans.events import cusum_daily
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        attach_cusum_stream,
+        cusum_state_batch,
+        incremental_cusum,
+    )
+
+    base_day = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for d in range(30):
+        val = 1.0 if d < 15 else 2.2
+        # two events per day so a later batch can append into a seen day
+        for _ in range(2):
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": (base_day + datetime.timedelta(days=d)).isoformat(),
+                    "user_id": 1,
+                    "event_type": "shift",
+                    "value": val,
+                    "props": "{}",
+                }
+            )
+            eid += 1
+    # batch 0: first event of every day; batch 1: the second (pure lates)
+    src = tmp_path / "ev"
+    src.mkdir()
+    with open(src / "000.jsonl", "w") as f:
+        for r in rows[0::2]:
+            f.write(json.dumps(r) + "\n")
+    with open(src / "001.jsonl", "w") as f:
+        for r in rows[1::2]:
+            f.write(json.dumps(r) + "\n")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("json").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(str(src))
+    )
+    state_dir = str(tmp_path / "state")
+    q = attach_cusum_stream(stream, state_dir, str(tmp_path / "cp"))
+    q.processAllAvailable()
+    q.stop()
+
+    def rows_of(df):
+        return [
+            (r.event_type, r.day, r.v_cents, r.s_up, r.s_dn, r.direction)
+            for r in df.collect()
+        ]
+
+    got = rows_of(incremental_cusum(spark, state_dir))
+    ev = spark.createDataFrame(
+        [
+            (
+                r["event_id"],
+                datetime.datetime.fromisoformat(r["ts"]),
+                r["user_id"],
+                r["event_type"],
+                r["value"],
+                r["props"],
+            )
+            for r in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    want = rows_of(cusum_daily(ev))
+    assert got == want and len(got) > 0
+
+    # replay idempotence: re-run batch 0 with the same id
+    b0 = spark.createDataFrame(
+        [
+            (
+                r["event_id"],
+                datetime.datetime.fromisoformat(r["ts"]),
+                r["user_id"],
+                r["event_type"],
+                r["value"],
+                r["props"],
+            )
+            for r in rows[0::2]
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    cusum_state_batch(b0, state_dir, batch_id=0)
+    assert rows_of(incremental_cusum(spark, state_dir)) == want
+
+    empty = incremental_cusum(spark, str(tmp_path / "never"))
+    assert empty.collect() == []
