@@ -1750,6 +1750,81 @@ ORDER BY doc_id, span_idx
 """
 
 
+# -------------------------------------------------- curriculum order (r13)
+# Curriculum learning (Bengio et al. 2009, public): present clean data
+# first, noisier data later. Difficulty proxy = the shared fixed-point
+# quality score; tiers are FIXED ppm thresholds (never a global ntile —
+# a global-sort window is the scale-killer the plan audit counts), and
+# the within-tier order is the corpus_shuffle_shards machinery under its
+# own seed, so curriculum position is uncorrelated with sampling/split
+# assignments yet fully reproducible (an epoch reshuffle is a seed bump).
+CURRICULUM_SEED = 229
+CURRICULUM_TIER1_PPM = 700_000  # q_ppm >= this -> tier 0 (cleanest, first)
+CURRICULUM_TIER2_PPM = 550_000  # q_ppm >= this -> tier 1; below -> tier 2
+
+
+def curriculum_order(docs: DataFrame) -> DataFrame:
+    """(doc_id, tier, shard, pos): tier-major training order — read tiers
+    in order, shards within a tier in parallel, pos within (tier, shard).
+    100 TB shape: quality, tier, hash and shard are scan-local; the only
+    exchange feeds the (tier, shard)-PARTITIONED rank window, so window
+    partitions stay loader-sized at any corpus size (the
+    corpus_shuffle_shards argument)."""
+    q_ppm = (T.quality_score(T.tokens(F.col("text"))) * 1_000_000).cast("long")
+    h = T.token_hash(F.col("doc_id").cast("string"), seed=CURRICULUM_SEED)
+    tier = (
+        F.when(F.col("q_ppm") >= CURRICULUM_TIER1_PPM, F.lit(0))
+        .when(F.col("q_ppm") >= CURRICULUM_TIER2_PPM, F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("int")
+    )
+    w = Window.partitionBy("tier", "shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", q_ppm.alias("q_ppm"))
+        .select(
+            "doc_id",
+            tier.alias("tier"),
+            (h % N_SHARDS).cast("int").alias("shard"),
+            h.alias("h"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "tier", "shard", F.col("pos").cast("bigint").alias("pos"))
+        .orderBy("tier", "shard", "pos")
+    )
+
+
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r13 (gates r14): deterministic easy-first curriculum over
+    the documents table."""
+    return curriculum_order(load_table(spark, sf_dir, "documents"))
+
+
+def _curriculum_sql() -> str:
+    """Staged DuckDB oracle (validated by
+    test_curriculum_oracle_agrees_cross_engine; registers r14)."""
+    h = T.token_hash_sql("CAST(doc_id AS VARCHAR)", seed=CURRICULUM_SEED)
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(TRUNC({_quality_sql()} * 1000000) AS BIGINT) AS q_ppm,
+         {h} AS h
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id,
+         CAST(CASE WHEN q_ppm >= {CURRICULUM_TIER1_PPM} THEN 0
+                   WHEN q_ppm >= {CURRICULUM_TIER2_PPM} THEN 1
+                   ELSE 2 END AS INT) AS tier,
+         CAST(h % {N_SHARDS} AS INT) AS shard, h
+  FROM scored
+)
+SELECT doc_id, tier, shard,
+       ROW_NUMBER() OVER (PARTITION BY tier, shard ORDER BY h, doc_id) AS pos
+FROM keyed
+ORDER BY tier, shard, pos
+"""
+
+
 QUERIES = {
     "corpus_hash_sample": corpus_hash_sample,
     "corpus_split_assign": corpus_split_assign,

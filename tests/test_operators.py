@@ -4884,3 +4884,56 @@ def test_k_core_oracle_agrees_cross_engine(spark):
     want = [(n, int(d)) for n, d in con.sql(_k_core_sql()).fetchall()]
     got = [(r.node, r.core_deg) for r in graph_k_core(spark, SF).collect()]
     assert got == want and len(got) == 50
+
+
+def test_curriculum_order_tiers_shuffle_and_oracle(spark):
+    """corpus_curriculum_order (staged r13, gates r14): (a) cross-engine
+    oracle agreement on the real table; (b) contract properties: every
+    doc appears exactly once, tier is monotone in quality (a tier-0 doc's
+    q_ppm >= any tier-1's >= any tier-2's thresholds), positions are
+    contiguous 1..n within (tier, shard), and within-shard order is hash
+    order (uncorrelated with doc_id order — an actual shuffle)."""
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.operators.corpus import (
+        CURRICULUM_TIER1_PPM,
+        CURRICULUM_TIER2_PPM,
+        _curriculum_sql,
+        _scored_docs,
+        corpus_curriculum_order,
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = [(d, int(t), int(s), int(p)) for d, t, s, p in
+            con.sql(_curriculum_sql()).fetchall()]
+    rows = corpus_curriculum_order(spark, SF).collect()
+    got = [(r.doc_id, r.tier, r.shard, r.pos) for r in rows]
+    assert got == want and len(got) > 0
+
+    docs = load_table(spark, SF, "documents")
+    assert len({r.doc_id for r in rows}) == docs.count()
+    q = {r.doc_id: r.q_ppm for r in _scored_docs(docs).collect()}
+    for r in rows:
+        if r.tier == 0:
+            assert q[r.doc_id] >= CURRICULUM_TIER1_PPM
+        elif r.tier == 1:
+            assert CURRICULUM_TIER2_PPM <= q[r.doc_id] < CURRICULUM_TIER1_PPM
+        else:
+            assert q[r.doc_id] < CURRICULUM_TIER2_PPM
+    assert len({r.tier for r in rows}) == 3  # all tiers populated here
+    # contiguous positions per (tier, shard); shuffled within shard
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault((r.tier, r.shard), []).append((r.pos, r.doc_id))
+    unsorted_cells = 0
+    for cell, members in by_cell.items():
+        members.sort()
+        assert [p for p, _ in members] == list(range(1, len(members) + 1)), cell
+        ids = [d for _, d in members]
+        if ids != sorted(ids):
+            unsorted_cells += 1
+    assert unsorted_cells > 0  # hash order, not doc_id order
