@@ -1872,6 +1872,122 @@ FROM c ORDER BY doc_id
 """
 
 
+# ------------------------------------------------- RAKE keyphrases (r13)
+# RAKE (Rose et al. 2010, "Automatic Keyword Extraction from Individual
+# Documents", public): candidate phrases are maximal stopword-delimited
+# word runs; word score = deg(w)/freq(w) with deg(w) = Σ over the word's
+# phrase occurrences of that phrase's length; phrase score = Σ member
+# word scores. Integer rendering: word_score_milli = (1000·deg) div freq
+# (truncating division, identical in both engines), phrase score = exact
+# BIGINT sum — the bitwise-oracle discipline.
+RAKE_TOP_K = 50
+
+
+def rake_phrases(docs: DataFrame) -> DataFrame:
+    """(phrase, n_words, n_occurrences, score_milli): corpus-level top-K
+    keyphrases. Phrase extraction is the gaps-and-islands identity on
+    word positions (grp = pos − rank among non-stopwords, per doc); word
+    statistics are corpus-level grouped aggregates keyed on the word;
+    the final cut is orderBy().limit() → TakeOrdered.
+
+    100 TB shape: one posexplode scan, then joins/aggregates keyed on
+    (doc_id, grp) and word — all map-side combinable; nothing global
+    except the bounded top-K."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    words = toks.select(
+        "doc_id", F.posexplode("t").alias("pos", "w")
+    ).filter(~F.col("w").isin(*T.STOPWORDS) & (F.col("w") != ""))
+    wgrp = Window.partitionBy("doc_id").orderBy("pos")
+    occ = words.withColumn(
+        "grp", F.col("pos") - F.row_number().over(wgrp)
+    )
+    phrases = occ.groupBy("doc_id", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda x: x.w,
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    wstats = (
+        occ.join(phrases.select("doc_id", "grp", "plen"), ["doc_id", "grp"])
+        .groupBy("w")
+        .agg(F.sum("plen").alias("deg"), F.count(F.lit(1)).alias("freq"))
+        .withColumn("wscore", F.expr("(1000 * deg) div freq"))
+    )
+    pscore = (
+        occ.join(F.broadcast(wstats.select("w", "wscore")), "w")
+        .groupBy("doc_id", "grp")
+        .agg(F.sum("wscore").alias("score_milli"))
+    )
+    return (
+        phrases.join(pscore, ["doc_id", "grp"])
+        .groupBy("phrase")
+        .agg(
+            F.min("plen").cast("bigint").alias("n_words"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("score_milli").alias("score_milli"),
+        )
+        .orderBy(F.col("score_milli").desc(), "phrase")
+        .limit(RAKE_TOP_K)
+    )
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r13 (gates r14): RAKE keyphrase extraction over the
+    documents table — the keyword miner beside tf-idf's term weighting
+    (RAKE scores multi-word PHRASES, which tf-idf's unigram view
+    cannot)."""
+    return rake_phrases(load_table(spark, sf_dir, "documents"))
+
+
+def _rake_sql() -> str:
+    """Staged DuckDB oracle (validated by
+    test_rake_oracle_agrees_cross_engine; registers r14): same islands,
+    same corpus-level word stats, same integer scores."""
+    stop = ", ".join(f"'{s}'" for s in T.STOPWORDS)
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+  SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(t)+1),
+           __i -> {{'pos': __i, 'w': t[__i]}})) AS u
+    FROM toks
+  )
+),
+occ AS (
+  SELECT doc_id, pos, w,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM pos WHERE w NOT IN ({stop}) AND w != ''
+),
+phrases AS (
+  SELECT doc_id, grp, string_agg(w, ' ' ORDER BY pos) AS phrase,
+         COUNT(*) AS plen
+  FROM occ GROUP BY doc_id, grp
+),
+wstats AS (
+  SELECT o.w, (1000 * SUM(p.plen)) // COUNT(*) AS wscore
+  FROM occ o JOIN phrases p USING (doc_id, grp)
+  GROUP BY o.w
+),
+pscore AS (
+  SELECT o.doc_id, o.grp, SUM(s.wscore) AS score_milli
+  FROM occ o JOIN wstats s USING (w)
+  GROUP BY o.doc_id, o.grp
+)
+SELECT p.phrase AS phrase,
+       CAST(MIN(p.plen) AS BIGINT) AS n_words,
+       COUNT(*) AS n_occurrences,
+       CAST(MIN(sc.score_milli) AS BIGINT) AS score_milli
+FROM phrases p JOIN pscore sc USING (doc_id, grp)
+GROUP BY p.phrase
+ORDER BY score_milli DESC, phrase
+LIMIT {RAKE_TOP_K}
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_ngram_novelty": text_ngram_novelty,

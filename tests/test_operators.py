@@ -4937,3 +4937,49 @@ def test_curriculum_order_tiers_shuffle_and_oracle(spark):
         if ids != sorted(ids):
             unsorted_cells += 1
     assert unsorted_cells > 0  # hash order, not doc_id order
+
+
+def test_rake_matches_hand_model(spark):
+    """rake_phrases (staged r13, gates r14) on a hand-computable corpus:
+    doc 'x y the x' + doc 'x the z'. Non-stop islands: ['x y'], ['x'],
+    ['x'], ['z']. Word stats: x: freq 3, deg 2+1+1=4 -> wscore 1333;
+    y: freq 1, deg 2 -> 2000; z: freq 1, deg 1 -> 1000. Phrase scores:
+    'x y' = 3333 (1 occurrence), 'x' = 1333 (2 occurrences), 'z' = 1000.
+    Pins the islands split, corpus-level stats, the truncating division,
+    and the duplicate-phrase rollup."""
+    from pinterest_data_pipeline218_spark.operators.text_analysis import (
+        rake_phrases,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x y the x"), (2, "x the z")], "doc_id long, text string"
+    )
+    got = [
+        (r.phrase, r.n_words, r.n_occurrences, r.score_milli)
+        for r in rake_phrases(docs).collect()
+    ]
+    assert got == [("x y", 2, 1, 3333), ("x", 1, 2, 1333), ("z", 1, 1, 1000)]
+
+
+def test_rake_oracle_agrees_cross_engine(spark):
+    """The staged DuckDB oracle already meets selfcheck's bar against the
+    Spark plan on the real documents table."""
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.operators.text_analysis import (
+        RAKE_TOP_K,
+        _rake_sql,
+        text_rake_keywords,
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = [(p, int(w), int(o), int(s)) for p, w, o, s in
+            con.sql(_rake_sql()).fetchall()]
+    got = [
+        (r.phrase, r.n_words, r.n_occurrences, r.score_milli)
+        for r in text_rake_keywords(spark, SF).collect()
+    ]
+    assert got == want and len(got) == RAKE_TOP_K
