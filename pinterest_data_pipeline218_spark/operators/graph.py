@@ -170,15 +170,20 @@ def label_propagation(edges: DataFrame, rounds: int = LP_ROUNDS) -> DataFrame:
     the result a pure function of the edge set — replayable by the
     oracle as chained CTEs, no RNG, no visit order.
 
-    Same scale shape as pagerank(): the edge list is persisted
-    src-partitioned once (every round re-reads blocks, not the upstream
-    join), each round is one join + two partial-aggregable groupBys keyed
-    on node ids, and localCheckpoint breaks per-round lineage."""
+    Same scale shape as pagerank(), with the persist KEYED ON THE JOIN
+    KEY: every round joins the edge list on ``dst`` (neighbors' labels
+    flow src<-dst), so the edges persist dst-partitioned. Honest
+    measurement (r13): at sf0.1 this is time-neutral vs the src-keyed
+    staging — the per-round (src, label)-count shuffle dominates, not
+    the edge re-shuffle — but at cluster scale the aligned persist is
+    what lets the big-side exchange be reused. Each round is one join +
+    two partial-aggregable groupBys keyed on node ids; localCheckpoint
+    breaks per-round lineage."""
     from pyspark import StorageLevel
 
     e = edges.select("src", "dst").distinct()
     par = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    e = e.repartition(par, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    e = e.repartition(par, "dst").persist(StorageLevel.MEMORY_AND_DISK)
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
