@@ -17,16 +17,18 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NEW_NOTES = {
-    "corpus_source_cap": "r12: RefinedWeb-style per-source quality-top-K cap (ppm rank window)",
-    "corpus_filter_cascade": "r12: first-failing-reason curation funnel, scan-local CASE, additive cells",
-    "ev_winsorized_stats": "r12: exact-percentile winsorization, broadcast threshold planning agg",
-    "sim_knn_classify": "r12: kNN majority-vote labeling, bounded broadcast batch (provable bnlj)",
+    "hybrid_rrf_search": "r13: BM25 + cosine RRF fusion; TakeOrdered pool cuts, bounded rank windows",
+    "ev_attribution_multitouch": "r13: first/last/linear conversion credit, exact-conservation bp",
+    "graph_label_propagation": "r13: deterministic synchronous LPA, 3 rounds, persisted edge list",
+    "dq_profile_drift": "r13: two-cohort column-profile diversity drift, one fused agg pass",
+    "corpus_span_corruption": "r13: T5-style span-corruption planning, hash-Bernoulli + islands",
+    "sim_ivf_increment": "r13: frozen-quantizer assignment + per-cell staleness (bounded-batch bnlj)",
 }
 
 NOTE_OVERRIDES = {
     "dedup_ngram_jaccard": "r12: exact-rational threshold gate (was ROUND(j,6)); PPJoin prefix filter",
-    "dedup_containment": "r12: exact string-set verify (hash screen lossless, 2^-60 caveat retired)",
-    "dedup_containment_seeds": "r12: exact string-set verify on the seeds form too",
+    "dedup_containment": "r13: injectivity-attested hash-path verify (exact on every branch)",
+    "dedup_containment_seeds": "r13: attested hash-path verify wins back the r12 string-port cost",
     "text_ngram_novelty": "r11: spread gram build (derived twice in-plan)",
     "mm_image_resize": "r12: 6-class fixture (WebP thumbnail re-encode exercises VP8L bundling)",
     "ev_outliers_mad": "r11: planning jobs share a transient persist (2 scans/exec)",
