@@ -1988,6 +1988,93 @@ LIMIT {RAKE_TOP_K}
 """
 
 
+# ---------------------------------------------- PMI collocations (r13)
+# Pointwise mutual information for collocation mining (Church & Hanks
+# 1990, public): PMI(x,y) = log(N·c_xy / (c_x·c_y)). log is monotone, so
+# RANKING by PMI needs no log at all — the integer
+# pmi_ratio_ppm = (N·c_xy·10^6) div (c_x·c_y) orders identically (up to
+# the fixed-point floor) and stays in exact BIGINT arithmetic, the
+# bitwise-oracle discipline. A minimum pair count screens the
+# low-frequency PMI pathology (hapax pairs score arbitrarily high).
+PMI_MIN_PAIR = 5
+PMI_TOP_K = 50
+
+
+def pmi_collocations(docs: DataFrame) -> DataFrame:
+    """(w1, w2, n_pair, n_w1, n_w2, pmi_ratio_ppm): top-K adjacent-word
+    collocations by integer PMI ratio. N = total bigram positions.
+
+    100 TB shape: bigrams come from one scan-local zip of the token array
+    with its tail (no self-join); unigram and bigram counts are map-side
+    combinable groupBys; N is a 1-row broadcast; the final cut is
+    TakeOrdered."""
+    toks = docs.select(F.split("text", " ").alias("t"))
+    big = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2").filter((F.col("w1") != "") & (F.col("w2") != ""))
+    pair = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    total = big.agg(F.count(F.lit(1)).alias("n_total"))
+    u1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n_w1"))
+    u2 = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n_w2"))
+    return (
+        pair.filter(F.col("n_pair") >= PMI_MIN_PAIR)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(total.limit(1)))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            F.expr("(n_total * n_pair * 1000000L) div (n_w1 * n_w2)").alias(
+                "pmi_ratio_ppm"
+            ),
+        )
+        .orderBy(F.col("pmi_ratio_ppm").desc(), "w1", "w2")
+        .limit(PMI_TOP_K)
+    )
+
+
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r13 (gates r14): adjacent-word collocations over the
+    documents table — the phrase-discovery primitive beside RAKE's
+    stopword-delimited extraction (PMI finds statistically bound pairs,
+    RAKE finds delimiter-bounded runs)."""
+    return pmi_collocations(load_table(spark, sf_dir, "documents"))
+
+
+def _pmi_sql() -> str:
+    """Staged DuckDB oracle (validated by
+    test_pmi_oracle_agrees_cross_engine; registers r14)."""
+    return f"""
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+big AS (
+  SELECT t[__i] AS w1, t[__i + 1] AS w2
+  FROM (SELECT t, unnest(range(1, len(t))) AS __i FROM toks)
+  WHERE t[__i] != '' AND t[__i + 1] != ''
+),
+pair AS (SELECT w1, w2, COUNT(*) AS n_pair FROM big GROUP BY w1, w2),
+total AS (SELECT COUNT(*) AS n_total FROM big),
+u1 AS (SELECT w1, COUNT(*) AS n_w1 FROM big GROUP BY w1),
+u2 AS (SELECT w2, COUNT(*) AS n_w2 FROM big GROUP BY w2)
+SELECT p.w1 AS w1, p.w2 AS w2, p.n_pair AS n_pair,
+       u1.n_w1 AS n_w1, u2.n_w2 AS n_w2,
+       (t.n_total * p.n_pair * 1000000) // (u1.n_w1 * u2.n_w2)
+         AS pmi_ratio_ppm
+FROM pair p JOIN u1 USING (w1) JOIN u2 USING (w2) CROSS JOIN total t
+WHERE p.n_pair >= {PMI_MIN_PAIR}
+ORDER BY pmi_ratio_ppm DESC, w1, w2
+LIMIT {PMI_TOP_K}
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_ngram_novelty": text_ngram_novelty,

@@ -4983,3 +4983,57 @@ def test_rake_oracle_agrees_cross_engine(spark):
         for r in text_rake_keywords(spark, SF).collect()
     ]
     assert got == want and len(got) == RAKE_TOP_K
+
+
+def test_pmi_matches_hand_model(spark):
+    """pmi_collocations (staged r13, gates r14) on a hand-computable
+    corpus: 'a b' repeated 5x in one doc (plus a tail token) and 'a c'
+    5x in another. Bigram positions N = 2 docs x 10 = 20... computed
+    precisely in the comments below; pins the zip-with bigram build, the
+    min-pair screen, and the integer ratio."""
+    from pinterest_data_pipeline218_spark.operators.text_analysis import (
+        pmi_collocations,
+    )
+
+    # doc1 tokens: a b a b a b a b a b  -> bigrams: (a,b)x5, (b,a)x4
+    # doc2 tokens: a c a c a c a c a c  -> bigrams: (a,c)x5, (c,a)x4
+    docs = spark.createDataFrame(
+        [(1, " ".join(["a", "b"] * 5)), (2, " ".join(["a", "c"] * 5))],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.w1, r.w2): (r.n_pair, r.n_w1, r.n_w2, r.pmi_ratio_ppm)
+        for r in pmi_collocations(docs).collect()
+    }
+    # N = 18 bigrams total. w1 counts: a:10, b:4, c:4. w2 counts: b:5,
+    # a:8, c:5. Pairs >= 5: (a,b) 5 and (a,c) 5.
+    # ratio(a,b) = 18*5*1e6 // (10*5) = 1_800_000; same for (a,c).
+    assert got == {
+        ("a", "b"): (5, 10, 5, 1_800_000),
+        ("a", "c"): (5, 10, 5, 1_800_000),
+    }
+
+
+def test_pmi_oracle_agrees_cross_engine(spark):
+    """The staged DuckDB oracle already meets selfcheck's bar against the
+    Spark plan on the real documents table."""
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.operators.text_analysis import (
+        _pmi_sql,
+        text_pmi_collocations,
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = [tuple(r) for r in con.sql(_pmi_sql()).fetchall()]
+    got = [
+        (r.w1, r.w2, r.n_pair, r.n_w1, r.n_w2, r.pmi_ratio_ppm)
+        for r in text_pmi_collocations(spark, SF).collect()
+    ]
+    assert got == [
+        (a, b, int(p), int(x), int(y), int(m)) for a, b, p, x, y, m in want
+    ]
+    assert 0 < len(got) <= 50
