@@ -1696,3 +1696,51 @@ def incremental_cusum(spark: SparkSession, state_dir: str) -> DataFrame:
         .agg(F.sum("v_cents").alias("v_cents"))
     )
     return cusum_flag(daily)
+
+
+# ------------------------------------------------ streaming k-core (r13)
+
+
+def kcore_state_batch(
+    batch_edges: DataFrame, state_dir: str, batch_id: int = -1
+) -> None:
+    """One micro-batch of arriving (src, dst) edges, deduped within the
+    batch and written under a batch_id= partition with the overwrite
+    idempotence contract. Cross-batch duplicates are fine: the read side
+    dedupes the union (k_core() starts with a distinct), so edge
+    re-delivery cannot change the core."""
+    batch_edges.select("src", "dst").distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{state_dir}/kcore_edges/batch_id={batch_id}")
+
+
+def attach_kcore_stream(
+    stream_edges: DataFrame, state_dir: str, checkpoint: str
+) -> StreamingQuery:
+    """Wire the edge accumulator onto an edge stream via foreachBatch;
+    read the live k-core with incremental_k_core."""
+    return (
+        stream_edges.writeStream.foreachBatch(
+            lambda df, bid: kcore_state_batch(df, state_dir, bid)
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def incremental_k_core(
+    spark: SparkSession, state_dir: str, k: int | None = None
+) -> DataFrame:
+    """k-core of the accumulated edge set: EXACTLY the batch `k_core`
+    peel over the union of batches — the core is a pure function of the
+    edge SET (k_core dedupes first), so batch boundaries and re-delivery
+    cannot matter (`test_incremental_kcore_equals_batch`). Arriving
+    edges can only add degree, so a node's core membership is monotone
+    non-decreasing across batches — the streaming-graph property the
+    monotone pytest pins."""
+    from ..operators.graph import KC_K, k_core
+
+    if not os.path.isdir(f"{state_dir}/kcore_edges"):
+        return spark.createDataFrame([], "node string, core_deg bigint")
+    edges = spark.read.parquet(f"{state_dir}/kcore_edges").select("src", "dst")
+    return k_core(edges, k=KC_K if k is None else k)

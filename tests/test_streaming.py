@@ -3623,3 +3623,74 @@ def test_incremental_cusum_equals_batch(spark, tmp_path):
 
     empty = incremental_cusum(spark, str(tmp_path / "never"))
     assert empty.collect() == []
+
+
+def test_incremental_kcore_equals_batch(spark, tmp_path):
+    """Streaming k-core (staged r13): the peel over accumulated per-batch
+    edge partitions must equal the batch k_core over the union — and
+    core membership must be MONOTONE as edges arrive (batch 0 alone
+    leaves a path below k=2; batch 1 closes it into a cycle, lifting
+    every node into the core). Also pins replay idempotence and
+    cross-batch duplicate delivery."""
+    import json
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from pinterest_data_pipeline218_spark.operators.graph import k_core
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        attach_kcore_stream,
+        incremental_k_core,
+        kcore_state_batch,
+    )
+
+    # path a-b-c-d (symmetrized) in batch 0; batch 1 adds d-a closing the
+    # 4-cycle (every node reaches degree 2), PLUS a duplicate of a-b
+    # (cross-batch re-delivery must not matter)
+    b0 = [("a", "b"), ("b", "c"), ("c", "d")]
+    b1 = [("d", "a"), ("a", "b")]
+
+    def sym(pairs):
+        return pairs + [(d, s) for s, d in pairs]
+
+    src = tmp_path / "edges"
+    src.mkdir()
+    for i, batch in enumerate((b0, b1)):
+        with open(src / f"{i:03d}.jsonl", "w") as f:
+            for s_, d_ in sym(batch):
+                f.write(json.dumps({"src": s_, "dst": d_}) + "\n")
+    schema = StructType(
+        [StructField("src", StringType()), StructField("dst", StringType())]
+    )
+    stream = (
+        spark.readStream.format("json").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(str(src))
+    )
+    state_dir = str(tmp_path / "state")
+    q = attach_kcore_stream(stream, state_dir, str(tmp_path / "cp"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.node: r.core_deg
+        for r in incremental_k_core(spark, state_dir, k=2).collect()
+    }
+    union = spark.createDataFrame(sym(b0) + sym(b1), "src string, dst string")
+    want = {r.node: r.core_deg for r in k_core(union, k=2).collect()}
+    assert got == want
+    # the closed cycle puts all four nodes in the 2-core at degree 2
+    assert got == {"a": 2, "b": 2, "c": 2, "d": 2}
+    # monotone growth: batch 0 alone has an empty 2-core (open path)
+    solo_dir = str(tmp_path / "solo")
+    b0_df = spark.createDataFrame(sym(b0), "src string, dst string")
+    kcore_state_batch(b0_df, solo_dir, batch_id=0)
+    assert incremental_k_core(spark, solo_dir, k=2).collect() == []
+    # replay idempotence: re-running batch 1 replaces its partition
+    b1_df = spark.createDataFrame(sym(b1), "src string, dst string")
+    kcore_state_batch(b1_df, state_dir, batch_id=1)
+    assert {
+        r.node: r.core_deg
+        for r in incremental_k_core(spark, state_dir, k=2).collect()
+    } == want
+
+    empty = incremental_k_core(spark, str(tmp_path / "never"))
+    assert empty.collect() == []
