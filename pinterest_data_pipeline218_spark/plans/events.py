@@ -2212,9 +2212,15 @@ def cusum_daily(ev: DataFrame) -> DataFrame:
 def ev_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged r13 (gates r14): CUSUM change-point days per event type —
     the sustained-shift monitor beside ev_value_outliers' point-anomaly
-    sigma screen and dq_events_drift's cohort drift. Streaming twin:
-    `streaming/pipeline.py incremental_cusum` (additive daily cells +
-    this exact finisher)."""
+    sigma screen and dq_events_drift's cohort drift. Distinct from
+    ev_cusum_excursion (plans/experiments.py), which summarizes each
+    type to ONE max-|excursion| row of the un-reset cumulative deviation
+    at event grain: this operator computes the actual reset-based Page
+    statistic (the max(0,·) recursion, via its closed form) at DAY grain
+    and lists every thresholded day with its direction — the monitoring
+    surface, where the excursion query is the screening summary.
+    Streaming twin: `streaming/pipeline.py incremental_cusum` (additive
+    daily cells + this exact finisher)."""
     return cusum_daily(load_table(spark, sf_dir, "events"))
 
 
