@@ -83,6 +83,79 @@ LIMIT {TOP_K}
 """
 
 
+# ------------------------------------------------------- MIPS (r13)
+# Maximum-inner-product search — the recommendation-retrieval primitive
+# (user embedding · item embedding, where norms CARRY signal: popular
+# items have larger norms, so cosine's normalization is wrong on
+# purpose). Exact form below; the standard reduction to cosine/LSH
+# (Bachrach et al. 2014 / Neyshabur & Srebro 2015, public) augments
+# x -> [x, sqrt(M^2 - |x|^2)] with M = max corpus norm and q -> [q, 0]:
+# cos_aug(x, q) = dot(x, q) / (M·|q|) — the denominator is constant
+# across candidates, so augmented-cosine ORDER == dot ORDER exactly
+# (pytest-pinned), and the whole cosine-ANN family (hyperplane LSH, IVF)
+# applies to MIPS unchanged. sqrt is correctly rounded in IEEE, so both
+# engines build identical augmented vectors.
+
+
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r13 (gates r14): exact top-k INNER-PRODUCT neighbors of the
+    fixed query — same scan-local fold + TakeOrdered shape as
+    sim_topk_bruteforce, no normalization."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    query = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("v").alias("q"))
+        .limit(1)  # provable 1-row bound
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            F.round(dot(F.col("v"), F.col("q")), 6).cast("double").alias("dot6"),
+        )
+        .orderBy(F.desc("dot6"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def mips_augment(emb: DataFrame) -> DataFrame:
+    """(vec_id, v_aug): the MIPS->cosine reduction. |v_aug| = M for every
+    row, so cosine against an augmented query [q, 0] ranks exactly by
+    dot(v, q). M comes from a 1-row broadcast planning aggregate."""
+    normsq = emb.select(
+        "vec_id", "v", dot(F.col("v"), F.col("v")).alias("n2")
+    )
+    mx = normsq.agg(F.max("n2").alias("m2")).limit(1)
+    return normsq.crossJoin(F.broadcast(mx)).select(
+        "vec_id",
+        F.concat(
+            F.col("v"), F.array(F.sqrt(F.col("m2") - F.col("n2")))
+        ).alias("v_aug"),
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a})+1), "
+        f"__i -> {a}[__i]*{b}[__i]), (__x,__y) -> __x+__y)"
+    )
+
+
+SIM_MIPS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+     q AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT e.vec_id AS vec_id,
+       CAST(ROUND({_dot_sql("e.v", "q.q")}, 6) AS DOUBLE) AS dot6
+FROM e CROSS JOIN q
+WHERE e.vec_id != {QUERY_VEC_ID}
+ORDER BY dot6 DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 RADIUS_MIN_COS = 0.3  # gated threshold — calibrated so the near-uniform dev corpus yields a small-but-nonempty ball (policy, not semantics)
 
 

