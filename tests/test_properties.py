@@ -316,3 +316,81 @@ def test_webp_roundtrip_property(w, h, rng, mode):
     palette_bytes = bytes(rng.randrange(256) for _ in range(12))
     px = bytes(palette_bytes[rng.randrange(len(palette_bytes))] for _ in range(n))
     assert decode_webp(encode_webp(w, h, px, mode=mode)) == (w, h, px)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(0, 400), min_size=3, max_size=25),
+)
+def test_cusum_closed_form_equals_recursion_property(spark, daily_cents):
+    """Property (staged r13): on ANY daily series, cusum_flag's
+    cumulative-window closed form equals the textbook max(0, S+dev)
+    recursion — flagged-day set, statistics, and directions."""
+    import datetime
+
+    from pinterest_data_pipeline218_spark.plans.events import (
+        CUSUM_H_PCT,
+        cusum_flag,
+    )
+
+    base = datetime.date(2024, 5, 1)
+    rows = [
+        ("t", (base + datetime.timedelta(days=d)).isoformat(), int(v))
+        for d, v in enumerate(daily_cents)
+    ]
+    daily = spark.createDataFrame(
+        rows, "event_type string, day string, v_cents long"
+    )
+    got = {
+        r.day: (r.s_up, r.s_dn, r.direction)
+        for r in cusum_flag(daily).collect()
+    }
+
+    n = len(daily_cents)
+    target = sum(daily_cents) // n
+    h = (CUSUM_H_PCT * target) // 100
+    s_up, s_dn, want = 0, 0, {}
+    for d, x in enumerate(daily_cents):
+        s_up = max(0, s_up + (x - target))
+        s_dn = max(0, s_dn + (target - x))
+        if s_up > h or s_dn > h:
+            direction = (
+                "both" if s_up > h and s_dn > h else "up" if s_up > h else "down"
+            )
+            want[(base + datetime.timedelta(days=d)).isoformat()] = (
+                s_up, s_dn, direction,
+            )
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 4),
+)
+def test_k_core_equals_peel_model_property(spark, pairs, k):
+    """Property (staged r13): on ANY small directed graph, k_core's 3
+    unrolled peels equal a 3-step Python peel replay (same round count —
+    the contract is the fixed unroll, convergence is a separate pinned
+    fact on the real graph)."""
+    import collections
+
+    from pinterest_data_pipeline218_spark.operators.graph import k_core
+
+    pairs = [(f"n{a}", f"n{b}") for a, b in pairs if a != b]
+    if not pairs:
+        return
+    E = set(pairs)
+    for _ in range(3):
+        deg = collections.Counter(s for s, _ in E)
+        keep = {x for x, c in deg.items() if c >= k}
+        E = {(s, d) for s, d in E if s in keep and d in keep}
+    want = dict(collections.Counter(s for s, _ in E))
+
+    df = spark.createDataFrame(list(set(pairs)), "src string, dst string")
+    got = {r.node: r.core_deg for r in k_core(df, k=k, rounds=3).collect()}
+    assert got == want
