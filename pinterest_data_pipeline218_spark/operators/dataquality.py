@@ -533,6 +533,57 @@ ORDER BY column_name
 """
 
 
+# -------------------------------------------------- k-anonymity (r13)
+# k-anonymity screening (Sweeney 2002, public): before a corpus leaves
+# the pipeline, every combination of quasi-identifier values must be
+# shared by at least k records, or the small group re-identifies its
+# members. The screen is one grouped count over the quasi-identifier
+# tuple — map-side combinable, the cheapest possible shape — emitting
+# the violating groups (bounded: at most |rows|/1 groups, in practice
+# the small tail) ordered by size.
+K_ANON_K = 5
+K_ANON_CHARS_BUCKET = 200  # n_chars coarsened to buckets (generalization)
+
+
+def k_anonymity_violations(docs: DataFrame) -> DataFrame:
+    """(lang, source, chars_bucket, n): quasi-identifier groups with
+    fewer than K_ANON_K members. chars_bucket generalizes the numeric
+    quasi-identifier (the standard k-anonymity move: coarsen until
+    groups are large enough — the bucket width is the dial)."""
+    qi = docs.select(
+        "lang",
+        "source",
+        F.expr(f"n_chars div {K_ANON_CHARS_BUCKET}").alias("chars_bucket"),
+    )
+    return (
+        qi.groupBy("lang", "source", "chars_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") < K_ANON_K)
+        .orderBy("n", "lang", "source", "chars_bucket")
+    )
+
+
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r13 (gates r14): quasi-identifier groups of the documents
+    table below the k=5 anonymity floor — the privacy screen beside
+    text_pii_redact's content scrubbing (redaction removes identifiers
+    IN the text; k-anonymity catches re-identification BY metadata)."""
+    return k_anonymity_violations(load_table(spark, sf_dir, "documents"))
+
+
+def _k_anonymity_sql() -> str:
+    """Staged DuckDB oracle (validated by
+    test_k_anonymity_oracle_agrees_cross_engine; registers r14)."""
+    return f"""
+SELECT lang, source, n_chars // {K_ANON_CHARS_BUCKET} AS chars_bucket,
+       COUNT(*) AS n
+FROM documents
+GROUP BY 1, 2, 3
+HAVING COUNT(*) < {K_ANON_K}
+ORDER BY n, lang, source, chars_bucket
+"""
+
+
 QUERIES = {
     "dq_orders_constraints": dq_orders_constraints,
     "dq_benford_totalprice": dq_benford_totalprice,

@@ -5124,3 +5124,48 @@ def test_mips_oracle_and_augmentation_reduction(spark):
     mips_winner = max(scored, key=lambda r: r.ip).vec_id
     cos_winner = max(scored, key=lambda r: r.c).vec_id
     assert (mips_winner, cos_winner) == (2, 1)
+
+
+def test_k_anonymity_model_and_oracle(spark):
+    """dq_k_anonymity (staged r13, gates r14): (a) cross-engine oracle
+    agreement on the real table; (b) a planted fixture pins the
+    semantics — a 2-member quasi-identifier group violates k=5, a
+    6-member group does not, and coarsening n_chars into buckets is what
+    merges near-identical values into one group."""
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.operators.dataquality import (
+        _k_anonymity_sql,
+        dq_k_anonymity,
+        k_anonymity_violations,
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = [
+        (lang, src, int(b), int(n))
+        for lang, src, b, n in con.sql(_k_anonymity_sql()).fetchall()
+    ]
+    got = [
+        (r.lang, r.source, r.chars_bucket, r.n)
+        for r in dq_k_anonymity(spark, SF).collect()
+    ]
+    assert got == want
+
+    # planted: 6 docs share (en, web, bucket 0) -> safe; 2 docs share
+    # (fr, web, bucket 1) -> violation. n_chars 210 and 390 land in the
+    # SAME bucket (200-wide generalization), so they form ONE group.
+    rows = [(i, "x", "en", "web", 10 + i) for i in range(6)] + [
+        (10, "x", "fr", "web", 210),
+        (11, "x", "fr", "web", 390),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    v = [
+        (r.lang, r.source, r.chars_bucket, r.n)
+        for r in k_anonymity_violations(docs).collect()
+    ]
+    assert v == [("fr", "web", 1, 2)]
