@@ -2000,14 +2000,12 @@ PMI_MIN_PAIR = 5
 PMI_TOP_K = 50
 
 
-def pmi_collocations(docs: DataFrame) -> DataFrame:
-    """(w1, w2, n_pair, n_w1, n_w2, pmi_ratio_ppm): top-K adjacent-word
-    collocations by integer PMI ratio. N = total bigram positions.
-
-    100 TB shape: bigrams come from one scan-local zip of the token array
-    with its tail (no self-join); unigram and bigram counts are map-side
-    combinable groupBys; N is a 1-row broadcast; the final cut is
-    TakeOrdered."""
+def pmi_pair_counts(docs: DataFrame) -> DataFrame:
+    """(w1, w2, n_pair): adjacent-bigram counts from one scan-local zip of
+    the token array with its tail (no self-join), one map-side-combinable
+    groupBy. ADDITIVE across micro-batches — the streaming twin's state
+    cells; everything else PMI needs (unigram counts, the total) is a
+    MARGINAL of this table."""
     toks = docs.select(F.split("text", " ").alias("t"))
     big = toks.select(
         F.explode(
@@ -2018,10 +2016,19 @@ def pmi_collocations(docs: DataFrame) -> DataFrame:
             )
         ).alias("p")
     ).select("p.w1", "p.w2").filter((F.col("w1") != "") & (F.col("w2") != ""))
-    pair = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
-    total = big.agg(F.count(F.lit(1)).alias("n_total"))
-    u1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n_w1"))
-    u2 = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n_w2"))
+    return big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+
+
+def pmi_from_pairs(pair: DataFrame) -> DataFrame:
+    """(w1, w2, n_pair, n_w1, n_w2, pmi_ratio_ppm): the PMI finisher over
+    a pair-count table. Unigram counts and the bigram total are marginals
+    of the pair table (n_w1 = Σ n_pair over w1, etc.), so the finisher
+    never needs the raw corpus — shared verbatim by the batch query and
+    the streaming twin's read side. Marginals are tiny (vocab-bounded)
+    and broadcast; the final cut is TakeOrdered."""
+    total = pair.agg(F.sum("n_pair").alias("n_total"))
+    u1 = pair.groupBy("w1").agg(F.sum("n_pair").alias("n_w1"))
+    u2 = pair.groupBy("w2").agg(F.sum("n_pair").alias("n_w2"))
     return (
         pair.filter(F.col("n_pair") >= PMI_MIN_PAIR)
         .join(F.broadcast(u1), "w1")
@@ -2040,6 +2047,11 @@ def pmi_collocations(docs: DataFrame) -> DataFrame:
         .orderBy(F.col("pmi_ratio_ppm").desc(), "w1", "w2")
         .limit(PMI_TOP_K)
     )
+
+
+def pmi_collocations(docs: DataFrame) -> DataFrame:
+    """Batch composition: pair counts → marginals → ranked collocations."""
+    return pmi_from_pairs(pmi_pair_counts(docs))
 
 
 def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1744,3 +1744,57 @@ def incremental_k_core(
         return spark.createDataFrame([], "node string, core_deg bigint")
     edges = spark.read.parquet(f"{state_dir}/kcore_edges").select("src", "dst")
     return k_core(edges, k=KC_K if k is None else k)
+
+
+# ------------------------------------------------- streaming PMI (r13)
+
+
+def pmi_state_batch(
+    batch_docs: DataFrame, state_dir: str, batch_id: int = -1
+) -> None:
+    """One micro-batch's adjacent-bigram pair counts — ADDITIVE state
+    (counts add per (w1, w2) cell; unigram counts and the total are
+    marginals of the same cells, so NO separate unigram state can drift
+    out of sync), under the batch_id= overwrite idempotence contract."""
+    from ..operators.text_analysis import pmi_pair_counts
+
+    pmi_pair_counts(batch_docs).write.mode("overwrite").parquet(
+        f"{state_dir}/pmi_pairs/batch_id={batch_id}"
+    )
+
+
+def attach_pmi_stream(
+    stream_docs: DataFrame, state_dir: str, checkpoint: str
+) -> StreamingQuery:
+    """Wire the pair-count accumulator onto a document stream via
+    foreachBatch; read the live collocation ranking at any time with
+    incremental_pmi."""
+    return (
+        stream_docs.writeStream.foreachBatch(
+            lambda df, bid: pmi_state_batch(df, state_dir, bid)
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def incremental_pmi(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Ranked collocations from accumulated per-batch pair counts: sum
+    the cells, then EXACTLY the batch `pmi_from_pairs` finisher. Bigrams
+    never span documents, so batch boundaries cannot lose or invent a
+    pair and the BIGINT cells are associative
+    (`test_incremental_pmi_equals_batch`)."""
+    from ..operators.text_analysis import pmi_from_pairs
+
+    if not os.path.isdir(f"{state_dir}/pmi_pairs"):
+        return spark.createDataFrame(
+            [],
+            "w1 string, w2 string, n_pair long, n_w1 long, n_w2 long, "
+            "pmi_ratio_ppm long",
+        )
+    pair = (
+        spark.read.parquet(f"{state_dir}/pmi_pairs")
+        .groupBy("w1", "w2")
+        .agg(F.sum("n_pair").alias("n_pair"))
+    )
+    return pmi_from_pairs(pair)

@@ -3694,3 +3694,65 @@ def test_incremental_kcore_equals_batch(spark, tmp_path):
 
     empty = incremental_k_core(spark, str(tmp_path / "never"))
     assert empty.collect() == []
+
+
+def test_incremental_pmi_equals_batch(spark, tmp_path):
+    """Streaming PMI (staged r13): accumulated per-batch pair counts +
+    the exact batch finisher must equal pmi_collocations over the union
+    of batches — bigrams never span documents, so batch boundaries
+    cannot matter — including replay idempotence and the empty state."""
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pinterest_data_pipeline218_spark.operators.text_analysis import (
+        pmi_collocations,
+    )
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        attach_pmi_stream,
+        incremental_pmi,
+        pmi_state_batch,
+    )
+
+    docs = [
+        (1, " ".join(["a", "b"] * 5)),
+        (2, " ".join(["a", "c"] * 5)),
+        (3, " ".join(["a", "b"] * 3 + ["d"])),
+        (4, "d " + " ".join(["b", "a"] * 4)),
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i in range(2):
+        with open(src / f"{i:03d}.jsonl", "w") as f:
+            for did, text in docs[i * 2 : i * 2 + 2]:
+                f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = (
+        spark.readStream.format("json").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(str(src))
+    )
+    state_dir = str(tmp_path / "state")
+    q = attach_pmi_stream(stream, state_dir, str(tmp_path / "cp"))
+    q.processAllAvailable()
+    q.stop()
+
+    def rows_of(df):
+        return [
+            (r.w1, r.w2, r.n_pair, r.n_w1, r.n_w2, r.pmi_ratio_ppm)
+            for r in df.collect()
+        ]
+
+    got = rows_of(incremental_pmi(spark, state_dir))
+    union = spark.createDataFrame(docs, "doc_id long, text string")
+    want = rows_of(pmi_collocations(union))
+    assert got == want and len(got) > 0
+
+    # replay idempotence
+    b0 = spark.createDataFrame(docs[:2], "doc_id long, text string")
+    pmi_state_batch(b0, state_dir, batch_id=0)
+    assert rows_of(incremental_pmi(spark, state_dir)) == want
+
+    empty = incremental_pmi(spark, str(tmp_path / "never"))
+    assert empty.collect() == []
