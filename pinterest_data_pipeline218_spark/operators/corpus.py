@@ -1770,7 +1770,6 @@ def curriculum_order(docs: DataFrame) -> DataFrame:
     exchange feeds the (tier, shard)-PARTITIONED rank window, so window
     partitions stay loader-sized at any corpus size (the
     corpus_shuffle_shards argument)."""
-    q_ppm = (T.quality_score(T.tokens(F.col("text"))) * 1_000_000).cast("long")
     h = T.token_hash(F.col("doc_id").cast("string"), seed=CURRICULUM_SEED)
     tier = (
         F.when(F.col("q_ppm") >= CURRICULUM_TIER1_PPM, F.lit(0))
@@ -1779,8 +1778,11 @@ def curriculum_order(docs: DataFrame) -> DataFrame:
         .cast("int")
     )
     w = Window.partitionBy("tier", "shard").orderBy("h", "doc_id")
+    # _scored_docs is THE quality rendering every quality-ranked operator
+    # shares (source_cap, the cascade) — reusing it keeps curriculum
+    # tiers in lockstep with any future score fix (review r13)
     return (
-        docs.select("doc_id", q_ppm.alias("q_ppm"))
+        _scored_docs(docs)
         .select(
             "doc_id",
             tier.alias("tier"),

@@ -1403,13 +1403,19 @@ def _cont_hashed(shs_df: DataFrame) -> DataFrame:
     ).drop("shs")
 
 
-# Attestation results keyed by (session, logical plan): the same corpus
-# plan within one session always reads the same immutable files, so the
-# proof is reusable — exactly how an engine caches ANALYZE statistics per
-# table version. Without this, every re-execution of a containment query
-# would re-pay the linear attestation scan (~6 s at sf0.1, measured r13),
-# negating the hash-path win it enables.
-_INJECTIVE_CACHE: dict[tuple[int, int], bool] = {}
+# Attestation results keyed by (Spark application id, logical plan): the
+# same corpus plan within one application always reads the same immutable
+# files, so the proof is reusable — exactly how an engine caches ANALYZE
+# statistics per table version. Without this, every re-execution of a
+# containment query would re-pay the linear attestation scan (~6 s at
+# sf0.1, measured r13), negating the hash-path win it enables. The
+# applicationId key (not id(session) — review r13: a recycled object id
+# could revive a dead session's proof) is unique per SparkContext;
+# in-place regeneration of the underlying files WITHIN one application is
+# outside the contract, same as Spark's own table/statistics caches. A
+# size cap bounds pathological many-plan sessions.
+_INJECTIVE_CACHE: dict[tuple[str, int], bool] = {}
+_INJECTIVE_CACHE_MAX = 64
 
 
 def _cont_hash_injective(base: DataFrame) -> bool:
@@ -1425,7 +1431,8 @@ def _cont_hash_injective(base: DataFrame) -> bool:
     One linear aggregation over the shingle volume, memoized per
     (session, corpus plan); the limit(1).collect() is bounded planning
     state (0 or 1 rows)."""
-    key = (id(base.sparkSession), base.semanticHash())
+    app_id = base.sparkSession.sparkContext.applicationId
+    key = (app_id, base.semanticHash())
     hit = _INJECTIVE_CACHE.get(key)
     if hit is None:
         dup = (
@@ -1436,6 +1443,8 @@ def _cont_hash_injective(base: DataFrame) -> bool:
             .filter(F.col("n_strings") > 1)
         )
         hit = not dup.limit(1).collect()
+        if len(_INJECTIVE_CACHE) >= _INJECTIVE_CACHE_MAX:
+            _INJECTIVE_CACHE.clear()
         _INJECTIVE_CACHE[key] = hit
     return hit
 

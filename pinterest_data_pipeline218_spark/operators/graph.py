@@ -84,6 +84,10 @@ def pagerank(edges: DataFrame, rounds: int = PR_ROUNDS) -> DataFrame:
             )
             .localCheckpoint()  # lineage break per round (the CC idiom)
         )
+    # every round is already materialized (localCheckpoint is eager), so
+    # the cached edge/degree blocks are dead weight from here (review r13)
+    e.unpersist()
+    deg.unpersist()
     return ranks
 
 
@@ -203,6 +207,7 @@ def label_propagation(edges: DataFrame, rounds: int = LP_ROUNDS) -> DataFrame:
             .select(F.col("src").alias("node"), F.col("s.l").alias("lbl"))
             .localCheckpoint()  # lineage break per round (the CC idiom)
         )
+    e.unpersist()  # rounds are materialized; the cache is dead weight now
     return labels.select("node", F.col("lbl").alias("community"))
 
 
@@ -249,9 +254,14 @@ def k_core(edges: DataFrame, k: int = KC_K, rounds: int = KC_ROUNDS) -> DataFram
     analogue of the quality classifier's keep/drop."""
     from pyspark import StorageLevel
 
-    e = edges.select("src", "dst").distinct()
     par = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    e = e.repartition(par, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    e0 = (
+        edges.select("src", "dst")
+        .distinct()
+        .repartition(par, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e = e0
     for _ in range(rounds):
         keep = (
             e.groupBy("src")
@@ -265,6 +275,9 @@ def k_core(edges: DataFrame, k: int = KC_K, rounds: int = KC_ROUNDS) -> DataFram
             .select("src", "dst")
             .localCheckpoint()  # lineage break per round (the CC idiom)
         )
+    # round 1's checkpoint is materialized (eager), so the initial cached
+    # edge blocks are dead weight from here (review r13)
+    e0.unpersist()
     return e.groupBy("src").agg(F.count(F.lit(1)).alias("core_deg")).select(
         F.col("src").alias("node"), "core_deg"
     )

@@ -1685,12 +1685,19 @@ base_agg AS (
   SELECT cell, COUNT(*) AS n_base, SUM(cos_ppm) AS s_base
   FROM base_sc GROUP BY cell
 ),
+capped AS (
+  -- the SAME IVF_CELL_CAP ordered-limit contract the Spark assignment
+  -- broadcasts under (ivf_assign_cells): both engines assign among the
+  -- lowest-{IVF_CELL_CAP}-label cells, so a pathological quantizer
+  -- cannot diverge the gate
+  SELECT * FROM centroids ORDER BY label LIMIT {IVF_CELL_CAP}
+),
 scored AS (
   SELECT n.vec_id, c.label AS cell,
          CAST(FLOOR({new_cos} * 1000000) AS BIGINT) AS cos_ppm,
          ROW_NUMBER() OVER (
            PARTITION BY n.vec_id ORDER BY {new_cos} DESC, c.label ASC) AS rn
-  FROM newv n CROSS JOIN centroids c
+  FROM newv n CROSS JOIN capped c
 ),
 new_agg AS (
   SELECT cell, COUNT(*) AS n_new, SUM(cos_ppm) AS s_new

@@ -1892,7 +1892,11 @@ def rake_phrases(docs: DataFrame) -> DataFrame:
 
     100 TB shape: one posexplode scan, then joins/aggregates keyed on
     (doc_id, grp) and word — all map-side combinable; nothing global
-    except the bounded top-K."""
+    except the bounded top-K. The occ subtree feeds three consumers but
+    executes ONCE: its doc_id exchange is identical in every branch, so
+    Catalyst plans the other two as ReusedExchange (verified: 2
+    ReusedExchange nodes in the executed plan — the scan+explode below
+    the exchange never re-runs)."""
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     words = toks.select(
         "doc_id", F.posexplode("t").alias("pos", "w")
@@ -2040,9 +2044,14 @@ def pmi_from_pairs(pair: DataFrame) -> DataFrame:
             "n_pair",
             "n_w1",
             "n_w2",
-            F.expr("(n_total * n_pair * 1000000L) div (n_w1 * n_w2)").alias(
-                "pmi_ratio_ppm"
-            ),
+            # intermediates widened to DECIMAL(38,0): n_total·n_pair·10^6
+            # overflows BIGINT long before any interesting corpus does
+            # (review r13); the QUOTIENT is a ppm ratio that fits BIGINT
+            # for any meaningful PMI (it would need to exceed 9.2e18 ppm)
+            F.expr(
+                "CAST((CAST(n_total AS DECIMAL(38,0)) * n_pair * 1000000)"
+                " div (CAST(n_w1 AS DECIMAL(38,0)) * n_w2) AS LONG)"
+            ).alias("pmi_ratio_ppm"),
         )
         .orderBy(F.col("pmi_ratio_ppm").desc(), "w1", "w2")
         .limit(PMI_TOP_K)
@@ -2078,7 +2087,8 @@ u1 AS (SELECT w1, COUNT(*) AS n_w1 FROM big GROUP BY w1),
 u2 AS (SELECT w2, COUNT(*) AS n_w2 FROM big GROUP BY w2)
 SELECT p.w1 AS w1, p.w2 AS w2, p.n_pair AS n_pair,
        u1.n_w1 AS n_w1, u2.n_w2 AS n_w2,
-       (t.n_total * p.n_pair * 1000000) // (u1.n_w1 * u2.n_w2)
+       CAST((CAST(t.n_total AS HUGEINT) * p.n_pair * 1000000)
+            // (CAST(u1.n_w1 AS HUGEINT) * u2.n_w2) AS BIGINT)
          AS pmi_ratio_ppm
 FROM pair p JOIN u1 USING (w1) JOIN u2 USING (w2) CROSS JOIN total t
 WHERE p.n_pair >= {PMI_MIN_PAIR}

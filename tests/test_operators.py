@@ -1424,7 +1424,7 @@ def test_containment_hash_and_string_branches_agree(spark, monkeypatch):
     base = D._cont_shingle_strings(docs, "doc_id")
     D._INJECTIVE_CACHE.clear()
     assert D._cont_hash_injective(base)  # computes and caches
-    key = (id(spark), base.semanticHash())
+    key = (spark.sparkContext.applicationId, base.semanticHash())
     assert D._INJECTIVE_CACHE[key] is True  # memoized under the plan key
 
     def rows_of(df):

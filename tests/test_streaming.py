@@ -3756,3 +3756,38 @@ def test_incremental_pmi_equals_batch(spark, tmp_path):
 
     empty = incremental_pmi(spark, str(tmp_path / "never"))
     assert empty.collect() == []
+
+
+def test_ivf_assign_respects_cell_cap(spark):
+    """Review r13: ivf_assign_cells broadcasts the quantizer under the
+    IVF_CELL_CAP ordered limit, and the oracle shares the contract —
+    with more cells than the cap, assignment happens among the
+    lowest-label cells ONLY (deterministic truncation, never an
+    arbitrary subset)."""
+    import pyspark.sql.functions as F
+
+    from pinterest_data_pipeline218_spark.operators.similarity import (
+        IVF_CELL_CAP,
+        ivf_assign_cells,
+    )
+
+    n_cells = IVF_CELL_CAP + 8
+    # centroid of cell i points along axis i%4 with magnitude i+1
+    cents = spark.createDataFrame(
+        [
+            (i, [float(i + 1) if d == i % 4 else 0.0 for d in range(4)])
+            for i in range(n_cells)
+        ],
+        "label int, c array<double>",
+    )
+    # a vector aligned with the LAST (dropped) cell's axis: must assign
+    # to the best SURVIVING cell of that axis, not the dropped one
+    new = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0, 1.0])], "vec_id long, v array<double>"
+    )
+    got = ivf_assign_cells(new, cents).collect()
+    assert len(got) == 1
+    assert got[0].cell < IVF_CELL_CAP
+    # cosine ties across same-axis cells (scale-invariant) break to the
+    # LOWEST cell id — axis 3's first cell is label 3
+    assert got[0].cell == 3
