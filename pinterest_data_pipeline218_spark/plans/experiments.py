@@ -240,6 +240,114 @@ ORDER BY event_type
 """
 
 
+
+# ------------------------------------------------------------ SRM (r13)
+# Sample-ratio mismatch (Kohavi et al., "Trustworthy Online Controlled
+# Experiments", public): the first guardrail an experiment platform runs —
+# if the OBSERVED arm split deviates from the INTENDED allocation beyond
+# chance, every downstream readout is invalid (assignment or logging is
+# broken). Chi-square with 1 df at alpha=0.001 (the standard SRM bar)
+# is 10.828; the test statistic is rendered division-free by
+# cross-multiplication so the flag is exact integer arithmetic:
+#   (n_t - p·N)² / (N·p·(1-p)) > 10.828
+#   ⇔ (DEN·n_t - NUM·N)² · 1000 > 10828 · NUM · (DEN-NUM) · N
+# with the intended ratio p = NUM/DEN.
+SRM_CHI2_X1000 = 10828  # chi-square(1df) at alpha = 0.001, x1000
+SRM_DESIGNS = (
+    ("ab_50_50", 1, 2),    # 50/50 split: arm = hash % 2 == 0
+    ("ramp_10_90", 1, 10),  # 10% ramp: arm = hash % 10 == 0
+)
+
+
+def srm_check(users: DataFrame) -> DataFrame:
+    """(experiment, n_treatment, n_total, intended_num, intended_den,
+    srm_flag): one fused aggregate over the distinct-user table computes
+    every design's observed treatment count; the flag is the exact
+    cross-multiplied chi-square exceedance. Scale shape: ONE pass over
+    |users| rows, output |designs| rows."""
+    aggs = []
+    for name, num, den in SRM_DESIGNS:
+        arm = F.pmod(
+            T.token_hash(F.col("user_id").cast("string"), seed=den), F.lit(den)
+        )
+        aggs.append(
+            F.sum(F.when(arm < num, 1).otherwise(0)).alias(f"nt_{name}")
+        )
+    cells = users.agg(F.count(F.lit(1)).alias("n_total"), *aggs)
+    rows = []
+    for name, num, den in SRM_DESIGNS:
+        nt = F.col(f"nt_{name}")
+        # squared via self-multiplication in DECIMAL(38,0) — `** 2` is a
+        # DOUBLE pow in Spark, which would break the exact comparison
+        diff = F.lit(den) * nt - F.lit(num) * F.col("n_total")
+        lhs = diff.cast("decimal(38,0)") * diff * 1000
+        rhs = (
+            F.lit(SRM_CHI2_X1000).cast("decimal(38,0)")
+            * F.lit(num)
+            * F.lit(den - num)
+            * F.col("n_total")
+        )
+        rows.append(
+            cells.select(
+                F.lit(name).alias("experiment"),
+                nt.cast("long").alias("n_treatment"),
+                F.col("n_total").cast("long").alias("n_total"),
+                F.lit(num).cast("int").alias("intended_num"),
+                F.lit(den).cast("int").alias("intended_den"),
+                (lhs > rhs).alias("srm_flag"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("experiment")
+
+
+def ev_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r13 (gates r14): SRM guardrail over the events user
+    population for both standing designs. The deterministic hash split
+    is balanced by construction, so the gated rendering reports clean
+    experiments — the VIOLATION path is pinned by the planted-skew
+    pytest (`test_srm_flags_planted_skew`), the dq-constraint posture."""
+    users = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+    )
+    return srm_check(users)
+
+
+def _srm_sql() -> str:
+    """Staged DuckDB oracle (validated by
+    test_srm_oracle_agrees_cross_engine; registers r14)."""
+    h2 = T.token_hash_sql("CAST(user_id AS VARCHAR)", seed=2)
+    h10 = T.token_hash_sql("CAST(user_id AS VARCHAR)", seed=10)
+    parts = []
+    for name, num, den, hexpr in (
+        ("ab_50_50", 1, 2, h2),
+        ("ramp_10_90", 1, 10, h10),
+    ):
+        # diff squared via self-multiplication on HUGEINT (DuckDB's ^ is
+        # a DOUBLE power — it would break the exact integer comparison)
+        parts.append(f"""
+SELECT experiment, n_treatment, n_total, intended_num, intended_den,
+       CAST({den} * n_treatment - {num} * n_total AS HUGEINT)
+         * ({den} * n_treatment - {num} * n_total) * 1000
+         > CAST({SRM_CHI2_X1000} AS HUGEINT) * {num} * {den - num} * n_total
+         AS srm_flag
+FROM (
+  SELECT '{name}' AS experiment,
+         CAST(SUM(CASE WHEN ({hexpr}) % {den} < {num} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_treatment,
+         COUNT(*) AS n_total,
+         CAST({num} AS INT) AS intended_num,
+         CAST({den} AS INT) AS intended_den
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)
+)""")
+    body = "\nUNION ALL\n".join(parts)
+    return "SELECT * FROM (\n" + body + "\n) ORDER BY experiment"
+
 QUERIES = {
     "ev_abtest_chi2": ev_abtest_chi2,
     "ev_cusum_excursion": ev_cusum_excursion,

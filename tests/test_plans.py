@@ -2350,3 +2350,76 @@ def test_changepoint_oracle_agrees_cross_engine(spark):
         (t, d, int(v), int(u), int(n), dr) for t, d, v, u, n, dr in want
     ]
     assert len(got) > 0
+
+
+def test_srm_oracle_agrees_cross_engine(spark):
+    """ev_srm_check (staged r13, gates r14): cross-engine oracle
+    agreement on the real events table; the deterministic hash splits
+    are balanced by construction, so both designs report clean."""
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.plans.experiments import (
+        _srm_sql,
+        ev_srm_check,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = [
+        (e, int(t), int(n), int(a), int(b), bool(f))
+        for e, t, n, a, b, f in con.sql(_srm_sql()).fetchall()
+    ]
+    got = [
+        (r.experiment, r.n_treatment, r.n_total, r.intended_num,
+         r.intended_den, r.srm_flag)
+        for r in ev_srm_check(spark, sf).collect()
+    ]
+    assert got == want and len(got) == 2
+    assert not any(f for *_, f in got)  # hash splits are balanced
+
+
+def test_srm_flags_planted_skew(spark):
+    """The violation path (the reason SRM exists): a user population
+    whose ids are engineered so the 50/50 hash split lands far from
+    50/50 must flag — select 400 users whose hash is even-arm plus only
+    40 odd-arm, an 8.2-sigma mismatch; and a balanced population of the
+    same size must NOT flag. Cross-checked against scipy-free hand
+    chi-square arithmetic."""
+    import pyspark.sql.functions as F
+
+    from pinterest_data_pipeline218_spark.functions import text as T
+    from pinterest_data_pipeline218_spark.plans.experiments import (
+        SRM_CHI2_X1000,
+        srm_check,
+    )
+
+    # classify candidate ids by the seed-2 hash arm, driver-side via the
+    # engine itself (no reimplementation drift)
+    cand = spark.range(0, 3000).select(
+        F.col("id").cast("long").alias("user_id"),
+        F.pmod(
+            T.token_hash(F.col("id").cast("string"), seed=2), F.lit(2)
+        ).alias("arm2"),
+    )
+    rows = cand.collect()
+    arm0 = [r.user_id for r in rows if r.arm2 == 0]
+    arm1 = [r.user_id for r in rows if r.arm2 == 1]
+    skewed = arm0[:400] + arm1[:40]
+    users = spark.createDataFrame([(u,) for u in skewed], "user_id long")
+    got = {
+        r.experiment: r for r in srm_check(users).collect()
+    }
+    r = got["ab_50_50"]
+    assert (r.n_treatment, r.n_total) in {(400, 440), (40, 440)}
+    # hand chi-square: (2*nt - N)^2 * 1000 vs 10828 * N
+    lhs = (2 * r.n_treatment - r.n_total) ** 2 * 1000
+    assert (lhs > SRM_CHI2_X1000 * r.n_total) == r.srm_flag is True
+
+    balanced = spark.createDataFrame(
+        [(u,) for u in arm0[:220] + arm1[:220]], "user_id long"
+    )
+    got_b = {r.experiment: r for r in srm_check(balanced).collect()}
+    assert got_b["ab_50_50"].srm_flag is False
