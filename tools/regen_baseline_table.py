@@ -16,19 +16,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-NEW_NOTES = {
-    "hybrid_rrf_search": "r13: BM25 + cosine RRF fusion; TakeOrdered pool cuts, bounded rank windows",
-    "ev_attribution_multitouch": "r13: first/last/linear conversion credit, exact-conservation bp",
-    "graph_label_propagation": "r13: deterministic synchronous LPA, 3 rounds, persisted edge list",
-    "dq_profile_drift": "r13: two-cohort column-profile diversity drift, one fused agg pass",
-    "corpus_span_corruption": "r13: T5-style span-corruption planning, hash-Bernoulli + islands",
-    "sim_ivf_increment": "r13: frozen-quantizer assignment + per-cell staleness (bounded-batch bnlj)",
-}
+# r13's six new-row notes and the containment overrides were applied and
+# then ENRICHED in place with decade cells (BASELINE.md is now the source
+# of truth for them — harvested notes carry forward on regen; re-adding
+# them here would stomp the decade cells).
+NEW_NOTES = {}
 
 NOTE_OVERRIDES = {
     "dedup_ngram_jaccard": "r12: exact-rational threshold gate (was ROUND(j,6)); PPJoin prefix filter",
-    "dedup_containment": "r13: injectivity-attested hash-path verify (exact on every branch)",
-    "dedup_containment_seeds": "r13: attested hash-path verify wins back the r12 string-port cost",
     "text_ngram_novelty": "r11: spread gram build (derived twice in-plan)",
     "mm_image_resize": "r12: 6-class fixture (WebP thumbnail re-encode exercises VP8L bundling)",
     "ev_outliers_mad": "r11: planning jobs share a transient persist (2 scans/exec)",
