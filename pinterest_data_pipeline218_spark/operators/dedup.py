@@ -1169,7 +1169,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No hash anywhere (ADVICE r10): the postings join and the ordering
     use the shingle STRING, so the result is unconditionally exact — no
-    2^-60 collision caveat, valid at any corpus size.
+    2^-60 collision caveat, valid at any corpus size. Available lever
+    (r13, deliberately NOT taken because this query sits outside the
+    r13 rotation window and a plan change must re-gate): the containment
+    family's `_cont_hash_injective` attestation applies verbatim here —
+    under the corpus-level proof, postings/verify could run on 8-byte
+    hashes (prefix recall is order-independent, so even a hash-sorted
+    prefix stays exact) for an expected ~2x on the pair stages, with the
+    string path as the attested fallback.
 
     Scale: the thresholded contract is the operator a 100 TB pipeline
     actually runs (the unthresholded listing is quadratic OUTPUT by
