@@ -84,3 +84,32 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[st
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def plan_identity(df: DataFrame) -> str:
+    """Collision-resistant identity of a DataFrame's logical plan: MD5 of
+    the analyzed-plan string (which embeds the resolved input relations,
+    i.e. the concrete file paths for file sources) with expression ids
+    canonicalized. Raw exprIds (`doc_id#123`) are allocation-order
+    globals, so two builds of the SAME query differ textually — the same
+    reason DataFrame.semanticHash() normalizes them; lambda variables
+    (`lambda x_7#id`) carry a second global counter in the NAME itself.
+    Renumbering each distinct `#n` exprId and each `x_n#` lambda name in
+    first-occurrence order keeps semantically-identical plans equal
+    (attestation memos still hit across bench reps) while remaining a
+    full-plan digest, not a 32-bit one (ADVICE r13: two different plans
+    must never share a memoized attestation verdict)."""
+    import hashlib
+    import re
+
+    plan = df._jdf.queryExecution().analyzed().toString()
+    seen: dict[str, str] = {}
+
+    def canon(m: re.Match) -> str:
+        return seen.setdefault(m.group(0), f"@c{len(seen)}")
+
+    # x_n only when attribute-named (followed by #) — Spark's fresh
+    # lambda-variable scheme; then every #n exprId
+    plan = re.sub(r"\bx_\d+(?=#)", canon, plan)
+    plan = re.sub(r"#\d+", canon, plan)
+    return hashlib.md5(plan.encode()).hexdigest()

@@ -28,7 +28,7 @@ import operator
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..data import load_table
+from ..data import load_table, plan_identity
 from ..functions import text as T
 from ..functions.vectors import (
     as_double_array,
@@ -1417,12 +1417,24 @@ def _cont_hashed(shs_df: DataFrame) -> DataFrame:
 # containment query would re-pay the linear attestation scan (~6 s at
 # sf0.1, measured r13), negating the hash-path win it enables. The
 # applicationId key (not id(session) — review r13: a recycled object id
-# could revive a dead session's proof) is unique per SparkContext;
-# in-place regeneration of the underlying files WITHIN one application is
+# could revive a dead session's proof) is unique per SparkContext; the
+# plan key is the MD5 of the full ANALYZED PLAN STRING, not
+# DataFrame.semanticHash() — semanticHash is a 32-bit digest, so two
+# different corpus plans in one application could collide and silently
+# reuse the wrong verdict, skipping the string-set verify on an
+# unattested corpus (ADVICE r13 medium). MD5-of-plan is
+# collision-resistant for this purpose and still O(plan) to compute.
+# In-place regeneration of the underlying files WITHIN one application is
 # outside the contract, same as Spark's own table/statistics caches. A
 # size cap bounds pathological many-plan sessions.
-_INJECTIVE_CACHE: dict[tuple[str, int], bool] = {}
+_INJECTIVE_CACHE: dict[tuple[str, str], bool] = {}
 _INJECTIVE_CACHE_MAX = 64
+
+
+# the collision-resistant plan digest the memo keys on (shared with the
+# IVF cell-cap attestation — see data.plan_identity for the exprId
+# canonicalization rationale)
+_plan_identity = plan_identity
 
 
 def _cont_hash_injective(base: DataFrame) -> bool:
@@ -1439,7 +1451,7 @@ def _cont_hash_injective(base: DataFrame) -> bool:
     (session, corpus plan); the limit(1).collect() is bounded planning
     state (0 or 1 rows)."""
     app_id = base.sparkSession.sparkContext.applicationId
-    key = (app_id, base.semanticHash())
+    key = (app_id, _plan_identity(base))
     hit = _INJECTIVE_CACHE.get(key)
     if hit is None:
         dup = (

@@ -1553,9 +1553,43 @@ IVF_INCR_MOD = 5  # vec_id % 5 == 0 plays the "arriving" 20% in the gate
 # assignment scores against all cells); the ordered limit makes that
 # contract Catalyst-PROVABLE (logical maxRows), so the assignment's
 # non-equi join is plan-audit-asserted bounded-batch instead of an
-# unprovable cross join. A no-op below the cap; deterministic
-# (lowest-label-first) if a pathological quantizer ever exceeded it.
+# unprovable cross join. The cap is a provable-bound NO-OP, not a
+# sampling policy: `_assert_cell_cap` (ADVICE r13) raises if a quantizer
+# ever actually exceeds it — silently assigning among the lowest-1024
+# labels while base-side fits use all cells would leave the over-cap
+# cells reporting n_new=0 forever, a quiet staleness-signal corruption
+# both engines would agree on (so the oracle gate could not catch it).
 IVF_CELL_CAP = 1024
+
+# Verdicts keyed by (application id, canonicalized plan digest) — one
+# bounded planning count per distinct quantizer plan per application,
+# the injectivity-attestation memo discipline (operators/dedup.py).
+_CELL_CAP_CACHE: dict[tuple[str, str], int] = {}
+_CELL_CAP_CACHE_MAX = 64
+
+
+def _assert_cell_cap(cents: DataFrame) -> None:
+    """Planning-time attestation that the quantizer fits IVF_CELL_CAP.
+    The count is bounded by limit(cap+1) — never data-sized — and
+    memoized per (session, quantizer plan) so repeated executions of the
+    same assignment query pay it once."""
+    from ..data import plan_identity
+
+    app_id = cents.sparkSession.sparkContext.applicationId
+    key = (app_id, plan_identity(cents))
+    n = _CELL_CAP_CACHE.get(key)
+    if n is None:
+        n = cents.select("label").limit(IVF_CELL_CAP + 1).count()
+        if len(_CELL_CAP_CACHE) >= _CELL_CAP_CACHE_MAX:
+            _CELL_CAP_CACHE.clear()
+        _CELL_CAP_CACHE[key] = n
+    if n > IVF_CELL_CAP:
+        raise ValueError(
+            f"IVF quantizer exceeds IVF_CELL_CAP={IVF_CELL_CAP} cells: "
+            "the ordered-limit bound would silently drop the highest "
+            "labels from assignment while base-side fits keep them — "
+            "raise the cap or shrink the quantizer"
+        )
 
 
 def _cos_ppm(v, c):
@@ -1573,9 +1607,11 @@ def ivf_assign_cells(new_emb: DataFrame, cents: DataFrame) -> DataFrame:
     |batch|·|cells| work, linear in the batch); the argmax is a
     vec_id-partitioned window (never a global sort); ties break to the
     lowest cell id in both engines. Expects new_emb with (vec_id, v) and
-    cents with (label, c)."""
+    cents with (label, c). Raises if the quantizer exceeds the cap — the
+    ordered limit is a provable bound, never a silent truncation."""
     from pyspark.sql import Window
 
+    _assert_cell_cap(cents)
     capped = (
         cents.select(F.col("label").alias("cell"), "c")
         .orderBy("cell")
@@ -1687,9 +1723,10 @@ base_agg AS (
 ),
 capped AS (
   -- the SAME IVF_CELL_CAP ordered-limit contract the Spark assignment
-  -- broadcasts under (ivf_assign_cells): both engines assign among the
-  -- lowest-{IVF_CELL_CAP}-label cells, so a pathological quantizer
-  -- cannot diverge the gate
+  -- broadcasts under (ivf_assign_cells); an over-cap quantizer RAISES
+  -- on the Spark side (_assert_cell_cap, ADVICE r13) rather than
+  -- silently assigning among the lowest-label cells, so the limit here
+  -- is a provable bound both engines agree is a no-op
   SELECT * FROM centroids ORDER BY label LIMIT {IVF_CELL_CAP}
 ),
 scored AS (

@@ -1892,11 +1892,13 @@ def rake_phrases(docs: DataFrame) -> DataFrame:
 
     100 TB shape: one posexplode scan, then joins/aggregates keyed on
     (doc_id, grp) and word — all map-side combinable; nothing global
-    except the bounded top-K. The occ subtree feeds three consumers but
-    executes ONCE: its doc_id exchange is identical in every branch, so
-    Catalyst plans the other two as ReusedExchange (verified: 2
-    ReusedExchange nodes in the executed plan — the scan+explode below
-    the exchange never re-runs)."""
+    except the bounded top-K. The word-stats join back onto occ is a
+    plain equi-join on the word key with NO broadcast hint (ADVICE r13:
+    wstats is vocabulary-sized and vocabulary is unbounded at 100 TB, so
+    a forced broadcast could exceed the driver/executor limits the
+    repo's other broadcasts provably respect) — at small SF AQE still
+    elects a runtime broadcast from actual sizes, at scale it falls back
+    to shuffle, both correct by construction."""
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     words = toks.select(
         "doc_id", F.posexplode("t").alias("pos", "w")
@@ -1921,8 +1923,13 @@ def rake_phrases(docs: DataFrame) -> DataFrame:
         .agg(F.sum("plen").alias("deg"), F.count(F.lit(1)).alias("freq"))
         .withColumn("wscore", F.expr("(1000 * deg) div freq"))
     )
+    # plain shuffle equi-join on the word key, NOT a broadcast: wstats is
+    # vocabulary-sized, and vocabulary is unbounded at 100 TB — the repo's
+    # broadcast discipline admits only Catalyst-provable row bounds
+    # (ADVICE r13). The occ side is already hashed on compatible keys, so
+    # the exchange is the ordinary aggregate shuffle.
     pscore = (
-        occ.join(F.broadcast(wstats.select("w", "wscore")), "w")
+        occ.join(wstats.select("w", "wscore"), "w")
         .groupBy("doc_id", "grp")
         .agg(F.sum("wscore").alias("score_milli"))
     )
@@ -2028,15 +2035,19 @@ def pmi_from_pairs(pair: DataFrame) -> DataFrame:
     a pair-count table. Unigram counts and the bigram total are marginals
     of the pair table (n_w1 = Σ n_pair over w1, etc.), so the finisher
     never needs the raw corpus — shared verbatim by the batch query and
-    the streaming twin's read side. Marginals are tiny (vocab-bounded)
-    and broadcast; the final cut is TakeOrdered."""
+    the streaming twin's read side. The unigram marginals join back on
+    their word keys as plain shuffle equi-joins, NOT broadcasts:
+    vocabulary is unbounded at 100 TB and the repo's broadcast discipline
+    admits only Catalyst-provable row bounds (ADVICE r13) — the only
+    broadcast left is the provable 1-row total. The final cut is
+    TakeOrdered."""
     total = pair.agg(F.sum("n_pair").alias("n_total"))
     u1 = pair.groupBy("w1").agg(F.sum("n_pair").alias("n_w1"))
     u2 = pair.groupBy("w2").agg(F.sum("n_pair").alias("n_w2"))
     return (
         pair.filter(F.col("n_pair") >= PMI_MIN_PAIR)
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        .join(u1, "w1")
+        .join(u2, "w2")
         .crossJoin(F.broadcast(total.limit(1)))
         .select(
             "w1",

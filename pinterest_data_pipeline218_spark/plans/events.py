@@ -2227,10 +2227,13 @@ def ev_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _changepoint_sql() -> str:
     """Staged DuckDB oracle (validated by
     test_changepoint_oracle_agrees_cross_engine; registers r14): same
-    cumulative-window closed form. `//` floors while Spark's div
-    truncates — all divided quantities here (tot, target product) are
-    non-negative on this data contract, where the two coincide; the
-    windows are type-partitioned in both engines."""
+    cumulative-window closed form. Division semantics agree on EVERY
+    sign: Spark's `div` truncates toward zero, and DuckDB's `//` on the
+    integer operands used here (nd is BIGINT, tot is an integer SUM →
+    HUGEINT) also truncates — `//` floors only after a DOUBLE promotion,
+    which this query never performs. Pinned on a planted net-negative
+    corpus by test_cusum_negative_values_agree_cross_engine (ADVICE r13);
+    the windows are type-partitioned in both engines."""
     return f"""
 WITH daily AS (
   SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,

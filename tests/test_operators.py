@@ -1424,8 +1424,15 @@ def test_containment_hash_and_string_branches_agree(spark, monkeypatch):
     base = D._cont_shingle_strings(docs, "doc_id")
     D._INJECTIVE_CACHE.clear()
     assert D._cont_hash_injective(base)  # computes and caches
-    key = (spark.sparkContext.applicationId, base.semanticHash())
+    key = (spark.sparkContext.applicationId, D._plan_identity(base))
     assert D._INJECTIVE_CACHE[key] is True  # memoized under the plan key
+    # the identity is collision-resistant (md5 of the analyzed plan, not
+    # the 32-bit semanticHash — ADVICE r13 medium) and plan-sensitive:
+    other = D._cont_shingle_strings(docs.limit(3), "doc_id")
+    assert D._plan_identity(other) != D._plan_identity(base)
+    assert D._plan_identity(base) == D._plan_identity(
+        D._cont_shingle_strings(docs, "doc_id")
+    )
 
     def rows_of(df):
         return {

@@ -2352,6 +2352,59 @@ def test_changepoint_oracle_agrees_cross_engine(spark):
     assert len(got) > 0
 
 
+def test_cusum_negative_values_agree_cross_engine(spark, tmp_path):
+    """ADVICE r13: on a corpus with NET-NEGATIVE days (refund-heavy
+    types), target and h go negative and the division semantics of the
+    two engines must still coincide. They do — Spark's `div` truncates
+    and DuckDB's integer `//` (BIGINT/HUGEINT operands, as in the
+    oracle's SUM) also truncates toward zero; `//` floors only after a
+    DOUBLE promotion, which the oracle never performs. This pins that
+    fact end-to-end on a planted negative corpus instead of relying on a
+    non-negativity data contract."""
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.plans.events import (
+        _changepoint_sql,
+        ev_changepoint_cusum,
+    )
+
+    rows = []
+    eid = 0
+    # type 'refund': all-negative values with a sustained downward step;
+    # type 'mixed': sign-alternating with a net-negative target
+    for d in range(12):
+        v = -5.00 if d < 6 else -13.00
+        rows.append(("refund", 7, f"2024-03-{d + 1:02d} 09:00:00", "{}", v, eid))
+        eid += 1
+    for d in range(12):
+        v = 3.00 if d % 2 == 0 else -8.00
+        rows.append(("mixed", 8, f"2024-03-{d + 1:02d} 10:00:00", "{}", v, eid))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_type string, user_id long, ts string, props string, "
+        "value double, event_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.sql(_changepoint_sql()).fetchall()]
+    got = [
+        (r.event_type, r.day, r.v_cents, r.s_up, r.s_dn, r.direction)
+        for r in ev_changepoint_cusum(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        (t, d, int(v), int(u), int(n), dr) for t, d, v, u, n, dr in want
+    ]
+    # the planted negative corpus actually exercises the negative-target
+    # branch and flags days (an empty agreement would prove nothing)
+    assert len(got) > 0
+
+
 def test_srm_oracle_agrees_cross_engine(spark):
     """ev_srm_check (staged r13, gates r14): cross-engine oracle
     agreement on the real events table; the deterministic hash splits

@@ -320,18 +320,25 @@ def test_webp_roundtrip_property(w, h, rng, mode):
 
 @settings(max_examples=15, deadline=None)
 @given(
-    st.lists(st.integers(0, 400), min_size=3, max_size=25),
+    st.lists(st.integers(-400, 400), min_size=3, max_size=25),
 )
 def test_cusum_closed_form_equals_recursion_property(spark, daily_cents):
-    """Property (staged r13): on ANY daily series, cusum_flag's
-    cumulative-window closed form equals the textbook max(0, S+dev)
-    recursion — flagged-day set, statistics, and directions."""
+    """Property (staged r13, range extended to NEGATIVE values r14 per
+    ADVICE r13): on ANY daily series — including net-negative days, where
+    target and h go negative — cusum_flag's cumulative-window closed form
+    equals the textbook max(0, S+dev) recursion with TRUNCATING division
+    (Spark's `div`; DuckDB's integer `//` truncates identically, see
+    test_cusum_negative_values_agree_cross_engine) — flagged-day set,
+    statistics, and directions."""
     import datetime
 
     from pinterest_data_pipeline218_spark.plans.events import (
         CUSUM_H_PCT,
         cusum_flag,
     )
+
+    def tdiv(a: int, b: int) -> int:  # truncating division, b > 0
+        return a // b if a >= 0 else -((-a) // b)
 
     base = datetime.date(2024, 5, 1)
     rows = [
@@ -347,8 +354,8 @@ def test_cusum_closed_form_equals_recursion_property(spark, daily_cents):
     }
 
     n = len(daily_cents)
-    target = sum(daily_cents) // n
-    h = (CUSUM_H_PCT * target) // 100
+    target = tdiv(sum(daily_cents), n)
+    h = tdiv(CUSUM_H_PCT * target, 100)
     s_up, s_dn, want = 0, 0, {}
     for d, x in enumerate(daily_cents):
         s_up = max(0, s_up + (x - target))

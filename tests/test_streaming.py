@@ -3758,36 +3758,45 @@ def test_incremental_pmi_equals_batch(spark, tmp_path):
     assert empty.collect() == []
 
 
-def test_ivf_assign_respects_cell_cap(spark):
-    """Review r13: ivf_assign_cells broadcasts the quantizer under the
-    IVF_CELL_CAP ordered limit, and the oracle shares the contract —
-    with more cells than the cap, assignment happens among the
-    lowest-label cells ONLY (deterministic truncation, never an
-    arbitrary subset)."""
-    import pyspark.sql.functions as F
+def test_ivf_assign_raises_over_cell_cap_and_memoizes(spark):
+    """ADVICE r13: the IVF_CELL_CAP ordered limit is a PROVABLE BOUND,
+    not a sampling policy — a quantizer that actually exceeds the cap
+    must raise at planning time (silently assigning among the
+    lowest-label cells while base-side fits keep every cell would leave
+    over-cap cells reporting n_new=0 forever, and both engines would
+    agree so the oracle gate could not catch it). At or below the cap
+    the attestation is a one-bounded-count no-op, memoized per
+    (session, quantizer plan) like the injectivity attestation."""
+    import pytest as _pytest
 
-    from pinterest_data_pipeline218_spark.operators.similarity import (
-        IVF_CELL_CAP,
-        ivf_assign_cells,
-    )
+    from pinterest_data_pipeline218_spark.operators import similarity as S
 
-    n_cells = IVF_CELL_CAP + 8
-    # centroid of cell i points along axis i%4 with magnitude i+1
-    cents = spark.createDataFrame(
-        [
-            (i, [float(i + 1) if d == i % 4 else 0.0 for d in range(4)])
-            for i in range(n_cells)
-        ],
-        "label int, c array<double>",
-    )
-    # a vector aligned with the LAST (dropped) cell's axis: must assign
-    # to the best SURVIVING cell of that axis, not the dropped one
+    def mk_cents(n_cells):
+        return spark.createDataFrame(
+            [
+                (i, [float(i + 1) if d == i % 4 else 0.0 for d in range(4)])
+                for i in range(n_cells)
+            ],
+            "label int, c array<double>",
+        )
+
     new = spark.createDataFrame(
         [(1, [0.0, 0.0, 0.0, 1.0])], "vec_id long, v array<double>"
     )
-    got = ivf_assign_cells(new, cents).collect()
-    assert len(got) == 1
-    assert got[0].cell < IVF_CELL_CAP
-    # cosine ties across same-axis cells (scale-invariant) break to the
-    # LOWEST cell id — axis 3's first cell is label 3
-    assert got[0].cell == 3
+
+    S._CELL_CAP_CACHE.clear()
+    with _pytest.raises(ValueError, match="IVF_CELL_CAP"):
+        S.ivf_assign_cells(new, mk_cents(S.IVF_CELL_CAP + 8))
+    # the over-cap verdict is memoized as cap+1 (the bounded count never
+    # scans past the limit)
+    assert max(S._CELL_CAP_CACHE.values()) == S.IVF_CELL_CAP + 1
+
+    # at the cap exactly: assignment proceeds, ties break to the lowest
+    # cell id of the query's axis (axis 3 -> label 3), and rebuilding the
+    # same quantizer plan hits the memo instead of re-counting
+    S._CELL_CAP_CACHE.clear()
+    got = S.ivf_assign_cells(new, mk_cents(S.IVF_CELL_CAP)).collect()
+    assert len(got) == 1 and got[0].cell == 3
+    assert len(S._CELL_CAP_CACHE) == 1
+    S.ivf_assign_cells(new, mk_cents(S.IVF_CELL_CAP))
+    assert len(S._CELL_CAP_CACHE) == 1  # same canonicalized plan -> hit
