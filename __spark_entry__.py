@@ -75,74 +75,78 @@ _MODULES = (
 # The driver's correctness gate checks the FIRST 50 registry entries. Window
 # selection is mechanical (r12 contract): `python tools/ledger.py` joins the
 # registry against every CORRECTNESS_r*.json and prints each query's latest
-# driver round; the window below is (a) the staleness queue oldest-first —
-# ledger @ r13 start: 24 rows last gated r08 (ALL windowed, including the
-# five SURVEY §2.11 declared queries VERDICT r12 #2 named) and 24 rows last
-# gated r09, of which 18 fit; the 6 deferred r09 rows (corpus_merge_increment,
-# dedup_cluster_best, dedup_cluster_cc_bounded, ev_twa_daily, mm_fake_features,
-# text_langid_trained) are the r14 carry, still inside the 4-round rotation
-# contract now ENFORCED by test_ledger_no_row_older_than_rotation_contract —
-# plus (b) every query whose plan or oracle MATERIALLY CHANGED since its last
-# driver row (changes must re-gate), plus (c) queries NEW this round.
+# driver round; the window below is (c) queries NEW this round (the eight
+# r13-staged operators, registered r14), plus (b) every query whose plan or
+# oracle MATERIALLY CHANGED since its last driver row (changes must re-gate:
+# dedup_ngram_jaccard took the injectivity-attested hash-path lever,
+# graph_label_propagation gained the convergence-certified early stop), plus
+# (a) the staleness queue oldest-first — ledger @ r14 start: the 6 rows last
+# gated r09 (the r13 carry, VERDICT r13 #1 names them) and 34 of the 45 r10
+# rows; the 11 deferred r10 rows (text_fingerprint, text_token_stats, the
+# tpch_q12/14/15/18/3/4/5/6 block, window_showcase) are the r15 carry, inside
+# the size-derived rotation contract enforced by
+# test_ledger_no_row_older_than_rotation_contract (ROTATION_N = ceil(N/50)+1:
+# a 200-query registry cannot round-trip a 50-slot window in 4 rounds once
+# new/changed rows preempt slots — the contract scales with the registry).
 # Everything not in the window keeps full coverage via pytest and
 # tools/selfcheck.py, which run the COMPLETE registry; window rotation trades
 # driver-row freshness, never test coverage. Per-round tail rationale lives
 # in git history (see `git log __spark_entry__.py`).
 _WINDOW = (
-    # (c) new this round:
-    "hybrid_rrf_search",  # r13 NEW: BM25 + cosine Reciprocal Rank Fusion
-    "ev_attribution_multitouch",  # r13 NEW: multi-touch conversion attribution
-    "graph_label_propagation",  # r13 NEW: community detection over trade graph
-    "dq_profile_drift",  # r13 NEW: two-cohort column-profile drift
-    "corpus_span_corruption",  # r13 NEW: T5-style span-corruption planning
-    "sim_ivf_increment",  # r13 NEW: frozen-quantizer assignment + staleness
+    # (c) new this round — the eight r13-staged operators:
+    "graph_k_core",  # r14 NEW: synchronous k-core peel (cascading removals)
+    "ev_changepoint_cusum",  # r14 NEW: Page's CUSUM via cumulative closed form
+    "corpus_curriculum_order",  # r14 NEW: easy-first tiered training order
+    "text_rake_keywords",  # r14 NEW: RAKE keyphrases (islands + word stats)
+    "text_pmi_collocations",  # r14 NEW: log-free integer-ratio PMI ranking
+    "sim_mips_topk",  # r14 NEW: exact max-inner-product top-k
+    "dq_k_anonymity",  # r14 NEW: quasi-identifier groups under the k floor
+    "ev_srm_check",  # r14 NEW: division-free sample-ratio-mismatch guardrail
     # (b) changed since their last driver row — must re-gate:
-    "dedup_containment",  # r13: injectivity-attested hash-path verify
-    "dedup_containment_seeds",  # same rewire (VERDICT r12 #3)
-    # (a) the staleness queue, oldest-first — all 24 r08 rows:
-    "corpus_bm25_search",
-    "corpus_zorder_keys",
-    "dedup_cluster_cc_capped",
-    "ev_asof_click_before_purchase",
-    "ev_cm_top_users",
-    "ev_division_all_types",
-    "ev_extremes_by_type",
-    "ev_journey_pattern",
-    "ev_locf_fill",
-    "ev_session_window_native",
-    "ev_user_value_drift",
-    "graph_reachability_nations",
-    "graph_triangle_nations",
-    "set_bag_ops",
-    "t5_priority_counts_by_year",
-    "t6p1_top_customer_per_nation",
-    "t6p2_top_nation_by_top_customer",
-    "t8_compat_window_median",
-    "t9_active_customers_by_year",
-    "tpch_lateral_topk",
-    "tpch_q16_supplier_count",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_concentrated_suppliers",
-    "user_oldest_nulls_last",
-    # (a) 18 of the 24 r09 rows (the declared pin/geo pipelines first):
-    "pin_clean_pipeline",
-    "geo_clean_pipeline",
-    "corpus_build_full",
-    "corpus_leakage_safe_split",
-    "corpus_pack_sequences",
-    "dq_orders_constraints",
-    "ev_session_copresence_lift",
-    "geo_nearby_pairs",
-    "ml_semantic_keepers",
-    "mm_image_phash",
-    "sim_radius_search",
-    "text_classifier_eval",
-    "text_entity_ids",
-    "text_fuzzy_pairs",
-    "text_langid",
-    "text_lm_backoff",
-    "text_word_frequencies",
-    "tpch_bloom_prefilter",
+    "dedup_ngram_jaccard",  # r14: attested hash-path PPJoin (the r13 lever)
+    "graph_label_propagation",  # r14: convergence-certified early stop
+    # (a) the staleness queue, oldest-first — all 6 r09 rows:
+    "corpus_merge_increment",
+    "dedup_cluster_best",
+    "dedup_cluster_cc_bounded",
+    "ev_twa_daily",
+    "mm_fake_features",
+    "text_langid_trained",
+    # (a) 34 of the 45 r10 rows:
+    "corpus_chunk_tokens",
+    "corpus_hilbert_keys",
+    "corpus_reservoir_sample",
+    "corpus_sliding_chunks",
+    "dedup_cluster_cc",
+    "dedup_embedding_neardup",
+    "dedup_incremental_lsh",
+    "dq_benford_totalprice",
+    "dq_documents_profile",
+    "ev_abtest_chi2",
+    "ev_counts_hourly",
+    "ev_cusum_excursion",
+    "ev_errors_near_purchase",
+    "ev_ewma_last8",
+    "ev_groupingsets_type_hour",
+    "ev_hist_value_quantiles",
+    "ev_json_schema_stats",
+    "ev_quantiles_disc",
+    "ev_rolling_7d_users",
+    "ev_salted_distinct_users",
+    "ev_salted_stats",
+    "ev_scd2_band_history",
+    "ev_seasonal_dow",
+    "ev_sessions_per_user",
+    "geo_nearby_newbatch",
+    "graph_cheapest_route",
+    "graph_jaccard_neighbors",
+    "mm_frame_sample",
+    "set_customer_overlap",
+    "sim_ivf_topk",
+    "t10_median_order_total_by_year",
+    "t7_top_priority_per_band",
+    "t8_median_balance_by_band",
+    "text_blocklist_gate",
 )
 
 

@@ -6,6 +6,15 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 Timing protocol (BASELINE.md §2): warm session, median of 3 runs per query.
 Execution is forced with the noop sink (full plan runs, nothing collects to
 the driver — measures the engine, not Py4J transfer).
+
+Pinning policy (r14, VERDICT r13 #3): when several code-identical
+final-HEAD runs exist, the COMMITTED BENCH.json is the run with the
+MEDIAN total — never the quietest. Post-hoc selecting the minimum
+systematically biases the table low and inflates future 2×-gate
+headroom, even when the noise explanation for the slower runs is sound;
+host-noise narratives belong in BASELINE.md prose, not in run selection.
+With an odd number of runs, commit the median-total run verbatim; with
+two, commit the slower (conservative) one.
 """
 
 from __future__ import annotations
@@ -232,6 +241,15 @@ HEADLINE = [
     "dq_events_drift",
     "ev_value_ntiles",
     "ev_hll_daily_rollup",
+    # NEW r14 (the eight r13-staged operators, gated r14)
+    "graph_k_core",
+    "ev_changepoint_cusum",
+    "corpus_curriculum_order",
+    "text_rake_keywords",
+    "text_pmi_collocations",
+    "sim_mips_topk",
+    "dq_k_anonymity",
+    "ev_srm_check",
 ]
 
 

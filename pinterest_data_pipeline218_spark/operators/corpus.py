@@ -1848,6 +1848,7 @@ QUERIES = {
     "corpus_source_cap": corpus_source_cap,
     "corpus_filter_cascade": corpus_filter_cascade,
     "corpus_span_corruption": corpus_span_corruption,
+    "corpus_curriculum_order": corpus_curriculum_order,
 }
 
 ORACLE = {
@@ -1873,4 +1874,5 @@ ORACLE = {
         quality=_quality_sql()
     ),
     "corpus_span_corruption": _span_corruption_sql(),
+    "corpus_curriculum_order": _curriculum_sql(),
 }

@@ -590,6 +590,7 @@ QUERIES = {
     "dq_documents_profile": dq_documents_profile,
     "dq_events_drift": dq_events_drift,
     "dq_profile_drift": dq_profile_drift,
+    "dq_k_anonymity": dq_k_anonymity,
 }
 ORACLE = {
     "dq_orders_constraints": DQ_ORDERS_SQL,
@@ -597,4 +598,5 @@ ORACLE = {
     "dq_documents_profile": DQ_PROFILE_SQL,
     "dq_events_drift": DQ_DRIFT_SQL,
     "dq_profile_drift": _profile_drift_sql(),
+    "dq_k_anonymity": _k_anonymity_sql(),
 }

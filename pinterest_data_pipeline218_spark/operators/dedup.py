@@ -1167,16 +1167,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both value-identical), so rare-first is the documented swap for a
     corpus with heavy shared boilerplate, not the default.
 
-    No hash anywhere (ADVICE r10): the postings join and the ordering
-    use the shingle STRING, so the result is unconditionally exact — no
-    2^-60 collision caveat, valid at any corpus size. Available lever
-    (r13, deliberately NOT taken because this query sits outside the
-    r13 rotation window and a plan change must re-gate): the containment
-    family's `_cont_hash_injective` attestation applies verbatim here —
-    under the corpus-level proof, postings/verify could run on 8-byte
-    hashes (prefix recall is order-independent, so even a hash-sorted
-    prefix stays exact) for an expected ~2x on the pair stages, with the
-    string path as the attested fallback.
+    Attested hash path (the r13-documented lever, taken r14 inside the
+    rotation window): `_cont_hash_injective` — the containment family's
+    corpus-level proof that the 60-bit shingle hash is collision-free on
+    THIS corpus (same 3-gram universe: CONTAINMENT_N = 3, so the memo is
+    shared) — lets the postings and the verify run on 8-byte longs
+    instead of variable-length strings, the exact move that took
+    containment_seeds 8.99→6.88 s. The prefix-filter lemma needs only A
+    consistent total order of the shingle universe, not a specific one,
+    so the hash-sorted prefix keeps full recall; under the proof every
+    hash-array intersection EQUALS the string-set intersection, so the
+    admitted pairs and their jaccard values are bit-identical to the
+    string path (pytest-pinned both branches). On an attestation failure
+    the string path runs unchanged — exactness is unconditional on every
+    branch, with no 2^-60 caveat anywhere (ADVICE r10 stays closed).
 
     Scale: the thresholded contract is the operator a 100 TB pipeline
     actually runs (the unthresholded listing is quadratic OUTPUT by
@@ -1186,17 +1190,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise serialize it; a multi-file cluster scan parallelizes
     naturally and AQE never coalesces an explicit repartition)."""
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    # identical projection+repartition+shingle plan to containment_pairs,
+    # so the two queries SHARE one memoized attestation per session
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .repartition(par)
+    )
+    base = _cont_shingle_strings(docs, "doc_id", "source")
+    if _cont_hash_injective(base):
+        # proof holds: sort the 60-bit hashes and run the whole PPJoin
+        # (prefix postings, length filter, exact verify) over longs —
+        # value-identical to the string path by the injectivity proof
+        arr = F.array_sort(F.transform("shs", lambda g: T.token_hash(g)))
+    else:
+        arr = F.array_sort("shs")
     sh = (
-        docs.select(
-            "doc_id",
-            "source",
-            F.array_sort(
-                F.array_distinct(
-                    T.word_shingles(T.tokens(F.col("text")), 3)
-                )
-            ).alias("sh"),
-        )
+        base.select("doc_id", "source", arr.alias("sh"))
         .withColumn("n", F.size("sh"))
         .filter(F.col("n") > 0)
     )

@@ -166,7 +166,12 @@ ORDER BY pr DESC, node LIMIT 50
 LP_ROUNDS = 3  # synchronous label-propagation rounds (unrolled, like PageRank)
 
 
-def label_propagation(edges: DataFrame, rounds: int = LP_ROUNDS) -> DataFrame:
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = LP_ROUNDS,
+    early_stop: bool = True,
+    stats: dict | None = None,
+) -> DataFrame:
     """(node, community): DETERMINISTIC synchronous label propagation —
     the classic community-detection heuristic (Raghavan et al. 2007,
     public) with its one nondeterminism removed: label_0(v) = v's own id,
@@ -185,7 +190,20 @@ def label_propagation(edges: DataFrame, rounds: int = LP_ROUNDS) -> DataFrame:
     the edge re-shuffle — but at cluster scale the aligned persist is
     what lets the big-side exchange be reused. Each round is one join +
     two partial-aggregable groupBys keyed on node ids; localCheckpoint
-    breaks per-round lineage."""
+    breaks per-round lineage.
+
+    Convergence-certified early stop (r14, VERDICT r13 #6): unlike
+    PageRank, the LPA fixed point can be REACHED and certified —
+    synchronous updates are a pure function of the previous labels, so
+    labels_{t+1} == labels_t proves every later round is the identity
+    and the remaining rounds may be skipped with the FIXED-ROUND output
+    unchanged (the unrolled-CTE oracle stays valid as-is). The check is
+    one limit(1) count between two checkpointed label sets — the
+    bounded-planning idiom, same as the injectivity attestation — and is
+    skipped on the LAST round, where no compute remains to save; on a
+    non-converging dev graph the cost is rounds−1 tiny probe joins, on a
+    converged one it drops whole rounds. `stats`, when given, receives
+    rounds_run/converged for the pytest pin."""
     from pyspark import StorageLevel
 
     e = edges.select("src", "dst").distinct()
@@ -194,12 +212,16 @@ def label_propagation(edges: DataFrame, rounds: int = LP_ROUNDS) -> DataFrame:
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
-    for _ in range(rounds):
+    if stats is not None:
+        stats["rounds_run"] = 0
+        stats["converged"] = False
+    for t in range(rounds):
         contrib = e.join(
             labels.select(F.col("node").alias("dst"), F.col("lbl").alias("nlbl")),
             "dst",
         )
         counts = contrib.groupBy("src", "nlbl").agg(F.count(F.lit(1)).alias("cnt"))
+        prev = labels
         labels = (
             counts.groupBy("src")
             .agg(
@@ -210,6 +232,21 @@ def label_propagation(edges: DataFrame, rounds: int = LP_ROUNDS) -> DataFrame:
             .select(F.col("src").alias("node"), F.col("s.l").alias("lbl"))
             .localCheckpoint()  # lineage break per round (the CC idiom)
         )
+        if stats is not None:
+            stats["rounds_run"] = t + 1
+        if early_stop and t + 1 < rounds:
+            moved = (
+                labels.join(
+                    prev.select("node", F.col("lbl").alias("prev_lbl")), "node"
+                )
+                .filter(F.col("lbl") != F.col("prev_lbl"))
+                .limit(1)
+                .collect()  # bounded planning state: 0 or 1 rows
+            )
+            if not moved:
+                if stats is not None:
+                    stats["converged"] = True
+                break
     # NOT unpersisted — plan-keyed CacheManager reuse across executions
     # (see pagerank(); label-propagation measured 6.7 s vs 5.0 s at
     # sf0.1 when the edge cache was dropped)
@@ -721,6 +758,7 @@ QUERIES = {
     "graph_jaccard_neighbors": graph_jaccard_neighbors,
     "graph_cheapest_route": graph_cheapest_route,
     "graph_label_propagation": graph_label_propagation,
+    "graph_k_core": graph_k_core,
 }
 
 ORACLE = {
@@ -730,4 +768,5 @@ ORACLE = {
     "graph_jaccard_neighbors": GRAPH_JACCARD_SQL,
     "graph_cheapest_route": GRAPH_ROUTE_SQL,
     "graph_label_propagation": _label_propagation_sql(),
+    "graph_k_core": _k_core_sql(),
 }

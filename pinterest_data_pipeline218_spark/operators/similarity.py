@@ -1768,6 +1768,7 @@ QUERIES = {
     "sim_ivfpq_wide_topk": sim_ivfpq_wide_topk,
     "sim_knn_classify": sim_knn_classify,
     "sim_ivf_increment": sim_ivf_increment,
+    "sim_mips_topk": sim_mips_topk,
 }
 
 ORACLE = {
@@ -1785,4 +1786,5 @@ ORACLE = {
     "sim_ivfpq_wide_topk": _ivfpq_residual_sql(pq_k=PQ_K_WIDE),
     "sim_knn_classify": SIM_KNN_SQL,
     "sim_ivf_increment": _ivf_increment_sql(),
+    "sim_mips_topk": SIM_MIPS_SQL,
 }

@@ -2129,6 +2129,8 @@ QUERIES = {
     "text_quality_classifier": text_quality_classifier,
     "text_classifier_eval": text_classifier_eval,
     "text_blocklist_gate": text_blocklist_gate,
+    "text_rake_keywords": text_rake_keywords,
+    "text_pmi_collocations": text_pmi_collocations,
 }
 
 ORACLE = {
@@ -2152,4 +2154,6 @@ ORACLE = {
     "text_quality_classifier": TEXT_QUALITY_CLASSIFIER_SQL,
     "text_classifier_eval": TEXT_CLASSIFIER_EVAL_SQL,
     "text_blocklist_gate": _blocklist_sql(),
+    "text_rake_keywords": _rake_sql(),
+    "text_pmi_collocations": _pmi_sql(),
 }

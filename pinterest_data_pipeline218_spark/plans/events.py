@@ -2306,6 +2306,7 @@ QUERIES = {
     "ev_division_all_types": ev_division_all_types,
     "ev_locf_fill": ev_locf_fill,
     "ev_session_window_native": ev_session_window_native,
+    "ev_changepoint_cusum": ev_changepoint_cusum,
 }
 
 ORACLE = {
@@ -2347,4 +2348,5 @@ ORACLE = {
     "ev_division_all_types": EV_DIVISION_SQL,
     "ev_locf_fill": EV_LOCF_SQL,
     "ev_session_window_native": EV_SESSION_NATIVE_SQL,
+    "ev_changepoint_cusum": _changepoint_sql(),
 }

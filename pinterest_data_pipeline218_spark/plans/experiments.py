@@ -351,9 +351,11 @@ FROM (
 QUERIES = {
     "ev_abtest_chi2": ev_abtest_chi2,
     "ev_cusum_excursion": ev_cusum_excursion,
+    "ev_srm_check": ev_srm_check,
 }
 
 ORACLE = {
     "ev_abtest_chi2": EV_ABTEST_SQL,
     "ev_cusum_excursion": EV_CUSUM_SQL,
+    "ev_srm_check": _srm_sql(),
 }

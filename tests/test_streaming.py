@@ -985,6 +985,101 @@ def test_observed_etl_metrics_batch_and_stream(spark, tmp_path):
     assert sum(m["n_error_rows"] for m in seen) == subset_want[1]
 
 
+def test_observed_srm_metrics_batch_and_stream(spark, tmp_path):
+    """with_srm_metrics (r14, VERDICT r13 #7): the SRM guardrail as an
+    in-flight observe() metric. (a) Batch, real events: arm counts equal
+    an independent aggregate and the exact chi-square flags stay False
+    (the hash split is balanced by construction). (b) A planted one-arm
+    logging outage (every ab_50_50 treatment row dropped) must flag that
+    design and ONLY that design. (c) On a stream the same metrics
+    surface per micro-batch, and the outage batch flags in-flight."""
+    import json
+
+    from pyspark.sql import Observation
+
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.functions import text as T
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        with_srm_metrics,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    arm2 = F.pmod(T.token_hash(F.col("user_id").cast("string"), seed=2), F.lit(2))
+
+    obs = Observation("srm_batch")
+    with_srm_metrics(ev, obs).write.mode("overwrite").format("noop").save()
+    got = obs.get
+    want = ev.filter(F.col("user_id").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(arm2 < 1, 1).otherwise(0)).alias("nt2"),
+    ).first()
+    assert got["n_assigned"] == want["n"]
+    assert got["nt_ab_50_50"] == want["nt2"]
+    assert got["srm_flag_ab_50_50"] is False
+    assert got["srm_flag_ramp_10_90"] is False
+
+    # planted outage: the 50/50 treatment arm's rows vanish entirely
+    broken = ev.filter(F.col("user_id").isNull() | (arm2 >= 1))
+    obs2 = Observation("srm_broken")
+    with_srm_metrics(broken, obs2).write.mode("overwrite").format("noop").save()
+    got2 = obs2.get
+    assert got2["nt_ab_50_50"] == 0
+    assert got2["srm_flag_ab_50_50"] is True
+
+    # stream: batch 0 healthy, batch 1 is the outage — the flag must fire
+    # on exactly the outage micro-batch
+    healthy = ev.filter(F.col("user_id").isNotNull()).limit(400).collect()
+    src = tmp_path / "srm_events"
+    src.mkdir()
+
+    def dump(path, rows):
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": r.event_id,
+                            "ts": r.ts.isoformat(),
+                            "user_id": r.user_id,
+                            "event_type": r.event_type,
+                            "value": r.value,
+                            "props": r.props,
+                        }
+                    )
+                    + "\n"
+                )
+
+    def arm_of(uid):  # the 50/50 assignment (token_hash), replayed driver-side
+        import hashlib
+
+        return int(hashlib.md5(f"2:{uid}".encode()).hexdigest()[:15], 16) % 2
+
+    dump(src / "000.jsonl", healthy)
+    dump(src / "001.jsonl", [r for r in healthy if arm_of(r.user_id) >= 1])
+    stream = (
+        spark.readStream.format("json").schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").load(str(src))
+    )
+    q = (
+        with_srm_metrics(stream, "srm_stream")
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "cp_srm"))
+        .start()
+    )
+    q.processAllAvailable()
+    progress = [json.loads(p.json) for p in q.recentProgress]
+    q.stop()
+    seen = [
+        p["observedMetrics"]["srm_stream"]
+        for p in progress
+        if p.get("observedMetrics", {}).get("srm_stream")
+        and p["numInputRows"] > 0
+    ]
+    assert len(seen) == 2
+    flags = sorted(m["srm_flag_ab_50_50"] for m in seen)
+    assert flags == [False, True]  # healthy batch clean, outage flagged
+
+
 def test_decode_quarantine_splits_corrupt_records(spark, tmp_path):
     """Corrupt blobs must land in the quarantine with their raw payload,
     not flatten into all-null rows, and null blobs must dead-letter with

@@ -36,6 +36,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def rotation_n(registry_size: int) -> int:
+    """The rotation contract, derived from registry size (r14): every
+    gated row must be re-gated within this many rounds. The driver gates
+    a FIXED 50-slot window per round, so a registry of N rows needs
+    ceil(N/50) rounds to round-trip even with zero churn; new and
+    changed queries preempt staleness-queue slots every round (8 new + 2
+    changed at r14), so the contract adds one churn round. A hardcoded
+    4 was correct up to ~150 rows and became arithmetically infeasible
+    at 192+ (VERDICT r13 'What's wrong' #1: the r13 window could not
+    absorb 6 new + 2 changed + 24 r08 + 24 r09 rows)."""
+    return -(-registry_size // 50) + 1
+
+
 def _row_green(v: dict) -> bool:
     # Mirrors the driver's per-row verdict: rows + schema must match, and the
     # value hash must match when the driver computed one (hash_match is None
