@@ -584,6 +584,117 @@ ORDER BY n, lang, source, chars_bucket
 """
 
 
+# ------------------------------------------- freshness / lag (staged r14)
+# Pipeline-freshness monitoring (the fourth Deequ-style dimension beside
+# constraints, profile, and drift): per event type, how STALE is the
+# newest record relative to the dataset's frontier, and what does the
+# arrival cadence look like (max + exact-median inter-arrival gap). A
+# type whose staleness grows or whose gap distribution stretches is a
+# stalled upstream producer — the alert that fires before volume drift
+# does. Deterministic by construction: the reference "now" is the
+# dataset's own MAX ts (a 1-row broadcast planning aggregate), never
+# wall-clock; gaps between equal timestamps are 0 regardless of tie
+# order, so the gap multiset needs no tie rule. All arithmetic is
+# integer seconds via timestampdiff/date_diff — dtype-agnostic under the
+# events-ts encoding drift, bitwise across engines.
+
+
+def freshness_report(ev: DataFrame) -> DataFrame:
+    """(event_type, n_events, staleness_s, max_gap_s, p50_gap_s): one
+    type-partitioned window pass for gaps (lag + row_number + count share
+    the partition spec -> one exchange), a grouped rollup, and the 1-row
+    frontier broadcast. p50 is the exact DISCRETE order statistic at
+    ceil-rank (the ev_quantiles_disc rule). 100 TB: one exchange on
+    event_type; skew equals bounded type cardinality."""
+    from pyspark.sql import Window
+
+    base = ev.select("event_type", "ts", "event_id")
+    frontier = base.agg(F.max("ts").alias("t_max")).limit(1)
+    gapped = base.select(
+        "event_type",
+        "ts",
+        F.expr(
+            "timestampdiff(MICROSECOND, lag(ts) OVER "
+            "(PARTITION BY event_type ORDER BY ts, event_id), ts) div 1000000"
+        ).alias("gap_s"),
+    )
+    wg = Window.partitionBy("event_type")
+    ranked = gapped.filter(F.col("gap_s").isNotNull()).select(
+        "event_type",
+        "gap_s",
+        F.row_number().over(wg.orderBy("gap_s")).alias("rn"),
+        F.count(F.lit(1)).over(wg).alias("ng"),
+    )
+    gap_stats = ranked.groupBy("event_type").agg(
+        F.max("gap_s").alias("max_gap_s"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(50 * ng + 99) div 100"), F.col("gap_s"))
+        ).alias("p50_gap_s"),
+    )
+    per_type = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("t_last")
+    )
+    return (
+        per_type.crossJoin(F.broadcast(frontier))
+        .join(gap_stats, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            F.expr(
+                "timestampdiff(MICROSECOND, t_last, t_max) div 1000000"
+            ).alias("staleness_s"),
+            "max_gap_s",
+            "p50_gap_s",
+        )
+        .orderBy("event_type")
+    )
+
+
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r14 (gates r15): per-type freshness/staleness + arrival
+    cadence over the events table."""
+    return freshness_report(load_table(spark, sf_dir, "events"))
+
+
+def _freshness_sql() -> str:
+    """Staged DuckDB oracle (validated by
+    test_freshness_oracle_agrees_cross_engine; registers r15)."""
+    return """
+WITH base AS (SELECT event_type, ts, event_id FROM events),
+frontier AS (SELECT MAX(ts) AS t_max FROM base),
+gapped AS (
+  SELECT event_type,
+         date_diff('microsecond',
+                   LAG(ts) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id), ts) // 1000000 AS gap_s
+  FROM base
+),
+ranked AS (
+  SELECT event_type, gap_s,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap_s) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS ng
+  FROM gapped WHERE gap_s IS NOT NULL
+),
+gap_stats AS (
+  SELECT event_type, MAX(gap_s) AS max_gap_s,
+         MAX(CASE WHEN rn = (50 * ng + 99) // 100 THEN gap_s END) AS p50_gap_s
+  FROM ranked GROUP BY event_type
+),
+per_type AS (
+  SELECT event_type, COUNT(*) AS n_events, MAX(ts) AS t_last
+  FROM base GROUP BY event_type
+)
+SELECT p.event_type AS event_type, p.n_events AS n_events,
+       CAST(date_diff('microsecond', p.t_last, f.t_max) // 1000000
+            AS BIGINT) AS staleness_s,
+       CAST(g.max_gap_s AS BIGINT) AS max_gap_s,
+       CAST(g.p50_gap_s AS BIGINT) AS p50_gap_s
+FROM per_type p CROSS JOIN frontier f
+LEFT JOIN gap_stats g USING (event_type)
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "dq_orders_constraints": dq_orders_constraints,
     "dq_benford_totalprice": dq_benford_totalprice,

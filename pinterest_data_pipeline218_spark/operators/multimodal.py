@@ -233,6 +233,149 @@ ORDER BY doc_id, frame_idx
 """
 
 
+# ------------------------------------------------- scene cuts (staged r14)
+# Shot/scene-boundary detection — the standard video-curation primitive
+# (a training pipeline samples per SCENE, not per fixed stride, so one
+# static shot doesn't flood the batch): per-frame intensity feature,
+# consecutive-frame absolute difference, threshold -> cut, cuts ->
+# scenes by running-sum numbering. The decode stays the deterministic
+# fake frame kernel (mm_frame_sample's contract: payload = fixed-size
+# byte frames; a real decoder swaps byte slicing for codec calls —
+# partitioning, batch shape, and everything downstream of the feature
+# column are production-real), so the DuckDB oracle replays the feature
+# closed-form from the ASCII text. Intensity is an exact BIGINT byte
+# sum — no float anywhere, the bitwise-gate discipline.
+SCENE_FRAME_BYTES = 32
+SCENE_CUT_MIN_DIFF = 120  # |Δ intensity| strictly above -> cut
+
+
+_SCENE_FEAT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("intensity", LongType()),
+    ]
+)
+
+
+def frame_intensities(df: DataFrame, frame_size: int = SCENE_FRAME_BYTES) -> DataFrame:
+    """(doc_id, frame_idx, intensity): per-frame exact byte-sum feature
+    over every frame (stride 1 — boundary detection needs adjacency).
+    Same Arrow mapInPandas 1->N kernel shape as sample_frames."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, idxs, vals = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # NULL payload -> no frames (the oracle's
+                    # range-over-NULL contract, as in sample_frames)
+                n_frames = (len(payload) + frame_size - 1) // frame_size
+                for fi in range(n_frames):
+                    chunk = payload[fi * frame_size : (fi + 1) * frame_size]
+                    doc_ids.append(doc_id)
+                    idxs.append(fi)
+                    vals.append(sum(chunk))
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "frame_idx": idxs, "intensity": vals}
+            )
+
+    return df.mapInPandas(feats, schema=_SCENE_FEAT_SCHEMA)
+
+
+def scene_cuts(feats: DataFrame, min_diff: int = SCENE_CUT_MIN_DIFF) -> DataFrame:
+    """(doc_id, scene_idx, start_frame, n_frames, sum_intensity) from a
+    per-frame feature table: lag-diff per doc, threshold, running-sum
+    scene numbering, per-scene rollup. All windows PARTITION BY doc_id
+    (loader-sized at any corpus scale — never global); the rollup is one
+    map-side-combinable aggregate on (doc_id, scene)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    cut = F.when(
+        F.lag("intensity").over(w).isNull()
+        | (
+            F.abs(F.col("intensity") - F.lag("intensity").over(w))
+            > F.lit(min_diff)
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    scened = feats.withColumn("cut", cut).withColumn(
+        "scene", F.sum("cut").over(wrun) - F.lit(1)
+    )
+    return (
+        scened.groupBy("doc_id", F.col("scene").alias("scene_idx"))
+        .agg(
+            F.min("frame_idx").cast("int").alias("start_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("intensity").alias("sum_intensity"),
+        )
+        .select(
+            "doc_id",
+            F.col("scene_idx").cast("int").alias("scene_idx"),
+            "start_frame",
+            "n_frames",
+            "sum_intensity",
+        )
+        .orderBy("doc_id", "scene_idx")
+    )
+
+
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r14 (gates r15): scene segmentation over the fake video
+    payloads — per-scene (start frame, length, total intensity), the
+    per-scene sampling index a video curation pass reads instead of
+    mm_frame_sample's blind stride."""
+    docs = with_payload(load_table(spark, sf_dir, "documents"))
+    return scene_cuts(frame_intensities(docs.select("doc_id", "payload")))
+
+
+def _scene_cuts_sql() -> str:
+    """Staged DuckDB oracle (validated by
+    test_scene_cuts_oracle_agrees_cross_engine; registers r15): replays
+    the byte-sum feature closed-form from the ASCII text (the
+    mm_fake_features unicode() model), then the same lag/threshold/
+    running-sum arithmetic."""
+    fs = SCENE_FRAME_BYTES
+    return f"""
+WITH f AS (
+  SELECT doc_id, text, strlen(text) AS n,
+         unnest(range(0, CAST(ceil(strlen(text) / {fs}.0) AS BIGINT))) AS fi
+  FROM documents
+),
+i AS (
+  SELECT doc_id, fi,
+         CAST(list_sum(list_transform(
+           range(fi * {fs} + 1, LEAST((fi + 1) * {fs}, n) + 1),
+           __p -> unicode(substr(text, __p, 1)))) AS BIGINT) AS intensity
+  FROM f
+),
+d AS (
+  SELECT *, intensity - LAG(intensity) OVER (
+    PARTITION BY doc_id ORDER BY fi) AS diff
+  FROM i
+),
+c AS (
+  SELECT *, CASE WHEN diff IS NULL OR ABS(diff) > {SCENE_CUT_MIN_DIFF}
+                 THEN 1 ELSE 0 END AS cut
+  FROM d
+),
+s AS (
+  SELECT *, SUM(cut) OVER (PARTITION BY doc_id ORDER BY fi
+                           ROWS UNBOUNDED PRECEDING) - 1 AS scene
+  FROM c
+)
+SELECT doc_id, CAST(scene AS INT) AS scene_idx,
+       CAST(MIN(fi) AS INT) AS start_frame,
+       COUNT(*) AS n_frames,
+       SUM(intensity) AS sum_intensity
+FROM s
+GROUP BY doc_id, scene
+ORDER BY doc_id, scene_idx
+"""
+
+
 # Deterministic image fixtures: an 8x6 RGB image per document whose flat
 # pixel byte i is (doc_id * 31 + i) % 256 — generated Spark-side into REAL
 # container bytes (PPM for most docs, 24-bit BMP for every third), so the

@@ -894,12 +894,11 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_sql() -> str:
-    """DuckDB replay: the same K greedy rounds as nested MATERIALIZED CTEs
-    (materialization keeps the replace-chain from inlining exponentially).
-    regexp_replace needs the explicit 'g' flag where Spark's is global by
-    default; everything else is shared semantics — left-to-right
-    non-overlapping replace(), binary string tie-break."""
+def _bpe_ctes() -> list[str]:
+    """The shared trained-BPE CTE chain (words → vocab → K greedy merge
+    rounds → final segmentation), reused verbatim by the gated
+    text_bpe_tokens oracle and the staged per-language fertility oracle —
+    one tokenizer, two reports."""
     parts = [
         "words AS MATERIALIZED (SELECT doc_id, w FROM "
         "(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) "
@@ -923,17 +922,120 @@ def _bpe_sql() -> str:
             f"replace(seg, (SELECT pair FROM p{r}), "
             f"(SELECT replace(pair, chr(31), '') FROM p{r})) AS seg FROM seg{r})"
         )
+    parts_tail = (
+        f"per_word AS (SELECT w, len(string_split(seg, chr(31))) AS n_units "
+        f"FROM seg{BPE_MERGES})"
+    )
+    return parts + [parts_tail]
+
+
+def _bpe_sql() -> str:
+    """DuckDB replay: the same K greedy rounds as nested MATERIALIZED CTEs
+    (materialization keeps the replace-chain from inlining exponentially).
+    regexp_replace needs the explicit 'g' flag where Spark's is global by
+    default; everything else is shared semantics — left-to-right
+    non-overlapping replace(), binary string tie-break."""
+    parts = _bpe_ctes()
+    per_word = parts.pop()
     return (
         "WITH "
         + ",\n".join(parts)
         + f""",
-per_word AS (SELECT w, len(string_split(seg, chr(31))) AS n_units FROM seg{BPE_MERGES})
+{per_word}
 SELECT doc_id,
        COUNT(*) AS n_words,
        CAST(SUM(n_units) AS BIGINT) AS n_subtokens,
        CAST(SUM(n_units) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS fertility
 FROM words JOIN per_word USING (w)
 GROUP BY doc_id ORDER BY doc_id
+"""
+    )
+
+
+# ------------------------------ tokenizer fertility by language (staged r14)
+# Per-LANGUAGE fertility audit of the trained BPE — the tokenizer-equity
+# number multilingual LLM pipelines report (a language whose fertility is
+# 2x another's pays 2x the context budget per word and trains on half
+# the effective text; see e.g. the XLM-R / NLLB tokenizer analyses —
+# public): one tokenizer (the SAME trained merge table as
+# text_bpe_tokens), rolled up per document language instead of per
+# document. Ratios are raw double quotients of exact BIGINT sums (the
+# bitwise-oracle discipline — never round()).
+
+
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r14 (gates r15): (lang, n_docs, n_words, n_subtokens,
+    n_chars, fertility, chars_per_subtoken) — trained-BPE tokenizer
+    equity per language. Scale shape: training state is the vocab
+    (train_bpe_merges), application is scan-side literal replaces; the
+    per-word unit counts join back on the word key hint-free (AQE
+    decides broadcast vs shuffle from runtime vocab size — the RAKE/PMI
+    discipline), then ONE map-side-combinable rollup on lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "lang", F.explode(T.tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    merges = train_bpe_merges(vocab)
+    per_word = vocab.select(
+        "w",
+        F.size(F.split(apply_bpe_merges(_bpe_seg_init("w"), merges), BPE_SEP)).alias(
+            "n_units"
+        ),
+    )
+    n_docs = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        words.join(per_word, "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_units").alias("n_subtokens"),
+            F.sum(F.length("w")).alias("n_chars"),
+        )
+        .join(n_docs, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_subtokens",
+            "n_chars",
+            (F.col("n_subtokens") / F.col("n_words")).alias("fertility"),
+            (F.col("n_chars") / F.col("n_subtokens")).alias("chars_per_subtoken"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _fertility_sql() -> str:
+    """Staged DuckDB oracle (validated by
+    test_fertility_oracle_agrees_cross_engine; registers r15): the SAME
+    trained-BPE CTE chain as the gated _bpe_sql (shared via _bpe_ctes —
+    one tokenizer, two reports), plus a lang-carrying word stream and the
+    per-lang rollup."""
+    parts = _bpe_ctes()
+    per_word = parts.pop()
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+{per_word},
+wl AS (SELECT lang, w FROM
+  (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w != ''),
+nd AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+roll AS (
+  SELECT lang, COUNT(*) AS n_words,
+         CAST(SUM(n_units) AS BIGINT) AS n_subtokens,
+         CAST(SUM(length(w)) AS BIGINT) AS n_chars
+  FROM wl JOIN per_word USING (w)
+  GROUP BY lang
+)
+SELECT r.lang AS lang, nd.n_docs AS n_docs, r.n_words AS n_words,
+       r.n_subtokens AS n_subtokens, r.n_chars AS n_chars,
+       r.n_subtokens / CAST(r.n_words AS DOUBLE) AS fertility,
+       r.n_chars / CAST(r.n_subtokens AS DOUBLE) AS chars_per_subtoken
+FROM roll r JOIN nd USING (lang)
+ORDER BY lang
 """
     )
 

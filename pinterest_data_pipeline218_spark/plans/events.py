@@ -2261,12 +2261,107 @@ sc AS (
          ({CUSUM_H_PCT} * target) // 100 AS h
   FROM c
 )
-SELECT event_type, day, v_cents, s_up, s_dn,
+SELECT event_type, day, CAST(v_cents AS BIGINT) AS v_cents,
+       CAST(s_up AS BIGINT) AS s_up, CAST(s_dn AS BIGINT) AS s_dn,
        CASE WHEN s_up > h AND s_dn > h THEN 'both'
             WHEN s_up > h THEN 'up' ELSE 'down' END AS direction
 FROM sc
 WHERE s_up > h OR s_dn > h
 ORDER BY event_type, day
+"""
+
+
+# ----------------------------------- seasonal-naive backtest (staged r14)
+# Forecast-quality guardrail over the daily value series: score the
+# SEASONAL-NAIVE forecast v̂(d) = v(d−7) against the actuals, with the
+# one-step naive v̂(d) = v(d−1) as the denominator — the MASE framing
+# (Hyndman & Koehler 2006, public): a monitor (or any model someone
+# wires in) must beat the naive baselines before its alerts mean
+# anything, and the per-type MASE is the number that says whether the
+# series is weekly-seasonal at all (mase << 1) or a random walk
+# (mase ≈ 1). Reads the SAME (event_type, day, v_cents) additive cells
+# as the CUSUM monitor — one state family, two analyses; errors stay
+# exact BIGINT cents, the ratio is a raw double quotient of exact sums.
+SEASONAL_LAG_DAYS = 7
+
+
+def seasonal_backtest(daily: DataFrame) -> DataFrame:
+    """(event_type, n_days_scored, sae_seasonal_cents, sae_naive1_cents,
+    mase) from a (event_type, day, v_cents) daily table. Scored days are
+    those where BOTH the d−7 and d−1 predecessors exist (aligned support
+    — the standard MASE contract), via two equi-joins on the shifted
+    date key; everything is keyed on (event_type, day), map-side
+    combinable, |types| output rows."""
+    d = daily.select(
+        "event_type", F.to_date("day").alias("dte"), "v_cents"
+    )
+    lag7 = d.select(
+        "event_type",
+        F.date_add("dte", SEASONAL_LAG_DAYS).alias("dte"),
+        F.col("v_cents").alias("v_lag7"),
+    )
+    lag1 = d.select(
+        "event_type",
+        F.date_add("dte", 1).alias("dte"),
+        F.col("v_cents").alias("v_lag1"),
+    )
+    return (
+        d.join(lag7, ["event_type", "dte"])
+        .join(lag1, ["event_type", "dte"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days_scored"),
+            F.sum(F.abs(F.col("v_cents") - F.col("v_lag7"))).alias(
+                "sae_seasonal_cents"
+            ),
+            F.sum(F.abs(F.col("v_cents") - F.col("v_lag1"))).alias(
+                "sae_naive1_cents"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_days_scored",
+            "sae_seasonal_cents",
+            "sae_naive1_cents",
+            (
+                F.col("sae_seasonal_cents") / F.col("sae_naive1_cents")
+            ).alias("mase"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def ev_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r14 (gates r15): seasonal-naive vs one-step-naive backtest
+    per event type over the shared daily value cells."""
+    return seasonal_backtest(cusum_daily_agg(load_table(spark, sf_dir, "events")))
+
+
+def _seasonal_backtest_sql() -> str:
+    """Staged DuckDB oracle (validated by
+    test_seasonal_backtest_oracle_agrees_cross_engine; registers r15)."""
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS dte,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v_cents
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.event_type, d.v_cents, l7.v_cents AS v_lag7, l1.v_cents AS v_lag1
+  FROM daily d
+  JOIN daily l7 ON d.event_type = l7.event_type
+               AND d.dte = l7.dte + {SEASONAL_LAG_DAYS}
+  JOIN daily l1 ON d.event_type = l1.event_type AND d.dte = l1.dte + 1
+)
+SELECT event_type,
+       COUNT(*) AS n_days_scored,
+       CAST(SUM(ABS(v_cents - v_lag7)) AS BIGINT) AS sae_seasonal_cents,
+       CAST(SUM(ABS(v_cents - v_lag1)) AS BIGINT) AS sae_naive1_cents,
+       CAST(SUM(ABS(v_cents - v_lag7)) AS BIGINT)
+         / CAST(CAST(SUM(ABS(v_cents - v_lag1)) AS BIGINT) AS DOUBLE) AS mase
+FROM scored
+GROUP BY event_type
+ORDER BY event_type
 """
 
 

@@ -1752,6 +1752,30 @@ def incremental_cusum(spark: SparkSession, state_dir: str) -> DataFrame:
     return cusum_flag(daily)
 
 
+def incremental_seasonal_backtest(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Staged r14 (registers r15 with ev_seasonal_backtest): the
+    seasonal-naive MASE backtest over the SAME accumulated daily cells
+    the CUSUM monitor owns — one state family, two analyses, so nothing
+    can drift between them (the incremental_pmi marginals argument).
+    Late batches only ADD into (type, day) cells; the shifted-date joins
+    re-run over the assembled table, so batch boundaries cannot matter
+    (`test_incremental_seasonal_backtest_equals_batch`)."""
+    from ..plans.events import seasonal_backtest
+
+    if not os.path.isdir(f"{state_dir}/cusum"):
+        return spark.createDataFrame(
+            [],
+            "event_type string, n_days_scored long, sae_seasonal_cents long, "
+            "sae_naive1_cents long, mase double",
+        )
+    daily = (
+        spark.read.parquet(f"{state_dir}/cusum")
+        .groupBy("event_type", "day")
+        .agg(F.sum("v_cents").alias("v_cents"))
+    )
+    return seasonal_backtest(daily)
+
+
 # ------------------------------------------------ streaming k-core (r13)
 
 

@@ -1449,6 +1449,172 @@ def test_containment_hash_and_string_branches_agree(spark, monkeypatch):
     assert fast_block and fast_block == slow_block
 
 
+def test_scene_cuts_matches_model_and_oracle(spark, tmp_path):
+    """mm_scene_cuts (staged r14, gates r15): (a) on a PLANTED corpus of
+    flat byte segments with engineered intensity jumps, scenes must split
+    exactly at the jumps (python replay of the kernel + window
+    arithmetic); (b) on the real dev corpus the DuckDB oracle (byte sums
+    replayed closed-form from the ASCII text) must agree bitwise."""
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.operators.multimodal import (
+        SCENE_CUT_MIN_DIFF,
+        SCENE_FRAME_BYTES,
+        _scene_cuts_sql,
+        mm_scene_cuts,
+    )
+
+    fs = SCENE_FRAME_BYTES
+    # doc 1: three 2-frame shots with big jumps ('a'->'z'->'a');
+    # doc 2: one flat shot (no cuts beyond frame 0); doc 3: shorter than
+    # one frame (single partial-frame scene)
+    texts = {
+        1: "a" * (2 * fs) + "z" * (2 * fs) + "a" * (2 * fs),
+        2: "m" * (3 * fs),
+        3: "q" * 10,
+    }
+    spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    def model(text):
+        frames = [text[i : i + fs] for i in range(0, len(text), fs)]
+        vals = [sum(f.encode()) for f in frames]
+        scenes, prev = [], None
+        for fi, v in enumerate(vals):
+            if prev is None or abs(v - prev) > SCENE_CUT_MIN_DIFF:
+                scenes.append([fi, 0, 0])  # start, n, sum
+            scenes[-1][1] += 1
+            scenes[-1][2] += v
+            prev = v
+        return [
+            (si, st, n, sv) for si, (st, n, sv) in enumerate(scenes)
+        ]
+
+    got = [
+        (r.doc_id, r.scene_idx, r.start_frame, r.n_frames, r.sum_intensity)
+        for r in mm_scene_cuts(spark, str(tmp_path)).collect()
+    ]
+    want = [
+        (d, si, st, n, sv)
+        for d in sorted(texts)
+        for (si, st, n, sv) in model(texts[d])
+    ]
+    assert got == want
+    assert [r for r in got if r[0] == 1 and r[1] == 2]  # doc 1 has 3 scenes
+    assert len([r for r in got if r[0] == 2]) == 1  # flat doc: one scene
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    want_real = [
+        (d, int(s), int(st), int(nf), int(si))
+        for d, s, st, nf, si in con.sql(_scene_cuts_sql()).fetchall()
+    ]
+    got_real = [
+        (r.doc_id, r.scene_idx, r.start_frame, r.n_frames, r.sum_intensity)
+        for r in mm_scene_cuts(spark, SF).collect()
+    ]
+    assert got_real == want_real and len(got_real) > 0
+    # the threshold is calibrated: the dev corpus has multi-scene docs
+    assert len(got_real) > len({d for d, *_ in got_real})
+
+
+def test_freshness_matches_model_and_oracle(spark, tmp_path):
+    """dq_freshness_lag (staged r14, gates r15): (a) hand-computable
+    two-type fixture — staleness of the lagging type, exact max/median
+    gaps (ceil-rank discrete median on an even count picks rank n/2);
+    (b) bitwise oracle agreement on the real dev events table."""
+    import datetime
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.operators.dataquality import (
+        _freshness_sql,
+        dq_freshness_lag,
+    )
+
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+
+    def ev(eid, typ, offs_s):
+        return (typ, 1, t0 + datetime.timedelta(seconds=offs_s), "{}", 1.0, eid)
+
+    rows = [
+        # type a: gaps 10, 20, 30, 100 -> median(ceil 0.5*4=2) = 20, max 100
+        ev(0, "a", 0), ev(1, "a", 10), ev(2, "a", 30), ev(3, "a", 60),
+        ev(4, "a", 160),
+        # type b: newest event defines the frontier; gaps 5, 7 -> p50 = 5
+        ev(5, "b", 188), ev(6, "b", 193), ev(7, "b", 200),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_type string, user_id long, ts timestamp, props string, "
+        "value double, event_id long",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = [tuple(r) for r in dq_freshness_lag(spark, str(tmp_path)).collect()]
+    assert got == [
+        ("a", 5, 40, 100, 20),  # staleness 200-160; gaps 10,20,30,100
+        ("b", 3, 0, 7, 5),
+    ]
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = [
+        (t, int(n), int(s), int(m), int(p))
+        for t, n, s, m, p in con.sql(_freshness_sql()).fetchall()
+    ]
+    got_real = [tuple(r) for r in dq_freshness_lag(spark, SF).collect()]
+    assert got_real == want and len(got_real) > 0
+
+
+def test_fertility_oracle_agrees_cross_engine_and_sums_per_doc(spark):
+    """corpus_tokenizer_fertility (staged r14, gates r15): (a) bitwise
+    DuckDB oracle agreement (the SAME trained-BPE CTE chain as the gated
+    text_bpe_tokens oracle, shared via _bpe_ctes); (b) internal
+    consistency — the per-language word/subtoken sums must equal
+    text_bpe_tokens' per-document counts rolled up by the documents
+    table's lang column (one tokenizer, two reports)."""
+    import duckdb
+
+    import pyspark.sql.functions as F
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.operators.text_analysis import (
+        _fertility_sql,
+        corpus_tokenizer_fertility,
+        text_bpe_tokens,
+    )
+
+    got = [tuple(r) for r in corpus_tokenizer_fertility(spark, SF).collect()]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    want = [
+        (l, int(d), int(w), int(s), int(c), float(f), float(cs))
+        for l, d, w, s, c, f, cs in con.sql(_fertility_sql()).fetchall()
+    ]
+    assert got == want and len(got) > 0
+
+    per_doc = text_bpe_tokens(spark, SF)
+    langs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    rolled = {
+        r.lang: (r.n_docs, r.n_words, r.n_subtokens)
+        for r in per_doc.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_subtokens").alias("n_subtokens"),
+        )
+        .collect()
+    }
+    assert {l: (d, w, s) for l, d, w, s, *_ in got} == rolled
+
+
 def test_corpus_shuffle_shards_deterministic_and_contiguous(spark):
     """Training-order shuffle contract: reproducible across runs, positions
     contiguous 1..n within every shard, and within-shard order is hash

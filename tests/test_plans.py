@@ -2413,6 +2413,61 @@ def test_cusum_negative_values_agree_cross_engine(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_seasonal_backtest_matches_model_and_oracle(spark, tmp_path):
+    """ev_seasonal_backtest (staged r14, gates r15): (a) a PLANTED
+    perfectly weekly series must score sae_seasonal = 0 and mase = 0
+    while a planted random-walk-ish type scores mase near 1 (computed
+    exactly by a python replay); (b) bitwise oracle agreement on the
+    real dev events table."""
+    import datetime
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.plans.events import (
+        SEASONAL_LAG_DAYS,
+        _seasonal_backtest_sql,
+        ev_seasonal_backtest,
+    )
+
+    base = datetime.datetime(2024, 4, 1, 9, 0, 0)
+    weekly = [3.0, 7.0, 5.0, 9.0, 2.0, 4.0, 6.0]  # period-7 pattern
+    drift = [1.0, 5.0, 2.0, 9.0, 3.0, 8.0, 4.0, 7.0, 2.0, 6.0,
+             1.0, 9.0, 5.0, 3.0, 8.0, 2.0, 7.0, 4.0, 6.0, 1.0, 5.0]
+    rows, eid = [], 0
+    for d in range(21):
+        rows.append(("weekly", 1, base + datetime.timedelta(days=d), "{}",
+                     weekly[d % 7], eid)); eid += 1
+        rows.append(("drift", 1, base + datetime.timedelta(days=d), "{}",
+                     drift[d], eid)); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_type string, user_id long, ts timestamp, props string, "
+        "value double, event_id long",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    def replay(series):
+        cents = [int(v * 100) for v in series]
+        idx = range(SEASONAL_LAG_DAYS, len(cents))
+        sae7 = sum(abs(cents[d] - cents[d - SEASONAL_LAG_DAYS]) for d in idx)
+        sae1 = sum(abs(cents[d] - cents[d - 1]) for d in idx)
+        return (len(list(idx)), sae7, sae1, sae7 / sae1)
+
+    got = {r.event_type: tuple(r)[1:] for r in
+           ev_seasonal_backtest(spark, str(tmp_path)).collect()}
+    assert got == {"weekly": replay([weekly[d % 7] for d in range(21)]),
+                   "drift": replay(drift)}
+    assert got["weekly"][1] == 0 and got["weekly"][3] == 0.0
+    assert got["drift"][3] > 0.5  # no weekly structure planted
+
+    got_real = [tuple(r) for r in ev_seasonal_backtest(spark, SF).collect()]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = [(t, int(n), int(a), int(b), float(m))
+            for t, n, a, b, m in con.sql(_seasonal_backtest_sql()).fetchall()]
+    assert got_real == want and len(got_real) > 0
+
+
 def test_srm_oracle_agrees_cross_engine(spark):
     """ev_srm_check (staged r13, gates r14): cross-engine oracle
     agreement on the real events table; the deterministic hash splits

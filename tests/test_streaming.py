@@ -3720,6 +3720,61 @@ def test_incremental_cusum_equals_batch(spark, tmp_path):
     assert empty.collect() == []
 
 
+def test_incremental_seasonal_backtest_equals_batch(spark, tmp_path):
+    """incremental_seasonal_backtest (staged r14): the MASE backtest over
+    the SAME daily cells the CUSUM monitor owns must equal the batch
+    seasonal_backtest over the union of batches — including a late batch
+    adding into seen days — plus replay idempotence and the empty-state
+    contract. One state family, two analyses: a green here plus
+    test_incremental_cusum_equals_batch pins that neither reader can
+    drift from the other's state."""
+    import datetime
+
+    from pinterest_data_pipeline218_spark.plans.events import (
+        cusum_daily_agg,
+        seasonal_backtest,
+    )
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        cusum_state_batch,
+        incremental_seasonal_backtest,
+    )
+
+    base = datetime.datetime(2024, 5, 1, 8, 0, 0)
+    vals = [2.0, 6.0, 3.0, 8.0, 1.0, 7.0, 4.0, 9.0, 2.0, 5.0,
+            3.0, 8.0, 6.0, 1.0, 4.0, 7.0, 2.0, 9.0, 5.0, 3.0]
+    rows = []
+    for d, v in enumerate(vals):
+        for j in range(2):  # two events/day so batch 1 is pure lates
+            rows.append(
+                (d * 2 + j, base + datetime.timedelta(days=d), 1, "t", v, "{}")
+            )
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    all_ev = spark.createDataFrame(rows, schema)
+    b0 = spark.createDataFrame(rows[0::2], schema)
+    b1 = spark.createDataFrame(rows[1::2], schema)
+
+    state_dir = str(tmp_path / "state")
+    cusum_state_batch(b0, state_dir, batch_id=0)
+    cusum_state_batch(b1, state_dir, batch_id=1)
+
+    def rows_of(df):
+        return [tuple(r) for r in df.collect()]
+
+    got = rows_of(incremental_seasonal_backtest(spark, state_dir))
+    want = rows_of(seasonal_backtest(cusum_daily_agg(all_ev)))
+    assert got == want and len(got) == 1
+
+    # replay idempotence: re-deliver batch 1 under the same id
+    cusum_state_batch(b1, state_dir, batch_id=1)
+    assert rows_of(incremental_seasonal_backtest(spark, state_dir)) == want
+
+    empty = incremental_seasonal_backtest(spark, str(tmp_path / "never"))
+    assert empty.collect() == []
+
+
 def test_incremental_kcore_equals_batch(spark, tmp_path):
     """Streaming k-core (staged r13): the peel over accumulated per-batch
     edge partitions must equal the batch k_core over the union — and
