@@ -156,6 +156,167 @@ LIMIT {TOP_K}
 """
 
 
+# ----------------------------- MMR diversified top-k (staged r14)
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998, public): the
+# standard diversified-retrieval selector — greedily pick the candidate
+# maximizing λ·rel(q, x) − (1−λ)·max_{s∈selected} sim(x, s), so the
+# result covers the query's neighborhood instead of returning K
+# near-duplicates of the single best hit (exactly the failure mode a
+# training-data selection pass hits on a deduplicated-but-clustered
+# corpus). Integer-exact rendering: similarities as FLOOR ppm (the
+# _cos_ppm discipline), λ = 0.7 as the 700/300 integer split, so
+# mmr_score = 700·rel_ppm − 300·max_sim_ppm stays BIGINT and both
+# engines agree bitwise. The candidate pool is a provable TakeOrdered
+# cut (MMR_POOL rows); the K selection rounds keep their state —
+# selected ids and vectors — as kilobyte planning state (the
+# train_bpe_merges precedent: a 1-row ordered collect per round), and
+# the output is K rows BY CONTRACT. 100 TB shape: the pool cut is the
+# only corpus-sized work (one scan + TakeOrdered); selection cost is
+# K·|pool| scored rows, independent of corpus size.
+MMR_POOL = 30
+MMR_K = 10
+MMR_LAMBDA_MILLI = 700  # λ in milli: mmr = λ·rel − (1000−λ)·maxsim
+
+
+def mmr_select(pool: DataFrame, k: int = MMR_K) -> DataFrame:
+    """(mmr_rank, vec_id, rel_ppm, max_sim_ppm, mmr_score) — greedy MMR
+    over a bounded (vec_id, v, rel_ppm) candidate pool. The pool is
+    localCheckpointed (bounded rows, one upstream scan) so each of the K
+    tiny argmax jobs re-reads 30 rows, not the corpus."""
+    lam, lam_c = MMR_LAMBDA_MILLI, 1000 - MMR_LAMBDA_MILLI
+    spark = pool.sparkSession
+    pool = pool.localCheckpoint()
+    sel_ids: list = []
+    sel_vecs: list = []
+    out = []
+    for t in range(k):
+        cand = pool
+        if sel_ids:
+            cand = cand.filter(~F.col("vec_id").isin(sel_ids))
+            sims = [
+                F.floor(
+                    cosine(F.col("v"), F.array(*[F.lit(x) for x in sv]))
+                    * F.lit(1000000.0)
+                ).cast("long")
+                for sv in sel_vecs
+            ]
+            maxsim = F.greatest(*sims) if len(sims) > 1 else sims[0]
+        else:
+            maxsim = F.lit(0).cast("long")
+        pick = (
+            cand.select(
+                "vec_id",
+                "v",
+                "rel_ppm",
+                maxsim.alias("max_sim_ppm"),
+                (
+                    F.lit(lam) * F.col("rel_ppm") - F.lit(lam_c) * maxsim
+                ).cast("long").alias("mmr_score"),
+            )
+            .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
+            .limit(1)
+            .collect()  # bounded planning state: exactly 1 row per round
+        )
+        if not pick:
+            break
+        r = pick[0]
+        sel_ids.append(r.vec_id)
+        sel_vecs.append(list(r.v))
+        out.append((t, r.vec_id, r.rel_ppm, r.max_sim_ppm, r.mmr_score))
+    return spark.createDataFrame(
+        out,
+        "mmr_rank int, vec_id long, rel_ppm long, max_sim_ppm long, "
+        "mmr_score long",
+    ).orderBy("mmr_rank")
+
+
+def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r14 (gates r15): MMR-diversified top-K over the embeddings
+    table — pool = exact top-MMR_POOL by cosine to the fixed query, then
+    K greedy λ=0.7 selection rounds."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    query = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("v").alias("q"))
+        .limit(1)  # provable 1-row bound
+    )
+    pool = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", "v", _cos_ppm(F.col("v"), F.col("q")).alias("rel_ppm"))
+        .orderBy(F.desc("rel_ppm"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+    )
+    return mmr_select(pool)
+
+
+def _mmr_sql() -> str:
+    """Staged DuckDB oracle (validated by
+    test_mmr_oracle_agrees_cross_engine; registers r15): the same pool
+    cut, then the K greedy rounds as chained CTEs — round t excludes
+    s0..s{t-1} and takes GREATEST of the FLOOR-ppm similarities to each
+    selected row (scalar subqueries; identical left-fold float adds)."""
+    lam, lam_c = MMR_LAMBDA_MILLI, 1000 - MMR_LAMBDA_MILLI
+
+    def ppm(a: str, b: str) -> str:
+        return (
+            f"CAST(FLOOR({cosine_sql_duckdb(a, b)} * 1000000) AS BIGINT)"
+        )
+
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"q AS (SELECT embedding::DOUBLE[] AS q FROM embeddings "
+        f"WHERE vec_id = {QUERY_VEC_ID})",
+        f"pool AS MATERIALIZED (SELECT e.vec_id, e.v, "
+        f"{ppm('e.v', 'q.q')} AS rel_ppm "
+        f"FROM e CROSS JOIN q WHERE e.vec_id != {QUERY_VEC_ID} "
+        f"ORDER BY rel_ppm DESC, vec_id ASC LIMIT {MMR_POOL})",
+        f"s0 AS MATERIALIZED (SELECT vec_id, v, rel_ppm, "
+        f"CAST(0 AS BIGINT) AS max_sim_ppm, "
+        f"CAST({lam} * rel_ppm AS BIGINT) AS mmr_score "
+        f"FROM pool ORDER BY mmr_score DESC, vec_id ASC LIMIT 1)",
+    ]
+    for t in range(1, MMR_K):
+        # DuckDB rejects subqueries inside lambdas, so the 1-row selected
+        # CTEs join into FROM and the similarity lambdas read plain
+        # columns (each join multiplies by exactly one row)
+        sims = ", ".join(ppm("p.v", f"j{j}.sv{j}") for j in range(t))
+        greatest = f"GREATEST({sims})" if t > 1 else sims
+        joins = " ".join(
+            f"CROSS JOIN (SELECT v AS sv{j} FROM s{j}) j{j}" for j in range(t)
+        )
+        seen = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(t)
+        )
+        parts.append(
+            f"s{t} AS MATERIALIZED (SELECT p.vec_id, p.v, p.rel_ppm, "
+            f"{greatest} AS max_sim_ppm, "
+            f"CAST({lam} * p.rel_ppm - {lam_c} * ({greatest}) AS BIGINT) "
+            f"AS mmr_score "
+            f"FROM pool p {joins} WHERE p.vec_id NOT IN ({seen}) "
+            f"ORDER BY mmr_score DESC, p.vec_id ASC LIMIT 1)"
+        )
+    body = "\nUNION ALL\n".join(
+        f"SELECT {t} AS mmr_rank, vec_id, rel_ppm, max_sim_ppm, mmr_score "
+        f"FROM s{t}"
+        for t in range(MMR_K)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(mmr_rank AS INT) AS mmr_rank, vec_id, rel_ppm, max_sim_ppm,
+       mmr_score
+FROM (
+{body}
+)
+ORDER BY mmr_rank
+"""
+    )
+
+
 RADIUS_MIN_COS = 0.3  # gated threshold — calibrated so the near-uniform dev corpus yields a small-but-nonempty ball (policy, not semantics)
 
 

@@ -1615,6 +1615,78 @@ def test_fertility_oracle_agrees_cross_engine_and_sums_per_doc(spark):
     assert {l: (d, w, s) for l, d, w, s, *_ in got} == rolled
 
 
+def test_mmr_diversifies_and_oracle_agrees_cross_engine(spark, tmp_path):
+    """sim_mmr_topk (staged r14, gates r15): (a) on a PLANTED two-cluster
+    corpus — a tight clone cluster nearest the query plus a distinct
+    relevant cluster — pure relevance fills the top ranks with clones
+    while MMR must interleave the second cluster early (the
+    diversification claim, measured not asserted rhetorically); (b) on
+    the real dev embeddings the DuckDB oracle's chained greedy CTEs must
+    agree bitwise."""
+    import math
+
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.operators.similarity import (
+        MMR_K,
+        _mmr_sql,
+        sim_mmr_topk,
+    )
+
+    # geometry chosen so λ=0.7 actually trades: cluster A = 8 EXACT
+    # clones at rel 0.95 (duplicates — the realistic failure mode), so
+    # after one A pick every other A pays the full 300·1.0 penalty;
+    # cluster B sits at rel 0.92 in a plane ORTHOGONAL to A's residual,
+    # so sim(B, A) = 0.95·0.92 = 0.874 — the 300·(1.0−0.874) penalty gap
+    # exceeds the 700·(0.95−0.92) relevance gap and MMR picks B second,
+    # while pure relevance ranks all 8 clones first.
+    rows = [(0, [1.0, 0.0, 0.0, 0.0])]  # the query
+    a_res = math.sqrt(1 - 0.95**2)
+    b_res = math.sqrt(1 - 0.92**2)
+    for i in range(8):  # cluster A: exact clones
+        rows.append((1 + i, [0.95, a_res, 0.0, 0.0]))
+    for i in range(8):  # cluster B: spread in the orthogonal plane
+        psi = 0.2 * i
+        rows.append(
+            (101 + i, [0.92, 0.0, b_res * math.cos(psi), b_res * math.sin(psi)])
+        )
+    spark.createDataFrame(
+        [(v, [float(x) for x in vec]) for v, vec in rows],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = [tuple(r) for r in sim_mmr_topk(spark, str(tmp_path)).collect()]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    want = [
+        (int(r0), int(v), int(rp), int(ms), int(sc))
+        for r0, v, rp, ms, sc in con.sql(_mmr_sql()).fetchall()
+    ]
+    assert got == want and len(got) == MMR_K
+    # pure relevance ranks ALL of cluster A before any of cluster B;
+    # MMR must promote a cluster-B member into the first three picks
+    picked = [v for _, v, *_ in got]
+    assert picked[0] in range(1, 9)  # best hit still first
+    assert any(v >= 101 for v in picked[:3]), picked
+    # and both clusters are represented in the K picks
+    assert {v < 100 for v in picked} == {True, False}
+
+    got_real = [tuple(r) for r in sim_mmr_topk(spark, SF).collect()]
+    con2 = duckdb.connect()
+    con2.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    want_real = [
+        (int(r0), int(v), int(rp), int(ms), int(sc))
+        for r0, v, rp, ms, sc in con2.sql(_mmr_sql()).fetchall()
+    ]
+    assert got_real == want_real and len(got_real) == MMR_K
+
+
 def test_corpus_shuffle_shards_deterministic_and_contiguous(spark):
     """Training-order shuffle contract: reproducible across runs, positions
     contiguous 1..n within every shard, and within-shard order is hash
