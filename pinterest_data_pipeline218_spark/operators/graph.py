@@ -200,9 +200,13 @@ def label_propagation(
     unchanged (the unrolled-CTE oracle stays valid as-is). The check is
     one limit(1) count between two checkpointed label sets — the
     bounded-planning idiom, same as the injectivity attestation — and is
-    skipped on the LAST round, where no compute remains to save; on a
-    non-converging dev graph the cost is rounds−1 tiny probe joins, on a
-    converged one it drops whole rounds. `stats`, when given, receives
+    skipped where it cannot pay: on the LAST round (no compute remains to
+    save) and on the FIRST (round 1 changes labels on any graph with an
+    edge — label_0 is the node's own id, so a node with any neighbor of a
+    different id moves; probing it is a guaranteed-wasted job, measured
+    ~0.65 s of the r14 bench row). On a non-converging dev graph at
+    LP_ROUNDS=3 that leaves exactly ONE probe; on a converged graph the
+    stop drops whole rounds. `stats`, when given, receives
     rounds_run/converged for the pytest pin."""
     from pyspark import StorageLevel
 
@@ -234,7 +238,7 @@ def label_propagation(
         )
         if stats is not None:
             stats["rounds_run"] = t + 1
-        if early_stop and t + 1 < rounds:
+        if early_stop and 0 < t < rounds - 1:
             moved = (
                 labels.join(
                     prev.select("node", F.col("lbl").alias("prev_lbl")), "node"
