@@ -20,10 +20,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # then ENRICHED in place with decade cells (BASELINE.md is now the source
 # of truth for them — harvested notes carry forward on regen; re-adding
 # them here would stomp the decade cells).
-NEW_NOTES = {}
+NEW_NOTES = {
+    # the eight r13-staged operators, gated r14
+    "graph_k_core": "r14 NEW: 3 synchronous peel rounds, degree count + two semi-joins each",
+    "ev_changepoint_cusum": "r14 NEW: Page CUSUM via cumulative-window closed form, BIGINT cents",
+    "corpus_curriculum_order": "r14 NEW: fixed-ppm tiers + (tier,shard)-partitioned rank windows",
+    "text_rake_keywords": "r14 NEW: islands + corpus word stats; vocab joins hint-free (AQE)",
+    "text_pmi_collocations": "r14 NEW: log-free integer-ratio PMI; scan-local zip bigrams",
+    "sim_mips_topk": "r14 NEW: exact inner-product top-k, scan-local fold + TakeOrdered",
+    "dq_k_anonymity": "r14 NEW: one grouped count over generalized quasi-identifiers",
+    "ev_srm_check": "r14 NEW: fused arm counts + DECIMAL cross-multiplied chi-square",
+}
 
 NOTE_OVERRIDES = {
-    "dedup_ngram_jaccard": "r12: exact-rational threshold gate (was ROUND(j,6)); PPJoin prefix filter",
+    "dedup_ngram_jaccard": "r14: attested hash-path PPJoin (8-byte shingles under the shared injectivity proof; string fallback)",
+    "graph_label_propagation": "r14: convergence-certified early stop (one mid-round probe; fixed-round values unchanged)",
+    "dedup_cluster_best": "r14: CC edge cache plan-keyed (unpersist removed — the r13 drift constant); quality-aware keeper election",
+    "dedup_cluster_cc": "r14: CC edge cache plan-keyed across reps (unpersist removed)",
     "text_ngram_novelty": "r11: spread gram build (derived twice in-plan)",
     "mm_image_resize": "r12: 6-class fixture (WebP thumbnail re-encode exercises VP8L bundling)",
     "ev_outliers_mad": "r11: planning jobs share a transient persist (2 scans/exec)",
