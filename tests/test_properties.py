@@ -401,3 +401,74 @@ def test_k_core_equals_peel_model_property(spark, pairs, k):
     df = spark.createDataFrame(list(set(pairs)), "src string, dst string")
     got = {r.node: r.core_deg for r in k_core(df, k=k, rounds=3).collect()}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-8, 8), st.integers(-8, 8),
+            st.integers(-8, 8), st.integers(-8, 8),
+        ).filter(lambda t: any(t)),
+        min_size=3,
+        max_size=12,
+        unique=True,
+    ),
+)
+def test_mmr_select_equals_independent_greedy_property(spark, vecs):
+    """Property (staged r14): on ANY small candidate pool, mmr_select's
+    distributed-sims + driver greedy equals an INDEPENDENT Python greedy
+    replay that recomputes the FLOOR-ppm cosines with the same IEEE
+    left-fold (dot as a sequential sum over element products — the
+    `cosine` / list_reduce shared fold), the 700/300 integer split, and
+    the smallest-vec_id tie rule. Vectors are small integers /16 so the
+    doubles are exact dyadics and folds cannot hide rounding surprises;
+    rel_ppm is an arbitrary deterministic integer (MMR never recomputes
+    it), so the property covers relevance/diversity trade-offs the real
+    pool cut would rarely produce."""
+    import math
+
+    from pinterest_data_pipeline218_spark.operators.similarity import (
+        MMR_LAMBDA_MILLI,
+        mmr_select,
+    )
+
+    rows = [
+        (i, [x / 16.0 for x in v], (v[0] * 131 + v[1] * 17 + i) * 1000)
+        for i, v in enumerate(vecs)
+    ]
+    pool = spark.createDataFrame(
+        rows, "vec_id long, v array<double>, rel_ppm long"
+    )
+    got = [tuple(r) for r in mmr_select(pool, k=5).collect()]
+
+    def cos_ppm(a, b):
+        def dot(x, y):
+            acc = 0.0
+            for xi, yi in zip(x, y):
+                acc = acc + xi * yi
+            return acc
+
+        den = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+        if den == 0:
+            return None
+        return math.floor(dot(a, b) / den * 1000000.0)
+
+    lam, lam_c = MMR_LAMBDA_MILLI, 1000 - MMR_LAMBDA_MILLI
+    by_id = {i: v for i, v, _ in rows}
+    rel = {i: r for i, _, r in rows}
+    remaining, selected, want = sorted(by_id), [], []
+    for t in range(min(5, len(remaining))):
+        best = None
+        for x in remaining:
+            maxsim = max(
+                (cos_ppm(by_id[x], by_id[s]) for s in selected), default=0
+            )
+            score = lam * rel[x] - lam_c * maxsim
+            if best is None or (-score, x) < best[0]:
+                best = ((-score, x), x, maxsim, score)
+        _, x, maxsim, score = best
+        remaining.remove(x)
+        selected.append(x)
+        want.append((t, x, rel[x], maxsim, score))
+    assert got == want
