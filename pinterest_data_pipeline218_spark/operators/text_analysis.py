@@ -952,6 +952,74 @@ GROUP BY doc_id ORDER BY doc_id
     )
 
 
+# ----------------------------------------- readability score (staged r14)
+# Flesch reading ease (Flesch 1948, public) over a DETERMINISTIC integer
+# proxy: words = non-empty whitespace tokens, sentences = terminal
+# punctuation runs floored at 1, syllables = vowel GROUPS (the standard
+# dictionary-free approximation). The counts are exact BIGINTs; the two
+# rates are raw double quotients of exact ints and the score is the
+# literal-constant left-assoc double tree — identical in both engines
+# (constants forced ::DOUBLE in the oracle: DuckDB parses 206.835 as
+# DECIMAL, whose arithmetic would diverge from Spark's doubles).
+# Readability joins stopword-ratio/length/repetition as a quality gate a
+# pretraining curation pass thresholds on (very low FRE = boilerplate
+# or code-ish text; very high = fragment spam).
+
+
+def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r14 (gates r15): (doc_id, n_words, n_sentences,
+    n_syllable_groups, words_per_sentence, syllables_per_word, flesch)
+    — scan-local regexp counts, zero shuffles before the final order."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(
+        F.filter(T.tokens(F.col("text")), lambda x: x != "")
+    ).cast("bigint")
+    n_sent = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]")), F.lit(1)
+    ).cast("bigint")
+    n_syl = F.regexp_count(F.col("text"), F.lit(r"[aeiouAEIOU]+")).cast(
+        "bigint"
+    )
+    wps = n_words.cast("double") / n_sent
+    spw = F.try_divide(n_syl.cast("double"), n_words)
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllable_groups"),
+        wps.alias("words_per_sentence"),
+        spw.alias("syllables_per_word"),
+        flesch.alias("flesch"),
+    ).orderBy("doc_id")
+
+
+TEXT_READABILITY_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), __w -> __w != ''))
+              AS BIGINT) AS n_words,
+         CAST(GREATEST(len(regexp_extract_all(text, '[.!?]')), 1)
+              AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+'))
+              AS BIGINT) AS n_syllable_groups
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllable_groups,
+       CAST(n_words AS DOUBLE) / n_sentences AS words_per_sentence,
+       CASE WHEN n_words = 0 THEN NULL
+            ELSE CAST(n_syllable_groups AS DOUBLE) / n_words
+       END AS syllables_per_word,
+       206.835::DOUBLE - 1.015::DOUBLE
+         * (CAST(n_words AS DOUBLE) / n_sentences) - 84.6::DOUBLE
+         * (CASE WHEN n_words = 0 THEN NULL
+                 ELSE CAST(n_syllable_groups AS DOUBLE) / n_words END)
+         AS flesch
+FROM c
+ORDER BY doc_id
+"""
+
+
 # ------------------------------ tokenizer fertility by language (staged r14)
 # Per-LANGUAGE fertility audit of the trained BPE — the tokenizer-equity
 # number multilingual LLM pipelines report (a language whose fertility is

@@ -1687,6 +1687,69 @@ def test_mmr_diversifies_and_oracle_agrees_cross_engine(spark, tmp_path):
     assert got_real == want_real and len(got_real) == MMR_K
 
 
+def test_readability_matches_model_and_oracle(spark, tmp_path):
+    """text_readability_score (staged r14, gates r15): (a) hand fixture
+    covering the edge cases — empty text (NULL rates, NULL flesch),
+    punctuation-free text (sentence floor at 1), multi-sentence prose —
+    against a python replay of the declared proxy; (b) bitwise oracle
+    agreement on the real dev corpus."""
+    import re
+
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.operators.text_analysis import (
+        TEXT_READABILITY_SQL,
+        text_readability_score,
+    )
+
+    texts = {
+        1: "the cat sat on the mat. it was flat! was it? yes",
+        2: "no punctuation here at all",
+        3: "",
+        4: "xyz qqq zzz",  # zero vowel groups, no sentences
+    }
+    spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    def model(text):
+        n_w = len([w for w in text.split(" ") if w != ""])
+        n_s = max(len(re.findall(r"[.!?]", text)), 1)
+        n_y = len(re.findall(r"[aeiouAEIOU]+", text))
+        wps = n_w / n_s
+        spw = n_y / n_w if n_w else None
+        flesch = (
+            206.835 - 1.015 * wps - 84.6 * spw if spw is not None else None
+        )
+        return (n_w, n_s, n_y, wps, spw, flesch)
+
+    got = {
+        r.doc_id: (
+            r.n_words, r.n_sentences, r.n_syllable_groups,
+            r.words_per_sentence, r.syllables_per_word, r.flesch,
+        )
+        for r in text_readability_score(spark, str(tmp_path)).collect()
+    }
+    assert got == {d: model(t) for d, t in texts.items()}
+    assert got[3][4] is None and got[3][5] is None  # empty doc -> NULLs
+    assert got[2][1] == 1  # sentence floor
+    assert got[4][2] == 0  # vowel-free
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    want = [
+        (d, int(w), int(s), int(y), float(a), float(b), float(f))
+        for d, w, s, y, a, b, f in con.sql(TEXT_READABILITY_SQL).fetchall()
+    ]
+    got_real = [
+        tuple(r) for r in text_readability_score(spark, SF).collect()
+    ]
+    assert got_real == want and len(got_real) > 0
+
+
 def test_corpus_shuffle_shards_deterministic_and_contiguous(spark):
     """Training-order shuffle contract: reproducible across runs, positions
     contiguous 1..n within every shard, and within-shard order is hash
