@@ -985,6 +985,76 @@ FROM cc ORDER BY doc_id
 """
 
 
+# ------------------------------------------- cluster report (staged r14)
+# The dedup ECONOMICS report a production run publishes: the cluster-size
+# histogram over the capped-CC labels — how many clusters of each size,
+# how many documents they hold, and how many are REMOVABLE (size − 1 per
+# cluster: keep one member, drop the rest). This is the number that
+# justifies the dedup pass (corpus shrink %) and the skew signal (one
+# giant cluster vs many pairs); output is bounded by the count of
+# DISTINCT sizes — planning-sized at any corpus scale.
+
+
+def dedup_cluster_report(
+    spark: SparkSession, sf_dir: str, cap: int = CC_EDGE_CAP
+) -> DataFrame:
+    """Staged r14 (gates r15): (cluster_size, n_clusters, n_docs,
+    n_removable) from the capped-CC labels — two map-side-combinable
+    rollups on top of the linear edge stream every composed consumer
+    already uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = capped_verified_pairs(spark, sf_dir, CC_JACCARD_THRESHOLD, cap=cap)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    labels = connected_components(nodes, pairs)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+            F.sum(F.col("cluster_size") - 1).alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _cluster_report_sql() -> str:
+    """Staged DuckDB oracle (validated by
+    test_cluster_report_oracle_agrees_cross_engine; registers r15): the
+    capped-CC chain shared with _cluster_cc_capped_sql, finished by the
+    size histogram instead of the per-doc listing."""
+    return f"""
+WITH RECURSIVE {_minhash_cte_body()}, {_capped_cand_cte(CC_EDGE_CAP)}, pairs AS (
+  SELECT doc_a, doc_b
+  FROM allcand
+  JOIN sig x ON allcand.doc_a = x.doc_id
+  JOIN sig y ON allcand.doc_b = y.doc_id
+  WHERE {_VERIFIED_JACCARD} >= {CC_JACCARD_THRESHOLD}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node WHERE r.label < e.dst
+), cc AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+), sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id
+)
+SELECT cluster_size,
+       COUNT(*) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+       CAST(SUM(cluster_size - 1) AS BIGINT) AS n_removable
+FROM sizes
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
 def _cluster_cc_bounded_sql() -> str:
     return f"""
 WITH RECURSIVE {_minhash_cte_body()}, reps AS (

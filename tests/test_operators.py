@@ -1750,6 +1750,43 @@ def test_readability_matches_model_and_oracle(spark, tmp_path):
     assert got_real == want and len(got_real) > 0
 
 
+def test_cluster_report_oracle_agrees_cross_engine_and_sums(spark):
+    """dedup_cluster_report (staged r14, gates r15): (a) bitwise DuckDB
+    oracle agreement on the real dev corpus; (b) internal consistency —
+    the histogram's n_docs must sum to the corpus size, n_removable to
+    n_docs − Σ n_clusters, and the rows must replay exactly from
+    dedup_cluster_cc_capped's per-doc listing."""
+    import collections
+
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.operators.dedup import (
+        _cluster_report_sql,
+        dedup_cluster_cc_capped,
+        dedup_cluster_report,
+    )
+
+    got = [tuple(r) for r in dedup_cluster_report(spark, SF).collect()]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    want = [
+        (int(s), int(c), int(d), int(rm))
+        for s, c, d, rm in con.sql(_cluster_report_sql()).fetchall()
+    ]
+    assert got == want and len(got) > 1  # singletons AND a real cluster
+
+    per_doc = dedup_cluster_cc_capped(spark, SF).collect()
+    by_cluster = collections.Counter(r.cluster_id for r in per_doc)
+    hist = collections.Counter(by_cluster.values())
+    assert got == [
+        (s, hist[s], s * hist[s], (s - 1) * hist[s]) for s in sorted(hist)
+    ]
+    assert sum(d for _, _, d, _ in got) == len(per_doc)
+
+
 def test_corpus_shuffle_shards_deterministic_and_contiguous(spark):
     """Training-order shuffle contract: reproducible across runs, positions
     contiguous 1..n within every shard, and within-shard order is hash
