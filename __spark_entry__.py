@@ -93,60 +93,66 @@ _MODULES = (
 # driver-row freshness, never test coverage. Per-round tail rationale lives
 # in git history (see `git log __spark_entry__.py`).
 _WINDOW = (
-    # (c) new this round — the eight r13-staged operators:
-    "graph_k_core",  # r14 NEW: synchronous k-core peel (cascading removals)
-    "ev_changepoint_cusum",  # r14 NEW: Page's CUSUM via cumulative closed form
-    "corpus_curriculum_order",  # r14 NEW: easy-first tiered training order
-    "text_rake_keywords",  # r14 NEW: RAKE keyphrases (islands + word stats)
-    "text_pmi_collocations",  # r14 NEW: log-free integer-ratio PMI ranking
-    "sim_mips_topk",  # r14 NEW: exact max-inner-product top-k
-    "dq_k_anonymity",  # r14 NEW: quasi-identifier groups under the k floor
-    "ev_srm_check",  # r14 NEW: division-free sample-ratio-mismatch guardrail
-    # (b) changed since their last driver row — must re-gate:
-    "dedup_ngram_jaccard",  # r14: attested hash-path PPJoin (the r13 lever)
-    "graph_label_propagation",  # r14: convergence-certified early stop
-    # (a) the staleness queue, oldest-first — all 6 r09 rows:
-    "corpus_merge_increment",
-    "dedup_cluster_best",
-    "dedup_cluster_cc_bounded",
-    "ev_twa_daily",
-    "mm_fake_features",
-    "text_langid_trained",
-    # (a) 34 of the 45 r10 rows:
-    "corpus_chunk_tokens",
-    "corpus_hilbert_keys",
-    "corpus_reservoir_sample",
-    "corpus_sliding_chunks",
-    "dedup_cluster_cc",
-    "dedup_embedding_neardup",
-    "dedup_incremental_lsh",
-    "dq_benford_totalprice",
-    "dq_documents_profile",
-    "ev_abtest_chi2",
-    "ev_counts_hourly",
-    "ev_cusum_excursion",
-    "ev_errors_near_purchase",
-    "ev_ewma_last8",
-    "ev_groupingsets_type_hour",
-    "ev_hist_value_quantiles",
-    "ev_json_schema_stats",
-    "ev_quantiles_disc",
-    "ev_rolling_7d_users",
-    "ev_salted_distinct_users",
-    "ev_salted_stats",
-    "ev_scd2_band_history",
-    "ev_seasonal_dow",
-    "ev_sessions_per_user",
-    "geo_nearby_newbatch",
-    "graph_cheapest_route",
-    "graph_jaccard_neighbors",
-    "mm_frame_sample",
-    "set_customer_overlap",
-    "sim_ivf_topk",
-    "t10_median_order_total_by_year",
-    "t7_top_priority_per_band",
-    "t8_median_balance_by_band",
-    "text_blocklist_gate",
+    # (c) new this round — the seven r14-staged operators (VERDICT r14 #1):
+    "sim_mmr_topk",  # r15 NEW: MMR diversified top-k (greedy λ=0.7 replay)
+    "text_readability_score",  # r15 NEW: Flesch reading ease, integer proxy
+    "corpus_tokenizer_fertility",  # r15 NEW: BPE tokens-per-word by language
+    "dedup_cluster_report",  # r15 NEW: cluster-size histogram over capped CC
+    "mm_scene_cuts",  # r15 NEW: shot-boundary detection over frame kernel
+    "dq_freshness_lag",  # r15 NEW: staleness vs the dataset's own frontier
+    "ev_seasonal_backtest",  # r15 NEW: seasonal forecast backtest over CUSUM cells
+    # (b) changed since their last driver row: none — the r15 ADVICE fixes
+    # (mmr zero-norm filter, cell-cap distinct, plan_identity lookbehind,
+    # bounded edge registry) are builder-side; no gated plan or oracle
+    # changed semantically.
+    # (a) the staleness queue, oldest-first — all 11 r10 rows (the
+    # documented r14 carry, VERDICT r14 #2 names them):
+    "text_fingerprint",
+    "text_token_stats",
+    "tpch_q12_priority_classes",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_orders",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_semi_join",
+    "tpch_q5_regional_volume",
+    "tpch_q6_revenue",
+    "window_showcase",
+    # (a) 32 of the 43 r11 rows, ledger order; the 11 deferred r11 rows
+    # (text_tfidf_top_terms + the tpch_q1/q7..q22 block) are the r16
+    # carry, inside the size-derived rotation contract:
+    "corpus_stratified_sample",
+    "dedup_cluster_cc_star",
+    "dedup_compact_corpus",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_semantic_kmeans",
+    "dedup_simhash",
+    "ev_approx_distinct_users",
+    "ev_approx_value_quantiles",
+    "ev_mode_value",
+    "ev_outliers_mad",
+    "ev_pivot_type_counts",
+    "ev_rollup_daily",
+    "ev_running_total",
+    "ev_session_outage_overlap",
+    "ev_stats_by_type",
+    "ev_trend_slope",
+    "ev_value_ntiles",
+    "ml_hard_negatives",
+    "mm_audio_decode",
+    "mm_binary_meta",
+    "sim_ivf_index_probe",
+    "sim_ivfpq_lloyd_topk",
+    "sim_pq_topk",
+    "text_decontaminate",
+    "text_dupspan_remove",
+    "text_lm_score",
+    "text_ngram_novelty",
+    "text_pii_redact",
+    "text_quality_score",
+    "text_repetition_score",
+    "text_subword_tokens",
 )
 
 

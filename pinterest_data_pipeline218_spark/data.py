@@ -109,7 +109,13 @@ def plan_identity(df: DataFrame) -> str:
         return seen.setdefault(m.group(0), f"@c{len(seen)}")
 
     # x_n only when attribute-named (followed by #) — Spark's fresh
-    # lambda-variable scheme; then every #n exprId
+    # lambda-variable scheme; then #n exprIds in ATTRIBUTE context only
+    # (ADVICE r14): an exprId's '#' is always glued to the last char of
+    # its attribute name (`value#3`, `sum(value)#45`), while a string
+    # LITERAL rendering like '#1' is preceded by the expression-level
+    # delimiter — space, '(', '[' or ',' — so requiring a non-delimiter
+    # lookbehind keeps plans differing only in such a literal from
+    # canonicalizing to the same digest.
     plan = re.sub(r"\bx_\d+(?=#)", canon, plan)
-    plan = re.sub(r"#\d+", canon, plan)
+    plan = re.sub(r"(?<=[^\s(\[,])#\d+", canon, plan)
     return hashlib.md5(plan.encode()).hexdigest()

@@ -702,6 +702,7 @@ QUERIES = {
     "dq_events_drift": dq_events_drift,
     "dq_profile_drift": dq_profile_drift,
     "dq_k_anonymity": dq_k_anonymity,
+    "dq_freshness_lag": dq_freshness_lag,
 }
 ORACLE = {
     "dq_orders_constraints": DQ_ORDERS_SQL,
@@ -710,4 +711,5 @@ ORACLE = {
     "dq_events_drift": DQ_DRIFT_SQL,
     "dq_profile_drift": _profile_drift_sql(),
     "dq_k_anonymity": _k_anonymity_sql(),
+    "dq_freshness_lag": _freshness_sql(),
 }

@@ -504,6 +504,13 @@ WHERE {_VERIFIED_JACCARD} >= {JACCARD_THRESHOLD}
 CC_JACCARD_THRESHOLD = 0.97
 CC_MAX_ROUNDS = 20
 
+# Bounded registry of plan-keyed persisted edge DataFrames (ADVICE r14):
+# insertion-ordered, oldest-unpersisted-on-overflow. 16 distinct
+# (corpus, threshold, cap) edge plans comfortably covers a session's
+# working set; each entry is kilobytes-to-megabytes of verified pairs.
+_EDGE_PLAN_CACHE: dict[tuple, DataFrame] = {}
+_EDGE_PLAN_CACHE_MAX = 16
+
 
 def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     """Min-label propagation over an undirected pair list.
@@ -524,7 +531,25 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     # materialization skips AQE, so the swapped union branch lost exchange
     # reuse and recomputed the full upstream a second time (measured 8.2s vs
     # 2.3s for one pass at sf0.1). Cluster equivalent: persist(DISK_ONLY).
-    edges = edges.persist()
+    # The persisted plans live in a BOUNDED plan-keyed registry (ADVICE
+    # r14): one entry per distinct edge plan, oldest unpersisted on
+    # overflow, mirroring the attestation-memo discipline — a long-lived
+    # multi-corpus session can no longer grow storage unboundedly, while
+    # the r14 CacheManager-reuse win (sibling consumers of the same pair
+    # stream share one materialization) is untouched for the registry's
+    # working set.
+    from ..data import plan_identity
+
+    app_id = nodes.sparkSession.sparkContext.applicationId
+    edge_key = (app_id, plan_identity(edges))
+    cached = _EDGE_PLAN_CACHE.get(edge_key)
+    if cached is not None:
+        edges = cached
+    else:
+        edges = edges.persist()
+        if len(_EDGE_PLAN_CACHE) >= _EDGE_PLAN_CACHE_MAX:
+            _EDGE_PLAN_CACHE.pop(next(iter(_EDGE_PLAN_CACHE))).unpersist()
+        _EDGE_PLAN_CACHE[edge_key] = edges
     n_edges = edges.count()
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
 
@@ -585,6 +610,8 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         # policy and same measured-revert history as the graph family's
         # edge caches (pagerank/k_core/label_propagation, f1228d5);
         # caches are capped-linear in corpus size, kilobytes here.
+        # Session-lifetime growth is bounded by _EDGE_PLAN_CACHE's
+        # oldest-out eviction above (ADVICE r14).
     if not converged:
         # Round cap hit without converging: the graph has a long-diameter
         # component (min-label needs O(diameter) rounds). Hand off to the
@@ -2058,6 +2085,7 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "dedup_containment_seeds": dedup_containment_seeds,
     "dedup_cluster_best": dedup_cluster_best,
+    "dedup_cluster_report": dedup_cluster_report,
 }
 
 ORACLE = {
@@ -2075,4 +2103,5 @@ ORACLE = {
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_containment_seeds": DEDUP_CONTAINMENT_SEEDS_SQL,
     "dedup_cluster_best": _cluster_best_sql(),
+    "dedup_cluster_report": _cluster_report_sql(),
 }

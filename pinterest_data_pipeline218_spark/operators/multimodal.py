@@ -1236,6 +1236,7 @@ QUERIES = {
     "mm_audio_decode": mm_audio_decode,
     "mm_image_phash": mm_image_phash,
     "mm_audio_fingerprint": mm_audio_fingerprint,
+    "mm_scene_cuts": mm_scene_cuts,
 }
 
 ORACLE = {
@@ -1247,4 +1248,5 @@ ORACLE = {
     "mm_audio_decode": _audio_decode_sql(),
     "mm_image_phash": _image_phash_sql(),
     "mm_audio_fingerprint": _audio_fingerprint_sql(),
+    "mm_scene_cuts": _scene_cuts_sql(),
 }

@@ -194,7 +194,15 @@ def mmr_select(pool: DataFrame, k: int = MMR_K) -> DataFrame:
     greedy CTEs."""
     lam, lam_c = MMR_LAMBDA_MILLI, 1000 - MMR_LAMBDA_MILLI
     spark = pool.sparkSession
-    pool = pool.localCheckpoint()
+    # Zero-norm guard (ADVICE r14): a zero-norm vector makes _cos_ppm
+    # NULL, so its rel_ppm (and every sim cell touching it) is NULL —
+    # un-rankable by either engine. Drop those candidates BEFORE the
+    # checkpoint so the replay sees only integer scores; once all
+    # NULL-rel members are gone every surviving pairwise sim is
+    # non-NULL by construction (both endpoints have nonzero norm).
+    # A zero-norm QUERY nulls every rel → empty pool → empty output,
+    # identical to the oracle's NULLS-LAST-then-LIMIT behavior.
+    pool = pool.filter(F.col("rel_ppm").isNotNull()).localCheckpoint()
     cand_rows = pool.select("vec_id", "rel_ppm").collect()  # ≤ MMR_POOL
     a = pool.select(F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"))
     b = pool.select(F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"))
@@ -1744,7 +1752,11 @@ def _assert_cell_cap(cents: DataFrame) -> None:
     key = (app_id, plan_identity(cents))
     n = _CELL_CAP_CACHE.get(key)
     if n is None:
-        n = cents.select("label").limit(IVF_CELL_CAP + 1).count()
+        # distinct before the limit (ADVICE r14): the cap bounds CELLS,
+        # not rows — a quantizer emitting duplicate label rows (e.g. an
+        # upstream join fan-out) must not trip the assertion while its
+        # distinct cells still fit
+        n = cents.select("label").distinct().limit(IVF_CELL_CAP + 1).count()
         if len(_CELL_CAP_CACHE) >= _CELL_CAP_CACHE_MAX:
             _CELL_CAP_CACHE.clear()
         _CELL_CAP_CACHE[key] = n
@@ -1934,6 +1946,7 @@ QUERIES = {
     "sim_knn_classify": sim_knn_classify,
     "sim_ivf_increment": sim_ivf_increment,
     "sim_mips_topk": sim_mips_topk,
+    "sim_mmr_topk": sim_mmr_topk,
 }
 
 ORACLE = {
@@ -1952,4 +1965,5 @@ ORACLE = {
     "sim_knn_classify": SIM_KNN_SQL,
     "sim_ivf_increment": _ivf_increment_sql(),
     "sim_mips_topk": SIM_MIPS_SQL,
+    "sim_mmr_topk": _mmr_sql(),
 }

@@ -2301,6 +2301,8 @@ QUERIES = {
     "text_blocklist_gate": text_blocklist_gate,
     "text_rake_keywords": text_rake_keywords,
     "text_pmi_collocations": text_pmi_collocations,
+    "text_readability_score": text_readability_score,
+    "corpus_tokenizer_fertility": corpus_tokenizer_fertility,
 }
 
 ORACLE = {
@@ -2326,4 +2328,6 @@ ORACLE = {
     "text_blocklist_gate": _blocklist_sql(),
     "text_rake_keywords": _rake_sql(),
     "text_pmi_collocations": _pmi_sql(),
+    "text_readability_score": TEXT_READABILITY_SQL,
+    "corpus_tokenizer_fertility": _fertility_sql(),
 }

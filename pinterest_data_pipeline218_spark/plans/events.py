@@ -2402,6 +2402,7 @@ QUERIES = {
     "ev_locf_fill": ev_locf_fill,
     "ev_session_window_native": ev_session_window_native,
     "ev_changepoint_cusum": ev_changepoint_cusum,
+    "ev_seasonal_backtest": ev_seasonal_backtest,
 }
 
 ORACLE = {
@@ -2444,4 +2445,5 @@ ORACLE = {
     "ev_locf_fill": EV_LOCF_SQL,
     "ev_session_window_native": EV_SESSION_NATIVE_SQL,
     "ev_changepoint_cusum": _changepoint_sql(),
+    "ev_seasonal_backtest": _seasonal_backtest_sql(),
 }
