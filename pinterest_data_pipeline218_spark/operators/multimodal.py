@@ -1087,6 +1087,85 @@ def phash_neardup_pairs(
     )
 
 
+# ------------------- gated pHash near-dup rendering (staged r15)
+# phash_neardup_pairs has carried pigeonhole-exact pair pytests since
+# r6 but never a driver CORRECTNESS row; this gates the banded Hamming
+# join end-to-end (payload generate → container decode → fingerprint →
+# band → verify) against a closed-form oracle. The corpus's generative
+# fingerprints are effectively random 56-bit words (P[hamming<=3] ≈
+# 2.6e-13 per pair), so to exercise the MATCH path — not just the empty
+# relation — each document contributes a PLANTED near-dup twin: the same
+# fingerprint with one doc_id-derived bit flipped (the realistic
+# perceptual drift of a re-encode), ids offset far above the corpus.
+# hamming=1 < PHASH_BANDS makes every twin's recovery pigeonhole-
+# GUARANTEED, so the expected output is exactly one pair per
+# non-degenerate document plus deterministic natural collisions.
+PHASH_TWIN_OFFSET = 1_000_000
+
+
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r15 (gates r16): banded-Hamming near-duplicate pairs over
+    dHash fingerprints of the decoded image corpus plus one planted
+    one-bit-drifted twin per document. Scale shape: the band explode is
+    4 rows/doc, candidates meet in a hash EQUI-join on (band_idx,
+    band_val) — never all-pairs — and the exact bit_count verify runs
+    on candidates only (the MinHash-LSH band discipline applied to
+    perceptual fingerprints)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = extract_image_phash(with_image_payload(docs)).select("doc_id", "dhash")
+    twins = fps.select(
+        (F.col("doc_id") + PHASH_TWIN_OFFSET).alias("doc_id"),
+        F.col("dhash")
+        .bitwiseXOR(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pmod(doc_id, {PHASH_NBITS}) AS INT))"
+            )
+        )
+        .alias("dhash"),
+    )
+    return phash_neardup_pairs(fps.unionByName(twins))
+
+
+def _phash_neardup_sql() -> str:
+    """Staged DuckDB oracle: the closed-form fingerprint CTE, the same
+    twin plant, band split, equi-join and bit_count verify."""
+    band_w = PHASH_NBITS // PHASH_BANDS
+    mask = (1 << band_w) - 1
+    all_ones = (1 << PHASH_NBITS) - 1
+    return f"""
+WITH fp0 AS ({_image_phash_sql()}),
+u AS (
+  SELECT doc_id, dhash FROM fp0
+  UNION ALL
+  SELECT doc_id + {PHASH_TWIN_OFFSET} AS doc_id,
+         xor(dhash, CAST(1 AS BIGINT) << CAST(doc_id % {PHASH_NBITS} AS INT))
+           AS dhash
+  FROM fp0
+),
+fps AS (
+  SELECT doc_id, dhash AS fp FROM u
+  WHERE dhash != 0 AND dhash != {all_ones}
+),
+bands AS (
+  SELECT doc_id, fp, b AS band_idx,
+         (fp >> CAST(b * {band_w} AS INT)) & {mask} AS band_val
+  FROM fps CROSS JOIN (SELECT unnest(range({PHASH_BANDS})) AS b)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.fp, b.fp)) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+FROM pairs
+WHERE hamming <= {PHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
 RESIZE_W, RESIZE_H = 4, 3  # thumbnail target for the gated resize query
 
 

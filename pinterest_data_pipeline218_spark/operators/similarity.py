@@ -329,6 +329,302 @@ ORDER BY mmr_rank
     )
 
 
+# ------------------- corpus-level diversity selection (staged r15)
+# The MMR complement (VERDICT r14 #5): MMR diversifies a QUERY's top-k;
+# the training-data move is diversifying the CORPUS — a coverage
+# (facility-location-flavored) sample. True greedy k-center is a
+# sequential farthest-first chain that doesn't distribute; the scale
+# answer is that the IVF cell structure ALREADY IS a k-center cover
+# (each cell = one center's service region), so per-cell selection with
+# capped takes inherits its coverage guarantee: every corpus region
+# contributes, no region dominates (the same flattening move
+# corpus_mixture_sample applies to source mass, here applied to
+# EMBEDDING-space mass — the two compose). Two-sided take per cell:
+# KCENTER_CORE_TAKE medoid-side rows (highest cos to the cell centroid —
+# the cell's best representatives) plus KCENTER_FRONTIER_TAKE
+# boundary-side rows (lowest cos — the region's edge cases, which pure
+# quality-ranked sampling systematically drops and which coverage
+# sampling exists to keep). Integer-exact: cos_ppm FLOOR semantics, the
+# exact-integer-sum centroids of build_ivf_centroids, ROW_NUMBER ties
+# broken by vec_id in both engines. 100 TB shape: one tiny centroid
+# aggregate (|cells|·dim), one broadcast join, ONE label-keyed exchange
+# feeding both per-cell rank orders — never a global sort; output is
+# ≤ |cells|·(core+frontier) rows by contract.
+KCENTER_CORE_TAKE = 12
+KCENTER_FRONTIER_TAKE = 4
+
+
+def kcenter_sample(
+    scored: DataFrame,
+    core_take: int = KCENTER_CORE_TAKE,
+    frontier_take: int = KCENTER_FRONTIER_TAKE,
+) -> DataFrame:
+    """(cell, vec_id, cos_ppm, role, pick_rank) — per-cell coverage
+    selection over (vec_id, label, cos_ppm) centroid fits. A row ranking
+    inside BOTH takes (tiny cells) keeps its core role: core wins, and
+    each vec_id appears at most once."""
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("label").orderBy(
+        F.desc("cos_ppm"), F.asc("vec_id")
+    )
+    wf = Window.partitionBy("label").orderBy(
+        F.asc("cos_ppm"), F.asc("vec_id")
+    )
+    is_core = F.col("core_rank") <= core_take
+    return (
+        scored.select(
+            "vec_id",
+            "label",
+            "cos_ppm",
+            F.row_number().over(wc).alias("core_rank"),
+            F.row_number().over(wf).alias("frontier_rank"),
+        )
+        .filter(is_core | (F.col("frontier_rank") <= frontier_take))
+        .select(
+            F.col("label").alias("cell"),
+            "vec_id",
+            "cos_ppm",
+            F.when(is_core, F.lit("core")).otherwise(F.lit("frontier")).alias(
+                "role"
+            ),
+            F.when(is_core, F.col("core_rank"))
+            .otherwise(F.col("frontier_rank"))
+            .cast("long")
+            .alias("pick_rank"),
+        )
+        .orderBy("cell", "role", "pick_rank")
+    )
+
+
+def corpus_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r15 (gates r16): coverage-diverse corpus sample over the
+    embeddings table's IVF cells — KCENTER_CORE_TAKE medoid-side +
+    KCENTER_FRONTIER_TAKE boundary-side picks per cell, integer-exact."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    cents = build_ivf_centroids(emb)
+    scored = emb.join(F.broadcast(cents), "label").select(
+        "vec_id",
+        "label",
+        _cos_ppm(F.col("v"), F.col("c")).alias("cos_ppm"),
+    )
+    return kcenter_sample(scored)
+
+
+def _kcenter_sql() -> str:
+    """Staged DuckDB oracle: the _ivf_sql centroid CTE verbatim, then the
+    same two per-cell ROW_NUMBER orders and the core-wins CASE."""
+    cos = cosine_sql_duckdb("e.v", "c.c")
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+comps AS (
+  SELECT label, u.pos AS pos, u.qv AS qv FROM (
+    SELECT label, unnest(list_transform(range(1, len(v)+1),
+           __i -> {{'pos': __i, 'qv': CAST(TRUNC(v[__i] * {QUANT}) AS BIGINT)}})) AS u
+    FROM e
+  )
+),
+centroids AS (
+  SELECT label, list(CAST(s AS DOUBLE) ORDER BY pos) AS c
+  FROM (SELECT label, pos, SUM(qv) AS s FROM comps GROUP BY label, pos)
+  GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         CAST(FLOOR({cos} * 1000000) AS BIGINT) AS cos_ppm
+  FROM e JOIN centroids c USING (label)
+),
+ranked AS (
+  SELECT vec_id, label, cos_ppm,
+    ROW_NUMBER() OVER (PARTITION BY label
+                       ORDER BY cos_ppm DESC, vec_id ASC) AS core_rank,
+    ROW_NUMBER() OVER (PARTITION BY label
+                       ORDER BY cos_ppm ASC, vec_id ASC) AS frontier_rank
+  FROM scored
+)
+SELECT label AS cell, vec_id, cos_ppm,
+       CASE WHEN core_rank <= {KCENTER_CORE_TAKE} THEN 'core'
+            ELSE 'frontier' END AS role,
+       CAST(CASE WHEN core_rank <= {KCENTER_CORE_TAKE} THEN core_rank
+                 ELSE frontier_rank END AS BIGINT) AS pick_rank
+FROM ranked
+WHERE core_rank <= {KCENTER_CORE_TAKE}
+   OR frontier_rank <= {KCENTER_FRONTIER_TAKE}
+ORDER BY cell, role, pick_rank
+"""
+
+
+# ------------------------- IVF recall self-audit (staged r15)
+# The index's quality SLA as a first-class query: recall@K of the
+# nprobe-cell IVF candidate path against the EXACT cosine top-K, over a
+# fixed bounded query panel — the recurring audit a production ANN
+# deployment runs after every index rebuild (tools/recall_study.py's
+# one-off study, promoted to the oracle-gated surface). Integer-exact:
+# every ranking orders by FLOOR-ppm BIGINT cosine with vec_id
+# tie-breaks, so top-K sets are bit-identical across engines and
+# recall_bp is an integer quotient of exact counts.
+RECALL_NQ = 8  # query panel size: ordered limit — a Catalyst-provable bound
+RECALL_QMOD = 61
+RECALL_SALT = 32  # stage-1 fan-out of the two-stage grouped top-k
+
+
+def _grouped_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Exact per-qid top-k over (qid, vec_id, cos_ppm) WITHOUT a
+    per-query global sort: stage 1 ranks within (qid, vec_id%SALT) —
+    RECALL_SALT× the parallelism, each task sorting 1/SALT of a query's
+    corpus — and stage 2 ranks the surviving ≤ SALT·k rows per query.
+    Top-k of a union of per-slice top-ks IS the global top-k, so the
+    two-stage form is semantically the oracle's single window; at 100 TB
+    the single-window form would funnel the whole corpus through
+    |panel| tasks."""
+    from pyspark.sql import Window
+
+    salt = F.pmod(F.col("vec_id"), F.lit(RECALL_SALT))
+    w1 = Window.partitionBy(F.col("qid"), salt).orderBy(
+        F.desc("cos_ppm"), F.asc("vec_id")
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cos_ppm"), F.asc("vec_id"))
+    return (
+        scored.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= k)
+        .drop("r1")
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r15 (gates r16): (qid, n_exact, n_hits, recall_bp) —
+    recall@TOP_K of the NPROBE-cell IVF path vs exact cosine, per panel
+    query. Scale shape: the panel is an ordered limit(RECALL_NQ)
+    broadcast; the exact leg is one scan-local score pass + the
+    two-stage grouped top-k; the IVF leg touches only the probed cells'
+    rows; the final comparison joins two ≤ panel·K row sets."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    queries = (
+        emb.filter(F.col("vec_id") % RECALL_QMOD == 0)
+        .orderBy("vec_id")
+        .limit(RECALL_NQ)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("q"))
+    )
+    exact = _grouped_topk(
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _cos_ppm(F.col("v"), F.col("q")).alias("cos_ppm")),
+        TOP_K,
+    )
+    cents = build_ivf_centroids(emb)
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("qid").orderBy(F.desc("cell_ppm"), F.asc("label"))
+    cells = (
+        queries.crossJoin(F.broadcast(cents))
+        .select("qid", "label", _cos_ppm(F.col("q"), F.col("c")).alias("cell_ppm"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= NPROBE)
+        .select("qid", "label")
+    )
+    ivf = _grouped_topk(
+        emb.join(F.broadcast(cells), "label")
+        .join(F.broadcast(queries), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _cos_ppm(F.col("v"), F.col("q")).alias("cos_ppm")),
+        TOP_K,
+    )
+    return (
+        exact.join(
+            ivf.select("qid", "vec_id", F.lit(1).alias("hit")),
+            ["qid", "vec_id"],
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "qid",
+            "n_exact",
+            "n_hits",
+            F.expr("CAST((10000 * n_hits) DIV n_exact AS BIGINT)").alias(
+                "recall_bp"
+            ),
+        )
+        .orderBy("qid")
+    )
+
+
+def _ivf_recall_sql() -> str:
+    """Staged DuckDB oracle: single-window per-query ranks (semantically
+    the two-stage form), the same centroid CTE, ppm orderings and
+    integer recall quotient."""
+    cos_eq = cosine_sql_duckdb("e.v", "q.q")
+    cos_cq = cosine_sql_duckdb("c.c", "q.q")
+    ppm_eq = f"CAST(FLOOR({cos_eq} * 1000000) AS BIGINT)"
+    ppm_cq = f"CAST(FLOOR({cos_cq} * 1000000) AS BIGINT)"
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+comps AS (
+  SELECT label, u.pos AS pos, u.qv AS qv FROM (
+    SELECT label, unnest(list_transform(range(1, len(v)+1),
+           __i -> {{'pos': __i, 'qv': CAST(TRUNC(v[__i] * {QUANT}) AS BIGINT)}})) AS u
+    FROM e
+  )
+),
+centroids AS (
+  SELECT label, list(CAST(s AS DOUBLE) ORDER BY pos) AS c
+  FROM (SELECT label, pos, SUM(qv) AS s FROM comps GROUP BY label, pos)
+  GROUP BY label
+),
+q AS (
+  SELECT vec_id AS qid, v AS q FROM e
+  WHERE vec_id % {RECALL_QMOD} = 0 ORDER BY vec_id LIMIT {RECALL_NQ}
+),
+ex AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY {ppm_eq} DESC, e.vec_id ASC) AS rn
+    FROM e CROSS JOIN q WHERE e.vec_id != q.qid
+  ) WHERE rn <= {TOP_K}
+),
+cells AS (
+  SELECT qid, label FROM (
+    SELECT q.qid, c.label,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY {ppm_cq} DESC, c.label ASC) AS rn
+    FROM centroids c CROSS JOIN q
+  ) WHERE rn <= {NPROBE}
+),
+iv AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY {ppm_eq} DESC, e.vec_id ASC) AS rn
+    FROM e JOIN cells ON e.label = cells.label
+           JOIN q ON q.qid = cells.qid
+    WHERE e.vec_id != q.qid
+  ) WHERE rn <= {TOP_K}
+)
+SELECT qid, n_exact, n_hits,
+       CAST((10000 * n_hits) // n_exact AS BIGINT) AS recall_bp
+FROM (
+  SELECT ex.qid,
+         CAST(COUNT(*) AS BIGINT) AS n_exact,
+         CAST(SUM(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits
+  FROM ex LEFT JOIN iv ON ex.qid = iv.qid AND ex.vec_id = iv.vec_id
+  GROUP BY ex.qid
+)
+ORDER BY qid
+"""
+
+
 RADIUS_MIN_COS = 0.3  # gated threshold — calibrated so the near-uniform dev corpus yields a small-but-nonempty ball (policy, not semantics)
 
 

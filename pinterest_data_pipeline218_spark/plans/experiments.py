@@ -348,6 +348,156 @@ FROM (
     body = "\nUNION ALL\n".join(parts)
     return "SELECT * FROM (\n" + body + "\n) ORDER BY experiment"
 
+# -------------------- difference-in-differences readout (staged r15)
+# The experimentation family's causal-lift estimator (public standard:
+# Card & Krueger 1994 two-period two-group DiD): lift = (post−pre mean
+# change in TREATMENT) − (post−pre change in CONTROL), so any secular
+# drift shared by both arms cancels — the readout a pipeline needs when
+# an intervention launched mid-stream WITHOUT a holdout re-randomization.
+# Determinism discipline: arms from the same seed-2 token_hash split the
+# SRM/abtest family uses; the pre/post boundary is the dataset's own
+# midpoint at MICROSECOND grain (timestampdiff / date_diff agree at that
+# grain; both quotients non-negative so trunc == floor); values in exact
+# centi (DECIMAL(18,2)·100); the one real-valued statistic is a SINGLE
+# shared expression string over the four exact cells (the _CHI2_EXPR
+# pattern), FLOORed at milli-centi so both engines emit one BIGINT.
+_DID_EXPR = (
+    "CAST(FLOOR(1000.0 * ("
+    "CAST(s_post_treat AS DOUBLE) / nullif(CAST(n_post_treat AS DOUBLE), 0.0)"
+    " - CAST(s_pre_treat AS DOUBLE) / nullif(CAST(n_pre_treat AS DOUBLE), 0.0)"
+    " - (CAST(s_post_ctrl AS DOUBLE) / nullif(CAST(n_post_ctrl AS DOUBLE), 0.0)"
+    " - CAST(s_pre_ctrl AS DOUBLE) / nullif(CAST(n_pre_ctrl AS DOUBLE), 0.0))"
+    ")) AS BIGINT)"
+)
+
+
+def did_daily_agg(ev: DataFrame) -> DataFrame:
+    """(treat, day, n, s): per-(arm, day) row counts and exact centi
+    sums — the ADDITIVE cell grain the streaming twin accumulates (the
+    cusum_daily_agg precedent: cells add per (treat, day), so batch
+    boundaries cannot matter and a late batch only adds into its
+    cells). The pre/post boundary is deliberately DAY-grain — derived
+    from these cells' own min/max day by the finisher, never from
+    microsecond state the cells couldn't carry."""
+    treat = (
+        F.pmod(T.token_hash(F.col("user_id").cast("string"), seed=2), F.lit(2))
+        < 1
+    )
+    return (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
+            treat.alias("treat"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            _v_centi().alias("v"),
+        )
+        .groupBy("treat", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("s"),
+        )
+    )
+
+
+def did_lift_report(cells: DataFrame) -> DataFrame:
+    """The DiD finisher over (treat, day, n, s) cells: boundary = the
+    cells' own midpoint day (min_day + elapsed-days div 2 — midnights
+    in both engines, so elapsed == boundary-crossing day counts), then
+    one fused conditional aggregate into the four (arm × period) cells
+    and the shared _DID_EXPR lift."""
+    bounds = cells.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    e = cells.crossJoin(F.broadcast(bounds))
+    post = F.expr("timestampdiff(DAY, d0, day)") >= F.expr(
+        "timestampdiff(DAY, d0, d1) div 2"
+    )
+    base = e.select(post.alias("post"), "treat", "n", "s")
+
+    def n_of(cond):
+        return F.sum(F.when(cond, F.col("n")).otherwise(0)).cast("long")
+
+    def s_of(cond):
+        return F.sum(F.when(cond, F.col("s")).otherwise(0)).cast("long")
+
+    p, t = F.col("post"), F.col("treat")
+    agg = base.agg(
+        n_of(~p & ~t).alias("n_pre_ctrl"),
+        s_of(~p & ~t).alias("s_pre_ctrl"),
+        n_of(~p & t).alias("n_pre_treat"),
+        s_of(~p & t).alias("s_pre_treat"),
+        n_of(p & ~t).alias("n_post_ctrl"),
+        s_of(p & ~t).alias("s_post_ctrl"),
+        n_of(p & t).alias("n_post_treat"),
+        s_of(p & t).alias("s_post_treat"),
+    )
+    return agg.select(
+        F.lit("ab_50_50").alias("experiment"),
+        "n_pre_ctrl",
+        "s_pre_ctrl",
+        "n_pre_treat",
+        "s_pre_treat",
+        "n_post_ctrl",
+        "s_post_ctrl",
+        "n_post_treat",
+        "s_post_treat",
+        F.expr(_DID_EXPR).alias("did_milli_centi"),
+    )
+
+
+def ev_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r15 (gates r16): two-period two-group
+    difference-in-differences over the events table — the four
+    (arm × period) cell counts and exact centi-value sums, plus the DiD
+    lift in milli-centi.
+
+    Scale shape: one (treat, day)-keyed cell aggregate (map-side
+    combinable, ≤ 2·|days| rows), a 1-row min/max bounds aggregate
+    broadcast back (the asserted 1-row crossJoin idiom), then one fused
+    conditional aggregate over the tiny cell table — no window, no join
+    against the raw stream, output one row per standing design. The
+    streaming twin (`streaming/pipeline.incremental_did_lift`)
+    accumulates the same cells per micro-batch."""
+    ev = load_table(spark, sf_dir, "events")
+    return did_lift_report(did_daily_agg(ev))
+
+
+def _did_sql() -> str:
+    """Staged DuckDB oracle (validated by
+    test_did_lift_matches_model_and_oracle; registers r16)."""
+    h2 = T.token_hash_sql("CAST(user_id AS VARCHAR)", seed=2)
+    return f"""
+WITH cells0 AS (
+  SELECT ({h2}) % 2 < 1 AS treat,
+         date_trunc('day', ts) AS day,
+         COUNT(*) AS n,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1, 2
+),
+b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM cells0),
+e AS (
+  SELECT date_diff('day', b.d0, day)
+           >= date_diff('day', b.d0, b.d1) // 2 AS post,
+         treat, n, s
+  FROM cells0 CROSS JOIN b
+),
+cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN NOT post AND NOT treat THEN n ELSE 0 END) AS BIGINT) AS n_pre_ctrl,
+    CAST(SUM(CASE WHEN NOT post AND NOT treat THEN s ELSE 0 END) AS BIGINT) AS s_pre_ctrl,
+    CAST(SUM(CASE WHEN NOT post AND treat THEN n ELSE 0 END) AS BIGINT) AS n_pre_treat,
+    CAST(SUM(CASE WHEN NOT post AND treat THEN s ELSE 0 END) AS BIGINT) AS s_pre_treat,
+    CAST(SUM(CASE WHEN post AND NOT treat THEN n ELSE 0 END) AS BIGINT) AS n_post_ctrl,
+    CAST(SUM(CASE WHEN post AND NOT treat THEN s ELSE 0 END) AS BIGINT) AS s_post_ctrl,
+    CAST(SUM(CASE WHEN post AND treat THEN n ELSE 0 END) AS BIGINT) AS n_post_treat,
+    CAST(SUM(CASE WHEN post AND treat THEN s ELSE 0 END) AS BIGINT) AS s_post_treat
+  FROM e
+)
+SELECT 'ab_50_50' AS experiment, n_pre_ctrl, s_pre_ctrl, n_pre_treat,
+       s_pre_treat, n_post_ctrl, s_post_ctrl, n_post_treat, s_post_treat,
+       {_DID_EXPR} AS did_milli_centi
+FROM cells
+"""
+
+
 QUERIES = {
     "ev_abtest_chi2": ev_abtest_chi2,
     "ev_cusum_excursion": ev_cusum_excursion,

@@ -1776,6 +1776,45 @@ def incremental_seasonal_backtest(spark: SparkSession, state_dir: str) -> DataFr
     return seasonal_backtest(daily)
 
 
+def did_state_batch(
+    batch_df: DataFrame, state_dir: str, batch_id: int = -1
+) -> None:
+    """One micro-batch's per-(arm, day) DiD cells — ADDITIVE state (n/s
+    add per cell), written under a batch_id= partition with the
+    overwrite idempotence contract of the dashboard family."""
+    from ..plans.experiments import did_daily_agg
+
+    did_daily_agg(batch_df).write.mode("overwrite").parquet(
+        f"{state_dir}/did/batch_id={batch_id}"
+    )
+
+
+def incremental_did_lift(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Staged r15 (registers r16 with ev_did_lift): the
+    difference-in-differences readout over accumulated per-batch
+    (arm, day) cells: sum the cells, then EXACTLY the batch
+    `did_lift_report` finisher — the pre/post boundary re-derives from
+    the assembled cells' own min/max day, so a late batch that extends
+    the observation window MOVES the boundary exactly as the batch op
+    would (`test_incremental_did_lift_equals_batch`)."""
+    from ..plans.experiments import did_lift_report
+
+    if not os.path.isdir(f"{state_dir}/did"):
+        return spark.createDataFrame(
+            [],
+            "experiment string, n_pre_ctrl long, s_pre_ctrl long, "
+            "n_pre_treat long, s_pre_treat long, n_post_ctrl long, "
+            "s_post_ctrl long, n_post_treat long, s_post_treat long, "
+            "did_milli_centi long",
+        )
+    cells = (
+        spark.read.parquet(f"{state_dir}/did")
+        .groupBy("treat", "day")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    )
+    return did_lift_report(cells)
+
+
 # ------------------------------------------------ streaming k-core (r13)
 
 

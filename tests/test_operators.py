@@ -1787,6 +1787,185 @@ def test_cluster_report_oracle_agrees_cross_engine_and_sums(spark):
     assert sum(d for _, _, d, _ in got) == len(per_doc)
 
 
+def test_kcenter_sample_covers_and_oracle_agrees_cross_engine(spark, tmp_path):
+    """corpus_kcenter_sample (staged r15, gates r16): (a) on a PLANTED
+    two-cell corpus — a big cell with a tight core plus planted boundary
+    outliers, and a small cell under the core take — the selection must
+    keep every small-cell member, pick the planted outliers as exactly
+    the frontier, and never emit a vec_id twice; (b) bitwise DuckDB
+    oracle agreement on the planted corpus AND the real dev
+    embeddings."""
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.operators.similarity import (
+        KCENTER_CORE_TAKE,
+        KCENTER_FRONTIER_TAKE,
+        _kcenter_sql,
+        corpus_kcenter_sample,
+    )
+
+    rows = []
+    # cell 0: 16 near-core members spread slightly around e1, plus 4
+    # planted boundary outliers leaning hard into e2 — the outliers'
+    # cos to the (core-dominated) centroid is lowest by construction
+    for i in range(16):
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0], 0))
+    for i in range(4):
+        rows.append((100 + i, [0.2, 1.0, 0.02 * i, 0.0], 0))
+    # cell 1: 5 members — under the core take, fully covered
+    for i in range(5):
+        rows.append((200 + i, [0.0, 0.0, 1.0, 0.05 * i], 1))
+    spark.createDataFrame(
+        [(v, [float(x) for x in vec], lab) for v, vec, lab in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = [
+        tuple(r) for r in corpus_kcenter_sample(spark, str(tmp_path)).collect()
+    ]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    want = [
+        (int(c), int(v), int(cp), role, int(pr))
+        for c, v, cp, role, pr in con.sql(_kcenter_sql()).fetchall()
+    ]
+    assert got == want
+    picked = [r[1] for r in got]
+    assert len(picked) == len(set(picked))  # core wins, never two rows
+    # small cell fully covered, all core
+    cell1 = [r for r in got if r[0] == 1]
+    assert sorted(r[1] for r in cell1) == [200, 201, 202, 203, 204]
+    assert {r[3] for r in cell1} == {"core"}
+    # big cell: the planted outliers are exactly the frontier picks, and
+    # the take caps hold
+    cell0 = [r for r in got if r[0] == 0]
+    frontier0 = sorted(r[1] for r in cell0 if r[3] == "frontier")
+    assert frontier0 == [100, 101, 102, 103]
+    assert len([r for r in cell0 if r[3] == "core"]) == KCENTER_CORE_TAKE
+    assert len(frontier0) == KCENTER_FRONTIER_TAKE
+
+    got_real = [tuple(r) for r in corpus_kcenter_sample(spark, SF).collect()]
+    con2 = duckdb.connect()
+    con2.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    want_real = [
+        (int(c), int(v), int(cp), role, int(pr))
+        for c, v, cp, role, pr in con2.sql(_kcenter_sql()).fetchall()
+    ]
+    assert got_real == want_real and len(got_real) > 0
+    # every cell present in the corpus contributes to the sample
+    from pinterest_data_pipeline218_spark.data import load_table
+
+    n_cells = load_table(spark, SF, "embeddings").select("label").distinct().count()
+    assert len({r[0] for r in got_real}) == n_cells
+
+
+def test_phash_neardup_gated_recovers_twins_and_oracle_agrees(spark):
+    """mm_phash_neardup (staged r15, gates r16): (a) the planted one-bit
+    twin of every non-degenerate document MUST be recovered (hamming=1 <
+    PHASH_BANDS is pigeonhole-guaranteed); (b) bitwise agreement with
+    the closed-form DuckDB oracle on the real dev corpus — container
+    decode, fingerprint, banding and verify all under one gate."""
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.data import load_table
+    from pinterest_data_pipeline218_spark.operators.multimodal import (
+        PHASH_NBITS,
+        PHASH_TWIN_OFFSET,
+        _phash_neardup_sql,
+        extract_image_phash,
+        mm_phash_neardup,
+        with_image_payload,
+    )
+
+    got = [tuple(r) for r in mm_phash_neardup(spark, SF).collect()]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    want = [
+        (int(a), int(b), int(h))
+        for a, b, h in con.sql(_phash_neardup_sql()).fetchall()
+    ]
+    assert got == want and len(got) > 0
+    # every non-degenerate doc's planted twin comes back at hamming 1
+    docs = load_table(spark, SF, "documents")
+    fps = {
+        r.doc_id: r.dhash
+        for r in extract_image_phash(with_image_payload(docs)).collect()
+    }
+    ones = (1 << PHASH_NBITS) - 1
+    expected_twins = {
+        (d, d + PHASH_TWIN_OFFSET)
+        for d, fp in fps.items()
+        if fp not in (0, ones) and fp ^ (1 << (d % PHASH_NBITS)) not in (0, ones)
+    }
+    twin_pairs = {(a, b) for a, b, h in got if b == a + PHASH_TWIN_OFFSET}
+    assert twin_pairs == expected_twins
+    assert all(h == 1 for a, b, h in got if b == a + PHASH_TWIN_OFFSET)
+
+
+def test_ivf_recall_full_on_clustered_and_oracle_agrees(spark, tmp_path):
+    """sim_ivf_recall (staged r15, gates r16): (a) on a PLANTED
+    well-separated clustered corpus whose labels ARE the clusters, the
+    IVF path must reach recall_bp = 10000 on every panel query (the
+    probed cell contains the entire true neighborhood); (b) bitwise
+    DuckDB oracle agreement on the planted AND real dev embeddings."""
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.operators.similarity import (
+        TOP_K,
+        _ivf_recall_sql,
+        sim_ivf_recall,
+    )
+
+    rows = []
+    dim = 16
+    for cl in range(4):
+        for i in range(16):
+            v = [0.0] * dim
+            v[cl] = 1.0
+            v[8 + cl] = 0.02 * i  # deterministic within-cluster spread
+            rows.append((cl * 16 + i, v, cl))
+    spark.createDataFrame(
+        [(vid, [float(x) for x in v], lab) for vid, v, lab in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = [tuple(r) for r in sim_ivf_recall(spark, str(tmp_path)).collect()]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    want = [
+        (int(q), int(ne), int(nh), int(rb))
+        for q, ne, nh, rb in con.sql(_ivf_recall_sql()).fetchall()
+    ]
+    assert got == want
+    assert [q for q, *_ in got] == [0, 61]  # the panel at this corpus size
+    assert all(ne == TOP_K and rb == 10000 for _, ne, nh, rb in got), got
+
+    got_real = [tuple(r) for r in sim_ivf_recall(spark, SF).collect()]
+    con2 = duckdb.connect()
+    con2.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    want_real = [
+        (int(q), int(ne), int(nh), int(rb))
+        for q, ne, nh, rb in con2.sql(_ivf_recall_sql()).fetchall()
+    ]
+    assert got_real == want_real and len(got_real) > 0
+    assert all(0 <= nh <= ne for _, ne, nh, _ in got_real)
+
+
 def test_corpus_shuffle_shards_deterministic_and_contiguous(spark):
     """Training-order shuffle contract: reproducible across runs, positions
     contiguous 1..n within every shard, and within-shard order is hash

@@ -2470,6 +2470,79 @@ def test_seasonal_backtest_matches_model_and_oracle(spark, tmp_path):
     assert got_real == want and len(got_real) > 0
 
 
+def test_did_lift_matches_model_and_oracle(spark, tmp_path):
+    """ev_did_lift (staged r15, gates r16): (a) a PLANTED intervention —
+    everyone earns 10.00 pre-boundary, post-boundary the treatment arm
+    (replayed driver-side from the same md5 hash) jumps to 12.50 while
+    control holds at 10.00, with a shared +1.00 secular drift on BOTH
+    arms that DiD must cancel — yields exactly the planted +2.50 effect
+    (250 centi = 250000 milli-centi), NOT the naive post-mean gap; (b)
+    bitwise oracle agreement on the real dev events table."""
+    import datetime
+    import hashlib
+
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.plans.experiments import (
+        _did_sql,
+        ev_did_lift,
+    )
+
+    def treated(uid):  # seed-2 token_hash split, replayed driver-side
+        return int(hashlib.md5(f"2:{uid}".encode()).hexdigest()[:15], 16) % 2 < 1
+
+    base = datetime.datetime(2024, 4, 1, 0, 0, 0)
+    rows, eid = [], 0
+    users = list(range(1, 21))
+    for uid in users:
+        # pre period: days 0..3; post: days 6..9 (boundary = midpoint)
+        for d in range(4):
+            rows.append(("click", uid, base + datetime.timedelta(days=d),
+                         "{}", 10.0, eid)); eid += 1
+        for d in range(6, 10):
+            post_v = (12.5 if treated(uid) else 10.0) + 1.0  # shared drift
+            rows.append(("click", uid, base + datetime.timedelta(days=d),
+                         "{}", post_v, eid)); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_type string, user_id long, ts timestamp, props string, "
+        "value double, event_id long",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    n_treat = sum(1 for u in users if treated(u))
+    n_ctrl = len(users) - n_treat
+    assert 0 < n_treat < len(users)  # both arms populated
+    got = [tuple(r) for r in ev_did_lift(spark, str(tmp_path)).collect()]
+    assert got == [(
+        "ab_50_50",
+        4 * n_ctrl, 4 * n_ctrl * 1000,       # pre ctrl: 10.00 each
+        4 * n_treat, 4 * n_treat * 1000,     # pre treat: 10.00 each
+        4 * n_ctrl, 4 * n_ctrl * 1100,       # post ctrl: 11.00 (drift only)
+        4 * n_treat, 4 * n_treat * 1350,     # post treat: 13.50
+        250000,                              # DiD: +3.50 − 1.00 = +2.50
+    )]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.sql(_did_sql()).fetchall()]
+    assert got == [
+        (e, *map(int, cells), int(d)) for e, *cells, d in want
+    ]
+
+    got_real = [tuple(r) for r in ev_did_lift(spark, SF).collect()]
+    con2 = duckdb.connect()
+    con2.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want_real = [
+        (e, *map(int, cells), int(d))
+        for e, *cells, d in con2.sql(_did_sql()).fetchall()
+    ]
+    assert got_real == want_real and len(got_real) == 1
+
+
 def test_srm_oracle_agrees_cross_engine(spark):
     """ev_srm_check (staged r13, gates r14): cross-engine oracle
     agreement on the real events table; the deterministic hash splits

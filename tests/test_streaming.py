@@ -3804,6 +3804,68 @@ def test_incremental_seasonal_backtest_equals_batch(spark, tmp_path):
     assert empty.collect() == []
 
 
+def test_incremental_did_lift_equals_batch(spark, tmp_path):
+    """incremental_did_lift (staged r15): the DiD readout over
+    accumulated (arm, day) cells must equal the batch did_lift_report
+    over the union — including a LATE batch that EXTENDS the observation
+    window and thereby MOVES the day-grain pre/post boundary (the
+    re-derivation contract), plus replay idempotence and the empty-state
+    contract."""
+    import datetime
+
+    from pinterest_data_pipeline218_spark.plans.experiments import (
+        did_daily_agg,
+        did_lift_report,
+    )
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        did_state_batch,
+        incremental_did_lift,
+    )
+
+    base = datetime.datetime(2024, 6, 1, 12, 30, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    rows = []
+    eid = 0
+    for d in range(8):
+        for uid in range(1, 11):
+            rows.append(
+                (eid, base + datetime.timedelta(days=d), uid, "click",
+                 float(5 + uid % 3 + d), "{}")
+            )
+            eid += 1
+    # batch 1 holds the LAST TWO DAYS entirely: applying it moves the
+    # boundary the finisher derives from min/max day
+    b0_rows = [r for r in rows if r[1] < base + datetime.timedelta(days=6)]
+    b1_rows = [r for r in rows if r[1] >= base + datetime.timedelta(days=6)]
+    all_ev = spark.createDataFrame(rows, schema)
+    b0 = spark.createDataFrame(b0_rows, schema)
+    b1 = spark.createDataFrame(b1_rows, schema)
+
+    def rows_of(df):
+        return [tuple(r) for r in df.collect()]
+
+    state_dir = str(tmp_path / "state")
+    did_state_batch(b0, state_dir, batch_id=0)
+    want_b0 = rows_of(did_lift_report(did_daily_agg(b0)))
+    assert rows_of(incremental_did_lift(spark, state_dir)) == want_b0
+
+    did_state_batch(b1, state_dir, batch_id=1)
+    want = rows_of(did_lift_report(did_daily_agg(all_ev)))
+    got = rows_of(incremental_did_lift(spark, state_dir))
+    assert got == want and len(got) == 1
+    assert got != want_b0  # the late batch moved the boundary
+
+    # replay idempotence: re-deliver batch 1 under the same id
+    did_state_batch(b1, state_dir, batch_id=1)
+    assert rows_of(incremental_did_lift(spark, state_dir)) == want
+
+    empty = incremental_did_lift(spark, str(tmp_path / "never"))
+    assert empty.collect() == []
+
+
 def test_incremental_kcore_equals_batch(spark, tmp_path):
     """Streaming k-core (staged r13): the peel over accumulated per-batch
     edge partitions must equal the batch k_core over the union — and
