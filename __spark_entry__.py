@@ -101,10 +101,12 @@ _WINDOW = (
     "mm_scene_cuts",  # r15 NEW: shot-boundary detection over frame kernel
     "dq_freshness_lag",  # r15 NEW: staleness vs the dataset's own frontier
     "ev_seasonal_backtest",  # r15 NEW: seasonal forecast backtest over CUSUM cells
-    # (b) changed since their last driver row: none — the r15 ADVICE fixes
-    # (mmr zero-norm filter, cell-cap distinct, plan_identity lookbehind,
-    # bounded edge registry) are builder-side; no gated plan or oracle
-    # changed semantically.
+    # (b) changed since their last driver row — must re-gate:
+    "corpus_reservoir_sample",  # r15: presentation sort -> repartition(1)+
+    # sortWithinPartitions (the VERDICT r14 #3 re-adjudication: global
+    # orderBy's range-sampling pass re-executed the window child). The
+    # other r15 ADVICE fixes (mmr zero-norm filter, cell-cap distinct,
+    # plan_identity lookbehind, bounded edge registry) are builder-side.
     # (a) the staleness queue, oldest-first — all 11 r10 rows (the
     # documented r14 carry, VERDICT r14 #2 names them):
     "text_fingerprint",
@@ -152,7 +154,7 @@ _WINDOW = (
     "text_pii_redact",
     "text_quality_score",
     "text_repetition_score",
-    "text_subword_tokens",
+    # text_subword_tokens displaced to the r16 carry by the (b) re-gate
 )
 
 

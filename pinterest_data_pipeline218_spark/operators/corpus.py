@@ -216,7 +216,15 @@ def corpus_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one window pass partitioned by source (one exchange); the
     rank filter keeps ≤ K rows per stratum — bounded output however
-    skewed the strata."""
+    skewed the strata. The presentation sort is repartition(1) +
+    sortWithinPartitions, NOT orderBy (r15, the VERDICT r14 #3
+    re-adjudication): a global orderBy without a limit runs the
+    RangePartitioner's sampling pass, which RE-EXECUTES the whole
+    window child once before the sort itself — a built-in 2× on this
+    plan (solo A/B: 0.35 s with orderBy, 0.17 s with the local sort at
+    sf0.1). A single-partition local sort is scale-safe here because
+    the sorted relation is the ≤ |sources|·K OUTPUT, never the
+    corpus."""
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy("ord", "doc_id")
     return (
@@ -228,7 +236,8 @@ def corpus_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= RESERVOIR_K)
         .select("source", "doc_id", F.col("rk").cast("int").alias("rk"))
-        .orderBy("source", "rk")
+        .repartition(1)
+        .sortWithinPartitions("source", "rk")
     )
 
 

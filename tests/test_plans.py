@@ -1129,9 +1129,9 @@ def test_registry_window_names_resolve_and_rotation_is_ledger_mechanical(qs):
     out = (stale | new_unwindowed) - set(window)
     assert out == set(), f"stale/new queries outside the checked window: {out}"
     # changed since last driver row (r14-judge..r15 commits) — must
-    # re-gate; empty this round: the r15 ADVICE fixes were builder-side
-    # (no gated plan/oracle changed semantically)
-    changed: set = set()
+    # re-gate: the reservoir presentation-sort fix; the other r15 ADVICE
+    # fixes were builder-side (no gated plan/oracle changed semantically)
+    changed = {"corpus_reservoir_sample"}
     out = changed - set(window)
     assert out == set(), f"changed queries outside the checked window: {out}"
 
