@@ -104,9 +104,27 @@ _WINDOW = (
     # (b) changed since their last driver row — must re-gate:
     "corpus_reservoir_sample",  # r15: presentation sort -> repartition(1)+
     # sortWithinPartitions (the VERDICT r14 #3 re-adjudication: global
-    # orderBy's range-sampling pass re-executed the window child). The
+    # orderBy's range-sampling pass re-executed the window child). That
+    # root cause generalizes: a bare final orderBy over an exchange-free
+    # per-doc pipeline re-runs the WHOLE codec/regex stage in the range
+    # sampler — data.shielded_sort hash-materializes the output first.
+    # The six heavy mm rows below take the shield and re-gate (measured
+    # sf0.1 medians: resize 2.00->1.28, phash 1.70->1.12, decode
+    # 1.37->1.04, audio_decode 0.82->0.55 interleaved); six r11 rows
+    # (ml_hard_negatives + the text_decontaminate/dupspan/lm_score/
+    # ngram_novelty/repetition block) defer to the r16 carry to make
+    # room — all inside the size-derived rotation contract. The in-window
+    # rows text_token_stats/text_fingerprint/text_quality_score/
+    # text_pii_redact/text_readability_score/mm_audio_decode/
+    # mm_binary_meta take the same shield and re-gate in place. The
     # other r15 ADVICE fixes (mmr zero-norm filter, cell-cap distinct,
     # plan_identity lookbehind, bounded edge registry) are builder-side.
+    "mm_image_resize",
+    "mm_image_phash",
+    "mm_image_decode",
+    "mm_audio_fingerprint",
+    "mm_fake_features",
+    "mm_frame_sample",
     # (a) the staleness queue, oldest-first — all 11 r10 rows (the
     # documented r14 carry, VERDICT r14 #2 names them):
     "text_fingerprint",
@@ -141,20 +159,16 @@ _WINDOW = (
     "ev_stats_by_type",
     "ev_trend_slope",
     "ev_value_ntiles",
-    "ml_hard_negatives",
     "mm_audio_decode",
     "mm_binary_meta",
     "sim_ivf_index_probe",
     "sim_ivfpq_lloyd_topk",
     "sim_pq_topk",
-    "text_decontaminate",
-    "text_dupspan_remove",
-    "text_lm_score",
-    "text_ngram_novelty",
     "text_pii_redact",
     "text_quality_score",
-    "text_repetition_score",
-    # text_subword_tokens displaced to the r16 carry by the (b) re-gate
+    # ml_hard_negatives, text_decontaminate, text_dupspan_remove,
+    # text_lm_score, text_ngram_novelty, text_repetition_score,
+    # text_subword_tokens: displaced to the r16 carry by the (b) re-gates
 )
 
 

@@ -39,7 +39,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..data import load_table
+from ..data import load_table, shielded_sort
 from ..functions import imaging
 
 try:  # codec boundary: PIL is optional — kernels degrade to explicit stubs
@@ -217,7 +217,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strided frame sampling over the fake video payloads; oracle replays
     the arithmetic (frame boundaries/strides) on the text length."""
     docs = with_payload(load_table(spark, sf_dir, "documents"))
-    return sample_frames(docs.select("doc_id", "payload")).orderBy("doc_id", "frame_idx")
+    return shielded_sort(sample_frames(docs.select("doc_id", "payload")), "doc_id", "frame_idx")
 
 
 MM_FRAME_SAMPLE_SQL = """
@@ -583,7 +583,7 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     channel order, padding, filter math, Huffman/LZW/IDCT/VP8L math,
     header arithmetic) breaks the match."""
     docs = load_table(spark, sf_dir, "documents")
-    return extract_image_features(with_decode_payload(docs)).orderBy("doc_id")
+    return shielded_sort(extract_image_features(with_decode_payload(docs)), "doc_id")
 
 
 def _image_decode_sql() -> str:
@@ -639,9 +639,12 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_payload(load_table(spark, sf_dir, "documents"))
     meta = extract_binary_meta(docs.select("doc_id", "payload"))
     digests = docs.select("doc_id", "payload_sha256")
-    return meta.join(digests, "doc_id").select(
-        "doc_id", "n_bytes", "payload_sha256"
-    ).orderBy("doc_id")
+    return shielded_sort(
+        meta.join(digests, "doc_id").select(
+            "doc_id", "n_bytes", "payload_sha256"
+        ),
+        "doc_id",
+    )
 
 
 MM_BINARY_META_SQL = """
@@ -659,9 +662,12 @@ def mm_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     array contract itself stays on extract_fake_features and its pytest."""
     docs = with_payload(load_table(spark, sf_dir, "documents"))
     feats = extract_fake_features(docs.select("doc_id", "payload"))
-    return feats.select(
-        "doc_id", F.to_json(F.col("features")).alias("features_json")
-    ).orderBy("doc_id")
+    return shielded_sort(
+        feats.select(
+            "doc_id", F.to_json(F.col("features")).alias("features_json")
+        ),
+        "doc_id",
+    )
 
 
 def _fake_features_sql() -> str:
@@ -779,7 +785,7 @@ def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact signal statistics. The oracle never decodes: it replays
     the generative sample formula arithmetically."""
     docs = load_table(spark, sf_dir, "documents")
-    return extract_audio_features(with_audio_payload(docs)).orderBy("doc_id")
+    return shielded_sort(extract_audio_features(with_audio_payload(docs)), "doc_id")
 
 
 def _audio_decode_sql() -> str:
@@ -859,7 +865,7 @@ def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons, stereo docs 31 — channel count changes the ch0 stride,
     so a de-interleave defect breaks the match)."""
     docs = load_table(spark, sf_dir, "documents")
-    return extract_audio_fingerprint(with_audio_payload(docs)).orderBy("doc_id")
+    return shielded_sort(extract_audio_fingerprint(with_audio_payload(docs)), "doc_id")
 
 
 def _audio_fingerprint_sql() -> str:
@@ -978,7 +984,7 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     channel order, row order AND the sampling arithmetic are all under
     test."""
     docs = load_table(spark, sf_dir, "documents")
-    return extract_image_phash(with_image_payload(docs)).orderBy("doc_id")
+    return shielded_sort(extract_image_phash(with_image_payload(docs)), "doc_id")
 
 
 def _image_phash_sql() -> str:
@@ -1270,8 +1276,9 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     payloads = with_resize_payload(docs)
-    return payloads.mapInPandas(resize_then_sums, schema=_IMG_FEAT_SCHEMA).orderBy(
-        "doc_id"
+    return shielded_sort(
+        payloads.mapInPandas(resize_then_sums, schema=_IMG_FEAT_SCHEMA),
+        "doc_id",
     )
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..data import load_table
+from ..data import load_table, shielded_sort
 from ..functions import text as T
 
 
@@ -19,13 +19,18 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: total/distinct tokens, char length, type-token ratio."""
     docs = load_table(spark, sf_dir, "documents")
     toks = T.tokens(F.col("text"))
-    return docs.select(
+    return shielded_sort(
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+            F.length("text").alias("n_chars_computed"),
+            F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6)
+            .cast("double")
+            .alias("ttr"),
+        ),
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        F.length("text").alias("n_chars_computed"),
-        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).cast("double").alias("ttr"),
-    ).orderBy("doc_id")
+    )
 
 
 TEXT_TOKEN_STATS_SQL = """
@@ -51,12 +56,13 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # divergence at exact decimal ties (Spark rounds the decimal string
     # HALF_UP, DuckDB rounds the scaled binary).
     score = T.quality_score(toks)
-    return docs.select(
+    out = docs.select(
         "doc_id",
         F.round(sw, 6).cast("double").alias("stopword_ratio"),
         F.round(atl, 6).cast("double").alias("avg_token_len"),
         score.cast("double").alias("quality_score"),
-    ).orderBy("doc_id")
+    )
+    return shielded_sort(out, "doc_id")
 
 
 _SW = T.stopword_ratio_sql("string_split(text, ' ')")
@@ -355,8 +361,9 @@ FROM documents ORDER BY doc_id
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive md5 fingerprint of the token set per document."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint")).orderBy(
-        "doc_id"
+    return shielded_sort(
+        docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint")),
+        "doc_id",
     )
 
 
@@ -482,12 +489,15 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(F.regexp_extract_all(clean, F.lit(pat), 0)) for pat, _ in T.PII_PATTERNS),
         start=F.lit(0),
     )
-    return docs.select(
+    return shielded_sort(
+        docs.select(
+            "doc_id",
+            clean.alias("redacted"),
+            n_found.alias("n_pii_found"),
+            n_residual.alias("n_pii_residual"),
+        ),
         "doc_id",
-        clean.alias("redacted"),
-        n_found.alias("n_pii_found"),
-        n_residual.alias("n_pii_residual"),
-    ).orderBy("doc_id")
+    )
 
 
 def _pii_counts_sql(expr: str) -> str:
@@ -983,7 +993,7 @@ def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     wps = n_words.cast("double") / n_sent
     spw = F.try_divide(n_syl.cast("double"), n_words)
     flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
-    return docs.select(
+    out = docs.select(
         "doc_id",
         n_words.alias("n_words"),
         n_sent.alias("n_sentences"),
@@ -991,7 +1001,8 @@ def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         wps.alias("words_per_sentence"),
         spw.alias("syllables_per_word"),
         flesch.alias("flesch"),
-    ).orderBy("doc_id")
+    )
+    return shielded_sort(out, "doc_id")
 
 
 TEXT_READABILITY_SQL = """

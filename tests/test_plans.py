@@ -1129,9 +1129,25 @@ def test_registry_window_names_resolve_and_rotation_is_ledger_mechanical(qs):
     out = (stale | new_unwindowed) - set(window)
     assert out == set(), f"stale/new queries outside the checked window: {out}"
     # changed since last driver row (r14-judge..r15 commits) — must
-    # re-gate: the reservoir presentation-sort fix; the other r15 ADVICE
-    # fixes were builder-side (no gated plan/oracle changed semantically)
-    changed = {"corpus_reservoir_sample"}
+    # re-gate: the reservoir presentation-sort fix plus the 13
+    # shielded_sort rows; the other r15 ADVICE fixes were builder-side
+    # (no gated plan/oracle changed semantically)
+    changed = {
+        "corpus_reservoir_sample",
+        "mm_image_resize",
+        "mm_image_phash",
+        "mm_image_decode",
+        "mm_audio_fingerprint",
+        "mm_fake_features",
+        "mm_frame_sample",
+        "mm_audio_decode",
+        "mm_binary_meta",
+        "text_token_stats",
+        "text_fingerprint",
+        "text_quality_score",
+        "text_pii_redact",
+        "text_readability_score",
+    }
     out = changed - set(window)
     assert out == set(), f"changed queries outside the checked window: {out}"
 
