@@ -21,6 +21,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # of truth for them — harvested notes carry forward on regen; re-adding
 # them here would stomp the decade cells).
 NEW_NOTES = {
+    # the seven r14-staged operators, gated r15
+    "sim_mmr_topk": "r15 NEW: TakeOrdered pool + bounded pairwise sims; driver greedy replay",
+    "text_readability_score": "r15 NEW: Flesch over integer proxy; shielded presentation sort",
+    "corpus_tokenizer_fertility": "r15 NEW: per-lang BPE fertility over the shared merge table",
+    "dedup_cluster_report": "r15 NEW: two map-side-combinable rollups over capped-CC labels",
+    "mm_scene_cuts": "r15 NEW: 1->N frame kernel + doc-partitioned lag/cut windows",
+    "dq_freshness_lag": "r15 NEW: staleness vs the dataset frontier; one type-partitioned pass",
+    "ev_seasonal_backtest": "r15 NEW: MASE backtest over the shared CUSUM daily cells",
     # the eight r13-staged operators, gated r14
     "graph_k_core": "r14 NEW: 3 synchronous peel rounds, degree count + two semi-joins each",
     "ev_changepoint_cusum": "r14 NEW: Page CUSUM via cumulative-window closed form, BIGINT cents",
@@ -33,12 +41,24 @@ NEW_NOTES = {
 }
 
 NOTE_OVERRIDES = {
+    "corpus_reservoir_sample": "r15: bounded-output local sort (bare orderBy re-ran the window in the range sampler)",
+    "mm_image_resize": "r15: shielded presentation sort (codec ran twice in the range sampler); 6-class fixture",
+    "mm_image_decode": "r15: shielded presentation sort; 7-class fixture (WebP lossless/VP8L, both profiles)",
+    "mm_image_phash": "r15: shielded presentation sort (fingerprint kernel no longer runs twice)",
+    "mm_audio_decode": "r15: shielded presentation sort (WAV codec no longer runs twice)",
+    "mm_audio_fingerprint": "r15: shielded presentation sort",
+    "mm_fake_features": "r15: shielded presentation sort",
+    "mm_frame_sample": "r15: shielded presentation sort (1->N kernel)",
+    "mm_binary_meta": "r15: shielded presentation sort",
+    "text_pii_redact": "r15: shielded presentation sort (4-pattern regex scrub ran twice)",
+    "text_quality_score": "r15: shielded presentation sort",
+    "text_token_stats": "r15: shielded presentation sort",
+    "text_fingerprint": "r15: shielded presentation sort",
     "dedup_ngram_jaccard": "r14: attested hash-path PPJoin (8-byte shingles under the shared injectivity proof; string fallback)",
     "graph_label_propagation": "r14: convergence-certified early stop (one mid-round probe; fixed-round values unchanged)",
     "dedup_cluster_best": "r14: CC edge cache plan-keyed (unpersist removed — the r13 drift constant); quality-aware keeper election",
     "dedup_cluster_cc": "r14: CC edge cache plan-keyed across reps (unpersist removed)",
     "text_ngram_novelty": "r11: spread gram build (derived twice in-plan)",
-    "mm_image_resize": "r12: 6-class fixture (WebP thumbnail re-encode exercises VP8L bundling)",
     "ev_outliers_mad": "r11: planning jobs share a transient persist (2 scans/exec)",
     "ev_session_outage_overlap": "r11: planning jobs share a transient persist",
     "ev_trend_slope": "r11: BIGINT outputs (DECIMAL internals)",
@@ -46,7 +66,6 @@ NOTE_OVERRIDES = {
     "ev_approx_distinct_users": "r11: bounds-attested oracle (exact + 5% boolean)",
     "ev_approx_value_quantiles": "r11: rank-interval attestation (2% ranks)",
     "ev_theta_user_overlap": "r12: intersection attestation bounded vs either_users",
-    "mm_image_decode": "r12: 7-class fixture (adds WebP lossless / full VP8L decode, both profiles)",
     "dq_events_drift": "r12: drift_bin sign-safe clamp; two-half bin-share drift",
 }
 
