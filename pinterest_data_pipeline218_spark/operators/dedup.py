@@ -544,6 +544,12 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     edge_key = (app_id, plan_identity(edges))
     cached = _EDGE_PLAN_CACHE.get(edge_key)
     if cached is not None:
+        sl = cached.storageLevel
+        if not (sl.useMemory or sl.useDisk):
+            # a session-wide clearCache (bench.py between queries) dropped
+            # the materialization but not the registry entry — re-pin, or
+            # every later build in the session would run permanently cold
+            cached.persist()
         edges = cached
     else:
         edges = edges.persist()
