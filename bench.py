@@ -250,6 +250,14 @@ HEADLINE = [
     "sim_mips_topk",
     "dq_k_anonymity",
     "ev_srm_check",
+    # NEW r15 (the seven r14-staged operators, gated r15)
+    "sim_mmr_topk",
+    "text_readability_score",
+    "corpus_tokenizer_fertility",
+    "dedup_cluster_report",
+    "mm_scene_cuts",
+    "dq_freshness_lag",
+    "ev_seasonal_backtest",
 ]
 
 
