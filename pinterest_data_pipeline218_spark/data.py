@@ -136,4 +136,13 @@ def plan_identity(df: DataFrame) -> str:
     # canonicalizing to the same digest.
     plan = re.sub(r"\bx_\d+(?=#)", canon, plan)
     plan = re.sub(r"(?<=[^\s(\[,])#\d+", canon, plan)
-    return hashlib.md5(plan.encode()).hexdigest()
+    # An in-memory relation's string rendering shows only its SCHEMA,
+    # never its rows, so two different in-memory datasets of the same
+    # shape canonicalized identically (caught r15: the edge-plan registry
+    # served one pytest's CC edges to another). Mixing in semanticHash —
+    # which hashes the canonicalized plan OBJECT, where in-memory inputs
+    # carry data/RDD identity — keeps them apart. RDD-backed rebuilds of
+    # the same data then hash fresh each time: a safe MISS, never a
+    # collision; memo stability holds for file-rooted plans (embedded
+    # paths + stable canonicalization), which is every gated query.
+    return hashlib.md5(f"{plan}:{df.semanticHash()}".encode()).hexdigest()

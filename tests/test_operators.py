@@ -1433,6 +1433,17 @@ def test_containment_hash_and_string_branches_agree(spark, monkeypatch):
     assert D._plan_identity(base) == D._plan_identity(
         D._cont_shingle_strings(docs, "doc_id")
     )
+    # r15 regression: an in-memory relation's STRING rendering shows only
+    # its schema, so two different in-memory datasets of the same shape
+    # used to share one digest — the edge-plan registry then served one
+    # pytest's CC edges to another. The semanticHash mix-in must keep
+    # them apart. (RDD-backed rebuilds of the SAME data hash fresh each
+    # time — a safe MISS, never a collision; memo stability is only
+    # promised for file-rooted plans, which every gated query has, and
+    # is asserted on the parquet-rooted `base` above.)
+    lr_a = spark.createDataFrame([(0, 1), (1, 2)], "a long, b long")
+    lr_b = spark.createDataFrame([(5, 6), (6, 7)], "a long, b long")
+    assert D._plan_identity(lr_a) != D._plan_identity(lr_b)
 
     def rows_of(df):
         return {
