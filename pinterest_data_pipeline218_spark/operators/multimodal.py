@@ -369,7 +369,7 @@ s AS (
 SELECT doc_id, CAST(scene AS INT) AS scene_idx,
        CAST(MIN(fi) AS INT) AS start_frame,
        COUNT(*) AS n_frames,
-       SUM(intensity) AS sum_intensity
+       CAST(SUM(intensity) AS BIGINT) AS sum_intensity
 FROM s
 GROUP BY doc_id, scene
 ORDER BY doc_id, scene_idx

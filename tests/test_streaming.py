@@ -4033,11 +4033,18 @@ def test_ivf_assign_raises_over_cell_cap_and_memoizes(spark):
     assert max(S._CELL_CAP_CACHE.values()) == S.IVF_CELL_CAP + 1
 
     # at the cap exactly: assignment proceeds, ties break to the lowest
-    # cell id of the query's axis (axis 3 -> label 3), and rebuilding the
-    # same quantizer plan hits the memo instead of re-counting
+    # cell id of the query's axis (axis 3 -> label 3), and re-asserting
+    # the SAME quantizer DataFrame hits the memo instead of re-counting.
+    # (An in-memory REBUILD via createDataFrame keys fresh since r15 —
+    # plan_identity mixes in semanticHash, where RDD-backed inputs carry
+    # creation identity: a safe miss, never a cross-dataset collision;
+    # the memo-hit-across-rebuilds contract holds for file-rooted
+    # quantizers, which every gated query has — pinned by
+    # test_containment_hash_and_string_branches_agree's parquet case.)
     S._CELL_CAP_CACHE.clear()
-    got = S.ivf_assign_cells(new, mk_cents(S.IVF_CELL_CAP)).collect()
+    cents = mk_cents(S.IVF_CELL_CAP)
+    got = S.ivf_assign_cells(new, cents).collect()
     assert len(got) == 1 and got[0].cell == 3
     assert len(S._CELL_CAP_CACHE) == 1
-    S.ivf_assign_cells(new, mk_cents(S.IVF_CELL_CAP))
-    assert len(S._CELL_CAP_CACHE) == 1  # same canonicalized plan -> hit
+    S.ivf_assign_cells(new, cents)
+    assert len(S._CELL_CAP_CACHE) == 1  # same plan object -> memo hit
