@@ -125,6 +125,18 @@ _WINDOW = (
     "mm_audio_fingerprint",
     "mm_fake_features",
     "mm_frame_sample",
+    # (b) second shield wave — pair/report rows whose range sampler
+    # re-ran the candidate-join + verify segment (broadcast joins add no
+    # exchange, so nothing shielded the sampler); interleaved A/B at
+    # sf0.1: embedding_neardup 5.36->2.59, containment 2.18->0.90,
+    # containment_seeds 6.97->4.97, ngram_jaccard 5.11->4.45,
+    # merge_increment 2.59->1.96, dupspan_remove 2.95->1.87:
+    "dedup_containment",
+    "dedup_containment_seeds",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_neardup",
+    "corpus_merge_increment",
+    "text_dupspan_remove",
     # (a) the staleness queue, oldest-first — all 11 r10 rows (the
     # documented r14 carry, VERDICT r14 #2 names them):
     "text_fingerprint",
@@ -148,13 +160,7 @@ _WINDOW = (
     "dedup_minhash_lsh",
     "dedup_semantic_kmeans",
     "dedup_simhash",
-    "ev_approx_distinct_users",
-    "ev_approx_value_quantiles",
-    "ev_mode_value",
     "ev_outliers_mad",
-    "ev_pivot_type_counts",
-    "ev_rollup_daily",
-    "ev_running_total",
     "ev_session_outage_overlap",
     "ev_stats_by_type",
     "ev_trend_slope",
@@ -166,9 +172,13 @@ _WINDOW = (
     "sim_pq_topk",
     "text_pii_redact",
     "text_quality_score",
-    # ml_hard_negatives, text_decontaminate, text_dupspan_remove,
-    # text_lm_score, text_ngram_novelty, text_repetition_score,
-    # text_subword_tokens: displaced to the r16 carry by the (b) re-gates
+    # ml_hard_negatives, text_decontaminate, text_lm_score,
+    # text_ngram_novelty, text_repetition_score, text_subword_tokens,
+    # ev_approx_distinct_users, ev_approx_value_quantiles, ev_mode_value,
+    # ev_pivot_type_counts, ev_rollup_daily, ev_running_total:
+    # displaced to the r16 carry by the (b) re-gates —
+    # all r11 rows, inside the size-derived rotation contract (r11 rows
+    # must re-gate by r17; the r16 window has the capacity)
 )
 
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..data import load_table
+from ..data import load_table, shielded_sort
 from ..functions import text as T
 
 SAMPLE_PCT = 10  # keep 10% of documents
@@ -1206,16 +1206,15 @@ def merge_triage(
         .when(F.col("n_corpus_matches") > 0, F.lit("near_dup"))
         .otherwise(F.lit("accepted"))
     )
-    return (
-        flagged.join(inc, "doc_id")
-        .select(
-            "doc_id",
-            verdict.alias("verdict"),
-            "n_corpus_matches",
-            "best_jaccard",
-        )
-        .orderBy("doc_id")
+    out = flagged.join(inc, "doc_id").select(
+        "doc_id",
+        verdict.alias("verdict"),
+        "n_corpus_matches",
+        "best_jaccard",
     )
+    # shielded (r15): the bare sort's range sampler re-ran the composed
+    # triage joins above this point
+    return shielded_sort(out, "doc_id")
 
 
 def _merge_increment_sql() -> str:

@@ -28,7 +28,7 @@ import operator
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..data import load_table, plan_identity
+from ..data import load_table, plan_identity, shielded_sort
 from ..functions import text as T
 from ..functions.vectors import (
     as_double_array,
@@ -1385,7 +1385,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("jaccard"),
         )
-        .orderBy("source", "doc_a", "doc_b")
+        # shielded (r15): the bare sort's range sampler re-ran the whole
+        # postings+verify segment above this point
+        .transform(lambda d: shielded_sort(d, "source", "doc_a", "doc_b"))
     )
 
 
@@ -1433,7 +1435,9 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).cast("double").alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= EMBEDDING_COSINE_THRESHOLD)
-        .orderBy("label", "vec_a", "vec_b")
+        # shielded (r15): the bare sort's range sampler re-ran the blocked
+        # cosine pair stage above this point
+        .transform(lambda d: shielded_sort(d, "label", "vec_a", "vec_b"))
     )
 
 
@@ -1599,15 +1603,18 @@ def _cont_score_exact(sized: DataFrame, order_keys: list[str]) -> DataFrame:
     ca = F.expr("(10000L * n_common) div n_sh_a")
     cb = F.expr("(10000L * n_common) div n_sh_b")
     drop = [c for c in ("n_sh_a", "n_sh_b") if c in sized.columns]
-    return (
+    scored = (
         sized.withColumn("cont_a_bp", ca)
         .withColumn("cont_b_bp", cb)
         .withColumn(
             "subdup", F.greatest(ca, cb) >= CONTAINMENT_MIN_BP
         )
         .drop(*drop)
-        .orderBy(*order_keys)
     )
+    # shielded (r15): the bare sort's range sampler re-ran the entire
+    # candidate-join + array_intersect verify segment above this point
+    # (broadcast joins add no exchange, so nothing shielded the sampler)
+    return shielded_sort(scored, *order_keys)
 
 
 def containment_pairs(docs: DataFrame) -> DataFrame:

@@ -1187,7 +1187,9 @@ def dupspan_remove(docs: DataFrame) -> DataFrame:
             (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
-        .orderBy("doc_id")
+        # shielded (r15): the bare sort's range sampler re-ran the
+        # span-reassembly joins above this point
+        .transform(lambda d: shielded_sort(d, "doc_id"))
     )
 
 

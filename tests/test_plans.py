@@ -1147,6 +1147,12 @@ def test_registry_window_names_resolve_and_rotation_is_ledger_mechanical(qs):
         "text_quality_score",
         "text_pii_redact",
         "text_readability_score",
+        "dedup_containment",
+        "dedup_containment_seeds",
+        "dedup_ngram_jaccard",
+        "dedup_embedding_neardup",
+        "corpus_merge_increment",
+        "text_dupspan_remove",
     }
     out = changed - set(window)
     assert out == set(), f"changed queries outside the checked window: {out}"

@@ -54,7 +54,12 @@ NOTE_OVERRIDES = {
     "text_quality_score": "r15: shielded presentation sort",
     "text_token_stats": "r15: shielded presentation sort",
     "text_fingerprint": "r15: shielded presentation sort",
-    "dedup_ngram_jaccard": "r14: attested hash-path PPJoin (8-byte shingles under the shared injectivity proof; string fallback)",
+    "dedup_ngram_jaccard": "r15: shielded pair sort (sampler re-ran postings+verify); r14 attested hash-path PPJoin",
+    "dedup_embedding_neardup": "r15: shielded pair sort (sampler re-ran the blocked cosine pair stage)",
+    "dedup_containment": "r15: shielded pair sort (sampler re-ran the candidate-join + intersect verify)",
+    "dedup_containment_seeds": "r15: shielded pair sort (same finisher); seed-posting candidate generation",
+    "corpus_merge_increment": "r15: shielded sort (sampler re-ran the composed triage joins)",
+    "text_dupspan_remove": "r15: shielded sort (sampler re-ran the span-reassembly joins)",
     "graph_label_propagation": "r14: convergence-certified early stop (one mid-round probe; fixed-round values unchanged)",
     "dedup_cluster_best": "r14: CC edge cache plan-keyed (unpersist removed — the r13 drift constant); quality-aware keeper election",
     "dedup_cluster_cc": "r14: CC edge cache plan-keyed across reps (unpersist removed)",
