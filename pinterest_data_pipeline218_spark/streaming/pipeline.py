@@ -1699,6 +1699,65 @@ def incremental_ivf_staleness(
     return ivf_staleness_report(base_sc, new_sc)
 
 
+def kcenter_state_batch(
+    batch_emb: DataFrame, cents: DataFrame, state_dir: str, batch_id: int = -1
+) -> None:
+    """Staged r15: one micro-batch's coverage-sample CANDIDATES against a
+    FROZEN coarse quantizer — the streaming twin of
+    corpus_kcenter_sample's selection (per-cell medoid-side cores +
+    boundary-side frontier). Per-cell top-k at BOTH ends is
+    DISTRIBUTIVE: a row in the merged corpus's per-cell top
+    KCENTER_CORE_TAKE (resp. bottom KCENTER_FRONTIER_TAKE) is in its own
+    batch's per-cell top (resp. bottom) take, so keeping each batch's
+    two-sided take — ≤ |cells|·(core+frontier) rows of state per batch,
+    corpus-size-independent — loses no candidate the global selection
+    can ever pick. Expects (vec_id, label, embedding array<float>);
+    state written under a ``batch_id=`` partition with the
+    overwrite-idempotence contract of the dashboard family."""
+    from ..functions.vectors import as_double_array
+    from ..operators.similarity import _cos_ppm, kcenter_sample
+
+    scored = (
+        batch_emb.select(
+            "vec_id", "label", as_double_array("embedding").alias("v")
+        )
+        .join(F.broadcast(cents), "label")
+        .select("vec_id", "label", _cos_ppm(F.col("v"), F.col("c")).alias("cos_ppm"))
+    )
+    # the batch's own two-sided take IS the bounded candidate set; roles
+    # and ranks recompute at assembly over the merged candidates
+    kcenter_sample(scored).select(
+        F.col("cell").alias("label"), "vec_id", "cos_ppm"
+    ).write.mode("overwrite").parquet(
+        f"{state_dir}/kcenter/batch_id={batch_id}"
+    )
+
+
+def incremental_kcenter_sample(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Staged r15: the coverage-diverse sample over ALL accumulated
+    batch candidates — exactly the batch `kcenter_sample` finisher over
+    the merged (vec_id, label, cos_ppm) candidate set. Distributivity of
+    two-sided per-cell top-k (see kcenter_state_batch) makes this equal
+    the batch selection over the full corpus against the same frozen
+    quantizer (`test_incremental_kcenter_equals_batch`); a replayed
+    batch REPLACES its own partition, and cross-batch duplicate vec_ids
+    are deduped before ranking (at-least-once delivery must not let one
+    vector hold two ranks)."""
+    from ..operators.similarity import kcenter_sample
+
+    if not os.path.isdir(f"{state_dir}/kcenter"):
+        return spark.createDataFrame(
+            [],
+            "cell int, vec_id long, cos_ppm long, role string, pick_rank long",
+        )
+    cand = (
+        spark.read.parquet(f"{state_dir}/kcenter")
+        .select("vec_id", "label", "cos_ppm")
+        .distinct()
+    )
+    return kcenter_sample(cand)
+
+
 # --------------------------------------------- CUSUM change-points (r13)
 
 

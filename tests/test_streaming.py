@@ -3866,6 +3866,75 @@ def test_incremental_did_lift_equals_batch(spark, tmp_path):
     assert empty.collect() == []
 
 
+def test_incremental_kcenter_equals_batch(spark, tmp_path):
+    """incremental_kcenter_sample (staged r15): the coverage sample over
+    accumulated per-batch two-sided candidate takes must equal the batch
+    kcenter_sample over the full corpus against the same FROZEN
+    quantizer — the distributive-top-k state argument, pinned on the
+    planted big-cell/small-cell geometry. Also pins replay idempotence,
+    cross-batch duplicate delivery (one vector must never hold two
+    ranks), and the empty-state contract."""
+    import pyspark.sql.functions as F_
+
+    from pinterest_data_pipeline218_spark.functions.vectors import (
+        as_double_array,
+    )
+    from pinterest_data_pipeline218_spark.operators.similarity import (
+        _cos_ppm,
+        build_ivf_centroids,
+        kcenter_sample,
+    )
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        incremental_kcenter_sample,
+        kcenter_state_batch,
+    )
+
+    rows = []
+    for i in range(16):  # cell 0 core
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0], 0))
+    for i in range(4):  # cell 0 planted boundary
+        rows.append((100 + i, [0.2, 1.0, 0.02 * i, 0.0], 0))
+    for i in range(5):  # cell 1, under the core take
+        rows.append((200 + i, [0.0, 0.0, 1.0, 0.05 * i], 1))
+    emb = spark.createDataFrame(
+        [(v, [float(x) for x in vec], lab) for v, vec, lab in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    cents = build_ivf_centroids(
+        emb.select("vec_id", "label", as_double_array("embedding").alias("v"))
+    ).localCheckpoint()  # the FROZEN quantizer both sides share
+
+    state_dir = str(tmp_path / "state")
+    batches = [emb.filter(F_.col("vec_id") % 3 == i) for i in range(3)]
+    for bid, b in enumerate(batches):
+        kcenter_state_batch(b, cents, state_dir, batch_id=bid)
+    # at-least-once: batch 1 re-delivered under its own id, AND one of
+    # its vectors also arrives (duplicated) inside batch 2's partition
+    kcenter_state_batch(batches[1], cents, state_dir, batch_id=1)
+    kcenter_state_batch(
+        batches[2].unionByName(batches[1].limit(1)), cents, state_dir, batch_id=2
+    )
+
+    def rows_of(df):
+        return [tuple(r) for r in df.collect()]
+
+    scored_all = (
+        emb.select("vec_id", "label", as_double_array("embedding").alias("v"))
+        .join(F_.broadcast(cents), "label")
+        .select(
+            "vec_id", "label", _cos_ppm(F_.col("v"), F_.col("c")).alias("cos_ppm")
+        )
+    )
+    want = rows_of(kcenter_sample(scored_all))
+    got = rows_of(incremental_kcenter_sample(spark, state_dir))
+    assert got == want and len(got) > 0
+    picked = [r[1] for r in got]
+    assert len(picked) == len(set(picked))  # duplicates never hold two ranks
+
+    empty = incremental_kcenter_sample(spark, str(tmp_path / "never"))
+    assert empty.collect() == []
+
+
 def test_incremental_kcore_equals_batch(spark, tmp_path):
     """Streaming k-core (staged r13): the peel over accumulated per-batch
     edge partitions must equal the batch k_core over the union — and
