@@ -498,6 +498,222 @@ FROM cells
 """
 
 
+# ------------------- CUPED variance-reduced lift (staged r15, gates r16)
+# Deng, Xu, Kohavi & Walker 2013 ("Improving the Sensitivity of Online
+# Controlled Experiments by Utilizing Pre-Experiment Data"): the
+# pre-period per-user metric X is a covariate for the post-period metric
+# Y; theta = cov(X, Y) / var(X) POOLED across arms, and the adjusted
+# lift (ȳ_t − ȳ_c) − theta·(x̄_t − x̄_c) removes the covariate-imbalance
+# component of the raw lift, shrinking readout variance by rho². This is
+# the third leg of the experimentation family: srm_check guards the
+# split, abtest_chi2/did_lift read the effect, cuped_adjust reads it at
+# higher power when a pre-period exists.
+#
+# Exactness discipline: per-user x, y are exact centi BIGINT sums (per-
+# user products x·y ≤ ~1.4e15 stay BIGINT); the POOLED cross-moments
+# Σxy, Σx², Σy² accumulate in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB)
+# because corpus-level sums of 1e15-scale products leave BIGINT at
+# scale; num/den/deny are exact wide-integer cross-multiplications (the
+# srm_check idiom), and ONLY the final quotients evaluate in doubles via
+# SHARED expression strings over identically-valued integer columns —
+# CAST(DECIMAL(38,0) AS DOUBLE) and CAST(HUGEINT AS DOUBLE) round the
+# same integer to the same double, so both engines emit one BIGINT.
+#
+# Scale shape: one (user, day)-keyed additive cell aggregate (map-side
+# combinable — the SAME cell grain the streaming twin accumulates, so a
+# late batch that extends the window moves the re-derived boundary
+# exactly as batch would), a 1-row bounds broadcast, one user-keyed
+# rollup, one fused 1-row moment aggregate. No window, no join against
+# the raw stream.
+_CUPED_THETA_D = "CAST(num AS DOUBLE) / nullif(CAST(den AS DOUBLE), 0.0)"
+_CUPED_DX = (
+    "(CAST(sx_treat AS DOUBLE) / nullif(CAST(n_treat AS DOUBLE), 0.0)"
+    " - CAST(sx_ctrl AS DOUBLE) / nullif(CAST(n_ctrl AS DOUBLE), 0.0))"
+)
+_CUPED_DY = (
+    "(CAST(sy_treat AS DOUBLE) / nullif(CAST(n_treat AS DOUBLE), 0.0)"
+    " - CAST(sy_ctrl AS DOUBLE) / nullif(CAST(n_ctrl AS DOUBLE), 0.0))"
+)
+_CUPED_THETA_MILLI = "CAST(FLOOR(1000.0 * theta_d) AS BIGINT)"
+_CUPED_LIFT_RAW = f"CAST(FLOOR(1000.0 * {_CUPED_DY}) AS BIGINT)"
+_CUPED_LIFT_ADJ = (
+    f"CAST(FLOOR(1000.0 * ({_CUPED_DY} - theta_d * {_CUPED_DX})) AS BIGINT)"
+)
+# rho² = num² / (den·deny) = theta²·den/deny — the theta_d·theta_d form
+# stays inside double range where num² would overflow DECIMAL(38,0)
+_CUPED_VR_PPM = (
+    "CAST(FLOOR(1000000.0 * theta_d * theta_d * CAST(den AS DOUBLE)"
+    " / nullif(CAST(deny AS DOUBLE), 0.0)) AS BIGINT)"
+)
+
+
+def cuped_user_day_agg(ev: DataFrame) -> DataFrame:
+    """(user_id, day, n, s): per-(user, day) row counts and exact centi
+    sums — the ADDITIVE cell grain the streaming twin accumulates (the
+    did_daily_agg precedent, one key finer because CUPED needs per-USER
+    pre/post sums). Day-grain so the finisher can re-derive the pre/post
+    boundary from the cells' own min/max day."""
+    return (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            _v_centi().alias("v"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("s"),
+        )
+    )
+
+
+def cuped_report(cells: DataFrame) -> DataFrame:
+    """The CUPED finisher over (user_id, day, n, s) cells: boundary =
+    the cells' own midpoint day (the did_lift_report derivation), per-
+    user pre-sum x / post-sum y, seed-2 token_hash arms, pooled theta
+    from exact wide-integer moments, then the shared double-quotient
+    expressions for theta / raw lift / adjusted lift / variance shrink."""
+    dec = "decimal(38,0)"
+    bounds = cells.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    e = cells.crossJoin(F.broadcast(bounds))
+    post = F.expr("timestampdiff(DAY, d0, day)") >= F.expr(
+        "timestampdiff(DAY, d0, d1) div 2"
+    )
+    per_user = (
+        e.select("user_id", post.alias("post"), "s")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(~F.col("post"), F.col("s")).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("post"), F.col("s")).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .select(
+            "x",
+            "y",
+            (
+                F.pmod(
+                    T.token_hash(F.col("user_id").cast("string"), seed=2),
+                    F.lit(2),
+                )
+                < 1
+            ).alias("treat"),
+        )
+    )
+    stats = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("treat").cast("long")).cast("long").alias("n_treat"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+        F.sum(F.when(F.col("treat"), F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sx_treat"),
+        F.sum(F.when(F.col("treat"), F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sy_treat"),
+    )
+    m = stats.select(
+        "*",
+        (
+            F.col("n_users").cast(dec) * F.col("sxy")
+            - F.col("sx").cast(dec) * F.col("sy").cast(dec)
+        ).alias("num"),
+        (
+            F.col("n_users").cast(dec) * F.col("sxx")
+            - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+        ).alias("den"),
+        (
+            F.col("n_users").cast(dec) * F.col("syy")
+            - F.col("sy").cast(dec) * F.col("sy").cast(dec)
+        ).alias("deny"),
+        (F.col("n_users") - F.col("n_treat")).cast("long").alias("n_ctrl"),
+        (F.col("sx") - F.col("sx_treat")).cast("long").alias("sx_ctrl"),
+        (F.col("sy") - F.col("sy_treat")).cast("long").alias("sy_ctrl"),
+    ).withColumn("theta_d", F.expr(_CUPED_THETA_D))
+    return m.select(
+        F.lit("ab_50_50").alias("experiment"),
+        "n_users",
+        "n_treat",
+        "n_ctrl",
+        F.expr(_CUPED_THETA_MILLI).alias("theta_milli"),
+        F.expr(_CUPED_LIFT_RAW).alias("lift_raw_milli_centi"),
+        F.expr(_CUPED_LIFT_ADJ).alias("lift_adj_milli_centi"),
+        F.expr(_CUPED_VR_PPM).alias("var_reduction_ppm"),
+    )
+
+
+def ev_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r15 (gates r16): CUPED variance-reduced experiment readout
+    over the events table — pooled theta in exact wide-integer moments,
+    raw vs adjusted lift in milli-centi, variance shrink in ppm."""
+    ev = load_table(spark, sf_dir, "events")
+    return cuped_report(cuped_user_day_agg(ev))
+
+
+def _cuped_sql() -> str:
+    """Staged DuckDB oracle (validated by
+    test_cuped_adjust_matches_model_and_oracle; registers r16)."""
+    h2 = T.token_hash_sql("CAST(user_id AS VARCHAR)", seed=2)
+    return f"""
+WITH cells0 AS (
+  SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1, 2
+),
+b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM cells0),
+pu AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN NOT post THEN s ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN post THEN s ELSE 0 END) AS BIGINT) AS y,
+         ({h2}) % 2 < 1 AS treat
+  FROM (
+    SELECT user_id,
+           date_diff('day', b.d0, day)
+             >= date_diff('day', b.d0, b.d1) // 2 AS post,
+           s
+    FROM cells0 CROSS JOIN b
+  )
+  GROUP BY user_id
+),
+stats AS (
+  SELECT COUNT(*) AS n_users,
+         CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy,
+         CAST(SUM(CASE WHEN treat THEN x ELSE 0 END) AS BIGINT) AS sx_treat,
+         CAST(SUM(CASE WHEN treat THEN y ELSE 0 END) AS BIGINT) AS sy_treat
+  FROM pu
+),
+m AS (
+  SELECT *,
+         n_users * sxy - CAST(sx AS HUGEINT) * sy AS num,
+         n_users * sxx - CAST(sx AS HUGEINT) * sx AS den,
+         n_users * syy - CAST(sy AS HUGEINT) * sy AS deny,
+         n_users - n_treat AS n_ctrl,
+         sx - sx_treat AS sx_ctrl,
+         sy - sy_treat AS sy_ctrl
+  FROM stats
+),
+t AS (SELECT *, {_CUPED_THETA_D} AS theta_d FROM m)
+SELECT 'ab_50_50' AS experiment, n_users, n_treat, n_ctrl,
+       {_CUPED_THETA_MILLI} AS theta_milli,
+       {_CUPED_LIFT_RAW} AS lift_raw_milli_centi,
+       {_CUPED_LIFT_ADJ} AS lift_adj_milli_centi,
+       {_CUPED_VR_PPM} AS var_reduction_ppm
+FROM t
+"""
+
+
 QUERIES = {
     "ev_abtest_chi2": ev_abtest_chi2,
     "ev_cusum_excursion": ev_cusum_excursion,

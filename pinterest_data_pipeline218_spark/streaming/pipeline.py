@@ -1874,6 +1874,46 @@ def incremental_did_lift(spark: SparkSession, state_dir: str) -> DataFrame:
     return did_lift_report(cells)
 
 
+def cuped_state_batch(
+    batch_df: DataFrame, state_dir: str, batch_id: int = -1
+) -> None:
+    """One micro-batch's per-(user, day) CUPED cells — ADDITIVE state
+    (n/s add per cell), written under a batch_id= partition with the
+    overwrite idempotence contract. One key finer than the DiD cells
+    because CUPED's finisher needs per-USER pre/post sums; arms need no
+    state at all (re-derived from user_id by the deterministic hash)."""
+    from ..plans.experiments import cuped_user_day_agg
+
+    cuped_user_day_agg(batch_df).write.mode("overwrite").parquet(
+        f"{state_dir}/cuped/batch_id={batch_id}"
+    )
+
+
+def incremental_cuped(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Staged r15 (registers r16 with ev_cuped_adjust): the CUPED
+    variance-reduced readout over accumulated per-batch (user, day)
+    cells: sum the cells, then EXACTLY the batch `cuped_report` finisher
+    — the pre/post boundary re-derives from the assembled cells' own
+    min/max day, so a late batch that extends the observation window
+    moves every user's x/y split exactly as the batch op would
+    (`test_incremental_cuped_equals_batch`)."""
+    from ..plans.experiments import cuped_report
+
+    if not os.path.isdir(f"{state_dir}/cuped"):
+        return spark.createDataFrame(
+            [],
+            "experiment string, n_users long, n_treat long, n_ctrl long, "
+            "theta_milli long, lift_raw_milli_centi long, "
+            "lift_adj_milli_centi long, var_reduction_ppm long",
+        )
+    cells = (
+        spark.read.parquet(f"{state_dir}/cuped")
+        .groupBy("user_id", "day")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    )
+    return cuped_report(cells)
+
+
 # ------------------------------------------------ streaming k-core (r13)
 
 

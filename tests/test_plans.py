@@ -2565,6 +2565,111 @@ def test_did_lift_matches_model_and_oracle(spark, tmp_path):
     assert got_real == want_real and len(got_real) == 1
 
 
+def _cuped_fixture(spark, path, arm_means, effect_dollars):
+    """Events fixture for the CUPED tests: one pre event (day 0) worth
+    x dollars and one post event (day 6) worth 2x + effect·treated per
+    user, with each arm's x values SYMMETRIC around that arm's mean so
+    per-arm covariate means are exact integers. Returns
+    (n_treat, n_ctrl)."""
+    import datetime
+    import hashlib
+
+    def treated(uid):  # seed-2 token_hash split, replayed driver-side
+        return int(hashlib.md5(f"2:{uid}".encode()).hexdigest()[:15], 16) % 2 < 1
+
+    def sym_offsets(k):
+        offs = []
+        for i in range(k // 2):
+            offs += [100 * (i + 1), -100 * (i + 1)]
+        if k % 2:
+            offs.append(0)
+        return offs
+
+    users = list(range(1, 21))
+    arms = {True: [u for u in users if treated(u)],
+            False: [u for u in users if not treated(u)]}
+    assert arms[True] and arms[False]
+    base = datetime.datetime(2024, 4, 1, 0, 0, 0)
+    rows, eid = [], 0
+    for t, arm in arms.items():
+        for uid, off in zip(arm, sym_offsets(len(arm))):
+            x = arm_means[t] + off  # whole dollars: centi stay exact
+            y = 2 * x + (effect_dollars if t else 0.0)
+            rows.append(("click", uid, base, "{}", float(x), eid)); eid += 1
+            rows.append(("click", uid, base + datetime.timedelta(days=6),
+                         "{}", float(y), eid)); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_type string, user_id long, ts timestamp, props string, "
+        "value double, event_id long",
+    ).write.parquet(f"{path}/events.parquet")
+    return len(arms[True]), len(arms[False])
+
+
+def test_cuped_adjust_matches_model_and_oracle(spark, tmp_path):
+    """ev_cuped_adjust (staged r15, gates r16): (a) BALANCED covariate
+    fixture — y = 2x + 1.28·treated with per-arm x means equal, so
+    num = 2·den in exact integers and theta_d is EXACTLY 2.0 (num/den
+    doubles: doubling commutes with rounding), the planted +1.28 effect
+    is read identically raw and adjusted, and the variance shrink
+    replays bitwise in Python over the exact integer moments; (b)
+    bitwise oracle agreement on both planted fixtures AND the real dev
+    events table."""
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.plans.experiments import (
+        _cuped_sql,
+        ev_cuped_adjust,
+    )
+
+    def norm(rows):
+        return [tuple(int(v) if not isinstance(v, str) else v for v in r)
+                for r in rows]
+
+    n_t, n_c = _cuped_fixture(
+        spark, str(tmp_path / "bal"), {True: 1000, False: 1000}, 1.28
+    )
+    got = [tuple(r) for r in
+           ev_cuped_adjust(spark, str(tmp_path / "bal")).collect()]
+    # python replay of var_reduction over exact integer moments: each
+    # arm's x multiset is 1000±100i dollars around the shared mean
+    offs_t = [100 * (i + 1) for i in range((n_t // 2))] * 2 + (
+        [0] if n_t % 2 else [])
+    offs_c = [100 * (i + 1) for i in range((n_c // 2))] * 2 + (
+        [0] if n_c % 2 else [])
+    n = n_t + n_c
+    sq = sum(o * o * 100 * 100 for o in offs_t + offs_c)  # Σ(x−c)² centi²
+    den = n * sq  # n·Σx² − (Σx)² with common mean c cancels to n·Σ(x−c)²
+    deny = 4 * den + 128 * 128 * n_t * n_c
+    vr = int((1000000.0 * 2.0 * 2.0 * float(den)) / float(deny) // 1)
+    assert got == [("ab_50_50", n, n_t, n_c, 2000, 128000, 128000, vr)]
+
+    # (b) IMBALANCED covariate, NO effect: raw lift reads a $200 false
+    # positive from the arm imbalance; CUPED cancels it EXACTLY
+    _cuped_fixture(spark, str(tmp_path / "imb"), {True: 1100, False: 1000}, 0.0)
+    got2 = [tuple(r) for r in
+            ev_cuped_adjust(spark, str(tmp_path / "imb")).collect()]
+    assert got2 == [("ab_50_50", n, n_t, n_c, 2000, 20000000, 0, 1000000)]
+
+    for sub in ("bal", "imb"):
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{sub}/events.parquet/*.parquet')"
+        )
+        want = norm(con.sql(_cuped_sql()).fetchall())
+        have = got if sub == "bal" else got2
+        assert have == want
+
+    got_real = [tuple(r) for r in ev_cuped_adjust(spark, SF).collect()]
+    con2 = duckdb.connect()
+    con2.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want_real = norm(con2.sql(_cuped_sql()).fetchall())
+    assert got_real == want_real and len(got_real) == 1
+
+
 def test_srm_oracle_agrees_cross_engine(spark):
     """ev_srm_check (staged r13, gates r14): cross-engine oracle
     agreement on the real events table; the deterministic hash splits

@@ -3866,6 +3866,68 @@ def test_incremental_did_lift_equals_batch(spark, tmp_path):
     assert empty.collect() == []
 
 
+def test_incremental_cuped_equals_batch(spark, tmp_path):
+    """incremental_cuped (staged r15): the CUPED readout over
+    accumulated (user, day) cells must equal the batch cuped_report over
+    the union — including a LATE batch that EXTENDS the observation
+    window and thereby MOVES the boundary every user's pre/post split
+    derives from (the re-derivation contract), plus replay idempotence
+    and the empty-state contract."""
+    import datetime
+
+    from pinterest_data_pipeline218_spark.plans.experiments import (
+        cuped_report,
+        cuped_user_day_agg,
+    )
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        cuped_state_batch,
+        incremental_cuped,
+    )
+
+    base = datetime.datetime(2024, 6, 1, 12, 30, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    rows = []
+    eid = 0
+    for d in range(8):
+        for uid in range(1, 11):
+            rows.append(
+                (eid, base + datetime.timedelta(days=d), uid, "click",
+                 float(5 + (uid * 7 + d * 3) % 11), "{}")
+            )
+            eid += 1
+    # batch 1 holds the LAST TWO DAYS entirely: applying it moves the
+    # boundary, re-splitting every user's x/y
+    b0_rows = [r for r in rows if r[1] < base + datetime.timedelta(days=6)]
+    b1_rows = [r for r in rows if r[1] >= base + datetime.timedelta(days=6)]
+    all_ev = spark.createDataFrame(rows, schema)
+    b0 = spark.createDataFrame(b0_rows, schema)
+    b1 = spark.createDataFrame(b1_rows, schema)
+
+    def rows_of(df):
+        return [tuple(r) for r in df.collect()]
+
+    state_dir = str(tmp_path / "state")
+    cuped_state_batch(b0, state_dir, batch_id=0)
+    want_b0 = rows_of(cuped_report(cuped_user_day_agg(b0)))
+    assert rows_of(incremental_cuped(spark, state_dir)) == want_b0
+
+    cuped_state_batch(b1, state_dir, batch_id=1)
+    want = rows_of(cuped_report(cuped_user_day_agg(all_ev)))
+    got = rows_of(incremental_cuped(spark, state_dir))
+    assert got == want and len(got) == 1
+    assert got != want_b0  # the late batch moved the boundary
+
+    # replay idempotence: re-deliver batch 1 under the same id
+    cuped_state_batch(b1, state_dir, batch_id=1)
+    assert rows_of(incremental_cuped(spark, state_dir)) == want
+
+    empty = incremental_cuped(spark, str(tmp_path / "never"))
+    assert empty.collect() == []
+
+
 def test_incremental_kcenter_equals_batch(spark, tmp_path):
     """incremental_kcenter_sample (staged r15): the coverage sample over
     accumulated per-batch two-sided candidate takes must equal the batch
