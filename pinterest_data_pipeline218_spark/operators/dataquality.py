@@ -695,6 +695,125 @@ ORDER BY event_type
 """
 
 
+# ---------------- embedding-table profile (staged r15, gates r16)
+# The DQ screen a training pipeline runs over its VECTOR asset before any
+# ANN/dedup/sampling stage consumes it: per cell (label) — row count,
+# NULL vectors, zero-norm vectors (they NULL every cosine downstream:
+# _cos_ppm and the oracle's CASE both yield NULL, and the r14 MMR advice
+# item was exactly a zero-norm crash), byte-identical duplicate vectors
+# (an exact-dup cluster inflates every pairwise stage quadratically), and
+# dimension constancy (a ragged vector silently NULLs unrolled dots past
+# its end). Exactness: each component truncated onto the 2^-20 QUANT grid
+# (the build_ivf_centroids quantization — `(val * QUANT).cast("long")` is
+# trunc-toward-zero, DuckDB TRUNC), so "duplicate", "zero norm", and the
+# norm² stats are integer facts both engines agree on bitwise. norm²
+# bound: (2^20·|x|)² ≈ 9e10/component, ·64 dims ≈ 6e12 — BIGINT-safe.
+#
+# Scale shape: scan-local quantization, ONE (label, qvec)-keyed grouped
+# count (map-side combinable — the only corpus-sized shuffle, keyed on the
+# vector itself so identical vectors collide by construction), then one
+# tiny (label)-keyed rollup. No window, no join, output = |cells| rows.
+def dq_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r15 (gates r16): per-cell embedding-asset profile — counts,
+    NULL/zero-norm/exact-duplicate vectors, dim constancy, quantized-norm²
+    stats; all-integer outputs."""
+    from ..functions.vectors import as_double_array
+    from .similarity import QUANT
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", as_double_array("embedding").alias("v")
+    )
+    g = (
+        emb.select(
+            "label",
+            F.transform("v", lambda x: (x * QUANT).cast("long")).alias("q"),
+        )
+        .groupBy("label", "q")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    n2 = F.aggregate(
+        "q", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    s = g.select(
+        "label",
+        "cnt",
+        F.col("q").isNull().alias("is_null"),
+        F.size("q").alias("dim"),
+        n2.alias("n2"),
+    )
+    real = ~F.col("is_null")
+    return (
+        s.groupBy("label")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_vecs"),
+            F.sum(F.when(F.col("is_null"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_null_vec"),
+            F.sum(F.when(real & (F.col("cnt") > 1), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_vecs"),
+            F.sum(F.when(real & (F.col("n2") == 0), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_zero_norm"),
+            F.min("dim").cast("integer").alias("min_dim"),
+            F.max("dim").cast("integer").alias("max_dim"),
+            F.min("n2").cast("long").alias("min_norm2_q"),
+            F.max("n2").cast("long").alias("max_norm2_q"),
+            F.expr(
+                "sum(CASE WHEN n2 IS NOT NULL THEN n2 * cnt ELSE 0 END)"
+                " div nullif(sum(CASE WHEN n2 IS NOT NULL THEN cnt"
+                " ELSE 0 END), 0)"
+            )
+            .cast("long")
+            .alias("avg_norm2_q"),
+        )
+        .orderBy("label")
+    )
+
+
+def _embedding_profile_sql() -> str:
+    """Staged DuckDB oracle (validated by
+    test_dq_embedding_profile_matches_model_and_oracle; registers r16)."""
+    from .similarity import QUANT
+
+    return f"""
+WITH e AS (
+  SELECT label,
+         list_transform(embedding::DOUBLE[],
+                        __x -> CAST(TRUNC(__x * {QUANT}) AS BIGINT)) AS q
+  FROM embeddings
+),
+g AS (SELECT label, q, COUNT(*) AS cnt FROM e GROUP BY label, q),
+s AS (
+  SELECT label, cnt, q IS NULL AS is_null, len(q) AS dim,
+         -- list_reduce errors on []; Spark's aggregate folds [] to its
+         -- 0 init, so an empty vector is zero-norm in both engines
+         CASE WHEN len(q) = 0 THEN 0
+              ELSE list_reduce(list_transform(q, __x -> __x * __x),
+                               (__a, __b) -> __a + __b) END AS n2
+  FROM g
+)
+SELECT label,
+       CAST(SUM(cnt) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN is_null THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_null_vec,
+       CAST(SUM(CASE WHEN NOT is_null AND cnt > 1 THEN cnt ELSE 0 END)
+         AS BIGINT) AS n_dup_vecs,
+       CAST(SUM(CASE WHEN NOT is_null AND n2 = 0 THEN cnt ELSE 0 END)
+         AS BIGINT) AS n_zero_norm,
+       CAST(MIN(dim) AS INT) AS min_dim,
+       CAST(MAX(dim) AS INT) AS max_dim,
+       CAST(MIN(n2) AS BIGINT) AS min_norm2_q,
+       CAST(MAX(n2) AS BIGINT) AS max_norm2_q,
+       CAST(SUM(CASE WHEN n2 IS NOT NULL THEN n2 * cnt ELSE 0 END)
+            // NULLIF(SUM(CASE WHEN n2 IS NOT NULL THEN cnt ELSE 0 END), 0)
+         AS BIGINT) AS avg_norm2_q
+FROM s
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES = {
     "dq_orders_constraints": dq_orders_constraints,
     "dq_benford_totalprice": dq_benford_totalprice,

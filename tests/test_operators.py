@@ -1876,6 +1876,74 @@ def test_kcenter_sample_covers_and_oracle_agrees_cross_engine(spark, tmp_path):
     assert len({r[0] for r in got_real}) == n_cells
 
 
+def test_dq_embedding_profile_matches_model_and_oracle(spark, tmp_path):
+    """dq_embedding_profile (staged r15, gates r16): (a) a PLANTED
+    vector-asset pathology zoo — an exact duplicate pair, a zero vector,
+    a NULL embedding, ragged dims, and an empty array — must be counted
+    exactly (hand-computed quantized norms on the 2^-20 grid); (b)
+    bitwise DuckDB oracle agreement on the planted corpus AND the real
+    dev embeddings, where every screen reads clean (n_dup = n_null =
+    n_zero = 0, dim constant 64)."""
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.operators.dataquality import (
+        _embedding_profile_sql,
+        dq_embedding_profile,
+    )
+
+    rows = [
+        # label 0: exact dup pair + zero vector + one normal vector
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.0, 0.0, 0.0], 0),
+        (3, [0.5, 0.25, 0.0], 0),
+        # label 1: NULL embedding + ragged dims (2 vs 3)
+        (10, None, 1),
+        (11, [1.0, 1.0], 1),
+        (12, [1.0, 1.0, 1.0], 1),
+        # label 2: empty array (zero-norm, dim 0 — the list_reduce guard)
+        (20, [], 2),
+    ]
+    spark.createDataFrame(
+        [(v, vec if vec is None else [float(x) for x in vec], lab)
+         for v, vec, lab in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = [tuple(r) for r in
+           dq_embedding_profile(spark, str(tmp_path)).collect()]
+    Q2 = (1 << 20) ** 2  # norm² of a unit component on the 2^-20 grid
+    n_half = (1 << 19) ** 2 + (1 << 18) ** 2  # [0.5, 0.25, 0] exactly
+    assert got == [
+        # label, n_vecs, n_null, n_dup, n_zero, min/max dim, min/max/avg n2
+        (0, 4, 0, 2, 1, 3, 3, 0, Q2, (2 * Q2 + 0 + n_half) // 4),
+        (1, 3, 1, 0, 0, 2, 3, 2 * Q2, 3 * Q2, (2 * Q2 + 3 * Q2) // 2),
+        (2, 1, 0, 0, 1, 0, 0, 0, 0, 0),
+    ]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+
+    def norm(rows_):
+        return [tuple(int(v) if v is not None else v for v in r)
+                for r in rows_]
+
+    assert got == norm(con.sql(_embedding_profile_sql()).fetchall())
+
+    got_real = [tuple(r) for r in dq_embedding_profile(spark, SF).collect()]
+    con2 = duckdb.connect()
+    con2.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    assert got_real == norm(con2.sql(_embedding_profile_sql()).fetchall())
+    assert len(got_real) > 0
+    for _, n_vecs, n_null, n_dup, n_zero, dmin, dmax, *_ in got_real:
+        assert n_null == n_dup == n_zero == 0 and dmin == dmax == 64
+
+
 def test_phash_neardup_gated_recovers_twins_and_oracle_agrees(spark):
     """mm_phash_neardup (staged r15, gates r16): (a) the planted one-bit
     twin of every non-degenerate document MUST be recovered (hamming=1 <
