@@ -1041,6 +1041,128 @@ ORDER BY source
 """
 
 
+# ------------- data-constrained epoch schedule (staged r15, gates r16)
+# corpus_token_budget answers "how many epochs does a uniform per-source
+# quota buy"; this op answers the NEXT question a data-constrained run
+# actually faces (Muennighoff et al. 2023, "Scaling Data-Constrained
+# Language Models": repeating data beyond ~4 epochs returns rapidly
+# diminishing value): CAP each source's repeats and REDISTRIBUTE the
+# freed budget to the sources that can still absorb it. One-round
+# water-filling, all-integer: uniform quota → cap verdict per source →
+# the capped sources' surplus flows to uncapped sources proportional to
+# their token mass → a final clamp (a source the redistribution itself
+# pushes over the cap clamps and the residual stays unallocated —
+# deliberately ONE round, so the schedule is a closed form both engines
+# replay exactly rather than an iterative fixpoint).
+#
+# Scale shape: the only corpus-sized work is the same per-source token
+# scan corpus_token_budget pays; everything after is |sources|-row
+# arithmetic with two 1-row broadcast crossJoins (the asserted-bound
+# idiom). Output |sources| rows.
+EPOCH_CAP_MILLI = 4_000  # max useful repeats, in milli-epochs
+
+
+def corpus_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r15 (gates r16): capped + redistributed per-source token
+    quotas under TOKEN_BUDGET — (source, n_docs, n_tokens, quota_tokens,
+    epochs_milli, capped), integer-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(T.tokens(F.col("text"))).cast("bigint")).alias(
+            "n_tokens"
+        ),
+    )
+    tot = per_src.agg(F.count(F.lit(1)).alias("n_sources"))
+    flagged = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr(f"{TOKEN_BUDGET} div n_sources").alias("quota0"),
+        F.expr(
+            f"(({TOKEN_BUDGET} div n_sources) * 1000) div n_tokens"
+            f" > {EPOCH_CAP_MILLI}"
+        ).alias("capped"),
+    )
+    pools = flagged.agg(
+        F.sum(
+            F.when(
+                F.col("capped"),
+                F.col("quota0")
+                - F.expr(f"(n_tokens * {EPOCH_CAP_MILLI}) div 1000"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("surplus"),
+        F.sum(F.when(~F.col("capped"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("pool"),
+    )
+    quota = F.expr(
+        f"CASE WHEN capped THEN (n_tokens * {EPOCH_CAP_MILLI}) div 1000 "
+        "ELSE quota0 + coalesce((surplus * n_tokens) div nullif(pool, 0), 0) "
+        "END"
+    )
+    return (
+        flagged.crossJoin(F.broadcast(pools))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            quota.cast("long").alias("quota_tokens"),
+            "capped",
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "quota_tokens",
+            F.expr(
+                f"least(CAST({EPOCH_CAP_MILLI} AS BIGINT), "
+                "(quota_tokens * 1000) div n_tokens)"
+            ).alias("epochs_milli"),
+            "capped",
+        )
+        .orderBy("source")
+    )
+
+
+EPOCH_SCHEDULE_SQL = f"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (SELECT COUNT(*) AS n_sources FROM per_src),
+flagged AS (
+  SELECT source, n_docs, n_tokens,
+         CAST({TOKEN_BUDGET} // n_sources AS BIGINT) AS quota0,
+         (({TOKEN_BUDGET} // n_sources) * 1000) // n_tokens
+           > {EPOCH_CAP_MILLI} AS capped
+  FROM per_src CROSS JOIN tot
+), pools AS (
+  SELECT CAST(SUM(CASE WHEN capped
+                  THEN quota0 - (n_tokens * {EPOCH_CAP_MILLI}) // 1000
+                  ELSE 0 END) AS BIGINT) AS surplus,
+         CAST(SUM(CASE WHEN NOT capped THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS pool
+  FROM flagged
+), q AS (
+  SELECT source, n_docs, n_tokens, capped,
+         CAST(CASE WHEN capped THEN (n_tokens * {EPOCH_CAP_MILLI}) // 1000
+              ELSE quota0
+                + COALESCE((surplus * n_tokens) // NULLIF(pool, 0), 0)
+              END AS BIGINT) AS quota_tokens
+  FROM flagged CROSS JOIN pools
+)
+SELECT source, n_docs, n_tokens, quota_tokens,
+       least(CAST({EPOCH_CAP_MILLI} AS BIGINT),
+             (quota_tokens * 1000) // n_tokens) AS epochs_milli,
+       capped
+FROM q
+ORDER BY source
+"""
+
+
 CDC_SEED = 131
 CDC_MOD = 16  # expected chunk length in tokens (geometric, mean = CDC_MOD)
 

@@ -934,6 +934,73 @@ def test_token_budget_accounting_is_consistent(spark):
         assert r.epochs_milli > 0
 
 
+def test_epoch_schedule_caps_and_redistributes(spark, tmp_path):
+    """corpus_epoch_schedule (staged r15, gates r16): on a PLANTED mixed
+    regime — two big uncapped sources, one mid source the redistribution
+    itself pushes over the cap (the second clamp, capped=False yet
+    epochs_milli=4000), two tiny capped sources — every quota and
+    milli-epoch matches the hand-computed one-round water-fill exactly;
+    bitwise oracle agreement on the planted corpus AND the dev corpus
+    (where the budget >> corpus, so every source caps — the degenerate
+    empty-pool branch)."""
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.operators.corpus import (
+        EPOCH_SCHEDULE_SQL,
+        corpus_epoch_schedule,
+    )
+
+    sizes = {"big1": 200_000, "big2": 100_000, "mid": 52_000,
+             "tiny1": 1_000, "tiny2": 500}
+    rows, did = [], 0
+    for src, k in sizes.items():
+        for part in (k // 2, k - k // 2):  # two docs per source
+            rows.append((did, " ".join(["w"] * part), "en", src, part))
+            did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = [tuple(r) for r in
+           corpus_epoch_schedule(spark, str(tmp_path)).collect()]
+    # hand water-fill: quota0 = 1_000_000 div 5 = 200_000;
+    # tiny* cap at 4 epochs (takes 4000/2000), surplus = 394_000,
+    # pool = 352_000; extras = surplus*n div pool
+    assert got == [
+        ("big1", 2, 200_000, 200_000 + 394_000 * 200_000 // 352_000,
+         2119, False),
+        ("big2", 2, 100_000, 200_000 + 394_000 * 100_000 // 352_000,
+         3119, False),
+        ("mid", 2, 52_000, 200_000 + 394_000 * 52_000 // 352_000,
+         4000, False),  # pushed over the cap by redistribution: clamped
+        ("tiny1", 2, 1_000, 4_000, 4000, True),
+        ("tiny2", 2, 500, 2_000, 4000, True),
+    ]
+
+    def norm(rows_):
+        return [(s, int(a), int(b), int(c), int(d), bool(e))
+                for s, a, b, c, d, e in rows_]
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    assert got == norm(con.sql(EPOCH_SCHEDULE_SQL).fetchall())
+
+    got_real = [tuple(r) for r in corpus_epoch_schedule(spark, SF).collect()]
+    con2 = duckdb.connect()
+    con2.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    assert got_real == norm(con2.sql(EPOCH_SCHEDULE_SQL).fetchall())
+    # dev: budget >> corpus, every source caps, quota = 4x its tokens
+    for _, _, n_tokens, quota, em, capped in got_real:
+        assert capped and em == 4000 and quota == 4 * n_tokens
+
+
 def test_pq_codes_minimize_subspace_distance(spark):
     """PQ encoding invariant: every assigned code must be a true argmin —
     no codebook entry may sit strictly closer (in the quantized integer
