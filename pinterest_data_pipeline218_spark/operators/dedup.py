@@ -497,6 +497,148 @@ WHERE {_VERIFIED_JACCARD} >= {JACCARD_THRESHOLD}
 """
 
 
+# ------------------ LSH calibration audit (staged r15, gates r16)
+# The dedup family's analogue of sim_ivf_recall: the index-quality SLA as
+# a first-class query. A MinHash signature estimates Jaccard as
+# (matching components)/NUM_HASHES (Broder 1997 — each minhash matches
+# with probability exactly J); this op measures, over the SAME candidate
+# stream the production LSH dedup already pays to verify, how well that
+# estimator tracks the exact token-set Jaccard: per signature-agreement
+# level — pair count, the estimator's implied ppm, the mean TRUE Jaccard
+# ppm, and the mean absolute estimation error ppm. A drifting tokenizer,
+# a broken hash family, or a band-size change shows up here before it
+# shows up as silent under/over-deduplication.
+#
+# Exactness: agreement counts and set sizes are integers; every ppm is an
+# integer FLOOR division (i·10^6 div union, Σ div n) — no doubles
+# anywhere. Scale shape: the candidate stream is the SAME band-bucket
+# join dedup_minhash_lsh pays (never all-pairs; output-bound by duplicate
+# structure, the family's documented contract); the calibration itself
+# REDUCES that stream to ≤ NUM_HASHES+1 rows via one map-side-combinable
+# grouped aggregate — the op's own output is decision-sized.
+def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r15 (gates r16): per-agreement-level calibration of the
+    MinHash Jaccard estimator against exact verification on the LSH
+    candidate stream — (n_match, n_pairs, est_ppm, mean_true_ppm,
+    mean_abs_err_ppm), all-integer."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism * 4
+    bands = _band_table(docs).repartition(par)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(_first_band_match())
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    sig = _with_signature(docs)
+    prof = sig.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform("dtoks", lambda t: T.token_hash(t))
+        ).alias("hs"),
+        *[f"h{j}" for j in range(NUM_HASHES)],
+    )
+    x = prof.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        *[F.col(f"h{j}").alias(f"ha{j}") for j in range(NUM_HASHES)],
+    )
+    y = prof.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        *[F.col(f"h{j}").alias(f"hb{j}") for j in range(NUM_HASHES)],
+    )
+    n_match = functools.reduce(
+        operator.add,
+        [
+            F.when(F.col(f"ha{j}") == F.col(f"hb{j}"), 1).otherwise(0)
+            for j in range(NUM_HASHES)
+        ],
+    ).cast("int")
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    pairs = (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            n_match.alias("n_match"),
+            inter.alias("i"),
+            F.size("hs_a").alias("sa"),
+            F.size("hs_b").alias("sb"),
+        )
+        .select(
+            "n_match",
+            F.expr(
+                "(CAST(i AS BIGINT) * 1000000) div (sa + sb - i)"
+            ).alias("jac_ppm"),
+        )
+    )
+    return (
+        pairs.groupBy("n_match")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr("sum(jac_ppm) div count(1)").cast("long").alias(
+                "mean_true_ppm"
+            ),
+            F.expr(
+                f"sum(abs(CAST((n_match * 1000000) div {NUM_HASHES} AS"
+                " BIGINT) - jac_ppm)) div count(1)"
+            )
+            .cast("long")
+            .alias("mean_abs_err_ppm"),
+        )
+        .select(
+            "n_match",
+            "n_pairs",
+            F.expr(
+                f"CAST((n_match * 1000000) div {NUM_HASHES} AS BIGINT)"
+            ).alias("est_ppm"),
+            "mean_true_ppm",
+            "mean_abs_err_ppm",
+        )
+        .orderBy("n_match")
+    )
+
+
+def _lsh_calibration_sql() -> str:
+    """Staged DuckDB oracle (validated by
+    test_lsh_calibration_matches_model_and_oracle; registers r16):
+    the shared minhash CTE chain, per-pair agreement + exact-Jaccard
+    ppm, then the per-level rollup."""
+    agree = " + ".join(
+        f"CASE WHEN x.h{j} = y.h{j} THEN 1 ELSE 0 END"
+        for j in range(NUM_HASHES)
+    )
+    return f"""
+WITH {_minhash_cte_body()},
+pairsj AS (
+  SELECT CAST(({agree}) AS INT) AS n_match,
+         CAST(len(list_intersect(x.hs60, y.hs60)) * 1000000
+              // (len(x.hs60) + len(y.hs60)
+                  - len(list_intersect(x.hs60, y.hs60))) AS BIGINT)
+           AS jac_ppm
+  FROM cand
+  JOIN sig x ON cand.doc_a = x.doc_id
+  JOIN sig y ON cand.doc_b = y.doc_id
+)
+SELECT n_match,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST((n_match * 1000000) // {NUM_HASHES} AS BIGINT) AS est_ppm,
+       CAST(SUM(jac_ppm) // COUNT(*) AS BIGINT) AS mean_true_ppm,
+       CAST(SUM(abs((n_match * 1000000) // {NUM_HASHES} - jac_ppm))
+            // COUNT(*) AS BIGINT) AS mean_abs_err_ppm
+FROM pairsj
+GROUP BY n_match
+ORDER BY n_match
+"""
+
+
 # CC runs on a *tight* near-dup threshold: transitive closure over a loose
 # threshold chains everything into one blob (at 0.5 the sf0.01 graph is one
 # ~450-doc component); 0.97 yields the realistic mix of singletons, pairs,

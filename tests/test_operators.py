@@ -49,6 +49,114 @@ def test_ivf_multiprobe_dominates_single_probe(spark):
                 assert abs(brute[vid] - s) < 1e-9
 
 
+def test_lsh_calibration_matches_model_and_oracle(spark, tmp_path):
+    """dedup_lsh_calibration (staged r15, gates r16): (a) on a PLANTED
+    corpus of duplicate families, every calibration row must equal a
+    full INDEPENDENT Python replay of the whole chain — distinct tokens
+    → 28-bit md5 base hashes → affine minhash signatures → 4×2 banding →
+    candidate set → per-pair agreement + exact-Jaccard ppm → rollup; (b)
+    bitwise DuckDB oracle agreement on the planted corpus AND the dev
+    corpus, plus the estimator-sanity invariant that the mean TRUE
+    Jaccard rises monotonically with signature agreement there."""
+    import hashlib
+    from collections import defaultdict
+
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_PRIME,
+        NUM_HASHES,
+        BAND_SIZE,
+        _lsh_calibration_sql,
+        dedup_lsh_calibration,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    words = base.split(" ")
+    texts = [
+        base,                                    # 0: family anchor
+        base,                                    # 1: exact dup of 0
+        " ".join(words[:-1] + ["lambda"]),       # 2: one token swapped
+        " ".join(words[:-2] + ["mu", "nu"]),     # 3: two swapped
+        " ".join(words[:5] + ["xi"] * 3),        # 4: half overlap
+        "omicron pi rho sigma tau upsilon",      # 5: disjoint family
+        "omicron pi rho sigma tau phi",          # 6: near-dup of 5
+        "chi psi omega one two three",           # 7: unrelated
+    ]
+    rows = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    def h(tok, chars):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:chars], 16)
+
+    sig, hs = {}, {}
+    for did, text in enumerate(texts):
+        dt = list(dict.fromkeys(text.split(" ")))
+        bases = [h(t, 7) for t in dt]
+        sig[did] = [
+            min((a * x + b) % MINHASH_PRIME for x in bases)
+            for a, b in zip(MINHASH_A, MINHASH_B)
+        ]
+        hs[did] = {h(t, 15) for t in dt}
+    buckets = defaultdict(set)
+    for did, s in sig.items():
+        for bi in range(NUM_HASHES // BAND_SIZE):
+            buckets[(bi, tuple(s[bi * BAND_SIZE:(bi + 1) * BAND_SIZE]))].add(
+                did
+            )
+    cand = {
+        (a, b)
+        for ds in buckets.values()
+        for a in ds
+        for b in ds
+        if a < b
+    }
+    assert cand  # the exact-dup pair guarantees candidates exist
+    acc = defaultdict(lambda: [0, 0, 0])
+    for a, b in cand:
+        nm = sum(1 for j in range(NUM_HASHES) if sig[a][j] == sig[b][j])
+        i = len(hs[a] & hs[b])
+        jp = i * 1000000 // (len(hs[a]) + len(hs[b]) - i)
+        est = nm * 1000000 // NUM_HASHES
+        r = acc[nm]
+        r[0] += 1
+        r[1] += jp
+        r[2] += abs(est - jp)
+    want_model = [
+        (nm, n, nm * 1000000 // NUM_HASHES, sj // n, se // n)
+        for nm, (n, sj, se) in sorted(acc.items())
+    ]
+    got = [tuple(r) for r in
+           dedup_lsh_calibration(spark, str(tmp_path)).collect()]
+    assert got == want_model
+    assert any(r[0] == NUM_HASHES and r[3] == 1000000 for r in got)  # dup
+
+    def norm(rows_):
+        return [tuple(int(v) for v in r) for r in rows_]
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    assert got == norm(con.sql(_lsh_calibration_sql()).fetchall())
+
+    got_real = [tuple(r) for r in dedup_lsh_calibration(spark, SF).collect()]
+    con2 = duckdb.connect()
+    con2.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    assert got_real == norm(con2.sql(_lsh_calibration_sql()).fetchall())
+    trues = [r[3] for r in got_real]
+    assert trues == sorted(trues)  # estimator tracks truth monotonically
+
+
 def test_minhash_candidates_cover_high_jaccard_pairs(spark):
     """LSH with 4 bands × 2 rows: a pair at Jaccard j is caught with
     probability 1-(1-j²)⁴ (≈0.68 at j=0.5, →1 as j→1). Most truth pairs on
