@@ -584,6 +584,64 @@ ORDER BY n, lang, source, chars_bucket
 """
 
 
+# ---------------- l-diversity (staged r15, gates r16)
+# The sensitive-attribute refinement of k-anonymity (Machanavajjhala et
+# al. 2007, "l-Diversity: Privacy Beyond k-Anonymity", public): a
+# quasi-identifier group can be LARGE (k-anonymous) yet still leak — if
+# every member shares one sensitive value, matching the QI tuple reveals
+# that value with certainty (the homogeneity attack). Here the QI is
+# (source, chars_bucket) — deliberately EXCLUDING the sensitive column,
+# unlike the k-anon screen where lang is itself a quasi-identifier — and
+# the sensitive attribute is `lang`: a group below distinct-l-diversity
+# L=2 lets an attacker infer a document's language from its metadata
+# alone. Same cheapest-possible shape as the k-anon screen: ONE grouped
+# aggregate over the QI tuple (count + count-distinct, map-side
+# partially combinable), emitting the violating groups.
+L_DIV_L = 2
+
+
+def l_diversity_violations(docs: DataFrame) -> DataFrame:
+    """(source, chars_bucket, n, n_langs): quasi-identifier groups whose
+    members span fewer than L_DIV_L distinct sensitive (lang) values —
+    the homogeneity-attack surface, ordered worst (largest group, fewest
+    values) first."""
+    qi = docs.select(
+        "source",
+        F.expr(f"n_chars div {K_ANON_CHARS_BUCKET}").alias("chars_bucket"),
+        "lang",
+    )
+    return (
+        qi.groupBy("source", "chars_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .filter(F.col("n_langs") < L_DIV_L)
+        .orderBy(F.desc("n"), "n_langs", "source", "chars_bucket")
+    )
+
+
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r15 (gates r16): quasi-identifier groups of the documents
+    table below the distinct-l-diversity floor — the homogeneity-attack
+    screen beside dq_k_anonymity's small-group screen (k-anonymity bounds
+    group SIZE; l-diversity bounds what a group REVEALS)."""
+    return l_diversity_violations(load_table(spark, sf_dir, "documents"))
+
+
+def _l_diversity_sql() -> str:
+    """Staged DuckDB oracle (validated by
+    test_l_diversity_matches_model_and_oracle; registers r16)."""
+    return f"""
+SELECT source, n_chars // {K_ANON_CHARS_BUCKET} AS chars_bucket,
+       COUNT(*) AS n, COUNT(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY 1, 2
+HAVING COUNT(DISTINCT lang) < {L_DIV_L}
+ORDER BY n DESC, n_langs, source, chars_bucket
+"""
+
+
 # ------------------------------------------- freshness / lag (staged r14)
 # Pipeline-freshness monitoring (the fourth Deequ-style dimension beside
 # constraints, profile, and drift): per event type, how STALE is the

@@ -2119,6 +2119,60 @@ def test_dq_embedding_profile_matches_model_and_oracle(spark, tmp_path):
         assert n_null == n_dup == n_zero == 0 and dmin == dmax == 64
 
 
+def test_l_diversity_matches_model_and_oracle(spark, tmp_path):
+    """dq_l_diversity (staged r15, gates r16): on a PLANTED corpus — one
+    large k-ANONYMOUS group that is language-homogeneous (the attack
+    k-anonymity misses and l-diversity exists to catch), one diverse
+    group, one small homogeneous group — exactly the homogeneous groups
+    are flagged, worst-first; bitwise oracle agreement on the planted
+    corpus AND the dev documents."""
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.operators.dataquality import (
+        _l_diversity_sql,
+        dq_l_diversity,
+    )
+
+    rows = []
+    # group (srcA, bucket 0): 8 docs, ALL 'en' — k-anonymous (n >= 5)
+    # yet fully homogeneous: the l-diversity catch
+    for i in range(8):
+        rows.append((i, "t", "en", "srcA", 50))
+    # group (srcB, bucket 0): 6 docs across two langs — diverse, clean
+    for i in range(3):
+        rows.append((10 + i, "t", "en", "srcB", 50))
+    for i in range(3):
+        rows.append((20 + i, "t", "de", "srcB", 50))
+    # group (srcC, bucket 1): 2 docs, one lang — small AND homogeneous
+    rows.append((30, "t", "fr", "srcC", 250))
+    rows.append((31, "t", "fr", "srcC", 260))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = [tuple(r) for r in dq_l_diversity(spark, str(tmp_path)).collect()]
+    assert got == [("srcA", 0, 8, 1), ("srcC", 1, 2, 1)]
+
+    def norm(rows_):
+        return [(s, int(b), int(n), int(l)) for s, b, n, l in rows_]
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    assert got == norm(con.sql(_l_diversity_sql()).fetchall())
+
+    got_real = [tuple(r) for r in dq_l_diversity(spark, SF).collect()]
+    con2 = duckdb.connect()
+    con2.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    assert got_real == norm(con2.sql(_l_diversity_sql()).fetchall())
+
+
 def test_phash_neardup_gated_recovers_twins_and_oracle_agrees(spark):
     """mm_phash_neardup (staged r15, gates r16): (a) the planted one-bit
     twin of every non-degenerate document MUST be recovered (hamming=1 <
