@@ -1110,32 +1110,86 @@ PHASH_TWIN_OFFSET = 1_000_000
 
 
 def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Staged r15 (gates r16): banded-Hamming near-duplicate pairs over
+    """Staged r15 (gates r16): banded-Hamming near-duplicate report over
     dHash fingerprints of the decoded image corpus plus one planted
-    one-bit-drifted twin per document. Scale shape: the band explode is
-    4 rows/doc, candidates meet in a hash EQUI-join on (band_idx,
-    band_val) — never all-pairs — and the exact bit_count verify runs
-    on candidates only (the MinHash-LSH band discipline applied to
-    perceptual fingerprints)."""
+    one-bit-drifted twin per document — at FINGERPRINT-GROUP grain.
+
+    Why group grain (measured, sf0.1): the generative corpus's gradient
+    class collapses 46% of documents onto ONE fingerprint
+    (0xfefefefefefefe — every pixel brighter than its left neighbor), so
+    a per-doc pair listing is quadratic in that clique (~2.7M hamming-0
+    rows, 40 s) with zero information beyond the clique size. Identical
+    fingerprints are EXACT duplicates under the perceptual metric —
+    collapse them first (the dedup_exact move), band only the DISTINCT
+    fingerprints (79 at every SF — replication-invariant, so the op is
+    decade-FLAT by construction), and report implied doc-pair counts
+    exactly: cross rows (rep_a, rep_b, hamming, n_a·n_b) plus
+    within-group rows (rep, rep, 0, n·(n−1)/2). Σ n_doc_pairs IS the
+    per-doc listing's cardinality, recoverable without materializing it.
+
+    One codec-chain pass: base and twin rows leave the same scan via a
+    2-element explode (never a self-referencing union, which would
+    re-execute the Arrow codec stages per branch); everything after runs
+    on |distinct fingerprints|-sized tables."""
     docs = load_table(spark, sf_dir, "documents")
-    fps = extract_image_phash(with_image_payload(docs)).select("doc_id", "dhash")
-    twins = fps.select(
-        (F.col("doc_id") + PHASH_TWIN_OFFSET).alias("doc_id"),
-        F.col("dhash")
-        .bitwiseXOR(
-            F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), "
-                f"CAST(pmod(doc_id, {PHASH_NBITS}) AS INT))"
-            )
-        )
-        .alias("dhash"),
+    fps = extract_image_phash(with_image_payload(docs)).select(
+        "doc_id", "dhash"
     )
-    return phash_neardup_pairs(fps.unionByName(twins))
+    twin_fp = F.col("dhash").bitwiseXOR(
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pmod(doc_id, {PHASH_NBITS}) AS INT))"
+        )
+    )
+    u = fps.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_id"), F.col("dhash")),
+                F.struct(
+                    (F.col("doc_id") + PHASH_TWIN_OFFSET).alias("doc_id"),
+                    twin_fp.alias("dhash"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.doc_id", "r.dhash")
+    groups = u.groupBy("dhash").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n")
+    )
+    cross = phash_neardup_pairs(
+        groups.select(F.col("rep").alias("doc_id"), "dhash")
+    )
+    sized = (
+        cross.join(
+            groups.select(F.col("rep").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            groups.select(F.col("rep").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("n_doc_pairs"),
+        )
+    )
+    nondeg = (F.col("dhash") != 0) & (
+        F.col("dhash") != ((1 << PHASH_NBITS) - 1)
+    )
+    within = groups.filter(nondeg & (F.col("n") >= 2)).select(
+        F.col("rep").alias("doc_a"),
+        F.col("rep").alias("doc_b"),
+        F.lit(0).cast("integer").alias("hamming"),
+        F.expr("(n * (n - 1)) div 2").cast("long").alias("n_doc_pairs"),
+    )
+    return sized.unionByName(within).orderBy("doc_a", "doc_b")
 
 
 def _phash_neardup_sql() -> str:
     """Staged DuckDB oracle: the closed-form fingerprint CTE, the same
-    twin plant, band split, equi-join and bit_count verify."""
+    twin plant, the fingerprint-group collapse, band split over DISTINCT
+    fingerprints, bit_count verify, and the sized cross/within rows."""
     band_w = PHASH_NBITS // PHASH_BANDS
     mask = (1 << band_w) - 1
     all_ones = (1 << PHASH_NBITS) - 1
@@ -1149,8 +1203,11 @@ u AS (
            AS dhash
   FROM fp0
 ),
+g AS (
+  SELECT dhash, MIN(doc_id) AS rep, COUNT(*) AS n FROM u GROUP BY dhash
+),
 fps AS (
-  SELECT doc_id, dhash AS fp FROM u
+  SELECT rep AS doc_id, dhash AS fp FROM g
   WHERE dhash != 0 AND dhash != {all_ones}
 ),
 bands AS (
@@ -1164,10 +1221,22 @@ pairs AS (
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val
    AND a.doc_id < b.doc_id
+),
+sized AS (
+  SELECT p.doc_a, p.doc_b, p.hamming,
+         CAST(ga.n * gb.n AS BIGINT) AS n_doc_pairs
+  FROM pairs p
+  JOIN g ga ON p.doc_a = ga.rep
+  JOIN g gb ON p.doc_b = gb.rep
+  WHERE p.hamming <= {PHASH_MAX_HAMMING}
+),
+within AS (
+  SELECT rep AS doc_a, rep AS doc_b, 0 AS hamming,
+         CAST((n * (n - 1)) // 2 AS BIGINT) AS n_doc_pairs
+  FROM g WHERE n >= 2 AND dhash != 0 AND dhash != {all_ones}
 )
-SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
-FROM pairs
-WHERE hamming <= {PHASH_MAX_HAMMING}
+SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming, n_doc_pairs
+FROM (SELECT * FROM sized UNION ALL SELECT * FROM within)
 ORDER BY doc_a, doc_b
 """
 

@@ -2198,25 +2198,48 @@ def test_phash_neardup_gated_recovers_twins_and_oracle_agrees(spark):
         f"read_parquet('{SF}/documents.parquet')"
     )
     want = [
-        (int(a), int(b), int(h))
-        for a, b, h in con.sql(_phash_neardup_sql()).fetchall()
+        (int(a), int(b), int(h), int(n))
+        for a, b, h, n in con.sql(_phash_neardup_sql()).fetchall()
     ]
     assert got == want and len(got) > 0
-    # every non-degenerate doc's planted twin comes back at hamming 1
+
+    # group-grain twin recovery: replay the grouping driver-side, then
+    # every non-degenerate doc's one-bit twin GROUP must pair with its
+    # base group at hamming 1 (pigeonhole-guaranteed)
     docs = load_table(spark, SF, "documents")
     fps = {
         r.doc_id: r.dhash
         for r in extract_image_phash(with_image_payload(docs)).collect()
     }
     ones = (1 << PHASH_NBITS) - 1
-    expected_twins = {
-        (d, d + PHASH_TWIN_OFFSET)
-        for d, fp in fps.items()
-        if fp not in (0, ones) and fp ^ (1 << (d % PHASH_NBITS)) not in (0, ones)
-    }
-    twin_pairs = {(a, b) for a, b, h in got if b == a + PHASH_TWIN_OFFSET}
-    assert twin_pairs == expected_twins
-    assert all(h == 1 for a, b, h in got if b == a + PHASH_TWIN_OFFSET)
+    members = {}
+    for d, fp in fps.items():
+        members.setdefault(fp, []).append(d)
+        members.setdefault(fp ^ (1 << (d % PHASH_NBITS)), []).append(
+            d + PHASH_TWIN_OFFSET
+        )
+    rep = {fp: min(ids) for fp, ids in members.items()}
+    n_of = {fp: len(ids) for fp, ids in members.items()}
+    expected_twin_rows = set()
+    for d, fp in fps.items():
+        tfp = fp ^ (1 << (d % PHASH_NBITS))
+        if fp in (0, ones) or tfp in (0, ones):
+            continue
+        ra, rb = sorted((rep[fp], rep[tfp]))
+        expected_twin_rows.add((ra, rb, 1, n_of[fp] * n_of[tfp]))
+    rows_at_h1 = {(a, b, h, n) for a, b, h, n in got if h == 1}
+    assert expected_twin_rows <= rows_at_h1
+
+    # the gradient clique collapses to ONE within-group row carrying its
+    # implied pair count exactly — the quadratic listing never exists
+    big_fp = max(
+        (fp for fp in members if fp not in (0, ones)), key=lambda f: n_of[f]
+    )
+    k = n_of[big_fp]
+    assert k > 100  # the clique is real on the dev corpus
+    assert (rep[big_fp], rep[big_fp], 0, k * (k - 1) // 2) in set(got)
+    # output is group-grain bounded: |rows| <= |distinct fps|^2
+    assert len(got) <= len(members) ** 2
 
 
 def test_ivf_recall_full_on_clustered_and_oracle_agrees(spark, tmp_path):
