@@ -511,32 +511,22 @@ WHERE {_VERIFIED_JACCARD} >= {JACCARD_THRESHOLD}
 #
 # Exactness: agreement counts and set sizes are integers; every ppm is an
 # integer FLOOR division (i·10^6 div union, Σ div n) — no doubles
-# anywhere. Scale shape: the candidate stream is the SAME band-bucket
-# join dedup_minhash_lsh pays (never all-pairs; output-bound by duplicate
-# structure, the family's documented contract); the calibration itself
-# REDUCES that stream to ≤ NUM_HASHES+1 rows via one map-side-combinable
-# grouped aggregate — the op's own output is decision-sized.
+# anywhere. Scale shape: candidates come from the CAPPED edge stream
+# (capped_candidate_edges at CC_COMPOSED_EDGE_CAP — exact pairs in
+# below-cap buckets, star edges to the bucket rep above), because the
+# calibration's OUTPUT is ≤ NUM_HASHES+1 rows and a 9-row report must
+# not ride an unboundedly quadratic intermediate: uncapped, the decade
+# measured 39× (94 s at sf1) purely from replicated-duplicate cliques;
+# capped it is linear by construction, and at the correctness-gate SFs
+# the cap exceeds every bucket so the gated values ARE the exact-path
+# values. The rollup itself is one map-side-combinable aggregate.
 def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged r15 (gates r16): per-agreement-level calibration of the
-    MinHash Jaccard estimator against exact verification on the LSH
-    candidate stream — (n_match, n_pairs, est_ppm, mean_true_ppm,
+    MinHash Jaccard estimator against exact verification on the capped
+    LSH candidate stream — (n_match, n_pairs, est_ppm, mean_true_ppm,
     mean_abs_err_ppm), all-integer."""
     docs = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism * 4
-    bands = _band_table(docs).repartition(par)
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(_first_band_match())
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-    )
+    cand = capped_candidate_edges(docs, cap=CC_COMPOSED_EDGE_CAP)
     sig = _with_signature(docs)
     prof = sig.select(
         "doc_id",
@@ -609,23 +599,24 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_calibration_sql() -> str:
     """Staged DuckDB oracle (validated by
     test_lsh_calibration_matches_model_and_oracle; registers r16):
-    the shared minhash CTE chain, per-pair agreement + exact-Jaccard
-    ppm, then the per-level rollup."""
+    the shared minhash CTE chain + the capped candidate CTE, per-pair
+    agreement + exact-Jaccard ppm, then the per-level rollup."""
     agree = " + ".join(
         f"CASE WHEN x.h{j} = y.h{j} THEN 1 ELSE 0 END"
         for j in range(NUM_HASHES)
     )
     return f"""
 WITH {_minhash_cte_body()},
+{_capped_cand_cte(CC_COMPOSED_EDGE_CAP)},
 pairsj AS (
   SELECT CAST(({agree}) AS INT) AS n_match,
          CAST(len(list_intersect(x.hs60, y.hs60)) * 1000000
               // (len(x.hs60) + len(y.hs60)
                   - len(list_intersect(x.hs60, y.hs60))) AS BIGINT)
            AS jac_ppm
-  FROM cand
-  JOIN sig x ON cand.doc_a = x.doc_id
-  JOIN sig y ON cand.doc_b = y.doc_id
+  FROM allcand
+  JOIN sig x ON allcand.doc_a = x.doc_id
+  JOIN sig y ON allcand.doc_b = y.doc_id
 )
 SELECT n_match,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,

@@ -64,6 +64,7 @@ def test_lsh_calibration_matches_model_and_oracle(spark, tmp_path):
     import duckdb
 
     from pinterest_data_pipeline218_spark.operators.dedup import (
+        CC_COMPOSED_EDGE_CAP,
         MINHASH_A,
         MINHASH_B,
         MINHASH_PRIME,
@@ -109,6 +110,9 @@ def test_lsh_calibration_matches_model_and_oracle(spark, tmp_path):
             buckets[(bi, tuple(s[bi * BAND_SIZE:(bi + 1) * BAND_SIZE]))].add(
                 did
             )
+    # every fixture bucket sits far below the cap, so the capped
+    # candidate stream the op calibrates on IS the exact pair set here
+    assert all(len(ds) <= CC_COMPOSED_EDGE_CAP for ds in buckets.values())
     cand = {
         (a, b)
         for ds in buckets.values()
