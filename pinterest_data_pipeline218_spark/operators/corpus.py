@@ -1062,17 +1062,31 @@ ORDER BY source
 EPOCH_CAP_MILLI = 4_000  # max useful repeats, in milli-epochs
 
 
+def epoch_source_agg(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, n_tokens): the ADDITIVE per-source cells the
+    streaming twin accumulates — doc and token counts add per source, so
+    batch boundaries cannot matter and a late batch only adds into its
+    cells."""
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(T.tokens(F.col("text"))).cast("bigint"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
 def corpus_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged r15 (gates r16): capped + redistributed per-source token
     quotas under TOKEN_BUDGET — (source, n_docs, n_tokens, quota_tokens,
     epochs_milli, capped), integer-exact."""
     docs = load_table(spark, sf_dir, "documents")
-    per_src = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(T.tokens(F.col("text"))).cast("bigint")).alias(
-            "n_tokens"
-        ),
-    )
+    return epoch_schedule_report(epoch_source_agg(docs))
+
+
+def epoch_schedule_report(per_src: DataFrame) -> DataFrame:
+    """The water-fill finisher over (source, n_docs, n_tokens) cells —
+    the whole closed form re-derives from the assembled cells, so the
+    streaming twin reuses it verbatim."""
     tot = per_src.agg(F.count(F.lit(1)).alias("n_sources"))
     flagged = per_src.crossJoin(F.broadcast(tot)).select(
         "source",

@@ -600,25 +600,50 @@ ORDER BY n, lang, source, chars_bucket
 L_DIV_L = 2
 
 
+def l_diversity_cells(docs: DataFrame) -> DataFrame:
+    """(source, chars_bucket, lang, n): the ADDITIVE sensitive-value
+    cells the streaming twin accumulates — counts add per (QI, lang)
+    cell, and the distinct-lang verdict re-derives from the merged
+    cells, so a late batch that introduces a group's second language
+    clears the flag exactly as batch would."""
+    return (
+        docs.select(
+            "source",
+            F.expr(f"n_chars div {K_ANON_CHARS_BUCKET}").alias(
+                "chars_bucket"
+            ),
+            "lang",
+        )
+        .groupBy("source", "chars_bucket", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def l_diversity_report(cells: DataFrame) -> DataFrame:
+    """The l-diversity finisher over (source, chars_bucket, lang, n)
+    cells: group sizes and distinct sensitive values from one rollup."""
+    return (
+        cells.groupBy("source", "chars_bucket")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            # one cell per distinct lang; NULL-lang cells don't count as
+            # a language (COUNT(DISTINCT) semantics), but their docs do
+            # count toward the group size
+            F.sum(F.when(F.col("lang").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_langs"),
+        )
+        .filter(F.col("n_langs") < L_DIV_L)
+        .orderBy(F.desc("n"), "n_langs", "source", "chars_bucket")
+    )
+
+
 def l_diversity_violations(docs: DataFrame) -> DataFrame:
     """(source, chars_bucket, n, n_langs): quasi-identifier groups whose
     members span fewer than L_DIV_L distinct sensitive (lang) values —
     the homogeneity-attack surface, ordered worst (largest group, fewest
     values) first."""
-    qi = docs.select(
-        "source",
-        F.expr(f"n_chars div {K_ANON_CHARS_BUCKET}").alias("chars_bucket"),
-        "lang",
-    )
-    return (
-        qi.groupBy("source", "chars_bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct("lang").alias("n_langs"),
-        )
-        .filter(F.col("n_langs") < L_DIV_L)
-        .orderBy(F.desc("n"), "n_langs", "source", "chars_bucket")
-    )
+    return l_diversity_report(l_diversity_cells(docs))
 
 
 def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:

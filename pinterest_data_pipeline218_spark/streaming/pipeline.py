@@ -1914,6 +1914,80 @@ def incremental_cuped(spark: SparkSession, state_dir: str) -> DataFrame:
     return cuped_report(cells)
 
 
+def epoch_state_batch(
+    batch_docs: DataFrame, state_dir: str, batch_id: int = -1
+) -> None:
+    """One micro-batch's per-source epoch-planning cells — ADDITIVE
+    state (doc/token counts add per source), written under a batch_id=
+    partition with the overwrite idempotence contract."""
+    from ..operators.corpus import epoch_source_agg
+
+    epoch_source_agg(batch_docs).write.mode("overwrite").parquet(
+        f"{state_dir}/epoch/batch_id={batch_id}"
+    )
+
+
+def incremental_epoch_schedule(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Staged r15 (registers r16 with corpus_epoch_schedule): the
+    capped-and-redistributed epoch schedule over accumulated per-batch
+    (source, n_docs, n_tokens) cells — the whole one-round water-fill
+    (uniform quota, cap verdicts, surplus, redistribution, final clamp)
+    re-derives from the merged cells, so arriving documents that push a
+    source over the cap rebalance every OTHER source's quota exactly as
+    the batch op would (`test_incremental_epoch_schedule_equals_batch`)."""
+    from ..operators.corpus import epoch_schedule_report
+
+    if not os.path.isdir(f"{state_dir}/epoch"):
+        return spark.createDataFrame(
+            [],
+            "source string, n_docs long, n_tokens long, quota_tokens long, "
+            "epochs_milli long, capped boolean",
+        )
+    cells = (
+        spark.read.parquet(f"{state_dir}/epoch")
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    return epoch_schedule_report(cells)
+
+
+def ldiv_state_batch(
+    batch_docs: DataFrame, state_dir: str, batch_id: int = -1
+) -> None:
+    """One micro-batch's l-diversity sensitive-value cells — ADDITIVE
+    state (counts add per (QI, lang) cell), overwrite-idempotent."""
+    from ..operators.dataquality import l_diversity_cells
+
+    l_diversity_cells(batch_docs).write.mode("overwrite").parquet(
+        f"{state_dir}/ldiv/batch_id={batch_id}"
+    )
+
+
+def incremental_l_diversity(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Staged r15 (registers r16 with dq_l_diversity): the
+    homogeneity-attack screen over accumulated (source, chars_bucket,
+    lang, n) cells — the distinct-language verdict re-derives from the
+    merged cells, so a late batch that introduces a flagged group's
+    SECOND language clears the flag exactly as batch would
+    (`test_incremental_l_diversity_equals_batch`)."""
+    from ..operators.dataquality import l_diversity_report
+
+    if not os.path.isdir(f"{state_dir}/ldiv"):
+        return spark.createDataFrame(
+            [],
+            "source string, chars_bucket long, n long, n_langs long",
+        )
+    cells = (
+        spark.read.parquet(f"{state_dir}/ldiv")
+        .groupBy("source", "chars_bucket", "lang")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    return l_diversity_report(cells)
+
+
 # ------------------------------------------------ streaming k-core (r13)
 
 

@@ -3928,6 +3928,111 @@ def test_incremental_cuped_equals_batch(spark, tmp_path):
     assert empty.collect() == []
 
 
+def test_incremental_epoch_schedule_equals_batch(spark, tmp_path):
+    """incremental_epoch_schedule (staged r15): the capped water-fill
+    over accumulated per-source cells must equal the batch op over the
+    union — including a LATE batch that pushes a source over the cap and
+    thereby REBALANCES every other source's redistributed quota (the
+    global re-derivation contract), plus replay idempotence and the
+    empty-state contract."""
+    from pinterest_data_pipeline218_spark.operators.corpus import (
+        epoch_schedule_report,
+        epoch_source_agg,
+    )
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        epoch_state_batch,
+        incremental_epoch_schedule,
+    )
+
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    def docs_of(spec, start_id):
+        rows, did = [], start_id
+        for src, k in spec:
+            rows.append((did, " ".join(["w"] * k), "en", src, k))
+            did += 1
+        return spark.createDataFrame(rows, schema)
+
+    # batch 0: three sources, all comfortably under the cap
+    b0 = docs_of([("a", 200_000), ("b", 150_000), ("c", 120_000)], 0)
+    # batch 1: more docs for c... shrinking c's token mass? no — ADDING
+    # tokens to a TINY source "d" plus a trickle to "a"; d lands far
+    # over the cap, so its surplus must rebalance a/b/c's quotas
+    b1 = docs_of([("d", 1_000), ("a", 50_000)], 100)
+
+    def rows_of(df):
+        return [tuple(r) for r in df.collect()]
+
+    state_dir = str(tmp_path / "state")
+    epoch_state_batch(b0, state_dir, batch_id=0)
+    want_b0 = rows_of(epoch_schedule_report(epoch_source_agg(b0)))
+    assert rows_of(incremental_epoch_schedule(spark, state_dir)) == want_b0
+
+    epoch_state_batch(b1, state_dir, batch_id=1)
+    want = rows_of(epoch_schedule_report(epoch_source_agg(b0.unionByName(b1))))
+    got = rows_of(incremental_epoch_schedule(spark, state_dir))
+    assert got == want
+    assert got != want_b0
+    by_src = {r[0]: r for r in got}
+    assert by_src["d"][5] is True  # the late tiny source caps...
+    b0_quota = {r[0]: r[3] for r in want_b0}
+    assert by_src["a"][3] != b0_quota["a"]  # ...and rebalances the rest
+
+    epoch_state_batch(b1, state_dir, batch_id=1)  # replay idempotence
+    assert rows_of(incremental_epoch_schedule(spark, state_dir)) == want
+
+    assert incremental_epoch_schedule(spark, str(tmp_path / "no")).collect() == []
+
+
+def test_incremental_l_diversity_equals_batch(spark, tmp_path):
+    """incremental_l_diversity (staged r15): the homogeneity screen over
+    accumulated (QI, lang) cells must equal the batch op over the union
+    — including a LATE batch whose documents introduce a flagged group's
+    SECOND language and thereby CLEAR its flag (the verdict re-derives
+    from merged cells, never accumulates), plus replay idempotence and
+    the empty-state contract."""
+    from pinterest_data_pipeline218_spark.operators.dataquality import (
+        l_diversity_cells,
+        l_diversity_report,
+    )
+    from pinterest_data_pipeline218_spark.streaming.pipeline import (
+        incremental_l_diversity,
+        ldiv_state_batch,
+    )
+
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    b0 = spark.createDataFrame(
+        [(i, "t", "en", "srcA", 50) for i in range(6)]
+        + [(10, "t", "fr", "srcB", 50), (11, "t", "de", "srcB", 50)],
+        schema,
+    )
+    # the late batch gives srcA's bucket its second language
+    b1 = spark.createDataFrame([(20, "t", "de", "srcA", 70)], schema)
+
+    def rows_of(df):
+        return [tuple(r) for r in df.collect()]
+
+    state_dir = str(tmp_path / "state")
+    ldiv_state_batch(b0, state_dir, batch_id=0)
+    want_b0 = rows_of(l_diversity_report(l_diversity_cells(b0)))
+    got_b0 = rows_of(incremental_l_diversity(spark, state_dir))
+    assert got_b0 == want_b0 == [("srcA", 0, 6, 1)]  # flagged while mono-lang
+
+    ldiv_state_batch(b1, state_dir, batch_id=1)
+    want = rows_of(l_diversity_report(l_diversity_cells(b0.unionByName(b1))))
+    got = rows_of(incremental_l_diversity(spark, state_dir))
+    assert got == want == []  # the second language cleared the flag
+
+    ldiv_state_batch(b1, state_dir, batch_id=1)  # replay idempotence
+    assert rows_of(incremental_l_diversity(spark, state_dir)) == want
+
+    assert incremental_l_diversity(spark, str(tmp_path / "no")).collect() == []
+
+
 def test_incremental_kcenter_equals_batch(spark, tmp_path):
     """incremental_kcenter_sample (staged r15): the coverage sample over
     accumulated per-batch two-sided candidate takes must equal the batch
