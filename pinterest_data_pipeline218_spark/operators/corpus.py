@@ -1001,10 +1001,11 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine over a scan-local size(), then a 1-row totals
     crossJoin — broadcast by construction."""
     docs = load_table(spark, sf_dir, "documents")
-    per_src = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(T.tokens(F.col("text"))).cast("bigint")).alias("n_tokens"),
-    )
+    # ONE token-mass definition for the budget, the schedule, and the
+    # schedule twin's state cells: delegate to epoch_source_agg
+    # (expression-identical — the gated plan digest is pinned unchanged
+    # by test_token_budget_accounting_is_consistent's recount)
+    per_src = epoch_source_agg(docs)
     tot = per_src.agg(
         F.sum("n_tokens").alias("total_tokens"),
         F.count(F.lit(1)).alias("n_sources"),
@@ -1067,11 +1068,15 @@ def epoch_source_agg(docs: DataFrame) -> DataFrame:
     streaming twin accumulates — doc and token counts add per source, so
     batch boundaries cannot matter and a late batch only adds into its
     cells."""
+    # expression-identical to corpus_token_budget's per-source aggregate
+    # (count already returns BIGINT; sum over BIGINT stays BIGINT — no
+    # redundant casts, so token_budget can DELEGATE here without its
+    # gated plan identity moving)
     return docs.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.size(T.tokens(F.col("text"))).cast("bigint"))
-        .cast("long")
-        .alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(T.tokens(F.col("text"))).cast("bigint")).alias(
+            "n_tokens"
+        ),
     )
 
 
@@ -1103,7 +1108,10 @@ def epoch_schedule_report(per_src: DataFrame) -> DataFrame:
             F.when(
                 F.col("capped"),
                 F.col("quota0")
-                - F.expr(f"(n_tokens * {EPOCH_CAP_MILLI}) div 1000"),
+                - F.expr(
+                    f"(CAST(n_tokens AS DECIMAL(38,0))"
+                    f" * {EPOCH_CAP_MILLI}) div 1000"
+                ).cast("long"),
             ).otherwise(0)
         )
         .cast("long")
@@ -1113,8 +1121,10 @@ def epoch_schedule_report(per_src: DataFrame) -> DataFrame:
         .alias("pool"),
     )
     quota = F.expr(
-        f"CASE WHEN capped THEN (n_tokens * {EPOCH_CAP_MILLI}) div 1000 "
-        "ELSE quota0 + coalesce((surplus * n_tokens) div nullif(pool, 0), 0) "
+        f"CASE WHEN capped THEN CAST((CAST(n_tokens AS DECIMAL(38,0))"
+        f" * {EPOCH_CAP_MILLI}) div 1000 AS BIGINT) "
+        "ELSE quota0 + coalesce(CAST((CAST(surplus AS DECIMAL(38,0))"
+        " * n_tokens) div nullif(pool, 0) AS BIGINT), CAST(0 AS BIGINT)) "
         "END"
     )
     return (
@@ -1133,7 +1143,8 @@ def epoch_schedule_report(per_src: DataFrame) -> DataFrame:
             "quota_tokens",
             F.expr(
                 f"least(CAST({EPOCH_CAP_MILLI} AS BIGINT), "
-                "(quota_tokens * 1000) div n_tokens)"
+                "CAST((CAST(quota_tokens AS DECIMAL(38,0)) * 1000)"
+                " div n_tokens AS BIGINT))"
             ).alias("epochs_milli"),
             "capped",
         )
@@ -1155,22 +1166,23 @@ flagged AS (
   FROM per_src CROSS JOIN tot
 ), pools AS (
   SELECT CAST(SUM(CASE WHEN capped
-                  THEN quota0 - (n_tokens * {EPOCH_CAP_MILLI}) // 1000
+                  THEN quota0 - (CAST(n_tokens AS HUGEINT) * {EPOCH_CAP_MILLI}) // 1000
                   ELSE 0 END) AS BIGINT) AS surplus,
          CAST(SUM(CASE WHEN NOT capped THEN n_tokens ELSE 0 END) AS BIGINT)
            AS pool
   FROM flagged
 ), q AS (
   SELECT source, n_docs, n_tokens, capped,
-         CAST(CASE WHEN capped THEN (n_tokens * {EPOCH_CAP_MILLI}) // 1000
+         CAST(CASE WHEN capped THEN (CAST(n_tokens AS HUGEINT) * {EPOCH_CAP_MILLI}) // 1000
               ELSE quota0
-                + COALESCE((surplus * n_tokens) // NULLIF(pool, 0), 0)
+                + COALESCE((CAST(surplus AS HUGEINT) * n_tokens) // NULLIF(pool, 0), 0)
               END AS BIGINT) AS quota_tokens
   FROM flagged CROSS JOIN pools
 )
 SELECT source, n_docs, n_tokens, quota_tokens,
        least(CAST({EPOCH_CAP_MILLI} AS BIGINT),
-             (quota_tokens * 1000) // n_tokens) AS epochs_milli,
+             CAST((CAST(quota_tokens AS HUGEINT) * 1000) // n_tokens AS BIGINT))
+         AS epochs_milli,
        capped
 FROM q
 ORDER BY source

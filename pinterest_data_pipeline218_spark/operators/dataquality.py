@@ -842,8 +842,14 @@ def dq_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dim").cast("integer").alias("max_dim"),
             F.min("n2").cast("long").alias("min_norm2_q"),
             F.max("n2").cast("long").alias("max_norm2_q"),
+            # numerator widened to DECIMAL(38,0): n2 ≈ 1.1e12 for a
+            # unit-norm vector, so a cell of ~8.4e6 vectors (or one
+            # exact-dup clique of ~7.7e5) pushes Σ n2·cnt past BIGINT —
+            # the corpus-scale-sum class the cuped/srm idiom exists for;
+            # the QUOTIENT is a per-vector norm² and fits BIGINT
             F.expr(
-                "sum(CASE WHEN n2 IS NOT NULL THEN n2 * cnt ELSE 0 END)"
+                "sum(CASE WHEN n2 IS NOT NULL THEN"
+                " CAST(n2 AS DECIMAL(38,0)) * cnt ELSE 0 END)"
                 " div nullif(sum(CASE WHEN n2 IS NOT NULL THEN cnt"
                 " ELSE 0 END), 0)"
             )
@@ -888,7 +894,8 @@ SELECT label,
        CAST(MAX(dim) AS INT) AS max_dim,
        CAST(MIN(n2) AS BIGINT) AS min_norm2_q,
        CAST(MAX(n2) AS BIGINT) AS max_norm2_q,
-       CAST(SUM(CASE WHEN n2 IS NOT NULL THEN n2 * cnt ELSE 0 END)
+       CAST(SUM(CASE WHEN n2 IS NOT NULL
+                THEN CAST(n2 AS HUGEINT) * cnt ELSE 0 END)
             // NULLIF(SUM(CASE WHEN n2 IS NOT NULL THEN cnt ELSE 0 END), 0)
          AS BIGINT) AS avg_norm2_q
 FROM s

@@ -371,6 +371,24 @@ _DID_EXPR = (
 )
 
 
+def _midpoint_post(cells: DataFrame) -> DataFrame:
+    """cells + a `post` flag: the SHARED two-period boundary derivation
+    for the DiD and CUPED finishers — 1-row min/max day bounds broadcast
+    back, post = day-grain elapsed >= elapsed div 2. Day cells are
+    midnights in both engines, so elapsed == boundary-crossing counts
+    and the flag is engine-exact; keeping the derivation in ONE place is
+    what keeps the two readouts' boundaries provably identical."""
+    bounds = cells.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    post = F.expr("timestampdiff(DAY, d0, day)") >= F.expr(
+        "timestampdiff(DAY, d0, d1) div 2"
+    )
+    return (
+        cells.crossJoin(F.broadcast(bounds))
+        .withColumn("post", post)
+        .drop("d0", "d1")
+    )
+
+
 def did_daily_agg(ev: DataFrame) -> DataFrame:
     """(treat, day, n, s): per-(arm, day) row counts and exact centi
     sums — the ADDITIVE cell grain the streaming twin accumulates (the
@@ -404,12 +422,7 @@ def did_lift_report(cells: DataFrame) -> DataFrame:
     in both engines, so elapsed == boundary-crossing day counts), then
     one fused conditional aggregate into the four (arm × period) cells
     and the shared _DID_EXPR lift."""
-    bounds = cells.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    e = cells.crossJoin(F.broadcast(bounds))
-    post = F.expr("timestampdiff(DAY, d0, day)") >= F.expr(
-        "timestampdiff(DAY, d0, d1) div 2"
-    )
-    base = e.select(post.alias("post"), "treat", "n", "s")
+    base = _midpoint_post(cells).select("post", "treat", "n", "s")
 
     def n_of(cond):
         return F.sum(F.when(cond, F.col("n")).otherwise(0)).cast("long")
@@ -548,11 +561,12 @@ _CUPED_VR_PPM = (
 
 
 def cuped_user_day_agg(ev: DataFrame) -> DataFrame:
-    """(user_id, day, n, s): per-(user, day) row counts and exact centi
-    sums — the ADDITIVE cell grain the streaming twin accumulates (the
+    """(user_id, day, s): per-(user, day) exact centi sums — the
+    ADDITIVE cell grain the streaming twin accumulates (the
     did_daily_agg precedent, one key finer because CUPED needs per-USER
-    pre/post sums). Day-grain so the finisher can re-derive the pre/post
-    boundary from the cells' own min/max day."""
+    pre/post sums; no row count — unlike DiD's four cell counts, the
+    CUPED moments read only the sums). Day-grain so the finisher can
+    re-derive the pre/post boundary from the cells' own min/max day."""
     return (
         ev.filter(F.col("user_id").isNotNull())
         .select(
@@ -561,27 +575,20 @@ def cuped_user_day_agg(ev: DataFrame) -> DataFrame:
             _v_centi().alias("v"),
         )
         .groupBy("user_id", "day")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("v").cast("long").alias("s"),
-        )
+        .agg(F.sum("v").cast("long").alias("s"))
     )
 
 
 def cuped_report(cells: DataFrame) -> DataFrame:
-    """The CUPED finisher over (user_id, day, n, s) cells: boundary =
-    the cells' own midpoint day (the did_lift_report derivation), per-
-    user pre-sum x / post-sum y, seed-2 token_hash arms, pooled theta
-    from exact wide-integer moments, then the shared double-quotient
+    """The CUPED finisher over (user_id, day, s) cells: boundary = the
+    cells' own midpoint day (the SHARED _midpoint_post derivation, so
+    DiD and CUPED can never disagree on the boundary rule), per-user
+    pre-sum x / post-sum y, seed-2 token_hash arms, pooled theta from
+    exact wide-integer moments, then the shared double-quotient
     expressions for theta / raw lift / adjusted lift / variance shrink."""
     dec = "decimal(38,0)"
-    bounds = cells.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    e = cells.crossJoin(F.broadcast(bounds))
-    post = F.expr("timestampdiff(DAY, d0, day)") >= F.expr(
-        "timestampdiff(DAY, d0, d1) div 2"
-    )
     per_user = (
-        e.select("user_id", post.alias("post"), "s")
+        _midpoint_post(cells).select("user_id", "post", "s")
         .groupBy("user_id")
         .agg(
             F.sum(F.when(~F.col("post"), F.col("s")).otherwise(0))
@@ -662,7 +669,7 @@ def _cuped_sql() -> str:
     h2 = T.token_hash_sql("CAST(user_id AS VARCHAR)", seed=2)
     return f"""
 WITH cells0 AS (
-  SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n,
+  SELECT user_id, date_trunc('day', ts) AS day,
          SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s
   FROM events WHERE user_id IS NOT NULL
   GROUP BY 1, 2

@@ -1909,7 +1909,7 @@ def incremental_cuped(spark: SparkSession, state_dir: str) -> DataFrame:
     cells = (
         spark.read.parquet(f"{state_dir}/cuped")
         .groupBy("user_id", "day")
-        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        .agg(F.sum("s").alias("s"))
     )
     return cuped_report(cells)
 
