@@ -1113,6 +1113,68 @@ def test_epoch_schedule_caps_and_redistributes(spark, tmp_path):
         assert capped and em == 4000 and quota == 4 * n_tokens
 
 
+def test_epoch_schedule_regimes_and_invariants(spark, tmp_path):
+    """corpus_epoch_schedule edge regimes the mixed-fixture test doesn't
+    reach — single source, none capped, all capped (EMPTY redistribution
+    pool) — each with bitwise oracle agreement plus the schedule
+    invariants that must hold in EVERY regime: epochs never exceed the
+    cap, a capped source's quota is exactly cap·n_tokens/1000, and the
+    allocated total never exceeds TOKEN_BUDGET (floor slack only)."""
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.operators.corpus import (
+        EPOCH_CAP_MILLI,
+        EPOCH_SCHEDULE_SQL,
+        TOKEN_BUDGET,
+        corpus_epoch_schedule,
+    )
+
+    regimes = {
+        "single": [("only", 400_000)],
+        "none_capped": [("a", 400_000), ("b", 300_000)],
+        # every source tiny -> all cap, pool = 0 (the NULLIF branch)
+        "all_capped": [("a", 1_000), ("b", 2_000), ("c", 500)],
+    }
+    for name, spec in regimes.items():
+        path = tmp_path / name
+        rows = [
+            (i, " ".join(["w"] * k), "en", src, k)
+            for i, (src, k) in enumerate(spec)
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).write.parquet(str(path / "documents.parquet"))
+        got = [tuple(r) for r in
+               corpus_epoch_schedule(spark, str(path)).collect()]
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{path}/documents.parquet/*.parquet')"
+        )
+        want = [(s, int(a), int(b), int(c), int(d), bool(e))
+                for s, a, b, c, d, e in con.sql(EPOCH_SCHEDULE_SQL).fetchall()]
+        assert got == want, name
+        # regime-independent invariants
+        assert sum(r[3] for r in got) <= TOKEN_BUDGET, name
+        for _, _, n_tokens, quota, em, capped in got:
+            assert em <= EPOCH_CAP_MILLI, name
+            if capped:
+                assert quota == (n_tokens * EPOCH_CAP_MILLI) // 1000, name
+                assert em == EPOCH_CAP_MILLI, name
+    # regime-specific shapes
+    single = [tuple(r) for r in
+              corpus_epoch_schedule(spark, str(tmp_path / "single")).collect()]
+    assert len(single) == 1 and single[0][3] == TOKEN_BUDGET  # whole budget
+    none_capped = [tuple(r) for r in corpus_epoch_schedule(
+        spark, str(tmp_path / "none_capped")).collect()]
+    assert all(not r[5] for r in none_capped)  # nothing caps: quota0 stands
+    assert all(r[3] == TOKEN_BUDGET // 2 for r in none_capped)
+    all_capped = [tuple(r) for r in corpus_epoch_schedule(
+        spark, str(tmp_path / "all_capped")).collect()]
+    assert all(r[5] and r[4] == EPOCH_CAP_MILLI for r in all_capped)
+
+
 def test_pq_codes_minimize_subspace_distance(spark):
     """PQ encoding invariant: every assigned code must be a true argmin —
     no codebook entry may sit strictly closer (in the quantized integer

@@ -2670,6 +2670,79 @@ def test_cuped_adjust_matches_model_and_oracle(spark, tmp_path):
     assert got_real == want_real and len(got_real) == 1
 
 
+def test_cuped_degenerate_regimes_propagate_null(spark, tmp_path):
+    """ev_cuped_adjust degenerate regimes: a ZERO-VARIANCE covariate
+    (every user identical pre-period → den = 0) must yield NULL theta /
+    adjusted lift / variance shrink in BOTH engines (the nullif
+    discipline — never a divide-by-zero error, never a fabricated 0),
+    while the raw lift still reads; and a fixture whose users all hash
+    into ONE arm must NULL the lifts on the empty-arm quotient. Bitwise
+    oracle agreement in both regimes."""
+    import datetime
+    import hashlib
+
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.plans.experiments import (
+        _cuped_sql,
+        ev_cuped_adjust,
+    )
+
+    def treated(uid):
+        return int(hashlib.md5(f"2:{uid}".encode()).hexdigest()[:15], 16) % 2 < 1
+
+    base = datetime.datetime(2024, 4, 1)
+    schema = (
+        "event_type string, user_id long, ts timestamp, props string, "
+        "value double, event_id long"
+    )
+
+    # (a) zero-variance covariate: everyone earns exactly 10.00 pre
+    rows, eid = [], 0
+    for uid in range(1, 11):
+        rows.append(("c", uid, base, "{}", 10.0, eid)); eid += 1
+        rows.append(("c", uid, base + datetime.timedelta(days=6), "{}",
+                     12.0 if treated(uid) else 11.0, eid)); eid += 1
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(tmp_path / "zv" / "events.parquet")
+    )
+    got = [tuple(r) for r in
+           ev_cuped_adjust(spark, str(tmp_path / "zv")).collect()]
+    (_, n_users, n_t, n_c, theta, lift_raw, lift_adj, vr), = got
+    assert theta is None and lift_adj is None and vr is None
+    assert lift_raw is not None and n_users == 10 and n_t + n_c == 10
+
+    # (b) single-arm population: pick only users the hash puts in TREAT
+    treat_uids = [u for u in range(1, 200) if treated(u)][:6]
+    rows, eid = [], 0
+    for uid in treat_uids:
+        rows.append(("c", uid, base, "{}", float(uid), eid)); eid += 1
+        rows.append(("c", uid, base + datetime.timedelta(days=6), "{}",
+                     float(2 * uid), eid)); eid += 1
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(tmp_path / "one" / "events.parquet")
+    )
+    got1 = [tuple(r) for r in
+            ev_cuped_adjust(spark, str(tmp_path / "one")).collect()]
+    (_, n_users1, n_t1, n_c1, theta1, lr1, la1, vr1), = got1
+    assert n_c1 == 0 and n_t1 == n_users1 == len(treat_uids)
+    assert lr1 is None and la1 is None  # empty-arm quotient NULLs
+    assert theta1 is not None  # pooled theta needs no arm split
+
+    for sub, have in (("zv", got), ("one", got1)):
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{sub}/events.parquet/*.parquet')"
+        )
+        want = [
+            tuple(int(v) if v is not None and not isinstance(v, str) else v
+                  for v in r)
+            for r in con.sql(_cuped_sql()).fetchall()
+        ]
+        assert have == want, sub
+
+
 def test_srm_oracle_agrees_cross_engine(spark):
     """ev_srm_check (staged r13, gates r14): cross-engine oracle
     agreement on the real events table; the deterministic hash splits
