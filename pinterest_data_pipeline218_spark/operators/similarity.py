@@ -372,6 +372,12 @@ def kcenter_sample(
         F.asc("cos_ppm"), F.asc("vec_id")
     )
     is_core = F.col("core_rank") <= core_take
+    # zero-norm vectors score NULL cosine and have no direction — they
+    # cannot be coverage picks, and unguarded they diverge the engines
+    # (Spark ASC ranks NULLS FIRST, DuckDB NULLS LAST — the r14 MMR
+    # advice class). dq_embedding_profile is the screen that counts
+    # them; here they are excluded from ranking in BOTH engines.
+    scored = scored.filter(F.col("cos_ppm").isNotNull())
     return (
         scored.select(
             "vec_id",
@@ -418,19 +424,7 @@ def _kcenter_sql() -> str:
     same two per-cell ROW_NUMBER orders and the core-wins CASE."""
     cos = cosine_sql_duckdb("e.v", "c.c")
     return f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-comps AS (
-  SELECT label, u.pos AS pos, u.qv AS qv FROM (
-    SELECT label, unnest(list_transform(range(1, len(v)+1),
-           __i -> {{'pos': __i, 'qv': CAST(TRUNC(v[__i] * {QUANT}) AS BIGINT)}})) AS u
-    FROM e
-  )
-),
-centroids AS (
-  SELECT label, list(CAST(s AS DOUBLE) ORDER BY pos) AS c
-  FROM (SELECT label, pos, SUM(qv) AS s FROM comps GROUP BY label, pos)
-  GROUP BY label
-),
+WITH {_centroid_ctes()},
 scored AS (
   SELECT e.vec_id, e.label,
          CAST(FLOOR({cos} * 1000000) AS BIGINT) AS cos_ppm
@@ -443,6 +437,7 @@ ranked AS (
     ROW_NUMBER() OVER (PARTITION BY label
                        ORDER BY cos_ppm ASC, vec_id ASC) AS frontier_rank
   FROM scored
+  WHERE cos_ppm IS NOT NULL
 )
 SELECT label AS cell, vec_id, cos_ppm,
        CASE WHEN core_rank <= {KCENTER_CORE_TAKE} THEN 'core'
@@ -568,19 +563,7 @@ def _ivf_recall_sql() -> str:
     ppm_eq = f"CAST(FLOOR({cos_eq} * 1000000) AS BIGINT)"
     ppm_cq = f"CAST(FLOOR({cos_cq} * 1000000) AS BIGINT)"
     return f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-comps AS (
-  SELECT label, u.pos AS pos, u.qv AS qv FROM (
-    SELECT label, unnest(list_transform(range(1, len(v)+1),
-           __i -> {{'pos': __i, 'qv': CAST(TRUNC(v[__i] * {QUANT}) AS BIGINT)}})) AS u
-    FROM e
-  )
-),
-centroids AS (
-  SELECT label, list(CAST(s AS DOUBLE) ORDER BY pos) AS c
-  FROM (SELECT label, pos, SUM(qv) AS s FROM comps GROUP BY label, pos)
-  GROUP BY label
-),
+WITH {_centroid_ctes()},
 q AS (
   SELECT vec_id AS qid, v AS q FROM e
   WHERE vec_id % {RECALL_QMOD} = 0 ORDER BY vec_id LIMIT {RECALL_NQ}
@@ -802,6 +785,27 @@ def ann_index_topk(
 
 
 QUANT = 1 << 20  # centroid quantization: trunc(val * 2^20) per component
+
+def _centroid_ctes() -> str:
+    """The ONE quantized-centroid CTE chain (e/comps/centroids) every
+    centroid-consuming oracle composes — byte-identical to the inline
+    blocks it replaced, so gated oracle strings are unchanged; a change
+    to QUANT semantics now has exactly one SQL home next to
+    build_ivf_centroids' Spark twin."""
+    return f"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+comps AS (
+  SELECT label, u.pos AS pos, u.qv AS qv FROM (
+    SELECT label, unnest(list_transform(range(1, len(v)+1),
+           __i -> {{'pos': __i, 'qv': CAST(TRUNC(v[__i] * {QUANT}) AS BIGINT)}})) AS u
+    FROM e
+  )
+),
+centroids AS (
+  SELECT label, list(CAST(s AS DOUBLE) ORDER BY pos) AS c
+  FROM (SELECT label, pos, SUM(qv) AS s FROM comps GROUP BY label, pos)
+  GROUP BY label
+)"""
+
 
 
 def build_ivf_centroids(emb: DataFrame) -> DataFrame:
@@ -1075,19 +1079,7 @@ def _ivf_sql(nprobe: int = 1) -> str:
     cell_cos = cosine_sql_duckdb("c.c", "q.q")
     cos = cosine_sql_duckdb("e.v", "q.q")
     return f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-comps AS (
-  SELECT label, u.pos AS pos, u.qv AS qv FROM (
-    SELECT label, unnest(list_transform(range(1, len(v)+1),
-           __i -> {{'pos': __i, 'qv': CAST(TRUNC(v[__i] * {QUANT}) AS BIGINT)}})) AS u
-    FROM e
-  )
-),
-centroids AS (
-  SELECT label, list(CAST(s AS DOUBLE) ORDER BY pos) AS c
-  FROM (SELECT label, pos, SUM(qv) AS s FROM comps GROUP BY label, pos)
-  GROUP BY label
-),
+WITH {_centroid_ctes()},
 q AS (SELECT v AS q FROM e WHERE vec_id = {QUERY_VEC_ID}),
 best AS (
   SELECT c.label FROM centroids c CROSS JOIN q

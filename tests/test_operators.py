@@ -2067,6 +2067,11 @@ def test_kcenter_sample_covers_and_oracle_agrees_cross_engine(spark, tmp_path):
     # cell 1: 5 members — under the core take, fully covered
     for i in range(5):
         rows.append((200 + i, [0.0, 0.0, 1.0, 0.05 * i], 1))
+    # a ZERO-NORM vector in cell 0: NULL cosine, no direction — must be
+    # excluded from ranking in BOTH engines (Spark ASC would rank NULLS
+    # FIRST into the frontier, DuckDB NULLS LAST: the divergence class
+    # the isNotNull guard closes)
+    rows.append((300, [0.0, 0.0, 0.0, 0.0], 0))
     spark.createDataFrame(
         [(v, [float(x) for x in vec], lab) for v, vec, lab in rows],
         "vec_id long, embedding array<float>, label int",
@@ -2098,6 +2103,7 @@ def test_kcenter_sample_covers_and_oracle_agrees_cross_engine(spark, tmp_path):
     assert frontier0 == [100, 101, 102, 103]
     assert len([r for r in cell0 if r[3] == "core"]) == KCENTER_CORE_TAKE
     assert len(frontier0) == KCENTER_FRONTIER_TAKE
+    assert 300 not in picked  # the zero-norm vector is never a pick
 
     got_real = [tuple(r) for r in corpus_kcenter_sample(spark, SF).collect()]
     con2 = duckdb.connect()
