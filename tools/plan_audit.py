@@ -156,6 +156,14 @@ def audit(name: str, df, full: bool) -> None:
         "broadcast_joins": plan.count("BroadcastHashJoin"),
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "global_sort_windows": global_windows,
+        # Arrow python stages are legitimate at the codec boundary, but
+        # their MULTIPLICITY is a re-execution tripwire: an expensive
+        # python subtree referenced from several plan branches (a union
+        # + self-join) duplicates wholesale — mm_phash_neardup's first
+        # form showed 8 MapInPandas nodes where the chain has 2, a 4x
+        # re-decode the headline stats above could not see
+        "arrow_map_nodes": simple.count("MapInPandas")
+        + simple.count("MapInArrow"),
     }
     flags = []
     if "CartesianProduct" in plan:
