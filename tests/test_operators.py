@@ -161,6 +161,50 @@ def test_lsh_calibration_matches_model_and_oracle(spark, tmp_path):
     assert trues == sorted(trues)  # estimator tracks truth monotonically
 
 
+def test_lsh_calibration_capped_branch_agrees_cross_engine(spark, tmp_path):
+    """dedup_lsh_calibration's OVER-CAP branch: a planted clique of
+    identical documents larger than CC_COMPOSED_EDGE_CAP shares every
+    band bucket, so the capped stream emits STAR edges (rep → member)
+    instead of the quadratic within-bucket pairs — the calibration must
+    agree bitwise across engines on that subsample, count exactly the
+    star-edge pairs for the clique at full agreement, and stay LINEAR in
+    the clique (n−1 pairs, not n·(n−1)/2)."""
+    import duckdb
+
+    from pinterest_data_pipeline218_spark.operators.dedup import (
+        CC_COMPOSED_EDGE_CAP,
+        NUM_HASHES,
+        _lsh_calibration_sql,
+        dedup_lsh_calibration,
+    )
+
+    n_clique = CC_COMPOSED_EDGE_CAP + 8  # over the cap: star edges
+    text = "alpha beta gamma delta epsilon zeta"
+    rows = [(i, text, "en", "src0", len(text)) for i in range(n_clique)]
+    # a few unrelated docs so the corpus isn't one clique
+    rows += [(10_000 + i, f"omega{i} psi{i} chi{i}", "en", "src0", 20)
+             for i in range(3)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = [tuple(r) for r in
+           dedup_lsh_calibration(spark, str(tmp_path)).collect()]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = [tuple(int(v) for v in r)
+            for r in con.sql(_lsh_calibration_sql()).fetchall()]
+    assert got == want
+    # identical docs agree on every minhash and have Jaccard 1: the
+    # full-agreement row carries exactly the clique's STAR pairs
+    full = [r for r in got if r[0] == NUM_HASHES]
+    assert full == [(NUM_HASHES, n_clique - 1, 1000000, 1000000, 0)]
+
+
 def test_minhash_candidates_cover_high_jaccard_pairs(spark):
     """LSH with 4 bands × 2 rows: a pair at Jaccard j is caught with
     probability 1-(1-j²)⁴ (≈0.68 at j=0.5, →1 as j→1). Most truth pairs on
