@@ -158,6 +158,34 @@ def _first_band_match() -> F.Column:
     )
 
 
+def _spread_docs(docs: DataFrame) -> DataFrame:
+    """Round-robin spread of the narrow (doc_id, text) projection (r15):
+    the md5-heavy signature/token-hash builds derived from a single-split
+    parquet scan otherwise run INSIDE the one-task scan stage, serialized
+    on one core. One round-robin exchange of the raw rows runs them on
+    all cores, and — being an identical subtree — is shared by every
+    consumer via AQE exchange reuse."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select("doc_id", "text").repartition(par)
+
+
+def _verify_sides(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(x, y) Jaccard-verify sides over ONE shared token-hash build: the
+    doc_id hash exchange is an identical subtree for both sides, so AQE
+    exchange reuse computes the md5 pass once (r15 — it previously ran
+    once per side, inside the scan task)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    hset = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(T.distinct_tokens(F.col("text")), lambda t: T.token_hash(t))
+        ).alias("hs"),
+    ).repartition(par, "doc_id")
+    x = hset.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("toks_a"))
+    y = hset.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("toks_b"))
+    return x, y
+
+
 def _lsh_verified_pairs(
     spark: SparkSession, sf_dir: str, threshold: float
 ) -> DataFrame:
@@ -195,6 +223,13 @@ def _lsh_verified_pairs(
     # in as many tasks as the scan has splits. Hot band buckets are also
     # spread instead of pinned to one task.
     par = spark.sparkContext.defaultParallelism * 4
+    # Spread the narrow doc projection FIRST (r15): with the round-robin
+    # exchange above the band table, the md5-heavy signature build ran
+    # below it — i.e. inside the single-split scan stage, serialized on
+    # one task. Spreading the (doc_id, text) rows first runs the one
+    # shared signature pass across all cores; the same spread exchange
+    # also feeds the verify-side token-hash build below.
+    spread = _spread_docs(docs)
     # ONE band table, repartitioned once, aliased for both join sides: the
     # two sides' plan subtrees are then identical, so exchange reuse
     # (AQE/ReuseExchange) computes the md5-heavy signatures once instead of
@@ -202,7 +237,7 @@ def _lsh_verified_pairs(
     # spread serves both its original purposes (see comment above) on the
     # probe side and costs nothing extra on the build side since it is the
     # same exchange.
-    bands = _band_table(docs).repartition(par)
+    bands = _band_table(spread).repartition(par)
     left = bands.alias("a")
     right = bands.alias("b")
     first_match = _first_band_match()
@@ -221,14 +256,7 @@ def _lsh_verified_pairs(
     # intersections over the O(pairs) candidate stream, and both engines
     # derive identical hash sets (within-doc collisions are ~2^-52/pair and
     # would be identical cross-engine anyway)
-    hset = docs.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(T.distinct_tokens(F.col("text")), lambda t: T.token_hash(t))
-        ).alias("hs"),
-    )
-    x = hset.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("toks_a"))
-    y = hset.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("toks_b"))
+    x, y = _verify_sides(spread)
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = inter / (F.size("toks_a") + F.size("toks_b") - inter)
     return (
@@ -932,7 +960,14 @@ def dedup_cluster_cc_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps one doc per cluster, and a split cluster merely keeps one doc
     per fragment."""
     docs = load_table(spark, sf_dir, "documents")
-    bands = _band_table(docs)
+    # r15: spread the doc projection so the signature pass runs on all
+    # cores (it previously serialized in the one-task scan stage), and key
+    # the shared band-table exchange on the bucket so the reps aggregate,
+    # its join, and the star filter all reuse ONE exchange with no further
+    # shuffle (guide §2.4).
+    spread = _spread_docs(docs)
+    par = spark.sparkContext.defaultParallelism * 4
+    bands = _band_table(spread).repartition(par, "band_idx", "band_key")
     reps = bands.groupBy("band_idx", "band_key").agg(F.min("doc_id").alias("rep"))
     star = (
         bands.join(reps, ["band_idx", "band_key"])
@@ -940,14 +975,7 @@ def dedup_cluster_cc_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         .distinct()
     )
-    hset = docs.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(T.distinct_tokens(F.col("text")), lambda t: T.token_hash(t))
-        ).alias("hs"),
-    )
-    x = hset.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("toks_a"))
-    y = hset.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("toks_b"))
+    x, y = _verify_sides(spread)
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = inter / (F.size("toks_a") + F.size("toks_b") - inter)
     pairs = (
@@ -990,9 +1018,11 @@ def capped_candidate_edges(docs: DataFrame, cap: int = CC_EDGE_CAP) -> DataFrame
     oracle can replay exactly."""
     spark = docs.sparkSession
     par = spark.sparkContext.defaultParallelism * 4
-    bands = _band_table(docs).select("doc_id", "band_idx", "band_key").repartition(
-        par, "band_idx", "band_key"
-    )
+    # r15: spread the doc projection first so the md5 signature pass runs
+    # on all cores instead of inside the one-task scan stage.
+    bands = _band_table(_spread_docs(docs)).select(
+        "doc_id", "band_idx", "band_key"
+    ).repartition(par, "band_idx", "band_key")
     sizes = bands.groupBy("band_idx", "band_key").agg(
         F.count(F.lit(1)).alias("bucket_n"), F.min("doc_id").alias("rep")
     )
@@ -1041,14 +1071,10 @@ def capped_verified_pairs(
     the capped form's 1.2–1.4×."""
     docs = load_table(spark, sf_dir, "documents")
     cand = capped_candidate_edges(docs, cap=cap)
-    hset = docs.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(T.distinct_tokens(F.col("text")), lambda t: T.token_hash(t))
-        ).alias("hs"),
-    )
-    x = hset.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("toks_a"))
-    y = hset.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("toks_b"))
+    # r15: one shared token-hash build (the spread subtree is identical to
+    # the one inside capped_candidate_edges, so AQE reuses that exchange
+    # too — the whole query reads the raw docs shuffle once).
+    x, y = _verify_sides(_spread_docs(docs))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = inter / (F.size("toks_a") + F.size("toks_b") - inter)
     return (
@@ -1438,11 +1464,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise serialize it; a multi-file cluster scan parallelizes
     naturally and AQE never coalesces an explicit repartition)."""
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # identical projection+repartition+shingle plan to containment_pairs,
-    # so the two queries SHARE one memoized attestation per session
+    # Pre-filter docs that cannot produce a shingle (fewer than N tokens —
+    # exactly `size(sh) == 0`, and split(NULL) sizes to -1, so this equals
+    # the old post-shingle `n > 0` gate). The old gate was a filter on the
+    # DERIVED shingle array: Catalyst pushed that whole md5-per-token
+    # expression below the round-robin exchange into the SINGLE-TASK scan
+    # stage, where it serialized a full shingle pass per branch (4x) just
+    # to evaluate the predicate — measured ~5 s of one-task wall at sf0.1.
+    # The token-count form pushes down as one cheap split() per row.
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "source", "text")
+        .filter(F.size(F.split(F.col("text"), " ")) >= CONTAINMENT_N)
         .repartition(par)
     )
     base = _cont_shingle_strings(docs, "doc_id", "source")
@@ -1453,10 +1486,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         arr = F.array_sort(F.transform("shs", lambda g: T.token_hash(g)))
     else:
         arr = F.array_sort("shs")
+    # ONE shingle build for all four consumers (prefix a-side, prefix
+    # b-side, verify a-side, verify b-side): materialize the sorted
+    # shingle arrays behind a doc_id hash exchange so AQE's exchange
+    # reuse computes the md5-heavy sort ONCE and every branch re-reads
+    # shuffle blocks — the _lsh_verified_pairs "one band table" move
+    # (guide §2.4: two operations keyed the same way share one exchange).
+    # `n` must be NON-NULLABLE (coalesce with a literal): the downstream
+    # length-filter comparisons make Catalyst infer IsNotNull(n), and a
+    # nullable n pushes that constraint — with n's whole md5-shingle
+    # definition substituted in — below both exchanges into the
+    # single-task scan stage (measured ~4 s of serialized wall at
+    # sf0.1). Non-nullable folds the inferred IsNotNull to true. Value
+    # is identical: sh is never NULL after the token-count pre-filter.
     sh = (
         base.select("doc_id", "source", arr.alias("sh"))
-        .withColumn("n", F.size("sh"))
-        .filter(F.col("n") > 0)
+        .withColumn("n", F.coalesce(F.size("sh"), F.lit(0)))
+        .repartition(par, "doc_id")
     )
     prefix_len = (
         F.col("n")
@@ -1768,9 +1814,21 @@ def containment_pairs(docs: DataFrame) -> DataFrame:
     # first (the containment_pairs_seeds r11 move: a few-row-group scan
     # otherwise pins the whole tokenize+hash pass to the scan tasks).
     par = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    docs = docs.select("doc_id", "source", "text").repartition(par)
+    # Token-count pre-filter (value-identical: a doc with < N tokens has an
+    # empty shingle set, so every pair it joins into fails n_common > 0) —
+    # pushes to the scan as one cheap split() instead of letting the block
+    # join fan out empty-shingle rows.
+    docs = (
+        docs.select("doc_id", "source", "text")
+        .filter(F.size(F.split(F.col("text"), " ")) >= CONTAINMENT_N)
+        .repartition(par)
+    )
     base = _cont_shingle_strings(docs, "doc_id", "source")
-    pairs = _salted_block_pairs(_cont_hashed(base), "source", "doc_id")
+    # ONE shingle build for both self-join sides: materialize the hashed
+    # arrays behind a doc_id exchange so AQE exchange reuse computes the
+    # md5-heavy transform once (guide §2.4) instead of once per side.
+    hashed = _cont_hashed(base).repartition(par, "doc_id")
+    pairs = _salted_block_pairs(hashed, "source", "doc_id")
     if _cont_hash_injective(base):
         sized = pairs.select(
             "source",
@@ -2028,15 +2086,26 @@ def containment_pairs_seeds(
     at sf0.1; correctness-neutral, the downstream joins shuffle on their
     own keys)."""
     par = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    docs = docs.select("doc_id", "text").repartition(par)
+    # Token-count pre-filter (value-identical: a doc with < N tokens has an
+    # empty shingle set — no seeds, no postings, and as a verify side it
+    # can never appear in `cand`), pushed to the scan as one cheap split().
+    docs = (
+        docs.select("doc_id", "text")
+        .filter(F.size(F.split(F.col("text"), " ")) >= CONTAINMENT_N)
+        .repartition(par)
+    )
     base = _cont_shingle_strings(docs, "doc_id")
     # candidate generation is hash-ORDER-dependent by design (bottom-k of
     # the hash-sorted shingles = a uniform random k-subset), identical in
     # both engines; SCORES are exact on every branch — over the hash
     # arrays when `_cont_hash_injective` proves them collision-free on
     # this corpus (the r13 win-back of the r12 string-port cost, VERDICT
-    # r12 #3), over the string sets otherwise
-    sh = _cont_hashed(base)
+    # r12 #3), over the string sets otherwise.
+    # ONE shingle build for all four consumers (seeds, postings, verify a,
+    # verify b): materialize the hashed arrays behind a doc_id exchange so
+    # AQE exchange reuse computes the md5-heavy transform once (guide §2.4)
+    # instead of once per branch — measured 4 parallel rebuilds at sf0.1.
+    sh = _cont_hashed(base).repartition(par, "doc_id")
     seeds = sh.select(
         "doc_id",
         F.explode(F.slice(F.array_sort("sh"), 1, seed_k)).alias("h"),
