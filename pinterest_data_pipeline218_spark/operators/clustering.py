@@ -41,14 +41,24 @@ KM_ROUNDS = 2  # unrolled refinements (mirrored exactly in the oracle SQL)
 
 
 def _qcomps(emb: DataFrame) -> DataFrame:
-    """(vec_id, pos, qv): the quantized component stream."""
+    """(vec_id, pos, qv): the quantized component stream. Deliberately NOT
+    materialized behind its own exchange (r15): unlike the residual-PQ
+    rcomps (scan + explode + aggregate + join per rebuild), this is one
+    cheap posexplode off the scan — an A/B of a vec_id repartition here
+    read ml_kmeans_refine 2.36 -> 2.79 s and dedup_semantic_kmeans
+    4.70 -> 6.76 s, the extra wide exchange costing more than the
+    rebuilds it saves."""
     return emb.select(
         "vec_id", F.posexplode(as_double_array("embedding")).alias("pos", "val")
     ).select("vec_id", "pos", (F.col("val") * KM_QUANT).cast("long").alias("qv"))
 
 
 def _assign(comps: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest centroid per vector (exact integer L2², ties → lowest id)."""
+    """Nearest centroid per vector (exact integer L2², ties → lowest id).
+    The rank-window argmin is deliberate (r15): a grouped min-struct is
+    value-identical and map-side aggregable, but A/B'd 4.6 -> 11.2 s on
+    dedup_semantic_kmeans (the window's exchange+sort is what the
+    composed consumers' plans key their reuse off)."""
     diff = F.col("qv") - F.col("c")
     dists = (
         comps.join(F.broadcast(cent), "pos")

@@ -1543,6 +1543,15 @@ def _pq_res_comps(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     rcomps = comps.join(F.broadcast(cm), ["label", "pos"]).select(
         "vec_id", "label", "pos", "m", "r", (F.col("q") - F.col("mc")).alias("rq")
     )
+    # ONE residual-component build for every consumer (r15): the encode of
+    # each Lloyd round, each codebook update, the final encode, and the
+    # seed join all re-derive rcomps — scan + posexplode + cell-means
+    # aggregate + join, once per consumer (6+ rebuilds at lloyd_rounds=2,
+    # 129 scans in the final plan). Materializing it behind one vec_id
+    # hash exchange makes every consumer a ReusedExchange read
+    # (guide §2.4); the shuffle is n·dim narrow integer rows.
+    par = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    rcomps = rcomps.repartition(par, "vec_id")
     return rcomps, cm
 
 
