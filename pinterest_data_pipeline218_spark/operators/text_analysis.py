@@ -1148,8 +1148,18 @@ def dupspan_remove(docs: DataFrame) -> DataFrame:
     Docs shorter than DUPSPAN_N contribute no spans (gated explode) and
     are never edited; a doc whose every token is covered comes back as ''
     (kept, length 0) — dropping it is the caller's policy decision."""
-    toked = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
-    g = _gram_rows_pos(docs, DUPSPAN_N).select(
+    # r15: round-robin spread of the narrow projection, shared by every
+    # consumer below via AQE exchange reuse — the gram explode+md5, the
+    # token posexplode, and the n_tokens base otherwise all run inside the
+    # single-split scan stage. A/B at sf0.1: 3.42 -> 3.03 s. A further
+    # gh-keyed materialization of the gram stream was A/B'd and dropped
+    # (3.2 -> 3.5 s): the starts join broadcasts the tiny dup set, so the
+    # extra full shuffle of the gram rows costs more than the one cheap
+    # codegen'd gram rebuild it saves.
+    par = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    spread = docs.select("doc_id", "text").repartition(par)
+    toked = spread.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    g = _gram_rows_pos(spread, DUPSPAN_N).select(
         "doc_id", "i", T.token_hash(F.col("gram")).alias("gh")
     )
     dup = (
@@ -1176,7 +1186,7 @@ def dupspan_remove(docs: DataFrame) -> DataFrame:
             " ",
         ).alias("cleaned_text"),
     )
-    base = docs.select(
+    base = spread.select(
         "doc_id", F.size(T.tokens(F.col("text"))).cast("bigint").alias("n_tokens")
     )
     return (
