@@ -2106,13 +2106,21 @@ def containment_pairs_seeds(
     # AQE exchange reuse computes the md5-heavy transform once (guide §2.4)
     # instead of once per branch — measured 4 parallel rebuilds at sf0.1.
     sh = _cont_hashed(base).repartition(par, "doc_id")
+    # explode_outer + null-drop instead of explode (r15): plain explode
+    # makes Spark insert an implicit `size(arr) > 0` pre-filter, and
+    # predicate pushdown carries that filter — with the whole md5-shingle
+    # expression substituted in — through BOTH exchanges into the
+    # single-task scan stage. The outer form needs no pre-filter; the
+    # IsNotNull(h) lands ABOVE the Generate, on the already-materialized
+    # rows. Row-identical: explode skips empty arrays, explode_outer emits
+    # one NULL row for them and the filter drops it.
     seeds = sh.select(
         "doc_id",
-        F.explode(F.slice(F.array_sort("sh"), 1, seed_k)).alias("h"),
-    )
+        F.explode_outer(F.slice(F.array_sort("sh"), 1, seed_k)).alias("h"),
+    ).filter(F.col("h").isNotNull())
     postings = sh.select(
-        F.col("doc_id").alias("p_doc"), F.explode("sh").alias("h")
-    )
+        F.col("doc_id").alias("p_doc"), F.explode_outer("sh").alias("h")
+    ).filter(F.col("h").isNotNull())
     if df_cap is not None:
         keep = (
             postings.groupBy("h")

@@ -677,14 +677,22 @@ def contamination_report_vs(train: DataFrame, bench: DataFrame) -> DataFrame:
     hash array: the array form avoids that one shuffle but pays the
     interpreted-HOF tax on every gram (11x slower end-to-end at sf0.1),
     and the exploded stream was headed into a shuffling join anyway."""
+    # gh is wrapped NON-NULLABLE (coalesce with a literal that can never
+    # fire — grams are concats of non-null split tokens): the gh equi-join
+    # below makes Catalyst infer IsNotNull(gh), and a nullable gh pushes
+    # that check — with the md5 hash substituted in — below the distinct
+    # into the gram stage, where every gram pays the md5 TWICE (once for
+    # the null test, once for the projection). Non-nullable folds the
+    # inferred IsNotNull to true (r15; the dedup_ngram_jaccard fix).
+    gh_nn = F.coalesce(T.token_hash(F.col("gram")), F.lit(0).cast("long"))
     tgh = (
         _gram_rows(train, DECON_NGRAM)
-        .select("doc_id", T.token_hash(F.col("gram")).alias("gh"))
+        .select("doc_id", gh_nn.alias("gh"))
         .distinct()
     )
     bgh = (
         _gram_rows(bench, DECON_NGRAM)
-        .select(T.token_hash(F.col("gram")).alias("gh"))
+        .select(gh_nn.alias("gh"))
         .distinct()
     )
     per_doc = tgh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_doc_ngrams"))
