@@ -1340,9 +1340,14 @@ def merge_triage(
     from .dedup import incremental_matches, incremental_matches_capped
 
     qual_ok = T.quality_score(T.tokens(F.col("text"))) >= QUALITY_THRESHOLD
-    corp_digests = corpus.select(F.md5("text").alias("h")).distinct()
+    # digests wrapped NON-NULLABLE (text is non-null on both sides by the
+    # callers' filters): the h equi-join otherwise infers IsNotNull(h) and
+    # pushes it — with the md5 substituted in — into the scans, where each
+    # doc pays the digest twice (r15; the decontamination-gram fix).
+    h_nn = F.coalesce(F.md5("text"), F.lit(""))
+    corp_digests = corpus.select(h_nn.alias("h")).distinct()
     flagged = new.select(
-        "doc_id", F.md5("text").alias("h"), qual_ok.alias("qual_ok")
+        "doc_id", h_nn.alias("h"), qual_ok.alias("qual_ok")
     ).join(corp_digests.withColumn("is_exact", F.lit(True)), "h", "left")
     if cap is None:
         inc = incremental_matches(new, corpus)
