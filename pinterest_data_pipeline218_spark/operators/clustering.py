@@ -179,21 +179,32 @@ def ml_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label_b").alias("lb"),
         F.round(cos, 6).cast("double").alias("cos_sim"),
     )
+    # Mirror each undirected pair into both directions with ONE 2-element
+    # explode instead of a self-referencing unionByName (r15, guide §2.4):
+    # the union's branches each re-derived the whole scored-pair subtree
+    # (kmeans assignment + salted block join + cosine) — exchange reuse
+    # recovers most but not all of it; the explode emits both rows in one
+    # pass and halves the plan. Row-identical (exceptAll both ways, pytest).
     directed = scored.select(
-        F.col("a").alias("anchor"),
-        F.col("la").alias("anchor_label"),
-        F.col("b").alias("negative"),
-        F.col("lb").alias("negative_label"),
-        "cos_sim",
-    ).unionByName(
-        scored.select(
-            F.col("b").alias("anchor"),
-            F.col("lb").alias("anchor_label"),
-            F.col("a").alias("negative"),
-            F.col("la").alias("negative_label"),
-            "cos_sim",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("anchor"),
+                    F.col("la").alias("anchor_label"),
+                    F.col("b").alias("negative"),
+                    F.col("lb").alias("negative_label"),
+                    F.col("cos_sim"),
+                ),
+                F.struct(
+                    F.col("b").alias("anchor"),
+                    F.col("lb").alias("anchor_label"),
+                    F.col("a").alias("negative"),
+                    F.col("la").alias("negative_label"),
+                    F.col("cos_sim"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
     w = Window.partitionBy("anchor").orderBy(F.desc("cos_sim"), F.asc("negative"))
     return (
         directed.withColumn("rk", F.row_number().over(w))
