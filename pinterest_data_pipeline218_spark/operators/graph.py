@@ -68,6 +68,12 @@ def pagerank(edges: DataFrame, rounds: int = PR_ROUNDS) -> DataFrame:
         F.col("src").alias("node"), F.lit(PR_FP).cast("long").alias("pr")
     )
     for _ in range(rounds):
+        # Join strategy deliberately left to the planner (r15 A/B, guide
+        # §3.1): deg/ranks carry small known stats, so these joins already
+        # elect broadcast/efficient builds — a forced shuffle_hash measured
+        # neutral (2.21 vs 2.10 s median) and a hint would pin the choice
+        # at scale. Contrast label_propagation, whose checkpoint-backed
+        # label side has unknown stats and NEEDS the hint.
         contrib = (
             e.join(deg, "src")
             .join(ranks, F.col("src") == F.col("node"))
@@ -220,8 +226,12 @@ def label_propagation(
         stats["rounds_run"] = 0
         stats["converged"] = False
     for t in range(rounds):
+        # shuffle_hash (r15, guide §3.1): sort-merge re-sorted the persisted
+        # edge stream every round; hashing the |V|-row label side per
+        # partition streams the edges un-sorted. A/B 8.25→3.34 s median.
         contrib = e.join(
-            labels.select(F.col("node").alias("dst"), F.col("lbl").alias("nlbl")),
+            labels.select(F.col("node").alias("dst"), F.col("lbl").alias("nlbl"))
+            .hint("shuffle_hash"),
             "dst",
         )
         counts = contrib.groupBy("src", "nlbl").agg(F.count(F.lit(1)).alias("cnt"))
@@ -314,6 +324,11 @@ def k_core(edges: DataFrame, k: int = KC_K, rounds: int = KC_ROUNDS) -> DataFram
             .filter(F.col("d") >= k)
             .select("src")
         )
+        # Hint-free (r15 A/B, guide §3.1): the keep side is a filtered
+        # aggregate with small estimated stats — the planner already
+        # broadcasts it; a forced shuffle_hash measured SLOWER (2.13 vs
+        # 2.97 s median). See label_propagation for the case that needs
+        # the explicit hint.
         e = (
             e.join(keep, "src")
             .join(keep.select(F.col("src").alias("dst")), "dst")
