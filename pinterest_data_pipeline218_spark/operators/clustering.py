@@ -32,7 +32,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..data import load_table
+from ..data import load_table, shielded_sort
 from ..functions.vectors import as_double_array
 
 K_CLUSTERS = 8
@@ -125,16 +125,15 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = cosine_from_norms(
         dot(F.col("v_a"), F.col("v_b")), F.col("nrm_a"), F.col("nrm_b")
     )
-    return (
-        pairs.select(
-            "cluster",
-            F.col("vec_id_a").alias("vec_a"),
-            F.col("vec_id_b").alias("vec_b"),
-            F.round(cos, 6).cast("double").alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= EMBEDDING_COSINE_THRESHOLD)
-        .orderBy("cluster", "vec_a", "vec_b")
-    )
+    out = pairs.select(
+        "cluster",
+        F.col("vec_id_a").alias("vec_a"),
+        F.col("vec_id_b").alias("vec_b"),
+        F.round(cos, 6).cast("double").alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= EMBEDDING_COSINE_THRESHOLD)
+    # shielded presentation sort (r15): the bare orderBy's range sampler
+    # re-ran the salted pair join + cosine scoring (A/B 4.31 -> 3.71 s)
+    return shielded_sort(out, "cluster", "vec_a", "vec_b")
 
 
 NEG_K = 3  # hard negatives mined per anchor
