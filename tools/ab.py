@@ -43,7 +43,11 @@ def main() -> None:
         spark.sparkContext.setJobDescription(f"ab-warmup:{n}")
         force(qs[n](spark, sf_dir))
     for r in range(reps):
-        for n in names:
+        # alternate order between reps: running variants back-to-back warms
+        # OS/JIT state for whichever runs second — a fixed order reads as a
+        # systematic win for the later variant (measured r15)
+        seq = names if r % 2 == 0 else list(reversed(names))
+        for n in seq:
             spark.sparkContext.setJobDescription(f"ab:{n}:rep{r}")
             t0 = time.monotonic()
             force(qs[n](spark, sf_dir))
