@@ -578,15 +578,19 @@ def test_q15_reads_lineitem_once(spark, qs):
     assert after == before, "q15 must not leave persisted blocks behind"
 
 
-def test_outliers_mad_leaves_no_cache(spark, qs):
+def test_outliers_mad_is_pure_plan(spark, qs):
     """ev_outliers_mad's r8 form persisted the dev relation and never
-    unpersisted (VERDICT r9 #2); the r10 form resolves the 5-row med/mad
-    tables at planning time instead — one events scan in the returned
-    plan, zero surviving storage blocks."""
+    unpersisted (VERDICT r9 #2); the r10 form collected the 5-row med/mad
+    tables at planning time — two driver jobs + a transient persist per
+    execution. The r15 form is a PURE PLAN: the medians are aggregate
+    subtrees inside the returned plan (AQE broadcasts the 5-row sides at
+    runtime), the builder runs zero driver actions, and nothing is
+    persisted."""
     df = qs["ev_outliers_mad"](spark, SF)
     plan = _formatted_plan(df)
-    assert plan.count("events.parquet") == 1, (
-        "events must appear in exactly one scan node"
+    assert "percentile(" in plan, "medians must be computed IN the plan"
+    assert "LocalTableScan" not in plan, (
+        "no literal med/mad relations — planning-time collects are gone"
     )
     assert "InMemoryTableScan" not in plan
     before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
