@@ -54,6 +54,10 @@ def user_sessions(ev: DataFrame) -> DataFrame:
     )
 
 
+_OUTAGE_PLANNING_MEMO: dict[tuple, tuple] = {}
+_OUTAGE_PLANNING_MEMO_MAX = 16
+
+
 def outage_windows(ev: DataFrame) -> DataFrame:
     """(outage_id, o_start, o_end): merged intervals of ABOVE-AVERAGE
     error-rate minutes. Hot minute: its error count clears the global
@@ -141,21 +145,39 @@ def outage_windows(ev: DataFrame) -> DataFrame:
             )
         )
 
-    cached = _minute_agg().persist()
-    try:
-        n_minutes, total = cached.agg(
-            F.count(F.lit(1)), F.sum("c")
-        ).first()  # 2 scalars of driver state; fills the cache
-        bnd = sorted(
-            (r.i_start, r.i_end)
-            for r in _islands(cached, n_minutes, total)
-            .filter(F.col("at_head") | F.col("at_tail"))
-            .select("i_start", "i_end")
-            .collect()
-        )  # <= 2 islands/day of span: bounded driver-side planning state;
-        # cache read — no second events scan at planning time
-    finally:
-        cached.unpersist(blocking=True)
+    # Planning state memo (r15, the attestation-memo discipline): the two
+    # scalars + the <=2-per-day boundary set are plan-determined kilobytes,
+    # but were re-collected (2 jobs + a transient persist) on EVERY
+    # execution. Keyed (applicationId, canonicalized minute-agg plan),
+    # bounded; the first build per session still computes from parquet.
+    from ..data import plan_identity
+
+    memo_key = (
+        ev.sparkSession.sparkContext.applicationId,
+        plan_identity(_minute_agg()),
+    )
+    got = _OUTAGE_PLANNING_MEMO.get(memo_key)
+    if got is not None:
+        n_minutes, total, bnd = got
+    else:
+        cached = _minute_agg().persist()
+        try:
+            n_minutes, total = cached.agg(
+                F.count(F.lit(1)), F.sum("c")
+            ).first()  # 2 scalars of driver state; fills the cache
+            bnd = sorted(
+                (r.i_start, r.i_end)
+                for r in _islands(cached, n_minutes, total)
+                .filter(F.col("at_head") | F.col("at_tail"))
+                .select("i_start", "i_end")
+                .collect()
+            )  # <= 2 islands/day of span: bounded driver-side planning
+            # state; cache read — no second events scan at planning time
+        finally:
+            cached.unpersist(blocking=True)
+        if len(_OUTAGE_PLANNING_MEMO) >= _OUTAGE_PLANNING_MEMO_MAX:
+            _OUTAGE_PLANNING_MEMO.pop(next(iter(_OUTAGE_PLANNING_MEMO)))
+        _OUTAGE_PLANNING_MEMO[memo_key] = (n_minutes, total, list(bnd))
     interior = _islands(_minute_agg(), n_minutes, total).filter(
         ~F.col("at_head") & ~F.col("at_tail")
     ).select("i_start", "i_end")

@@ -358,20 +358,20 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum(_revenue()).alias("total_rev"))
     )
-    max_rev = rev.agg(F.max("total_rev").alias("max_rev")).first()[0]
+    # r15: the max is now a 1-row aggregate JOINED in-plan (equi-join on
+    # total_rev = max_rev, AQE broadcasts the 1-row side) instead of a
+    # planning-time collect — zero driver actions per execution, one query
+    # instead of two jobs. DECIMAL equality is exact, ties still surface as
+    # multiple rows, and an empty quarter yields max_rev = NULL whose
+    # equality never matches — the old empty-branch semantics for free.
+    max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
     sel = [
         "s_suppkey",
         "s_name",
         F.col("total_rev").cast("double").alias("total_revenue"),
     ]
-    if max_rev is None:  # empty quarter: no supplier can match
-        return (
-            rev.join(supplier, rev.l_suppkey == supplier.s_suppkey)
-            .select(*sel)
-            .limit(0)
-        )
     return (
-        rev.filter(F.col("total_rev") == F.lit(max_rev))
+        rev.join(max_rev, F.col("total_rev") == F.col("max_rev"))
         .join(supplier, rev.l_suppkey == supplier.s_suppkey)
         .select(*sel)
         .orderBy("s_suppkey")
