@@ -1390,22 +1390,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = docs.select(
         "doc_id", F.explode_outer(T.distinct_tokens(F.col("text"))).alias("tok")
     ).select("doc_id", T.token_hash(F.col("tok")).alias("h"))
-    counts = exploded.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"c{i}")
-            for i in range(60)
-        ],
+    # The 60 per-bit aggregates and the 60-term majority fold are built as
+    # SQL-string expressions (r15): the Column-algebra form made ~500 py4j
+    # round-trips per builder call — 1.55 s of pure driver time per bench
+    # rep; F.expr parses JVM-side in one call each (build 1.55 -> 0.34 s,
+    # whole query 2.41 -> 1.14 s median interleaved; plan and rows
+    # identical).
+    aggs = [F.expr("count(1) as n")] + [
+        F.expr(f"sum(shiftright(h, {i}) & 1) as c{i}") for i in range(60)
+    ]
+    counts = exploded.groupBy("doc_id").agg(*aggs)
+    majority = " + ".join(
+        f"(case when c{i} * 2 > n then cast({1 << i} as bigint) else 0L end)"
+        for i in range(60)
     )
-    simhash = functools.reduce(
-        operator.add,
-        [
-            F.when(F.col(f"c{i}") * 2 > F.col("n"), F.lit(1 << i).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-            for i in range(60)
-        ],
-    )
-    return counts.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+    return counts.select(
+        "doc_id", F.expr(f"({majority}) as simhash")
+    ).orderBy("doc_id")
 
 
 DEDUP_SIMHASH_SQL = """
