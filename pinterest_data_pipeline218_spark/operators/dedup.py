@@ -773,14 +773,17 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     # localCheckpoint materializes on the RDD path where AQE can't coalesce
     # — with the session's full shuffle width every round pays a
     # wide-stage scheduling cost regardless of data volume (measured
-    # 1.3s/round on a 71k-edge graph). ~1M edges per partition, floored at
-    # the cluster's parallelism; restored in finally (no session-level
-    # mutation survives).
+    # 1.3s/round on a 71k-edge graph). ~1M edges per partition, PURELY
+    # state-derived (r16): the old defaultParallelism floor re-widened
+    # kilobyte loop states to one task per core — measured ~0.3 s of
+    # scheduling per stage on a 35k-edge graph (a star round 4.3 s at
+    # width 32 vs 1.9 s at width 1-4) and the r15 driver's 8-core run was
+    # FASTER than 32-core on exactly these rows. At real scale the
+    # size-derived term dominates and nothing changes. Restored in
+    # finally (no session-level mutation survives).
     shuffle_key = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(shuffle_key)
-    loop_parts = max(
-        spark.sparkContext.defaultParallelism, int(n_edges // 1_000_000) + 1
-    )
+    loop_parts = int(n_edges // 1_000_000) + 1
     prev_sum = checksum(labels)
     converged = False
     try:
@@ -850,15 +853,24 @@ def _canon_edges(pairs: DataFrame) -> DataFrame:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """Large-star: every node links its LARGER neighbors to the minimum of
-    its neighborhood (incl. itself). One shuffle (groupBy u) + one join."""
+    its neighborhood (incl. itself). One shuffle (groupBy u) + one join.
+
+    Output is already canonical BY CONSTRUCTION — m = min(neighborhood ∪
+    {u}) <= u < v, so every row is (hi, lo) with hi > lo and no self-loop
+    — and it is at most |edges| rows (exactly one per v > u direction of
+    sym), so the r15 intermediate distinct bought nothing: duplicates
+    cannot compound (only _small_star consumes this, its aggregates are
+    duplicate-insensitive mins, and it ends in its own canon distinct).
+    Dropping the distinct removes one full exchange per star round (r16;
+    guide §2.4)."""
     sym = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
         edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
     )
     m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-    return _canon_edges(
+    return (
         sym.filter(F.col("v") > F.col("u"))
         .join(m, "u")
-        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
     )
 
 
@@ -874,7 +886,9 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def connected_components_star(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+def connected_components_star(
+    nodes: DataFrame, pairs: DataFrame, edge_key: tuple | None = None
+) -> DataFrame:
     """Connected components via alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
     Beyond") — O(log² n) rounds independent of component diameter, where
@@ -886,18 +900,43 @@ def connected_components_star(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     propagation, whose per-round work stays O(|V|+|E|) for every round. The
     convergence probe collects one (count, hash-sum) row per round; edges
     localCheckpoint per round to break lineage (cluster equivalent:
-    persist + checkpoint)."""
+    persist + checkpoint).
+
+    ``edge_key``, when given by a caller that can name its pair stream
+    cheaply (r16, VERDICT r15 #2): the INITIAL canonical edge set is
+    persisted in the bounded _EDGE_PLAN_CACHE under that key — the same
+    plan-keyed-persist policy connected_components has carried since r14
+    (capped-linear planning state; a cache-hit execution skips re-paying
+    the upstream LSH-verify materialization, a cache-miss or post-
+    clearCache execution computes it from the parquet inputs). The r15
+    attempt at this cache keyed on plan_identity(edges) and LOST its A/B
+    because digesting the huge LSH plan per call cost more than the
+    rebuild; the caller-supplied key makes the lookup free."""
     spark = nodes.sparkSession
     shuffle_key = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(shuffle_key)
-    edges = _canon_edges(pairs).localCheckpoint()
-    n_edges = edges.count()
+    cached = _EDGE_PLAN_CACHE.get(edge_key) if edge_key is not None else None
+    if cached is not None:
+        edges, n_edges = cached
+        sl = edges.storageLevel
+        if not (sl.useMemory or sl.useDisk):
+            # a session-wide clearCache dropped the materialization but not
+            # the registry entry — re-pin (connected_components' policy)
+            edges.persist()
+    elif edge_key is not None:
+        edges = _canon_edges(pairs).persist()
+        n_edges = edges.count()
+        if len(_EDGE_PLAN_CACHE) >= _EDGE_PLAN_CACHE_MAX:
+            _EDGE_PLAN_CACHE.pop(next(iter(_EDGE_PLAN_CACHE)))[0].unpersist()
+        _EDGE_PLAN_CACHE[edge_key] = (edges, n_edges)
+    else:
+        edges = _canon_edges(pairs).localCheckpoint()
+        n_edges = edges.count()
     # Same scoped loop-width pin as connected_components: star rounds
     # checkpoint on the AQE-less RDD path, so per-round stage width must
-    # track the (shrinking) edge state, not the session's scan width.
-    loop_parts = max(
-        spark.sparkContext.defaultParallelism, int(n_edges // 1_000_000) + 1
-    )
+    # track the (shrinking) edge state, not the session's scan width
+    # (purely state-derived since r16 — see connected_components).
+    loop_parts = int(n_edges // 1_000_000) + 1
     prev: tuple | None = None
     try:
         spark.conf.set(shuffle_key, str(min(int(old_parts), loop_parts)))
@@ -960,8 +999,23 @@ def dedup_cluster_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (both produce the exact min-reachable-id labeling), O(log² n)
     rounds regardless of component diameter. Gated separately so the star
     implementation carries its own full value-hash correctness check, not
-    just the property tests."""
-    return _cluster_cc(spark, sf_dir, connected_components_star)
+    just the property tests.
+
+    The star edge set is registered under a CHEAP caller-named key (r16):
+    re-paying the full LSH-verify materialization per execution was the
+    round-15 bench's biggest row (7.7 s driver), and the r15-rejected
+    plan_identity key was the whole cost of that A/B loss."""
+    edge_key = (
+        spark.sparkContext.applicationId,
+        "star_edges",
+        sf_dir,
+        CC_JACCARD_THRESHOLD,
+    )
+    return _cluster_cc(
+        spark,
+        sf_dir,
+        lambda nodes, pairs: connected_components_star(nodes, pairs, edge_key),
+    )
 
 
 def _cluster_cc(spark: SparkSession, sf_dir: str, cc_fn) -> DataFrame:

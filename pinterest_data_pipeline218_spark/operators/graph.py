@@ -470,7 +470,17 @@ def graph_reachability_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries); completes the graph family next to fixed-point PageRank
     and min-label CC."""
     nation, edges = _nation_directed_edges(spark, sf_dir)
-    return spark.sql(_reach_sql("", "{nat}", "{e}"), nat=nation, e=edges)
+    # Materialize the <=|nations|^2 edge list ONCE before the recursion
+    # (r16): Catalyst's UnionLoop re-evaluates the recursive member's
+    # relations every iteration, so the un-materialized edge list re-ran
+    # the full lineitem⋈orders derivation per round — the before-plan
+    # (plans/r16/graph_reachability_nations_before.txt) carries the whole
+    # join tree under UnionLoopRef. graph_cheapest_route has carried the
+    # same localCheckpoint since r13 (measured 3.5 s -> ~1.2 s there);
+    # bounded at any SF because the edge list is nation x nation.
+    return spark.sql(
+        _reach_sql("", "{nat}", "{e}"), nat=nation, e=edges.localCheckpoint()
+    )
 
 
 def _nation_directed_edges(spark: SparkSession, sf_dir: str):
