@@ -500,15 +500,18 @@ def main() -> None:
 
     out = assemble_output(results, iqrs, errors, sf, contended=contended)
     # belt: full machine-readable artifact next to this script, immune to
-    # any stdout truncation
+    # any stdout truncation. $SPARK_GRAFT_BENCH_OUT redirects it (VERDICT
+    # r15 #4: ad-hoc confirmation runs kept dirtying the committed
+    # BENCH.json); the DEFAULT stays the committed path so the driver's
+    # full-dict artifact and regen_baseline_table keep working unchanged.
+    bench_out = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
+    )
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"),
-            "w",
-        ) as fh:
+        with open(bench_out, "w") as fh:
             json.dump(out, fh, indent=1)
     except OSError as exc:
-        print(f"BENCH WARN: could not write BENCH.json: {exc}", file=sys.stderr)
+        print(f"BENCH WARN: could not write {bench_out}: {exc}", file=sys.stderr)
     print(json.dumps(out, separators=(",", ":")))
 
 

@@ -103,6 +103,10 @@ def bloom_prefilter(
 # attestation-memo idiom (verify-skill gotcha: an ACTION inside a query
 # builder is re-paid on every bench rep; the words are kilobytes of
 # planning state over immutable files, exactly like a cached codebook).
+# Data-immutability assumption (ADVICE r15, documented): plan_identity
+# sees paths, not file contents — the standing convention that sf_dir's
+# parquet is immutable for the application's lifetime (fresh JVM per
+# driver run).
 _BLOOM_WORDS_CACHE: dict[tuple[str, str], list[int]] = {}
 _BLOOM_WORDS_CACHE_MAX = 64
 

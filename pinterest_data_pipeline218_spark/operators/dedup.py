@@ -191,22 +191,33 @@ def _verify_sides(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 # pure driver/py4j time per call (hundreds of Column expressions), paid by
 # EVERY consumer execution — cluster_cc/cc_star/minhash_lsh each rebuild
 # an identical plan per bench rep. The memo stores the LAZY DataFrame
-# keyed (applicationId, builder, sf_dir, params): no data, no results —
-# every action still computes from the parquet inputs; DataFrames are
-# immutable so sharing the object across consumers is safe, and the
-# plan-keyed persist/attestation caches see the identical plan they
-# already key on. Bounded like the edge registry.
-_BUILDER_PLAN_MEMO: dict[tuple, DataFrame] = {}
-_BUILDER_PLAN_MEMO_MAX = 32
+# keyed per live SparkSession (WeakKeyDictionary since r16, ADVICE r15:
+# a sibling spark.newSession() shares the applicationId but must not be
+# served plans whose analysis ran under another session's state) plus
+# (builder, sf_dir, params): no data, no results — every action still
+# computes from the parquet inputs; DataFrames are immutable so sharing
+# the object across consumers is safe, and the plan-keyed
+# persist/attestation caches see the identical plan they already key on.
+# Bounded like the edge registry. Data-immutability assumption (ADVICE
+# r15, documented): the key does not see file CONTENTS — the standing
+# convention that sf_dir's parquet is immutable for the application's
+# lifetime (the driver starts a fresh JVM per run).
+import weakref
+
+_BUILDER_PLAN_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+_BUILDER_PLAN_MEMO_MAX = 32  # per session
 
 
-def _memo_plan(key: tuple, build) -> DataFrame:
-    got = _BUILDER_PLAN_MEMO.get(key)
+def _memo_plan(spark: SparkSession, key: tuple, build) -> DataFrame:
+    per = _BUILDER_PLAN_MEMO.setdefault(spark, {})
+    got = per.get(key)
     if got is None:
         got = build()
-        if len(_BUILDER_PLAN_MEMO) >= _BUILDER_PLAN_MEMO_MAX:
-            _BUILDER_PLAN_MEMO.pop(next(iter(_BUILDER_PLAN_MEMO)))
-        _BUILDER_PLAN_MEMO[key] = got
+        if len(per) >= _BUILDER_PLAN_MEMO_MAX:
+            per.pop(next(iter(per)))
+        per[key] = got
     # hand back a FRESH Dataset over the memoized logical plan: a Dataset
     # caches its QueryExecution, so returning the stored object verbatim
     # would freeze the PHYSICAL plan under whatever session conf was active
@@ -219,8 +230,10 @@ def _memo_plan(key: tuple, build) -> DataFrame:
 def _lsh_verified_pairs(
     spark: SparkSession, sf_dir: str, threshold: float
 ) -> DataFrame:
-    key = (spark.sparkContext.applicationId, "lsh_verified", sf_dir, threshold)
-    return _memo_plan(key, lambda: _lsh_verified_pairs_build(spark, sf_dir, threshold))
+    key = ("lsh_verified", sf_dir, threshold)
+    return _memo_plan(
+        spark, key, lambda: _lsh_verified_pairs_build(spark, sf_dir, threshold)
+    )
 
 
 def _lsh_verified_pairs_build(
@@ -1152,9 +1165,9 @@ def capped_verified_pairs(
     threshold: float,
     cap: int = CC_COMPOSED_EDGE_CAP,
 ) -> DataFrame:
-    key = (spark.sparkContext.applicationId, "capped_verified", sf_dir, threshold, cap)
+    key = ("capped_verified", sf_dir, threshold, cap)
     return _memo_plan(
-        key, lambda: _capped_verified_pairs_build(spark, sf_dir, threshold, cap)
+        spark, key, lambda: _capped_verified_pairs_build(spark, sf_dir, threshold, cap)
     )
 
 

@@ -828,6 +828,12 @@ def _bpe_pairs(seg_df: DataFrame) -> DataFrame:
 # fertility) train the identical table per execution — K+1 driver jobs
 # each, re-paid every bench rep. First build per session still computes
 # from the parquet inputs.
+# Data-immutability assumption (ADVICE r15, documented): plan_identity
+# digests the vocab PLAN (paths, expressions), not file contents — like
+# every attestation memo here, this assumes sf_dir's parquet is immutable
+# for the application's lifetime (the driver starts a fresh JVM per run;
+# regenerating a fixture in place mid-application would serve stale
+# merges).
 _BPE_MERGES_MEMO: dict[tuple, list[str]] = {}
 _BPE_MERGES_MEMO_MAX = 16
 

@@ -54,6 +54,11 @@ def user_sessions(ev: DataFrame) -> DataFrame:
     )
 
 
+# Data-immutability assumption (ADVICE r15, documented): keyed on
+# (applicationId, minute-agg plan identity) — plan_identity sees paths,
+# not file contents, so like every attestation memo in this repo it
+# assumes the source parquet is immutable for the application's lifetime
+# (the driver starts a fresh JVM per run).
 _OUTAGE_PLANNING_MEMO: dict[tuple, tuple] = {}
 _OUTAGE_PLANNING_MEMO_MAX = 16
 

@@ -557,7 +557,9 @@ def test_q19_envelope_predicates_push_to_both_scans(spark, qs):
     )
 
 
-def test_q15_reads_lineitem_once(spark, qs):
+def test_q15_max_is_in_plan_and_leaves_no_cache(spark, qs):
+    # (renamed from test_q15_reads_lineitem_once, ADVICE r15: the static
+    # plan shows the fact table TWICE by design; runtime reuse dedups it)
     """The MAX-scalar idiom must not use a partitionless window and (r10,
     VERDICT r9 #2) must not leave persisted blocks behind. r15: the max is
     a 1-row aggregate JOINED in-plan (no planning-time collect), so the

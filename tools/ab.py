@@ -29,7 +29,9 @@ def force(df) -> None:
 
 
 def main() -> None:
-    names = [a for a in sys.argv[1:] if not a.startswith("-")]
+    # dedupe while preserving order (ADVICE r15): duplicate names collapse
+    # into one dict key and would silently double that query's reps per pass
+    names = list(dict.fromkeys(a for a in sys.argv[1:] if not a.startswith("-")))
     reps = int(os.environ.get("AB_REPS", "5"))
     sf_dir = os.environ.get("AB_SF_DIR", "/root/testdata/sf0.1")
     qs = E.queries()
