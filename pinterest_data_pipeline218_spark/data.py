@@ -125,6 +125,34 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[st
     return dfs
 
 
+# Literal (collected-values) relations, memoized per live SparkSession
+# (r16): a trained-planning-state table (Lloyd codebook, k-means
+# centroids) embedded via spark.createDataFrame gets a FRESH RDD identity
+# on every call, so every downstream plan digest (plan_identity) and
+# CacheManager plan key changes per execution — ml_semantic_keepers'
+# edge registry missed on every rep and re-paid its pair materialization
+# (A/B 2.0 -> 3.4 s) until the relation object was made stable. Returning
+# the SAME DataFrame object is safe here because it is a leaf relation
+# over immutable collected values: there is no physical plan beneath it
+# that a session-conf flip could re-shape (contrast _memo_plan's fresh
+# select('*') discipline for composite plans).
+_LITERAL_DF_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+_LITERAL_DF_MEMO_MAX = 64
+
+
+def literal_df(spark: SparkSession, key: tuple, rows: list, schema: str) -> DataFrame:
+    per = _LITERAL_DF_MEMO.setdefault(spark, {})
+    df = per.get(key)
+    if df is None:
+        df = spark.createDataFrame(rows, schema)
+        if len(per) >= _LITERAL_DF_MEMO_MAX:
+            per.pop(next(iter(per)))
+        per[key] = df
+    return df
+
+
 def shielded_sort(df: DataFrame, *cols: str) -> DataFrame:
     """Global presentation sort behind a hash-exchange shield (r15, from
     the VERDICT r14 #3 root cause): a bare orderBy's RangePartitioner

@@ -1692,7 +1692,11 @@ def _trained_res_cb(
         if len(_RES_CB_MEMO) >= _RES_CB_MEMO_MAX:
             _RES_CB_MEMO.pop(next(iter(_RES_CB_MEMO)))
         _RES_CB_MEMO[key] = got
-    return emb.sparkSession.createDataFrame(got, _RES_CB_SCHEMA)
+    # per-session STABLE relation object (see data.literal_df): keeps every
+    # consumer's plan digest identical across executions
+    from ..data import literal_df
+
+    return literal_df(spark, key, got, _RES_CB_SCHEMA)
 
 
 def _ivfpq_residual(
