@@ -93,92 +93,67 @@ _MODULES = (
 # driver-row freshness, never test coverage. Per-round tail rationale lives
 # in git history (see `git log __spark_entry__.py`).
 _WINDOW = (
-    # (c) new this round — the seven r14-staged operators (VERDICT r14 #1):
-    "sim_mmr_topk",  # r15 NEW: MMR diversified top-k (greedy λ=0.7 replay)
-    "text_readability_score",  # r15 NEW: Flesch reading ease, integer proxy
-    "corpus_tokenizer_fertility",  # r15 NEW: BPE tokens-per-word by language
-    "dedup_cluster_report",  # r15 NEW: cluster-size histogram over capped CC
-    "mm_scene_cuts",  # r15 NEW: shot-boundary detection over frame kernel
-    "dq_freshness_lag",  # r15 NEW: staleness vs the dataset's own frontier
-    "ev_seasonal_backtest",  # r15 NEW: seasonal forecast backtest over CUSUM cells
-    # (b) changed since their last driver row — must re-gate:
-    "corpus_reservoir_sample",  # r15: presentation sort -> repartition(1)+
-    # sortWithinPartitions (the VERDICT r14 #3 re-adjudication: global
-    # orderBy's range-sampling pass re-executed the window child). That
-    # root cause generalizes: a bare final orderBy over an exchange-free
-    # per-doc pipeline re-runs the WHOLE codec/regex stage in the range
-    # sampler — data.shielded_sort hash-materializes the output first.
-    # The six heavy mm rows below take the shield and re-gate (measured
-    # sf0.1 medians: resize 2.00->1.28, phash 1.70->1.12, decode
-    # 1.37->1.04, audio_decode 0.82->0.55 interleaved); six r11 rows
-    # (ml_hard_negatives + the text_decontaminate/dupspan/lm_score/
-    # ngram_novelty/repetition block) defer to the r16 carry to make
-    # room — all inside the size-derived rotation contract. The in-window
-    # rows text_token_stats/text_fingerprint/text_quality_score/
-    # text_pii_redact/text_readability_score/mm_audio_decode/
-    # mm_binary_meta take the same shield and re-gate in place. The
-    # other r15 ADVICE fixes (mmr zero-norm filter, cell-cap distinct,
-    # plan_identity lookbehind, bounded edge registry) are builder-side.
-    "mm_image_resize",
-    "mm_image_phash",
-    "mm_image_decode",
-    "mm_audio_fingerprint",
-    "mm_fake_features",
-    "mm_frame_sample",
-    # (b) second shield wave — pair/report rows whose range sampler
-    # re-ran the candidate-join + verify segment (broadcast joins add no
-    # exchange, so nothing shielded the sampler); interleaved A/B at
-    # sf0.1: embedding_neardup 5.36->2.59, containment 2.18->0.90,
-    # containment_seeds 6.97->4.97, ngram_jaccard 5.11->4.45,
-    # merge_increment 2.59->1.96, dupspan_remove 2.95->1.87:
-    "dedup_containment",
-    "dedup_containment_seeds",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_neardup",
-    "corpus_merge_increment",
-    "text_dupspan_remove",
-    # (a) the staleness queue, oldest-first — all 11 r10 rows (the
-    # documented r14 carry, VERDICT r14 #2 names them):
-    "text_fingerprint",
-    "text_token_stats",
-    "tpch_q12_priority_classes",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q18_large_orders",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_semi_join",
-    "tpch_q5_regional_volume",
-    "tpch_q6_revenue",
-    "window_showcase",
-    # (a) 32 of the 43 r11 rows, ledger order; the 11 deferred r11 rows
-    # (text_tfidf_top_terms + the tpch_q1/q7..q22 block) are the r16
-    # carry, inside the size-derived rotation contract:
-    "corpus_stratified_sample",
-    "dedup_cluster_cc_star",
-    "dedup_compact_corpus",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_semantic_kmeans",
-    "dedup_simhash",
-    "ev_outliers_mad",
-    "ev_session_outage_overlap",
-    "ev_stats_by_type",
-    "ev_trend_slope",
-    "ev_value_ntiles",
-    "mm_audio_decode",
-    "mm_binary_meta",
-    "sim_ivf_index_probe",
+    # (b) r16: plans MATERIALLY restructured this optimization round — must
+    # re-gate. The CC family's loop width became purely state-derived, the
+    # star variant gained the caller-keyed edge registry and _large_star
+    # lost its intermediate distinct (every connected_components consumer
+    # re-gates); the Lloyd/k-means trainings moved to per-round jobs with
+    # literal memoized codebooks/centroids; reachability's edge list is
+    # localCheckpointed ahead of the recursion:
     "sim_ivfpq_lloyd_topk",
-    "sim_pq_topk",
-    "text_pii_redact",
-    "text_quality_score",
-    # ml_hard_negatives, text_decontaminate, text_lm_score,
-    # text_ngram_novelty, text_repetition_score, text_subword_tokens,
-    # ev_approx_distinct_users, ev_approx_value_quantiles, ev_mode_value,
-    # ev_pivot_type_counts, ev_rollup_daily, ev_running_total:
-    # displaced to the r16 carry by the (b) re-gates —
-    # all r11 rows, inside the size-derived rotation contract (r11 rows
-    # must re-gate by r17; the r16 window has the capacity)
+    "dedup_cluster_cc_star",
+    "dedup_cluster_cc",
+    "dedup_cluster_cc_bounded",
+    "dedup_cluster_cc_capped",
+    "dedup_cluster_best",
+    "dedup_cluster_report",
+    "corpus_build_full",
+    "corpus_leakage_safe_split",
+    "text_entity_ids",
+    "ml_semantic_keepers",
+    "graph_reachability_nations",
+    "ml_kmeans_refine",
+    "dedup_semantic_kmeans",
+    "ml_hard_negatives",
+    # (a) the staleness queue oldest-first — the 22 remaining r11 rows
+    # (ml_hard_negatives, also r11, re-gates above as a changed row):
+    "ev_approx_distinct_users",
+    "ev_approx_value_quantiles",
+    "ev_mode_value",
+    "ev_pivot_type_counts",
+    "ev_rollup_daily",
+    "ev_running_total",
+    "text_decontaminate",
+    "text_lm_score",
+    "text_ngram_novelty",
+    "text_repetition_score",
+    "text_subword_tokens",
+    "text_tfidf_top_terms",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q13_outer_join",
+    "tpch_q17_small_qty",
+    "tpch_q1_pricing_summary",
+    "tpch_q21_sole_returner",
+    "tpch_q22_anti_join",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    # (a) the 13 stalest r12 rows, ledger order; the remaining r12 rows are
+    # the r17 carry, inside the size-derived rotation contract:
+    "corpus_cdc_chunk",
+    "corpus_dsir_sample",
+    "corpus_filter_cascade",
+    "corpus_hash_sample",
+    "corpus_mixture_sample",
+    "corpus_quality_report",
+    "corpus_shuffle_shards",
+    "corpus_source_cap",
+    "corpus_split_assign",
+    "corpus_stratified_predlang",
+    "corpus_token_budget",
+    "dq_events_drift",
+    "ev_click_streaks",
 )
 
 

@@ -1138,31 +1138,29 @@ def test_registry_window_names_resolve_and_rotation_is_ledger_mechanical(qs):
     }
     out = (stale | new_unwindowed) - set(window)
     assert out == set(), f"stale/new queries outside the checked window: {out}"
-    # changed since last driver row (r14-judge..r15 commits) — must
-    # re-gate: the reservoir presentation-sort fix plus the 13
-    # shielded_sort rows; the other r15 ADVICE fixes were builder-side
-    # (no gated plan/oracle changed semantically)
+    # changed since last driver row (r15-judge..r16 commits) — must
+    # re-gate: the CC family's state-derived loop width + star edge
+    # registry + _large_star distinct removal (every connected_components
+    # consumer), the literal memoized Lloyd codebook / k-means centroids,
+    # and reachability's pre-recursion localCheckpoint. The r16 load_table
+    # memo adds only a Project the optimizer collapses (plan-identical);
+    # the r15 changed set (shielded sorts etc.) re-gated in r15.
     changed = {
-        "corpus_reservoir_sample",
-        "mm_image_resize",
-        "mm_image_phash",
-        "mm_image_decode",
-        "mm_audio_fingerprint",
-        "mm_fake_features",
-        "mm_frame_sample",
-        "mm_audio_decode",
-        "mm_binary_meta",
-        "text_token_stats",
-        "text_fingerprint",
-        "text_quality_score",
-        "text_pii_redact",
-        "text_readability_score",
-        "dedup_containment",
-        "dedup_containment_seeds",
-        "dedup_ngram_jaccard",
-        "dedup_embedding_neardup",
-        "corpus_merge_increment",
-        "text_dupspan_remove",
+        "sim_ivfpq_lloyd_topk",
+        "dedup_cluster_cc_star",
+        "dedup_cluster_cc",
+        "dedup_cluster_cc_bounded",
+        "dedup_cluster_cc_capped",
+        "dedup_cluster_best",
+        "dedup_cluster_report",
+        "corpus_build_full",
+        "corpus_leakage_safe_split",
+        "text_entity_ids",
+        "ml_semantic_keepers",
+        "graph_reachability_nations",
+        "ml_kmeans_refine",
+        "dedup_semantic_kmeans",
+        "ml_hard_negatives",
     }
     out = changed - set(window)
     assert out == set(), f"changed queries outside the checked window: {out}"
